@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated Parquet fixtures (see repo:TESTDATA.md,
   * repo:FIXTURES.md). One Parquet file per table under `sfDir`. Schemas are
@@ -22,7 +24,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is written as Parquet TIMESTAMP(NANOS), which Spark 4 does
+    * not read natively (PARQUET_TYPE_ILLEGAL). Read nanos as raw long via
+    * the legacy conf, then truncate to micros with integer division —
+    * bit-identical to DuckDB's nanos→micros truncation, and no double
+    * round-trip (1.7e18 exceeds double's 53-bit mantissa).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** North-star relational operator inventory (SURVEY.md §2B) over the
+  * TPC-H-ish star schema + events table: scans with pushed-down predicates,
+  * broadcast + shuffle joins (incl. semi/anti), partial+final hash
+  * aggregates, rollup/cube, window functions, sorts/limits/top-k, set ops,
+  * string/date/math/JSON scalar functions.
+  *
+  * Scale design notes (100 TB):
+  *  - Dimension tables (region/nation/customer/supplier/part) are broadcast;
+  *    only fact-fact joins (orders⋈lineitem) shuffle, on their join key.
+  *  - Aggregations rely on partial (map-side) aggregation — only group
+  *    digests shuffle.
+  *  - Top-k is TakeOrderedAndProject (bounded heap/partition), never a full
+  *    sort.
+  *  - Floating aggregates are rounded on BOTH engine and oracle side:
+  *    money-scale sums to 2 decimals, unit-scale avgs to 6 — double
+  *    summation order across engines/partitionings differs in the last bits.
+  */
+object RelationalQueries {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan-filter → partial/final hash aggregate → sort.
+    "q1_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("sum_disc_price"),
+          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: broadcast dim filter + two joins + agg + top-k.
+    "q3_top10" -> ((s, dir) => {
+      val cust = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      orders(s, dir)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(revenue), 2).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-table join (dims broadcast), local-supplier
+    // condition, revenue per nation.
+    "q5_nation_revenue" -> ((s, dir) => {
+      val asia = region(s, dir).filter(col("r_name") === "ASIA")
+      nation(s, dir)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .join(customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(revenue), 2).as("rev"))
+        .orderBy(col("rev").desc, col("n_name").asc)
+    }),
+
+    // Left-semi join (EXISTS): customers with at least one urgent order.
+    "semi_join" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no partially-filled order.
+    "anti_join" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Window top-n per group: 2 priciest orders per customer.
+    "window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // Running aggregates + lag over an ordered per-user event stream.
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("run_sum", round(sum(col("value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("seq", row_number().over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("run_sum"), col("prev_value"), col("seq"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
+
+    // Rollup: (flag, status), (flag), () grouping sets with grouping_id.
+    "rollup_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Cube over two order dimensions.
+    "cube_agg" -> ((s, dir) => {
+      orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Set operations: (BUILDING ∩ urgent-order customers) ∪ (AUTOMOBILE ∖
+    // high-priority customers); distinct semantics throughout.
+    "set_ops" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(urgent)
+        .union(auto.except(high))
+        .distinct()
+        .orderBy(col("c_custkey"))
+    }),
+
+    // String scalar functions over part.
+    "string_funcs" -> ((s, dir) => {
+      part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 4).as("name_pre"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          reverse(col("p_name")).as("name_rev"),
+          replace(col("p_name"), lit(" "), lit("_")).as("name_us"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time functions: monthly order rollup + extracted parts.
+    "date_funcs" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("month_start"))
+    }),
+
+    // JSON scalar functions over the semi-structured events.props column.
+    "json_funcs" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k_val") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"),
+          max(col("k_val")).as("max_k"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    // Tumbling event-time window aggregation (batch shape of the streaming
+    // op; Structured Streaming runs the same plan incrementally).
+    "events_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Pure top-k: TakeOrderedAndProject, no aggregation.
+    "topk_orders" -> ((s, dir) => {
+      orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Distinct aggregation: exact distinct counts per group.
+    "distinct_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top10" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS rev
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY rev DESC, l.l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS rev
+        |FROM region r
+        |JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY rev DESC, n.n_name ASC""".stripMargin,
+
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 2
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "window_running" ->
+      """SELECT user_id, event_id, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |FROM events
+        |ORDER BY user_id, seq""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus, o_orderpriority) AS gid,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION
+        |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        | EXCEPT
+        | SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  length(p_name) AS name_len,
+        |  substring(p_name, 1, 4) AS name_pre,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        |  reverse(p_name) AS name_rev,
+        |  replace(p_name, ' ', '_') AS name_us
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT date_trunc('month', o_orderdate) AS month_start,
+        |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr, month(o_orderdate) AS mo,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY month_start""".stripMargin,
+
+    "json_funcs" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.Knn
+
+/** Vector-search surface: reference parity for SURVEY.md §2A O12-O16 plus
+  * the batch/threshold generalizations. All kernels are HOF expressions —
+  * the scans stream, the only data movement is the broadcast of the (tiny)
+  * query side and the final top-k merge on the driver.
+  */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O14: brute-force exact top-k by cosine similarity, query = vec_id 0.
+    "knn_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding",
+        k = 5, keep = Seq("vec_id", "label"))
+    }),
+
+    // O14 batch generalization: 3 query vectors ranked per-query via window.
+    "knn_batch" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      Knn.topKBatch(emb.filter(col("vec_id") >= 3), qs, "vec_id", "embedding",
+          k = 3, keep = Seq("vec_id", "label"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // O14 + the documented-but-unimplemented score threshold (§2A
+    // fine-print 1): filter sim >= 0.2, then the API's topK clamp bound 50.
+    "search_threshold" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(VectorOps.cosine(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(50)
+    }),
+
+    // O15: pairwise similarity over stored vectors (vec 0 vs vec 1).
+    "pairwise_sim" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val a = emb.filter(col("vec_id") === 0).select(col("embedding").as("emb_a"))
+      val b = emb.filter(col("vec_id") === 1).select(col("embedding").as("emb_b"))
+      a.crossJoin(b).select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+    }),
+
+    // O15 over text: embed two documents with the "query: " prefix (the
+    // reference prefixes BOTH sides of pairwise similarity) and score.
+    "text_pairwise_sim" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val a = d.filter(col("doc_id") === 0)
+        .select(TextOps.hashEmbed(TextOps.queryText(col("text"))).as("emb_a"))
+      val b = d.filter(col("doc_id") === 1)
+        .select(TextOps.hashEmbed(TextOps.queryText(col("text"))).as("emb_b"))
+      a.crossJoin(b).select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+    }),
+
+    // O12: the reference's only SQL query — full scan ORDER BY id.
+    "all_documents" -> ((s, dir) =>
+      documents(s, dir).orderBy(col("doc_id"))),
+
+    // O16: corpus count reported with every search response.
+    "doc_count" -> ((s, dir) =>
+      documents(s, dir).agg(count(lit(1)).as("total_documents"))),
+
+    // O5-O10 (Prepare pipeline ≡ csv → concat " : " → "passage: " prefix →
+    // embed → sink): combined_text projection, embedding dims, unit norm.
+    "prepare_documents" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("combined_text", concat(col("source"), lit(" : "), col("text")))
+        .withColumn("emb", TextOps.hashEmbed(TextOps.passageText(col("combined_text"))))
+      d.select(
+        col("doc_id"), col("combined_text"),
+        size(col("emb")).as("embedding_dimensions"),
+        round(VectorOps.norm(col("emb")), 6).as("emb_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // O10 batch embed: the full corpus embedded in one distributed
+    // projection, flattened to (doc_id, bucket, weight) for the oracle.
+    "embed_documents" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextOps.hashEmbed(TextOps.passageText(col("text")))))
+        .select(col("doc_id"), col("pos").as("bucket"),
+          round(col("col"), 6).as("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
+    })
+  )
+
+  /** Cosine similarity of two DOUBLE[] expressions in DuckDB, with the
+    * reference's zero-magnitude guard.
+    */
+  def duckCosine(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0 OR sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b)
+       |   / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+       |END""".stripMargin
+
+  /** The hashing-embedder pipeline as DuckDB CTEs ending in
+    * `emb(doc_id, bucket, weight)`. `textExpr` is a SQL expression over a
+    * `documents` row alias `d0`; `where` optionally restricts the doc set.
+    * Must mirror graft.functions.TextOps.hashEmbed exactly: lower → split
+    * [^a-z0-9]+ → drop empty → first 512 → poly-hash(31, mod 1e9+7) →
+    * bucket h%64, sign by h%128<64 → signed counts → L2 normalize with the
+    * 1e-12 pass-through.
+    */
+  def duckEmbedCte(textExpr: String, where: String = ""): String =
+    s"""toks AS (
+       |  SELECT d0.doc_id, unnest(list_slice(list_filter(
+       |    string_split_regex(lower($textExpr), '[^a-z0-9]+'), t -> t <> ''), 1, 512)) AS tok
+       |  FROM documents d0 $where
+       |), hashed AS (
+       |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, length(tok)), i -> ascii(tok[i])::BIGINT)),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+       |  FROM toks
+       |), sums AS (
+       |  SELECT doc_id, h % 64 AS bucket,
+       |    sum(CASE WHEN h % 128 < 64 THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM hashed GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT d.doc_id, g.bucket, coalesce(s.s, 0.0) AS s
+       |  FROM (SELECT d0.doc_id FROM documents d0 $where) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) g
+       |  LEFT JOIN sums s USING (doc_id, bucket)
+       |), norms AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM grid GROUP BY 1),
+       |emb AS (
+       |  SELECT g.doc_id, g.bucket,
+       |    CASE WHEN n.n <= 1e-12 THEN g.s ELSE g.s / n.n END AS weight
+       |  FROM grid g JOIN norms n USING (doc_id)
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "knn_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    "knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |           FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id >= 3),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT qid, vec_id, label, sim, rnk FROM ranked
+         |WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "search_threshold" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |  AND round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) >= 0.2
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 50""".stripMargin,
+
+    "pairwise_sim" ->
+      s"""SELECT round(${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) AS sim
+         |FROM embeddings a CROSS JOIN embeddings b
+         |WHERE a.vec_id = 0 AND b.vec_id = 1""".stripMargin,
+
+    "text_pairwise_sim" ->
+      s"""WITH ${duckEmbedCte("'query: ' || d0.text", "WHERE d0.doc_id IN (0, 1)")}
+         |SELECT round(sum(a.weight * b.weight), 6) AS sim
+         |FROM emb a JOIN emb b USING (bucket)
+         |WHERE a.doc_id = 0 AND b.doc_id = 1""".stripMargin,
+
+    "all_documents" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "doc_count" ->
+      "SELECT count(*) AS total_documents FROM documents",
+
+    "prepare_documents" ->
+      s"""WITH ${duckEmbedCte("'passage: ' || d0.source || ' : ' || d0.text")}
+         |SELECT d.doc_id, d.source || ' : ' || d.text AS combined_text,
+         |  64 AS embedding_dimensions,
+         |  round(sqrt(sum(e.weight * e.weight)), 6) AS emb_norm
+         |FROM emb e JOIN documents d USING (doc_id)
+         |GROUP BY d.doc_id, combined_text
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "embed_documents" ->
+      s"""WITH ${duckEmbedCte("'passage: ' || d0.text")}
+         |SELECT doc_id, bucket, round(weight, 6) AS weight
+         |FROM emb
+         |ORDER BY doc_id, bucket""".stripMargin
+  )
+}
