@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextOps
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** Advanced LLM-pipeline operators: MinHash/LSH near-dedup, SimHash,
+  * document chunking, multimodal binary columns, IVF-pruned ANN search.
+  */
+object PipelineQueries {
+
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val doubledDocsSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash signatures: 8 affine permutations over word-3-shingle hashes.
+    // Staged columns (hs → shs → mh) — see Dedup's API note.
+    "minhash_signature" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("hs", TextOps.tokenHashes(col("text")))
+        .withColumn("shs", Dedup.shingleHashes(col("hs")))
+        .withColumn("mh", Dedup.minhashes(col("shs")))
+        .select(col("doc_id"), posexplode(col("mh")))
+        .select(col("doc_id"), col("pos").as("hf"), col("col").as("mh"))
+        .orderBy(col("doc_id"), col("hf"))
+    }),
+
+    // Full MinHash-LSH dedup pipeline: signature → band values → candidate
+    // pairs via (band, value) equi-join → exact shingle-Jaccard verify.
+    // Runs over the doubled corpus so true duplicates exist.
+    "minhash_lsh_dedup" -> ((s, dir) => {
+      val docs = doubledDocs(s, dir)
+      val staged = docs
+        .withColumn("hs", TextOps.tokenHashes(col("text")))
+        .withColumn("shs", Dedup.shingleHashes(col("hs")))
+      val sigs = staged
+        .withColumn("mh", Dedup.minhashes(col("shs")))
+        .select(col("doc_id"), posexplode(Dedup.bandValues(col("mh"))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("band"), col("bv"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("band"), col("bv"))
+      val candidates = a.join(b, Seq("band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      val sh = staged.select(col("doc_id"), col("shs"))
+      val shA = sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a"))
+      val shB = sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b"))
+      candidates.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("jacc", round(
+          when(size(array_union(col("shs_a"), col("shs_b"))) === 0, 0.0)
+            .otherwise(size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+              size(array_union(col("shs_a"), col("shs_b"))).cast("double")), 6))
+        .filter(col("jacc") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jacc"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints (32-bit) per document.
+    "simhash" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("hs", TextOps.tokenHashes(col("text")))
+        .select(col("doc_id"), Dedup.simhash32(col("hs")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document → fixed-size token chunks (posexplode; map-side only).
+    "chunk_explode" -> ((s, dir) => {
+      val withToks = documents(s, dir)
+        .withColumn("toks", TextOps.tokensTruncated(col("text")))
+        .filter(size(col("toks")) > 0)
+      withToks
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / lit(32)).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * lit(32) + 1, lit(32))))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk_text"),
+          size(split(col("col"), " ")).as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Multimodal: binary payload column + byte metadata (pure projection).
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.withPayload(documents(s, dir))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal decode plumbing: per-partition batched decode (stubbed
+    // codec, deterministic output). Not SQL-expressible → no oracle entry;
+    // the driver records a rows-only check. Semantics covered by
+    // MultimodalSpec.
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.withPayload(documents(s, dir))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodePartitions(media).toDF().orderBy(col("doc_id"))
+    }),
+
+    // IVF-pruned ANN: probe nearest cell medoid, exact top-k inside the
+    // probed cell only (partition-pruning shape of vector search at scale).
+    "ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Ann.ivfSearch(emb, q, "label", "vec_id", "embedding", k = 5,
+        excludeId = Some(0L))
+    })
+  )
+
+  // --- DuckDB mirrors -----------------------------------------------------
+
+  /** CTEs ending in `sh(doc_id, shs)` = distinct word-3-shingle hashes per
+    * doc, mirroring Dedup.shingleHashes over `docsSql`.
+    */
+  private def duckShingleCtes(docsSql: String): String =
+    s"""src AS ($docsSql),
+       |hs0 AS (
+       |  SELECT doc_id, list_transform(
+       |    list_slice(${TextQueries.duckToks("text")}, 1, 512),
+       |    tok -> list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(generate_series(1, length(tok)), i -> ascii(tok[i])::BIGINT)),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+       |  FROM src
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2),
+       |    i -> ((hs[i] * 131 + hs[i+1]) % 1000000007 * 131 + hs[i+2]) % 1000000007)) AS shs
+       |  FROM hs0
+       |)""".stripMargin
+
+  private val duckA = Dedup.hashA.mkString("[", ", ", "]")
+  private val duckB = Dedup.hashB.mkString("[", ", ", "]")
+
+  /** CTE `mhs(doc_id, mh)` = 8-slot minhash signature list. */
+  private def duckMinhashCte: String =
+    s"""mhs AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 7), j ->
+       |    coalesce(list_min(list_transform(shs, h ->
+       |      ($duckA[j+1] * h + $duckB[j+1]) % 1000000007)), 1000000007)) AS mh
+       |  FROM sh
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "minhash_signature" ->
+      s"""WITH ${duckShingleCtes("SELECT doc_id, text FROM documents")},
+         |$duckMinhashCte
+         |SELECT doc_id, j AS hf, mh[j+1] AS mh
+         |FROM mhs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j)
+         |ORDER BY doc_id, hf""".stripMargin,
+
+    "minhash_lsh_dedup" ->
+      s"""WITH ${duckShingleCtes(doubledDocsSql)},
+         |$duckMinhashCte,
+         |bands AS (
+         |  SELECT doc_id, b AS band,
+         |    list_reduce(list_prepend(0::BIGINT, list_slice(mh, b*2+1, b*2+2)),
+         |      (acc, h) -> (acc * 131 + h) % 1000000007) AS bv
+         |  FROM mhs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id_a, c.id_b,
+         |  round(CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+         |    ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+         |       / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE END, 6) AS jacc
+         |FROM cand c
+         |JOIN sh sa ON sa.doc_id = c.id_a
+         |JOIN sh sb ON sb.doc_id = c.id_b
+         |WHERE round(CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+         |    ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+         |       / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE END, 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "simhash" ->
+      s"""WITH hs0 AS (
+         |  SELECT doc_id, list_transform(
+         |    list_slice(${TextQueries.duckToks("text")}, 1, 512),
+         |    tok -> list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(1, length(tok)), i -> ascii(tok[i])::BIGINT)),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, k,
+         |    coalesce(list_sum(list_transform(hs, h ->
+         |      CASE WHEN ((h * (2*k + 1)) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END)), 0) AS wt
+         |  FROM hs0 CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
+         |)
+         |SELECT doc_id,
+         |  sum(CASE WHEN wt > 0 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS simhash
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "chunk_explode" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, list_slice(${TextQueries.duckToks("text")}, 1, 512) AS toks
+         |  FROM documents
+         |), ch AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_idx,
+         |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 32),
+         |      i -> array_to_string(list_slice(toks, i*32 + 1, i*32 + 32), ' '))) AS chunk_text
+         |  FROM tt WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text,
+         |  len(string_split(chunk_text, ' ')) AS n_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+         |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
+         |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${VectorQueries.duckCosine("ce", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 1)
+         |SELECT e.vec_id, e.label,
+         |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q JOIN probe p ON e.label = p.cell
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin
+  )
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextOps
+import graft.operators.Knn
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * corpora: deduplication, similarity, language ID, quality scoring,
+  * token statistics.
+  *
+  * Scale design notes (100 TB):
+  *  - Exact dedup = hash-groupBy on a 64-bit-ish fingerprint — the only
+  *    shuffle is the tiny (fp, keeper, n) digest, never the documents.
+  *  - Near-dup joins are blocked (label / LSH band) equi-joins, NEVER a
+  *    bare N² cross join; the exact variants here are the correctness
+  *    oracles for the banded versions at scale.
+  *  - All per-doc features are single-pass HOF projections: embedding a
+  *    petabyte corpus is a map-only job.
+  */
+object TextQueries {
+
+  /** The corpus unioned with an id-shifted copy of itself — gives the
+    * dedup operators real duplicates to find (the fixture corpus has 500
+    * distinct texts).
+    */
+  private def doubledDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  private val doubledDocsSql =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
+
+  /** DuckDB expressions mirroring TextOps exactly. */
+  def duckToks(textExpr: String): String =
+    s"list_filter(string_split_regex(lower($textExpr), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def duckTokHash(tokExpr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(generate_series(1, length($tokExpr)), i -> ascii($tokExpr[i])::BIGINT)),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  private def duckFingerprint(textExpr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(list_slice(${duckToks(textExpr)}, 1, 512),
+       |    tok -> ${duckTokHash("tok")})),
+       |  (acc, h) -> (acc * 131 + h) % 1000000007)""".stripMargin
+
+  private def duckLangScore(toksExpr: String, lang: String): String = {
+    val markers = TextOps.LangMarkers(lang).map(m => s"'$m'").mkString(", ")
+    s"len(list_filter($toksExpr, t -> list_contains([$markers], t)))"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact deduplication: rolling-hash fingerprint → hash groupBy →
+    // keeper = min id. Over the doubled corpus every text appears twice.
+    "dedup_exact" -> ((s, dir) => {
+      doubledDocs(s, dir)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy(col("keeper"))
+    }),
+
+    // Keep-first dedup subtract: ids surviving exact dedup (left-semi of
+    // the corpus against its keeper set — the materialized clean corpus).
+    "dedup_keep_first" -> ((s, dir) => {
+      val fp = doubledDocs(s, dir)
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      fp.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram (token-set) Jaccard similarity, all pairs in a 20-doc block.
+    "ngram_jaccard" -> ((s, dir) => {
+      val t = documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val a = t.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jacc", round(
+          when(size(array_union(col("toks_a"), col("toks_b"))) === 0, 0.0)
+            .otherwise(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+              size(array_union(col("toks_a"), col("toks_b"))).cast("double")), 6))
+        .select(col("id_a"), col("id_b"), col("jacc"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs, label-blocked (the blocked
+    // equi-join shape that scales; exact within each block).
+    "embedding_neardup" -> ((s, dir) => {
+      Knn.similaritySelfJoin(embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.25, blockCol = Some("label"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Language ID: marker-word scores, deterministic argmax chain.
+    "lang_id" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val t = TextOps.tokens(col("text"))
+      def score(l: String): Column = TextOps.langScore(col("text"), l)
+      val (en, de, fr, es) = (score("en"), score("de"), score("fr"), score("es"))
+      d.select(
+        col("doc_id"), col("lang"),
+        en.as("en_score"), de.as("de_score"), fr.as("fr_score"), es.as("es_score"),
+        when(en > 0 && en >= de && en >= fr && en >= es, "en")
+          .when(de > 0 && de >= fr && de >= es, "de")
+          .when(fr > 0 && fr >= es, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-document quality features + composite score.
+    "quality_scores" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).as("c_len"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+        round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
+        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-count statistics per language.
+    "token_counts" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH all_docs AS ($doubledDocsSql),
+         |fps AS (SELECT doc_id, ${duckFingerprint("text")} AS fp FROM all_docs)
+         |SELECT fp, min(doc_id) AS keeper, count(*) AS n
+         |FROM fps GROUP BY fp ORDER BY keeper""".stripMargin,
+
+    "dedup_keep_first" ->
+      s"""WITH all_docs AS ($doubledDocsSql),
+         |fps AS (SELECT doc_id, ${duckFingerprint("text")} AS fp FROM all_docs),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
+         |SELECT f.doc_id FROM fps f
+         |WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = f.doc_id)
+         |ORDER BY f.doc_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(${duckToks("text")}) AS toks
+         |  FROM documents WHERE doc_id < 20)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+         |       / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE END, 6) AS jacc
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${VectorQueries.duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${VectorQueries.duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) >= 0.25
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "lang_id" -> {
+      val t = duckToks("text")
+      val (en, de, fr, es) = (duckLangScore(t, "en"), duckLangScore(t, "de"),
+        duckLangScore(t, "fr"), duckLangScore(t, "es"))
+      s"""SELECT doc_id, lang,
+         |  $en AS en_score, $de AS de_score, $fr AS fr_score, $es AS es_score,
+         |  CASE
+         |    WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+         |    WHEN $de > 0 AND $de >= $fr AND $de >= $es THEN 'de'
+         |    WHEN $fr > 0 AND $fr >= $es THEN 'fr'
+         |    WHEN $es > 0 THEN 'es'
+         |    ELSE 'und'
+         |  END AS lang_pred
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_scores" -> {
+      val t = duckToks("text")
+      val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      val stopRatio =
+        s"""CASE WHEN len($t) = 0 THEN 0.0
+           | ELSE len(list_filter($t, x -> list_contains([$stops], x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin
+      val digitRatio =
+        s"""CASE WHEN length(text) = 0 THEN 0.0
+           | ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin
+      s"""SELECT doc_id, n_chars, length(text) AS c_len,
+         |  len($t) AS n_tokens,
+         |  round(CASE WHEN len($t) = 0 THEN 0.0
+         |    ELSE list_sum(list_transform($t, x -> length(x)))::DOUBLE / len($t)::DOUBLE END, 6) AS mean_tok_len,
+         |  round($digitRatio, 6) AS digit_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |    ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END, 6) AS alpha_ratio,
+         |  round($stopRatio, 6) AS stopword_ratio,
+         |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |       + (1.0 - least($digitRatio * 5.0, 1.0))
+         |       + least($stopRatio * 4.0, 1.0)) / 3.0, 6) AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "token_counts" ->
+      s"""SELECT lang, sum(len(${duckToks("text")}))::BIGINT AS total_tokens,
+         |  round(avg(len(${duckToks("text")})), 6) AS avg_tokens,
+         |  count(*) AS n_docs
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+  )
+}

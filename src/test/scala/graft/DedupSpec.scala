@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps
+import graft.operators.{Dedup, Multimodal}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def staged(df: org.apache.spark.sql.DataFrame) = df
+    .withColumn("hs", TextOps.tokenHashes($"text"))
+    .withColumn("shs", Dedup.shingleHashes($"hs"))
+    .withColumn("mh", Dedup.minhashes($"shs"))
+
+  test("minhash: identical texts share the full signature") {
+    val df = staged(Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The quick brown fox jumps over the lazy dog!")).toDF("id", "text"))
+    val sigs = df.select($"mh").collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1)) // tokenization normalizes case/punct
+  }
+
+  test("minhash: unrelated texts differ in at least one slot") {
+    val df = staged(Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("id", "text"))
+    val sigs = df.select($"mh").collect().map(_.getSeq[Long](0))
+    assert(sigs(0) !== sigs(1))
+  }
+
+  test("minhash: short (<3 tokens) docs get the sentinel signature") {
+    val df = staged(Seq((1L, "two words")).toDF("id", "text"))
+    val sig = df.select($"mh").head().getSeq[Long](0)
+    assert(sig.forall(_ === Dedup.P))
+  }
+
+  test("band values: duplicates collide on every band") {
+    val df = staged(Seq((1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j")).toDF("id", "text"))
+      .withColumn("bands", Dedup.bandValues($"mh"))
+    val bands = df.select($"bands").collect().map(_.getSeq[Long](0))
+    assert(bands(0) === bands(1))
+    assert(bands(0).length === Dedup.NumHashes / Dedup.BandRows)
+  }
+
+  test("simhash: deterministic, equal for equal token streams, 32-bit range") {
+    val df = Seq((1L, "spark catalyst codegen"), (2L, "SPARK catalyst CODEGEN"),
+      (3L, "something else entirely here")).toDF("id", "text")
+      .withColumn("hs", TextOps.tokenHashes($"text"))
+      .withColumn("sh", Dedup.simhash32($"hs"))
+    val r = df.select($"sh").collect().map(_.getLong(0))
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+    r.foreach(v => assert(v >= 0L && v < (1L << 32)))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("withPayload: binary column carries exact UTF-8 bytes") {
+    val df = Multimodal.withPayload(Seq((7L, "héllo")).toDF("doc_id", "text"))
+    val row = df.head()
+    assert(row.getAs[Array[Byte]]("payload") === "héllo".getBytes("UTF-8"))
+  }
+
+  test("decodePartitions: deterministic fake decode with stable schema") {
+    val media = Multimodal.withPayload(
+      Seq((1L, "some media bytes"), (2L, "")).toDF("doc_id", "text"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decodePartitions(media).collect().sortBy(_.doc_id)
+    assert(out.length === 2)
+    assert(out(0).n_bytes === "some media bytes".getBytes("UTF-8").length)
+    assert(out(0).channels === 3)
+    assert(out(0).width >= 16 && out(0).width < 256)
+    // empty payload decodes to the zero-checksum cell, not a crash
+    assert(out(1).n_bytes === 0 && out(1).checksum === 0L)
+    // determinism: same input → same output
+    val again = Multimodal.decodePartitions(media).collect().sortBy(_.doc_id)
+    assert(out === again)
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("ann_ivf returns k rows, all from a single probed cell") {
+    val out = SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 5)
+    assert(out.map(_.getAs[Int]("label")).distinct.length === 1)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("ann_ivf recall vs exact knn: probed-cell hits are a subset of corpus") {
+    val exact = SparkEntry.queries("knn_topk")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = SparkEntry.queries("ann_ivf")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // approximate: overlap possible but not required; both non-empty
+    assert(exact.nonEmpty && approx.nonEmpty)
+  }
+}

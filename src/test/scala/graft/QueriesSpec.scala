@@ -11,8 +11,16 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  /** Queries with no DuckDB-expressible semantics (driver falls back to a
+    * rows-only check). Keep this list SHORT and justified.
+    */
+  val consciousOracleOmissions: Set[String] = Set(
+    "multimodal_decode" // mapPartitions codec stub — not SQL-expressible
+  )
+
   test("every query has an oracle or a conscious omission") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      consciousOracleOmissions
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
