@@ -118,6 +118,29 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("seq"))
     }),
 
+    // Event-time sessionization (batch form): gap > 30 min starts a new
+    // session; lag + running sum per user. This is the exact oracle for
+    // graft.streaming.Streaming.sessionizeStream (same gap semantics).
+    "sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > graft.streaming.Streaming.SessionGapMicros, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      gapped
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // Rollup: (flag, status), (flag), () grouping sets with grouping_id.
     "rollup_agg" -> ((s, dir) => {
       lineitem(s, dir)
@@ -297,6 +320,23 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
         |FROM events
         |ORDER BY user_id, seq""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        |  FROM e)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  round(sum(value), 2) AS value_sum
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference is strictly request/response + batch ETL (SURVEY.md §2B:
+  * streaming ABSENT) — this is north-star scope. Design rule: every
+  * streaming computation is the SAME DataFrame transformation as its batch
+  * counterpart (RelationalQueries "events_window", TextQueries-style aggs),
+  * applied to a readStream source — Structured Streaming's incremental
+  * execution of an unchanged logical plan. Batch results are therefore the
+  * exact oracle for the streaming results (asserted in StreamingSpec).
+  *
+  * At scale: the parquet file source is swapped for Kafka/queue sources;
+  * watermark + windowed state keeps per-executor state bounded; state store
+  * compaction/checkpointing are Spark-managed.
+  */
+object Streaming {
+
+  /** events schema as Spark reads it with nanosAsLong (see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory, ts normalized to
+    * TimestampType exactly like the batch reader.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type — identical transformation
+    * for batch and streaming input (the batch run is the oracle).
+    * Watermark bounds state: windows older than 2 hours of event time are
+    * finalized and evicted.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  // --- stateful sessionization -------------------------------------------
+
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  case class SessionState(sessionSeq: Int, lastTsMicros: Long,
+                          n: Long, valueSum: Double, startMicros: Long)
+  case class SessionOut(user_id: Long, session_seq: Int, n_events: Long,
+                        session_start_us: Long, session_end_us: Long,
+                        value_sum: Double)
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 minutes
+
+  /** Event-time sessionization with mapGroupsWithState: sessions close
+    * after a 30-minute gap. Streaming shape of the batch "sessionize"
+    * query (window lag + running sum), which is its oracle.
+    *
+    * Emits only the LAST open session per user on each trigger in this
+    * simplified form; the batch query remains the source of truth for
+    * full history. Input must be per-user ordered within a batch (true
+    * for the fixture's single-file replay).
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tsMicros"), col("value")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0, Long.MinValue, 0L, 0.0, Long.MinValue))
+          rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+            st =
+              if (st.lastTsMicros == Long.MinValue ||
+                  e.tsMicros - st.lastTsMicros > SessionGapMicros)
+                SessionState(st.sessionSeq + 1, e.tsMicros, 1L, e.value, e.tsMicros)
+              else
+                st.copy(lastTsMicros = e.tsMicros, n = st.n + 1,
+                  valueSum = st.valueSum + e.value)
+          }
+          state.update(st)
+          SessionOut(uid, st.sessionSeq, st.n, st.startMicros, st.lastTsMicros,
+            st.valueSum)
+      }.toDF()
+  }
+
+  /** Run a streaming DataFrame to completion against the memory sink and
+    * return the materialized result (test/demo harness; production uses a
+    * real sink + checkpoint).
+    */
+  def runToMemory(spark: SparkSession, streamDf: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamDf.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
