@@ -1,0 +1,24 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-API surface for graft's native Catalyst
+  * expressions. Registration is per-session and idempotent; after
+  * `register(spark)` the functions are callable from SQL
+  * (`SELECT cosine_sim(a, b)`) and via the helpers here.
+  */
+object GraftFunctions {
+
+  val CosineSimName = "cosine_sim"
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineSimName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Fused single-pass cosine similarity (see CosineSimilarity). The
+    * session must have called `register` first.
+    */
+  def cosineSim(a: Column, b: Column): Column = call_function(CosineSimName, a, b)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.expressions.GraftFunctions
 import graft.functions.{TextOps, VectorOps}
 import graft.operators.Knn
 
@@ -22,6 +23,21 @@ object VectorQueries {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding",
         k = 5, keep = Seq("vec_id", "label"))
+    }),
+
+    // O14 again through the fused native Catalyst expression (single-pass
+    // dot+norms loop, whole-stage codegen) — must produce bit-identical
+    // results to the HOF kernel; Bench measures the speedup.
+    "knn_topk_fused" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
     }),
 
     // O14 batch generalization: 3 query vectors ranked per-query via window.
@@ -146,6 +162,15 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    "knn_topk_fused" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.label,
          |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
