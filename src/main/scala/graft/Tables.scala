@@ -14,8 +14,39 @@ import org.apache.spark.sql.types.LongType
   * column pruning + predicate pushdown into the scan.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+
+  /** Session tuning applied at the single load choke point (idempotent).
+    *
+    * InferFiltersFromGenerate is EXCLUDED: it synthesizes a
+    * `size(generator_input) > 0` filter under every explode and pushes it
+    * to the scan, re-inlining the generator's whole expression chain into
+    * the Filter. Higher-order array functions are interpreted
+    * (CodegenFallback) with no common-subexpression reuse, so the inlined
+    * chain re-evaluates its children per array element — measured 550x
+    * slowdown on minhash_signature (0.7s → 390s at sf0.1). Our generators
+    * (embeddings, signatures) are never empty, so the inferred filter
+    * only costs.
+    */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    tune(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** The fixture tables are single small parquet files → 1 input split →
+    * serial execution. CPU-bound per-row kernels (embedding, minhash)
+    * need the cores: spread rows across the default parallelism. At real
+    * scale the input has thousands of splits and this is a no-op decision
+    * — the repartition guards the degenerate single-file case.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps
+import graft.expressions.GraftFunctions
 
 /** Approximate nearest-neighbor search via IVF-style partition pruning.
   *
@@ -41,9 +41,10 @@ object Ann {
   def ivfSearch(vecs: DataFrame, query: DataFrame, cellCol: String,
                 idCol: String, embCol: String, k: Int,
                 excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
     val medoids = cellMedoids(vecs, cellCol, idCol, embCol)
     val probe = medoids.crossJoin(broadcast(query))
-      .withColumn("csim", round(VectorOps.cosine(col("centroid"), col("q_emb")), 6))
+      .withColumn("csim", round(GraftFunctions.cosineSim(col("centroid"), col("q_emb")), 6))
       .orderBy(col("csim").desc, col("cell").asc)
       .limit(1)
       .select(col("cell"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftFunctions
 import graft.functions.VectorOps
 
 /** Brute-force exact k-nearest-neighbor search, Spark-shaped.
@@ -31,9 +32,10 @@ object Knn {
     */
   def topK(corpus: DataFrame, query: DataFrame, idCol: String, embCol: String,
            k: Int, keep: Seq[String]): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(query))
-      .withColumn("sim", round(VectorOps.cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col(embCol), col("q_emb")), 6))
     scored
       .select((keep.map(col) :+ col("sim")): _*)
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -52,9 +54,10 @@ object Knn {
     */
   def topKBatch(corpus: DataFrame, queries: DataFrame, corpusId: String,
                 embCol: String, k: Int, keep: Seq[String]): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(queries))  // every (corpus row, query row)
-      .withColumn("sim", round(VectorOps.cosine(col(embCol), col("q_emb")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col(embCol), col("q_emb")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(corpusId).asc)
     scored
       .withColumn("rnk", row_number().over(w))
@@ -75,8 +78,9 @@ object Knn {
       blockCol.map(col(_).as("blk_a")).getOrElse(lit(0).as("blk_a")))
     val b = vecs.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
       blockCol.map(col(_).as("blk_b")).getOrElse(lit(0).as("blk_b")))
+    GraftFunctions.register(vecs.sparkSession)
     a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
-      .withColumn("sim", round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

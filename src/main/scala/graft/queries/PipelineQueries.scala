@@ -25,7 +25,7 @@ object PipelineQueries {
     // MinHash signatures: 8 affine permutations over word-3-shingle hashes.
     // Staged columns (hs → shs → mh) — see Dedup's API note.
     "minhash_signature" -> ((s, dir) => {
-      documents(s, dir)
+      spread(documents(s, dir))
         .withColumn("hs", TextOps.tokenHashes(col("text")))
         .withColumn("shs", Dedup.shingleHashes(col("hs")))
         .withColumn("mh", Dedup.minhashes(col("shs")))
@@ -38,7 +38,7 @@ object PipelineQueries {
     // pairs via (band, value) equi-join → exact shingle-Jaccard verify.
     // Runs over the doubled corpus so true duplicates exist.
     "minhash_lsh_dedup" -> ((s, dir) => {
-      val docs = doubledDocs(s, dir)
+      val docs = spread(doubledDocs(s, dir))
       val staged = docs
         .withColumn("hs", TextOps.tokenHashes(col("text")))
         .withColumn("shs", Dedup.shingleHashes(col("hs")))
@@ -67,7 +67,7 @@ object PipelineQueries {
 
     // SimHash fingerprints (32-bit) per document.
     "simhash" -> ((s, dir) => {
-      documents(s, dir)
+      spread(documents(s, dir))
         .withColumn("hs", TextOps.tokenHashes(col("text")))
         .select(col("doc_id"), Dedup.simhash32(col("hs")).as("simhash"))
         .orderBy(col("doc_id"))

@@ -59,7 +59,7 @@ object TextQueries {
     // Exact deduplication: rolling-hash fingerprint → hash groupBy →
     // keeper = min id. Over the doubled corpus every text appears twice.
     "dedup_exact" -> ((s, dir) => {
-      doubledDocs(s, dir)
+      spread(doubledDocs(s, dir))
         .withColumn("fp", TextOps.fingerprint(col("text")))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
@@ -69,7 +69,7 @@ object TextQueries {
     // Keep-first dedup subtract: ids surviving exact dedup (left-semi of
     // the corpus against its keeper set — the materialized clean corpus).
     "dedup_keep_first" -> ((s, dir) => {
-      val fp = doubledDocs(s, dir)
+      val fp = spread(doubledDocs(s, dir))
         .withColumn("fp", TextOps.fingerprint(col("text")))
       val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       fp.join(keepers, Seq("doc_id"), "left_semi")

@@ -77,9 +77,11 @@ object VectorQueries {
     "text_pairwise_sim" -> ((s, dir) => {
       val d = documents(s, dir)
       val a = d.filter(col("doc_id") === 0)
-        .select(TextOps.hashEmbed(TextOps.queryText(col("text"))).as("emb_a"))
+        .withColumn("raw", TextOps.hashEmbedRaw(TextOps.queryText(col("text"))))
+        .select(VectorOps.l2Normalize(col("raw")).as("emb_a"))
       val b = d.filter(col("doc_id") === 1)
-        .select(TextOps.hashEmbed(TextOps.queryText(col("text"))).as("emb_b"))
+        .withColumn("raw", TextOps.hashEmbedRaw(TextOps.queryText(col("text"))))
+        .select(VectorOps.l2Normalize(col("raw")).as("emb_b"))
       a.crossJoin(b).select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
     }),
 
@@ -94,9 +96,12 @@ object VectorQueries {
     // O5-O10 (Prepare pipeline ≡ csv → concat " : " → "passage: " prefix →
     // embed → sink): combined_text projection, embedding dims, unit norm.
     "prepare_documents" -> ((s, dir) => {
-      val d = documents(s, dir)
+      // raw staged as its own column: l2Normalize references its input
+      // several times, and interpreted HOF eval has no subtree reuse
+      val d = spread(documents(s, dir))
         .withColumn("combined_text", concat(col("source"), lit(" : "), col("text")))
-        .withColumn("emb", TextOps.hashEmbed(TextOps.passageText(col("combined_text"))))
+        .withColumn("raw", TextOps.hashEmbedRaw(TextOps.passageText(col("combined_text"))))
+        .withColumn("emb", VectorOps.l2Normalize(col("raw")))
       d.select(
         col("doc_id"), col("combined_text"),
         size(col("emb")).as("embedding_dimensions"),
@@ -107,9 +112,9 @@ object VectorQueries {
     // O10 batch embed: the full corpus embedded in one distributed
     // projection, flattened to (doc_id, bucket, weight) for the oracle.
     "embed_documents" -> ((s, dir) => {
-      documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextOps.hashEmbed(TextOps.passageText(col("text")))))
+      spread(documents(s, dir))
+        .withColumn("raw", TextOps.hashEmbedRaw(TextOps.passageText(col("text"))))
+        .select(col("doc_id"), posexplode(VectorOps.l2Normalize(col("raw"))))
         .select(col("doc_id"), col("pos").as("bucket"),
           round(col("col"), 6).as("weight"))
         .orderBy(col("doc_id"), col("bucket"))
