@@ -238,6 +238,71 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // Backward as-of join (union+window carry — no range-join blowup):
+    // each purchase event picks the user's most recent click at-or-before
+    // it. Oracle = DuckDB's native ASOF LEFT JOIN.
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.backward(purchases, clicks,
+          "user_id", "ts", "event_id",
+          Map("value" -> "click_value", "ts" -> "click_ts"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          round(col("click_value"), 2).as("click_value"),
+          unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Exact percentiles (linear interpolation) per group.
+    "percentiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Array scalar functions over the vector column.
+    "array_funcs" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dims"),
+          round(array_max(col("embedding")).cast("double"), 6).as("arr_max"),
+          round(array_min(col("embedding")).cast("double"), 6).as("arr_min"),
+          round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 6)
+            .as("arr_sum"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("elem0"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Pivot: order counts per priority, statuses as columns.
+    "pivot_agg" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // HLL sketch distinct counts (approx_count_distinct). Algorithm-
+    // specific estimates are not portable across engines → rows-only
+    // check; the exact twin is distinct_agg.
+    "approx_distinct" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Distinct aggregation: exact distinct counts per group.
     "distinct_agg" -> ((s, dir) => {
       lineitem(s, dir)
@@ -406,6 +471,43 @@ object RelationalQueries {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, p.value,
+        |  round(c.value, 2) AS click_value, epoch_us(c.ts) AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dims,
+        |  round(list_max(embedding::DOUBLE[]), 6) AS arr_max,
+        |  round(list_min(embedding::DOUBLE[]), 6) AS arr_min,
+        |  round(list_sum(embedding::DOUBLE[]), 6) AS arr_sum,
+        |  round(embedding[1]::DOUBLE, 6) AS elem0
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag,

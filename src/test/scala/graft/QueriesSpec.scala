@@ -15,7 +15,8 @@ class QueriesSpec extends AnyFunSuite {
     * rows-only check). Keep this list SHORT and justified.
     */
   val consciousOracleOmissions: Set[String] = Set(
-    "multimodal_decode" // mapPartitions codec stub — not SQL-expressible
+    "multimodal_decode", // mapPartitions codec stub — not SQL-expressible
+    "approx_distinct"    // HLL estimates are engine-specific
   )
 
   test("every query has an oracle or a conscious omission") {
