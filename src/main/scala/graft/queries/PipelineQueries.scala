@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, MlAnn, Multimodal}
 
 /** Advanced LLM-pipeline operators: MinHash/LSH near-dedup, SimHash,
   * document chunking, multimodal binary columns, IVF-pruned ANN search.
@@ -106,6 +106,25 @@ object PipelineQueries {
       val media = Multimodal.withPayload(documents(s, dir))
         .as[Multimodal.MediaRow]
       Multimodal.decodePartitions(media).toDF().orderBy(col("doc_id"))
+    }),
+
+    // MLlib LSH ANN: bucketed-random-projection index, bucket-probed
+    // top-5 (seeded; approximate → rows-only check; MlAnnSpec asserts
+    // recall vs exact knn_topk).
+    "ann_lsh" -> ((s, dir) => {
+      MlAnn.approxNeighbors(embeddings(s, dir), "embedding", "vec_id",
+        queryId = 0L, k = 5)
+    }),
+
+    // MLlib batch-embedding pipeline (RegexTokenizer → HashingTF →
+    // L2 Normalizer). Murmur3 bucketing is engine-specific → rows-only;
+    // spec asserts unit norms + determinism.
+    "embed_mllib" -> ((s, dir) => {
+      MlAnn.embedPipeline(spread(documents(s, dir)), "text", "emb")
+        .select(col("doc_id"), posexplode(col("emb")))
+        .select(col("doc_id"), col("pos").as("bucket"),
+          round(col("col"), 6).as("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
     }),
 
     // IVF-pruned ANN: probe nearest cell medoid, exact top-k inside the

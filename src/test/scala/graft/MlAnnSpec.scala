@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.operators.MlAnn
+
+class MlAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("embed_mllib: unit L2 norm per doc, deterministic across runs") {
+    val out = MlAnn.embedPipeline(Tables.documents(spark, sf), "text", "emb")
+    val norms = out.select(VectorOps.norm(col("emb")).as("n")).collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val a = out.select(col("doc_id"), col("emb")).collect().map(_.toString).sorted
+    val b = MlAnn.embedPipeline(Tables.documents(spark, sf), "text", "emb")
+      .select(col("doc_id"), col("emb")).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("ann_lsh: k results, distances ascending, decent recall vs exact knn") {
+    val approx = SparkEntry.queries("ann_lsh")(spark, sf).collect()
+    assert(approx.length === 5)
+    val dists = approx.map(_.getAs[Double]("dist"))
+    assert(dists.sameElements(dists.sorted))
+    // exact top-5 by cosine == top-5 by euclidean on normalized vectors
+    val exact = SparkEntry.queries("knn_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = approx.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & got).size >= 2, s"recall too low: exact=$exact approx=$got")
+  }
+
+  test("approxSelfJoin: returned pairs respect the distance bound") {
+    val pairs = MlAnn.approxSelfJoin(
+      Tables.embeddings(spark, sf).limit(100), "embedding", "vec_id", maxDist = 1.2)
+    val rows = pairs.collect()
+    rows.foreach(r => assert(r.getAs[Double]("dist") <= 1.2))
+  }
+}

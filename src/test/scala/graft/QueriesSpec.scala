@@ -16,7 +16,9 @@ class QueriesSpec extends AnyFunSuite {
     */
   val consciousOracleOmissions: Set[String] = Set(
     "multimodal_decode", // mapPartitions codec stub — not SQL-expressible
-    "approx_distinct"    // HLL estimates are engine-specific
+    "approx_distinct",   // HLL estimates are engine-specific
+    "ann_lsh",           // seeded random projections — approximate by design
+    "embed_mllib"        // MLlib murmur3 term hashing — engine-specific
   )
 
   test("every query has an oracle or a conscious omission") {
