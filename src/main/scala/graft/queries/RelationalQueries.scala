@@ -238,6 +238,76 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q6 shape: tight scan-filter-sum, no joins — pure pushdown test.
+    "q6_forecast" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // TPC-H Q17 shape: scalar aggregate subquery as a join (per-part avg
+    // quantity threshold).
+    "q17_avg_subquery" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // Math scalar functions.
+    "math_funcs" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_extendedprice") - 1000.0), 6).as("abs_diff"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          round(log(lit(1.0) + col("l_extendedprice")), 6).as("ln_price"),
+          round(log(10.0, col("l_extendedprice") + 1.0), 6).as("log10_price"),
+          round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+          round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          signum(col("l_tax") - 0.04).as("tax_sign"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Conditional scalar functions.
+    "conditional_funcs" -> ((s, dir) => {
+      orders(s, dir)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_x"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("price_floor100k"),
+          least(col("o_totalprice"), lit(100000.0)).as("price_cap100k"),
+          when(col("o_totalprice") >= 150000.0, "big")
+            .when(col("o_totalprice") >= 50000.0, "mid")
+            .otherwise("small").as("bucket"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Map functions over semi-structured props (map<string,int> view).
+    "map_funcs" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_id") < 1000)
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .select(
+          col("event_id"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          element_at(col("m"), "k").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
     // Backward as-of join (union+window carry — no range-join blowup):
     // each purchase event picks the user's most recent click at-or-before
     // it. Oracle = DuckDB's native ASOF LEFT JOIN.
@@ -471,6 +541,58 @@ object RelationalQueries {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q17_avg_subquery" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < a.half_avg_qty""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_extendedprice - 1000.0), 6) AS abs_diff,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  round(ln(1.0 + l_extendedprice), 6) AS ln_price,
+        |  round(log10(l_extendedprice + 1.0), 6) AS log10_price,
+        |  round(pow(l_quantity, 2), 6) AS qty_sq,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  ceil(l_extendedprice)::BIGINT AS price_ceil,
+        |  floor(l_extendedprice)::BIGINT AS price_floor,
+        |  sign(l_tax - 0.04)::DOUBLE AS tax_sign
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "conditional_funcs" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+        |  greatest(o_totalprice, 100000.0) AS price_floor100k,
+        |  least(o_totalprice, 100000.0) AS price_cap100k,
+        |  CASE WHEN o_totalprice >= 150000.0 THEN 'big'
+        |       WHEN o_totalprice >= 50000.0 THEN 'mid'
+        |       ELSE 'small' END AS bucket
+        |FROM orders
+        |WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT event_id,
+        |  len(json_keys(props)) AS n_keys,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin,
 
     "asof_join" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),

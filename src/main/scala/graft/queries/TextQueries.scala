@@ -132,6 +132,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Classic corpus word-count shape: token bigram frequencies, top 20.
+    "word_bigram_topk" -> ((s, dir) => {
+      spread(documents(s, dir))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // Token-count statistics per language.
     "token_counts" -> ((s, dir) => {
       documents(s, dir)
@@ -218,6 +233,17 @@ object TextQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin
     },
+
+    "word_bigram_topk" ->
+      s"""WITH t AS (SELECT ${duckToks("text")} AS toks FROM documents),
+         |b AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT bigram, count(*) AS n
+         |FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC
+         |LIMIT 20""".stripMargin,
 
     "token_counts" ->
       s"""SELECT lang, sum(len(${duckToks("text")}))::BIGINT AS total_tokens,

@@ -85,6 +85,17 @@ object VectorQueries {
       a.crossJoin(b).select(round(VectorOps.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
     }),
 
+    // Vector aggregation: per-label centroid (mean vector), flattened to
+    // (label, pos, val) — posexplode then partial+final avg; only the
+    // (label, pos) digests shuffle, never whole vectors.
+    "centroid_by_label" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("val"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // O12: the reference's only SQL query — full scan ORDER BY id.
     "all_documents" -> ((s, dir) =>
       documents(s, dir).orderBy(col("doc_id"))),
@@ -219,6 +230,14 @@ object VectorQueries {
          |SELECT round(sum(a.weight * b.weight), 6) AS sim
          |FROM emb a JOIN emb b USING (bucket)
          |WHERE a.doc_id = 0 AND b.doc_id = 1""".stripMargin,
+
+    "centroid_by_label" ->
+      """SELECT e.label, g.i - 1 AS pos,
+        |  round(avg(e.embedding[g.i]::DOUBLE), 6) AS val
+        |FROM embeddings e
+        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |GROUP BY e.label, g.i
+        |ORDER BY label, pos""".stripMargin,
 
     "all_documents" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
