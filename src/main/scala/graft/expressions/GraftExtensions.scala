@@ -1,0 +1,21 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: installs graft's native expressions
+  * into every session built with
+  * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
+  * (or `.withExtensions(new GraftExtensions)`) — no per-session register()
+  * call needed; `SELECT cosine_sim(a, b)` works from bare SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineSimName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        GraftFunctions.CosineSimName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

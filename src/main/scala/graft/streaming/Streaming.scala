@@ -51,6 +51,15 @@ object Streaming {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Streaming exactly-once dedup: drop replayed event ids, state bounded
+    * by the watermark (duplicates are only expected within the lateness
+    * horizon). Streaming twin of the batch dedup_exact operator family.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- stateful sessionization -------------------------------------------
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorOps
+import graft.sources.Prepare
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("Prepare: CSV with quoted fields → embedded parquet round-trip") {
+    val dir = tmpDir("graft_csv")
+    val csv = s"$dir/dataset.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """id,question,answer
+        |1,"What time is check-in?","Check-in starts at 3pm, earlier on request."
+        |2,"Do you allow pets?","Yes, with a ""pet fee"" of $20."
+        |3,broken-row-missing-answer
+        |4,Plain question,Plain answer
+        |""".stripMargin)
+    val docs = Prepare.fromCsv(spark, csv)
+    val rows = docs.orderBy(col("id")).collect()
+    // row 3 dropped (short row → null answer), like the reference's guard
+    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 4L))
+    val r2 = rows(1)
+    assert(r2.getAs[String]("answer") === """Yes, with a "pet fee" of $20.""")
+    assert(r2.getAs[String]("combined_text").contains(" : "))
+    assert(r2.getAs[Int]("embedding_dimensions") === 64)
+    // embeddings are unit-norm
+    val norms = docs.select(VectorOps.norm(col("embedding"))).collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    // sink + re-read preserves everything
+    val out = s"$dir/documents.parquet"
+    Prepare.sink(docs, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 3)
+    assert(back.schema("embedding").dataType.typeName === "array")
+  }
+
+  test("format round-trip parity: parquet vs json vs csv scan of documents") {
+    val dir = tmpDir("graft_fmt")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.write.mode("overwrite").parquet(s"$dir/p")
+    docs.write.mode("overwrite").json(s"$dir/j")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    val p = spark.read.parquet(s"$dir/p").orderBy(col("doc_id")).collect()
+    val j = spark.read.schema(docs.schema).json(s"$dir/j")
+      .orderBy(col("doc_id")).collect()
+    val c = spark.read.option("header", "true").schema(docs.schema)
+      .csv(s"$dir/c").orderBy(col("doc_id")).collect()
+    assert(p.length === 500 && j.length === 500 && c.length === 500)
+    assert(p.sameElements(j))
+    assert(p.sameElements(c))
+  }
+}
