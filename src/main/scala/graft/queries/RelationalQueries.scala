@@ -76,6 +76,50 @@ object RelationalQueries {
         .orderBy(col("rev").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q4 shape: EXISTS semi-join with a date-range scan filter.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      o.join(lineitem(s, dir), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q18 shape: HAVING via post-aggregation filter + IN-subquery as
+    // a semi-join on the aggregated key set.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0) // HAVING
+        .select(col("l_orderkey"))
+      orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate (OR of ANDs)
+    // across a join — tests predicate normalization + pushdown.
+    "q19_disjunctive" -> ((s, dir) => {
+      lineitem(s, dir)
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+    }),
+
     // Left-semi join (EXISTS): customers with at least one urgent order.
     "semi_join" -> ((s, dir) => {
       customer(s, dir)
@@ -425,6 +469,36 @@ object RelationalQueries {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name
         |ORDER BY rev DESC, n.n_name ASC""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0)
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+        |       AND p.p_size BETWEEN 1 AND 5)
+        |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+        |       AND p.p_size BETWEEN 1 AND 10)
+        |   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+        |       AND p.p_size BETWEEN 1 AND 15)""".stripMargin,
 
     "semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
