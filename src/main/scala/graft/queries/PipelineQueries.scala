@@ -20,6 +20,37 @@ object PipelineQueries {
   private val doubledDocsSql =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
 
+  /** LSH-verified near-dup pairs over the doubled corpus:
+    * signature → band values → candidate (band, value) equi-join →
+    * exact shingle-Jaccard verify at 0.5.
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = spread(doubledDocs(s, dir))
+    val staged = docs
+      .withColumn("hs", TextOps.tokenHashes(col("text")))
+      .withColumn("shs", Dedup.shingleHashes(col("hs")))
+    val sigs = staged
+      .withColumn("mh", Dedup.minhashes(col("shs")))
+      .select(col("doc_id"), posexplode(Dedup.bandValues(col("mh"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("band"), col("bv"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("band"), col("bv"))
+    val candidates = a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sh = staged.select(col("doc_id"), col("shs"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jacc", round(
+        when(size(array_union(col("shs_a"), col("shs_b"))) === 0, 0.0)
+          .otherwise(size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+            size(array_union(col("shs_a"), col("shs_b"))).cast("double")), 6))
+      .filter(col("jacc") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MinHash signatures: 8 affine permutations over word-3-shingle hashes.
@@ -37,32 +68,17 @@ object PipelineQueries {
     // Full MinHash-LSH dedup pipeline: signature → band values → candidate
     // pairs via (band, value) equi-join → exact shingle-Jaccard verify.
     // Runs over the doubled corpus so true duplicates exist.
-    "minhash_lsh_dedup" -> ((s, dir) => {
-      val docs = spread(doubledDocs(s, dir))
-      val staged = docs
-        .withColumn("hs", TextOps.tokenHashes(col("text")))
-        .withColumn("shs", Dedup.shingleHashes(col("hs")))
-      val sigs = staged
-        .withColumn("mh", Dedup.minhashes(col("shs")))
-        .select(col("doc_id"), posexplode(Dedup.bandValues(col("mh"))))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
-      val a = sigs.select(col("doc_id").as("id_a"), col("band"), col("bv"))
-      val b = sigs.select(col("doc_id").as("id_b"), col("band"), col("bv"))
-      val candidates = a.join(b, Seq("band", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-      val sh = staged.select(col("doc_id"), col("shs"))
-      val shA = sh.select(col("doc_id").as("id_a"), col("shs").as("shs_a"))
-      val shB = sh.select(col("doc_id").as("id_b"), col("shs").as("shs_b"))
-      candidates.join(shA, "id_a").join(shB, "id_b")
-        .withColumn("jacc", round(
-          when(size(array_union(col("shs_a"), col("shs_b"))) === 0, 0.0)
-            .otherwise(size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
-              size(array_union(col("shs_a"), col("shs_b"))).cast("double")), 6))
-        .filter(col("jacc") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("jacc"))
-        .orderBy(col("id_a"), col("id_b"))
+    "minhash_lsh_dedup" -> ((s, dir) =>
+      lshVerifiedPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
+
+    // Duplicate-cluster detection: LSH pairs → distributed connected
+    // components (iterative min-rep propagation) → every doc mapped to
+    // its cluster representative. The clustering step of dedup at scale.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir).select(col("id_a"), col("id_b"))
+      val nodes = spread(doubledDocs(s, dir)).select(col("doc_id").as("id"))
+      graft.operators.Components.connectedComponents(pairs, nodes)
+        .orderBy(col("id"))
     }),
 
     // SimHash fingerprints (32-bit) per document.
@@ -169,6 +185,34 @@ object PipelineQueries {
        |  FROM sh
        |)""".stripMargin
 
+  private val duckJacc =
+    """round(CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
+      |    ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+      |       / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE END, 6)""".stripMargin
+
+  /** CTE chain ending in `pairs(id_a, id_b, jacc)` = LSH-verified near-dup
+    * pairs over the doubled corpus (mirror of lshVerifiedPairs).
+    */
+  private def duckLshPairsCtes: String =
+    s"""${duckShingleCtes(doubledDocsSql)},
+       |$duckMinhashCte,
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    list_reduce(list_prepend(0::BIGINT, list_slice(mh, b*2+1, b*2+2)),
+       |      (acc, h) -> (acc * 131 + h) % 1000000007) AS bv
+       |  FROM mhs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT c.id_a, c.id_b, $duckJacc AS jacc
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b
+       |  WHERE $duckJacc >= 0.5
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "minhash_signature" ->
       s"""WITH ${duckShingleCtes("SELECT doc_id, text FROM documents")},
@@ -178,29 +222,19 @@ object PipelineQueries {
          |ORDER BY doc_id, hf""".stripMargin,
 
     "minhash_lsh_dedup" ->
-      s"""WITH ${duckShingleCtes(doubledDocsSql)},
-         |$duckMinhashCte,
-         |bands AS (
-         |  SELECT doc_id, b AS band,
-         |    list_reduce(list_prepend(0::BIGINT, list_slice(mh, b*2+1, b*2+2)),
-         |      (acc, h) -> (acc * 131 + h) % 1000000007) AS bv
-         |  FROM mhs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-         |    AND a.doc_id < b.doc_id
+      s"""WITH $duckLshPairsCtes
+         |SELECT id_a, id_b, jacc FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $duckLshPairsCtes,
+         |edges AS (SELECT id_a AS esrc, id_b AS edst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS rep FROM src
+         |  UNION
+         |  SELECT e.edst AS id, r.rep FROM reach r JOIN edges e ON e.esrc = r.id
          |)
-         |SELECT c.id_a, c.id_b,
-         |  round(CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
-         |    ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
-         |       / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE END, 6) AS jacc
-         |FROM cand c
-         |JOIN sh sa ON sa.doc_id = c.id_a
-         |JOIN sh sb ON sb.doc_id = c.id_b
-         |WHERE round(CASE WHEN len(list_distinct(list_concat(sa.shs, sb.shs))) = 0 THEN 0.0
-         |    ELSE len(list_intersect(sa.shs, sb.shs))::DOUBLE
-         |       / len(list_distinct(list_concat(sa.shs, sb.shs)))::DOUBLE END, 6) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+         |SELECT id, min(rep) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "simhash" ->
       s"""WITH hs0 AS (
