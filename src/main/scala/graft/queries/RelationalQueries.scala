@@ -252,6 +252,43 @@ object RelationalQueries {
         .orderBy(col("month_start"))
     }),
 
+    // Date arithmetic: interval add, day diff, parts. (dayofweek: Spark is
+    // 1=Sunday, DuckDB dow is 0=Sunday — oracle shifts by one.)
+    "date_arith" -> ((s, dir) => {
+      orders(s, dir)
+        .filter(col("o_orderkey") < 200)
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate"), 90).as("ship_deadline"),
+          add_months(col("o_orderdate"), 3).as("quarter_later"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          weekofyear(col("o_orderdate")).as("woy"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // The SQL front-end surface: the same engine driven entirely through
+    // spark.sql over temp views (CTE + window + join + agg in one query).
+    "sql_surface" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("v_orders")
+      customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql("""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM v_orders)
+        SELECT c.c_mktsegment,
+               count(*) AS n_top,
+               round(sum(r.o_totalprice), 2) AS top_revenue
+        FROM ranked r JOIN v_customer c ON r.o_custkey = c.c_custkey
+        WHERE r.rnk = 1
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+      """)
+    }),
+
     // JSON scalar functions over the semi-structured events.props column.
     "json_funcs" -> ((s, dir) => {
       events(s, dir)
@@ -594,6 +631,35 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY 1, 2, 3, 4
         |ORDER BY month_start""".stripMargin,
+
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS ship_deadline,
+        |  -- operand differs from ship_deadline's on purpose: DuckDB 1.0
+        |  -- interval equality treats 3 MONTH = 90 DAY, so identical
+        |  -- operands let CSE unify the two adds
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')::INTEGER AS days_to_98,
+        |  (dayofweek(o_orderdate) + 1)::INTEGER AS dow,
+        |  dayofmonth(o_orderdate)::INTEGER AS dom,
+        |  weekofyear(o_orderdate)::INTEGER AS woy
+        |FROM orders
+        |WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sql_surface" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT c.c_mktsegment,
+        |       count(*) AS n_top,
+        |       round(sum(r.o_totalprice), 2) AS top_revenue
+        |FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        |WHERE r.rnk = 1
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     "json_funcs" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
