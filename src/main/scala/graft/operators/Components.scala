@@ -24,8 +24,12 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — it may be the output of a whole
+    // LSH pipeline, and the loop below would otherwise recompute it every
+    // iteration (measured 38s -> ~5s at sf0.1)
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var rep = nodes.select(col("id"), col("id").as("rep"))
     var lastSum = -1L
     var i = 0
