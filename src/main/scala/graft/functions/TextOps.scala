@@ -58,8 +58,18 @@ object TextOps {
       lit(0L),
       (acc, c) => (acc * 31L + c) % HashMod)
 
-  /** Array of per-token hashes for the truncated token stream. */
+  /** Array of per-token hashes for the truncated token stream — native
+    * single-pass expression (graft.expressions.TokenHashes); bit-identical
+    * to [[tokenHashesHof]], which remains as the reference formulation the
+    * DuckDB oracle mirrors.
+    */
   def tokenHashes(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TokenHashes(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** HOF formulation of [[tokenHashes]] (tokenize → per-token fold). */
+  def tokenHashesHof(text: Column): Column =
     transform(tokensTruncated(text), tokenHash(_))
 
   /** Feature-hashing embedding: dim signed-sum buckets, L2-normalized,
