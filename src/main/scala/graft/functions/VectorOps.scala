@@ -45,15 +45,21 @@ object VectorOps {
 
   /** Cosine similarity in [-1, 1]; 0.0 when either vector has zero magnitude
     * (matching the reference's guard rather than returning NaN). Dimension
-    * mismatch yields null from zip_with padding — callers that must replicate
-    * the reference's ArgumentException should validate `size(a) === size(b)`
-    * upstream; inside the engine all vectors of a column share a dimension.
+    * mismatch RAISES, matching both the reference's ArgumentException
+    * (DotNetVectorSearch.WebAPI/Services/VectorSearchService.cs:221-222) and
+    * the fused native kernel (graft.expressions.CosineSimilarity) — the two
+    * engine kernels must agree on this edge (PropertiesSpec asserts it).
     */
   def cosine(a: Column, b: Column): Column = {
     val na = norm(a)
     val nb = norm(b)
-    when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+    val sim = when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
       .otherwise(dot(a, b) / (na * nb))
+    when(size(a) =!= size(b),
+      raise_error(concat(lit("cosine: dimension mismatch ("),
+        size(a).cast("string"), lit(" vs "), size(b).cast("string"), lit(")")))
+        .cast("double"))
+      .otherwise(sim)
   }
 
   /** Cosine similarity for pre-L2-normalized vectors: just the dot product.

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * Determinism: the carry window orders by (ts, side, id) — right rows
   * sort before left rows at equal ts, making the join inclusive; id breaks
   * remaining ties.
+  *
+  * The carried payload is a SINGLE struct of all payload columns with one
+  * last(ignoreNulls) — the matched right row is atomic (nulls inside it are
+  * carried as-is), matching DuckDB ASOF semantics. Per-column carries would
+  * backfill a null payload column from an OLDER right row, stitching values
+  * from different rows.
   */
 object AsOfJoin {
 
@@ -33,26 +39,30 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                idCol: String, payload: Map[String, String]): DataFrame = {
     val leftCols = left.columns
+    val pay = payload.toSeq // freeze iteration order
+    // one struct = one atomic matched row; struct(...) is never null itself,
+    // so last(ignoreNulls) skips only the left-side placeholder rows
+    val payStruct = struct(pay.map { case (src, dst) => col(src).as(dst) }: _*)
+    val payType = right.select(payStruct.as("__pay")).schema("__pay").dataType
     val tagged =
       right.select(
-        (Seq(col(keyCol), col(tsCol), col(idCol), lit(0).as("__side")) ++
-          payload.map { case (src, dst) => col(src).as(s"__p_$dst") } ++
+        (Seq(col(keyCol), col(tsCol), col(idCol), lit(0).as("__side"),
+          payStruct.as("__pay")) ++
           leftCols.filterNot(Seq(keyCol, tsCol, idCol).contains)
             .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .unionByName(
         left.select(
-          (Seq(col(keyCol), col(tsCol), col(idCol), lit(1).as("__side")) ++
-            payload.map { case (_, dst) => lit(null).cast(right.schema(
-              payload.find(_._2 == dst).get._1).dataType).as(s"__p_$dst") } ++
+          (Seq(col(keyCol), col(tsCol), col(idCol), lit(1).as("__side"),
+            lit(null).cast(payType).as("__pay")) ++
             leftCols.filterNot(Seq(keyCol, tsCol, idCol).contains).map(col)): _*))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.values.foldLeft(tagged) { (df, dst) =>
-      df.withColumn(dst, last(col(s"__p_$dst"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .drop("__side")
-      .drop(payload.values.map(d => s"__p_$d").toSeq: _*)
+    val carried = tagged
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+    pay.foldLeft(carried.filter(col("__side") === 1)) { case (df, (_, dst)) =>
+        df.withColumn(dst, col(s"__match.$dst"))
+      }
+      .drop("__side", "__pay", "__match")
   }
 }

@@ -42,7 +42,10 @@ object Components {
         .groupBy(col("id"))
         .agg(min(col("rep")).as("rep"))
         .localCheckpoint() // truncate the growing iterative lineage
-      val s = next.agg(sum(col("rep"))).head().getLong(0)
+      // sum(rep) is NULL on empty input — null-safe read so an empty nodes
+      // frame converges to an empty result instead of throwing
+      val s = Option(next.agg(sum(col("rep"))).head().getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
       converged = s == lastSum
       lastSum = s
       rep = next

@@ -333,8 +333,10 @@ object RelationalQueries {
     // quantity threshold).
     "q17_avg_subquery" -> ((s, dir) => {
       val li = lineitem(s, dir)
+      // threshold rounded to 6 dp on BOTH engines: an unrounded double
+      // computed independently could flip inclusion of a boundary quantity
       val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
-        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+        .agg(round(avg(col("l_quantity")) * 0.5, 6).as("half_avg_qty"))
       li.join(avgQty, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < col("half_avg_qty"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
@@ -434,12 +436,18 @@ object RelationalQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // Pivot: order counts per priority, statuses as columns.
+    // Pivot: order counts per priority, statuses as columns. Spark pivot
+    // yields NULL for an absent (priority, status) cell while the oracle's
+    // count FILTER yields 0 — coalesce so empty cells agree at every sf.
     "pivot_agg" -> ((s, dir) => {
       orders(s, dir)
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -693,7 +701,7 @@ object RelationalQueries {
     "q17_avg_subquery" ->
       """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem l
-        |JOIN (SELECT l_partkey AS ap_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+        |JOIN (SELECT l_partkey AS ap_partkey, round(avg(l_quantity) * 0.5, 6) AS half_avg_qty
         |      FROM lineitem GROUP BY l_partkey) a
         |  ON l.l_partkey = a.ap_partkey
         |WHERE l.l_quantity < a.half_avg_qty""".stripMargin,

@@ -34,6 +34,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(103L) === Some(50.0)) // equal ts is inclusive
   }
 
+  test("backward as-of: matched row is atomic — null payload column is NOT backfilled") {
+    // r@4s has a null v1; DuckDB ASOF carries the matched row's values
+    // (nulls included), never stitching v1 from the older r@2s row.
+    val left = Seq((1L, ts(10000000L), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(2000000L), 200L, Some(20.0), Some("old")),
+      (1L, ts(4000000L), 201L, None: Option[Double], Some("new"))
+    ).toDF("user_id", "ts", "event_id", "v1", "v2")
+    val r = AsOfJoin.backward(left, right, "user_id", "ts", "event_id",
+      Map("v1" -> "rv1", "v2" -> "rv2")).head()
+    assert(r.isNullAt(r.fieldIndex("rv1")), "null in matched row must be carried as null")
+    assert(r.getAs[String]("rv2") === "new")
+  }
+
   test("asof_join query: every purchase row present, click precedes purchase") {
     val rows = SparkEntry.queries("asof_join")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

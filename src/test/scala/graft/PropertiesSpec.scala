@@ -57,6 +57,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dimension mismatch raises in BOTH kernels (HOF and fused), like the reference") {
+    GraftFunctions.register(spark)
+    val df = Seq((List(1.0f, 2.0f, 3.0f), List(1.0f, 2.0f))).toDF("a", "b")
+    val hofErr = intercept[Exception] {
+      df.select(VectorOps.cosine($"a", $"b").as("sim")).collect()
+    }
+    val fusedErr = intercept[Exception] {
+      df.select(GraftFunctions.cosineSim($"a", $"b").as("sim")).collect()
+    }
+    // both surface a dimension-mismatch error naming the two sizes
+    Seq(hofErr, fusedErr).foreach { e =>
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("dimension mismatch"), s"unexpected error: $e")
+    }
+    // and equal dimensions still agree bit-for-bit after the guard
+    val ok = Seq((List(1.0f, 2.0f), List(3.0f, 4.0f))).toDF("a", "b")
+      .select(VectorOps.cosine($"a", $"b").as("hof"),
+        GraftFunctions.cosineSim($"a", $"b").as("fused"))
+      .head()
+    assert(java.lang.Double.doubleToLongBits(ok.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(ok.getDouble(1)))
+  }
+
   test("property: l2Normalize idempotent + unit norm for nonzero vectors (100 cases)") {
     val df = samples(vecGen, 100).map(_._1).filter(_.exists(x => math.abs(x) > 1e-6f))
       .toDF("v")
