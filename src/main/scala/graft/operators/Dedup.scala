@@ -28,21 +28,33 @@ import graft.functions.TextOps
   */
 object Dedup {
 
-  val P: Long = TextOps.HashMod
-  val NumHashes = 8
-  val BandRows = 2 // 4 bands x 2 rows
+  import graft.expressions.{MinHashConstants => MH}
 
-  /** Affine minhash permutation constants — fixed, baked identically into
-    * the oracle SQL (see PipelineQueries oracles).
+  val P: Long = TextOps.HashMod
+  val NumHashes: Int = MH.NumHashes
+  val BandRows: Int = MH.BandRows
+
+  /** Affine minhash permutation constants — single source of truth in
+    * MinHashConstants, baked identically into the oracle SQL (see
+    * PipelineQueries oracles).
     */
-  val hashA: Seq[Long] = (0 until NumHashes).map(j => ((2L * j + 1) * 12582917L) % P)
-  val hashB: Seq[Long] = (0 until NumHashes).map(j => ((j + 1L) * 4256249L) % P)
+  val hashA: Seq[Long] = MH.hashA.toSeq
+  val hashB: Seq[Long] = MH.hashB.toSeq
+
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+  private def expr(c: Column) = org.apache.spark.sql.graft.Bridge.expression(c)
 
   /** Distinct word-3-shingle hashes from a token-hash array column `hs`
     * (TextOps.tokenHashes): shingle(i) = ((h_i*131 + h_{i+1}) mod P * 131
-    * + h_{i+2}) mod P. Fewer than 3 tokens → empty set.
+    * + h_{i+2}) mod P. Fewer than 3 tokens → empty set. Native single-pass
+    * kernel; bit-identical to [[shingleHashesHof]] (DedupSpec).
     */
   def shingleHashes(hs: Column): Column =
+    native(graft.expressions.ShingleHashes(expr(hs)))
+
+  /** HOF oracle formulation of [[shingleHashes]]. */
+  def shingleHashesHof(hs: Column): Column =
     array_distinct(
       when(size(hs) < 3, array().cast("array<bigint>"))
         .otherwise(transform(sequence(lit(1), size(hs) - 2), i =>
@@ -51,9 +63,14 @@ object Dedup {
 
   /** MinHash signature from a shingle-hash array column: NumHashes mins
     * over affine-permuted shingle hashes. Empty shingle set → sentinel P
-    * per slot (so empty docs only match empty docs).
+    * per slot (so empty docs only match empty docs). Native single-pass
+    * kernel; bit-identical to [[minhashesHof]] (DedupSpec).
     */
-  def minhashes(sh: Column): Column = {
+  def minhashes(sh: Column): Column =
+    native(graft.expressions.MinHashFromShingles(expr(sh)))
+
+  /** HOF oracle formulation of [[minhashes]]. */
+  def minhashesHof(sh: Column): Column = {
     val a = typedlit(hashA)
     val b = typedlit(hashB)
     transform(sequence(lit(0), lit(NumHashes - 1)), j =>
@@ -62,6 +79,14 @@ object Dedup {
           (element_at(a, j + 1) * h + element_at(b, j + 1)) % P)),
         lit(P)))
   }
+
+  /** Fully-fused token-hashes → MinHash-signature kernel (one loop, no
+    * intermediate shingle array): the signature-generation hot path. Exactly
+    * `minhashes(shingleHashes(hs))` — min over the shingle multiset equals
+    * min over its distinct set.
+    */
+  def minhashSignature(hs: Column): Column =
+    native(graft.expressions.MinHashSignature(expr(hs)))
 
   /** LSH band values from a minhash-signature column: signature folded into
     * NumHashes/BandRows bands; band_value = fold of the band's rows with

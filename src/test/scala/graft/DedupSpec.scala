@@ -44,6 +44,29 @@ class DedupSpec extends AnyFunSuite {
     assert(bands(0).length === Dedup.NumHashes / Dedup.BandRows)
   }
 
+  test("native kernels bit-agree with HOF oracle formulations on the fixture corpus") {
+    // real corpus + adversarial edges: empty, 1/2/3 tokens, punctuation-only
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "two words"),
+      (9004L, "now three tokens"), (9005L, "!!! ??? ..."),
+      (9006L, "a a a a a")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").unionByName(edge)
+      .withColumn("hs", TextOps.tokenHashes($"text"))
+    val rows = docs.select(
+      Dedup.shingleHashes($"hs").as("sh_nat"),
+      Dedup.shingleHashesHof($"hs").as("sh_hof"),
+      Dedup.minhashes(Dedup.shingleHashesHof($"hs")).as("mh_nat"),
+      Dedup.minhashesHof(Dedup.shingleHashesHof($"hs")).as("mh_hof"),
+      Dedup.minhashSignature($"hs").as("mh_fused"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), "shingle native vs HOF")
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3), "minhash native vs HOF")
+      assert(r.getSeq[Long](4) === r.getSeq[Long](3), "fused vs staged HOF")
+    }
+  }
+
   test("simhash: deterministic, equal for equal token streams, 32-bit range") {
     val df = Seq((1L, "spark catalyst codegen"), (2L, "SPARK catalyst CODEGEN"),
       (3L, "something else entirely here")).toDF("id", "text")
