@@ -120,6 +120,26 @@ object VectorQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // O7 execution shape: batched model inference via mapPartitions with a
+    // broadcast model handle — one model init per partition, rows streamed
+    // through in batches (the way a real ONNX session slots in; see
+    // BatchedInference). The stand-in model is bit-identical to the
+    // expression path, so this oracle is the SAME hash-match as
+    // embed_documents — proving batched ≡ per-row.
+    "embed_batched" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(documents(s, dir))
+        .select(col("doc_id"), TextOps.passageText(col("text")).as("text"))
+        .as[graft.operators.BatchedInference.DocText]
+      graft.operators.BatchedInference
+        .embedPartitions(docs, () => new graft.operators.BatchedInference.HashingEmbedder())
+        .toDF()
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").as("bucket"),
+          round(col("col"), 6).as("weight"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // O10 batch embed: the full corpus embedded in one distributed
     // projection, flattened to (doc_id, bucket, weight) for the oracle.
     "embed_documents" -> ((s, dir) => {
@@ -255,6 +275,12 @@ object VectorQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     "embed_documents" ->
+      s"""WITH ${duckEmbedCte("'passage: ' || d0.text")}
+         |SELECT doc_id, bucket, round(weight, 6) AS weight
+         |FROM emb
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "embed_batched" ->
       s"""WITH ${duckEmbedCte("'passage: ' || d0.text")}
          |SELECT doc_id, bucket, round(weight, 6) AS weight
          |FROM emb
