@@ -1,0 +1,157 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+/** Pure-JVM image codec: a real encoder/decoder pair for the two formats
+  * whose containers are simple enough to implement from the public specs —
+  * PNG (RFC 2083 / ISO 15948) and BMP (BITMAPINFOHEADER). No native libs,
+  * no managed dependencies: `java.util.zip.Deflater` + `CRC32` cover PNG's
+  * zlib layer.
+  *
+  * This replaces the round-1 `fakeDecode` stub: payloads are now REAL,
+  * standards-valid image files (any external viewer could open them), and
+  * the decode path parses actual container headers. The decode output is
+  * exactly what a production media pipeline extracts first (format,
+  * dimensions, channel count) before handing pixels to heavier stages.
+  *
+  * Reference analogy: the reference keeps media out of scope entirely; this
+  * is north-star surface (multimodal columns for a training-data pipeline,
+  * brief §"Multimodal columns").
+  */
+object MediaCodec {
+
+  final case class Decoded(fmt: String, width: Int, height: Int, channels: Int)
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  // ---------------------------------------------------------------- encode
+
+  /** 24bpp uncompressed BMP (BITMAPINFOHEADER, BI_RGB, bottom-up rows padded
+    * to 4 bytes). Pixels are a deterministic gradient of (x, y).
+    */
+  def encodeBmp(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val imageSize = rowSize * height
+    val fileSize = 54 + imageSize
+    val b = java.nio.ByteBuffer.allocate(fileSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    b.putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        b.put(((x * 7 + y * 13) & 0xff).toByte)  // B
+        b.put(((x * 11 + y * 3) & 0xff).toByte)  // G
+        b.put(((x * 5 + y * 17) & 0xff).toByte)  // R
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** 8-bit PNG with the given color type (0=gray, 2=rgb, 4=gray+alpha,
+    * 6=rgba). Scanlines use filter 0; IDAT is standard zlib deflate.
+    */
+  def encodePng(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val channels = pngChannels(colorType)
+    val raw = new Array[Byte](height * (1 + width * channels))
+    var i = 0
+    var y = 0
+    while (y < height) {
+      raw(i) = 0; i += 1 // filter type: None
+      var x = 0
+      while (x < width * channels) {
+        raw(i) = ((x * 7 + y * 13) & 0xff).toByte; i += 1; x += 1
+      }
+      y += 1
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeChunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+    out.write(len)
+    val typB = typ.getBytes("US-ASCII")
+    out.write(typB); out.write(data)
+    val crc = new CRC32()
+    crc.update(typB); crc.update(data)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor
+    case 3 => 1 // palette index
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // rgba
+    case t => throw new IllegalArgumentException(s"PNG color type $t")
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** Sniff the container and parse format + dimensions + channel count from
+    * the header bytes. Throws on anything that isn't a PNG or BMP — a real
+    * pipeline routes such rows to a quarantine sink rather than guessing.
+    */
+  def decode(payload: Array[Byte]): Decoded =
+    if (isPng(payload)) decodePngHeader(payload)
+    else if (isBmp(payload)) decodeBmpHeader(payload)
+    else throw new IllegalArgumentException(
+      s"unrecognized media container (${payload.length} bytes)")
+
+  def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (0 until 8).forall(i => p(i) == PngSig(i))
+
+  def isBmp(p: Array[Byte]): Boolean =
+    p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+
+  private def decodePngHeader(p: Array[Byte]): Decoded = {
+    // Signature(8) + IHDR length(4) + "IHDR"(4) → width at 16, height at 20,
+    // bit depth at 24, color type at 25. All big-endian per spec.
+    require(p.length >= 26, "truncated PNG")
+    val b = java.nio.ByteBuffer.wrap(p)
+    val ihdrLen = b.getInt(8)
+    require(ihdrLen == 13, s"bad IHDR length $ihdrLen")
+    val typ = new String(Array(p(12), p(13), p(14), p(15)), "US-ASCII")
+    require(typ == "IHDR", s"first chunk $typ, want IHDR")
+    val w = b.getInt(16); val h = b.getInt(20)
+    val colorType = p(25) & 0xff
+    Decoded("png", w, h, pngChannels(colorType))
+  }
+
+  private def decodeBmpHeader(p: Array[Byte]): Decoded = {
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dibSize = b.getInt(14)
+    require(dibSize >= 40, s"need BITMAPINFOHEADER, got DIB size $dibSize")
+    val w = b.getInt(18)
+    val hRaw = b.getInt(22) // negative ⇒ top-down row order; magnitude is height
+    val bpp = b.getShort(28) & 0xffff
+    Decoded("bmp", w, math.abs(hRaw), bpp / 8)
+  }
+}

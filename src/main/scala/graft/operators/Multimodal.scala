@@ -1,25 +1,24 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * The decode step is a STUB — this container has no image/audio codecs —
-  * but the Spark-side plumbing is real and tested: binary payload column,
-  * schema of the decoded features, batched per-partition processing with an
-  * iterator (never materializing a partition in memory), and deterministic
-  * output so tests and oracles stay stable. At scale you swap
-  * `fakeDecode` for a real codec call and nothing else changes; the
-  * per-partition iterator shape is exactly how a JNI/FFmpeg/JPEG decoder
-  * would be amortized (init once per partition, stream rows through).
+  * Round 2 replaced the round-1 decode stub with [[MediaCodec]] — a real
+  * pure-JVM PNG/BMP encoder+decoder — so `decodePartitions` now parses
+  * actual image container headers. The execution shape is unchanged and is
+  * the part that matters at 100 TB: binary payload column, batched
+  * per-partition processing through an iterator (never materializing a
+  * partition), decoder state initialized once per partition. A JNI/FFmpeg
+  * decoder for richer formats drops into the same loop.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class DecodedRow(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                        channels: Int, checksum: Long)
+  case class DecodedRow(doc_id: Long, fmt: String, width: Int, height: Int,
+                        channels: Int, n_bytes: Int)
 
   /** Attach a binary payload column (UTF-8 bytes of the text stand in for
     * real media bytes) plus byte-level metadata. Pure projection.
@@ -29,30 +28,38 @@ object Multimodal {
       col("doc_id"),
       col("text").cast("binary").as("payload"))
 
-  /** ??? in spirit: a deterministic fake decoder. Derives fake
-    * image dimensions from the payload bytes. REPLACE with a real codec at
-    * deployment; signature and batch shape are the contract.
+  /** Synthesize REAL image payloads deterministically from (doc_id,
+    * n_chars): even ids become 24bpp BMPs, odd ids PNGs (grayscale or RGBA
+    * by id mod 4). Dimensions are arithmetic in the row's columns — which
+    * is what makes the decode query oracle-able: DuckDB recomputes the
+    * expected dims from the columns while Spark parses them back out of the
+    * actual encoded bytes; a hash match proves the encode→decode roundtrip.
     */
-  private[operators] def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
-    var cs = 0L
-    var i = 0
-    while (i < payload.length) { cs = (cs * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
-    val w = 16 + (cs % 240).toInt
-    val h = 16 + ((cs / 240) % 240).toInt
-    ((w, h, 3, cs))
+  def synthesizeMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = 1 + (id % 31).toInt
+        val h = 1 + (nChars % 29).toInt
+        val payload =
+          if (id % 2 == 0) MediaCodec.encodeBmp(w, h)
+          else MediaCodec.encodePng(w, h, colorType = if (id % 4 == 1) 0 else 6)
+        MediaRow(id, payload)
+      }
   }
 
-  /** Batched per-partition "decode": one decoder init per partition, rows
+  /** Batched per-partition decode: one decoder init per partition, rows
     * streamed through an iterator. Output is a typed Dataset with the
     * decoded-feature schema.
     */
   def decodePartitions(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: init codec/session HERE, once per partition
+      // heavier codecs init per-partition state HERE (JNI handles, buffers)
       rows.map { r =>
-        val (w, h, c, cs) = fakeDecode(r.payload)
-        DecodedRow(r.doc_id, r.payload.length, w, h, c, cs)
+        val d = MediaCodec.decode(r.payload)
+        DecodedRow(r.doc_id, d.fmt, d.width, d.height, d.channels, r.payload.length)
       }
     }
   }

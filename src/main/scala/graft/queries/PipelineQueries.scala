@@ -135,15 +135,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal decode plumbing: per-partition batched decode (stubbed
-    // codec, deterministic output). Not SQL-expressible → no oracle entry;
-    // the driver records a rows-only check. Semantics covered by
-    // MultimodalSpec.
+    // Multimodal decode: synthesize REAL PNG/BMP payloads (dims derived
+    // from doc_id/n_chars), then batched per-partition header decode via
+    // MediaCodec. Oracled: DuckDB recomputes the expected dims from the
+    // columns arithmetically while Spark parses them out of the encoded
+    // bytes — hash match proves the encode→decode roundtrip.
     "multimodal_decode" -> ((s, dir) => {
-      import s.implicits._
-      val media = Multimodal.withPayload(documents(s, dir))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodePartitions(media).toDF().orderBy(col("doc_id"))
+      val media = Multimodal.synthesizeMedia(documents(s, dir))
+      Multimodal.decodePartitions(media).toDF()
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+          col("channels"))
+        .orderBy(col("doc_id"))
     }),
 
     // MLlib LSH ANN: bucketed-random-projection index, bucket-probed
@@ -294,6 +296,17 @@ object PipelineQueries {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes,
         |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Multimodal.synthesizeMedia's dim derivation; Spark's side
+    // reads the same values back out of real PNG IHDR / BMP DIB headers.
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |  (1 + doc_id % 31)::INTEGER AS width,
+        |  (1 + n_chars % 29)::INTEGER AS height,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 3
+        |        WHEN doc_id % 4 = 1 THEN 1 ELSE 4 END)::INTEGER AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_ivf" ->

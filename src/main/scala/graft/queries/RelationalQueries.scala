@@ -451,14 +451,22 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // HLL sketch distinct counts (approx_count_distinct). Algorithm-
-    // specific estimates are not portable across engines → rows-only
-    // check; the exact twin is distinct_agg.
+    // HLL sketch distinct counts (approx_count_distinct). Raw estimates are
+    // algorithm-specific and not portable across engines, so the oracled
+    // output is the error BOUND: exact count per group plus a boolean
+    // asserting the sketch landed within 5% of it (rsd=0.01 → 5% is >4σ,
+    // deterministic in practice since Spark's HLL++ is seed-free). The
+    // oracle emits literal TRUE — a hash-match proves the sketch held the
+    // bound. Exact twin: distinct_agg.
     "approx_distinct" -> ((s, dir) => {
       lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("n"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -784,6 +792,17 @@ object RelationalQueries {
         |  count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part,
         |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // The sketch estimate itself is engine-specific; the oracled claim is
+    // the error bound (see the query's comment). Literal TRUE: hash-match
+    // ⇔ Spark's HLL++ stayed within 5% of exact on every group.
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin

@@ -89,20 +89,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Array[Byte]]("payload") === "héllo".getBytes("UTF-8"))
   }
 
-  test("decodePartitions: deterministic fake decode with stable schema") {
-    val media = Multimodal.withPayload(
-      Seq((1L, "some media bytes"), (2L, "")).toDF("doc_id", "text"))
-      .as[Multimodal.MediaRow]
-    val out = Multimodal.decodePartitions(media).collect().sortBy(_.doc_id)
-    assert(out.length === 2)
-    assert(out(0).n_bytes === "some media bytes".getBytes("UTF-8").length)
-    assert(out(0).channels === 3)
-    assert(out(0).width >= 16 && out(0).width < 256)
-    // empty payload decodes to the zero-checksum cell, not a crash
-    assert(out(1).n_bytes === 0 && out(1).checksum === 0L)
+  test("decodePartitions: parses real PNG/BMP headers from synthesized payloads") {
+    val docs = Seq((1L, 40L), (2L, 17L), (3L, 8L), (4L, 29L))
+      .toDF("doc_id", "n_chars")
+    val out = Multimodal.decodePartitions(Multimodal.synthesizeMedia(docs))
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.fmt).toSeq === Seq("png", "bmp", "png", "bmp"))
+    // dims round-trip the arithmetic derivation through real encoded bytes
+    assert(out(0).width === 2 && out(0).height === (1 + 40 % 29))
+    assert(out(0).channels === 1) // id%4==1 → grayscale PNG
+    assert(out(2).channels === 4) // id%4==3 → RGBA PNG
+    assert(out(1).channels === 3 && out(3).channels === 3) // 24bpp BMP
     // determinism: same input → same output
-    val again = Multimodal.decodePartitions(media).collect().sortBy(_.doc_id)
+    val again = Multimodal.decodePartitions(Multimodal.synthesizeMedia(docs))
+      .collect().sortBy(_.doc_id)
     assert(out === again)
+  }
+}
+
+class MediaCodecSpec extends AnyFunSuite {
+  import graft.operators.MediaCodec
+
+  test("encode→decode roundtrips dims and channels for every color type") {
+    for (w <- Seq(1, 3, 31); h <- Seq(1, 7, 29)) {
+      assert(MediaCodec.decode(MediaCodec.encodeBmp(w, h)) ===
+        MediaCodec.Decoded("bmp", w, h, 3))
+      for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4))
+        assert(MediaCodec.decode(MediaCodec.encodePng(w, h, ct)) ===
+          MediaCodec.Decoded("png", w, h, ch))
+    }
+  }
+
+  test("payloads are standards-valid: the JDK's own ImageIO decodes them") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    val png = ImageIO.read(new ByteArrayInputStream(MediaCodec.encodePng(13, 9, 2)))
+    assert(png != null && png.getWidth === 13 && png.getHeight === 9)
+    val bmp = ImageIO.read(new ByteArrayInputStream(MediaCodec.encodeBmp(5, 11)))
+    assert(bmp != null && bmp.getWidth === 5 && bmp.getHeight === 11)
+  }
+
+  test("unknown container is rejected, not guessed") {
+    intercept[IllegalArgumentException](MediaCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      MediaCodec.decode("plain text bytes, long enough to pass any length gate ......".getBytes))
   }
 }
 

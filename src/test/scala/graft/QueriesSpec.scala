@@ -15,8 +15,6 @@ class QueriesSpec extends AnyFunSuite {
     * rows-only check). Keep this list SHORT and justified.
     */
   val consciousOracleOmissions: Set[String] = Set(
-    "multimodal_decode", // mapPartitions codec stub — not SQL-expressible
-    "approx_distinct",   // HLL estimates are engine-specific
     "ann_lsh",           // seeded random projections — approximate by design
     "embed_mllib"        // MLlib murmur3 term hashing — engine-specific
   )
