@@ -342,6 +342,126 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
 
+    // TPC-H Q7 shape: bidirectional nation-pair volume by ship year. Both
+    // nation lookups and supplier are broadcast dims; the only shuffles are
+    // the orders⋈lineitem fact join and the final 3-key aggregate.
+    "q7_volume" -> ((s, dir) => {
+      val n1 = nation(s, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, dir).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: one nation's share of a region's promo-part volume per
+    // order year — conditional aggregation over a 7-table join, dims all
+    // broadcast.
+    "q8_market_share" -> ((s, dir) => {
+      val custNation = nation(s, dir)
+        .join(broadcast(region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      lineitem(s, dir)
+        .join(broadcast(part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"), "left_semi")
+        .join(broadcast(supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", revenue).otherwise(0.0)) /
+            sum(revenue), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q10 shape: revenue lost to returned items per customer in one
+    // quarter, nation broadcast, top-20 by revenue. This fixture's sums land
+    // on a cents-rounding boundary (…843.595), where double fold-order noise
+    // flips the last cent between engines — so revenue is summed in EXACT
+    // decimal on both sides (order-insensitive), then rounded.
+    "q10_returned" -> ((s, dir) => {
+      val decRevenue = col("l_extendedprice").cast("decimal(18,6)") *
+        (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape (adapted: the fixture has no l_shipmode, so the
+    // classifier column is l_linestatus): high- vs low-priority line counts
+    // per class — join + two conditional sums.
+    "q12_priority_class" -> ((s, dir) => {
+      val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      orders(s, dir)
+        .join(lineitem(s, dir)
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!highPri, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue percentage for one month — broadcast
+    // part join + two conditional sums in one aggregate.
+    "q14_promo" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", revenue).otherwise(0.0)) /
+            sum(revenue), 6).as("promo_revenue"))
+    }),
+
+    // TPC-H Q2 shape (adapted: no partsupp table — lineitem is the
+    // part↔supplier relation): cheapest-supplier-per-part via a CORRELATED
+    // scalar subquery, run through the SQL front-end so Catalyst's
+    // decorrelation (RewriteCorrelatedScalarSubquery → aggregate+join) is
+    // the operator under test. min() is order-insensitive, so the double
+    // equality is stable across engines.
+    "q2_min_cost" -> ((s, dir) => {
+      part(s, dir).createOrReplaceTempView("v_part")
+      supplier(s, dir).createOrReplaceTempView("v_supplier")
+      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT DISTINCT s.s_acctbal, s.s_name, p.p_partkey, p.p_name
+        FROM v_part p
+        JOIN v_lineitem l ON p.p_partkey = l.l_partkey
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+          AND s.s_acctbal = (
+            SELECT min(s2.s_acctbal)
+            FROM v_lineitem l2 JOIN v_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY s.s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
+        LIMIT 20
+      """)
+    }),
+
     // Math scalar functions.
     "math_funcs" -> ((s, dir) => {
       lineitem(s, dir)
@@ -786,6 +906,93 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                 ELSE 0.0 END)
+        |    / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // Exact-decimal revenue sum (order-insensitive) — see the query comment.
+    "q10_returned" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  round(sum(l.l_extendedprice::DECIMAL(18,6)
+        |            * (1.0::DECIMAL(18,6) - l.l_discount::DECIMAL(18,6))), 2)::DOUBLE AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c.c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // ::BIGINT — DuckDB integer sums widen to HUGEINT, which the driver's
+    // pandas bridge renders as float.
+    "q12_priority_class" ->
+      """SELECT l.l_linestatus,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+        |                  THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                  ELSE 0.0 END)
+        |    / sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS promo_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l.l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q2_min_cost" ->
+      """SELECT DISTINCT s.s_acctbal, s.s_name, p.p_partkey, p.p_name
+        |FROM part p
+        |JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+        |  AND s.s_acctbal = (
+        |    SELECT min(s2.s_acctbal)
+        |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    WHERE l2.l_partkey = p.p_partkey)
+        |ORDER BY s.s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
+        |LIMIT 20""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag,

@@ -40,6 +40,19 @@ object VectorQueries {
         .limit(5)
     }),
 
+    // O14 over the reference's actual storage shape: embeddings persisted
+    // in an embedded JDBC store as JSON text (SQLite in the reference,
+    // Derby here — the embedded DB that ships with Spark), read back with
+    // a partitioned JDBC scan + from_json vector decode, then knn. The
+    // oracle reads the original parquet — hash-match proves the
+    // write→JDBC-read→JSON-decode round-trip is lossless.
+    "jdbc_knn" -> ((s, dir) => {
+      val emb = graft.sources.JdbcStore.readEmbeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id", "embedding",
+        k = 5, keep = Seq("vec_id", "label"))
+    }),
+
     // O14 batch generalization: 3 query vectors ranked per-query via window.
     "knn_batch" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -207,6 +220,18 @@ object VectorQueries {
          |LIMIT 5""".stripMargin,
 
     "knn_topk_fused" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    // Oracle reads the parquet the Derby store was loaded from; the Spark
+    // side goes through JDBC + JSON decode. Identical results ⇔ lossless
+    // round-trip (float → shortest JSON → float).
+    "jdbc_knn" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.label,
          |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim

@@ -59,4 +59,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(p.sameElements(j))
     assert(p.sameElements(c))
   }
+
+  test("JdbcStore: Derby round-trip is bit-exact and the read is partitioned") {
+    val dir = "/root/testdata/sf0.001"
+    val back = graft.sources.JdbcStore.readEmbeddings(spark, dir)
+    val orig = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(back.rdd.getNumPartitions > 1) // parallel JDBC ranges, not one scan
+    val b = back.orderBy(col("vec_id")).collect()
+    val o = orig.orderBy(col("vec_id")).collect()
+    assert(b.length === o.length)
+    b.zip(o).foreach { case (rb, ro) =>
+      assert(rb.getAs[Long]("vec_id") === ro.getAs[Long]("vec_id"))
+      // float → shortest-JSON → float must round-trip every bit
+      assert(rb.getSeq[Float](rb.fieldIndex("embedding")).toList ===
+        ro.getSeq[Float](ro.fieldIndex("embedding")).toList)
+    }
+  }
 }
