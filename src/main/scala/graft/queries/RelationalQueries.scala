@@ -27,6 +27,18 @@ object RelationalQueries {
 
   private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Temp views for the SQL-front-end queries (correlated subqueries are
+    * not expressible in the DataFrame API — Catalyst decorrelates them).
+    */
+  private def sqlViews(s: SparkSession, dir: String): Unit = {
+    part(s, dir).createOrReplaceTempView("v_part")
+    supplier(s, dir).createOrReplaceTempView("v_supplier")
+    lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    orders(s, dir).createOrReplaceTempView("v_orders")
+    customer(s, dir).createOrReplaceTempView("v_customer")
+    nation(s, dir).createOrReplaceTempView("v_nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: scan-filter → partial/final hash aggregate → sort.
@@ -444,9 +456,7 @@ object RelationalQueries {
     // the operator under test. min() is order-insensitive, so the double
     // equality is stable across engines.
     "q2_min_cost" -> ((s, dir) => {
-      part(s, dir).createOrReplaceTempView("v_part")
-      supplier(s, dir).createOrReplaceTempView("v_supplier")
-      lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      sqlViews(s, dir)
       s.sql("""
         SELECT DISTINCT s.s_acctbal, s.s_name, p.p_partkey, p.p_name
         FROM v_part p
@@ -459,6 +469,91 @@ object RelationalQueries {
             WHERE l2.l_partkey = p.p_partkey)
         ORDER BY s.s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
         LIMIT 20
+      """)
+    }),
+
+    // TPC-H Q16 shape (adapted: lineitem is the part↔supplier relation):
+    // distinct-supplier counts per (brand, size) with a NOT IN exclusion
+    // subquery — Catalyst plans it as a null-aware anti join.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM v_part p JOIN v_lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 5, 10, 15, 20)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM v_supplier WHERE s_acctbal < 0.0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_size ASC
+      """)
+    }),
+
+    // TPC-H Q20 shape (adapted): suppliers in one nation who shipped more
+    // than 50 units of some SMALL part — IN over a grouped+HAVING subquery
+    // (semi join on an aggregate).
+    "q20_qty_supplier" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT s.s_name, s.s_acctbal
+        FROM v_supplier s JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_5' AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM v_lineitem l JOIN v_part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_type = 'SMALL'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(l.l_quantity) > 50.0)
+        ORDER BY s.s_name
+      """)
+    }),
+
+    // TPC-H Q21 shape (adapted: no receipt/commit dates — "kept waiting" is
+    // re-expressed as "sole returning supplier"): suppliers with a returned
+    // line in a multi-supplier finished order where NO other supplier
+    // returned — correlated EXISTS + NOT EXISTS pair, decorrelated by
+    // Catalyst into semi + anti joins on l_orderkey.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM v_supplier s
+        JOIN v_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN v_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 20
+      """)
+    }),
+
+    // TPC-H Q22 shape (adapted: country code = c_nationkey mod 5): rich
+    // customers with no orders — scalar average subquery threshold +
+    // correlated NOT EXISTS anti join. The threshold and money sum follow
+    // the repo rounding rules (avg→6dp both sides; sum in exact decimal).
+    "q22_no_orders" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT CAST(c.c_nationkey % 5 AS INT) AS cntrycode,
+               count(*) AS numcust,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+        FROM v_customer c
+        WHERE c.c_nationkey % 5 IN (1, 2, 3)
+          AND c.c_acctbal > (
+            SELECT round(avg(c2.c_acctbal), 6) FROM v_customer c2
+            WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 5 IN (1, 2, 3))
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        ORDER BY 1
       """)
     }),
 
@@ -993,6 +1088,61 @@ object RelationalQueries {
         |    WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY s.s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
         |LIMIT 20""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_size,
+        |  count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 10, 15, 20)
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_size ASC""".stripMargin,
+
+    "q20_qty_supplier" ->
+      """SELECT s.s_name, s.s_acctbal
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_5' AND s.s_suppkey IN (
+        |  SELECT l.l_suppkey
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'SMALL'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING sum(l.l_quantity) > 50.0)
+        |ORDER BY s.s_name""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s.s_name, count(*)::BIGINT AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name ASC
+        |LIMIT 20""".stripMargin,
+
+    "q22_no_orders" ->
+      """SELECT (c.c_nationkey % 5)::INTEGER AS cntrycode,
+        |  count(*)::BIGINT AS numcust,
+        |  round(sum(c.c_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS totacctbal
+        |FROM customer c
+        |WHERE c.c_nationkey % 5 IN (1, 2, 3)
+        |  AND c.c_acctbal > (
+        |    SELECT round(avg(c2.c_acctbal), 6) FROM customer c2
+        |    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 5 IN (1, 2, 3))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "distinct_agg" ->
       """SELECT l_returnflag,
