@@ -5,10 +5,12 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: installs graft's native expressions
-  * into every session built with
+  * and optimizer rules into every session built with
   * `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
   * (or `.withExtensions(new GraftExtensions)`) — no per-session register()
-  * call needed; `SELECT cosine_sim(a, b)` works from bare SQL.
+  * call needed; `SELECT cosine_sim(a, b)` works from bare SQL, and exact
+  * top-k vector queries over IVF-registered tables are rewritten to
+  * probe-and-prune (graft.plans.IvfTopKRewrite).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -17,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         GraftFunctions.CosineSimName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
   }
 }

@@ -23,6 +23,21 @@ import graft.expressions.GraftFunctions
   */
 object Ann {
 
+  private val layouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize the sf dir's embeddings as a cell-partitioned parquet
+    * table (the IVF physical layout), once per JVM per sf dir. At real
+    * scale this is the one-time index build; queries then partition-prune.
+    */
+  def ivfLayout(spark: SparkSession, sfDir: String, cellCol: String = "label"): String =
+    layouts.computeIfAbsent(sfDir, { _ =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-" +
+        Integer.toHexString(sfDir.hashCode)
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
+      dir
+    })
+
   /** One representative (medoid = min-id member) per cell. Tiny result —
     * always broadcastable.
     */

@@ -174,6 +174,26 @@ object PipelineQueries {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       Ann.ivfSearch(emb, q, "label", "vec_id", "embedding", k = 5,
         excludeId = Some(0L))
+    }),
+
+    // TRANSPARENT IVF ANN: the user writes the exact brute-force top-k
+    // (ORDER BY cosine_sim(...) DESC LIMIT 5) over the cell-partitioned
+    // table; the injected IvfTopKRewrite optimizer rule probes the
+    // registered medoids and adds the partition-pruning cell filter. Same
+    // oracle as ann_ivf — proof the rewrite picks the identical cell.
+    "ann_ivf_rewrite" -> ((s, dir) => {
+      import graft.expressions.GraftFunctions
+      val path = Ann.ivfLayout(s, dir)
+      graft.plans.IvfIndexRegistry.register(s, path, "label", "vec_id", "embedding")
+      GraftFunctions.register(s)
+      val ivf = s.read.parquet(path)
+      val qVec = ivf.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      ivf.filter(col("vec_id") =!= 0)
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), lit(qVec)), 6))
+        .select(col("vec_id"), col("label"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
     })
   )
 
@@ -310,6 +330,24 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_ivf" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+         |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
+         |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${VectorQueries.duckCosine("ce", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 1)
+         |SELECT e.vec_id, e.label,
+         |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q JOIN probe p ON e.label = p.cell
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    // Identical to ann_ivf: the transparent rewrite must reach the same
+    // probe-and-prune result the explicit operator computes.
+    "ann_ivf_rewrite" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
          |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
          |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce

@@ -14,6 +14,45 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS s").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
+
+  private def ivfQuery(path: String) = {
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    val ivf = spark.read.parquet(path)
+    val qVec = ivf.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    ivf.filter(col("vec_id") =!= 0)
+      .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), lit(qVec)), 6))
+      .select(col("vec_id"), col("label"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  test("IvfTopKRewrite prunes an exact top-k query to one cell, transparently") {
+    val dir = "/root/testdata/sf0.001"
+    val path = graft.operators.Ann.ivfLayout(spark, dir)
+    try {
+      // without a registered index the exact query scans everything
+      graft.plans.IvfIndexRegistry.clear()
+      val unpruned = ivfQuery(path)
+      assert(!unpruned.queryExecution.executedPlan.toString
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*label[^\\]]*=.*"))
+      // register → the SAME query now partition-prunes
+      graft.plans.IvfIndexRegistry.register(spark, path, "label", "vec_id", "embedding")
+      val pruned = ivfQuery(path)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*label[^\\]]*=.*"),
+        s"no cell PartitionFilters in:\n$plan")
+      val rows = pruned.collect()
+      pruned.queryExecution.executedPlan.collectLeaves().head
+        .metrics.get("numFiles").foreach(m =>
+          assert(m.value <= 2, s"read ${m.value} files — pruning failed"))
+      // identical output to the explicit probe-and-prune operator
+      val explicit = SparkEntry.queries("ann_ivf")(spark, dir).collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+        explicit.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
 }
 
 class StreamingDedupSpec extends AnyFunSuite {
