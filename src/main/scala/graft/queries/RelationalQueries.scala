@@ -322,6 +322,17 @@ object RelationalQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Batch twin of the stream-stream interval join (views in the hour
+    // before each click, per user) — the oracle for Streaming.clickViewJoin;
+    // StreamingSpec asserts the watermarked stream-stream run is identical.
+    "interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.Streaming.clickViewJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id"), col("view_id"))
+    }),
+
     // Pure top-k: TakeOrderedAndProject, no aggregation.
     "topk_orders" -> ((s, dir) => {
       orders(s, dir)
@@ -1088,6 +1099,16 @@ object RelationalQueries {
         |    WHERE l2.l_partkey = p.p_partkey)
         |ORDER BY s.s_acctbal DESC, p.p_partkey ASC, s.s_name ASC
         |LIMIT 20""".stripMargin,
+
+    // epoch_us on TIMESTAMP_NS truncates to micros — identical to Spark's
+    // nanos→micros load-time truncation (see Tables.events).
+    "interval_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+        |  epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'view'
+        |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size,

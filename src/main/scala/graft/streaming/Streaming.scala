@@ -60,9 +60,35 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: views within the hour preceding each click,
+    * per user. The SAME transformation serves batch (the oracle) and
+    * streaming inputs; for streaming, both inputs must carry a watermark —
+    * with the time-range predicate Spark bounds both join-state buffers to
+    * the interval + lateness horizon, so state does not grow with the
+    * stream. Output times are epoch micros (cross-engine-stable longs).
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val v = views.select(col("user_id").as("v_user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 60 MINUTES") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   // --- stateful sessionization -------------------------------------------
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  /** Ev plus the watermarked event-time column (which must survive into a
+    * stateful operator's input for EventTimeTimeout to be allowed).
+    */
+  case class EvW(user_id: Long, event_id: Long, tsMicros: Long, value: Double,
+                 ts: java.sql.Timestamp)
   case class SessionState(sessionSeq: Int, lastTsMicros: Long,
                           n: Long, valueSum: Double, startMicros: Long)
   case class SessionOut(user_id: Long, session_seq: Int, n_events: Long,
@@ -101,6 +127,58 @@ object Streaming {
           state.update(st)
           SessionOut(uid, st.sessionSeq, st.n, st.startMicros, st.lastTsMicros,
             st.valueSum)
+      }.toDF()
+  }
+
+  /** Full session emission with flatMapGroupsWithState (Append mode +
+    * event-time timeout): a session is emitted exactly when it CLOSES —
+    * either a same-user event arrives past the 30-minute gap, or the
+    * watermark passes the open session's gap horizon (timeout). Unlike
+    * `sessionizeStream` (latest-state-per-trigger), this emits every
+    * session exactly once, which is what a downstream sink wants.
+    * State per user is one open session; the watermark bounds its lifetime.
+    */
+  def sessionizeClosed(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    // the watermark column must survive into the stateful operator's input
+    val typed = events.select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"),
+        col("ts"))
+      .withWatermark("ts", "1 minute")
+      .as[EvW]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows: Iterator[EvW], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(uid, st.sessionSeq, st.n, st.startMicros,
+              st.lastTsMicros, st.valueSum))
+          } else {
+            var closed = List.empty[SessionOut]
+            var open = state.getOption
+            rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+              open = open match {
+                case Some(st) if e.tsMicros - st.lastTsMicros > SessionGapMicros =>
+                  closed ::= SessionOut(uid, st.sessionSeq, st.n, st.startMicros,
+                    st.lastTsMicros, st.valueSum)
+                  Some(SessionState(st.sessionSeq + 1, e.tsMicros, 1L, e.value, e.tsMicros))
+                case Some(st) =>
+                  Some(st.copy(lastTsMicros = e.tsMicros, n = st.n + 1,
+                    valueSum = st.valueSum + e.value))
+                case None =>
+                  Some(SessionState(1, e.tsMicros, 1L, e.value, e.tsMicros))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              // close the open session when event time passes its gap horizon
+              state.setTimeoutTimestamp((st.lastTsMicros + SessionGapMicros) / 1000)
+            }
+            closed.reverse.iterator
+          }
       }.toDF()
   }
 

@@ -53,6 +53,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval_join result") {
+    val ev = Tables.events(spark, sf)
+    val stream = Streaming.readEventsStream(spark, sf)
+    val joined = Streaming.clickViewJoin(
+      stream.filter(col("event_type") === "click").withWatermark("ts", "2 hours"),
+      stream.filter(col("event_type") === "view").withWatermark("ts", "2 hours"))
+    val streamed = Streaming.runToMemory(spark, joined, "ss_join", OutputMode.Append())
+      .orderBy(col("click_id"), col("view_id")).collect()
+    val batch = SparkEntry.queries("interval_join")(spark, sf).collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(batch.nonEmpty) // the fixture must actually exercise the join
+  }
+
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mins = 60L * 1000 * 1000
+    val input = MemoryStream[Streaming.Ev]
+    val out = Streaming.sessionizeClosed(spark,
+      input.toDF().withColumn("ts", timestamp_micros(col("tsMicros"))))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      // session 1 (events 1,2) closed by the gap to event 3 (session 2).
+      // Base offset keeps ts clear of the initial watermark (epoch 0),
+      // which drops ts<=0 as late.
+      val base = 100 * mins
+      input.addData(Streaming.Ev(7L, 1L, base + 0 * mins, 1.0),
+        Streaming.Ev(7L, 2L, base + 5 * mins, 2.0),
+        Streaming.Ev(7L, 3L, base + 60 * mins, 3.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("closed_sessions").collect()
+        .map(r => (r.getAs[Int]("session_seq"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("value_sum")))
+      assert(afterB1.toSeq === Seq((1, 2L, 3.0)))
+      // batch 2 advances the watermark far past session 2's gap horizon —
+      // the EventTimeTimeout closes it with no same-user event needed
+      input.addData(Streaming.Ev(8L, 4L, base + 500 * mins, 4.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Ev(8L, 5L, base + 900 * mins, 5.0))
+      q.processAllAvailable()
+      val seqs = spark.table("closed_sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("session_seq"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(seqs.contains((7L, 1, 2L)) && seqs.contains((7L, 2, 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: micro-batches land as idempotent parquet appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toFile.getAbsolutePath
+    val input = MemoryStream[Streaming.Ev]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batchId partition → replays overwrite their own partition only
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(dir)
+      }
+      .start()
+    try {
+      input.addData(Streaming.Ev(1L, 1L, 1000L, 1.0), Streaming.Ev(1L, 2L, 2000L, 2.0))
+      q.processAllAvailable()
+      input.addData(Streaming.Ev(2L, 3L, 3000L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(back.select("batch_id").distinct().count() === 2)
+  }
+
   test("batch sessionize query: session bounds are consistent") {
     val rows = SparkEntry.queries("sessionize")(spark, sf).collect()
     assert(rows.nonEmpty)
