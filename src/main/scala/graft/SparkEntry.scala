@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{PipelineQueries, RelationalQueries, TextQueries, TrainQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++ PipelineQueries.queries
+    VectorQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++ PipelineQueries.queries ++ TrainQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    VectorQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles
+    VectorQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++ TrainQueries.oracles
 }

@@ -45,7 +45,9 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < n) df.repartition(n) else df
+    // input-file count, not df.rdd.getNumPartitions: touching .rdd would
+    // instantiate the physical plan outside AQE just to read a number
+    if (df.inputFiles.length < n) df.repartition(n) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

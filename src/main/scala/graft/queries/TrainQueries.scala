@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextOps
+
+/** Training-data assembly operators: deterministic dataset splitting,
+  * stratified sampling, and token-budget sequence packing — the steps
+  * between a cleaned corpus and a training run.
+  *
+  * Scale design notes (100 TB):
+  *  - Splits are per-row hash projections: map-only, no shuffle, and the
+  *    assignment is a pure function of the id, so re-running the pipeline
+  *    (or running it per-shard on different clusters) yields the same
+  *    split. In production the hash would be xxhash64; here it is an
+  *    explicit Knuth multiplicative hash because the oracle must compute
+  *    the identical value in DuckDB (murmur/xxhash are engine-specific —
+  *    see the conscious-omission list in QueriesSpec).
+  *  - Stratified sampling shuffles once on the stratum key (window
+  *    row_number + per-stratum count), giving EXACT per-stratum sample
+  *    sizes. When approximate sizes suffice, the hash-threshold path
+  *    (`data_split`'s shape: keep iff bucket < frac*100) is map-only and
+  *    preferred at scale; the window variant is the exact-count tool.
+  *    Skewed strata are bounded: row_number windows spill, and the sort
+  *    key (hash, id) is unique so no single value dominates a partition
+  *    beyond the stratum itself.
+  *  - Sequence packing is the "concat documents, slice into fixed token
+  *    windows" step before tokenizer sharding. A single global cumulative
+  *    sum would serialize on one partition, so packing is SHARDED: docs
+  *    are hashed into independent shards and each shard packs its own
+  *    contiguous token stream (running-sum window per shard). Shards pack
+  *    in parallel; sequence identity is (shard, seq_id). That is exactly
+  *    how a 1000-executor job packs 100 TB — per-shard order is total and
+  *    deterministic, cross-shard order is irrelevant to training.
+  */
+object TrainQueries {
+
+  /** Knuth multiplicative hash of a non-negative id, kept in [0, 2^32):
+    * (id * 2654435761) mod 2^32. Cross-engine-portable integer arithmetic
+    * (the product of a 32-bit id and the constant fits a 64-bit signed
+    * long; fixture ids are far smaller).
+    */
+  private def idHash(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+
+  /** Split bucket in [0,100): uses bits 16.. of the hash — the low bits of
+    * a multiplicative hash of sequential ids are strided, the high bits mix.
+    */
+  private val bucketSqlExpr =
+    "((doc_id * 2654435761) % 4294967296) div 65536 % 100"
+  private val bucketDuck =
+    "((doc_id * 2654435761) % 4294967296) // 65536 % 100"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic train/val/test split: 80/10/10 by hash bucket.
+    // Map-only; assignment is a pure function of doc_id (stable across
+    // reruns, shards, and engines).
+    "data_split" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), expr(bucketSqlExpr).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact-count stratified sample: deterministic 20% per language.
+    // One shuffle on the stratum key; rows ordered inside each stratum by
+    // (hash, id) — a deterministic pseudo-random order — and the first
+    // ceil(n/5) kept.
+    "stratified_sample" -> ((s, dir) => {
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(idHash(col("doc_id")).asc, col("doc_id").asc)
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .filter(col("rn") <= expr("(cnt + 4) div 5"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Sharded sequence packing: per shard, concat docs in id order and
+    // assign each doc to the 2048-token window its first token lands in.
+    // seq_tokens > 2048 happens when a doc straddles a boundary — the
+    // downstream slicer splits it; the packer only decides membership.
+    "pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", expr("(cum - n_tok) div 2048"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("seq_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "data_split" ->
+      s"""SELECT doc_id, $bucketDuck AS bucket,
+         |  CASE WHEN $bucketDuck < 80 THEN 'train'
+         |       WHEN $bucketDuck < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT doc_id, lang, rn FROM r
+        |WHERE rn <= (cnt + 4) // 5
+        |ORDER BY lang, rn""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    len(${TextQueries.duckToks("text")})::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM t)
+         |SELECT shard, (cum - n_tok) // 2048 AS seq_id, count(*) AS n_docs,
+         |  sum(n_tok)::BIGINT AS seq_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY shard, seq_id
+         |ORDER BY shard, seq_id""".stripMargin
+  )
+}
