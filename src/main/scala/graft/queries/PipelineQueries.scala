@@ -202,7 +202,7 @@ object PipelineQueries {
   /** CTEs ending in `sh(doc_id, shs)` = distinct word-3-shingle hashes per
     * doc, mirroring Dedup.shingleHashes over `docsSql`.
     */
-  private def duckShingleCtes(docsSql: String): String =
+  private[queries] def duckShingleCtes(docsSql: String): String =
     s"""src AS ($docsSql),
        |hs0 AS (
        |  SELECT doc_id, list_transform(

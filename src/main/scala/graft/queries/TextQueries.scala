@@ -147,6 +147,46 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1 shape): per-doc
+    // type-token ratio, most-frequent-token fraction, duplicate-trigram
+    // fraction, and the resulting keep/drop decision. Distributed shape:
+    // explode → groupBy(doc, gram) → per-doc re-agg — only (doc_id, gram,
+    // count) digests shuffle, never the text, and both aggs are partial
+    // (map-side combine) so a 100 TB corpus shuffles a vocabulary-bounded
+    // digest stream. Per-row HOF mode-finding would be O(len²) per doc;
+    // the groupBy is both faster and the idiomatic Spark formulation.
+    "repetition_filter" -> ((s, dir) => {
+      val toks = spread(documents(s, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val uni = toks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          max(col("n")).as("top_tok_n"))
+      val tri = toks
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .as("tri"))
+        .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tri"),
+          sum(when(col("n") > 1, col("n")).otherwise(lit(0))).as("dup_tri"))
+      val ttr = round(col("n_types").cast("double") / col("n_tokens"), 6)
+      val topFrac = round(col("top_tok_n").cast("double") / col("n_tokens"), 6)
+      val dupTriFrac = round(coalesce(col("dup_tri").cast("double") /
+        col("n_tri"), lit(0.0)), 6)
+      uni.join(tri, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), ttr.as("ttr"),
+          topFrac.as("top_tok_frac"), dupTriFrac.as("dup_trigram_frac"),
+          (topFrac <= 0.2 && dupTriFrac <= 0.3).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-count statistics per language.
     "token_counts" -> ((s, dir) => {
       documents(s, dir)
@@ -244,6 +284,32 @@ object TextQueries {
          |FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram ASC
          |LIMIT 20""".stripMargin,
+
+    "repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |uni AS (
+         |  SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*) AS n_types,
+         |         max(n)::BIGINT AS top_tok_n
+         |  FROM (SELECT doc_id, tok, count(*) AS n
+         |        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |        GROUP BY doc_id, tok) GROUP BY doc_id),
+         |tri AS (
+         |  SELECT doc_id, sum(n)::BIGINT AS n_tri,
+         |         sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_tri
+         |  FROM (SELECT doc_id, g, count(*) AS n
+         |        FROM (SELECT doc_id,
+         |                unnest(list_transform(generate_series(1, len(toks) - 2),
+         |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+         |              FROM t WHERE len(toks) >= 3)
+         |        GROUP BY doc_id, g) GROUP BY doc_id)
+         |SELECT uni.doc_id, n_tokens,
+         |  round(n_types::DOUBLE / n_tokens, 6) AS ttr,
+         |  round(top_tok_n::DOUBLE / n_tokens, 6) AS top_tok_frac,
+         |  round(coalesce(dup_tri::DOUBLE / n_tri, 0.0), 6) AS dup_trigram_frac,
+         |  (round(top_tok_n::DOUBLE / n_tokens, 6) <= 0.2
+         |   AND round(coalesce(dup_tri::DOUBLE / n_tri, 0.0), 6) <= 0.3) AS keep
+         |FROM uni LEFT JOIN tri ON uni.doc_id = tri.doc_id
+         |ORDER BY uni.doc_id""".stripMargin,
 
     "token_counts" ->
       s"""SELECT lang, sum(len(${duckToks("text")}))::BIGINT AS total_tokens,

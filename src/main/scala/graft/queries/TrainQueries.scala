@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
+import graft.operators.Dedup
 
 /** Training-data assembly operators: deterministic dataset splitting,
   * stratified sampling, and token-budget sequence packing — the steps
@@ -85,6 +86,34 @@ object TrainQueries {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Benchmark-contamination scan: for every training doc, the fraction of
+    // its word-3-shingles that appear in any "benchmark" doc (here: the
+    // deterministic doc_id % 97 == 0 subset standing in for an eval set).
+    // Scale shape: the benchmark shingle set is tiny relative to the corpus
+    // (an eval suite is MBs, the corpus is TBs) → distinct benchmark digests
+    // are BROADCAST and the per-shingle hit test is a map-side left-semi
+    // join; only (doc_id, n_hit/n_shingle) digests are aggregated. No
+    // shuffle touches document text.
+    "contamination" -> ((s, dir) => {
+      val sh = spread(documents(s, dir))
+        .withColumn("hs", TextOps.tokenHashes(col("text")))
+        .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
+      val benchSh = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shs")).as("sh")).distinct()
+      val trainSh = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+      val totals = trainSh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val hits = trainSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      totals.join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("hit_frac",
+          round(col("n_hit").cast("double") / col("n_shingles"), 6))
+        .withColumn("contaminated", col("hit_frac") >= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Sharded sequence packing: per shard, concat docs in id order and
     // assign each doc to the 2048-token window its first token lands in.
     // seq_tokens > 2048 happens when a doc straddles a boundary — the
@@ -124,6 +153,23 @@ object TrainQueries {
         |SELECT doc_id, lang, rn FROM r
         |WHERE rn <= (cnt + 4) // 5
         |ORDER BY lang, rn""".stripMargin,
+
+    "contamination" ->
+      s"""WITH ${PipelineQueries.duckShingleCtes("SELECT doc_id, text FROM documents")},
+         |bench AS (
+         |  SELECT DISTINCT s FROM (SELECT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0)),
+         |train AS (
+         |  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+         |hit AS (
+         |  SELECT doc_id, count(*) AS n_hit FROM train
+         |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.s = train.s)
+         |  GROUP BY doc_id)
+         |SELECT tot.doc_id, n_shingles, coalesce(n_hit, 0)::BIGINT AS n_hit,
+         |  round(coalesce(n_hit, 0)::DOUBLE / n_shingles, 6) AS hit_frac,
+         |  round(coalesce(n_hit, 0)::DOUBLE / n_shingles, 6) >= 0.2 AS contaminated
+         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.expressions.GraftFunctions
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.Knn
+import graft.operators.{Ann, Knn}
 
 /** Vector-search surface: reference parity for SURVEY.md §2A O12-O16 plus
   * the batch/threshold generalizations. All kernels are HOF expressions —
@@ -153,6 +153,53 @@ object VectorQueries {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    // Int8 scalar quantization per vector (the compression step before an
+    // index ships to serving): per-vector min/max affine map to [0,255]
+    // codes + reconstruction-error audit. Map-only projection — each
+    // vector is quantized independently, no shuffle; at 100 TB this is
+    // the same single-pass kernel shape as embedding itself. Intermediates
+    // are staged as columns (not re-inlined HOFs) so the interpreted-HOF
+    // path evaluates each stage once.
+    "quantize_embeddings" -> ((s, dir) => {
+      val staged = spread(embeddings(s, dir))
+        .withColumn("d", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("lo", array_min(col("d")))
+        .withColumn("hi", array_max(col("d")))
+        .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+        .withColumn("codes",
+          when(col("hi") === col("lo"), transform(col("d"), _ => lit(0L)))
+            .otherwise(transform(col("d"),
+              x => round((x - col("lo")) / col("scale")).cast("long"))))
+        .withColumn("err", zip_with(col("d"), col("codes"),
+          (x, c) => abs(x - (col("lo") + c.cast("double") * col("scale")))))
+      staged.select(col("vec_id"),
+        size(col("d")).as("dim"),
+        round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_max(col("codes")).as("code_max"),
+        round(array_max(col("err")), 6).as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Recall@k audit: IVF-pruned ANN (ann_ivf's plan) scored against the
+    // exact brute-force top-k — the quality gate every approximate index
+    // ships with. Both sides are k-row results, so the join is a driver-
+    // trivial semi-join; the expensive parts reuse the exact/IVF operators
+    // unchanged.
+    "ann_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id",
+        "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val approx = Ann.ivfSearch(emb, q, "label", "vec_id", "embedding",
+        k = 5, excludeId = Some(0L)).select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(0L).as("qid"), lit(5).as("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
     // O10 batch embed: the full corpus embedded in one distributed
     // projection, flattened to (doc_id, bucket, weight) for the oracle.
     "embed_documents" -> ((s, dir) => {
@@ -275,6 +322,49 @@ object VectorQueries {
          |SELECT round(sum(a.weight * b.weight), 6) AS sim
          |FROM emb a JOIN emb b USING (bucket)
          |WHERE a.doc_id = 0 AND b.doc_id = 1""".stripMargin,
+
+    "quantize_embeddings" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS d FROM embeddings),
+        |s AS (SELECT vec_id, d, list_min(d) AS lo, list_max(d) AS hi,
+        |        (list_max(d) - list_min(d)) / 255.0 AS scale FROM d),
+        |c AS (SELECT vec_id, d, lo, hi, scale,
+        |        CASE WHEN hi = lo THEN list_transform(d, x -> 0::BIGINT)
+        |             ELSE list_transform(d, x -> round((x - lo) / scale)::BIGINT)
+        |        END AS codes
+        |      FROM s)
+        |SELECT vec_id, len(d) AS dim, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  list_sum(codes)::BIGINT AS code_sum,
+        |  list_max(codes)::BIGINT AS code_max,
+        |  round(list_max(list_transform(generate_series(1, len(d)),
+        |    i -> abs(d[i] - (lo + codes[i] * scale)))), 6) AS max_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 5),
+         |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+         |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
+         |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${duckCosine("ce", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 1),
+         |approx AS (
+         |  SELECT e.vec_id
+         |  FROM embeddings e CROSS JOIN q JOIN probe p ON e.label = p.cell
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 0::BIGINT AS qid, 5 AS k, count(*)::BIGINT AS n_hit,
+         |  round(count(*)::DOUBLE / 5.0, 6) AS recall
+         |FROM approx
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = approx.vec_id)""".stripMargin,
 
     "centroid_by_label" ->
       """SELECT e.label, g.i - 1 AS pos,

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the corpus-curation operators added in round 2:
+  * repetition_filter, contamination, quantize_embeddings, ann_recall.
+  * Row-level parity vs DuckDB is tools/check.py's job.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("repetition_filter: ratios bounded, keep consistent with thresholds") {
+    val rows = SparkEntry.queries("repetition_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ttr = r.getAs[Double]("ttr")
+      val top = r.getAs[Double]("top_tok_frac")
+      val dup = r.getAs[Double]("dup_trigram_frac")
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(top > 0 && top <= 1.0)
+      assert(dup >= 0 && dup <= 1.0)
+      // ttr and top-token fraction are linked: top freq >= mean freq = 1/ttr⁻¹
+      assert(top >= 1.0 / r.getAs[Long]("n_tokens") - 1e-6)
+      assert(r.getAs[Boolean]("keep") === (top <= 0.2 && dup <= 0.3))
+    }
+  }
+
+  test("repetition_filter: a synthetic degenerate doc is dropped") {
+    import spark.implicits._
+    // one doc of a single repeated token must have top_tok_frac 1 → drop;
+    // compute via the same groupBy shape on a tiny frame
+    val docs = Seq((1L, Array.fill(50)("spam").mkString(" ")),
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TextOps.tokens(col("text")).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").cast("double").as("top"),
+        sum("n").cast("double").as("tot"))
+      .withColumn("frac", col("top") / col("tot"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("frac")).toMap
+    assert(uni(1L) === 1.0)
+    assert(uni(2L) === 1.0 / 50)
+  }
+
+  test("contamination: benchmark docs excluded, fractions bounded, self-overlap is total") {
+    val rows = SparkEntry.queries("contamination")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    rows.foreach { r =>
+      val f = r.getAs[Double]("hit_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Boolean]("contaminated") === (f >= 0.2))
+    }
+  }
+
+  test("quantize_embeddings: codes in [0,255], reconstruction error bounded by scale/2") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("d", transform(col("embedding"), x => x.cast("double")))
+      .select(col("vec_id"),
+        ((array_max(col("d")) - array_min(col("d"))) / 255.0).as("scale"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("scale")).toMap
+    val rows = SparkEntry.queries("quantize_embeddings")(spark, sf).collect()
+    assert(rows.length === emb.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("code_max") <= 255L)
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      // affine rounding error is at most half a quantization step (+ rounding
+      // of the reported value at 1e-6)
+      assert(r.getAs[Double]("max_abs_err") <= emb(id) / 2.0 + 1e-6,
+        s"vec $id err ${r.getAs[Double]("max_abs_err")} scale ${emb(id)}")
+    }
+  }
+
+  test("ann_recall: one row, recall = n_hit/k in [0,1], consistent with ann_ivf ∩ knn_topk") {
+    val r = SparkEntry.queries("ann_recall")(spark, sf).collect()
+    assert(r.length === 1)
+    val nHit = r.head.getAs[Long]("n_hit")
+    val recall = r.head.getAs[Double]("recall")
+    assert(recall === nHit / 5.0)
+    val exact = SparkEntry.queries("knn_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("ann_ivf")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(nHit === (exact & approx).size.toLong)
+  }
+}
