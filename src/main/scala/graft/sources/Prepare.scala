@@ -54,4 +54,15 @@ object Prepare {
     */
   def sink(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Hive-partitioned sink: the layout a training pipeline ships —
+    * `path/col=value/part-*.parquet`. Downstream readers of one partition
+    * (the training job reading `split=train`, an eval job reading
+    * `split=test`) get partition pruning for free: the filter becomes a
+    * directory selection, no data files of other partitions are opened.
+    * At 100 TB the partition columns must be low-cardinality (split, date,
+    * lang) — high-cardinality partitioning degenerates to a file per value.
+    */
+  def partitionedSink(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }
