@@ -156,8 +156,11 @@ object TextQueries {
     // digest stream. Per-row HOF mode-finding would be O(len²) per doc;
     // the groupBy is both faster and the idiomatic Spark formulation.
     "repetition_filter" -> ((s, dir) => {
+      // tokenize feeds both the unigram and trigram branches — stage it
+      // once (persist(DISK_ONLY) at real scale) instead of re-tokenizing
       val toks = spread(documents(s, dir))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .localCheckpoint()
       val uni = toks
         .select(col("doc_id"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
