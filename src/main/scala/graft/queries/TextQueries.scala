@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -43,7 +44,7 @@ object TextQueries {
        |  list_transform(generate_series(1, length($tokExpr)), i -> ascii($tokExpr[i])::BIGINT)),
        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 
-  private def duckFingerprint(textExpr: String): String =
+  private[queries] def duckFingerprint(textExpr: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
        |  list_transform(list_slice(${duckToks(textExpr)}, 1, 512),
        |    tok -> ${duckTokHash("tok")})),
@@ -190,6 +191,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: the redaction pass every released corpus gets. The
+    // fixture text is clean, so deterministic synthetic PII (an email and
+    // a phone derived from doc_id) is injected first; the scrubber then
+    // counts and redacts it. Map-only projection — regex state is per-row,
+    // no shuffle; patterns are kept in the RE2 ∩ java.util.regex dialect
+    // so Spark and the DuckDB oracle agree byte-for-byte.
+    "pii_scrub" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val tainted = documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      tainted.select(col("doc_id"),
+        regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary coverage: ranked token counts with cumulative corpus
+    // coverage — the "how big a vocab do we need" audit. The rank window
+    // is global but runs over the AGGREGATED vocabulary (bounded by
+    // distinct tokens, not corpus size), after a partial+final count agg;
+    // fine at any corpus scale.
+    "vocab_coverage" -> ((s, dir) => {
+      val counts = spread(documents(s, dir))
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val w = Window.orderBy(col("n").desc, col("tok").asc)
+      counts.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 30)
+        .select(col("rank"), col("tok"), col("n"),
+          round(col("cum").cast("double") / col("total"), 6).as("cum_frac"))
+        .orderBy(col("rank"))
+    }),
+
     // Token-count statistics per language.
     "token_counts" -> ((s, dir) => {
       documents(s, dir)
@@ -313,6 +356,34 @@ object TextQueries {
          |   AND round(coalesce(dup_tri::DOUBLE / n_tri, 0.0), 6) <= 0.3) AS keep
          |FROM uni LEFT JOIN tri ON uni.doc_id = tri.doc_id
          |ORDER BY uni.doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      s"""WITH tainted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+         |  regexp_replace(regexp_replace(text,
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+         |FROM tainted ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH c AS (
+         |  SELECT tok, count(*) AS n
+         |  FROM (SELECT unnest(${duckToks("text")}) AS tok FROM documents)
+         |  GROUP BY tok),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+         |r AS (
+         |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+         |    sum(n) OVER (ORDER BY n DESC, tok ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM c)
+         |SELECT rank, tok, n, round(cum::DOUBLE / total, 6) AS cum_frac
+         |FROM r, t WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     "token_counts" ->
       s"""SELECT lang, sum(len(${duckToks("text")}))::BIGINT AS total_tokens,

@@ -86,6 +86,53 @@ object TrainQueries {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Corpus mixing: hit a target language mixture under a global token
+    // budget. Each language gets budget = total × weight; docs are taken
+    // in deterministic hash order (a reproducible pseudo-random shuffle)
+    // until the language's budget is exhausted — a doc is in iff its FIRST
+    // token lands inside the budget, so the cut is a pure function of the
+    // corpus. One shuffle on the lang key; the running-sum window spills,
+    // and strata are languages so no partition exceeds a language's share.
+    "corpus_mix" -> ((s, dir) => {
+      val budget = typedLit(Map("en" -> 5000L, "de" -> 2000L,
+        "fr" -> 2000L, "es" -> 1000L))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(idHash(col("doc_id")).asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") - col("n_tok") < element_at(budget, col("lang")))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("cum"))
+        .orderBy(col("lang"), col("cum"))
+    }),
+
+    // Incremental dedup: the daily-increment shape — a new batch arrives,
+    // is deduped against the HISTORICAL fingerprint index (anti-join on
+    // digests, never text) and within itself (keep-first window). The
+    // historical side at 100 TB is a compact (fp, keeper) table bucketed
+    // on fp, making the anti-join co-located and shuffle-free.
+    "incremental_dedup" -> ((s, dir) => {
+      val fp = TextOps.fingerprint(col("text"))
+      val hist = documents(s, dir).filter(col("doc_id") < 400)
+        .select(fp.as("fp")).distinct()
+      // the "incoming batch": tail of the corpus + a re-sent copy of some
+      // historical docs (true incremental duplicates to catch)
+      val batchSrc = documents(s, dir).select(col("doc_id"), col("text"))
+      val batch = batchSrc.filter(col("doc_id") >= 400)
+        .union(batchSrc.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .withColumn("fp", fp)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      batch
+        .join(hist, Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark-contamination scan: for every training doc, the fraction of
     // its word-3-shingles that appear in any "benchmark" doc (here: the
     // deterministic doc_id % 97 == 0 subset standing in for an eval set).
@@ -157,6 +204,38 @@ object TrainQueries {
         |SELECT doc_id, lang, rn FROM r
         |WHERE rn <= (cnt + 4) // 5
         |ORDER BY lang, rn""".stripMargin,
+
+    "corpus_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len(${TextQueries.duckToks("text")})::BIGINT AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, n_tok, cum FROM c
+         |WHERE cum - n_tok < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+         |  WHEN 'fr' THEN 2000 WHEN 'es' THEN 1000 ELSE NULL END
+         |ORDER BY lang, cum""".stripMargin,
+
+    "incremental_dedup" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, ${TextQueries.duckFingerprint("text")} AS fp FROM documents),
+         |hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 400),
+         |batch AS (
+         |  SELECT doc_id, fp FROM fps WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 20000, fp FROM fps WHERE doc_id < 50),
+         |nn AS (
+         |  SELECT doc_id, fp FROM batch
+         |  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = batch.fp)),
+         |r AS (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM nn)
+         |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "contamination" ->
       s"""WITH ${PipelineQueries.duckShingleCtes("SELECT doc_id, text FROM documents")},

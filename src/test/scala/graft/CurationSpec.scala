@@ -77,6 +77,58 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_mix: budgets respected at the doc boundary, mix is deterministic") {
+    val rows = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L, "es" -> 1000L)
+    assert(rows.map(_.getAs[String]("lang")).toSet.subsetOf(budget.keySet))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      // every selected doc STARTS inside the budget…
+      rs.foreach { r =>
+        assert(r.getAs[Long]("cum") - r.getAs[Long]("n_tok") < budget(lang))
+      }
+      // …and at most one doc (the boundary straddler) ends beyond it
+      assert(rs.count(_.getAs[Long]("cum") > budget(lang)) <= 1)
+    }
+    val again = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("incremental_dedup: no kept doc matches a historical fingerprint, no dup fps in output") {
+    val out = SparkEntry.queries("incremental_dedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val fps = out.map(_.getAs[Long]("fp"))
+    assert(fps.distinct.length === fps.length)
+    val hist = Tables.documents(spark, sf).filter(col("doc_id") < 400)
+      .select(graft.functions.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fps.forall(!hist(_)))
+    // re-sent historical copies (doc_id >= 20000 in the batch) are all dropped
+    assert(out.forall(_.getAs[Long]("doc_id") < 20000))
+  }
+
+  test("pii_scrub: every synthetic email/phone found and redacted") {
+    val rows = SparkEntry.queries("pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") === 1)
+      assert(r.getAs[Int]("n_phones") === 1)
+      val s = r.getAs[String]("scrubbed")
+      assert(s.contains("<EMAIL>") && s.contains("<PHONE>"))
+      assert(!s.contains("@example.com"))
+      assert(!s.matches(".*[0-9]{3}-[0-9]{4}.*"))
+    }
+  }
+
+  test("vocab_coverage: ranks contiguous, cum_frac monotone and ≤ 1") {
+    val rows = SparkEntry.queries("vocab_coverage")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+    val fracs = rows.map(_.getAs[Double]("cum_frac"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(fracs.last <= 1.0)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ann_recall: one row, recall = n_hit/k in [0,1], consistent with ann_ivf ∩ knn_topk") {
     val r = SparkEntry.queries("ann_recall")(spark, sf).collect()
     assert(r.length === 1)
