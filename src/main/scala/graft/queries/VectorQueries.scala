@@ -109,6 +109,19 @@ object VectorQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // The same centroid via the typed Aggregator UDAF (one whole-vector
+    // buffer per group per partition crosses the shuffle instead of one
+    // row per dimension) — same oracle as centroid_by_label, proving the
+    // two formulations agree to 1e-6.
+    "vector_mean" -> ((s, dir) => {
+      embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(graft.operators.VectorAgg.vectorMeanCol(col("embedding")).as("mv"))
+        .select(col("label"), posexplode(col("mv")))
+        .select(col("label"), col("pos"), round(col("col"), 6).as("val"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
     // O12: the reference's only SQL query — full scan ORDER BY id.
     "all_documents" -> ((s, dir) =>
       documents(s, dir).orderBy(col("doc_id"))),
@@ -367,6 +380,14 @@ object VectorQueries {
          |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = approx.vec_id)""".stripMargin,
 
     "centroid_by_label" ->
+      """SELECT e.label, g.i - 1 AS pos,
+        |  round(avg(e.embedding[g.i]::DOUBLE), 6) AS val
+        |FROM embeddings e
+        |CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        |GROUP BY e.label, g.i
+        |ORDER BY label, pos""".stripMargin,
+
+    "vector_mean" ->
       """SELECT e.label, g.i - 1 AS pos,
         |  round(avg(e.embedding[g.i]::DOUBLE), 6) AS val
         |FROM embeddings e

@@ -60,6 +60,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(p.sameElements(c))
   }
 
+  test("ORC round-trip: documents and array-typed embeddings match parquet exactly") {
+    val dir = tmpDir("graft_orc")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").orc(s"$dir/docs")
+    val back = spark.read.orc(s"$dir/docs").orderBy(col("doc_id")).collect()
+    assert(back.sameElements(docs.orderBy(col("doc_id")).collect()))
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.write.mode("overwrite").orc(s"$dir/emb")
+    val eBack = spark.read.orc(s"$dir/emb").orderBy(col("vec_id")).collect()
+    val eOrig = emb.orderBy(col("vec_id")).collect()
+    assert(eBack.length === eOrig.length)
+    eBack.zip(eOrig).foreach { case (b, o) =>
+      assert(b.getSeq[Float](b.fieldIndex("embedding")) ===
+        o.getSeq[Float](o.fieldIndex("embedding")))
+    }
+    // ORC scans support predicate pushdown too — the filter reaches the scan
+    val plan = spark.read.orc(s"$dir/docs").filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"no pushed filter in:\n$plan")
+  }
+
   test("JdbcStore: Derby round-trip is bit-exact and the read is partitioned") {
     val dir = "/root/testdata/sf0.001"
     val back = graft.sources.JdbcStore.readEmbeddings(spark, dir)
