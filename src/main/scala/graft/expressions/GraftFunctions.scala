@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val CosineSimName = "cosine_sim"
+  val HashEmbedName = "hash_embed"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineSimName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HashEmbedName, exprs => HashEmbed(exprs.head), "built-in")
   }
 
   /** Fused single-pass cosine similarity (see CosineSimilarity). The

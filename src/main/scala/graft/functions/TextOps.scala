@@ -79,6 +79,16 @@ object TextOps {
   def hashEmbed(text: Column, dim: Int = DefaultDim): Column =
     VectorOps.l2Normalize(hashEmbedRaw(text, dim))
 
+  /** Fully-fused native formulation of [[hashEmbed]]
+    * (graft.expressions.HashEmbed): one character scan, whole-stage
+    * codegen, bit-identical (HashEmbedSpec). Use in hot paths; the HOF
+    * chain remains the oracle formulation.
+    */
+  def hashEmbedFused(text: Column, dim: Int = DefaultDim): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.HashEmbed(
+        org.apache.spark.sql.graft.Bridge.expression(text), dim))
+
   /** Un-normalized signed bucket counts. Implemented as ONE fold over the
     * token-hash array with a dim-element array accumulator — the obvious
     * alternative (dim independent filtered aggregates) duplicates the

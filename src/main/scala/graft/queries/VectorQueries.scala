@@ -133,12 +133,10 @@ object VectorQueries {
     // O5-O10 (Prepare pipeline ≡ csv → concat " : " → "passage: " prefix →
     // embed → sink): combined_text projection, embedding dims, unit norm.
     "prepare_documents" -> ((s, dir) => {
-      // raw staged as its own column: l2Normalize references its input
-      // several times, and interpreted HOF eval has no subtree reuse
+      // fused native embed kernel (bit-identical to the HOF oracle chain)
       val d = spread(documents(s, dir))
         .withColumn("combined_text", concat(col("source"), lit(" : "), col("text")))
-        .withColumn("raw", TextOps.hashEmbedRaw(TextOps.passageText(col("combined_text"))))
-        .withColumn("emb", VectorOps.l2Normalize(col("raw")))
+        .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("combined_text"))))
       d.select(
         col("doc_id"), col("combined_text"),
         size(col("emb")).as("embedding_dimensions"),
@@ -217,8 +215,8 @@ object VectorQueries {
     // projection, flattened to (doc_id, bucket, weight) for the oracle.
     "embed_documents" -> ((s, dir) => {
       spread(documents(s, dir))
-        .withColumn("raw", TextOps.hashEmbedRaw(TextOps.passageText(col("text"))))
-        .select(col("doc_id"), posexplode(VectorOps.l2Normalize(col("raw"))))
+        .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))
+        .select(col("doc_id"), posexplode(col("emb")))
         .select(col("doc_id"), col("pos").as("bucket"),
           round(col("col"), 6).as("weight"))
         .orderBy(col("doc_id"), col("bucket"))

@@ -41,10 +41,8 @@ object Prepare {
         col("answer").isNotNull) // ref drops short rows, Program.cs:46
       .withColumn("combined_text",
         concat(col("question"), lit(" : "), col("answer"))) // Program.cs:55
-      .withColumn("raw_emb",
-        TextOps.hashEmbedRaw(TextOps.passageText(col("combined_text"))))
-      .withColumn("embedding", VectorOps.l2Normalize(col("raw_emb")))
-      .drop("raw_emb")
+      .withColumn("embedding",
+        TextOps.hashEmbedFused(TextOps.passageText(col("combined_text"))))
       .withColumn("embedding_dimensions", size(col("embedding")))
       .withColumn("created_at", current_timestamp())
   }
