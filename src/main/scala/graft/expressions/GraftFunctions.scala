@@ -12,12 +12,21 @@ object GraftFunctions {
 
   val CosineSimName = "cosine_sim"
   val HashEmbedName = "hash_embed"
+  val ChunkGenName = "chunk_gen"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineSimName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HashEmbedName, exprs => HashEmbed(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ChunkGenName, {
+        case Seq(text) => ChunkGen(text)
+        case Seq(text, size) => ChunkGen(text,
+          size.eval().asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"chunk_gen takes (text[, size]), got ${other.length} args")
+      }, "built-in")
   }
 
   /** Fused single-pass cosine similarity (see CosineSimilarity). The

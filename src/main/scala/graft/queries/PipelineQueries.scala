@@ -126,6 +126,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // The same chunking through the native Generator UDTF (streaming
+    // per-row expansion in GenerateExec, SQL LATERAL VIEW surface) — same
+    // oracle as chunk_explode, proving generator ≡ HOF formulation.
+    "chunk_udtf" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      documents(s, dir).createOrReplaceTempView("docs_cg")
+      s.sql("""SELECT doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+              |FROM docs_cg
+              |LATERAL VIEW chunk_gen(text, 32) c AS chunk_idx, chunk_text, n_tokens
+              |ORDER BY doc_id, chunk_idx""".stripMargin)
+    }),
+
     // Multimodal: binary payload column + byte metadata (pure projection).
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.withPayload(documents(s, dir))
@@ -299,6 +311,21 @@ object PipelineQueries {
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "chunk_explode" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, list_slice(${TextQueries.duckToks("text")}, 1, 512) AS toks
+         |  FROM documents
+         |), ch AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_idx,
+         |    unnest(list_transform(generate_series(0, (len(toks) - 1) // 32),
+         |      i -> array_to_string(list_slice(toks, i*32 + 1, i*32 + 32), ' '))) AS chunk_text
+         |  FROM tt WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, chunk_idx, chunk_text,
+         |  len(string_split(chunk_text, ' ')) AS n_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "chunk_udtf" ->
       s"""WITH tt AS (
          |  SELECT doc_id, list_slice(${TextQueries.duckToks("text")}, 1, 512) AS toks
          |  FROM documents
