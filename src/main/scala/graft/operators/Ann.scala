@@ -49,19 +49,21 @@ object Ann {
       .select(col(cellCol).as("cell"), col(embCol).as("centroid"))
   }
 
-  /** IVF search: probe the single nearest cell (by cosine to its medoid),
-    * then exact top-k within that cell only. `query` is a 1-row DataFrame
-    * with column `q_emb`.
+  /** IVF search: probe the `nprobe` nearest cells (by cosine to their
+    * medoids), then exact top-k within the probed cells only. `query` is a
+    * 1-row DataFrame with column `q_emb`. nprobe is the recall↔I/O knob:
+    * scanned fraction ≈ nprobe/cells, recall grows monotonically (at
+    * nprobe = cells this IS the exact scan).
     */
   def ivfSearch(vecs: DataFrame, query: DataFrame, cellCol: String,
                 idCol: String, embCol: String, k: Int,
-                excludeId: Option[Long] = None): DataFrame = {
+                excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val medoids = cellMedoids(vecs, cellCol, idCol, embCol)
     val probe = medoids.crossJoin(broadcast(query))
       .withColumn("csim", round(GraftFunctions.cosineSim(col("centroid"), col("q_emb")), 6))
       .orderBy(col("csim").desc, col("cell").asc)
-      .limit(1)
+      .limit(nprobe)
       .select(col("cell"))
     val pruned = vecs.join(broadcast(probe), col(cellCol) === col("cell"), "left_semi")
     val base = excludeId.map(id => pruned.filter(col(idCol) =!= id)).getOrElse(pruned)

@@ -188,6 +188,16 @@ object PipelineQueries {
         excludeId = Some(0L))
     }),
 
+    // IVF with nprobe=2: scan the TWO nearest cells — the recall↔I/O knob
+    // (scanned fraction ≈ nprobe/cells). Oracled; together with ann_ivf
+    // and ann_recall this pins the whole recall curve's mechanics.
+    "ann_ivf_nprobe" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Ann.ivfSearch(emb, q, "label", "vec_id", "embedding", k = 5,
+        excludeId = Some(0L), nprobe = 2)
+    }),
+
     // TRANSPARENT IVF ANN: the user writes the exact brute-force top-k
     // (ORDER BY cosine_sim(...) DESC LIMIT 5) over the cell-partitioned
     // table; the injected IvfTopKRewrite optimizer rule probes the
@@ -365,6 +375,22 @@ object PipelineQueries {
          |  SELECT cell FROM cents CROSS JOIN q
          |  ORDER BY round(${VectorQueries.duckCosine("ce", "qe")}, 6) DESC, cell ASC
          |  LIMIT 1)
+         |SELECT e.vec_id, e.label,
+         |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q JOIN probe p ON e.label = p.cell
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    "ann_ivf_nprobe" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+         |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
+         |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${VectorQueries.duckCosine("ce", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 2)
          |SELECT e.vec_id, e.label,
          |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
          |FROM embeddings e CROSS JOIN q JOIN probe p ON e.label = p.cell

@@ -60,6 +60,18 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC anti join: the streaming face of incremental dedup —
+    * arriving docs/events are checked against a static historical index
+    * (here: an id blocklist standing in for the fingerprint table) and
+    * only unseen rows pass. The static side is re-scannable per
+    * micro-batch; at scale it is a compact digest table (broadcast or
+    * bucketed), so each micro-batch pays one map-side anti join — no
+    * streaming state at all (unlike dropDuplicates, nothing accumulates).
+    */
+  def antiJoinStatic(stream: DataFrame, static: DataFrame,
+                     key: String): DataFrame =
+    stream.join(static, Seq(key), "left_anti")
+
   /** Stream-stream inner join: views within the hour preceding each click,
     * per user. The SAME transformation serves batch (the oracle) and
     * streaming inputs; for streaming, both inputs must carry a watermark —

@@ -127,6 +127,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("batch_id").distinct().count() === 2)
   }
 
+  test("stream-static anti join equals the batch anti join (incremental dedup face)") {
+    val static = Tables.events(spark, sf).filter(col("event_id") % 3 === 0)
+      .select(col("event_id"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.antiJoinStatic(
+        Streaming.readEventsStream(spark, sf).select(col("event_id"), col("ts")),
+        static, "event_id"),
+      "ss_anti", OutputMode.Append())
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    val batch = Tables.events(spark, sf)
+      .join(static, Seq("event_id"), "left_anti")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.forall(_ % 3 != 0))
+  }
+
   test("batch sessionize query: session bounds are consistent") {
     val rows = SparkEntry.queries("sessionize")(spark, sf).collect()
     assert(rows.nonEmpty)
