@@ -483,6 +483,97 @@ object RelationalQueries {
       """)
     }),
 
+    // TPC-H Q9 shape (adapted: no partsupp in the fixture, so supply cost
+    // is surrogated as p_retailprice × 0.6): five-way join → profit per
+    // (nation, year). The operator essence — multi-join fan-in, arithmetic
+    // aggregate, two-level grouping — is unchanged by the surrogate.
+    // The profit sum SUBTRACTS comparable-magnitude terms, so double
+    // accumulation-order noise survives 2-dp rounding (observed: one group
+    // off by 0.01 vs DuckDB); all inputs are 2-dp-clean, so both engines
+    // aggregate in exact DECIMAL and cast after rounding.
+    "q9_profit" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+          CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+                       - CAST(p.p_retailprice AS DECIMAL(18,2))
+                         * CAST(0.6 AS DECIMAL(2,1))
+                         * CAST(l.l_quantity AS DECIMAL(18,0))), 2)
+            AS DOUBLE) AS profit
+        FROM v_lineitem l
+        JOIN v_part p ON p.p_partkey = l.l_partkey
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN v_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN v_orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%e%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY nation ASC, o_year DESC
+      """)
+    }),
+
+    // TPC-H Q11 shape (adapted: lineitem is the stock relation): per-part
+    // value with a HAVING over a scalar subquery threshold — Catalyst
+    // decorrelates the subquery into a cross-joined single-row aggregate.
+    // Both sides of the threshold comparison are rounded (cross-engine
+    // boundary rule, cf. q17).
+    "q11_important_parts" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT l.l_partkey AS p_key,
+          round(sum(l.l_extendedprice * l.l_quantity), 2) AS val
+        FROM v_lineitem l
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN v_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+        HAVING round(sum(l.l_extendedprice * l.l_quantity), 6) > round((
+          SELECT sum(l2.l_extendedprice * l2.l_quantity) * 0.001
+          FROM v_lineitem l2
+          JOIN v_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN v_nation n2 ON n2.n_nationkey = s2.s_nationkey
+          WHERE n2.n_name = 'NATION_3'), 6)
+        ORDER BY val DESC, p_key ASC
+      """)
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    // with the filter in the JOIN condition (not WHERE; customers with zero
+    // orders must survive), then aggregate-of-aggregate.
+    "q13_order_distribution" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM v_customer c
+          LEFT JOIN v_orders o ON o.o_custkey = c.c_custkey
+            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """)
+    }),
+
+    // TPC-H Q15 shape: windowed revenue per supplier (the classic's view),
+    // top supplier(s) via a scalar max subquery over the derived table.
+    // The equality compares 2-dp-rounded sums on both engines.
+    "q15_top_supplier" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+          FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM v_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+      """)
+    }),
+
     // TPC-H Q16 shape (adapted: lineitem is the part↔supplier relation):
     // distinct-supplier counts per (brand, size) with a NOT IN exclusion
     // subquery — Catalyst plans it as a null-aware anti join.
@@ -1086,6 +1177,61 @@ object RelationalQueries {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l.l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |                 * (1.00 - CAST(l.l_discount AS DECIMAL(4,2)))
+        |               - CAST(p.p_retailprice AS DECIMAL(18,2))
+        |                 * CAST(0.6 AS DECIMAL(2,1))
+        |                 * CAST(l.l_quantity AS DECIMAL(18,0))), 2) AS DOUBLE) AS profit
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_name LIKE '%e%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """SELECT l.l_partkey AS p_key,
+        |  round(sum(l.l_extendedprice * l.l_quantity), 2) AS val
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |GROUP BY l.l_partkey
+        |HAVING round(sum(l.l_extendedprice * l.l_quantity), 6) > round((
+        |  SELECT sum(l2.l_extendedprice * l2.l_quantity) * 0.001
+        |  FROM lineitem l2
+        |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |  WHERE n2.n_name = 'NATION_3'), 6)
+        |ORDER BY val DESC, p_key ASC""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
 
     "q2_min_cost" ->
       """SELECT DISTINCT s.s_acctbal, s.s_name, p.p_partkey, p.p_name
