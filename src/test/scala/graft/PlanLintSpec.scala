@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan hygiene lint across the ENTIRE query registry: structural
+  * scale-guards that must hold for every registered query's physical plan.
+  * Catches regressions like an accidental non-broadcast cartesian product
+  * or a driver-side collect sneaking into an operator — the class of bug
+  * that passes correctness at sf0.01 and melts down at 100 TB.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("no query plans a non-broadcast cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("every broadcast join in the registry builds the small side") {
+    // BroadcastNestedLoopJoin is legitimate ONLY with a broadcast (tiny)
+    // build side — which Spark guarantees by construction. This lint just
+    // asserts BNLJ appears only in queries that intentionally stream the
+    // corpus against a broadcast query/probe side.
+    val allowed = Set("knn_topk", "knn_topk_fused", "knn_batch", "jdbc_knn",
+      "search_threshold", "pairwise_sim", "text_pairwise_sim", "ngram_jaccard",
+      "ann_ivf", "ann_ivf_nprobe", "ann_ivf_rewrite", "ann_recall", "ann_lsh",
+      "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") && !allowed(name)) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
+}
