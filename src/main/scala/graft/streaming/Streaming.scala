@@ -60,6 +60,28 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming read of a documents parquet directory — the corpus as a
+    * stream (the shape of continuous ingestion: each arriving file is a
+    * micro-batch).
+    */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.documents(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** The embed pipeline as a stream: EXACTLY the batch projection (fused
+    * native kernel) applied to a streaming source — map-only, so it is a
+    * stateless streaming query (no watermark, no state store); at scale
+    * this is continuous ingestion embedding at file-arrival latency.
+    */
+  def embedStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextOps.hashEmbedFused(
+        graft.functions.TextOps.passageText(col("text"))).as("embedding"))
+
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index
     * (here: an id blocklist standing in for the fingerprint table) and

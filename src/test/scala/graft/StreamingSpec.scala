@@ -144,6 +144,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(_ % 3 != 0))
   }
 
+  test("streaming embed equals batch embed bit-for-bit (stateless map-only stream)") {
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.embedStream(Streaming.readDocumentsStream(spark, sf)),
+      "stream_embed", OutputMode.Append())
+      .orderBy(col("doc_id")).collect()
+    val batch = Streaming.embedStream(Tables.documents(spark, sf))
+      .orderBy(col("doc_id")).collect()
+    assert(streamed.length === batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s0, b0) =>
+      assert(s0.getLong(0) === b0.getLong(0))
+      assert(s0.getSeq[Double](1) === b0.getSeq[Double](1))
+    }
+  }
+
   test("batch sessionize query: session bounds are consistent") {
     val rows = SparkEntry.queries("sessionize")(spark, sf).collect()
     assert(rows.nonEmpty)
