@@ -113,6 +113,60 @@ object MediaCodec {
     case t => throw new IllegalArgumentException(s"PNG color type $t")
   }
 
+  // ----------------------------------------------------------------- audio
+
+  final case class DecodedWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                              nFrames: Int)
+
+  /** Canonical 44-byte-header PCM16 WAV (RIFF/WAVE fmt+data). Samples are a
+    * deterministic sawtooth of the frame index.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+      s"bad wav params $sampleRate/$channels/$nFrames")
+    val blockAlign = channels * 2
+    val dataSize = nFrames * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        b.putShort(((f * 257 + c * 1031) % 65536 - 32768).toShort)
+        c += 1
+      }
+      f += 1
+    }
+    b.array()
+  }
+
+  def isWav(p: Array[Byte]): Boolean =
+    p.length >= 44 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Parse the fmt chunk + data size out of a canonical-layout WAV. */
+  def decodeWav(p: Array[Byte]): DecodedWav = {
+    require(isWav(p), "not a RIFF/WAVE container")
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.getInt(16) == 16 && b.getShort(20) == 1, "not canonical PCM")
+    val channels = b.getShort(22).toInt
+    val sampleRate = b.getInt(24)
+    val bits = b.getShort(34).toInt
+    val dataSize = b.getInt(40)
+    DecodedWav(sampleRate, channels, bits, dataSize / (channels * bits / 8))
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Sniff the container and parse format + dimensions + channel count from

@@ -49,6 +49,41 @@ object Multimodal {
       }
   }
 
+  case class AudioRow(doc_id: Long, payload: Array[Byte])
+  case class DecodedAudio(doc_id: Long, fmt: String, sample_rate: Int,
+                          n_channels: Int, n_frames: Int, duration_ms: Long)
+
+  /** Synthesize REAL PCM16 WAV payloads deterministically from (doc_id,
+    * n_chars) — the audio face of the multimodal column. Same oracle trick
+    * as the image path: DuckDB recomputes the parameters arithmetically,
+    * Spark parses them back out of the RIFF container bytes.
+    */
+  def synthesizeAudio(docs: DataFrame): Dataset[AudioRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val rate = 8000 + (id % 3).toInt * 4000       // 8/12/16 kHz
+        val channels = 1 + (id % 2).toInt             // mono/stereo
+        val frames = 50 + (nChars % 200).toInt
+        AudioRow(id, MediaCodec.encodeWav(rate, channels, frames))
+      }
+  }
+
+  /** Per-partition audio header decode (same batched-iterator shape as the
+    * image path).
+    */
+  def decodeAudioPartitions(media: Dataset[AudioRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = MediaCodec.decodeWav(r.payload)
+        DecodedAudio(r.doc_id, "wav", d.sampleRate, d.channels, d.nFrames,
+          d.nFrames * 1000L / d.sampleRate)
+      }
+    }
+  }
+
   /** Batched per-partition decode: one decoder init per partition, rows
     * streamed through an iterator. Output is a typed Dataset with the
     * decoded-feature schema.

