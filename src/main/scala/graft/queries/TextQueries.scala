@@ -191,6 +191,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 keyword search: the lexical-retrieval twin of knn_topk — rank
+    // documents for a term query by Okapi BM25 (k1=1.2, b=0.75, the
+    // +1-smoothed IDF). Same two-pass broadcast-model shape as charlm:
+    // pass 1 aggregates corpus stats (N, avgdl, per-term df — all
+    // vocabulary-bounded digests), pass 2 scores per-doc term counts
+    // against the broadcast stats and takes the top-k heap. At 100 TB the
+    // inverted-index analog is exactly this: df/avgdl are index metadata,
+    // scoring is a map-side join on (doc, term) digests.
+    "bm25_search" -> ((s, dir) => {
+      val qTerms = Seq("data", "table", "query")
+      val toks = spread(documents(s, dir))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val df = tf.filter(col("tok").isin(qTerms: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // constants written as the same double literals the oracle SQL uses
+      // (a Scala-folded k1+1 can differ from the 2.2 literal in the last ulp)
+      tf.filter(col("tok").isin(qTerms: _*))
+        .join(dl, "doc_id")
+        .join(broadcast(df), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 6).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Char-LM quality score: train a corpus-level character unigram model
     // (pass 1: one full-corpus aggregate — alphabet-bounded digests, heavy
     // map-side combine), then score every document by bits-per-char under
@@ -385,6 +421,29 @@ object TextQueries {
          |   AND round(coalesce(dup_tri::DOUBLE / n_tri, 0.0), 6) <= 0.3) AS keep
          |FROM uni LEFT JOIN tri ON uni.doc_id = tri.doc_id
          |ORDER BY uni.doc_id""".stripMargin,
+
+    "bm25_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN ('data', 'table', 'query') GROUP BY tok),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS contrib
+         |  FROM tf t
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  JOIN df d ON d.tok = t.tok
+         |  CROSS JOIN stats s
+         |  WHERE t.tok IN ('data', 'table', 'query'))
+         |SELECT doc_id, round(sum(contrib), 6) AS score, count(*) AS n_terms_hit
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
 
     "charlm_bits" ->
       """WITH cleaned AS (

@@ -119,6 +119,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25_search: top docs contain query terms, scores positive and ranked") {
+    val rows = SparkEntry.queries("bm25_search")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(scores.forall(_ > 0))
+    assert(rows.forall(r => r.getAs[Long]("n_terms_hit") >= 1 &&
+      r.getAs[Long]("n_terms_hit") <= 3))
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    ids.foreach { id =>
+      val t = texts(id).toLowerCase
+      assert(Seq("data", "table", "query").exists(t.contains), s"doc $id")
+    }
+  }
+
   test("charlm_bits: entropy bounds hold and junk text scores higher than corpus text") {
     val rows = SparkEntry.queries("charlm_bits")(spark, sf).collect()
     assert(rows.length === Tables.documents(spark, sf).count())
