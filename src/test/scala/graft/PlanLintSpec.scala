@@ -30,7 +30,8 @@ class PlanLintSpec extends AnyFunSuite {
     val allowed = Set("knn_topk", "knn_topk_fused", "knn_batch", "jdbc_knn",
       "search_threshold", "pairwise_sim", "text_pairwise_sim", "ngram_jaccard",
       "ann_ivf", "ann_ivf_nprobe", "ann_ivf_rewrite", "ann_recall", "ann_lsh",
-      "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders")
+      "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders",
+      "bm25_search") // 1-row corpus-stats side broadcast into the scorer
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
