@@ -203,7 +203,11 @@ object TextQueries {
       val qTerms = Seq("data", "table", "query")
       val toks = spread(documents(s, dir))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      // the (doc, term, tf) digest table feeds FOUR consumers (scorer, dl,
+      // stats, df) — materialize it once; the inverted-index build step at
+      // scale (persist(DISK_ONLY) / a staged table on a real cluster)
       val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         avg(col("dl")).as("avgdl"))
@@ -243,8 +247,11 @@ object TextQueries {
       val chars = cleaned.filter(length(col("cs")) > 0)
         .selectExpr("doc_id",
           "explode(transform(sequence(1, length(cs)), i -> substr(cs, i, 1))) AS ch")
+      // (doc, char, n) digests feed both the model pass and the scorer —
+      // materialize once instead of re-exploding every character twice
       val docCounts = chars.groupBy(col("doc_id"), col("ch"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val model = docCounts.groupBy(col("ch")).agg(sum(col("n")).as("cn"))
         .withColumn("total", sum(col("cn")).over(Window.partitionBy()))
         .select(col("ch"), (col("cn").cast("double") / col("total")).as("p"))
