@@ -191,6 +191,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The end-to-end curation decision: one pass over the (doubled, so
+    // duplicates exist) corpus composing the gates a release pipeline
+    // applies — exact-dedup keeper, token-length bounds, digit-ratio cap —
+    // emitting the KEPT corpus with its signals. Composition stays one
+    // shuffle (the fingerprint keeper window); every other gate is a
+    // map-side projection on the same scan.
+    "curated_corpus" -> ((s, dir) => {
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val d = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      spread(d.union(d.select((col("doc_id") + 10000).as("doc_id"),
+          col("lang"), col("text"))))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("digit_ratio", round(TextOps.digitRatio(col("text")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_tok").between(10, 512) &&
+          col("digit_ratio") <= 0.2)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("digit_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 keyword search: the lexical-retrieval twin of knn_topk — rank
     // documents for a term query by Okapi BM25 (k1=1.2, b=0.75, the
     // +1-smoothed IDF). Same two-pass broadcast-model shape as charlm:
@@ -428,6 +449,25 @@ object TextQueries {
          |   AND round(coalesce(dup_tri::DOUBLE / n_tri, 0.0), 6) <= 0.3) AS keep
          |FROM uni LEFT JOIN tri ON uni.doc_id = tri.doc_id
          |ORDER BY uni.doc_id""".stripMargin,
+
+    "curated_corpus" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, lang, text FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    ${duckFingerprint("text")} AS fp,
+         |    len(${duckToks("text")})::BIGINT AS n_tok,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+         |           / length(text) END, 6) AS digit_ratio
+         |  FROM src),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM f)
+         |SELECT doc_id, lang, n_tok, digit_ratio FROM r
+         |WHERE rn = 1 AND n_tok BETWEEN 10 AND 512 AND digit_ratio <= 0.2
+         |ORDER BY doc_id""".stripMargin,
 
     "bm25_search" ->
       s"""WITH toks AS (

@@ -119,6 +119,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("curated_corpus: drops every duplicate copy, keeps only gate-passing originals") {
+    val rows = SparkEntry.queries("curated_corpus")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the doubled copies (id+10000) are all duplicates → all dropped
+    assert(rows.forall(_.getAs[Long]("doc_id") < 10000))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tok")
+      assert(n >= 10 && n <= 512)
+      assert(r.getAs[Double]("digit_ratio") <= 0.2)
+    }
+    // kept set = distinct texts passing gates (≤ corpus size)
+    assert(rows.length <= Tables.documents(spark, sf).count())
+  }
+
   test("bm25_search: top docs contain query terms, scores positive and ranked") {
     val rows = SparkEntry.queries("bm25_search")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
