@@ -13,6 +13,7 @@ object GraftFunctions {
   val CosineSimName = "cosine_sim"
   val HashEmbedName = "hash_embed"
   val ChunkGenName = "chunk_gen"
+  val CharHistName = "char_hist"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -20,10 +21,26 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HashEmbedName, exprs => HashEmbed(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CharHistName, exprs => CharHist(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ChunkGenName, {
         case Seq(text) => ChunkGen(text)
-        case Seq(text, size) => ChunkGen(text,
-          size.eval().asInstanceOf[Number].intValue())
+        case Seq(text, size) =>
+          // require a compile-time constant; eval() on an arbitrary
+          // unresolved expression would throw an opaque NPE at analysis
+          size match {
+            case lit: org.apache.spark.sql.catalyst.expressions.Literal
+                if lit.value != null && (lit.dataType match {
+                  case _: org.apache.spark.sql.types.ByteType |
+                       _: org.apache.spark.sql.types.ShortType |
+                       _: org.apache.spark.sql.types.IntegerType |
+                       _: org.apache.spark.sql.types.LongType => true
+                  case _ => false
+                }) =>
+              ChunkGen(text, lit.value.asInstanceOf[Number].intValue())
+            case other => throw new IllegalArgumentException(
+              s"chunk_gen size must be an integer literal, got ${other.sql}")
+          }
         case other => throw new IllegalArgumentException(
           s"chunk_gen takes (text[, size]), got ${other.length} args")
       }, "built-in")
@@ -33,4 +50,9 @@ object GraftFunctions {
     * session must have called `register` first.
     */
   def cosineSim(a: Column, b: Column): Column = call_function(CosineSimName, a, b)
+
+  /** Fused [a-z0-9] character histogram (see CharHist). The session must
+    * have called `register` first.
+    */
+  def charHist(text: Column): Column = call_function(CharHistName, text)
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,14 +27,21 @@ object Ann {
 
   private val layouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Collision-resistant tmp-dir token for a source path: MD5 of the full
+    * path (hashCode collides at 2^16 scale and could silently share a
+    * layout between two sf dirs in one JVM).
+    */
+  private[graft] def pathToken(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Materialize the sf dir's embeddings as a cell-partitioned parquet
     * table (the IVF physical layout), once per JVM per sf dir. At real
     * scale this is the one-time index build; queries then partition-prune.
     */
   def ivfLayout(spark: SparkSession, sfDir: String, cellCol: String = "label"): String =
     layouts.computeIfAbsent(sfDir, { _ =>
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-" +
-        Integer.toHexString(sfDir.hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-" + pathToken(sfDir)
       spark.read.parquet(s"$sfDir/embeddings.parquet")
         .write.mode("overwrite").partitionBy(cellCol).parquet(dir)
       dir
@@ -57,10 +66,21 @@ object Ann {
     */
   def ivfSearch(vecs: DataFrame, query: DataFrame, cellCol: String,
                 idCol: String, embCol: String, k: Int,
-                excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
+                excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame =
+    ivfSearchCells(vecs, query, cellCol,
+      cellMedoids(vecs, cellCol, idCol, embCol), idCol, embCol, k,
+      excludeId, nprobe)
+
+  /** IVF search against an explicit cell→representative table
+    * (`cents(cell, centroid)`) — medoids for the deterministic label-cell
+    * index, trained k-means centers for the learned one. Same plan either
+    * way: broadcast probe → partition/semi-join prune → exact top-k.
+    */
+  def ivfSearchCells(vecs: DataFrame, query: DataFrame, cellCol: String,
+                     cents: DataFrame, idCol: String, embCol: String, k: Int,
+                     excludeId: Option[Long] = None, nprobe: Int = 1): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
-    val medoids = cellMedoids(vecs, cellCol, idCol, embCol)
-    val probe = medoids.crossJoin(broadcast(query))
+    val probe = cents.crossJoin(broadcast(query))
       .withColumn("csim", round(GraftFunctions.cosineSim(col("centroid"), col("q_emb")), 6))
       .orderBy(col("csim").desc, col("cell").asc)
       .limit(nprobe)
@@ -68,5 +88,77 @@ object Ann {
     val pruned = vecs.join(broadcast(probe), col(cellCol) === col("cell"), "left_semi")
     val base = excludeId.map(id => pruned.filter(col(idCol) =!= id)).getOrElse(pruned)
     Knn.topK(base, query, idCol, embCol, k, Seq(idCol, cellCol))
+  }
+
+  /** Batch IVF search — the `knn_batch` face of probe-and-prune. Each
+    * query probes its `nprobe` nearest cells (rank over the BROADCAST
+    * centroid table — centroids are index metadata, KBs), then scoring is
+    * an equi-join of the corpus against the (qid, cell) probe set on the
+    * cell key, ranked per qid. At 100 TB the corpus side is the
+    * cell-partitioned table, the join key is its partition column, and
+    * only probed cells are read — per-query I/O stays nprobe/cells of the
+    * corpus no matter how many queries batch together.
+    *
+    * `queries` has (qid, q_emb); output (qid, id, cell, sim, rnk).
+    */
+  def ivfSearchBatch(vecs: DataFrame, queries: DataFrame, cellCol: String,
+                     cents: DataFrame, idCol: String, embCol: String, k: Int,
+                     nprobe: Int = 1): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("probe_cell").asc)
+    val probes = queries.crossJoin(broadcast(
+        cents.select(col("cell").as("probe_cell"), col("centroid"))))
+      .withColumn("csim", round(GraftFunctions.cosineSim(col("centroid"), col("q_emb")), 6))
+      .withColumn("crnk", row_number().over(pw))
+      .filter(col("crnk") <= nprobe)
+      .select(col("qid"), col("q_emb"), col("probe_cell"))
+    val scored = vecs.join(broadcast(probes), col(cellCol) === col("probe_cell"))
+      .withColumn("sim", round(GraftFunctions.cosineSim(col(embCol), col("q_emb")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col(cellCol), col("sim"), col("rnk"))
+  }
+
+  private val kmLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Int, Array[Double])])]()
+
+  /** Offline-TRAINED IVF index build: fit MLlib KMeans (seeded, cosine
+    * distance — matching the cosine probe) on the corpus embeddings, write
+    * the corpus partitioned by nearest-centroid cell, and return the layout
+    * path + the learned centers. This replaces the fixture-`label` cell
+    * stand-in with what a real 100 TB deployment does: `fit` on a sample /
+    * the corpus is the one-time index build, the centers (k·d doubles —
+    * KBs) broadcast as index metadata, and assignment is the map-only
+    * `transform`. The query plan is IDENTICAL to the label-cell path —
+    * ivfSearchCells doesn't know the cells were learned (asserted in
+    * ScaleLayoutSpec).
+    */
+  def kmeansLayout(spark: SparkSession, sfDir: String, k: Int = 10,
+                   seed: Long = 42L): (String, Seq[(Int, Array[Double])]) =
+    kmLayouts.computeIfAbsent(sfDir, { _ =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfkm-" + pathToken(sfDir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val prepared = emb.withColumn("__v",
+        array_to_vector(graft.functions.VectorOps.toDoubleArray(col("embedding"))))
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
+        .setFeaturesCol("__v").setPredictionCol("cell")
+        .fit(prepared)
+      model.transform(prepared).drop("__v")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val centers = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+      (dir, centers)
+    })
+
+  /** The learned centers as a (cell, centroid) DataFrame (k rows —
+    * broadcast-sized index metadata).
+    */
+  def centroidsDf(spark: SparkSession, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "centroid")
   }
 }

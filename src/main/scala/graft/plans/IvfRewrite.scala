@@ -43,8 +43,12 @@ object IvfIndexRegistry {
       * DuckDB oracle) pick the identical cell.
       */
     def bestCell(q: Array[Double]): Int =
-      medoids.map { case (cell, m) => (cell, math.rint(cosine(m, q) * 1e6) / 1e6) }
-        .minBy { case (cell, s) => (-s, cell) }._1
+      medoids.map { case (cell, m) =>
+        // HALF_UP to match Spark's round(sim, 6) in Ann.ivfSearch and the
+        // DuckDB oracle — math.rint is half-even and could probe a different
+        // cell on an exact .5-ulp tie.
+        (cell, BigDecimal(cosine(m, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.minBy { case (cell, s) => (-s, cell) }._1
 
     private def cosine(a: Array[Double], b: Array[Double]): Double = {
       require(a.length == b.length, s"dim ${a.length} vs ${b.length}")
@@ -76,6 +80,13 @@ object IvfIndexRegistry {
     registry.put(canon(path), Entry(cellCol, medoids))
   }
 
+  /** Register an index from EXPLICIT cell representatives — trained
+    * k-means centers (Ann.kmeansLayout) instead of recomputed medoids.
+    */
+  def registerCentroids(path: String, cellCol: String,
+                        centroids: Seq[(Int, Array[Double])]): Unit =
+    registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1)))
+
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
       .collectFirst { case Some(e) => e }
@@ -91,11 +102,15 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (IvfIndexRegistry.isEmpty) return plan
     plan.transformDown {
-      case limit @ Limit(_,
+      case limit @ Limit(le,
           sort @ Sort(SortOrder(ref: AttributeReference, Descending, _, _) +: _, true, child, _)) =>
         tryRewrite(ref, child) match {
-          case Some(newChild) => limit.withNewChildren(
-            Seq(sort.withNewChildren(Seq(newChild))))
+          // Rebuild via Limit.apply: the Limit extractor matched
+          // GlobalLimit(LocalLimit(sort)), so withNewChildren on the outer
+          // node alone would silently drop the LocalLimit and with it the
+          // per-partition top-k (TakeOrderedAndProject) this rule exists
+          // to keep cheap.
+          case Some(newChild) => Limit(le, sort.withNewChildren(Seq(newChild)))
           case None => limit
         }
     }

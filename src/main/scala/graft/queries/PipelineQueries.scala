@@ -33,17 +33,14 @@ object PipelineQueries {
     * so the footprint scales like the dedup shuffle itself; on a real
     * cluster this would be persist(DISK_ONLY) or a staged table.
     *
-    * The verified pairs result is memoized per (session, dir):
+    * The verified pairs result is memoized per (session, dir) via
+    * [[graft.StageCache]] (weak session keys + ApplicationEnd eviction):
     * dedup_components consumes exactly the pairs minhash_lsh_dedup just
-    * produced, and an engine materializes that shared stage once.
+    * produced, and an engine materializes that shared stage once. See
+    * PERF.md for how this amortization shows up in per-query timings.
     */
-  private val pairsCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
   private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((s, dir), computePairs(s, dir).localCheckpoint())
-    }
+    graft.StageCache.getOrStage(s, s"lsh-pairs:$dir")(computePairs(s, dir))
 
   private def computePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = spread(doubledDocs(s, dir))

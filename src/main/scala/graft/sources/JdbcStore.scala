@@ -45,8 +45,10 @@ object JdbcStore {
     */
   def ensureStore(spark: SparkSession, sfDir: String): (String, Long) =
     built.computeIfAbsent(sfDir, { _ =>
+      // MD5 of the full path, not hashCode: a collision would silently
+      // point two sf dirs at the same store
       val dbDir = s"${sys.props("java.io.tmpdir")}/graft-derby-" +
-        Integer.toHexString(sfDir.hashCode)
+        graft.operators.Ann.pathToken(sfDir)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val asStore = emb.select(
         col("vec_id"),

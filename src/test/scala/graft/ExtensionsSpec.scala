@@ -43,6 +43,12 @@ class ExtensionsSpec extends AnyFunSuite {
       val plan = pruned.queryExecution.executedPlan.toString
       assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*label[^\\]]*=.*"),
         s"no cell PartitionFilters in:\n$plan")
+      // the rewrite must preserve the LocalLimit (round-2 advice: rebuilding
+      // only the GlobalLimit dropped per-partition top-k), so the physical
+      // plan stays TakeOrderedAndProject, not a global Sort + single-
+      // partition shuffle over the probed cell
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"rewritten plan lost per-partition top-k:\n$plan")
       val rows = pruned.collect()
       pruned.queryExecution.executedPlan.collectLeaves().head
         .metrics.get("numFiles").foreach(m =>
