@@ -84,8 +84,8 @@ object Ann {
       .withColumn("csim", round(GraftFunctions.cosineSim(col("centroid"), col("q_emb")), 6))
       .orderBy(col("csim").desc, col("cell").asc)
       .limit(nprobe)
-      .select(col("cell"))
-    val pruned = vecs.join(broadcast(probe), col(cellCol) === col("cell"), "left_semi")
+      .select(col("cell").as("__probe_cell")) // distinct name: cellCol may itself be "cell"
+    val pruned = vecs.join(broadcast(probe), col(cellCol) === col("__probe_cell"), "left_semi")
     val base = excludeId.map(id => pruned.filter(col(idCol) =!= id)).getOrElse(pruned)
     Knn.topK(base, query, idCol, embCol, k, Seq(idCol, cellCol))
   }

@@ -225,6 +225,55 @@ object PipelineQueries {
         .select(col("vec_id"), col("label"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(5)
+    }),
+
+    // TRAINED IVF: cells are offline MLlib KMeans centers (cosine
+    // distance, seeded), not the fixture's label column — the index a real
+    // corpus (which has no ground-truth grouping) builds. Same plan as
+    // ann_ivf: broadcast centroid probe → partition prune → exact top-k
+    // (ScaleLayoutSpec proves pruning on the learned layout; AnnKmeansSpec
+    // asserts recall@5 vs exact ≥ the label-cell path). Iteratively
+    // trained centers are engine-specific → rows-only check.
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val (path, cents) = Ann.kmeansLayout(s, dir)
+      val ivf = s.read.parquet(path)
+      val q = ivf.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Ann.ivfSearchCells(ivf, q, "cell", Ann.centroidsDf(s, cents),
+        "vec_id", "embedding", k = 5, excludeId = Some(0L))
+    }),
+
+    // Recall@5 audit of the TRAINED index against the exact scan — the
+    // quality gate for ann_ivf_kmeans, mirroring ann_recall's shape
+    // (rows-only: the kmeans centers aren't oracle-expressible).
+    "ann_recall_kmeans" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val exact = graft.operators.Knn.topK(emb.filter(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val (path, cents) = Ann.kmeansLayout(s, dir)
+      val ivf = s.read.parquet(path)
+      val approx = Ann.ivfSearchCells(ivf, q, "cell", Ann.centroidsDf(s, cents),
+        "vec_id", "embedding", k = 5, excludeId = Some(0L)).select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(0L).as("qid"), lit(5).as("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
+    // BATCH IVF: many queries probe-and-prune in ONE job — each query
+    // ranks the broadcast centroid table for its probe cell, then scoring
+    // is an equi-join of the corpus against the (qid, cell) probe set on
+    // the cell/partition key, ranked per qid. The knn_batch face of IVF:
+    // per-query I/O stays nprobe/cells of the corpus regardless of batch
+    // size. Deterministic medoid cells → fully oracled.
+    "ann_ivf_batch" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val cents = Ann.cellMedoids(emb, "label", "vec_id", "embedding")
+      Ann.ivfSearchBatch(emb.filter(col("vec_id") >= 3), qs, "label", cents,
+          "vec_id", "embedding", k = 3, nprobe = 1)
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 
@@ -414,6 +463,36 @@ object PipelineQueries {
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, e.vec_id ASC
          |LIMIT 5""".stripMargin,
+
+    // Per-qid medoid probe → top-k within the probed cell only — the
+    // batch generalization of the ann_ivf oracle.
+    "ann_ivf_batch" -> {
+      val qCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH qs AS (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |  FROM embeddings WHERE vec_id < 3),
+         |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+         |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
+         |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
+         |probe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell, row_number() OVER (
+         |        PARTITION BY q.qid
+         |        ORDER BY round(${VectorQueries.duckCosine("c.ce", "q.qe")}, 6) DESC,
+         |          c.cell ASC) AS crnk
+         |    FROM cents c CROSS JOIN qs q)
+         |  WHERE crnk <= 1),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.label, round($qCos, 6) AS sim,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round($qCos, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e
+         |  JOIN probe p ON e.label = p.cell
+         |  JOIN qs q ON q.qid = p.qid
+         |  WHERE e.vec_id >= 3)
+         |SELECT qid, vec_id, label, sim, rnk FROM scored
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
 
     // Identical to ann_ivf: the transparent rewrite must reach the same
     // probe-and-prune result the explicit operator computes.

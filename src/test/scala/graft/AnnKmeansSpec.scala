@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Knn}
+
+/** Quality + plan evidence for the TRAINED (MLlib KMeans) IVF index — the
+  * round-3 replacement of the fixture-`label` cell stand-in.
+  */
+class AnnKmeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def recallAt5(approxIds: Set[Long], exactIds: Seq[Long]): Double =
+    exactIds.count(approxIds).toDouble / exactIds.size
+
+  test("kmeans-IVF recall@5 over 10 queries ≥ the label-cell path, monotone in nprobe") {
+    val emb = Tables.embeddings(spark, sf)
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val ivf = spark.read.parquet(path)
+    val centsDf = Ann.centroidsDf(spark, cents)
+    val recalls = (0L until 10L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= qid), q, "vec_id",
+        "embedding", k = 5, keep = Seq("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      def km(nprobe: Int) = recallAt5(
+        Ann.ivfSearchCells(ivf, q, "cell", centsDf, "vec_id", "embedding",
+          k = 5, excludeId = Some(qid), nprobe = nprobe)
+          .collect().map(_.getLong(0)).toSet, exact)
+      val lbl = Ann.ivfSearch(emb, q, "label", "vec_id", "embedding", k = 5,
+        excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      (km(1), km(3), recallAt5(lbl, exact))
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val (km1, km3, lblMean) =
+      (mean(recalls.map(_._1)), mean(recalls.map(_._2)), mean(recalls.map(_._3)))
+    info(s"mean recall@5 over 10 queries: kmeans(nprobe=1)=$km1 kmeans(nprobe=3)=$km3 label=$lblMean")
+    // the trained index must beat the fixture-label stand-in at equal I/O
+    assert(km1 >= lblMean,
+      s"trained index recall $km1 fell below the label-cell stand-in $lblMean")
+    // nprobe is the recall↔I/O knob: probing a superset of cells can only
+    // add candidates to the exact rescoring, so recall is monotone
+    assert(km3 >= km1, s"recall not monotone in nprobe: $km3 < $km1")
+  }
+
+  test("learned layout partition-prunes: the probed query reads one cell directory") {
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val ivf = spark.read.parquet(path)
+    val q = ivf.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val search = Ann.ivfSearchCells(ivf, q, "cell", Ann.centroidsDf(spark, cents),
+      "vec_id", "embedding", k = 5, excludeId = Some(0L))
+    search.collect() // materialize metrics
+    val plan = search.queryExecution.executedPlan.toString
+    // the semi-join probe reaches the scan as a cell predicate (DPP /
+    // runtime filter) or the scan reads few files — assert the observable:
+    val leaves = search.queryExecution.executedPlan.collectLeaves()
+    val corpusScan = leaves.find(_.toString.contains(path.stripPrefix("file:")))
+      .orElse(leaves.headOption)
+    val nFiles = corpusScan.flatMap(_.metrics.get("numFiles").map(_.value))
+    info(s"corpus scan files read: $nFiles")
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters") ||
+      nFiles.exists(_ <= cents.size),
+      s"no pruning evidence in plan:\n$plan")
+  }
+
+  test("kmeans assignment: every corpus vector lands in its cosine-nearest center's cell") {
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val ivf = spark.read.parquet(path).limit(200).collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    ivf.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      val assigned = r.getInt(r.fieldIndex("cell"))
+      val best = cents.maxBy { case (_, c) => cos(c, v) }._1
+      assert(assigned === best,
+        s"vec ${r.get(r.fieldIndex("vec_id"))} assigned to $assigned, nearest center is $best")
+    }
+  }
+
+  test("transparent rewrite fires on the learned layout with registered trained centers") {
+    import graft.expressions.GraftFunctions
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.IvfIndexRegistry.registerCentroids(path, "cell", cents)
+      GraftFunctions.register(spark)
+      val ivf = spark.read.parquet(path)
+      val qVec = ivf.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val rewritten = ivf.filter(col("vec_id") =!= 0)
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), lit(qVec)), 6))
+        .select(col("vec_id"), col("cell"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*=.*"),
+        s"rewrite did not prune the learned layout:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"))
+      // identical to the explicit probe-and-prune operator on the same index
+      val explicit = SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+        explicit.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
+}

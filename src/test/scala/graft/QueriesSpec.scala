@@ -16,7 +16,9 @@ class QueriesSpec extends AnyFunSuite {
     */
   val consciousOracleOmissions: Set[String] = Set(
     "ann_lsh",           // seeded random projections — approximate by design
-    "embed_mllib"        // MLlib murmur3 term hashing — engine-specific
+    "embed_mllib",       // MLlib murmur3 term hashing — engine-specific
+    "ann_ivf_kmeans",    // iteratively trained kmeans centers — engine-specific
+    "ann_recall_kmeans"  // recall audit of the same trained index
   )
 
   test("every query has an oracle or a conscious omission") {
