@@ -37,7 +37,22 @@ object AsOfJoin {
     *         row exists — left-join semantics)
     */
   def backward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-               idCol: String, payload: Map[String, String]): DataFrame = {
+               idCol: String, payload: Map[String, String]): DataFrame =
+    carry(left, right, keyCol, tsCol, idCol, payload, ascending = true)
+
+  /** Forward as-of join: each left row picks the EARLIEST right row with
+    * the same key and right.ts >= left.ts (inclusive) — "the next quote
+    * after the order". Identical one-shuffle union+window shape with the
+    * time axis reversed; DuckDB's `ASOF LEFT JOIN ... ON l.ts <= r.ts` is
+    * the oracle.
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+              idCol: String, payload: Map[String, String]): DataFrame =
+    carry(left, right, keyCol, tsCol, idCol, payload, ascending = false)
+
+  private def carry(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, idCol: String, payload: Map[String, String],
+                    ascending: Boolean): DataFrame = {
     val leftCols = left.columns
     val pay = payload.toSeq // freeze iteration order
     // one struct = one atomic matched row; struct(...) is never null itself,
@@ -55,8 +70,9 @@ object AsOfJoin {
           (Seq(col(keyCol), col(tsCol), col(idCol), lit(1).as("__side"),
             lit(null).cast(payType).as("__pay")) ++
             leftCols.filterNot(Seq(keyCol, tsCol, idCol).contains).map(col)): _*))
+    val tsOrder = if (ascending) col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col(idCol))
+      .orderBy(tsOrder, col("__side"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = tagged
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))

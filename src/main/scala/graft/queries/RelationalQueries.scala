@@ -727,6 +727,92 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Forward as-of join (same union+window carry, time axis reversed):
+    // each purchase picks the user's EARLIEST click at-or-after it.
+    "asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.forward(purchases, clicks,
+          "user_id", "ts", "event_id",
+          Map("value" -> "click_value", "ts" -> "click_ts"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          round(col("click_value"), 2).as("click_value"),
+          unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Extended window surface: ntile / lag / lead / percent_rank /
+    // cume_dist plus a RANGE frame (value-bounded running sum). The
+    // ordering inside each partition is unique (price, orderkey), so the
+    // positional functions are engine-deterministic.
+    "window_funcs_ext" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, dir).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("price"),
+          ntile(4).over(w).as("quartile"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          round(expr(
+            """sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+              |ORDER BY o_totalprice
+              |RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)""".stripMargin), 2)
+            .as("range_sum"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Approximate percentiles (GK sketch) with a RANK-error-bound oracle:
+    // percentile_approx guarantees rank error ≤ 1/accuracy, so with
+    // accuracy 10000 the estimate must land between the exact quantiles at
+    // q ± 0.01 — the oracled booleans assert exactly that (same pattern as
+    // approx_distinct: sketch internals aren't portable, the guarantee is).
+    "approx_percentiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("exact_p90"),
+          expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+          expr("percentile_approx(value, 0.9, 10000)").as("a90"),
+          expr("percentile(value, 0.49)").as("lo50"),
+          expr("percentile(value, 0.51)").as("hi50"),
+          expr("percentile(value, 0.89)").as("lo90"),
+          expr("percentile(value, 0.91)").as("hi90"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_p50"), col("exact_p90"), col("n"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_rank_bound"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_in_rank_bound"))
+        .orderBy(col("event_type"))
+    }),
+
+    // MERGEABLE sketches — the distributed-cardinality workhorse: per-half
+    // DataSketches HLL sketches built independently, merged with
+    // hll_union_agg, estimate checked against the exact distinct count
+    // (±5%; lgK=12 → rsd ≈1.6%, so 5% is ≈3σ). Mergeability is what makes
+    // sketch state shippable across 1000 executors / days of partitions —
+    // union(sketch(A), sketch(B)) ≈ sketch(A ∪ B) with no re-scan.
+    "hll_sketch_ops" -> ((s, dir) => {
+      val halves = lineitem(s, dir)
+        .groupBy((col("l_orderkey") % 2).as("half"))
+        .agg(expr("hll_sketch_agg(l_partkey, 12)").as("sk"))
+      val merged = halves.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_union"),
+        count(lit(1)).as("n_sketches"))
+      val exact = lineitem(s, dir)
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      merged.crossJoin(exact)
+        .select(col("exact_parts"), col("n_sketches"),
+          (abs(col("est_union") - col("exact_parts")) <=
+            col("exact_parts").cast("double") * lit(0.05)).as("within_5pct"))
+    }),
+
     // Exact percentiles (linear interpolation) per group.
     "percentiles" -> ((s, dir) => {
       events(s, dir)
@@ -1074,6 +1160,48 @@ object RelationalQueries {
         |  round(c.value, 2) AS click_value, epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, p.value,
+        |  round(c.value, 2) AS click_value, epoch_us(c.ts) AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "window_funcs_ext" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  round(o_totalprice, 2) AS price,
+        |  ntile(4) OVER w AS quartile,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the sketch guarantee IS the oracle: the booleans must be TRUE
+    "approx_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        |  round(quantile_cont(value, 0.9), 6) AS exact_p90,
+        |  count(*) AS n,
+        |  TRUE AS p50_in_rank_bound,
+        |  TRUE AS p90_in_rank_bound
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "hll_sketch_ops" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  2::BIGINT AS n_sketches, TRUE AS within_5pct
+        |FROM lineitem""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type,

@@ -82,6 +82,62 @@ object Streaming {
       graft.functions.TextOps.hashEmbedFused(
         graft.functions.TextOps.passageText(col("text"))).as("embedding"))
 
+  /** Streaming retrieval: score arriving documents against a SMALL query
+    * set — the continuous-ingestion face of knn search ("alert me when a
+    * document similar to any watched query arrives"). The query table is
+    * the broadcast side of a stream-static equi-join on a constant key
+    * (i.e. each micro-batch fans out over the watched queries map-side);
+    * embedding uses the same fused kernel as the batch path, so the
+    * per-(query, doc) scores are bit-identical to batch scoring —
+    * StreamingSpec asserts per-trigger parity. Stateless: no watermark, no
+    * state store; at 100 TB-a-day ingest this is a map-only job at
+    * file/queue-arrival latency.
+    *
+    * `queries` has (qid, q_emb). Output: (qid, doc_id, sim).
+    */
+  def retrievalScores(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val embedded = docs.select(col("doc_id"),
+        graft.functions.TextOps.hashEmbedFused(
+          graft.functions.TextOps.passageText(col("text"))).as("emb"))
+      .withColumn("__one", lit(1))
+    embedded.join(broadcast(queries.withColumn("__one", lit(1))), "__one")
+      .withColumn("sim", round(
+        graft.functions.VectorOps.cosine(col("emb"), col("q_emb")), 6))
+      .select(col("qid"), col("doc_id"), col("sim"))
+  }
+
+  /** Streaming contamination check — the batch `contamination` gate at
+    * ingestion time: each arriving document's distinct shingle set is
+    * intersected with the benchmark shingle set (an eval suite is MBs vs a
+    * TB corpus, so it ships as a broadcast literal/variable, here a typed
+    * literal array). Pure projection — no explode, no aggregation, no
+    * streaming state; per-doc results are identical to the batch query's
+    * (n_shingles, n_hit, hit_frac, contaminated) columns (asserted in
+    * StreamingSpec).
+    */
+  def contaminationStream(docs: DataFrame, benchShingles: Array[Long]): DataFrame = {
+    val shs = graft.operators.Dedup.shingleHashes(
+      graft.functions.TextOps.tokenHashes(col("text")))
+    docs.select(col("doc_id"), shs.as("shs"))
+      .select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_shingles"),
+        size(array_intersect(col("shs"), typedLit(benchShingles))).cast("long").as("n_hit"))
+      .withColumn("hit_frac", round(when(col("n_shingles") === 0, 0.0)
+        .otherwise(col("n_hit").cast("double") / col("n_shingles")), 6))
+      .withColumn("contaminated", col("hit_frac") >= 0.2)
+  }
+
+  /** Per-query top-k over scored (qid, doc_id, sim) rows — shared by the
+    * batch oracle and the per-trigger `foreachBatch` ranking of the
+    * streaming twin (a global top-k is an aggregation, so the stream ranks
+    * each micro-batch in its sink).
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index
     * (here: an id blocklist standing in for the fingerprint table) and

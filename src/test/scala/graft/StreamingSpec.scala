@@ -101,6 +101,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming retrieval: per-trigger top-k equals the batch top-k over each batch's docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the watched query set: first 2 docs embedded with the batch kernel
+    val queries = Tables.documents(spark, sf).filter(col("doc_id") < 2)
+      .select(col("doc_id").as("qid"),
+        graft.functions.TextOps.hashEmbedFused(
+          graft.functions.TextOps.passageText(col("text"))).as("q_emb"))
+      .localCheckpoint()
+    case class Doc(doc_id: Long, text: String)
+    val allDocs = Tables.documents(spark, sf).filter(col("doc_id") >= 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (batch1, batch2) = allDocs.splitAt(allDocs.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val sink = java.nio.file.Files.createTempDirectory("graft_retr").toFile.getAbsolutePath
+    val scored = Streaming.retrievalScores(
+      input.toDF().toDF("doc_id", "text"), queries)
+    val q = scored.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // per-trigger ranking in the sink: top-k per query for THIS batch
+        Streaming.topKPerQuery(df, k = 3)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sink)
+      }
+      .start()
+    try {
+      input.addData(batch1.toSeq)
+      q.processAllAvailable()
+      input.addData(batch2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // each trigger's emitted top-k must equal the batch-mode top-k
+    // computed over exactly that trigger's documents
+    val emitted = spark.read.parquet(sink)
+    for ((docsIn, bid) <- Seq((batch1, 0L), (batch2, 1L))) {
+      val got = emitted.filter(col("batch_id") === bid)
+        .select("qid", "doc_id", "sim", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val expect = Streaming.topKPerQuery(
+          Streaming.retrievalScores(docsIn.toSeq.toDF("doc_id", "text"), queries), k = 3)
+        .select("qid", "doc_id", "sim", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got === expect, s"trigger $bid top-k diverged from batch")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("streaming contamination equals the batch contamination gate per doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("contamination")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("hit_frac"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    val benchSh = Tables.documents(spark, sf).filter(col("doc_id") % 97 === 0)
+      .select(explode(graft.operators.Dedup.shingleHashes(
+        graft.functions.TextOps.tokenHashes(col("text")))).as("sh"))
+      .distinct().as[Long].collect()
+    val trainDocs = Tables.documents(spark, sf).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val out = Streaming.contaminationStream(
+      input.toDF().toDF("doc_id", "text"), benchSh)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("contam_stream").start()
+    try {
+      input.addData(trainDocs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("contam_stream").collect()
+    assert(streamed.length === batch.size)
+    streamed.foreach { r =>
+      val got = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("hit_frac"), r.getAs[Boolean]("contaminated"))
+      assert(got === batch(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} diverged from batch gate")
+    }
+  }
+
   test("foreachBatch sink: micro-batches land as idempotent parquet appends") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
