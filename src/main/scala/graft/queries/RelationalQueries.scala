@@ -813,6 +813,21 @@ object RelationalQueries {
             col("exact_parts").cast("double") * lit(0.05)).as("within_5pct"))
     }),
 
+    // Statistical aggregates: correlation / covariance / spread per group
+    // (all partial-aggregable one-pass moments — the same map-side-combine
+    // shape as sum/avg at any scale).
+    "stats_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+          round(var_samp(col("l_quantity")), 6).as("qty_var"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact percentiles (linear interpolation) per group.
     "percentiles" -> ((s, dir) => {
       events(s, dir)
@@ -1202,6 +1217,17 @@ object RelationalQueries {
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  2::BIGINT AS n_sketches, TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(var_samp(l_quantity), 6) AS qty_var,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type,

@@ -94,6 +94,25 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Edit-distance fuzzy matching: Levenshtein distance + normalized
+    // similarity over a blocked pair set (first-token block — the
+    // candidate-blocking shape; exact O(len²) DP only within blocks, never
+    // all-pairs). The fourth dedup family: exact-fp, MinHash-Jaccard,
+    // embedding-cosine, and now character-level edit distance.
+    "edit_distance_pairs" -> ((s, dir) => {
+      val t = documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      val a = t.select(col("doc_id").as("id_a"), col("prefix").as("pre_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("prefix").as("pre_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
+        .withColumn("sim", round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("pre_a")), length(col("pre_b"))), 6))
+        .filter(col("sim") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Embedding-cosine near-duplicate pairs, label-blocked (the blocked
     // equi-join shape that scales; exact within each block).
     "embedding_neardup" -> ((s, dir) => {
@@ -370,6 +389,19 @@ object TextQueries {
          |    ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
          |       / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE END, 6) AS jacc
          |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "edit_distance_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, substring(text, 1, 80) AS prefix
+         |  FROM documents WHERE doc_id < 40)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  levenshtein(a.prefix, b.prefix) AS dist,
+         |  round(1.0 - levenshtein(a.prefix, b.prefix)::DOUBLE
+         |    / greatest(length(a.prefix), length(b.prefix)), 6) AS sim
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |WHERE round(1.0 - levenshtein(a.prefix, b.prefix)::DOUBLE
+         |    / greatest(length(a.prefix), length(b.prefix)), 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "embedding_neardup" ->

@@ -33,7 +33,8 @@ class PlanLintSpec extends AnyFunSuite {
       "ann_ivf_kmeans", "ann_recall_kmeans", "ann_ivf_batch",
       "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders",
       "bm25_search",  // 1-row corpus-stats side broadcast into the scorer
-      "hll_sketch_ops") // 1-row merged-sketch × 1-row exact-count probe
+      "hll_sketch_ops", // 1-row merged-sketch × 1-row exact-count probe
+      "edit_distance_pairs") // 40-row blocked pair set, broadcast side
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
