@@ -161,4 +161,34 @@ object Ann {
     cents.map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "centroid")
   }
+
+  /** Map-only cell assignment of vectors against an EXISTING trained
+    * index (no retrain): broadcast the k centroid rows, rank per vector,
+    * keep the cosine-nearest (ties broken by cell id, mirroring
+    * Entry.bestCell). The shape of incremental index maintenance — new
+    * data is assigned and appended; re-training is a separate offline
+    * decision.
+    */
+  def assignCells(vecs: DataFrame, cents: DataFrame, idCol: String,
+                  embCol: String): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("__cc").asc)
+    vecs.crossJoin(broadcast(cents.select(col("cell").as("__cc"), col("centroid"))))
+      .withColumn("__csim", round(GraftFunctions.cosineSim(col(embCol), col("centroid")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__csim", "__rn", "centroid")
+      .withColumnRenamed("__cc", "cell")
+  }
+
+  /** Append NEW vectors to an existing cell-partitioned layout: assign
+    * (map-only) + partitioned append — each new row lands in its cell
+    * directory, searches keep pruning, nothing is rewritten. At 100 TB
+    * this is the daily index-update job.
+    */
+  def appendToLayout(newVecs: DataFrame, cents: DataFrame, layoutPath: String,
+                     idCol: String, embCol: String): Unit =
+    assignCells(newVecs, cents, idCol, embCol)
+      .write.mode("append").partitionBy("cell").parquet(layoutPath)
 }

@@ -36,6 +36,20 @@ object TextQueries {
   private val doubledDocsSql =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
 
+  /** The BM25 (doc, term, tf) digest table — the inverted-index build
+    * step. It feeds FOUR consumers inside one search (scorer, dl, stats,
+    * df) AND every subsequent search / streaming-scorer snapshot over the
+    * same corpus, so it is staged once per (session, dir) via StageCache
+    * exactly like the LSH pairs stage (at scale: a persisted index table).
+    * Round 2 rebuilt it per invocation (8.9 s/query).
+    */
+  private[graft] def bm25Tf(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"bm25-tf:$dir") {
+      spread(documents(s, dir))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    }
+
   /** DuckDB expressions mirroring TextOps exactly. */
   def duckToks(textExpr: String): String =
     s"list_filter(string_split_regex(lower($textExpr), '[^a-z0-9]+'), t -> t <> '')"
@@ -241,16 +255,7 @@ object TextQueries {
     // scoring is a map-side join on (doc, term) digests.
     "bm25_search" -> ((s, dir) => {
       val qTerms = Seq("data", "table", "query")
-      // The (doc, term, tf) digest table feeds FOUR consumers (scorer, dl,
-      // stats, df) AND every subsequent search over the same corpus — it is
-      // the inverted-index build step, staged once per (session, dir) via
-      // StageCache exactly like the LSH pairs stage (at scale: a persisted
-      // index table). Round 2 rebuilt it per invocation (8.9 s/query).
-      val tf = graft.StageCache.getOrStage(s, s"bm25-tf:$dir") {
-        spread(documents(s, dir))
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      }
+      val tf = bm25Tf(s, dir)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         avg(col("dl")).as("avgdl"))

@@ -183,6 +183,33 @@ object TrainQueries {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"), col("seq_id"))
+    }),
+
+    // THE capstone composition: the full release pipeline in one query —
+    // doubled corpus → exact-dedup keeper (one fp-window shuffle) →
+    // quality gates (map-side) → deterministic hash split (map-side) →
+    // per-(split, lang) manifest stats (one partial+final agg). Two
+    // shuffles end-to-end for dedup + curate + split + audit; this is the
+    // "what are we actually shipping to the trainer" report.
+    "train_manifest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val d = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      spread(d.union(d.select((col("doc_id") + 10000).as("doc_id"),
+          col("lang"), col("text"))))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("digit_ratio", round(TextOps.digitRatio(col("text")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_tok").between(10, 512) &&
+          col("digit_ratio") <= 0.2)
+        .withColumn("bucket", expr(bucketSqlExpr))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
     })
   )
 
@@ -268,6 +295,34 @@ object TrainQueries {
          |  sum(n_tok)::BIGINT AS seq_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY shard, seq_id
-         |ORDER BY shard, seq_id""".stripMargin
+         |ORDER BY shard, seq_id""".stripMargin,
+
+    "train_manifest" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, lang, text FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    ${TextQueries.duckFingerprint("text")} AS fp,
+         |    len(${TextQueries.duckToks("text")})::BIGINT AS n_tok,
+         |    round(CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+         |           / length(text) END, 6) AS digit_ratio
+         |  FROM src),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM f),
+         |kept AS (
+         |  SELECT doc_id, lang, n_tok FROM r
+         |  WHERE rn = 1 AND n_tok BETWEEN 10 AND 512 AND digit_ratio <= 0.2),
+         |sp AS (
+         |  SELECT lang, n_tok,
+         |    CASE WHEN $bucketDuck < 80 THEN 'train'
+         |         WHEN $bucketDuck < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM kept)
+         |SELECT split, lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
+         |FROM sp GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
   )
 }

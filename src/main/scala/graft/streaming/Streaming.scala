@@ -106,6 +106,56 @@ object Streaming {
       .select(col("qid"), col("doc_id"), col("sim"))
   }
 
+  /** Frozen BM25 corpus statistics — the index metadata a streaming scorer
+    * carries: corpus size, average document length, per-query-term document
+    * frequencies. KBs regardless of corpus size.
+    */
+  case class Bm25Stats(nDocs: Long, avgdl: Double, df: Map[String, Long])
+
+  /** Snapshot the staged batch inverted-index digests into [[Bm25Stats]] —
+    * the "build index offline, score online" split: batch owns the
+    * corpus-level pass, the stream scores against the frozen snapshot.
+    */
+  def bm25Snapshot(s: SparkSession, dir: String, qTerms: Seq[String]): Bm25Stats = {
+    val tf = graft.queries.TextQueries.bm25Tf(s, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(count(lit(1)), avg(col("dl"))).head()
+    val dfMap = tf.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Stats(st.getLong(0), st.getDouble(1), dfMap)
+  }
+
+  /** Streaming BM25 scoring: arriving documents scored for a fixed term
+    * query against the FROZEN stats snapshot — a pure projection (per-doc
+    * term counts via array HOFs, idf/avgdl from the broadcast snapshot, the
+    * same double literals as the batch scorer), so it is a stateless
+    * streaming query; per-doc scores match the batch BM25 pipeline
+    * (StreamingSpec asserts parity). The lexical twin of retrievalScores.
+    */
+  def bm25Stream(docs: DataFrame, stats: Bm25Stats, qTerms: Seq[String]): DataFrame = {
+    val staged = docs
+      .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    def tfOf(term: String) =
+      size(filter(col("toks"), t => t === lit(term))).cast("long")
+    val contribs = qTerms.map { term =>
+      val dfv = stats.df.getOrElse(term, 0L)
+      // same IEEE op sequence as the batch scorer's column expression
+      val idf = math.log((stats.nDocs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+      val tfc = tfOf(term)
+      when(tfc > 0,
+        lit(idf) * (tfc * lit(2.2)) /
+          (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(stats.avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val hits = qTerms.map(t => when(tfOf(t) > 0, 1L).otherwise(0L))
+    staged.select(col("doc_id"),
+        round(contribs.reduce(_ + _), 6).as("score"),
+        hits.reduce(_ + _).as("n_terms_hit"))
+      .filter(col("n_terms_hit") > 0)
+  }
+
   /** Streaming contamination check — the batch `contamination` gate at
     * ingestion time: each arriving document's distinct shingle set is
     * intersected with the benchmark shingle set (an eval suite is MBs vs a

@@ -83,6 +83,47 @@ class AnnKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental append: new vectors assigned map-only, found by search, pruning intact") {
+    val (srcPath, cents) = Ann.kmeansLayout(spark, sf)
+    val centsDf = Ann.centroidsDf(spark, cents)
+    // clone the layout so the shared kmLayouts dir stays pristine
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfkm_app")
+      .toFile.getAbsolutePath
+    spark.read.parquet(srcPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    // "daily increment": clones of vectors 0-4 under new ids — identical
+    // embeddings, so each must land in its original's cell and be found
+    // at sim 1.0
+    val newVecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    Ann.appendToLayout(newVecs, centsDf, dir, "vec_id", "embedding")
+    val ivf = spark.read.parquet(dir)
+    assert(ivf.count() === before + 5)
+    // appended rows landed in their cosine-nearest center's cell
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    ivf.filter(col("vec_id") >= 1000000L).collect().foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+      assert(r.getInt(r.fieldIndex("cell")) ===
+        cents.maxBy { case (_, c) => cos(c, v) }._1)
+    }
+    // a search with vec 0's embedding now finds the appended clone first
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val res = Ann.ivfSearchCells(ivf, q, "cell", centsDf, "vec_id",
+      "embedding", k = 5, excludeId = Some(0L))
+    res.collect() // materialize metrics
+    assert(res.collect().map(_.getLong(0)).contains(1000000L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"append broke pruning:\n$plan")
+  }
+
   test("transparent rewrite fires on the learned layout with registered trained centers") {
     import graft.expressions.GraftFunctions
     val (path, cents) = Ann.kmeansLayout(spark, sf)

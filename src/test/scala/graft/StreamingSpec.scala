@@ -151,6 +151,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming bm25 scores against the frozen snapshot equal the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val qTerms = Seq("data", "table", "query")
+    val stats = Streaming.bm25Snapshot(spark, sf, qTerms)
+    // batch expected: the bm25_search pipeline's per-doc scores (no limit)
+    val tf = graft.queries.TextQueries.bm25Tf(spark, sf)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val batch = tf.filter(col("tok").isin(qTerms: _*))
+      .join(dl, "doc_id").join(broadcast(dfT), "tok")
+      .withColumn("idf",
+        log((lit(stats.nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(stats.avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"), count(lit(1)).as("n_terms_hit"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val out = Streaming.bm25Stream(input.toDF().toDF("doc_id", "text"), stats, qTerms)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bm25_stream").start()
+    try {
+      input.addData(docs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("bm25_stream").collect()
+    assert(streamed.length === batch.size)
+    streamed.foreach { r =>
+      val (expScore, expHits) = batch(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_terms_hit") === expHits)
+      assert(math.abs(r.getAs[Double]("score") - expScore) < 1e-9,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("score")} vs $expScore")
+    }
+  }
+
   test("streaming contamination equals the batch contamination gate per doc") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
