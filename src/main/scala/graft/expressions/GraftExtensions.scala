@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.CosineSimName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
     e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
   }
 }

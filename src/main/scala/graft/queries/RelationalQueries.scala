@@ -312,6 +312,38 @@ object RelationalQueries {
         .orderBy(col("k_bucket"))
     }),
 
+    // Spark 4 VARIANT type: parse_json into the binary semi-structured
+    // type, typed path extraction, missing-path null semantics. The
+    // shredded-variant answer to "schema-on-read without string re-parse".
+    "variant_funcs" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_id") < 1000)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_val"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.absent', 'int')").isNull.as("missing_is_null"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Spark 4 native XML: build an XML doc from columns, parse it back
+    // with from_xml (attributes surface with the "_" prefix). Oracled the
+    // multimodal way: DuckDB recomputes the fields arithmetically while
+    // Spark re-extracts them from the XML it built — hash match proves the
+    // encode→parse roundtrip.
+    "xml_funcs" -> ((s, dir) => {
+      val xml = concat(lit("<doc id=\""), col("doc_id"), lit("\"><lang>"),
+        col("lang"), lit("</lang><n>"), col("n_chars"), lit("</n></doc>"))
+      documents(s, dir)
+        .select(col("doc_id"), xml.as("xml"))
+        .withColumn("p", from_xml(col("xml"),
+          lit("_id BIGINT, lang STRING, n INT")))
+        .select(col("doc_id"), col("xml"),
+          col("p._id").as("p_id"), col("p.lang").as("p_lang"),
+          col("p.n").as("p_n"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tumbling event-time window aggregation (batch shape of the streaming
     // op; Structured Streaming runs the same plan incrementally).
     "events_window" -> ((s, dir) => {
@@ -1217,6 +1249,23 @@ object RelationalQueries {
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  2::BIGINT AS n_sketches, TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    "variant_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  TRUE AS missing_is_null
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin,
+
+    "xml_funcs" ->
+      """SELECT doc_id,
+        |  '<doc id="' || doc_id || '"><lang>' || lang || '</lang><n>' ||
+        |    n_chars || '</n></doc>' AS xml,
+        |  doc_id AS p_id, lang AS p_lang, n_chars AS p_n
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "stats_agg" ->
       """SELECT l_returnflag,

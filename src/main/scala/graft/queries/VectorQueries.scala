@@ -63,6 +63,31 @@ object VectorQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // knn_batch through the CUSTOM physical operator (TopKPerKeyPlan →
+    // partial/final TopKPerKeyExec): per-key bounded heaps on the map side
+    // mean the shuffle carries each partition's ≤k survivors per query
+    // instead of every scored row — the window formulation (knn_batch)
+    // must shuffle-and-sort all of them. Same oracle as knn_batch except
+    // k: proof the custom operator computes exact per-key top-k.
+    "knn_batch_custom" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val scored = emb.filter(col("vec_id") >= 3)
+        .crossJoin(broadcast(qs))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"))
+      val top = graft.operators.TopK.perKey(scored, Seq("qid"),
+        Seq(("sim", false), ("vec_id", true)), k = 3)
+      // rank labeling runs over the ≤ k·q-row result, not the corpus
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+      top.withColumn("rnk", row_number().over(w))
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // O14 + the documented-but-unimplemented score threshold (§2A
     // fine-print 1): filter sim >= 0.2, then the API's topK clamp bound 50.
     "search_threshold" -> ((s, dir) => {
@@ -299,6 +324,22 @@ object VectorQueries {
          |LIMIT 5""".stripMargin,
 
     "knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |           FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id >= 3),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT qid, vec_id, label, sim, rnk FROM ranked
+         |WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // identical semantics through the custom TopKPerKey physical operator
+    "knn_batch_custom" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
          |           FROM embeddings WHERE vec_id < 3),
          |scored AS (

@@ -27,7 +27,7 @@ class PlanLintSpec extends AnyFunSuite {
     // build side — which Spark guarantees by construction. This lint just
     // asserts BNLJ appears only in queries that intentionally stream the
     // corpus against a broadcast query/probe side.
-    val allowed = Set("knn_topk", "knn_topk_fused", "knn_batch", "jdbc_knn",
+    val allowed = Set("knn_topk", "knn_topk_fused", "knn_batch", "knn_batch_custom", "jdbc_knn",
       "search_threshold", "pairwise_sim", "text_pairwise_sim", "ngram_jaccard",
       "ann_ivf", "ann_ivf_nprobe", "ann_ivf_rewrite", "ann_recall", "ann_lsh",
       "ann_ivf_kmeans", "ann_recall_kmeans", "ann_ivf_batch",
