@@ -312,6 +312,20 @@ object RelationalQueries {
         .orderBy(col("k_bucket"))
     }),
 
+    // Custom DataSourceV2 connector scan: the graft_range source consumes
+    // the id-range predicates in its ScanBuilder (planInputPartitions
+    // generates only the surviving slice — connector-level partition
+    // pruning) and materializes only the projected columns. Oracle
+    // recomputes the arithmetic over generate_series; hash match proves
+    // the pushdown didn't change semantics.
+    "dsv2_scan" -> ((s, dir) => {
+      s.read.format("graft_range")
+        .option("n", "10000").option("slices", "8").load()
+        .filter(col("id") >= 100 && col("id") < 200)
+        .select(col("id"), col("sq"), col("label"))
+        .orderBy(col("id"))
+    }),
+
     // Spark 4 VARIANT type: parse_json into the binary semi-structured
     // type, typed path extraction, missing-path null semantics. The
     // shredded-variant answer to "schema-on-read without string re-parse".
@@ -1249,6 +1263,11 @@ object RelationalQueries {
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  2::BIGINT AS n_sketches, TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    "dsv2_scan" ->
+      """SELECT i AS id, i * i AS sq, (i % 10)::INTEGER AS label
+        |FROM generate_series(100, 199) t(i)
+        |ORDER BY id""".stripMargin,
 
     "variant_funcs" ->
       """SELECT event_id,

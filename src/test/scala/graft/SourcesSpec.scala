@@ -83,6 +83,34 @@ class SourcesSpec extends AnyFunSuite {
       s"no pushed filter in:\n$plan")
   }
 
+  test("DSv2 connector: id-range pushdown prunes at the source, columns pruned at the reader") {
+    val base = spark.read.format("graft_range")
+      .option("n", "10000").option("slices", "8").load()
+    // full scan sanity
+    assert(base.count() === 10000L)
+    // range pushdown: the ScanBuilder consumes the id predicates, so the
+    // scan only GENERATES the matching slice — and no residual id Filter
+    // survives in the physical plan
+    val sliced = base.filter(col("id") >= 100 && col("id") < 200)
+      .select(col("id"), col("label"))
+    val rows = sliced.collect()
+    assert(rows.length === 100)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (100L until 200L).toSeq)
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Filter.*\\bid\\b.*"),
+      s"id predicate not consumed by the source:\n$plan")
+    // connector-level "partition pruning": the pruned scan plans at most
+    // `slices` input partitions over just the 100-row slice
+    assert(sliced.rdd.getNumPartitions <= 8)
+    // equality with an unpruned computation
+    val expect = (100L until 200L).map(i => (i, (i % 10).toInt)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSet === expect)
+    // point lookup collapses to a single 1-row partition
+    val point = base.filter(col("id") === 4242L)
+    assert(point.collect().map(_.getLong(0)).toSeq === Seq(4242L))
+    assert(point.rdd.getNumPartitions === 1)
+  }
+
   test("JdbcStore: Derby round-trip is bit-exact and the read is partitioned") {
     val dir = "/root/testdata/sf0.001"
     val back = graft.sources.JdbcStore.readEmbeddings(spark, dir)
