@@ -14,6 +14,7 @@ object GraftFunctions {
   val HashEmbedName = "hash_embed"
   val ChunkGenName = "chunk_gen"
   val CharHistName = "char_hist"
+  val WinnowHashName = "winnow_hash"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -22,6 +23,8 @@ object GraftFunctions {
       HashEmbedName, exprs => HashEmbed(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CharHistName, exprs => CharHist(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WinnowHashName, exprs => WinnowHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ChunkGenName, {
         case Seq(text) => ChunkGen(text)
@@ -55,4 +58,9 @@ object GraftFunctions {
     * have called `register` first.
     */
   def charHist(text: Column): Column = call_function(CharHistName, text)
+
+  /** Winnowing k-gram fingerprints (see WinnowHash). The session must
+    * have called `register` first.
+    */
+  def winnowHash(text: Column): Column = call_function(WinnowHashName, text)
 }

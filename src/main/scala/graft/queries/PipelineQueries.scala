@@ -274,6 +274,24 @@ object PipelineQueries {
       Ann.ivfSearchBatch(emb.filter(col("vec_id") >= 3), qs, "label", cents,
           "vec_id", "embedding", k = 3, nprobe = 1)
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Batch search over the TRAINED index — the composition of
+    // ann_ivf_kmeans (learned cells, broadcast centers) and ann_ivf_batch
+    // (per-qid probe → cell equi-join → per-qid top-k): the production
+    // serving shape, where a batch of queries shares one pass over only
+    // the probed cell partitions. nprobe=2 exercises multi-cell probing
+    // on the learned layout. Trained centers are engine-specific →
+    // rows-only check; AnnKmeansSpec asserts nprobe=#cells recovers the
+    // exact batch top-k.
+    "ann_ivf_kmeans_batch" -> ((s, dir) => {
+      val (path, cents) = Ann.kmeansLayout(s, dir)
+      val ivf = s.read.parquet(path)
+      val qs = ivf.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      Ann.ivfSearchBatch(ivf.filter(col("vec_id") >= 3), qs, "cell",
+          Ann.centroidsDf(s, cents), "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rnk"))
     })
   )
 

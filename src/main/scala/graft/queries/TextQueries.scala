@@ -50,6 +50,37 @@ object TextQueries {
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     }
 
+  /** Okapi BM25 (k1=1.2, b=0.75, +1-smoothed IDF) document scores for a
+    * fixed query-term set: (doc_id, score, n_terms_hit), unordered. Pass 1
+    * aggregates corpus stats (N, avgdl, per-term df — vocabulary-bounded
+    * digests) from the staged tf table; pass 2 scores per-doc term counts
+    * against the broadcast stats. Shared by `bm25_search` (rank + limit),
+    * `hybrid_rrf` (rank + fuse), and the streaming scorer's frozen
+    * snapshot. Constants are written as the same double literals the
+    * oracle SQL uses (a Scala-folded k1+1 can differ from the 2.2 literal
+    * in the last ulp).
+    */
+  private def bm25Scores(s: SparkSession, dir: String, qTerms: Seq[String]): DataFrame = {
+    val tf = bm25Tf(s, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val df = tf.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.filter(col("tok").isin(qTerms: _*))
+      .join(dl, "doc_id")
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
   /** DuckDB expressions mirroring TextOps exactly. */
   def duckToks(textExpr: String): String =
     s"list_filter(string_split_regex(lower($textExpr), '[^a-z0-9]+'), t -> t <> '')"
@@ -124,6 +155,36 @@ object TextQueries {
           greatest(length(col("pre_a")), length(col("pre_b"))), 6))
         .filter(col("sim") >= 0.3)
         .select(col("id_a"), col("id_b"), col("dist"), col("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Winnowing (SIGMOD 2003) substring-level dedup — the 5th dedup
+    // family: exact-fp / MinHash / SimHash / embedding-cosine compare
+    // whole documents; winnowing catches shared PASSAGES (boilerplate,
+    // licence headers, quotations). Per doc: one native-kernel scan emits
+    // the distinct k-gram window-min hashes; docs sharing a fingerprint
+    // meet in an EQUI-JOIN on the hash value (banded like LSH, never
+    // all-pairs), and the pair's resemblance is the Jaccard of the two
+    // fingerprint sets. Over the doubled corpus the exact copies surface
+    // at resemblance 1.0. At 100 TB only (doc_id, fp) digests shuffle.
+    "winnow_dedup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val docs = spread(doubledDocs(s, dir).filter(col("doc_id") % 10000 < 100))
+      val fps = docs
+        .select(col("doc_id"), explode(GraftFunctions.winnowHash(col("text"))).as("fp"))
+        .localCheckpoint() // feeds sizes + both join sides: stage once
+      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val pairs = fps.select(col("doc_id").as("id_a"), col("fp"))
+        .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("fp_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("fp_b")), Seq("id_b"))
+        .withColumn("resemblance", round(col("n_shared").cast("double") /
+          (col("fp_a") + col("fp_b") - col("n_shared")), 6))
+        .filter(col("resemblance") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("resemblance"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -253,30 +314,76 @@ object TextQueries {
     // against the broadcast stats and takes the top-k heap. At 100 TB the
     // inverted-index analog is exactly this: df/avgdl are index metadata,
     // scoring is a map-side join on (doc, term) digests.
-    "bm25_search" -> ((s, dir) => {
-      val qTerms = Seq("data", "table", "query")
-      val tf = bm25Tf(s, dir)
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      val df = tf.filter(col("tok").isin(qTerms: _*))
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      // constants written as the same double literals the oracle SQL uses
-      // (a Scala-folded k1+1 can differ from the 2.2 literal in the last ulp)
-      tf.filter(col("tok").isin(qTerms: _*))
-        .join(dl, "doc_id")
-        .join(broadcast(df), "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("contrib",
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(col("contrib")), 6).as("score"),
-          count(lit(1)).as("n_terms_hit"))
+    "bm25_search" -> ((s, dir) =>
+      bm25Scores(s, dir, Seq("data", "table", "query"))
         .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)),
+
+    // Hybrid retrieval: the BM25 lexical ranking and the embedding-cosine
+    // semantic ranking over the SAME corpus, fused with reciprocal-rank
+    // fusion (Cormack et al. 2009: score = Σ 1/(60 + rank)). This is the
+    // production retrieval stack in one plan — sparse and dense retrievers
+    // each produce an independent top-k (each a TakeOrdered at scale, never
+    // a global sort of the corpus), and the fusion is a FULL OUTER join of
+    // two k-row lists, i.e. driver-trivial regardless of corpus size. Ranks
+    // are taken over round-6 scores so the orderings (and therefore the
+    // fused scores) are engine-portable.
+    "hybrid_rrf" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      val kList = 20
+      // Each retriever's top-k is orderBy+limit — TakeOrderedAndProject
+      // (per-partition heaps, O(k) rows to the driver), NOT a global rank
+      // window that would single-partition-sort the scored corpus. The
+      // rank window then labels only the k survivors.
+      val lex = bm25Scores(s, dir, Seq("data", "table", "query"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kList)
+        .withColumn("lex_rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("lex_rnk"))
+      val q = s.range(1).select(graft.functions.VectorOps.l2Normalize(
+        TextOps.hashEmbedRaw(lit("query: data table query"))).as("q_emb"))
+      val sem = spread(documents(s, dir))
+        .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(
+          graft.expressions.GraftFunctions.cosineSim(col("emb"), col("q_emb")), 6))
+        .orderBy(col("sim").desc, col("doc_id").asc).limit(kList)
+        .withColumn("sem_rnk", row_number().over(
+          Window.orderBy(col("sim").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("sem_rnk"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rnk"), col("sem_rnk"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("sem_rnk")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
         .limit(10)
+    }),
+
+    // Frequent-items sketch (Spark 4 approx_top_k over the DataSketches
+    // ItemsSketch): per-half sketch STATES built independently, combined
+    // with approx_top_k_combine, then estimated — the mergeable
+    // heavy-hitters pattern (ship per-executor/per-day sketch state, never
+    // re-scan; the same shippable-state story as hll_sketch_ops). With
+    // maxItemsTracked far above the corpus vocabulary the sketch tracks
+    // every item exactly, so the estimate is fully oracled against the
+    // exact GROUP BY counts; the estimate is over-fetched (30) and
+    // re-ranked (n DESC, item ASC) so boundary ties cut identically on
+    // both engines.
+    "approx_topk_ops" -> ((s, dir) => {
+      val states = spread(documents(s, dir))
+        .select((col("doc_id") % 2).as("half"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("half"))
+        .agg(expr("approx_top_k_accumulate(tok, 100000)").as("st"))
+      states
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100000), 30)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("item").asc)))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("rnk"))
     }),
 
     // Char-LM quality score: train a corpus-level character unigram model
@@ -409,6 +516,42 @@ object TextQueries {
          |    / greatest(length(a.prefix), length(b.prefix)), 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "winnow_dedup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100),
+         |cleaned AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS cs
+         |  FROM src),
+         |grams AS (
+         |  SELECT doc_id, cs,
+         |    unnest(generate_series(1, greatest(length(cs) - 7, 0))) AS i
+         |  FROM cleaned),
+         |hashed AS (
+         |  SELECT doc_id, i, length(cs) - 7 AS g,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(i, i + 7), j -> ascii(substr(cs, j, 1))::BIGINT)),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+         |  FROM grams),
+         |wins AS (
+         |  SELECT doc_id, i, g,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM hashed),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= g - 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.n_shared,
+         |  round(p.n_shared::DOUBLE / (sa.n_fp + sb.n_fp - p.n_shared), 6) AS resemblance
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |WHERE round(p.n_shared::DOUBLE / (sa.n_fp + sb.n_fp - p.n_shared), 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "embedding_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${VectorQueries.duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}, 6) AS sim
@@ -536,6 +679,55 @@ object TextQueries {
          |FROM scored GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC
          |LIMIT 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH ${VectorQueries.duckEmbedCteAs("q", "'query: data table query'", "WHERE d0.doc_id = 0")},
+         |${VectorQueries.duckEmbedCteAs("p", "'passage: ' || d0.text")},
+         |sem AS (
+         |  SELECT p.doc_id, round(sum(p.weight * q.weight), 6) AS sim
+         |  FROM pemb p JOIN qemb q ON p.bucket = q.bucket
+         |  GROUP BY p.doc_id),
+         |semr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS sem_rnk
+         |  FROM sem),
+         |toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN ('data', 'table', 'query') GROUP BY tok),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS contrib
+         |  FROM tf t
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  JOIN df d ON d.tok = t.tok
+         |  CROSS JOIN stats s
+         |  WHERE t.tok IN ('data', 'table', 'query')),
+         |lex AS (
+         |  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
+         |lexr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rnk
+         |  FROM lex)
+         |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rnk, s.sem_rnk,
+         |  round(coalesce(1.0 / (60 + l.lex_rnk), 0.0)
+         |      + coalesce(1.0 / (60 + s.sem_rnk), 0.0), 6) AS rrf
+         |FROM (SELECT * FROM lexr WHERE lex_rnk <= 20) l
+         |FULL OUTER JOIN (SELECT * FROM semr WHERE sem_rnk <= 20) s
+         |  ON l.doc_id = s.doc_id
+         |ORDER BY rrf DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "approx_topk_ops" ->
+      s"""WITH toks AS (SELECT unnest(${duckToks("text")}) AS tok FROM documents),
+         |c AS (SELECT tok AS item, count(*) AS n FROM toks GROUP BY tok),
+         |r AS (SELECT item, n,
+         |        row_number() OVER (ORDER BY n DESC, item ASC) AS rnk
+         |      FROM c)
+         |SELECT item, n, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "charlm_bits" ->
       """WITH cleaned AS (

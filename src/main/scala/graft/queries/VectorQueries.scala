@@ -267,29 +267,36 @@ object VectorQueries {
     * 1e-12 pass-through.
     */
   def duckEmbedCte(textExpr: String, where: String = ""): String =
-    s"""toks AS (
+    duckEmbedCteAs("", textExpr, where)
+
+  /** [[duckEmbedCte]] with every CTE name prefixed by `p` (final CTE is
+    * `${p}emb`) so two embedding pipelines — e.g. a query-prefixed literal
+    * and the passage-prefixed corpus — can coexist in one oracle query.
+    */
+  def duckEmbedCteAs(p: String, textExpr: String, where: String = ""): String =
+    s"""${p}toks AS (
        |  SELECT d0.doc_id, unnest(list_slice(list_filter(
        |    string_split_regex(lower($textExpr), '[^a-z0-9]+'), t -> t <> ''), 1, 512)) AS tok
        |  FROM documents d0 $where
-       |), hashed AS (
+       |), ${p}hashed AS (
        |  SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
        |    list_transform(generate_series(1, length(tok)), i -> ascii(tok[i])::BIGINT)),
        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-       |  FROM toks
-       |), sums AS (
+       |  FROM ${p}toks
+       |), ${p}sums AS (
        |  SELECT doc_id, h % 64 AS bucket,
        |    sum(CASE WHEN h % 128 < 64 THEN 1.0 ELSE -1.0 END) AS s
-       |  FROM hashed GROUP BY 1, 2
-       |), grid AS (
+       |  FROM ${p}hashed GROUP BY 1, 2
+       |), ${p}grid AS (
        |  SELECT d.doc_id, g.bucket, coalesce(s.s, 0.0) AS s
        |  FROM (SELECT d0.doc_id FROM documents d0 $where) d
        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) g
-       |  LEFT JOIN sums s USING (doc_id, bucket)
-       |), norms AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM grid GROUP BY 1),
-       |emb AS (
+       |  LEFT JOIN ${p}sums s USING (doc_id, bucket)
+       |), ${p}norms AS (SELECT doc_id, sqrt(sum(s * s)) AS n FROM ${p}grid GROUP BY 1),
+       |${p}emb AS (
        |  SELECT g.doc_id, g.bucket,
        |    CASE WHEN n.n <= 1e-12 THEN g.s ELSE g.s / n.n END AS weight
-       |  FROM grid g JOIN norms n USING (doc_id)
+       |  FROM ${p}grid g JOIN ${p}norms n USING (doc_id)
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(

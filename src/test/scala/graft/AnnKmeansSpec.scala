@@ -124,6 +124,30 @@ class AnnKmeansSpec extends AnyFunSuite {
       s"append broke pruning:\n$plan")
   }
 
+  test("batch search on the trained layout with nprobe = #cells ≡ exact batch top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val ivf = spark.read.parquet(path)
+    val qs = ivf.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    // probing every cell degenerates to the exact scan — the batch twin of
+    // "at nprobe = cells this IS the exact scan"
+    val all = Ann.ivfSearchBatch(ivf.filter(col("vec_id") >= 3), qs, "cell",
+        Ann.centroidsDf(spark, cents), "vec_id", "embedding", k = 3,
+        nprobe = cents.size)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+    val exact = Knn.topKBatch(emb.filter(col("vec_id") >= 3),
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb")),
+        "vec_id", "embedding", k = 3, keep = Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+    assert(all.exceptAll(exact).isEmpty && exact.exceptAll(all).isEmpty)
+    // and the rows-only registered query runs with full rank structure
+    val res = SparkEntry.queries("ann_ivf_kmeans_batch")(spark, sf).collect()
+    assert(res.length === 9)
+    assert(res.map(_.getAs[Long]("qid")).distinct.sorted === Array(0L, 1L, 2L))
+  }
+
   test("transparent rewrite fires on the learned layout with registered trained centers") {
     import graft.expressions.GraftFunctions
     val (path, cents) = Ann.kmeansLayout(spark, sf)

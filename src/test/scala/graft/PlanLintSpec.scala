@@ -30,9 +30,10 @@ class PlanLintSpec extends AnyFunSuite {
     val allowed = Set("knn_topk", "knn_topk_fused", "knn_batch", "knn_batch_custom", "jdbc_knn",
       "search_threshold", "pairwise_sim", "text_pairwise_sim", "ngram_jaccard",
       "ann_ivf", "ann_ivf_nprobe", "ann_ivf_rewrite", "ann_recall", "ann_lsh",
-      "ann_ivf_kmeans", "ann_recall_kmeans", "ann_ivf_batch",
+      "ann_ivf_kmeans", "ann_recall_kmeans", "ann_ivf_batch", "ann_ivf_kmeans_batch",
       "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders",
       "bm25_search",  // 1-row corpus-stats side broadcast into the scorer
+      "hybrid_rrf",   // 1-row query-embedding + 1-row bm25-stats broadcasts
       "hll_sketch_ops", // 1-row merged-sketch × 1-row exact-count probe
       "edit_distance_pairs") // 40-row blocked pair set, broadcast side
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
