@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an undirected pair graph (Brin & Page 1998,
+  * simplified: no dangling-mass redistribution) — the second iterative
+  * graph operator beside [[Components]], and the standard "importance
+  * inside a duplicate cluster" signal when choosing which near-duplicate
+  * to KEEP (keep the most-connected representative, not min-id).
+  *
+  * Fixed iteration count and fixed damping written as the literals 0.85 /
+  * 0.15 (NOT `1 - d` — the subtraction differs from the 0.15 literal in
+  * the last ulp, and the DuckDB oracle uses the literal), so the result is
+  * a closed-form composition of joins and aggregations that an unrolled
+  * SQL formulation reproduces exactly.
+  *
+  * Scale shape: per iteration one join of edges⋈ranks on the src key and
+  * one groupBy(dst) partial+final sum — only (node, rank) digests move.
+  * The node count enters as a broadcast 1-row aggregate, not a driver
+  * collect. Lineage is truncated each iteration (localCheckpoint; a real
+  * cluster checkpoints to durable storage) exactly like [[Components]] —
+  * without it the plan doubles per iteration.
+  */
+object PageRank {
+
+  /** `pairs(id_a, id_b)` undirected edges; `nodes(id)` the full vertex
+    * set (isolated vertices keep the (1-d)/N floor). Returns (id, pr)
+    * with pr unrounded — callers round for presentation.
+    */
+  def run(pairs: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // reused every iteration: stage once
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    var pr = nodes.crossJoin(broadcast(nDf))
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(deg, Seq("src"))
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      pr = nodes.crossJoin(broadcast(nDf))
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) / col("n_nodes") +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

@@ -100,6 +100,42 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // PageRank over the near-dup pair graph — "which duplicate is the
+    // IMPORTANT one": inside a duplicate cluster, keep the
+    // most-connected representative rather than min-id. 3 fixed
+    // iterations of the damped update (0.85, no dangling redistribution)
+    // so the DuckDB oracle can unroll the identical computation. Per
+    // iteration: edges⋈ranks on src + groupBy(dst) sum — digest-only
+    // shuffles; N enters as a broadcast 1-row aggregate, no driver
+    // collect; lineage truncated per iteration like Components.
+    "pagerank_pairs" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir).select(col("id_a"), col("id_b"))
+      val nodes = spread(doubledDocs(s, dir)).select(col("doc_id").as("id"))
+      graft.operators.PageRank.run(pairs, nodes, iters = 3)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("id"))
+    }),
+
+    // Spark 4.1 RECURSIVE CTE (UnionLoop): transitive closure of the
+    // near-dup graph through the SQL front-end — the declarative twin of
+    // Components' imperative fixpoint loop. The recursion walks the
+    // low-id→high-id pair DAG (acyclic by construction, so UNION ALL
+    // terminates at the longest chain); each UnionLoop step is the same
+    // edges⋈frontier join Components runs by hand. Both engines execute
+    // the IDENTICAL recursive SQL.
+    "recursive_cte" -> ((s, dir) => {
+      lshVerifiedPairs(s, dir).select(col("id_a"), col("id_b"))
+        .createOrReplaceTempView("v_dup_edges")
+      s.sql("""WITH RECURSIVE closure AS (
+              |  SELECT id_a AS src, id_b AS dst FROM v_dup_edges
+              |  UNION ALL
+              |  SELECT c.src, e.id_b AS dst
+              |  FROM closure c JOIN v_dup_edges e ON e.id_a = c.dst
+              |)
+              |SELECT DISTINCT src, dst FROM closure
+              |ORDER BY src, dst""".stripMargin)
+    }),
+
     // SimHash fingerprints (32-bit) per document.
     "simhash" -> ((s, dir) => {
       spread(documents(s, dir))
@@ -377,6 +413,43 @@ object PipelineQueries {
          |  SELECT e.edst AS id, r.rep FROM reach r JOIN edges e ON e.esrc = r.id
          |)
          |SELECT id, min(rep) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "recursive_cte" ->
+      s"""WITH RECURSIVE $duckLshPairsCtes,
+         |closure AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT c.src, e.id_b AS dst
+         |  FROM closure c JOIN pairs e ON e.id_a = c.dst
+         |)
+         |SELECT DISTINCT src, dst FROM closure
+         |ORDER BY src, dst""".stripMargin,
+
+    "pagerank_pairs" -> {
+      // one damped-update iteration as a CTE template: prev ranks in `p`,
+      // result named `out`
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT nd.id, (0.15 / nn.n) + 0.85 * coalesce(f.inflow, 0.0) AS pr
+           |  FROM nodes nd CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr / d.deg) AS inflow
+           |    FROM edges e
+           |    JOIN deg d ON d.src = e.src
+           |    JOIN $prev p ON p.id = e.src
+           |    GROUP BY e.dst) f ON f.id = nd.id)""".stripMargin
+      s"""WITH $duckLshPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT doc_id AS id FROM src),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT id, round(pr, 6) AS pr FROM pr3 ORDER BY id""".stripMargin
+    },
 
     "simhash" ->
       s"""WITH hs0 AS (

@@ -874,6 +874,75 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Ordered-set / ranked aggregates new in Spark 4: listagg WITHIN GROUP
+    // (ordered, DISTINCT string concat — the SQL:2016 ordered-set
+    // aggregate), deterministic mode() (ties → lowest value), exact
+    // median(). All partial-aggregable group digests: listagg's state is
+    // the distinct value set (bounded by the priority domain), mode's is
+    // the per-value count map, median's the value multiset — the same
+    // map-side-combine shape as sum/avg for bounded domains.
+    "ordered_set_aggs" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("listagg(DISTINCT o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority)")
+            .as("priorities"),
+          expr("mode(o_orderpriority, true)").as("mode_priority"),
+          round(expr("median(o_totalprice)"), 2).as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    // function body is INLINED into the plan by ResolveSQLFunctions, so it
+    // optimizes and codegens exactly like writing the expression by hand —
+    // zero serialization wall, unlike a JVM/Python UDF. The portable way
+    // to ship scalar business logic across a 1000-executor cluster.
+    "sql_udf" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+              |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+      s.sql("""SELECT l_returnflag,
+              |  round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+              |  count(*) AS n
+              |FROM v_lineitem
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // UNPIVOT (wide → long): per-flag measure columns melted into
+    // (measure, val) rows — the inverse of pivot_agg. Map-only reshape
+    // after the aggregate; no extra shuffle.
+    "unpivot_funcs" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    // LATERAL correlated subquery (SQL:1999): per-customer top-2 orders by
+    // price — the row-source form of a windowed top-N. Catalyst
+    // decorrelates into a ranked join; the DataFrame twin is window_topn.
+    "lateral_topn" -> ((s, dir) => {
+      sqlViews(s, dir)
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+              |FROM v_customer c,
+              |LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM v_orders
+              |  WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey ASC
+              |  LIMIT 2
+              |) o
+              |WHERE c.c_custkey < 50
+              |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+    }),
+
     // Exact percentiles (linear interpolation) per group.
     "percentiles" -> ((s, dir) => {
       events(s, dir)
@@ -1296,6 +1365,60 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "ordered_set_aggs" ->
+      """WITH agg AS (
+        |  SELECT o_orderstatus,
+        |    string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |    round(median(o_totalprice), 2) AS median_price,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |pc AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |md AS (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY n DESC, o_orderpriority ASC) AS rn
+        |  FROM pc)
+        |SELECT a.o_orderstatus, a.priorities, m.mode_priority, a.median_price, a.n
+        |FROM agg a JOIN md m ON m.o_orderstatus = a.o_orderstatus AND m.rn = 1
+        |ORDER BY a.o_orderstatus""".stripMargin,
+
+    "sql_udf" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "unpivot_funcs" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(avg(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, val FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL
+        |  SELECT l_returnflag, 'avg_disc', avg_disc FROM a)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2
+        |) o
+        |WHERE c.c_custkey < 50
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type,

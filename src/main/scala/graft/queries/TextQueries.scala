@@ -423,6 +423,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-BIGRAM LM scoring — charlm_bits lifted from characters to
+    // token transitions (the KenLM-style perplexity filter, reduced to
+    // bigrams with exact MLE probabilities so the oracle is closed-form):
+    // P(cur|prev) = n(prev,cur)/n(prev) over the corpus; per-doc score is
+    // bits per bigram under that model. Distributed shape: the staged
+    // (doc, prev, cur) digest stream feeds BOTH the model aggregation and
+    // the per-doc scorer; the model join key is the bigram — a shuffle
+    // join on observed-bigram digests (vocabulary-bounded, never text).
+    // High bits-per-bigram ≈ improbable transitions (shuffled text, spam).
+    "bigram_lm_bits" -> ((s, dir) => {
+      val bi = spread(documents(s, dir))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("prev"),
+            element_at(col("toks"), i + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+        .localCheckpoint() // feeds model + scorer: tokenize once
+      val bgCounts = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
+      val prevCounts = bgCounts.groupBy(col("prev")).agg(sum(col("n_bg")).as("n_prev"))
+      val model = bgCounts.join(prevCounts, Seq("prev"))
+        .select(col("prev"), col("cur"),
+          (col("n_bg").cast("double") / col("n_prev")).as("p"))
+      bi.groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("n"))
+        .join(model, Seq("prev", "cur"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          round(-sum(col("n") * log(col("p")) / log(lit(2.0))) / sum(col("n")), 6)
+            .as("bits_per_bigram"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: the redaction pass every released corpus gets. The
     // fixture text is clean, so deterministic synthetic PII (an email and
     // a phone derived from doc_id) is injected first; the scrubber then
@@ -745,6 +778,27 @@ object TextQueries {
         |  round(-sum(dc.n * ln(p) / ln(2.0)) / sum(dc.n), 6) AS bits_per_char
         |FROM dc JOIN model ON dc.ch = model.ch
         |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
+
+    "bigram_lm_bits" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t2),
+         |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
+         |bgc AS (SELECT prev, cur, count(*) AS n_bg FROM flat GROUP BY 1, 2),
+         |pv AS (SELECT prev, sum(n_bg)::BIGINT AS n_prev FROM bgc GROUP BY 1),
+         |model AS (
+         |  SELECT b.prev, b.cur, b.n_bg::DOUBLE / p.n_prev AS p
+         |  FROM bgc b JOIN pv p USING (prev)),
+         |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3)
+         |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_bigrams,
+         |  round(-sum(dc.n * ln(m.p) / ln(2.0)) / sum(dc.n), 6) AS bits_per_bigram
+         |FROM dc JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
+         |GROUP BY dc.doc_id
+         |ORDER BY dc.doc_id""".stripMargin,
 
     "pii_scrub" ->
       s"""WITH tainted AS (

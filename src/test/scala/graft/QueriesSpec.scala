@@ -18,7 +18,8 @@ class QueriesSpec extends AnyFunSuite {
     "ann_lsh",           // seeded random projections — approximate by design
     "embed_mllib",       // MLlib murmur3 term hashing — engine-specific
     "ann_ivf_kmeans",    // iteratively trained kmeans centers — engine-specific
-    "ann_recall_kmeans"  // recall audit of the same trained index
+    "ann_recall_kmeans", // recall audit of the same trained index
+    "ann_ivf_kmeans_batch" // batch face of the same trained index (AnnKmeansSpec: nprobe=#cells ≡ exact)
   )
 
   test("every query has an oracle or a conscious omission") {

@@ -58,6 +58,59 @@ class ScaleLayoutSpec extends AnyFunSuite {
       s"scan emitted $n of $total rows — row-group stats did not skip"))
   }
 
+  test("z-order layout: interleaved-bit clustering skips on BOTH dimensions; single-key sort does not") {
+    // Multi-dimensional clustering: sort by the bit-interleaved z-value of
+    // (l_orderkey, l_partkey) and every file/row-group covers a small
+    // RECTANGLE of the key space, so footer min/max stats skip data for a
+    // band predicate on EITHER column. The range-sorted layout above only
+    // skips on its one sort key — the z-order layout is what a 100 TB
+    // table uses when two lookup dimensions both matter.
+    val zDir = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    val xDir = Files.createTempDirectory("graft_xsort").toFile.getAbsolutePath
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    // normalize both dimensions onto a dense 10-bit grid first (unequal
+    // raw ranges would give one dimension's high bits all the weight),
+    // then interleave: grid bit i of orderkey → z bit 2i, partkey → 2i+1
+    val st = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (oMin, oRange) = (st.getLong(0), st.getLong(1) - st.getLong(0) + 1)
+    val (pMin, pRange) = (st.getLong(2), st.getLong(3) - st.getLong(2) + 1)
+    li.withColumn("zval", expr(
+        s"""aggregate(sequence(0, 9), 0L, (acc, i) ->
+           |  acc | shiftleft(shiftright(((l_orderkey - $oMin) * 1024) div $oRange, i) & 1, 2*i)
+           |      | shiftleft(shiftright(((l_partkey - $pMin) * 1024) div $pRange, i) & 1, 2*i + 1))""".stripMargin))
+      .repartitionByRange(64, col("zval")).sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(zDir)
+    li.repartitionByRange(64, col("l_orderkey")).sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(xDir)
+    def scanEmitted(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect() // materialize metrics
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    }
+    val (oLo, pLo) = (oMin, pMin)
+    val zOnOrder = scanEmitted(zDir, col("l_orderkey").between(oLo, oLo + 63))
+    val zOnPart = scanEmitted(zDir, col("l_partkey").between(pLo, pLo + 63))
+    val xOnPart = scanEmitted(xDir, col("l_partkey").between(pLo, pLo + 63))
+    info(s"total=$total z-layout: orderkey-band=$zOnOrder partkey-band=$zOnPart; " +
+      s"orderkey-sorted layout: partkey-band=$xOnPart")
+    assert(zOnOrder <= total / 4,
+      s"z-order did not skip on orderkey: scan emitted $zOnOrder of $total")
+    // z-order trades a little single-key locality for locality in BOTH
+    // dimensions: the partkey band must skip more than half the table...
+    assert(zOnPart <= total / 2,
+      s"z-order did not skip on partkey: scan emitted $zOnPart of $total")
+    // ...while the single-key layout scatters partkey across every file →
+    // its stats cannot skip for the partkey band at all
+    assert(xOnPart >= (total * 9) / 10,
+      s"expected the orderkey-sorted layout to scan ~everything for a partkey band, got $xOnPart")
+    assert(zOnPart * 2 <= xOnPart,
+      s"z-order not meaningfully better than single-key sort: $zOnPart vs $xOnPart")
+  }
+
   test("salted join equals the plain join exactly") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))

@@ -255,6 +255,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("batch_id").distinct().count() === 2)
   }
 
+  test("streaming index maintenance: arriving vectors appended to the trained IVF layout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    val (srcPath, cents) = Ann.kmeansLayout(spark, sf)
+    val centsDf = Ann.centroidsDf(spark, cents)
+    // clone the layout so the shared kmLayouts dir stays pristine
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfkm_stream")
+      .toFile.getAbsolutePath
+    spark.read.parquet(srcPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    // the "live ingest": clones of vectors 0-5 under new ids arrive in two
+    // micro-batches; each trigger assigns map-only against the broadcast
+    // trained centers and appends into the cell directories (foreachBatch
+    // → Ann.appendToLayout — the batch index-update operator IS the sink)
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    val (b1, b2) = vecs.splitAt(3)
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val q = input.toDF().toDF("vec_id", "embedding", "label")
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"), col("label"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.appendToLayout(df, centsDf, dir, "vec_id", "embedding")
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val ivf = spark.read.parquet(dir)
+    assert(ivf.count() === before + 6)
+    // per-trigger streamed assignments ≡ one batch assignCells pass
+    val streamed = ivf.filter(col("vec_id") >= 2000000L)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expect = Ann.assignCells(
+        Tables.embeddings(spark, sf).filter(col("vec_id") < 6)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")),
+        centsDf, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed === expect)
+    // a search immediately finds the streamed clone of vec 0, still pruned
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val res = Ann.ivfSearchCells(ivf, qv, "cell", centsDf, "vec_id",
+      "embedding", k = 5, excludeId = Some(0L))
+    assert(res.collect().map(_.getLong(0)).contains(2000000L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("dynamicpruning"),
+      s"streamed append broke pruning:\n$plan")
+  }
+
   test("stream-static anti join equals the batch anti join (incremental dedup face)") {
     val static = Tables.events(spark, sf).filter(col("event_id") % 3 === 0)
       .select(col("event_id"))
