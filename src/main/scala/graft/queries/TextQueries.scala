@@ -423,6 +423,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SENTENCE-level dedup (the RefinedWeb/C4 boilerplate-removal pass):
+    // docs are split into sentences, each sentence fingerprinted, and
+    // sentences appearing in ≥3 DISTINCT documents (cookie banners,
+    // licence lines — here a deterministically injected boilerplate
+    // sentence so the fixture has guaranteed hits) are dropped; the
+    // surviving sentences are reassembled IN ORDER into the cleaned
+    // document. Distributed shape: only (doc, idx, sentence-fp) digests
+    // shuffle for the frequency count; reassembly is one groupBy(doc)
+    // with an order-preserving struct sort — text moves once.
+    "sentence_dedup" -> ((s, dir) => {
+      val injected = documents(s, dir).select(col("doc_id"),
+        concat(lit("This document is provided as is. "), col("text")).as("text"))
+      val sents = spread(injected)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\.\\s+")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("sent"))
+        .filter(length(trim(col("sent"))) > 0)
+        .withColumn("sfp", TextOps.fingerprint(col("sent")))
+        .localCheckpoint() // feeds the frequency count AND the scorer
+      val freq = sents.groupBy(col("sfp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      sents.join(freq, Seq("sfp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("n_docs") < 3, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("n_docs") < 3,
+              struct(col("idx"), col("sent"))))),
+            x => x.getField("sent")), ". ").as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-BIGRAM LM scoring — charlm_bits lifted from characters to
     // token transitions (the KenLM-style perplexity filter, reduced to
     // bigrams with exact MLE probabilities so the oracle is closed-form):
@@ -778,6 +809,27 @@ object TextQueries {
         |  round(-sum(dc.n * ln(p) / ln(2.0)) / sum(dc.n), 6) AS bits_per_char
         |FROM dc JOIN model ON dc.ch = model.ch
         |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
+
+    "sentence_dedup" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id, 'This document is provided as is. ' || text AS text
+         |  FROM documents),
+         |arr AS (
+         |  SELECT doc_id, string_split_regex(text, '\\.\\s+') AS l FROM injected),
+         |sents0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l FROM arr),
+         |sents AS (
+         |  SELECT doc_id, i - 1 AS idx, l[i] AS sent, ${duckFingerprint("l[i]")} AS sfp
+         |  FROM sents0 WHERE length(trim(l[i])) > 0),
+         |freq AS (
+         |  SELECT sfp, count(DISTINCT doc_id) AS n_docs FROM sents GROUP BY sfp)
+         |SELECT s.doc_id, count(*) AS n_sents,
+         |  sum(CASE WHEN f.n_docs < 3 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  coalesce(string_agg(s.sent, '. ' ORDER BY s.idx)
+         |    FILTER (WHERE f.n_docs < 3), '') AS cleaned
+         |FROM sents s JOIN freq f ON f.sfp = s.sfp
+         |GROUP BY s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
 
     "bigram_lm_bits" ->
       s"""WITH t AS (
