@@ -238,6 +238,62 @@ object VectorQueries {
 
     // O10 batch embed: the full corpus embedded in one distributed
     // projection, flattened to (doc_id, bucket, weight) for the oracle.
+    // Matryoshka-style dimension truncation (Kusupati et al. 2022) with
+    // the shortlist-and-rescore serving pattern: rank by cosine over the
+    // FIRST 32 of 64 dims (half the I/O and FLOPs — at 100 TB the
+    // truncated prefix is its own column/file), take a 20-deep shortlist,
+    // re-score ONLY those 20 with full-dimension cosine, and audit
+    // recall@5 against the exact full-dim scan. Fully deterministic →
+    // fully oracled (unlike trained-index recall audits).
+    "mrl_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val exact = Knn.topK(corpus, q, "vec_id", "embedding", k = 5,
+        keep = Seq("vec_id")).select(col("vec_id"))
+      val shortlist = corpus.crossJoin(broadcast(q))
+        .withColumn("tsim", round(VectorOps.cosine(
+          slice(col("embedding"), 1, 32), slice(col("q_emb"), 1, 32)), 6))
+        .orderBy(col("tsim").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), col("embedding"))
+      val rerank = shortlist.crossJoin(broadcast(q))
+        .withColumn("sim", round(VectorOps.cosine(col("embedding"), col("q_emb")), 6))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"))
+      rerank.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(32).as("trunc_dim"), lit(20).as("shortlist"), lit(5).as("k"),
+          col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
+    // Binary quantization + Hamming shortlist + exact rescore — the
+    // modern vector-DB compression pattern (1 bit/dim = 64× smaller than
+    // float32; Hamming agreement is a popcount). Shortlist by sign-bit
+    // agreement count (20 deep), re-score with full cosine, audit
+    // recall@5 vs exact. Deterministic → fully oracled.
+    "bq_rerank_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val exact = Knn.topK(corpus, q, "vec_id", "embedding", k = 5,
+        keep = Seq("vec_id")).select(col("vec_id"))
+      val agree = size(filter(
+        zip_with(col("embedding"), col("q_emb"), (x, y) => (x > 0) === (y > 0)),
+        v => v))
+      val shortlist = corpus.crossJoin(broadcast(q))
+        .withColumn("n_agree", agree)
+        .orderBy(col("n_agree").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), col("embedding"))
+      val rerank = shortlist.crossJoin(broadcast(q))
+        .withColumn("sim", round(VectorOps.cosine(col("embedding"), col("q_emb")), 6))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"))
+      rerank.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(64).as("n_bits"), lit(20).as("shortlist"), lit(5).as("k"),
+          col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
     "embed_documents" -> ((s, dir) => {
       spread(documents(s, dir))
         .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))
@@ -455,6 +511,58 @@ object VectorQueries {
          |FROM emb e JOIN documents d USING (doc_id)
          |GROUP BY d.doc_id, combined_text
          |ORDER BY d.doc_id""".stripMargin,
+
+    "mrl_recall" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 5),
+         |short AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${duckCosine("list_slice(e.embedding::DOUBLE[], 1, 32)",
+                                        "list_slice(q.qe, 1, 32)")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 20),
+         |rr AS (
+         |  SELECT s.vec_id FROM short s CROSS JOIN q
+         |  ORDER BY round(${duckCosine("s.emb", "q.qe")}, 6) DESC, s.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 32 AS trunc_dim, 20 AS shortlist, 5 AS k,
+         |  count(*)::BIGINT AS n_hit, round(count(*) / 5.0, 6) AS recall
+         |FROM rr
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = rr.vec_id)""".stripMargin,
+
+    "bq_rerank_recall" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 5),
+         |short AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY len(list_filter(
+         |      list_transform(generate_series(1, 64),
+         |        i -> (e.embedding[i] > 0) = (q.qe[i] > 0)),
+         |      v -> v)) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 20),
+         |rr AS (
+         |  SELECT s.vec_id FROM short s CROSS JOIN q
+         |  ORDER BY round(${duckCosine("s.emb", "q.qe")}, 6) DESC, s.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 64 AS n_bits, 20 AS shortlist, 5 AS k,
+         |  count(*)::BIGINT AS n_hit, round(count(*) / 5.0, 6) AS recall
+         |FROM rr
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = rr.vec_id)""".stripMargin,
 
     "embed_documents" ->
       s"""WITH ${duckEmbedCte("'passage: ' || d0.text")}
