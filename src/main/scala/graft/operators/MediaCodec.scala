@@ -167,6 +167,57 @@ object MediaCodec {
     DecodedWav(sampleRate, channels, bits, dataSize / (channels * bits / 8))
   }
 
+  // ----------------------------------------------------------------- video
+
+  final case class DecodedAvi(usPerFrame: Int, totalFrames: Int, width: Int,
+                              height: Int)
+
+  /** Minimal canonical RIFF/AVI container: RIFF('AVI ') wrapping a
+    * LIST('hdrl') that holds the 56-byte 'avih' main header (the fields a
+    * frame sampler needs: frame period, frame count, dimensions). The same
+    * real-bytes RIFF discipline as the WAV path — a full AVI adds stream
+    * lists and a 'movi' payload after the header, which metadata
+    * extraction never touches.
+    */
+  def encodeAvi(usPerFrame: Int, totalFrames: Int, width: Int, height: Int): Array[Byte] = {
+    require(usPerFrame > 0 && totalFrames >= 0 && width > 0 && height > 0,
+      s"bad avi params $usPerFrame/$totalFrames/$width/$height")
+    val b = java.nio.ByteBuffer.allocate(88)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(80)
+      .put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(68)
+      .put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(usPerFrame) // dwMicroSecPerFrame
+      .putInt(0)          // dwMaxBytesPerSec
+      .putInt(0)          // dwPaddingGranularity
+      .putInt(0x10)       // dwFlags (AVIF_HASINDEX)
+      .putInt(totalFrames)
+      .putInt(0)          // dwInitialFrames
+      .putInt(1)          // dwStreams
+      .putInt(0)          // dwSuggestedBufferSize
+      .putInt(width)
+      .putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    b.array()
+  }
+
+  def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 88 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Parse the avih main header out of a canonical-layout AVI. */
+  def decodeAvi(p: Array[Byte]): DecodedAvi = {
+    require(isAvi(p), "not a RIFF/AVI container")
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fourcc = new String(Array(p(24), p(25), p(26), p(27)), "US-ASCII")
+    require(fourcc == "avih", s"first hdrl chunk $fourcc, want avih")
+    require(b.getInt(28) == 56, s"bad avih length ${b.getInt(28)}")
+    DecodedAvi(b.getInt(32), b.getInt(48), b.getInt(64), b.getInt(68))
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Sniff the container and parse format + dimensions + channel count from

@@ -84,6 +84,47 @@ object Multimodal {
     }
   }
 
+  case class VideoRow(doc_id: Long, payload: Array[Byte])
+  case class DecodedVideo(doc_id: Long, fmt: String, fps: Int, n_frames: Int,
+                          width: Int, height: Int, duration_ms: Long,
+                          n_sampled: Int, last_sampled: Int)
+
+  /** Synthesize REAL RIFF/AVI headers deterministically from (doc_id,
+    * n_chars) — the video face of the multimodal column. fps values are
+    * exact divisors of 1e6 so frame period ↔ fps round-trips losslessly.
+    */
+  def synthesizeVideo(docs: DataFrame): Dataset[VideoRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val fps = (id % 3) match { case 0 => 10; case 1 => 20; case _ => 25 }
+        val frames = 30 + (nChars % 120).toInt
+        val w = 16 * (1 + (id % 4).toInt)
+        val h = 16 * (1 + (nChars % 3).toInt)
+        VideoRow(id, MediaCodec.encodeAvi(1000000 / fps, frames, w, h))
+      }
+  }
+
+  /** Per-partition video header decode + 1 Hz frame sampling: every
+    * fps-th frame index is a keyframe candidate — the sampling PLUMBING
+    * (which indices, batched per partition) is real; a production codec
+    * would seek and decode those frames here.
+    */
+  def decodeVideoPartitions(media: Dataset[VideoRow]): Dataset[DecodedVideo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = MediaCodec.decodeAvi(r.payload)
+        val fps = 1000000 / d.usPerFrame
+        val lastSampled = ((d.totalFrames - 1) / fps) * fps
+        DecodedVideo(r.doc_id, "avi", fps, d.totalFrames, d.width, d.height,
+          d.totalFrames.toLong * d.usPerFrame / 1000,
+          (d.totalFrames - 1) / fps + 1, lastSampled)
+      }
+    }
+  }
+
   /** Batched per-partition decode: one decoder init per partition, rows
     * streamed through an iterator. Output is a typed Dataset with the
     * decoded-feature schema.

@@ -205,6 +205,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Video modality — the third leg of image/audio/video: synthesize
+    // real RIFF/AVI headers, parse them back per-partition, and emit the
+    // 1 Hz frame-sampling plan (n_sampled, last index) a decode stage
+    // would execute. Oracled like the other codecs: DuckDB recomputes the
+    // synthesis arithmetic, Spark parses actual container bytes — hash
+    // match ⇔ lossless header roundtrip AND correct sampling arithmetic.
+    "video_meta" -> ((s, dir) => {
+      val video = Multimodal.synthesizeVideo(documents(s, dir))
+      Multimodal.decodeVideoPartitions(video).toDF()
+        .select(col("doc_id"), col("fmt"), col("fps"), col("n_frames"),
+          col("width"), col("height"), col("duration_ms"),
+          col("n_sampled"), col("last_sampled"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MLlib LSH ANN: bucketed-random-projection index, bucket-probed
     // top-5 (seeded; approximate → rows-only check; MlAnnSpec asserts
     // recall vs exact knn_topk).
@@ -522,6 +537,21 @@ object PipelineQueries {
         |  (50 + n_chars % 200)::INTEGER AS n_frames,
         |  ((50 + n_chars % 200) * 1000 // (8000 + (doc_id % 3) * 4000))::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "video_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 20 ELSE 25 END) AS fps,
+        |    (30 + n_chars % 120) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, 'avi' AS fmt, fps::INTEGER AS fps,
+        |  n_frames::INTEGER AS n_frames,
+        |  (16 * (1 + doc_id % 4))::INTEGER AS width,
+        |  (16 * (1 + n_chars % 3))::INTEGER AS height,
+        |  (n_frames * (1000000 // fps) // 1000)::BIGINT AS duration_ms,
+        |  ((n_frames - 1) // fps + 1)::INTEGER AS n_sampled,
+        |  (((n_frames - 1) // fps) * fps)::INTEGER AS last_sampled
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

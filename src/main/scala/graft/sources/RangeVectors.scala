@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,12 +68,14 @@ class RangeVectorsTable(n: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class RangeVectorsScanBuilder(n: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = n // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeVectors.schema
+  private var aggKinds: Option[Array[String]] = None
 
   /** Consume id-range predicates into [lo, hi); everything else stays
     * with Spark (returned as not-pushed).
@@ -100,17 +104,49 @@ class RangeVectorsScanBuilder(n: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** PARTIAL aggregate pushdown (the V2ScanRelationPushDown mechanism the
+    * JDBC/parquet sources use): global count(*) / min(id) / max(id) are
+    * computed at the SOURCE from the (already filter-narrowed) id range —
+    * each input partition ships ONE digest row instead of its data rows,
+    * and Spark's final aggregate merges the partials. Composes with the
+    * consumed id-range filters: the pushed range IS the aggregated range.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    def idField(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    val kinds = aggregation.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case m: Min if idField(m.column) => "min_id"
+      case m: Max if idField(m.column) => "max_id"
+      case _ => return false
+    }
+    aggKinds = Some(kinds)
+    true
+  }
+
   override def build(): Scan =
-    new RangeVectorsScan(math.max(lo, 0L), math.min(hi, n), slices, required)
+    new RangeVectorsScan(math.max(lo, 0L), math.min(hi, n), slices, required,
+      aggKinds)
 }
 
-class RangeVectorsScan(lo: Long, hi: Long, slices: Int,
-                       required: StructType) extends Scan with Batch {
+class RangeVectorsScan(lo: Long, hi: Long, slices: Int, required: StructType,
+                       aggKinds: Option[Array[String]] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggKinds match {
+    case Some(kinds) => StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"${k}_$i", LongType, nullable = false) })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_range slice [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+    s"graft_range slice [$lo, $hi) cols=${required.fieldNames.mkString(",")}" +
+      aggKinds.map(k => s" pushedAggs=${k.mkString(",")}").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = math.max(0L, hi - lo)
@@ -120,11 +156,34 @@ class RangeVectorsScan(lo: Long, hi: Long, slices: Int,
       RangeSlice(s, math.min(s + per, hi)): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = aggKinds match {
+    case Some(kinds) => new RangeAggReaderFactory(kinds)
+    case None        => new RangeReaderFactory(required.fieldNames)
+  }
 }
 
 case class RangeSlice(lo: Long, hi: Long) extends InputPartition
+
+/** Each partition emits ONE partial-aggregate digest row, closed-form from
+  * its [lo, hi) slice — the rows-shipped count is the partition count, not
+  * the data count (SourcesSpec asserts this via the scan metric).
+  */
+class RangeAggReaderFactory(kinds: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[RangeSlice]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && slice.hi > slice.lo && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        kinds.map {
+          case "count"  => java.lang.Long.valueOf(slice.hi - slice.lo)
+          case "min_id" => java.lang.Long.valueOf(slice.lo)
+          case "max_id" => java.lang.Long.valueOf(slice.hi - 1)
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}
 
 class RangeReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

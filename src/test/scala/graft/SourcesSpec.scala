@@ -111,6 +111,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(point.rdd.getNumPartitions === 1)
   }
 
+  test("DSv2 connector: aggregate pushdown ships digest rows, composed with the filter range") {
+    val base = spark.read.format("graft_range")
+      .option("n", "10000").option("slices", "8").load()
+    val agg = base.filter(col("id") >= 100 && col("id") < 900)
+      .selectExpr("count(*) AS n", "min(id) AS lo", "max(id) AS hi")
+    val row = agg.head()
+    // correctness over the filter-narrowed range
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((800L, 100L, 899L)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") || plan.contains("pushedAggs"),
+      s"aggregates not pushed to the source:\n$plan")
+    // the scan emitted one partial digest row per input partition — not
+    // the 800 data rows
+    val scanRows = agg.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numOutputRows").map(_.value)
+    scanRows.foreach(n => assert(n <= 8, s"scan shipped $n rows — pushdown inert"))
+    // group-by aggregates are NOT claimed: the source refuses, Spark runs
+    // the ordinary scan + aggregate and the result stays correct
+    val grouped = base.groupBy(col("label")).count().orderBy(col("label"))
+    assert(grouped.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      (0 until 10).map(l => (l, 1000L)))
+  }
+
   test("JdbcStore: Derby round-trip is bit-exact and the read is partitioned") {
     val dir = "/root/testdata/sf0.001"
     val back = graft.sources.JdbcStore.readEmbeddings(spark, dir)
