@@ -791,6 +791,36 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Gap-filling resample (telemetry downsampling): a per-user 1-minute
+    // grid over a fixed 30-minute horizon, forward-filled with each
+    // user's most recent click value via the SAME one-shuffle as-of
+    // carry — grid generation is sequence+explode (map-side from a
+    // broadcast 1-row bound), so the only exchange is the as-of key
+    // shuffle. The missing-timestamp half of time-series handling that
+    // asof_join (event-to-event) doesn't exercise.
+    "resample_fill" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bounds = ev.agg(date_trunc("minute", min(col("ts"))).as("t0"))
+      val users = ev.filter(col("user_id") < 5).select(col("user_id")).distinct()
+      val grid = users.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("t0"),
+          explode(sequence(col("t0"), col("t0") + expr("INTERVAL 30 MINUTES"),
+            expr("INTERVAL 1 MINUTE"))).as("ts"))
+        .withColumn("event_id", // unique synthetic id, disjoint from real ids
+          (lit(-1L) - col("user_id") * 1000 -
+            ((unix_micros(col("ts")) - unix_micros(col("t0"))) /
+              lit(60000000L)).cast("long")))
+        .drop("t0")
+      val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.backward(grid, clicks, "user_id", "ts", "event_id",
+          Map("value" -> "filled_value", "ts" -> "src_ts"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("filled_value"), 2).as("filled_value"),
+          unix_micros(col("src_ts")).as("src_ts_us"))
+        .orderBy(col("user_id"), col("ts_us"))
+    }),
+
     // Extended window surface: ntile / lag / lead / percent_rank /
     // cume_dist plus a RANGE frame (value-bounded running sum). The
     // ordering inside each partition is unique (price, orderkey), so the
@@ -1290,6 +1320,21 @@ object RelationalQueries {
         |  round(c.value, 2) AS click_value, epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "resample_fill" ->
+      """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0 FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+        |grid AS (
+        |  SELECT u.user_id,
+        |    unnest(generate_series(b.t0, b.t0 + INTERVAL 30 MINUTE,
+        |      INTERVAL 1 MINUTE)) AS ts
+        |  FROM u CROSS JOIN b),
+        |c AS (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click' AND user_id < 5)
+        |SELECT g.user_id, epoch_us(g.ts) AS ts_us,
+        |  round(c.value, 2) AS filled_value, epoch_us(c.ts) AS src_ts_us
+        |FROM grid g ASOF LEFT JOIN c ON g.user_id = c.user_id AND g.ts >= c.ts
+        |ORDER BY g.user_id, ts_us""".stripMargin,
 
     "asof_forward" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),

@@ -37,6 +37,7 @@ class PlanLintSpec extends AnyFunSuite {
       "hybrid_rrf",   // 1-row query-embedding + 1-row bm25-stats broadcasts
       "hll_sketch_ops", // 1-row merged-sketch × 1-row exact-count probe
       "pagerank_pairs", // 1-row node-count aggregate broadcast per iteration
+      "resample_fill",  // 1-row grid-bound aggregate broadcast into the grid generator
       "edit_distance_pairs") // 40-row blocked pair set, broadcast side
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
