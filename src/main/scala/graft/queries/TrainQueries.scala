@@ -57,6 +57,24 @@ object TrainQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Weighted sampling WITHOUT replacement at scale (Efraimidis-Spirakis
+    // 2006): each row gets key = u^(1/w) for a uniform u and weight w; the
+    // global top-k by key IS an exact weighted sample without replacement
+    // — and top-k is TakeOrderedAndProject, so the "sample" never
+    // shuffles more than k rows per partition. Deterministic u from a
+    // multiplicative hash of doc_id (reproducible corpus draws — the same
+    // property data_split uses), weights = document length: the
+    // long-document-upweighting mixture draw of training-data assembly.
+    "weighted_sample" -> ((s, dir) => {
+      val u = ((col("doc_id") * 2654435761L) % 1000000007L).cast("double") /
+        lit(1000000007.0)
+      documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(50)
+    }),
+
     // Deterministic train/val/test split: 80/10/10 by hash bucket.
     // Map-only; assignment is a pure function of doc_id (stable across
     // reruns, shards, and engines).
@@ -214,6 +232,14 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  round(pow(((doc_id * 2654435761) % 1000000007)::DOUBLE / 1000000007.0,
+        |    1.0 / n_chars::DOUBLE), 6) AS es_key
+        |FROM documents
+        |ORDER BY es_key DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
     "data_split" ->
       s"""SELECT doc_id, $bucketDuck AS bucket,
          |  CASE WHEN $bucketDuck < 80 THEN 'train'
