@@ -423,6 +423,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-GROUP heavy hitters: approx_top_k as a grouped aggregate — one
+    // frequent-items sketch per language, merged partial→final like any
+    // hash aggregate (per-group sketch state is what shuffles). Estimate
+    // over-fetched (20/group) and re-ranked (n DESC, item ASC) so
+    // boundary ties cut identically on both engines; exact because
+    // maxItemsTracked > per-group vocabulary.
+    "approx_topk_grouped" -> ((s, dir) => {
+      spread(documents(s, dir))
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(expr("approx_top_k(tok, 20, 100000)").as("top"))
+        .select(col("lang"), explode(col("top")).as("e"))
+        .select(col("lang"), col("e.item").as("item"), col("e.count").as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("item").asc)))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // SENTENCE-level dedup (the RefinedWeb/C4 boilerplate-removal pass):
     // docs are split into sentences, each sentence fingerprinted, and
     // sentences appearing in ≥3 DISTINCT documents (cookie banners,
@@ -809,6 +828,16 @@ object TextQueries {
         |  round(-sum(dc.n * ln(p) / ln(2.0)) / sum(dc.n), 6) AS bits_per_char
         |FROM dc JOIN model ON dc.ch = model.ch
         |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
+
+    "approx_topk_grouped" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(${duckToks("text")}) AS tok FROM documents),
+         |c AS (SELECT lang, tok AS item, count(*) AS n FROM toks GROUP BY 1, 2),
+         |r AS (SELECT lang, item, n,
+         |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, item ASC) AS rnk
+         |      FROM c)
+         |SELECT lang, item, n, rnk FROM r WHERE rnk <= 3
+         |ORDER BY lang, rnk""".stripMargin,
 
     "sentence_dedup" ->
       s"""WITH injected AS (
