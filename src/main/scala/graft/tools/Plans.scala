@@ -20,7 +20,10 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "knn_topk_fused", "q1_agg", "q3_top10", "q5_nation_revenue",
       "semi_join", "embedding_neardup", "dedup_exact", "minhash_lsh_dedup",
-      "ann_ivf", "embed_documents", "topk_orders", "asof_join")
+      "ann_ivf", "embed_documents", "topk_orders", "asof_join",
+      // round-3 representatives
+      "hybrid_rrf", "pagerank_pairs", "knn_batch_custom", "ann_ivf_kmeans",
+      "sentence_dedup", "winnow_dedup", "sql_udf", "lateral_topn")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, sfDir)
