@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the industry-standard vector compression:
+  * split each d-dim vector into `m` subvectors, learn a small per-subspace
+  * codebook (k-means, k codes), store each vector as m code bytes
+  * (64 floats → 8 bytes here, 32×). Search runs ADC (asymmetric distance
+  * computation): the query precomputes an m×k table of per-subspace dot
+  * products — one TINY driver/broadcast artifact — and every corpus
+  * vector's score is m table lookups over its code array, no float math.
+  *
+  * Scale shape: training is an offline sample job (the codebooks are
+  * m·k·(d/m) doubles — KBs of broadcast index metadata, like IVF
+  * centroids); encoding is map-only; ADC scoring is a map-only projection
+  * + TakeOrderedAndProject shortlist; the exact rescore touches only the
+  * shortlist. Composes with IVF (scan one cell, score codes) — IVFPQ.
+  */
+object Pq {
+
+  /** books(s)(c) = centroid (subDim doubles) for code c of subspace s. */
+  final case class Codebooks(m: Int, subDim: Int,
+                             books: Array[Array[Array[Double]]]) extends Serializable
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
+
+  /** Train per-subspace codebooks on the corpus (seeded MLlib KMeans per
+    * subspace — the offline index build; memoized per sf dir like the IVF
+    * layouts).
+    */
+  def train(spark: SparkSession, sfDir: String, dim: Int = 64, m: Int = 8,
+            k: Int = 16, seed: Long = 42L): Codebooks =
+    cache.computeIfAbsent(s"$sfDir/$dim/$m/$k", { _ =>
+      val subDim = dim / m
+      // train on L2-NORMALIZED vectors: the search metric is cosine, and
+      // dot-product ADC ranks like cosine only on the unit sphere
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(graft.functions.VectorOps.l2Normalize(
+          graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("embedding"))
+      val books = (0 until m).map { s =>
+        val sub = emb.select(array_to_vector(
+          expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
+        new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
+          .setFeaturesCol("__v").setPredictionCol("__c")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+      Codebooks(m, subDim, books)
+    })
+
+  /** Map-only encoding: each (L2-normalized, double[]) vector → its m
+    * nearest-centroid codes (L2 per subspace, ties to the lower code id —
+    * deterministic). A UDF is justified here: nearest-codebook argmin has
+    * no built-in, and encoding is the offline index-build step, not the
+    * query hot path (which is pure HOF table lookups, see adcScore).
+    */
+  def encode(vecs: DataFrame, embCol: String, cb: Codebooks): DataFrame = {
+    val spark = vecs.sparkSession
+    val bc = spark.sparkContext.broadcast(cb)
+    val enc = udf { (v: Seq[Double]) =>
+      val c = bc.value
+      Array.tabulate(c.m) { s =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var code = 0
+        while (code < c.books(s).length) {
+          var d = 0.0
+          var i = 0
+          while (i < c.subDim) {
+            val diff = v(s * c.subDim + i) - c.books(s)(code)(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = code }
+          code += 1
+        }
+        best
+      }
+    }
+    vecs.withColumn("codes", enc(col(embCol)))
+  }
+
+  /** ADC score table for a query: table(s)(c) = dot(q_s, centroid_{s,c}).
+    * m×k doubles — the per-query broadcast artifact.
+    */
+  def adcTable(q: Array[Double], cb: Codebooks): Seq[Seq[Double]] =
+    (0 until cb.m).map { s =>
+      cb.books(s).toSeq.map { cent =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.subDim) { d += q(s * cb.subDim + i) * cent(i); i += 1 }
+        d
+      }
+    }
+
+  /** ADC scoring column: sum of per-subspace table lookups over `codes`. */
+  def adcScore(table: Seq[Seq[Double]], m: Int) = {
+    val t = typedLit(table)
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
+  }
+}

@@ -294,6 +294,40 @@ object VectorQueries {
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // Product quantization + ADC search + exact rescore (Jégou 2011 —
+    // the industry-standard 32× vector compression; see operators/Pq):
+    // offline per-subspace codebooks (trained, engine-specific →
+    // rows-only; AnnPqSpec is the quality gate), map-only encoding to 8
+    // code bytes, query scored as 8 HOF table lookups per vector, top-20
+    // shortlist (TakeOrderedAndProject), exact cosine rescore, recall@5
+    // audited vs the exact scan.
+    "pq_rerank_recall" -> ((s, dir) => {
+      val cb = graft.operators.Pq.train(s, dir)
+      val emb = embeddings(s, dir)
+      val norm = emb.select(col("vec_id"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val qVec = norm.filter(col("vec_id") === 0) // 1-row query fetch
+        .head().getSeq[Double](1).toArray
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id",
+        "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val table = graft.operators.Pq.adcTable(qVec, cb)
+      val shortlist = graft.operators.Pq
+        .encode(norm.filter(col("vec_id") =!= 0), "nemb", cb)
+        .withColumn("adc", round(graft.operators.Pq.adcScore(table, cb.m), 6))
+        .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), col("nemb"))
+      val rerank = shortlist.crossJoin(broadcast(q))
+        .withColumn("sim", round(VectorOps.cosine(col("nemb"), col("q_emb")), 6))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        .select(col("vec_id"))
+      rerank.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(8).as("m"), lit(16).as("k_codes"), lit(20).as("shortlist"),
+          lit(5).as("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
     "embed_documents" -> ((s, dir) => {
       spread(documents(s, dir))
         .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))

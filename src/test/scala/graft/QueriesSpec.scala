@@ -19,7 +19,8 @@ class QueriesSpec extends AnyFunSuite {
     "embed_mllib",       // MLlib murmur3 term hashing — engine-specific
     "ann_ivf_kmeans",    // iteratively trained kmeans centers — engine-specific
     "ann_recall_kmeans", // recall audit of the same trained index
-    "ann_ivf_kmeans_batch" // batch face of the same trained index (AnnKmeansSpec: nprobe=#cells ≡ exact)
+    "ann_ivf_kmeans_batch", // batch face of the same trained index (AnnKmeansSpec: nprobe=#cells ≡ exact)
+    "pq_rerank_recall"   // trained product-quantization codebooks (AnnPqSpec is the gate)
   )
 
   test("every query has an oracle or a conscious omission") {
