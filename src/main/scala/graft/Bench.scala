@@ -23,7 +23,10 @@ object Bench {
     // box); min-of-N measures the plan, not the first JIT pass. Shared
     // staged builds (StageCache, IVF layout, Derby store) amortize into the
     // first run, so min-of-N is steady-state cost — see PERF.md.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption
+        .orElse { System.err.println(s"ignoring non-numeric SPARK_GRAFT_BENCH_RUNS='$v'"); None })
+      .getOrElse(2))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
@@ -42,7 +45,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get truncated in driver captures; also persist the full
+    // per-query JSON so every round's numbers are enumerable afterwards
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"could not write $out: $e") }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import java.util.WeakHashMap
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -14,41 +14,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * cache is that staging step for the in-process registry (on a real
   * cluster it would be a persisted table / `persist(DISK_ONLY)`).
   *
-  * Lifecycle: keys are weak on the SparkSession (a dropped session lets its
-  * staged frames be GC'd, and the ContextCleaner then releases the
-  * localCheckpoint blocks), and an ApplicationEnd listener evicts +
-  * unpersists eagerly so checkpoint blocks never outlive the app. This
-  * addresses the round-2 advice that the memo pinned block-manager memory
-  * for the session's lifetime with no eviction.
+  * Lifecycle: eviction is EXPLICIT — an ApplicationEnd listener evicts +
+  * unpersists so checkpoint blocks never outlive the app, `evict(session)`
+  * is the per-session close hook, and a lazy sweep drops entries whose
+  * SparkContext has stopped. (A WeakHashMap keyed on the session cannot
+  * work here: each cached DataFrame strongly references its SparkSession
+  * through its QueryExecution, so a weak session key would never become
+  * collectible — the round-3 advice. Honest explicit eviction instead.)
   */
 object StageCache {
 
-  private val cache = new WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private val cache =
+    new ConcurrentHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   /** Return the staged frame for (session, key), building + localCheckpoint
     * -ing it on first use.
     */
   def getOrStage(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val perSession = synchronized {
-      Option(cache.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, DataFrame]
-        cache.put(s, m)
-        s.sparkContext.addSparkListener(new SparkListener {
-          override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = evict(s)
-        })
-        m
-      }
-    }
+    sweepStopped()
+    val perSession = cache.computeIfAbsent(s, { sess =>
+      sess.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = evict(sess)
+      })
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    })
     perSession.synchronized {
       perSession.getOrElseUpdate(key, build.localCheckpoint())
     }
   }
 
-  /** Drop and unpersist every frame staged under `s`. */
+  /** Drop and unpersist every frame staged under `s` — the per-session
+    * close hook (also fired by the ApplicationEnd listener).
+    */
   def evict(s: SparkSession): Unit = {
-    val dropped = synchronized(Option(cache.remove(s)))
+    val dropped = Option(cache.remove(s))
     dropped.foreach(_.values.foreach { df =>
       try df.unpersist() catch { case _: Throwable => () } // context may already be down
     })
+  }
+
+  /** Entries whose context already stopped hold only dead block references;
+    * drop them so the map can't grow across restarted sessions in one JVM.
+    */
+  private def sweepStopped(): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.sparkContext.isStopped) it.remove()
+    }
   }
 }

@@ -137,8 +137,10 @@ object Ann {
     */
   def kmeansLayout(spark: SparkSession, sfDir: String, k: Int = 10,
                    seed: Long = 42L): (String, Seq[(Int, Array[Double])]) =
-    kmLayouts.computeIfAbsent(sfDir, { _ =>
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfkm-" + pathToken(sfDir)
+    // memo key carries the hyperparameters too — a later call with a
+    // different (k, seed) must train its own layout, not reuse the first
+    kmLayouts.computeIfAbsent(s"$sfDir/$k/$seed", { _ =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfkm-" + pathToken(s"$sfDir/$k/$seed")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val prepared = emb.withColumn("__v",
         array_to_vector(graft.functions.VectorOps.toDoubleArray(col("embedding"))))

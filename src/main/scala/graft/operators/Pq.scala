@@ -35,7 +35,7 @@ object Pq {
     */
   def train(spark: SparkSession, sfDir: String, dim: Int = 64, m: Int = 8,
             k: Int = 16, seed: Long = 42L): Codebooks =
-    cache.computeIfAbsent(s"$sfDir/$dim/$m/$k", { _ =>
+    cache.computeIfAbsent(s"$sfDir/$dim/$m/$k/$seed", { _ =>
       val subDim = dim / m
       // train on L2-NORMALIZED vectors: the search metric is cosine, and
       // dot-product ADC ranks like cosine only on the unit sphere

@@ -684,9 +684,13 @@ object RelationalQueries {
     }),
 
     // TPC-H Q22 shape (adapted: country code = c_nationkey mod 5): rich
-    // customers with no orders — scalar average subquery threshold +
-    // correlated NOT EXISTS anti join. The threshold and money sum follow
-    // the repo rounding rules (avg→6dp both sides; sum in exact decimal).
+    // customers with no RECENT orders — scalar average subquery threshold +
+    // correlated NOT EXISTS anti join. The fixture gives every customer at
+    // least one order (unlike TPC-H's 1/3 orderless customers), so the
+    // NOT EXISTS is date-bounded ("lapsed since 1998") to keep the
+    // anti-join face non-vacuous: the fixture yields rows at sf0.01. The
+    // threshold and money sum follow the repo rounding rules (avg→6dp both
+    // sides; sum in exact decimal).
     "q22_no_orders" -> ((s, dir) => {
       sqlViews(s, dir)
       s.sql("""
@@ -699,7 +703,8 @@ object RelationalQueries {
             SELECT round(avg(c2.c_acctbal), 6) FROM v_customer c2
             WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 5 IN (1, 2, 3))
           AND NOT EXISTS (
-            SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+            SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         GROUP BY 1
         ORDER BY 1
       """)
@@ -1697,7 +1702,8 @@ object RelationalQueries {
         |    SELECT round(avg(c2.c_acctbal), 6) FROM customer c2
         |    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 5 IN (1, 2, 3))
         |  AND NOT EXISTS (
-        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 

@@ -160,13 +160,17 @@ object TrainQueries {
     // join; only (doc_id, n_hit/n_shingle) digests are aggregated. No
     // shuffle touches document text.
     "contamination" -> ((s, dir) => {
-      // shingle kernel feeds THREE consumers (bench set, totals, hits) —
-      // materialize it once (digests only, never text); persist(DISK_ONLY)
-      // at real scale. Same staging rule as lshVerifiedPairs.
-      val sh = spread(documents(s, dir))
-        .withColumn("hs", TextOps.tokenHashes(col("text")))
-        .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
-        .localCheckpoint()
+      // shingle kernel feeds THREE consumers (bench set, totals, hits) AND
+      // every later contamination scan over the same corpus — staged once
+      // per (session, dir) via StageCache (digests only, never text);
+      // persist(DISK_ONLY) at real scale. Same staging rule as bm25-tf and
+      // lshVerifiedPairs; a bare localCheckpoint here re-shingled the
+      // corpus on every invocation (round-3 verdict's slowest query).
+      val sh = graft.StageCache.getOrStage(s, s"shingles:$dir") {
+        spread(documents(s, dir))
+          .withColumn("hs", TextOps.tokenHashes(col("text")))
+          .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
+      }
       val benchSh = sh.filter(col("doc_id") % 97 === 0)
         .select(explode(col("shs")).as("sh")).distinct()
       val trainSh = sh.filter(col("doc_id") % 97 =!= 0)

@@ -87,12 +87,16 @@ class RangeVectorsScanBuilder(n: Long, slices: Int) extends ScanBuilder
            EqualTo("id", _: Long) => true
       case _ => false
     }
+    // saturating v+1: a boundary literal (Long.MaxValue) must not wrap
+    // negative and silently empty the scan — the filter was CONSUMED, so
+    // Spark applies no residual
+    def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     consumed.foreach {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, succ(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long)           => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, succ(v))
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, succ(v))
       case _ => ()
     }
     pushed = consumed
