@@ -39,7 +39,17 @@ object StageCache {
       scala.collection.mutable.Map.empty[String, DataFrame]
     })
     perSession.synchronized {
-      perSession.getOrElseUpdate(key, build.localCheckpoint())
+      val df = perSession.getOrElseUpdate(key, build.localCheckpoint())
+      // evict() may have raced us between computeIfAbsent and taking this
+      // monitor: staging into the orphaned map would leak the checkpoint
+      // blocks forever. Re-check membership and release immediately if so.
+      // (Eviction only fires at session close / ApplicationEnd, so a
+      // caller holding the now-unpersisted frame was shutting down anyway.)
+      if (!cache.containsKey(s)) {
+        perSession.remove(key)
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+      df
     }
   }
 
@@ -48,8 +58,13 @@ object StageCache {
     */
   def evict(s: SparkSession): Unit = {
     val dropped = Option(cache.remove(s))
-    dropped.foreach(_.values.foreach { df =>
-      try df.unpersist() catch { case _: Throwable => () } // context may already be down
+    // take the same per-session monitor getOrStage stages under, so an
+    // in-flight build completes (and is seen here) before we unpersist
+    dropped.foreach(m => m.synchronized {
+      m.values.foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () } // context may already be down
+      }
+      m.clear()
     })
   }
 

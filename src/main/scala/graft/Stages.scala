@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Registry of every one-time staged build (StageCache memos, IVF/PQ index
+  * builds, the Derby store) so the bench harness can pre-build each one,
+  * timed, as an explicit `stage:*` line item — instead of the build cost
+  * landing on whichever query happens to touch the memo first (round-4
+  * verdict: `dedup_components` carried the whole LSH-pairs build while
+  * `minhash_lsh_dedup` measured 0.04 s; neither number was the truth).
+  *
+  * Each entry forces the build eagerly: StageCache entries localCheckpoint
+  * (an action) on first use; the index builds write parquet / fit models.
+  */
+object Stages {
+
+  val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "lsh-pairs"    -> ((s, d) => { queries.PipelineQueries.lshVerifiedPairs(s, d); () }),
+    "shingles"     -> ((s, d) => { queries.TrainQueries.stagedShingles(s, d); () }),
+    "bm25-tf"      -> ((s, d) => { queries.TextQueries.bm25Tf(s, d); () }),
+    "winnow-fps"   -> ((s, d) => { queries.TextQueries.stagedWinnowFps(s, d); () }),
+    "doc-toks"     -> ((s, d) => { queries.TextQueries.stagedDocToks(s, d); () }),
+    "char-hist"    -> ((s, d) => { queries.TextQueries.stagedCharHist(s, d); () }),
+    "sentence-fps" -> ((s, d) => { queries.TextQueries.stagedSentenceFps(s, d); () }),
+    "bigrams"      -> ((s, d) => { queries.TextQueries.stagedBigrams(s, d); () }),
+    "ivf-layout"   -> ((s, d) => { operators.Ann.ivfLayout(s, d); () }),
+    "ivfkm-layout" -> ((s, d) => { operators.Ann.kmeansLayout(s, d); () }),
+    "pq-codebooks" -> ((s, d) => { operators.Pq.train(s, d); () }),
+    "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () })
+  )
+}

@@ -36,6 +36,73 @@ object TextQueries {
   private val doubledDocsSql =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents"
 
+  /** The staged winnowing-fingerprint stream (doc_id, fp) — see
+    * `winnow_dedup`. Named for the bench harness's `stage:winnow-fps`
+    * pre-build (graft.Stages).
+    */
+  private[graft] def stagedWinnowFps(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.StageCache.getOrStage(s, s"winnow-fps:$dir") {
+      spread(doubledDocs(s, dir).filter(col("doc_id") % 10000 < 100))
+        .select(col("doc_id"), explode(GraftFunctions.winnowHash(col("text"))).as("fp"))
+    }
+  }
+
+  /** The staged per-doc token arrays (doc_id, toks) — see
+    * `repetition_filter`. `stage:doc-toks` in the bench harness.
+    */
+  private[graft] def stagedDocToks(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"doc-toks:$dir") {
+      spread(documents(s, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    }
+
+  /** The staged (doc_id, ch, n) character-histogram digests — see
+    * `charlm_bits`. `stage:char-hist` in the bench harness.
+    */
+  private[graft] def stagedCharHist(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    graft.StageCache.getOrStage(s, s"char-hist:$dir") {
+      spread(documents(s, dir))
+        .select(col("doc_id"), GraftFunctions.charHist(col("text")).as("hist"))
+        .select(col("doc_id"), posexplode(col("hist")))
+        .filter(col("col") > 0)
+        .select(col("doc_id"),
+          expr(s"substr('${CharHist.Alphabet}', pos + 1, 1)").as("ch"),
+          col("col").as("n"))
+    }
+  }
+
+  /** The staged (doc_id, idx, sent, sfp) sentence-fingerprint stream over
+    * the boilerplate-injected corpus — see `sentence_dedup`.
+    * `stage:sentence-fps` in the bench harness.
+    */
+  private[graft] def stagedSentenceFps(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"sentence-fps:$dir") {
+      val injected = documents(s, dir).select(col("doc_id"),
+        concat(lit("This document is provided as is. "), col("text")).as("text"))
+      spread(injected)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\.\\s+")))
+        .select(col("doc_id"), col("pos").as("idx"), col("col").as("sent"))
+        .filter(length(trim(col("sent"))) > 0)
+        .withColumn("sfp", TextOps.fingerprint(col("sent")))
+    }
+
+  /** The staged (doc_id, prev, cur) bigram digest stream — see
+    * `bigram_lm_bits`. `stage:bigrams` in the bench harness.
+    */
+  private[graft] def stagedBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"bigrams:$dir") {
+      spread(documents(s, dir))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("prev"),
+            element_at(col("toks"), i + 1).as("cur")))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    }
+
   /** The BM25 (doc, term, tf) digest table — the inverted-index build
     * step. It feeds FOUR consumers inside one search (scorer, dl, stats,
     * df) AND every subsequent search / streaming-scorer snapshot over the
@@ -171,10 +238,7 @@ object TextQueries {
       GraftFunctions.register(s)
       // feeds sizes + both join sides AND repeat invocations: stage once
       // per (session, dir) — same policy as bm25-tf
-      val fps = graft.StageCache.getOrStage(s, s"winnow-fps:$dir") {
-        spread(doubledDocs(s, dir).filter(col("doc_id") % 10000 < 100))
-          .select(col("doc_id"), explode(GraftFunctions.winnowHash(col("text"))).as("fp"))
-      }
+      val fps = stagedWinnowFps(s, dir)
       val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val pairs = fps.select(col("doc_id").as("id_a"), col("fp"))
         .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
@@ -256,10 +320,7 @@ object TextQueries {
       // tokenize feeds both the unigram and trigram branches AND repeat
       // invocations — staged once per (session, dir) (persist(DISK_ONLY)
       // at real scale) instead of re-tokenizing
-      val toks = graft.StageCache.getOrStage(s, s"doc-toks:$dir") {
-        spread(documents(s, dir))
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      }
+      val toks = stagedDocToks(s, dir)
       val uni = toks
         .select(col("doc_id"), explode(col("toks")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
@@ -410,15 +471,7 @@ object TextQueries {
       // with the explode chain, which remains the DuckDB oracle formulation.
       // feeds model + scorer AND repeat invocations: one histogram scan
       // per (session, dir)
-      val docCounts = graft.StageCache.getOrStage(s, s"char-hist:$dir") {
-        spread(documents(s, dir))
-          .select(col("doc_id"), GraftFunctions.charHist(col("text")).as("hist"))
-          .select(col("doc_id"), posexplode(col("hist")))
-          .filter(col("col") > 0)
-          .select(col("doc_id"),
-            expr(s"substr('${CharHist.Alphabet}', pos + 1, 1)").as("ch"),
-            col("col").as("n"))
-      }
+      val docCounts = stagedCharHist(s, dir)
       val model = docCounts.groupBy(col("ch")).agg(sum(col("n")).as("cn"))
         .withColumn("total", sum(col("cn")).over(Window.partitionBy()))
         .select(col("ch"), (col("cn").cast("double") / col("total")).as("p"))
@@ -459,17 +512,9 @@ object TextQueries {
     // shuffle for the frequency count; reassembly is one groupBy(doc)
     // with an order-preserving struct sort — text moves once.
     "sentence_dedup" -> ((s, dir) => {
-      val injected = documents(s, dir).select(col("doc_id"),
-        concat(lit("This document is provided as is. "), col("text")).as("text"))
       // feeds the frequency count AND the scorer AND repeat invocations:
       // staged once per (session, dir)
-      val sents = graft.StageCache.getOrStage(s, s"sentence-fps:$dir") {
-        spread(injected)
-          .select(col("doc_id"), posexplode(split(col("text"), "\\.\\s+")))
-          .select(col("doc_id"), col("pos").as("idx"), col("col").as("sent"))
-          .filter(length(trim(col("sent"))) > 0)
-          .withColumn("sfp", TextOps.fingerprint(col("sent")))
-      }
+      val sents = stagedSentenceFps(s, dir)
       val freq = sents.groupBy(col("sfp"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
       sents.join(freq, Seq("sfp"))
@@ -495,16 +540,7 @@ object TextQueries {
     "bigram_lm_bits" -> ((s, dir) => {
       // feeds model + scorer AND repeat invocations: tokenized once per
       // (session, dir)
-      val bi = graft.StageCache.getOrStage(s, s"bigrams:$dir") {
-        spread(documents(s, dir))
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("prev"),
-              element_at(col("toks"), i + 1).as("cur")))).as("bg"))
-          .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      }
+      val bi = stagedBigrams(s, dir)
       val bgCounts = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
       val prevCounts = bgCounts.groupBy(col("prev")).agg(sum(col("n_bg")).as("n_prev"))
       val model = bgCounts.join(prevCounts, Seq("prev"))
