@@ -47,8 +47,20 @@ object Verify {
       case Some(names) => SparkEntry.oracleSql.filter { case (n, _) => names(n) }
       case None        => SparkEntry.oracleSql
     }
+    // The trained-IVF oracles probe the SAME dumped index files the Spark
+    // queries searched; those paths depend on the sf dir, which only this
+    // main knows — resolve the placeholders before handing the SQL to the
+    // driver's DuckDB run.
+    val pathSubs = Seq(
+      "__IVFKM_LAYOUT__" -> graft.operators.Ann.kmeansLayoutPath(sfDir),
+      "__IVFKM_CENTS__"  -> graft.operators.Ann.kmeansCentsPath(sfDir))
     val json = oracleSelected
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>
+          sql.replace(tok, path)
+        }
+        s"${q(k)}: ${q(resolved)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -124,6 +124,21 @@ object Ann {
   private val kmLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Int, Array[Double])])]()
 
+  /** Deterministic on-disk location of the trained layout for (sfDir, k,
+    * seed) — pure path arithmetic, no build. Verify substitutes these into
+    * the trained-IVF oracle SQL so DuckDB can probe the SAME layout the
+    * Spark queries searched (the centers are trained state; the oracle
+    * treats the dumped layout as an input table).
+    */
+  def kmeansLayoutPath(sfDir: String, k: Int = 10, seed: Long = 42L): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivfkm-" + pathToken(s"$sfDir/$k/$seed")
+
+  /** Sibling dir holding the (cell, centroid) table for the same layout —
+    * kept OUTSIDE the partitioned dir so `cell=*` globs stay clean.
+    */
+  def kmeansCentsPath(sfDir: String, k: Int = 10, seed: Long = 42L): String =
+    kmeansLayoutPath(sfDir, k, seed) + "-cents"
+
   /** Offline-TRAINED IVF index build: fit MLlib KMeans (seeded, cosine
     * distance — matching the cosine probe) on the corpus embeddings, write
     * the corpus partitioned by nearest-centroid cell, and return the layout
@@ -140,7 +155,7 @@ object Ann {
     // memo key carries the hyperparameters too — a later call with a
     // different (k, seed) must train its own layout, not reuse the first
     kmLayouts.computeIfAbsent(s"$sfDir/$k/$seed", { _ =>
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivfkm-" + pathToken(s"$sfDir/$k/$seed")
+      val dir = kmeansLayoutPath(sfDir, k, seed)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val prepared = emb.withColumn("__v",
         array_to_vector(graft.functions.VectorOps.toDoubleArray(col("embedding"))))
@@ -152,6 +167,12 @@ object Ann {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       val centers = model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray) }.toSeq
+      // dump the trained centers beside the layout: with BOTH halves of the
+      // index on disk, search-over-a-given-layout is deterministic and the
+      // DuckDB oracle can replay it (the training itself stays
+      // engine-specific — the oracle never re-fits anything)
+      centroidsDf(spark, centers).coalesce(1)
+        .write.mode("overwrite").parquet(kmeansCentsPath(sfDir, k, seed))
       (dir, centers)
     })
 

@@ -631,6 +631,89 @@ object PipelineQueries {
          |FROM embeddings e CROSS JOIN q JOIN probe p ON e.label = p.cell
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, e.vec_id ASC
-         |LIMIT 5""".stripMargin
+         |LIMIT 5""".stripMargin,
+
+    // TRAINED-IVF oracles: the kmeans centers are trained state, but the
+    // SEARCH over a given (layout, centers) pair is deterministic — so the
+    // oracle probes the SAME dumped index files the Spark query searched
+    // (Verify resolves the __IVFKM_*__ placeholders to the layout dumped by
+    // Ann.kmeansLayout for this sf dir). DuckDB reads the cell-partitioned
+    // corpus with hive_partitioning and replays probe → prune → top-k.
+    "ann_ivf_kmeans" ->
+      s"""WITH ivf AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |cents AS (SELECT cell, centroid FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM ivf WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${VectorQueries.duckCosine("centroid", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 1)
+         |SELECT e.vec_id, e.cell,
+         |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM ivf e CROSS JOIN q JOIN probe p ON e.cell = p.cell
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    // Recall@5 of the trained index vs the exact scan — same replay, plus
+    // the exact side over the embeddings table (mirrors ann_recall).
+    "ann_recall_kmeans" ->
+      s"""WITH ivf AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |cents AS (SELECT cell, centroid FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 5),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${VectorQueries.duckCosine("centroid", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 1),
+         |approx AS (
+         |  SELECT e.vec_id
+         |  FROM ivf e CROSS JOIN q JOIN probe p ON e.cell = p.cell
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+         |    e.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 0::BIGINT AS qid, 5 AS k, count(*)::BIGINT AS n_hit,
+         |  round(count(*)::DOUBLE / 5.0, 6) AS recall
+         |FROM approx
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = approx.vec_id)""".stripMargin,
+
+    // Batch search over the trained layout (nprobe=2): per-qid centroid
+    // probe → cell equi-join → per-qid top-3, replayed over the dumped
+    // index exactly like ann_ivf_batch's medoid oracle.
+    "ann_ivf_kmeans_batch" -> {
+      val qCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH ivf AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |cents AS (SELECT cell, centroid FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM ivf WHERE vec_id < 3),
+         |probe AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell, row_number() OVER (
+         |        PARTITION BY q.qid
+         |        ORDER BY round(${VectorQueries.duckCosine("c.centroid", "q.qe")}, 6) DESC,
+         |          c.cell ASC) AS crnk
+         |    FROM cents c CROSS JOIN qs q)
+         |  WHERE crnk <= 2),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id, e.cell, round($qCos, 6) AS sim,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round($qCos, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM ivf e
+         |  JOIN probe p ON e.cell = p.cell
+         |  JOIN qs q ON q.qid = p.qid
+         |  WHERE e.vec_id >= 3)
+         |SELECT qid, vec_id, cell, sim, rnk FROM scored
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    }
   )
 }

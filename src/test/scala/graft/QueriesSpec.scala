@@ -17,10 +17,10 @@ class QueriesSpec extends AnyFunSuite {
   val consciousOracleOmissions: Set[String] = Set(
     "ann_lsh",           // seeded random projections — approximate by design
     "embed_mllib",       // MLlib murmur3 term hashing — engine-specific
-    "ann_ivf_kmeans",    // iteratively trained kmeans centers — engine-specific
-    "ann_recall_kmeans", // recall audit of the same trained index
-    "ann_ivf_kmeans_batch", // batch face of the same trained index (AnnKmeansSpec: nprobe=#cells ≡ exact)
     "pq_rerank_recall"   // trained product-quantization codebooks (AnnPqSpec is the gate)
+    // ann_ivf_kmeans / ann_recall_kmeans / ann_ivf_kmeans_batch are now
+    // ORACLED: the trained layout + centers are dumped to parquet and the
+    // DuckDB SQL replays the search over those same files (PipelineQueries)
   )
 
   test("every query has an oracle or a conscious omission") {
