@@ -26,6 +26,7 @@ object Stages {
     "ivf-layout"   -> ((s, d) => { operators.Ann.ivfLayout(s, d); () }),
     "ivfkm-layout" -> ((s, d) => { operators.Ann.kmeansLayout(s, d); () }),
     "pq-codebooks" -> ((s, d) => { operators.Pq.train(s, d); () }),
+    "ivfpq-codes"  -> ((s, d) => { operators.Ivfpq.codesLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () })
   )
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** IVFPQ — the composition of the trained IVF layout (Ann.kmeansLayout)
+  * with product-quantization codes (Pq): the industry-standard serving
+  * index (Jégou et al. 2011's IVFADC, minus the residual encoding — codes
+  * quantize the raw L2-normalized vectors, the "IVF-Flat + PQ" variant, so
+  * one codebook set serves every cell and the PQ-alone path stays the
+  * recall baseline; AnnPqSpec pins IVFPQ-at-nprobe=all ≡ PQ-alone).
+  *
+  * Index build (offline, memoized per sf dir): encode every vector of the
+  * trained cell layout to m code bytes and store (vec_id, codes)
+  * partitioned BY CELL — at 100 TB the inverted lists ARE the parquet cell
+  * directories, holding 8-byte codes instead of 256-byte floats (32× less
+  * I/O per probed cell).
+  *
+  * Search: rank the k trained centroids driver-side (KBs of broadcast
+  * index metadata — same class as IvfRewrite's registry), turn the nprobe
+  * winners into a LITERAL partition filter (static pruning: the codes scan
+  * plans only the probed cell directories), ADC-score the codes — m table
+  * lookups per vector, no float math — shortlist via
+  * TakeOrderedAndProject, and exact-rescore ONLY the shortlist against the
+  * full-precision vectors.
+  *
+  * Scale shape of the serving path: I/O = nprobe/cells of the CODES table
+  * (already 32× compressed), float math = shortlistN rescores, shuffle =
+  * the k-row top-k merge. This is the scalable version of the reference's
+  * per-request full scan (VectorSearchService.cs:189-196).
+  */
+object Ivfpq {
+
+  private val layouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic codes-layout location for (sfDir, hyperparams) — pure
+    * path arithmetic (mirrors Ann.kmeansLayoutPath).
+    */
+  def codesPath(sfDir: String, cells: Int = 10, dim: Int = 64, m: Int = 8,
+                k: Int = 16, seed: Long = 42L): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivfpq-" +
+      Ann.pathToken(s"$sfDir/$cells/$dim/$m/$k/$seed")
+
+  /** Build (once per JVM per hyperparams) the cell-partitioned PQ codes
+    * table from the trained IVF layout + trained codebooks.
+    */
+  def codesLayout(spark: SparkSession, sfDir: String, cells: Int = 10,
+                  dim: Int = 64, m: Int = 8, k: Int = 16,
+                  seed: Long = 42L): String =
+    layouts.computeIfAbsent(s"$sfDir/$cells/$dim/$m/$k/$seed", { _ =>
+      val dir = codesPath(sfDir, cells, dim, m, k, seed)
+      val (kmDir, _) = Ann.kmeansLayout(spark, sfDir, cells, seed)
+      val cb = Pq.train(spark, sfDir, dim, m, k, seed)
+      val norm = spark.read.parquet(kmDir)
+        .select(col("vec_id"), col("cell"),
+          VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+      Pq.encode(norm, "nemb", cb)
+        .select(col("vec_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    })
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The nprobe cosine-nearest cells to `qVec` — ranked driver-side over
+    * the ≤`cells` in-memory centers (index METADATA, not data; the same
+    * acceptable-collect class as IvfRewrite's centroid registry). Rounded
+    * to 6 decimals with (sim DESC, cell ASC) tie-break, mirroring
+    * Ann.ivfSearchCells' probe.
+    */
+  def probeCells(cents: Seq[(Int, Array[Double])], qVec: Array[Double],
+                 nprobe: Int): Seq[Int] =
+    cents.map { case (cell, c) =>
+      (cell, math.rint(cosine(c, qVec) * 1e6) / 1e6)
+    }.sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nprobe).map(_._1)
+
+  /** IVFPQ top-k: static-pruned codes scan → ADC shortlist → exact
+    * rescore. `qVec` must be L2-normalized (ADC dot products rank like
+    * cosine only on the unit sphere — same contract as Pq).
+    * Returns (vec_id, sim) ranked exactly like Knn.topK's contract
+    * (sim DESC, vec_id ASC).
+    */
+  def search(spark: SparkSession, sfDir: String, qVec: Array[Double],
+             excludeId: Option[Long], k: Int, shortlistN: Int,
+             nprobe: Int, cells: Int = 10): DataFrame = {
+    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
+    val cb = Pq.train(spark, sfDir)
+    val codesDir = codesLayout(spark, sfDir, cells)
+    val probes = probeCells(cents, qVec, nprobe)
+    val table = Pq.adcTable(qVec, cb)
+    // literal IN on the partition column: the scan PLANS only the probed
+    // cell directories (PartitionFilters — asserted in AnnPqSpec)
+    val codes0 = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(probes: _*))
+    val codes = excludeId.map(id => codes0.filter(col("vec_id") =!= id))
+      .getOrElse(codes0)
+    val shortlist = codes
+      .withColumn("adc", round(Pq.adcScore(table, cb.m), 6))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(shortlistN)
+      .select(col("vec_id"))
+    // full-precision vectors are touched for shortlistN rows only
+    val norm = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+    norm.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .withColumn("sim", round(VectorOps.cosine(col("nemb"), typedLit(qVec.toSeq)), 6))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
+}

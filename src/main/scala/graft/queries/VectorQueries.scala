@@ -328,6 +328,31 @@ object VectorQueries {
           round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // IVFPQ — the industry-standard serving index: trained IVF cells
+    // (partition-pruned codes scan, nprobe=3 of 10 → ~30% of the already-
+    // 32×-compressed codes table read) × PQ ADC scoring (table lookups, no
+    // float math) × exact rescore of the 20-vector shortlist; recall@5
+    // audited vs the exact scan. Trained centers + codebooks are
+    // engine-specific → rows-only; AnnPqSpec pins nprobe=all ≡ PQ-alone
+    // and asserts the static partition pruning. See operators/Ivfpq.
+    "ivfpq_rerank_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val qn = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
+        .head().getSeq[Double](0).toArray // 1-row query fetch
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id",
+        "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val approx = graft.operators.Ivfpq.search(s, dir, qn,
+        excludeId = Some(0L), k = 5, shortlistN = 20, nprobe = 3)
+        .select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10).as("cells"), lit(3).as("nprobe"), lit(8).as("m"),
+          lit(16).as("k_codes"), lit(20).as("shortlist"), lit(5).as("k"),
+          col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
     "embed_documents" -> ((s, dir) => {
       spread(documents(s, dir))
         .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorOps
-import graft.operators.{Knn, Pq}
+import graft.operators.{Ann, Ivfpq, Knn, Pq}
 
 /** Quality gate for the product-quantization path (rows-only query —
   * trained codebooks are engine-specific, so correctness is asserted here
@@ -75,5 +75,71 @@ class AnnPqSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(s"PQ ADC recall@5 over 5 queries: $recalls (mean $mean)")
     assert(mean >= 0.3, s"PQ recall collapsed: $mean")
+  }
+
+  /** recall@5 of a (vec_id) result set vs the exact scan for query 0. */
+  private def recallVsExact(approx: Set[Long]): Double = {
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val exact = Knn.topK(
+        Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    exact.count(approx).toDouble / 5.0
+  }
+
+  test("IVFPQ at nprobe=all cells matches PQ-alone recall at equal shortlist") {
+    val cb = Pq.train(spark, sf)
+    val qn = normed.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    // PQ-alone: ADC over the WHOLE corpus, 20-deep shortlist, rescore@5
+    val table = Pq.adcTable(qn, cb)
+    val short = Pq.encode(normed.filter(col("vec_id") =!= 0), "nemb", cb)
+      .withColumn("adc", round(Pq.adcScore(table, cb.m), 6))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val pqAlone = short.crossJoin(broadcast(q))
+      .withColumn("sim", round(VectorOps.cosine(col("nemb"), col("q_emb")), 6))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    // IVFPQ scanning every cell sees the same codes → same shortlist →
+    // same rescore; recall must not drop below the PQ-alone baseline
+    val full = Ivfpq.search(spark, sf, qn, excludeId = Some(0L), k = 5,
+      shortlistN = 20, nprobe = 10).collect().map(_.getLong(0)).toSet
+    assert(full === pqAlone,
+      s"IVFPQ@nprobe=all diverged from PQ-alone: $full vs $pqAlone")
+    assert(recallVsExact(full) >= recallVsExact(pqAlone))
+    info(s"recall@5 at nprobe=all: ${recallVsExact(full)}")
+  }
+
+  test("IVFPQ pruned probe: static partition pruning, no float vectors before rescore") {
+    val qn = normed.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    val codesDir = Ivfpq.codesLayout(spark, sf)
+    val (_, cents) = Ann.kmeansLayout(spark, sf)
+    val probes = Ivfpq.probeCells(cents, qn, nprobe = 3)
+    assert(probes.length === 3 && probes.distinct.length === 3)
+    // the literal IN on the partition column must reach the codes scan as
+    // a PartitionFilter (pruning happens at PLANNING, not execution)
+    val pruned = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(probes: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    val numFiles = pruned.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numFiles")
+    pruned.count() // materialize metrics
+    // ≤ nprobe of the 10 cell dirs read (allow a straggler split per dir)
+    numFiles.foreach(m => assert(m.value <= 6,
+      s"read ${m.value} files for a 3-cell probe — pruning failed"))
+    // the codes table carries NO float vectors: everything before the
+    // rescore is (vec_id, codes, cell) — ADC is pure table lookups
+    assert(spark.read.parquet(codesDir).columns.toSet === Set("vec_id", "codes", "cell"))
+    // and the end-to-end pruned search still returns k ranked rows with
+    // decent recall (3/10 cells is a lossy probe; floor, not equality)
+    val res = Ivfpq.search(spark, sf, qn, excludeId = Some(0L), k = 5,
+      shortlistN = 20, nprobe = 3)
+    val ids = res.collect().map(_.getLong(0))
+    assert(ids.length === 5 && ids.distinct.length === 5)
+    info(s"recall@5 at nprobe=3: ${recallVsExact(ids.toSet)}")
+    assert(recallVsExact(ids.toSet) >= 0.2, "pruned-probe recall collapsed")
   }
 }

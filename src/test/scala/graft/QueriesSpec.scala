@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFunSuite {
   val consciousOracleOmissions: Set[String] = Set(
     "ann_lsh",           // seeded random projections — approximate by design
     "embed_mllib",       // MLlib murmur3 term hashing — engine-specific
-    "pq_rerank_recall"   // trained product-quantization codebooks (AnnPqSpec is the gate)
+    "pq_rerank_recall",  // trained product-quantization codebooks (AnnPqSpec is the gate)
+    "ivfpq_rerank_recall" // trained IVF cells × trained PQ codebooks (AnnPqSpec is the gate)
     // ann_ivf_kmeans / ann_recall_kmeans / ann_ivf_kmeans_batch are now
     // ORACLED: the trained layout + centers are dumped to parquet and the
     // DuckDB SQL replays the search over those same files (PipelineQueries)
