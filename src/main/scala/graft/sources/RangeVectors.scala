@@ -5,10 +5,10 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,6 +56,12 @@ object RangeVectors {
     StructField("sq", LongType, nullable = false),
     StructField("label", IntegerType, nullable = false),
     StructField("name", StringType, nullable = false)))
+
+  /** Partition count of the most recent planInputPartitions call —
+    * observability hook for SourcesSpec's runtime-filtering assertion
+    * (the re-planned count after a DPP IN-filter lands must shrink).
+    */
+  val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
 }
 
 class RangeVectorsTable(n: Long, slices: Int) extends Table with SupportsRead {
@@ -140,7 +146,43 @@ class RangeVectorsScanBuilder(n: Long, slices: Int) extends ScanBuilder
 }
 
 class RangeVectorsScan(lo: Long, hi: Long, slices: Int, required: StructType,
-                       aggKinds: Option[Array[String]] = None) extends Scan with Batch {
+                       aggKinds: Option[Array[String]] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  // Runtime (DPP-style) narrowing: when this scan sits under a join whose
+  // other side is selective, Spark broadcasts the join-key values and
+  // calls filter() with an IN predicate BEFORE re-planning partitions —
+  // the DSv2 analog of dynamic partition pruning (the Iceberg pattern).
+  // [rlo, rhi) shrinks to the value envelope; idSet lets readers skip
+  // non-matching rows inside surviving slices. Dropping rows outside the
+  // IN set is safe: those rows cannot join (the join re-checks the key).
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+  private var idSet: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().headOption.exists {
+            case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+            case _ => false
+          }) {
+        // Literal is the public connector API face (LiteralValue, like
+        // FieldReference, is private[sql] — only its Java interface is
+        // third-party-visible)
+        val vals = p.children().drop(1).collect {
+          case l: Literal[_] if l.dataType == LongType =>
+            l.value.asInstanceOf[Long]
+        }
+        if (vals.nonEmpty) {
+          rlo = math.max(rlo, vals.min)
+          rhi = math.min(rhi, vals.max + 1)
+          idSet = Some(idSet.fold(vals.toSet)(_ intersect vals.toSet))
+        }
+      }
+    }
 
   override def readSchema(): StructType = aggKinds match {
     case Some(kinds) => StructType(kinds.zipWithIndex.map { case (k, i) =>
@@ -153,20 +195,38 @@ class RangeVectorsScan(lo: Long, hi: Long, slices: Int, required: StructType,
       aggKinds.map(k => s" pushedAggs=${k.mkString(",")}").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = math.max(0L, hi - lo)
-    if (total == 0) return Array.empty
-    val per = math.max(1L, (total + slices - 1) / slices)
-    (lo until hi by per).map(s =>
-      RangeSlice(s, math.min(s + per, hi)): InputPartition).toArray
+    val total = math.max(0L, rhi - rlo)
+    // the runtime id set rides IN the partitions: Spark builds the reader
+    // factory during planning (before filter() fires), but re-plans the
+    // partitions AFTER — so per-partition state is the only channel that
+    // reliably carries runtime-filter results to the readers
+    val parts: Array[InputPartition] =
+      if (total == 0) Array.empty
+      else {
+        val per = math.max(1L, (total + slices - 1) / slices)
+        (rlo until rhi by per).map { s =>
+          val sHi = math.min(s + per, rhi)
+          RangeSlice(s, sHi, idSet.map(_.filter(v => v >= s && v < sHi))): InputPartition
+        }.toArray
+      }
+    RangeVectors.lastPlannedPartitions.set(parts.length)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = aggKinds match {
-    case Some(kinds) => new RangeAggReaderFactory(kinds)
-    case None        => new RangeReaderFactory(required.fieldNames)
+    case Some(kinds) =>
+      // agg pushdown only plans for a global aggregate DIRECTLY over the
+      // scan (no join above it), and runtime filters only arrive under a
+      // join — the combination cannot be planned; guard the closed-form
+      // digests against it regardless
+      require(idSet.isEmpty, "runtime filter cannot combine with pushed aggregates")
+      new RangeAggReaderFactory(kinds)
+    case None => new RangeReaderFactory(required.fieldNames)
   }
 }
 
-case class RangeSlice(lo: Long, hi: Long) extends InputPartition
+case class RangeSlice(lo: Long, hi: Long,
+                      ids: Option[Set[Long]] = None) extends InputPartition
 
 /** Each partition emits ONE partial-aggregate digest row, closed-form from
   * its [lo, hi) slice — the rows-shipped count is the partition count, not
@@ -175,6 +235,9 @@ case class RangeSlice(lo: Long, hi: Long) extends InputPartition
 class RangeAggReaderFactory(kinds: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[RangeSlice]
+    // closed-form digests are computed from the [lo, hi) envelope — they
+    // cannot honor a runtime id subset (and no plan can produce one here)
+    require(slice.ids.isEmpty, "pushed aggregates cannot combine with a runtime IN-filter")
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && slice.hi > slice.lo && { emitted = true; true }
@@ -194,7 +257,12 @@ class RangeReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
     val slice = partition.asInstanceOf[RangeSlice]
     new PartitionReader[InternalRow] {
       private var cur = slice.lo - 1
-      override def next(): Boolean = { cur += 1; cur < slice.hi }
+      override def next(): Boolean = {
+        cur += 1
+        // runtime IN-filter: emit only surviving ids within the slice
+        slice.ids.foreach { s => while (cur < slice.hi && !s.contains(cur)) cur += 1 }
+        cur < slice.hi
+      }
       // only the PRUNED columns are materialized
       override def get(): InternalRow = new GenericInternalRow(
         fields.map {

@@ -134,6 +134,57 @@ class SourcesSpec extends AnyFunSuite {
       (0 until 10).map(l => (l, 1000L)))
   }
 
+  test("DSv2 connector: runtime (DPP-style) IN-filter prunes partitions and rows at execution") {
+    import spark.implicits._
+    import graft.sources.RangeVectors
+    val fact = spark.read.format("graft_range")
+      .option("n", "100000").option("slices", "16").load()
+    // baseline: a plain scan plans all 16 slices
+    RangeVectors.lastPlannedPartitions.set(-1)
+    assert(fact.select(col("id"), col("sq")).collect().length === 100000)
+    assert(RangeVectors.lastPlannedPartitions.get === 16)
+    // selective broadcast dim: Spark collects the surviving join keys and
+    // hands them to Scan.filter() as an IN predicate BEFORE re-planning
+    // input partitions (SupportsRuntimeV2Filtering — v2's dynamic
+    // partition pruning). Keys are clustered so the surviving envelope is
+    // a sliver of the range.
+    val useStats = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    // plain physical plan (no QueryStage wrapping) so the scan leaf and its
+    // metrics are directly observable; DPP injects fine either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the dim must be a real source with a surviving Filter node — a
+      // local Seq would constant-fold into a LocalRelation and DPP skips
+      // sides without a selective predicate
+      val dimDir = tmpDir("graft_dpp_dim")
+      Seq((70010L, 1), (70020L, 1), (70030L, 1), (5L, 0))
+        .toDF("fid", "flag").write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir)
+      val joined = fact.join(broadcast(dim.filter($"flag" === 1)), $"id" === $"fid")
+        .select($"id", $"sq")
+      RangeVectors.lastPlannedPartitions.set(-1)
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(70010L, 70020L, 70030L))
+      assert(rows.forall(r => r.getLong(1) === r.getLong(0) * r.getLong(0)))
+      val planned = RangeVectors.lastPlannedPartitions.get
+      assert(planned >= 0, "scan was never re-planned")
+      assert(planned < 16,
+        s"runtime filter did not shrink the partition plan: $planned of 16")
+      // row-level pruning inside surviving slices: the scan emits ONLY the
+      // IN-set rows, not the envelope
+      val scan = joined.queryExecution.executedPlan.collectLeaves()
+        .find(_.toString.contains("graft_range"))
+      val emitted = scan.flatMap(_.metrics.get("numOutputRows")).map(_.value)
+      assert(emitted.contains(3L),
+        s"scan emitted $emitted rows — runtime row skipping failed")
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", useStats)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("JdbcStore: Derby round-trip is bit-exact and the read is partitioned") {
     val dir = "/root/testdata/sf0.001"
     val back = graft.sources.JdbcStore.readEmbeddings(spark, dir)
