@@ -47,9 +47,13 @@ object Streaming {
   def windowedAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
-        col("event_type"))
+      // group by the window STRUCT (not .getField("start")): append mode
+      // requires the watermarked event-time column to be visible in the
+      // grouping keys; the start field is projected out after the agg
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
 
   /** Streaming exactly-once dedup: drop replayed event ids, state bounded
     * by the watermark (duplicates are only expected within the lateness
@@ -187,6 +191,30 @@ object Streaming {
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Continuous serving of a TRAINED IVF index: each micro-batch of query
+    * vectors (qid, q_emb) probes the static cell-partitioned layout
+    * exactly like the batch `ann_ivf_kmeans_batch` path — per-qid centroid
+    * probe over the broadcast trained centers, cell equi-join against only
+    * the probed partitions, per-qid top-k (Ann.ivfSearchBatch, the
+    * identical plan). foreachBatch is the right tool here: the per-trigger
+    * ranking needs non-time windows (unsupported on a streaming frame) and
+    * the index probe is already a batch-shaped job against the layout; at
+    * scale this is the standard "stream of queries served against a
+    * static index" deployment, re-reading only probed cell directories
+    * per trigger. StreamingSpec asserts per-trigger output ≡ the batch
+    * search over exactly that trigger's queries.
+    */
+  def ivfServe(queries: DataFrame, layoutPath: String, cents: DataFrame,
+               k: Int, nprobe: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ivf = batch.sparkSession.read.parquet(layoutPath)
+        sink(graft.operators.Ann.ivfSearchBatch(ivf, batch, "cell", cents,
+          "vec_id", "embedding", k, nprobe), batchId)
+      }
+      .start()
 
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index

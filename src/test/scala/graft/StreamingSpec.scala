@@ -66,6 +66,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // the fixture must actually exercise the join
   }
 
+  test("watermark drops late events: a row older than the watermark never reaches the aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000 // micros
+    val min = 60L * 1000 * 1000
+    val input = MemoryStream[(Long, String, Double)]
+    val agged = Streaming.windowedAgg(
+      input.toDF().toDF("tsMicros", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("tsMicros"))))
+    val q = agged.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_drop").start()
+    try {
+      // on-time: hour-100 and hour-110 events; after this trigger the
+      // watermark sits at 110h − 2h = 108h, far past hour 100's window
+      input.addData((100 * hour + 10 * min, "click", 1.0),
+        (110 * hour, "click", 7.0))
+      q.processAllAvailable()
+      // LATE: event-time hour 100 + 15 min — 8 hours older than the
+      // watermark. It must be DROPPED before the aggregate, not merged
+      // into (or re-emit) the finalized window.
+      input.addData((100 * hour + 15 * min, "click", 100.0))
+      q.processAllAvailable()
+      // flush: advance the watermark past hour 110 so everything emits
+      input.addData((120 * hour, "view", 3.0))
+      q.processAllAvailable()
+      val h100 = spark.table("late_drop").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("hour_start").getTime,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("total_value")))
+        .filter(_._1 == 100L * 3600 * 1000)
+      // exactly the on-time contents: one row, n=1, the late 100.0 absent
+      assert(h100.toSeq === Seq((100L * 3600 * 1000, "click", 1L, 1.0)),
+        s"late event leaked into the finalized window: ${h100.toSeq}")
+      // and the engine reports the drop in its state-operator metrics
+      assert(q.recentProgress.exists(
+          _.stateOperators.exists(_.numRowsDroppedByWatermark > 0)),
+        "no rows were reported dropped by the watermark")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -147,6 +187,50 @@ class StreamingSpec extends AnyFunSuite {
         .select("qid", "doc_id", "sim", "rnk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
       assert(got === expect, s"trigger $bid top-k diverged from batch")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("streaming IVF serve: per-trigger results equal the batch trained-index search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val centsDf = Ann.centroidsDf(spark, cents).localCheckpoint()
+    val qAll = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val (b1, b2) = qAll.partition(_._1 < 3)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val sink = java.nio.file.Files.createTempDirectory("graft_ivfserve")
+      .toFile.getAbsolutePath
+    val q = Streaming.ivfServe(
+      input.toDF().toDF("qid", "q_emb"), path, centsDf, k = 3, nprobe = 2) {
+      (res, bid) =>
+        res.withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sink)
+    }
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // each trigger's results must equal the BATCH trained-index search
+    // (ann_ivf_kmeans_batch's plan) over exactly that trigger's queries
+    val emitted = spark.read.parquet(sink)
+    val ivf = spark.read.parquet(path)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("vec_id"), col("cell"), col("sim"), col("rnk"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+        .toSet
+    for ((qs, bid) <- Seq((b1, 0L), (b2, 1L))) {
+      val got = asSet(emitted.filter(col("batch_id") === bid))
+      val expect = asSet(Ann.ivfSearchBatch(ivf, qs.toSeq.toDF("qid", "q_emb"),
+        "cell", centsDf, "vec_id", "embedding", k = 3, nprobe = 2))
+      assert(got === expect, s"trigger $bid diverged from the batch index search")
       assert(got.nonEmpty)
     }
   }
