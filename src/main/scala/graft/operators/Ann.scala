@@ -157,14 +157,19 @@ object Ann {
     kmLayouts.computeIfAbsent(s"$sfDir/$k/$seed", { _ =>
       val dir = kmeansLayoutPath(sfDir, k, seed)
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // the fit input is sample-scale (at 100 TB you train on a sample and
+      // assign the corpus map-only) — one cached partition, or Lloyd's
+      // many tiny jobs pay 32-empty-task scheduler overhead per iteration
       val prepared = emb.withColumn("__v",
         array_to_vector(graft.functions.VectorOps.toDoubleArray(col("embedding"))))
+        .repartition(1).cache()
       val model = new KMeans()
         .setK(k).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
         .setFeaturesCol("__v").setPredictionCol("cell")
         .fit(prepared)
       model.transform(prepared).drop("__v")
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      prepared.unpersist()
       val centers = model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray) }.toSeq
       // dump the trained centers beside the layout: with BOTH halves of the

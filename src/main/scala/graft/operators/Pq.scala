@@ -38,18 +38,26 @@ object Pq {
     cache.computeIfAbsent(s"$sfDir/$dim/$m/$k/$seed", { _ =>
       val subDim = dim / m
       // train on L2-NORMALIZED vectors: the search metric is cosine, and
-      // dot-product ADC ranks like cosine only on the unit sphere
+      // dot-product ADC ranks like cosine only on the unit sphere.
+      // The training set is a SAMPLE-scale artifact (at 100 TB you fit
+      // codebooks on ~100k sampled vectors, not the corpus), so collapse
+      // it to one cached partition: Lloyd iterations are many tiny jobs,
+      // and 32 near-empty tasks per job is pure scheduler overhead — this
+      // was a 30–100 s stage at sf0.1; single-partition it is seconds.
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(graft.functions.VectorOps.l2Normalize(
           graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("embedding"))
-      val books = (0 until m).map { s =>
-        val sub = emb.select(array_to_vector(
-          expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
-        new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
-          .setFeaturesCol("__v").setPredictionCol("__c")
-          .fit(sub).clusterCenters.map(_.toArray)
-      }.toArray
-      Codebooks(m, subDim, books)
+        .repartition(1).cache()
+      try {
+        val books = (0 until m).map { s =>
+          val sub = emb.select(array_to_vector(
+            expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
+          new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
+            .setFeaturesCol("__v").setPredictionCol("__c")
+            .fit(sub).clusterCenters.map(_.toArray)
+        }.toArray
+        Codebooks(m, subDim, books)
+      } finally emb.unpersist()
     })
 
   /** Map-only encoding: each (L2-normalized, double[]) vector → its m
