@@ -36,7 +36,7 @@ object Bench {
     val stageResults = Stages.all.map { case (name, build) =>
       val t0 = System.nanoTime()
       val ok = try { build(spark, sfDir); true }
-      catch { case _: Throwable => errors += s"stage:$name"; false }
+      catch { case scala.util.control.NonFatal(_) => errors += s"stage:$name"; false }
       s"stage:$name" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // Materialize with the noop DSv2 sink, NOT .count(): under a count
@@ -51,7 +51,7 @@ object Bench {
       while (ok && r < runs) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => errors += name; ok = false }
+        catch { case scala.util.control.NonFatal(_) => errors += name; ok = false }
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         r += 1
       }

@@ -121,6 +121,10 @@ object Streaming {
     * corpus-level pass, the stream scores against the frozen snapshot.
     */
   def bm25Snapshot(s: SparkSession, dir: String, qTerms: Seq[String]): Bm25Stats = {
+    // dfMap is collected to the driver: sound only while it stays index
+    // METADATA (a handful of query terms), never a per-corpus table
+    require(qTerms.size <= 1024,
+      s"bm25Snapshot collects one df per query term; ${qTerms.size} terms is a corpus-sized pull")
     val tf = graft.queries.TextQueries.bm25Tf(s, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val st = dl.agg(count(lit(1)), avg(col("dl"))).head()
