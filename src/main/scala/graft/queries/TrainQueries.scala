@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.Dedup
+import graft.operators.{Dedup, GlobalRowNum}
 
 /** Training-data assembly operators: deterministic dataset splitting,
   * stratified sampling, and token-budget sequence packing — the steps
@@ -68,6 +68,20 @@ object TrainQueries {
     "((doc_id * 2654435761) % 4294967296) // 65536 % 100"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Contiguous global example numbering — every training run wants
+    // stable example ids over a deterministic corpus order. The obvious
+    // `row_number() OVER (ORDER BY …)` plans a SINGLE-partition window
+    // (all 100 TB through one task); GlobalRowNum is the scalable
+    // two-pass offset scheme. The oracle IS the single-partition window
+    // (fine at sf), proving the distributed numbering bit-exact against
+    // the plan we refused to run.
+    "global_rownum" -> ((s, dir) => {
+      GlobalRowNum.withRowNumber(
+        documents(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars"), col("doc_id")), numPartitions = 8)
+        .orderBy(col("rn"))
+    }),
 
     // Weighted sampling WITHOUT replacement at scale (Efraimidis-Spirakis
     // 2006): each row gets key = u^(1/w) for a uniform u and weight w; the
@@ -244,6 +258,11 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "global_rownum" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rn
+        |FROM documents ORDER BY rn""".stripMargin,
 
     "weighted_sample" ->
       """SELECT doc_id, n_chars,
