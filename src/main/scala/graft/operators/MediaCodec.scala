@@ -259,4 +259,136 @@ object MediaCodec {
     val bpp = b.getShort(28) & 0xffff
     Decoded("bmp", w, math.abs(hRaw), bpp / 8)
   }
+
+  // ---------------------------------------------------------------- pixels
+
+  /** A decoded luma (grayscale) plane, row-major top-down. Luma is the
+    * integer mean (r+g+b)/3 for color images and the gray sample itself
+    * for grayscale — integer arithmetic end-to-end so every downstream
+    * fingerprint is exactly recomputable by another engine.
+    */
+  final case class Pixels(width: Int, height: Int, luma: Array[Int])
+
+  /** FULL-payload pixel decode (headers were round 2; this walks the pixel
+    * data): BMP 24bpp BI_RGB (bottom-up or top-down, 4-byte row padding)
+    * and 8-bit PNG color types 0/2/4/6 — chunk walk, zlib inflate, and all
+    * five scanline filters per RFC 2083 §6. Palette PNGs are rejected, as
+    * is any non-8-bit depth: quarantine, don't guess.
+    */
+  def decodePixels(p: Array[Byte]): Pixels =
+    if (isPng(p)) decodePngPixels(p)
+    else if (isBmp(p)) decodeBmpPixels(p)
+    else throw new IllegalArgumentException(
+      s"unrecognized media container (${p.length} bytes)")
+
+  private def decodeBmpPixels(p: Array[Byte]): Pixels = {
+    val b = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(b.getInt(14) >= 40, "need BITMAPINFOHEADER")
+    require((b.getShort(28) & 0xffff) == 24 && b.getInt(30) == 0,
+      "only 24bpp BI_RGB pixel decode")
+    val off = b.getInt(10)
+    val w = b.getInt(18)
+    val hRaw = b.getInt(22)
+    val h = math.abs(hRaw)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    require(p.length >= off + rowSize * h, "truncated BMP pixel data")
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (hRaw < 0) y else h - 1 - y // bottom-up unless negative height
+      val base = off + fileRow * rowSize
+      var x = 0
+      while (x < w) {
+        val i = base + x * 3
+        val bl = p(i) & 0xff; val g = p(i + 1) & 0xff; val r = p(i + 2) & 0xff
+        luma(y * w + x) = (r + g + bl) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, luma)
+  }
+
+  private def decodePngPixels(p: Array[Byte]): Pixels = {
+    val hdr = decodePngHeader(p)
+    val b = java.nio.ByteBuffer.wrap(p)
+    val bitDepth = p(24) & 0xff
+    val colorType = p(25) & 0xff
+    require(bitDepth == 8, s"only 8-bit PNG pixel decode, got depth $bitDepth")
+    require(colorType != 3, "palette PNG unsupported")
+    require((p(26) | p(27) | p(28)) == 0, "only deflate/adaptive/no-interlace")
+    val w = hdr.width; val h = hdr.height; val ch = hdr.channels
+    // chunk walk: concatenate every IDAT payload (spec allows splitting the
+    // zlib stream across chunks at arbitrary byte boundaries)
+    val idat = new ByteArrayOutputStream()
+    var pos = 8
+    var end = false
+    while (!end && pos + 8 <= p.length) {
+      val len = b.getInt(pos)
+      val typ = new String(p, pos + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(p, pos + 8, len)
+      if (typ == "IEND") end = true
+      pos += 12 + len // length + type + data + crc
+    }
+    val stride = w * ch
+    val raw = inflateExact(idat.toByteArray, h * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // zeros stand in for the row above row 0
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowBase = y * (1 + stride)
+      val filter = raw(rowBase) & 0xff
+      var i = 0
+      while (i < stride) {
+        val v = raw(rowBase + 1 + i) & 0xff
+        val a = if (i >= ch) cur(i - ch) else 0 // left
+        val up = prev(i)                        // above
+        val c = if (i >= ch) prev(i - ch) else 0 // upper-left
+        cur(i) = filter match {
+          case 0 => v
+          case 1 => (v + a) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + (a + up) / 2) & 0xff
+          case 4 => (v + paeth(a, up, c)) & 0xff
+          case t => throw new IllegalArgumentException(s"PNG filter type $t")
+        }
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val base = x * ch
+        luma(y * w + x) = colorType match {
+          case 0 | 4 => cur(base) // gray (+alpha ignored)
+          case _     => (cur(base) + cur(base + 1) + cur(base + 2)) / 3
+        }
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Pixels(w, h, luma)
+  }
+
+  /** RFC 2083 §6.6 Paeth predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val pv = a + b - c
+    val pa = math.abs(pv - a); val pb = math.abs(pv - b); val pc = math.abs(pv - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def inflateExact(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (!inf.finished() && off < expected) {
+      val n = inf.inflate(out, off, expected - off)
+      require(n > 0 || inf.finished(), "truncated zlib stream")
+      off += n
+    }
+    inf.end()
+    require(off == expected, s"inflated $off of $expected raw bytes")
+    out
+  }
 }

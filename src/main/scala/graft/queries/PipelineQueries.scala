@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.{Ann, Dedup, MlAnn, Multimodal}
+import graft.operators.{Ann, Dedup, MlAnn, Multimodal, Phash}
 
 /** Advanced LLM-pipeline operators: MinHash/LSH near-dedup, SimHash,
   * document chunking, multimodal binary columns, IVF-pruned ANN search.
@@ -218,6 +218,19 @@ object PipelineQueries {
           col("width"), col("height"), col("duration_ms"),
           col("n_sampled"), col("last_sampled"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Image near-dup by perceptual hash — multimodal dedup: decode REAL
+    // PNG/BMP payloads to pixels (full zlib inflate + defilter, not just
+    // headers), 8×8 integer aHash, banded LSH candidates, exact hamming
+    // rescore (≤ 2). Oracled end-to-end: DuckDB re-derives each hash from
+    // the synthesis arithmetic (generate_series over sample points) while
+    // Spark computes it from DECODED BYTES — a hash match proves pixel
+    // decode, filter reversal, luma, downsample, and band join all at once.
+    "image_phash_neardup" -> ((s, dir) => {
+      val hb = Phash.hashBands(Multimodal.synthesizeMedia(documents(s, dir)))
+      Phash.nearDupPairs(hb, maxHamming = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // MLlib LSH ANN: bucketed-random-projection index, bucket-probed
@@ -552,6 +565,54 @@ object PipelineQueries {
         |  ((n_frames - 1) // fps + 1)::INTEGER AS n_sampled,
         |  (((n_frames - 1) // fps) * fps)::INTEGER AS last_sampled
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Re-derives every aHash from the synthesis arithmetic (the pixel at
+    // (x, y) is a pure function of (x, y) and the format class), then the
+    // same band join + hamming rescore. Integer arithmetic throughout —
+    // `64*gray > Σgray` replaces any float mean.
+    "image_phash_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + (doc_id % 31) AS w, 1 + (n_chars % 29) AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp'
+        |         WHEN doc_id % 4 = 1 THEN 'png0' ELSE 'png6' END AS fmt
+        |  FROM documents),
+        |pts AS (
+        |  SELECT d.doc_id, d.fmt, i.i,
+        |    ((i.i % 8) * d.w) // 8 AS px,
+        |    -- the BMP encoder writes its (x,y) gradient by FILE row and the
+        |    -- container is bottom-up, so decoded top-down row py holds
+        |    -- gradient row h-1-py; PNG scanlines are already top-down
+        |    CASE WHEN d.fmt = 'bmp' THEN d.h - 1 - (((i.i // 8) * d.h) // 8)
+        |         ELSE ((i.i // 8) * d.h) // 8 END AS py
+        |  FROM d, (SELECT unnest(generate_series(0, 63)) AS i) i),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    CASE fmt
+        |      WHEN 'bmp'  THEN ((px*5 + py*17) % 256 + (px*11 + py*3) % 256
+        |                        + (px*7 + py*13) % 256) // 3
+        |      WHEN 'png0' THEN (px*7 + py*13) % 256
+        |      ELSE (((4*px)*7 + py*13) % 256 + ((4*px+1)*7 + py*13) % 256
+        |            + ((4*px+2)*7 + py*13) % 256) // 3
+        |    END AS gray
+        |  FROM pts),
+        |hb AS (
+        |  SELECT doc_id, i // 16 AS band,
+        |    bit_or(CASE WHEN 64 * gray > tot
+        |           THEN (1::BIGINT << (i % 16)) ELSE 0::BIGINT END) AS bv
+        |  FROM (SELECT *, sum(gray) OVER (PARTITION BY doc_id) AS tot FROM g)
+        |  GROUP BY doc_id, i // 16),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM hb a JOIN hb c
+        |    ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT cand.doc_a, cand.doc_b,
+        |  sum(bit_count(xor(x.bv, y.bv)))::BIGINT AS hamming
+        |FROM cand
+        |JOIN hb x ON x.doc_id = cand.doc_a
+        |JOIN hb y ON y.doc_id = cand.doc_b AND y.band = x.band
+        |GROUP BY cand.doc_a, cand.doc_b
+        |HAVING sum(bit_count(xor(x.bv, y.bv))) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
