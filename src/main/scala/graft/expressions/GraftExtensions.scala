@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         GraftFunctions.CosineSimName),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.NfcNormalizeName),
+      new ExpressionInfo(classOf[NfcNormalize].getName,
+        GraftFunctions.NfcNormalizeName),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
   }

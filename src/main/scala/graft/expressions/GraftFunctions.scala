@@ -15,8 +15,11 @@ object GraftFunctions {
   val ChunkGenName = "chunk_gen"
   val CharHistName = "char_hist"
   val WinnowHashName = "winnow_hash"
+  val NfcNormalizeName = "nfc_normalize"
 
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcNormalizeName, exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineSimName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -168,6 +168,15 @@ object TextOps {
   def fingerprint(text: Column): Column =
     aggregate(tokenHashes(text), lit(0L), (acc, h) => (acc * 131L + h) % HashMod)
 
+  /** Unicode NFC canonicalization — native codegen expression
+    * (graft.expressions.NfcNormalize). Step-zero of text cleaning: every
+    * hash-based dedup upstream assumes one canonical byte form per string.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Character n-grams (shingles) of the normalized token-joined text. */
   def charShingles(text: Column, n: Int): Column = {
     val norm = concat_ws(" ", tokens(text))

@@ -168,6 +168,49 @@ object TextQueries {
     s"len(list_filter($toksExpr, t -> list_contains([$markers], t)))"
   }
 
+  /** The (word, freq) corpus digest the BPE trainer runs over. */
+  private[graft] def wordFreqs(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** The BPE merge loop unrolled in DuckDB SQL, round by round: pair
+    * counts from the double-spaced state, deterministic argmax (count
+    * desc, pair asc), one replace-all application — the literal same
+    * algorithm [[graft.operators.Bpe]] runs (the double-space separator
+    * makes replace-all exactly canonical greedy; see Bpe's scaladoc), so
+    * the merge table must match bit-for-bit (BpeSpec additionally
+    * validates the loop against an independent canonical-greedy
+    * implementation).
+    */
+  private def duckBpeMerges(k: Int): String = {
+    // pair is stored "a b"; the spaced-form search key is " a  b "
+    val rep = "replace(s, ' ' || replace(pair, ' ', '  ') || ' ', " +
+      "' ' || replace(pair, ' ', '') || ' ')"
+    val head =
+      s"""WITH w AS (
+         |  SELECT t AS word, count(*)::BIGINT AS freq
+         |  FROM documents, unnest(${duckToks("text")}) AS u(t) GROUP BY t),
+         |s0 AS (SELECT freq, ' ' || array_to_string(
+         |  list_transform(generate_series(1, length(word)), i -> substring(word, i, 1)),
+         |  '  ') || ' ' AS s FROM w)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s""",
+         |p$r AS (
+         |  SELECT pair, sum(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(tk)-1),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM s${r - 1}))
+         |  GROUP BY pair),
+         |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (SELECT freq, $rep AS s FROM s${r - 1}, b$r)""".stripMargin
+    }.mkString
+    val union = (1 to k)
+      .map(r => s"SELECT $r::INTEGER AS merge_rank, pair, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"$head$rounds\nSELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact deduplication: rolling-hash fingerprint → hash groupBy →
@@ -606,10 +649,63 @@ object TextQueries {
           round(avg(col("n_tokens")), 6).as("avg_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
+    }),
+
+    // BPE vocabulary induction, round 1: the corpus collapses to a
+    // word-frequency digest (one distributed agg), then adjacent-symbol
+    // pair counts weighted by word freq — top-20 with a total (cnt desc,
+    // pair) order. This is the aggregation every merge round re-runs.
+    "bpe_pair_counts" -> ((s, dir) => {
+      graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.initState(wordFreqs(s, dir)))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+    }),
+
+    // The full distributed BPE merge loop (8 merges): per round one
+    // vocab-sized pair-count agg + a SINGLE-ROW argmax collect + a
+    // map-only replace-to-fixpoint application (see operators/Bpe.scala).
+    // Oracled by the same loop unrolled in SQL — and the loop itself is
+    // cross-validated against a canonical greedy BPE in BpeSpec.
+    "bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.train(wordFreqs(s, dir), k = 8)
+        .orderBy(col("merge_rank"))),
+
+    // Unicode NFC canonicalization (native codegen expression). The corpus
+    // fixture is ASCII, where NFC is the identity — so the query appends a
+    // deterministic decomposed suffix (e+U+0301, U+212B, A+U+030A: three
+    // distinct composition classes) to make the oracle non-vacuous: the
+    // hash only matches if Spark's normalizer composes them exactly as
+    // DuckDB's nfc_normalize does, shrinking 6 codepoints to 3.
+    "text_normalize" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 24), lit("é Å Å"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          length(raw).as("n_raw"),
+          TextOps.nfcNormalize(raw).as("norm"))
+        .withColumn("n_norm", length(col("norm")))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      s"""WITH w AS (
+         |  SELECT t AS word, count(*)::BIGINT AS freq
+         |  FROM documents, unnest(${duckToks("text")}) AS u(t) GROUP BY t)
+         |SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair,
+         |  sum(freq)::BIGINT AS cnt
+         |FROM w, unnest(generate_series(1, length(word) - 1)) AS g(i)
+         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "bpe_merges" -> duckBpeMerges(8),
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  length(substring(text, 1, 24) || 'é Å Å') AS n_raw,
+        |  nfc_normalize(substring(text, 1, 24) || 'é Å Å') AS norm,
+        |  length(nfc_normalize(substring(text, 1, 24) || 'é Å Å')) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH all_docs AS ($doubledDocsSql),
          |fps AS (SELECT doc_id, ${duckFingerprint("text")} AS fp FROM all_docs)
