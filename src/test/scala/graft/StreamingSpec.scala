@@ -106,6 +106,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark: replay inside the horizon dropped, after state expiry re-emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000 // micros
+    val min = 60L * 1000 * 1000
+    val input = MemoryStream[(Long, Long)]
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("tsMicros", "event_id")
+        .withColumn("ts", timestamp_micros(col("tsMicros"))))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_wm").start()
+    try {
+      // first sightings: both emit
+      input.addData((100 * hour, 1L), (100 * hour + 10 * min, 2L))
+      q.processAllAvailable()
+      // replay of id 1 WITHIN the 1h lateness horizon: state still holds
+      // the id — dropped, nothing new emitted
+      input.addData((100 * hour + 20 * min, 1L))
+      q.processAllAvailable()
+      // jump event time 10 hours: watermark (max ts − 1 h) passes far
+      // beyond id 1's first sighting, so its dedup state is EVICTED —
+      // that bounded state is the whole point of the within-watermark form
+      input.addData((110 * hour, 3L))
+      q.processAllAvailable()
+      // id 1 again, post-eviction: a fresh first sighting — emits again
+      input.addData((110 * hour + 10 * min, 1L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm").collect()
+        .map(_.getAs[Long]("event_id")).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      assert(ids === Map(1L -> 2, 2L -> 1, 3L -> 1),
+        s"within-horizon replay must dedup, post-expiry replay must pass: $ids")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
