@@ -92,4 +92,29 @@ object Phash {
       .agg(sum(bit_count(col("xv").bitwiseXOR(col("yv")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Arriving-vs-index near-dup: which arriving images already exist
+    * (hamming ≤ `maxHamming`) in a STATIC band index — the incremental /
+    * streaming face of [[nearDupPairs]] (`incremental_dedup`'s shape with
+    * a similarity rescore instead of exact fp equality). Arriving band
+    * rows equi-join the index's banded buckets; only collision candidates
+    * are hamming-rescored.
+    */
+  def dupAgainstIndex(arriving: DataFrame, index: DataFrame,
+                      maxHamming: Int): DataFrame = {
+    val cand = arriving.select(col("doc_id").as("new_id"), col("band"), col("bv"))
+      .join(index.select(col("doc_id").as("old_id"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val xa = arriving.select(col("doc_id").as("new_id"),
+      col("band").as("xb"), col("bv").as("xv"))
+    val ya = index.select(col("doc_id").as("yid"),
+      col("band").as("yb"), col("bv").as("yv"))
+    cand
+      .join(xa, "new_id")
+      .join(ya, col("old_id") === col("yid") && col("xb") === col("yb"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(sum(bit_count(col("xv").bitwiseXOR(col("yv")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -183,7 +183,7 @@ object TextQueries {
     * validates the loop against an independent canonical-greedy
     * implementation).
     */
-  private def duckBpeMerges(k: Int): String = {
+  private def duckBpeCtes(k: Int): String = {
     // pair is stored "a b"; the spaced-form search key is " a  b "
     val rep = "replace(s, ' ' || replace(pair, ' ', '  ') || ' ', " +
       "' ' || replace(pair, ' ', '') || ' ')"
@@ -205,11 +205,21 @@ object TextQueries {
          |b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |s$r AS (SELECT freq, $rep AS s FROM s${r - 1}, b$r)""".stripMargin
     }.mkString
+    head + rounds
+  }
+
+  private def duckBpeMerges(k: Int): String = {
     val union = (1 to k)
       .map(r => s"SELECT $r::INTEGER AS merge_rank, pair, cnt FROM b$r")
       .mkString(" UNION ALL ")
-    s"$head$rounds\nSELECT * FROM ($union) ORDER BY merge_rank"
+    s"${duckBpeCtes(k)}\nSELECT * FROM ($union) ORDER BY merge_rank"
   }
+
+  private def duckBpeTokenize(k: Int): String =
+    s"""${duckBpeCtes(k)}
+       |SELECT token, sum(freq)::BIGINT AS cnt FROM (
+       |  SELECT freq, unnest(string_split(trim(s), '  ')) AS token FROM s$k)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -670,6 +680,23 @@ object TextQueries {
       graft.operators.Bpe.train(wordFreqs(s, dir), k = 8)
         .orderBy(col("merge_rank"))),
 
+    // The apply half of BPE: tokenize the corpus with the 8 trained
+    // merges (collected merge table = tokenizer artifact, KBs) — chained
+    // map-only replace passes over the word digest, then a subword-token
+    // count. Train + apply is the full tokenizer lifecycle.
+    "bpe_tokenize" -> ((s, dir) => {
+      val wf = wordFreqs(s, dir)
+      val merges = graft.operators.Bpe.train(wf, k = 8)
+        .orderBy(col("merge_rank")).collect().map(_.getString(1))
+      val applied = merges.foldLeft(graft.operators.Bpe.initState(wf)) {
+        (df, p) => df.withColumn("s", graft.operators.Bpe.applyMerge(col("s"), p))
+      }
+      applied
+        .select(col("freq"), explode(split(trim(col("s")), "  ")).as("token"))
+        .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(20)
+    }),
+
     // Unicode NFC canonicalization (native codegen expression). The corpus
     // fixture is ASCII, where NFC is the identity — so the query appends a
     // deterministic decomposed suffix (e+U+0301, U+212B, A+U+030A: three
@@ -698,6 +725,8 @@ object TextQueries {
          |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "bpe_merges" -> duckBpeMerges(8),
+
+    "bpe_tokenize" -> duckBpeTokenize(8),
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -141,6 +141,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image dedup: per-trigger phash-vs-index equals the batch rescore") {
+    import spark.implicits._
+    import graft.operators.{MediaCodec, Multimodal, Phash}
+    implicit val sqlCtx = spark.sqlContext
+    // static index: the historical corpus's phash bands
+    val staticDocs = graft.Tables.documents(spark, sf)
+    val index = Phash.hashBands(Multimodal.synthesizeMedia(staticDocs))
+      .cache()
+    // arrivals: two ids re-synthesizing EXISTING images (same (w, h,
+    // format class) as static docs → exact dups), plus one engineered to
+    // a (w, h, class) combo absent from the static set → novel
+    val statics = staticDocs.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    val present = statics.map { case (id, n) =>
+      (1 + id % 31, 1 + n % 29, id % 4)
+    }.toSet
+    // a combo absent from the static set is not enough — small images can
+    // land within the rescore radius by coincidence; pick one whose hash
+    // provably clears it against every static hash
+    val staticHashes = index.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(a => a.sortBy(_._2).map(_._3)).toMap
+    val novel = (for {
+      w <- 1L to 31L; h <- 1L to 29L
+      if !present.contains((w, h, 1L)) // png0 class: id%4==1
+    } yield (w, h)).find { case (w, h) =>
+      val cb = Phash.aHashBands(
+        MediaCodec.decodePixels(MediaCodec.encodePng(w.toInt, h.toInt, 0)))
+      staticHashes.values.forall(sb =>
+        (0 until 4).map(i => java.lang.Long.bitCount(cb(i) ^ sb(i))).sum > 2)
+    }.get
+    val dupA = statics(0); val dupB = statics(1)
+    // an id congruent mod lcm(31,4)=124 with the same n_chars residue
+    // synthesizes the byte-identical payload under a fresh id
+    val novelId = (0L until 124L)
+      .find(i => i % 31 == novel._1 - 1 && i % 4 == 1).get + 124 * 200
+    val arr = Seq(
+      (dupA._1 + 124 * 100, dupA._2),
+      (dupB._1 + 124 * 100, dupB._2),
+      (novelId, novel._2 - 1))
+    val input = MemoryStream[(Long, Long)]
+    val arriving = Multimodal.synthesizeMedia(
+      input.toDF().toDF("doc_id", "n_chars"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Phash.hashBands(arriving).writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Phash.dupAgainstIndex(batch, index, maxHamming = 2)
+          .as[(Long, Long, Long)].collect()
+        ()
+      }.start()
+    try {
+      input.addData(arr.take(2)); q.processAllAvailable()
+      input.addData(arr.drop(2)); q.processAllAvailable()
+      // batch equivalent over the same arrivals
+      val batchBands = Phash.hashBands(Multimodal.synthesizeMedia(
+        arr.toDF("doc_id", "n_chars")))
+      val want = Phash.dupAgainstIndex(batchBands, index, maxHamming = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.toSet === want, "per-trigger dedup diverged from batch")
+      // the two replayed images are exact dups of their static originals
+      assert(got.exists(t => t._1 == arr(0)._1 && t._2 == dupA._1 && t._3 == 0L))
+      assert(got.exists(t => t._1 == arr(1)._1 && t._2 == dupB._1 && t._3 == 0L))
+      // the engineered novel image collides with nothing
+      assert(!got.exists(_._1 == novelId), "novel image wrongly matched the index")
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
