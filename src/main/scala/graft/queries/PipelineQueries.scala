@@ -42,6 +42,16 @@ object PipelineQueries {
   private[graft] def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
     graft.StageCache.getOrStage(s, s"lsh-pairs:$dir")(computePairs(s, dir))
 
+  /** The phash band table — the image-dedup INDEX (doc → 4×16-bit aHash
+    * bands), staged once per (session, corpus): nearDupPairs references it
+    * four times (both candidate sides + both rescore sides), and without
+    * staging each reference would re-decode every image payload.
+    */
+  private[graft] def stagedPhashBands(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"phash-bands:$dir") {
+      Phash.hashBands(Multimodal.synthesizeMedia(documents(s, dir)))
+    }
+
   private def computePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = spread(doubledDocs(s, dir))
     val sh = docs
@@ -228,8 +238,7 @@ object PipelineQueries {
     // Spark computes it from DECODED BYTES — a hash match proves pixel
     // decode, filter reversal, luma, downsample, and band join all at once.
     "image_phash_neardup" -> ((s, dir) => {
-      val hb = Phash.hashBands(Multimodal.synthesizeMedia(documents(s, dir)))
-      Phash.nearDupPairs(hb, maxHamming = 2)
+      Phash.nearDupPairs(stagedPhashBands(s, dir), maxHamming = 2)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
