@@ -111,6 +111,33 @@ class ScaleLayoutSpec extends AnyFunSuite {
       s"z-order not meaningfully better than single-key sort: $zOnPart vs $xOnPart")
   }
 
+  test("output file sizing: maxRecordsPerFile bounds every written file") {
+    // The small-files/large-files control at 100 TB: a writer that emits
+    // one file per task produces either 10 GB monsters (slow readers, no
+    // parallelism) or millions of KB shards (NameNode/listing death).
+    // maxRecordsPerFile caps rows per file so a repartitioned write rolls
+    // oversized task outputs into bounded files — the knob a production
+    // sink pairs with a target row size. Verify both the bound and that
+    // nothing is lost.
+    val dir = Files.createTempDirectory("graft_sized").toFile.getAbsolutePath
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val total = ev.count()
+    ev.repartition(2) // 2 fat tasks...
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 150) // ...rolled into ≤150-row files
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(files.size >= (total / 150).toInt,
+      s"expected the 2 task outputs rolled into ≥${total / 150} files, got ${files.size}")
+    for (f <- files) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 150, s"${f.getName} has $n rows — cap not enforced")
+    }
+    assert(spark.read.parquet(dir).count() === total, "rows lost by file rolling")
+  }
+
   test("salted join equals the plain join exactly") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
