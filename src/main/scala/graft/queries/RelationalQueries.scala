@@ -174,6 +174,37 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("seq"))
     }),
 
+    // Funnel analysis: users progressing view → click → purchase with ≤4h
+    // between consecutive steps (ANY qualifying chain counts). Each stage
+    // is a user_id equi-join with a time-range residual — SMJ on the user
+    // key; the pair blowup is bounded by events-per-user-per-horizon, never
+    // corpus². (A first-following-event shortcut via as-of join would be
+    // cheaper but changes semantics: the first click need not be the one
+    // whose 1h window contains the purchase.)
+    "funnel_stages" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      def of(t: String, u: String, ts: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id").as(u), col("ts").as(ts))
+      val v = of("view", "user_id", "t1")
+      val c = of("click", "u2", "t2")
+      val p = of("purchase", "u3", "t3")
+      val vc = v.join(c, col("user_id") === col("u2") &&
+        col("t2") > col("t1") &&
+        col("t2") <= col("t1") + expr("INTERVAL 4 HOUR"))
+      val vcp = vc.join(p, col("user_id") === col("u3") &&
+        col("t3") > col("t2") &&
+        col("t3") <= col("t2") + expr("INTERVAL 4 HOUR"))
+      def stage(df: DataFrame, name: String) =
+        df.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view")
+        .unionAll(stage(vc, "2_click"))
+        .unionAll(stage(vcp, "3_purchase"))
+        .orderBy(col("stage"))
+    }),
+
     // Event-time sessionization (batch form): gap > 30 min starts a new
     // session; lag + running sum per user. This is the exact oracle for
     // graft.streaming.Streaming.sessionizeStream (same gap semantics).
@@ -1150,6 +1181,24 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
         |FROM events
         |ORDER BY user_id, seq""".stripMargin,
+
+    "funnel_stages" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.user_id, c.ts AS t2 FROM v JOIN c ON c.user_id = v.user_id
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR),
+        |vcp AS (
+        |  SELECT vc.user_id FROM vc JOIN p ON p.user_id = vc.user_id
+        |  AND p.ts > vc.t2 AND p.ts <= vc.t2 + INTERVAL 4 HOUR)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(DISTINCT user_id) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click', count(DISTINCT user_id) FROM vc
+        |  UNION ALL
+        |  SELECT '3_purchase', count(DISTINCT user_id) FROM vcp)
+        |ORDER BY stage""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (

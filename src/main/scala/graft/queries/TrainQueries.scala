@@ -51,6 +51,20 @@ object TrainQueries {
         .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
     }
 
+  /** Deterministic provenance URL for a fixture doc: subdomain, site, and
+    * TLD are arithmetic in doc_id, so the DuckDB oracle can reconstruct
+    * the parts Spark extracts by actually parsing the URL.
+    */
+  private def withUrl(docs: DataFrame): DataFrame = {
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("net"), lit("io"), lit("edu")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    docs.withColumn("url",
+      concat(lit("https://w"), col("doc_id") % 7,
+        lit(".site"), col("doc_id") % 13,
+        lit("."), tld, lit("/doc/"), col("doc_id")))
+  }
+
   /** Knuth multiplicative hash of a non-negative id, kept in [0, 2^32):
     * (id * 2654435761) mod 2^32. Cross-engine-portable integer arithmetic
     * (the product of a 32-bit id and the constant fits a 64-bit signed
@@ -81,6 +95,38 @@ object TrainQueries {
         documents(s, dir).select(col("doc_id"), col("n_chars")),
         Seq(col("n_chars"), col("doc_id")), numPartitions = 8)
         .orderBy(col("rn"))
+    }),
+
+    // Web-corpus curation, C4-style: documents carry provenance URLs (the
+    // fixture has none, so they are synthesized deterministically from
+    // doc_id — the multimodal trick: Spark PARSES the real URL string with
+    // parse_url while the oracle re-derives the parts arithmetically, so a
+    // hash match proves the parse). Per-registrable-domain corpus stats:
+    // the report a crawl-curation pass starts from.
+    "domain_stats" -> ((s, dir) => {
+      withUrl(documents(s, dir))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("domain", regexp_extract(col("host"), "^[^.]+\\.(.*)$", 1))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("domain"))
+    }),
+
+    // Per-domain quota capping (the Common-Crawl "no domain dominates the
+    // corpus" rule): keep the first 5 docs per registrable domain in
+    // deterministic doc_id order. The window partitions by domain — never
+    // global — so skew is bounded by the largest single domain.
+    "domain_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("domain")).orderBy(col("doc_id"))
+      withUrl(documents(s, dir))
+        .withColumn("host", parse_url(col("url"), lit("HOST")))
+        .withColumn("domain", regexp_extract(col("host"), "^[^.]+\\.(.*)$", 1))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("host"), col("domain"))
+        .orderBy(col("doc_id"))
     }),
 
     // Weighted sampling WITHOUT replacement at scale (Efraimidis-Spirakis
@@ -258,6 +304,32 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text,
+         |    'w' || (doc_id % 7) || '.site' || (doc_id % 13) || '.' ||
+         |      (['com','org','net','io','edu'])[(doc_id % 5 + 1)] AS host,
+         |    'site' || (doc_id % 13) || '.' ||
+         |      (['com','org','net','io','edu'])[(doc_id % 5 + 1)] AS domain
+         |  FROM documents)
+         |SELECT domain, count(*) AS n_docs,
+         |  sum(len(${TextQueries.duckToks("text")}))::BIGINT AS total_tokens,
+         |  count(DISTINCT host) AS n_hosts
+         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'w' || (doc_id % 7) || '.site' || (doc_id % 13) || '.' ||
+        |      (['com','org','net','io','edu'])[(doc_id % 5 + 1)] AS host,
+        |    'site' || (doc_id % 13) || '.' ||
+        |      (['com','org','net','io','edu'])[(doc_id % 5 + 1)] AS domain
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |      FROM u)
+        |SELECT doc_id, host, domain FROM r WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin,
 
     "global_rownum" ->
       """SELECT doc_id, n_chars,
