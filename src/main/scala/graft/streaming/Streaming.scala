@@ -302,6 +302,66 @@ object Streaming {
       }.toDF()
   }
 
+  case class FunnelEv(user_id: Long, event_type: String, tsMicros: Long)
+  case class FunnelState(viewed: Boolean, clicked: Boolean, purchased: Boolean,
+                         views: List[Long], clicks: List[Long])
+  case class FunnelTransition(user_id: Long, stage: String)
+
+  /** Streaming funnel state machine — the streaming twin of the batch
+    * `funnel_stages` query (view → click → purchase, ≤4 h between
+    * consecutive steps, any qualifying chain). Per-user state holds only
+    * what future events can still use:
+    *  - view timestamps that can still qualify a click (≤ horizon old),
+    *  - QUALIFIED click timestamps that can still qualify a purchase,
+    *  - the three reached-stage flags.
+    * Everything older than the horizon is pruned each batch, so state per
+    * user is bounded by events-per-horizon, not stream length. Each stage
+    * transition is emitted exactly once (Append semantics).
+    */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   horizonHours: Int = 4): DataFrame = {
+    import spark.implicits._
+    val horizonUs = horizonHours * 3600L * 1000000L
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsMicros"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(viewed = false, clicked = false, purchased = false, Nil, Nil))
+          val out = List.newBuilder[FunnelTransition]
+          var maxTs = Long.MinValue
+          rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+            maxTs = math.max(maxTs, e.tsMicros)
+            e.event_type match {
+              case "view" =>
+                if (!st.viewed) out += FunnelTransition(uid, "1_view")
+                st = st.copy(viewed = true, views = e.tsMicros :: st.views)
+              case "click" =>
+                if (st.views.exists(v => e.tsMicros > v && e.tsMicros <= v + horizonUs)) {
+                  if (!st.clicked) out += FunnelTransition(uid, "2_click")
+                  st = st.copy(clicked = true, clicks = e.tsMicros :: st.clicks)
+                }
+              case "purchase" =>
+                if (!st.purchased &&
+                    st.clicks.exists(c => e.tsMicros > c && e.tsMicros <= c + horizonUs)) {
+                  out += FunnelTransition(uid, "3_purchase")
+                  st = st.copy(purchased = true)
+                }
+              case _ => ()
+            }
+          }
+          // prune: nothing older than horizon can qualify a future event
+          st = st.copy(
+            views = st.views.filter(_ + horizonUs >= maxTs),
+            clicks = if (st.purchased) Nil else st.clicks.filter(_ + horizonUs >= maxTs))
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /** Full session emission with flatMapGroupsWithState (Append mode +
     * event-time timeout): a session is emitted exactly when it CLOSES —
     * either a same-user event arrives past the 30-minute gap, or the

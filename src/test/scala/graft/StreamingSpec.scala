@@ -208,6 +208,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming funnel state machine equals the batch funnel stage counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed the whole events fixture in event-time order across 3 batches;
+    // chains that straddle batch boundaries must still be detected (state
+    // carries the horizon-pruned view/click sets across triggers)
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val thirds = all.grouped((all.length + 2) / 3).toSeq
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = Streaming.funnelStream(spark,
+      input.toDF().toDF("user_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us"))))
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      thirds.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("funnel_stream")
+        .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
+        .as[(String, Long)].collect().toMap
+      val want = graft.SparkEntry.queries("funnel_stages")(spark, sf)
+        .as[(String, Long)].collect().toMap
+      assert(got === want, s"streaming funnel diverged from batch: $got vs $want")
+      // each transition emitted exactly once per user
+      val dups = spark.table("funnel_stream")
+        .groupBy(col("user_id"), col("stage")).count()
+        .filter(col("count") > 1).count()
+      assert(dups === 0, "a stage transition was emitted more than once")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
