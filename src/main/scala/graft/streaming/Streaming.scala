@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the events table.
@@ -300,6 +300,43 @@ object Streaming {
           SessionOut(uid, st.sessionSeq, st.n, st.startMicros, st.lastTsMicros,
             st.valueSum)
       }.toDF()
+  }
+
+  case class KeyedRow(k: Long, v: String)
+
+  /** First-seen keeper on the Spark 4 `transformWithState` API: a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] whose per-key
+    * `ValueState` carries a TTL — the state-store-native way to bound
+    * dedup state by TIME without coupling it to an event-time watermark
+    * (`dropDuplicatesWithinWatermark`'s trade-off). After `ttl` of
+    * processing time the key's state expires on its own and a later
+    * replay is treated as a fresh first sighting. Requires the RocksDB
+    * state store provider.
+    */
+  class FirstSeenProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, KeyedRow, KeyedRow] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[KeyedRow],
+                                 timers: TimerValues): Iterator[KeyedRow] =
+      if (seen.exists()) Iterator.empty
+      else { seen.update(true); rows.take(1) } // also dedups within the batch
+  }
+
+  /** Streaming TTL dedup via `transformWithState` — the modern face of
+    * [[dedupStream]]: same exactly-once-per-key semantics, but state
+    * lifetime is an explicit TTL instead of a watermark horizon.
+    */
+  def dedupTtlStream(spark: SparkSession, rows: DataFrame,
+                     ttl: java.time.Duration): DataFrame = {
+    import spark.implicits._
+    rows.select(col("k"), col("v")).as[KeyedRow]
+      .groupByKey(_.k)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF()
   }
 
   case class FunnelEv(user_id: Long, event_type: String, tsMicros: Long)

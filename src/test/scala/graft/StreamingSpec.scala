@@ -240,6 +240,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState TTL dedup: replay dropped while state lives, re-emitted after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)]
+    val deduped = Streaming.dedupTtlStream(spark,
+      input.toDF().toDF("k", "v"), java.time.Duration.ofSeconds(5))
+    // A TTL processor has pending state-expiry work every trigger, so the
+    // engine schedules batches continuously: processAllAvailable never
+    // latches and even Trigger.AvailableNow keeps running timer batches
+    // (measured: 2 500+ committed batches without terminating). So never
+    // WAIT on the query — leave it running under the default trigger and
+    // poll, using the source offset recorded in query progress to know a
+    // given addData batch was fully processed before asserting on output.
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_dedup").start()
+    def table(): Seq[(Long, String)] =
+      spark.table("ttl_dedup").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def awaitProcessed(off: org.apache.spark.sql.connector.read.streaming.Offset): Unit = {
+      val want = off.json.toLong
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ({
+        val lp = q.lastProgress
+        lp == null || lp.sources.isEmpty || {
+          val end = lp.sources.head.endOffset
+          end == null || end.toLong < want
+        }
+      }) {
+        if (System.nanoTime() > deadline) fail(s"stream never reached offset $want")
+        Thread.sleep(50)
+      }
+    }
+    try {
+      awaitProcessed(input.addData((1L, "a"), (1L, "a-dup-in-batch"), (2L, "b")))
+      assert(table().toSet === Set((1L, "a"), (2L, "b")),
+        s"within-batch dup must keep first sighting only: ${table()}")
+      // replay while the 5s TTL state is alive: still deduped
+      awaitProcessed(input.addData(Seq((1L, "a-replay"))))
+      assert(table().toSet === Set((1L, "a"), (2L, "b")),
+        s"within-TTL replay must emit nothing new: ${table()}")
+      // let the TTL lapse in processing time, then replay: fresh sighting
+      Thread.sleep(6500)
+      awaitProcessed(input.addData(Seq((1L, "a-after-ttl"))))
+      assert(table().toSet === Set((1L, "a"), (2L, "b"), (1L, "a-after-ttl")),
+        s"post-TTL replay must be re-emitted: ${table()}")
+    } finally {
+      q.stop()
+      prev match { case Some(p) => spark.conf.set(provKey, p)
+                   case None => spark.conf.unset(provKey) }
+    }
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
