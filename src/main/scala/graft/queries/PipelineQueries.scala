@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.{Ann, Dedup, MlAnn, Multimodal, Phash}
+import graft.operators.{Ann, Dedup, MlAnn, Multimodal, Phash, Triangles}
 
 /** Advanced LLM-pipeline operators: MinHash/LSH near-dedup, SimHash,
   * document chunking, multimodal binary columns, IVF-pruned ANN search.
@@ -50,6 +50,25 @@ object PipelineQueries {
   private[graft] def stagedPhashBands(s: SparkSession, dir: String): DataFrame =
     graft.StageCache.getOrStage(s, s"phash-bands:$dir") {
       Phash.hashBands(Multimodal.synthesizeMedia(documents(s, dir)))
+    }
+
+  /** User co-occurrence graph: an undirected edge between two users who
+    * performed the same event_type inside the same 5-minute wall-clock
+    * bucket. Pair blowup is bounded by the (bucket, type) group sizes —
+    * the self-join never sees more than one bucket's users at a time.
+    * Staged once per (session, corpus): both triangle queries walk it.
+    */
+  private[graft] def stagedCoocEdges(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"cooc-edges:$dir") {
+      val g = events(s, dir)
+        .select(expr("unix_seconds(ts) DIV 300").as("h"),
+          col("event_type"), col("user_id"))
+        .distinct()
+      Triangles.canonEdges(
+        g.join(g.select(col("h"), col("event_type"), col("user_id").as("user_id2")),
+            Seq("h", "event_type"))
+          .filter(col("user_id") < col("user_id2")),
+        col("user_id"), col("user_id2"))
     }
 
   private def computePairs(s: SparkSession, dir: String): DataFrame = {
@@ -125,6 +144,21 @@ object PipelineQueries {
         .select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy(col("id"))
     }),
+
+    // Triangle counting over the user co-occurrence graph — the graph
+    // statistic behind clustering-coefficient quality signals and
+    // community pruning. Degree-ORIENTED (operators/Triangles): wedge
+    // work is O(m^1.5) by the arboricity bound instead of sum(deg²), so
+    // a celebrity node cannot detonate the join. The oracle replays the
+    // identical orientation + joins in SQL.
+    "triangle_count" -> ((s, dir) =>
+      Triangles.count(stagedCoocEdges(s, dir), col("a"), col("b"))),
+
+    // Per-node triangle participation (each triangle credits its three
+    // corners) — the numerator of the local clustering coefficient.
+    "triangle_per_node" -> ((s, dir) =>
+      Triangles.perNode(stagedCoocEdges(s, dir), col("a"), col("b"))
+        .orderBy(col("n"))),
 
     // Spark 4.1 RECURSIVE CTE (UnionLoop): transitive closure of the
     // near-dup graph through the SQL front-end — the declarative twin of
@@ -428,7 +462,42 @@ object PipelineQueries {
        |  WHERE $duckJacc >= 0.5
        |)""".stripMargin
 
+  /** Shared triangle oracle CTEs: co-occurrence edges → degree-oriented
+    * edge list → one row per triangle, replaying Triangles' orientation
+    * and joins in SQL. Bucketing stays in INTEGER microseconds on both
+    * sides (`epoch_us // …` == `unix_seconds DIV 300`): DuckDB's
+    * double→BIGINT cast ROUNDS, so `epoch(ts)::BIGINT` would shift rows
+    * in the second half of a bucket boundary second.
+    */
+  private val duckTriCtes =
+    """g AS (SELECT DISTINCT epoch_us(ts) // 300000000 AS h, event_type, user_id
+      |      FROM events),
+      |e0 AS (SELECT DISTINCT g1.user_id AS a, g2.user_id AS b
+      |       FROM g g1 JOIN g g2 ON g1.h = g2.h AND g1.event_type = g2.event_type
+      |        AND g1.user_id < g2.user_id),
+      |deg AS (SELECT n, count(*) AS d
+      |        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+      |        GROUP BY n),
+      |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+      |               THEN e0.a ELSE e0.b END AS src,
+      |             CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+      |               THEN e0.b ELSE e0.a END AS dst
+      |      FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+      |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
+      |        JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "triangle_count" ->
+      s"WITH $duckTriCtes\nSELECT count(*)::BIGINT AS n_triangles FROM tri",
+
+    "triangle_per_node" ->
+      s"""WITH $duckTriCtes,
+         |r AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |      UNION ALL SELECT z FROM tri)
+         |SELECT n, count(*)::BIGINT AS n_tri FROM r GROUP BY n ORDER BY n""".stripMargin,
+
     "minhash_signature" ->
       s"""WITH ${duckShingleCtes("SELECT doc_id, text FROM documents")},
          |$duckMinhashCte
