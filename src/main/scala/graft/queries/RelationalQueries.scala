@@ -228,6 +228,110 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Cohort retention: users grouped by first-active day, activity as
+    // (cohort_day, day_offset) distinct-user counts — the product
+    // analytics matrix behind every retention curve. Scale shape: the
+    // first-seen digest and the distinct-activity digest both shuffle on
+    // user_id ONCE and join on that same key (no re-shuffle); their sizes
+    // are bounded by |users| and |users|×|days|, never by |events|.
+    "cohort_retention" -> ((s, dir) => {
+      val f = events(s, dir).groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_d"))
+      val a = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      a.join(f, "user_id")
+        .groupBy(col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_d"), col("day_offset"))
+    }),
+
+    // Fixed-width numeric histogram: one hash aggregate, bins are pure
+    // row-local arithmetic — the profile-a-column primitive. (Exact, not
+    // a sketch: the approx twin is approx_percentiles.)
+    "value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("lo", col("bin") * 25.0)
+        .select(col("bin"), col("lo"), col("n"), col("sum_value"))
+        .orderBy(col("bin"))),
+
+    // Per-key EWMA (s_i = 0.3·x_i + 0.7·s_{i-1}) — the time-decayed
+    // feature-engineering primitive. Inherently sequential per key, so it
+    // folds each user's ORDERED history with the aggregate HOF after one
+    // shuffle on user_id; per-key state is bounded by that user's history
+    // (the same bound sessionize carries), never by |events|. The oracle
+    // replays the identical left fold with DuckDB's list_reduce — same
+    // order, same double ops, bit-equal before the shared round(…, 6).
+    "ewma_user_value" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+        .select(col("user_id"), col("n_events"),
+          round(aggregate(
+            expr("slice(xs, 2, size(xs) - 1)"),
+            col("xs")(0)("value"),
+            (acc, x) => lit(0.3) * x("value") + lit(0.7) * acc), 6).as("ewma"))
+        .orderBy(col("user_id"))),
+
+    // MERGE INTO (CDC upsert) as a Spark plan: apply a deterministic
+    // changeset (deletes / updates / inserts derived arithmetically from
+    // the snapshot, delete > update > insert precedence as in an explicit
+    // WHEN-MATCHED clause order) to the documents snapshot. The 100 TB
+    // shape: a CDC batch is orders of magnitude smaller than the
+    // snapshot, so matched rows resolve via a BROADCAST left join — the
+    // snapshot never shuffles — and inserts are a pure union append. (A
+    // changeset too big to broadcast instead co-partitions with a
+    // bucketed target for a zero-exchange SMJ.)
+    "merge_upsert" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val changes = documents(s, dir)
+        .withColumn("op",
+          when(col("doc_id") % 17 === 3, lit("d"))
+            .when(col("doc_id") % 10 === 0, lit("u"))
+            .when(col("doc_id") % 23 === 5, lit("i")))
+        .filter(col("op").isNotNull)
+        .select(
+          when(col("op") === "i", col("doc_id") + 10000000L)
+            .otherwise(col("doc_id")).as("doc_id"),
+          col("op"),
+          when(col("op") === "u", col("n_chars") + 1000L)
+            .when(col("op") === "i", col("doc_id") % 500)
+            .otherwise(col("n_chars")).as("new_n_chars"))
+      val matched = base
+        .join(broadcast(changes.filter(col("op") =!= "i")), Seq("doc_id"), "left")
+        .filter(col("op").isNull || col("op") === "u") // WHEN MATCHED AND d THEN DELETE
+        .select(col("doc_id"),
+          when(col("op") === "u", col("new_n_chars"))
+            .otherwise(col("n_chars")).as("n_chars"),
+          coalesce(col("op"), lit("k")).as("src"))
+      val inserts = changes.filter(col("op") === "i")
+        .select(col("doc_id"), col("new_n_chars").as("n_chars"), col("op").as("src"))
+      matched.unionAll(inserts).orderBy(col("doc_id"))
+    }),
+
+    // SCD Type-2 dimension-history build from a change log: collapse
+    // consecutive same-state events per user (only CHANGES open a new
+    // version), then validity intervals [valid_from, valid_to) via lead,
+    // open-ended current row last. Both windows partition by user_id —
+    // never global — so skew is bounded by one user's history.
+    "scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") % 20 === 0)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("version"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // Rollup: (flag, status), (flag), () grouping sets with grouping_id.
     "rollup_agg" -> ((s, dir) => {
       lineitem(s, dir)
@@ -1216,6 +1320,69 @@ object RelationalQueries {
         |  round(sum(value), 2) AS value_sum
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_d
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+        |SELECT f.cohort_d, datediff('day', f.cohort_d, a.d) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY f.cohort_d, day_offset
+        |ORDER BY cohort_d, day_offset""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT floor(value / 25.0)::BIGINT AS bin,
+        |  floor(value / 25.0)::BIGINT * 25.0 AS lo,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "ewma_user_value" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH ch0 AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 17 = 3 THEN 'd'
+        |         WHEN doc_id % 10 = 0 THEN 'u'
+        |         WHEN doc_id % 23 = 5 THEN 'i' END AS op
+        |  FROM documents),
+        |ch AS (
+        |  SELECT CASE WHEN op = 'i' THEN doc_id + 10000000 ELSE doc_id END AS doc_id,
+        |    op,
+        |    CASE WHEN op = 'u' THEN n_chars + 1000
+        |         WHEN op = 'i' THEN doc_id % 500
+        |         ELSE n_chars END AS new_n_chars
+        |  FROM ch0 WHERE op IS NOT NULL),
+        |matched AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c.op = 'u' THEN c.new_n_chars ELSE b.n_chars END AS n_chars,
+        |    coalesce(c.op, 'k') AS src
+        |  FROM documents b
+        |  LEFT JOIN (SELECT * FROM ch WHERE op <> 'i') c ON c.doc_id = b.doc_id
+        |  WHERE c.op IS NULL OR c.op = 'u')
+        |SELECT doc_id, n_chars, src FROM matched
+        |UNION ALL
+        |SELECT doc_id, new_n_chars AS n_chars, op AS src FROM ch WHERE op = 'i'
+        |ORDER BY doc_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id % 20 = 0),
+        |c AS (SELECT * FROM s WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS version,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, version
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
