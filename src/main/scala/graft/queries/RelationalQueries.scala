@@ -230,16 +230,16 @@ object RelationalQueries {
 
     // Cohort retention: users grouped by first-active day, activity as
     // (cohort_day, day_offset) distinct-user counts — the product
-    // analytics matrix behind every retention curve. Scale shape: the
-    // first-seen digest and the distinct-activity digest both shuffle on
-    // user_id ONCE and join on that same key (no re-shuffle); their sizes
-    // are bounded by |users| and |users|×|days|, never by |events|.
+    // analytics matrix behind every retention curve. Scale shape: events
+    // are scanned ONCE and collapsed to the (user, day) digest in the one
+    // full-size shuffle; the first-seen day then comes from a window over
+    // that digest (not a second scan + join), so everything downstream is
+    // bounded by |users|×|days|, never |events|.
     "cohort_retention" -> ((s, dir) => {
-      val f = events(s, dir).groupBy(col("user_id"))
-        .agg(min(to_date(col("ts"))).as("cohort_d"))
-      val a = events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+      events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      a.join(f, "user_id")
+        .withColumn("cohort_d", min(col("d")).over(w))
         .groupBy(col("cohort_d"),
           datediff(col("d"), col("cohort_d")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
