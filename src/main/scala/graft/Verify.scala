@@ -53,7 +53,9 @@ object Verify {
     // driver's DuckDB run.
     val pathSubs = Seq(
       "__IVFKM_LAYOUT__" -> graft.operators.Ann.kmeansLayoutPath(sfDir),
-      "__IVFKM_CENTS__"  -> graft.operators.Ann.kmeansCentsPath(sfDir))
+      "__IVFKM_CENTS__"  -> graft.operators.Ann.kmeansCentsPath(sfDir),
+      "__PQ_BOOKS__"     -> graft.operators.Pq.booksPath(sfDir),
+      "__IVFPQ_CODES__"  -> graft.operators.Ivfpq.codesPath(sfDir))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

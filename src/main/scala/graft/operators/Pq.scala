@@ -29,6 +29,18 @@ object Pq {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Codebooks]()
 
+  /** Deterministic on-disk location of the trained codebooks for (sfDir,
+    * hyperparams) — pure path arithmetic, no build (mirrors
+    * Ann.kmeansCentsPath). train() dumps the books here so that, with the
+    * codes layout (Ivfpq.codesPath) also on disk, ADC-search-over-a-given
+    * -index is deterministic and the DuckDB oracle can replay it — the
+    * training stays engine-specific; the oracle never re-fits anything.
+    */
+  def booksPath(sfDir: String, dim: Int = 64, m: Int = 8, k: Int = 16,
+                seed: Long = 42L): String =
+    s"${sys.props("java.io.tmpdir")}/graft-pqbooks-" +
+      Ann.pathToken(s"$sfDir/$dim/$m/$k/$seed")
+
   /** Train per-subspace codebooks on the corpus (seeded MLlib KMeans per
     * subspace — the offline index build; memoized per sf dir like the IVF
     * layouts).
@@ -56,6 +68,13 @@ object Pq {
             .setFeaturesCol("__v").setPredictionCol("__c")
             .fit(sub).clusterCenters.map(_.toArray)
         }.toArray
+        // dump (s, code, cent) beside the codes layout — the other half of
+        // the replayable index (see booksPath)
+        import spark.implicits._
+        (for { s <- 0 until m; c <- books(s).indices }
+          yield (s, c, books(s)(c).toSeq))
+          .toDF("s", "code", "cent").coalesce(1)
+          .write.mode("overwrite").parquet(booksPath(sfDir, dim, m, k, seed))
         Codebooks(m, subDim, books)
       } finally emb.unpersist()
     })

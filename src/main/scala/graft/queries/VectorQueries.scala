@@ -296,11 +296,15 @@ object VectorQueries {
 
     // Product quantization + ADC search + exact rescore (Jégou 2011 —
     // the industry-standard 32× vector compression; see operators/Pq):
-    // offline per-subspace codebooks (trained, engine-specific →
-    // rows-only; AnnPqSpec is the quality gate), map-only encoding to 8
-    // code bytes, query scored as 8 HOF table lookups per vector, top-20
-    // shortlist (TakeOrderedAndProject), exact cosine rescore, recall@5
-    // audited vs the exact scan.
+    // offline per-subspace codebooks + STORED code table (the serving
+    // shape — codes are written once by the index build, query time is 8
+    // HOF table lookups per vector over the codes scan), top-20 shortlist
+    // (TakeOrderedAndProject), exact cosine rescore of the shortlist only,
+    // recall@5 audited vs the exact scan. ORACLED by dumped-index replay:
+    // both halves of the trained index are on disk (Pq.booksPath +
+    // Ivfpq.codesPath), so DuckDB replays the identical ADC fold,
+    // shortlist, and rescore over the SAME trained state — the training
+    // itself stays engine-specific and is never re-fit.
     "pq_rerank_recall" -> ((s, dir) => {
       val cb = graft.operators.Pq.train(s, dir)
       val emb = embeddings(s, dir)
@@ -312,12 +316,15 @@ object VectorQueries {
       val exact = Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id",
         "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
       val table = graft.operators.Pq.adcTable(qVec, cb)
-      val shortlist = graft.operators.Pq
-        .encode(norm.filter(col("vec_id") =!= 0), "nemb", cb)
+      val codes = s.read.parquet(graft.operators.Ivfpq.codesLayout(s, dir))
+        .filter(col("vec_id") =!= 0) // PQ-alone: every cell of the codes table
+      val shortlist = codes
         .withColumn("adc", round(graft.operators.Pq.adcScore(table, cb.m), 6))
         .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
-        .select(col("vec_id"), col("nemb"))
-      val rerank = shortlist.crossJoin(broadcast(q))
+        .select(col("vec_id"))
+      // full-precision vectors are touched for the 20 shortlist rows only
+      val rerank = norm.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(q))
         .withColumn("sim", round(VectorOps.cosine(col("nemb"), col("q_emb")), 6))
         .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
         .select(col("vec_id"))
@@ -332,9 +339,10 @@ object VectorQueries {
     // (partition-pruned codes scan, nprobe=3 of 10 → ~30% of the already-
     // 32×-compressed codes table read) × PQ ADC scoring (table lookups, no
     // float math) × exact rescore of the 20-vector shortlist; recall@5
-    // audited vs the exact scan. Trained centers + codebooks are
-    // engine-specific → rows-only; AnnPqSpec pins nprobe=all ≡ PQ-alone
-    // and asserts the static partition pruning. See operators/Ivfpq.
+    // audited vs the exact scan. ORACLED by dumped-index replay (centers +
+    // codebooks + codes all on disk — see pq_rerank_recall); AnnPqSpec
+    // additionally pins nprobe=all ≡ PQ-alone and asserts the static
+    // partition pruning. See operators/Ivfpq.
     "ivfpq_rerank_recall" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -414,7 +422,82 @@ object VectorQueries {
        |  FROM ${p}grid g JOIN ${p}norms n USING (doc_id)
        |)""".stripMargin
 
+  /** Shared dumped-PQ-index replay CTEs (ending in `short`): read the
+    * trained codebooks + cell-partitioned codes the Spark queries
+    * searched (Verify resolves the __PQ_BOOKS__/__IVFPQ_CODES__
+    * placeholders), rebuild the query's ADC table, and replay the
+    * identical left-fold score + (adc DESC, vec_id ASC) shortlist.
+    * `codesWhere` optionally restricts the codes scan (IVFPQ cell probe).
+    */
+  private def duckPqShortCtes(codesWhere: String): String =
+    s"""books AS (SELECT s, code, cent::DOUBLE[] AS cent
+       |          FROM read_parquet('__PQ_BOOKS__/*.parquet')),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT list_transform(qe,
+       |         x -> x / sqrt(list_dot_product(qe, qe))) AS qn FROM q),
+       |adc AS (SELECT b.s, b.code,
+       |          list_dot_product(b.cent, list_slice(n.qn, b.s*8+1, b.s*8+8)) AS dot
+       |        FROM books b CROSS JOIN qn n),
+       |codes AS (SELECT vec_id, codes, cell
+       |          FROM read_parquet('__IVFPQ_CODES__/*/*.parquet', hive_partitioning=true)
+       |          WHERE vec_id <> 0$codesWhere),
+       |scored AS (
+       |  SELECT c.vec_id,
+       |    round(list_reduce(list_prepend(0.0::DOUBLE, list(a.dot ORDER BY a.s)),
+       |      (acc, x) -> acc + x), 6) AS adcs
+       |  FROM codes c
+       |  CROSS JOIN generate_series(0, 7) g(s)
+       |  JOIN adc a ON a.s = g.s AND a.code = c.codes[g.s + 1]
+       |  GROUP BY c.vec_id),
+       |short AS (SELECT vec_id FROM scored ORDER BY adcs DESC, vec_id ASC LIMIT 20),
+       |nemb AS (SELECT e.vec_id,
+       |    list_transform(e.embedding::DOUBLE[], x -> x
+       |      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS nemb
+       |  FROM embeddings e JOIN short USING (vec_id)),
+       |exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+       |    e.vec_id ASC
+       |  LIMIT 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    // PQ-alone: ADC over every cell of the stored codes table; rescore
+    // mirrors the Spark query's cosine(nemb, RAW q).
+    "pq_rerank_recall" ->
+      s"""WITH ${duckPqShortCtes("")},
+         |rerank AS (SELECT n.vec_id FROM nemb n CROSS JOIN q
+         |  ORDER BY round(${duckCosine("n.nemb", "q.qe")}, 6) DESC, n.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 8 AS m, 16 AS k_codes, 20 AS shortlist, 5 AS k,
+         |  count(*)::BIGINT AS n_hit, round(count(*)::DOUBLE / 5.0, 6) AS recall
+         |FROM rerank
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = rerank.vec_id)""".stripMargin,
+
+    // IVFPQ: same replay restricted to the nprobe=3 probed cells (probe
+    // replayed over the dumped centers); rescore mirrors Ivfpq.search's
+    // cosine(nemb, NORMALIZED q).
+    "ivfpq_rerank_recall" ->
+      s"""WITH ${duckPqShortCtes(
+            """ AND cell IN (
+              |  SELECT cell FROM (
+              |    SELECT c.cell FROM read_parquet('__IVFKM_CENTS__/*.parquet') c
+              |    CROSS JOIN (SELECT list_transform(embedding::DOUBLE[],
+              |        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qn
+              |      FROM embeddings WHERE vec_id = 0) nq
+              |    ORDER BY round(""".stripMargin +
+              duckCosine("c.centroid::DOUBLE[]", "nq.qn") +
+              """, 6) DESC, c.cell ASC
+              |    LIMIT 3))""".stripMargin)},
+         |rerank AS (SELECT n.vec_id FROM nemb n CROSS JOIN qn
+         |  ORDER BY round(${duckCosine("n.nemb", "qn.qn")}, 6) DESC, n.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 10 AS cells, 3 AS nprobe, 8 AS m, 16 AS k_codes, 20 AS shortlist,
+         |  5 AS k, count(*)::BIGINT AS n_hit,
+         |  round(count(*)::DOUBLE / 5.0, 6) AS recall
+         |FROM rerank
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = rerank.vec_id)""".stripMargin,
+
     "knn_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.label,

@@ -297,6 +297,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state store + state-metadata sources: checkpointed dedup state is introspectable offline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000
+    val input = MemoryStream[(Long, Long)]
+    val deduped = Streaming.dedupStream(
+      input.toDF().toDF("event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros"))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_ckpt").toString
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_introspect")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, 100 * hour), (2L, 100 * hour + 1), (1L, 100 * hour + 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the checkpoint IS a queryable table after the query stops — the ops
+    // face for debugging a production stream's state without replaying it
+    val meta = spark.read.format("state-metadata").load(ckpt)
+      .select(col("operatorName")).collect().map(_.getString(0))
+    assert(meta.exists(_.toLowerCase.contains("dedup")),
+      s"dedup operator not visible in state metadata: ${meta.toSeq}")
+    val keys = spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_id")).collect().map(_.getLong(0)).toSet
+    assert(keys === Set(1L, 2L),
+      s"checkpointed dedup state must hold exactly the first-seen keys: $keys")
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
