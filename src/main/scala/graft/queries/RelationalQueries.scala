@@ -257,6 +257,20 @@ object RelationalQueries {
         .select(col("bin"), col("lo"), col("n"), col("sum_value"))
         .orderBy(col("bin"))),
 
+    // Per-group z-score feature scaling: one aggregate pass builds the
+    // per-event_type (mean, stddev) digest — a handful of rows, broadcast
+    // back — and the scaling itself is map-only over the events scan. The
+    // two-pass broadcast shape is how feature normalization runs at
+    // 100 TB: no window over the full table, no second shuffle.
+    "zscore_features" -> ((s, dir) => {
+      val stats = events(s, dir).groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      events(s, dir).join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Per-key EWMA (s_i = 0.3·x_i + 0.7·s_{i-1}) — the time-decayed
     // feature-engineering primitive. Inherently sequential per key, so it
     // folds each user's ORDERED history with the aggregate HOF after one
@@ -1336,6 +1350,15 @@ object RelationalQueries {
         |  floor(value / 25.0)::BIGINT * 25.0 AS lo,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "zscore_features" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - st.mu) / st.sd, 6) AS z
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "ewma_user_value" ->
       """SELECT user_id, count(*) AS n_events,
