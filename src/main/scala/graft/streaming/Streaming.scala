@@ -339,6 +339,38 @@ object Streaming {
       .toDF()
   }
 
+  case class EwmaEv(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
+  case class EwmaState(n: Long, s: Double)
+
+  /** Streaming twin of the batch `ewma_user_value` query: per-user running
+    * EWMA (s_i = 0.3·x_i + 0.7·s_{i-1}) carried across triggers in
+    * `mapGroupsWithState` — the fold CONTINUES from the checkpointed
+    * (n, s) pair, so feeding the same events in any batch split yields
+    * bit-identical state to the one-shot batch fold, provided each batch
+    * arrives in (ts, event_id) order per key (each trigger sorts its own
+    * slice; cross-trigger order is the arrival order, as in any log-
+    * compacted feature store). Update mode: every trigger emits each
+    * touched user's latest (n_events, ewma).
+    */
+  def ewmaStream(spark: SparkSession, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    rows.select(col("user_id"), col("tsMicros"), col("event_id"), col("value"))
+      .as[EwmaEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaEv], st: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var n = st.getOption.map(_.n).getOrElse(0L)
+          var s = st.getOption.map(_.s).getOrElse(0.0)
+          sorted.foreach { e =>
+            s = if (n == 0L) e.value else 0.3 * e.value + 0.7 * s
+            n += 1
+          }
+          st.update(EwmaState(n, s))
+          (uid, n, s)
+      }.toDF("user_id", "n_events", "ewma")
+  }
+
   case class FunnelEv(user_id: Long, event_type: String, tsMicros: Long)
   case class FunnelState(viewed: Boolean, clicked: Boolean, purchased: Boolean,
                          views: List[Long], clicks: List[Long])

@@ -297,6 +297,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming EWMA fold continues across triggers and matches the batch query exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real corpus, split into two time-ordered triggers at the median
+    // ts — the fold must CONTINUE from checkpointed state, not restart
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("value"))
+      .as[Streaming.EwmaEv].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val cut = evs(evs.length / 2).tsMicros
+    val input = MemoryStream[Streaming.EwmaEv]
+    val q = Streaming.ewmaStream(spark, input.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ewma_stream").start()
+    try {
+      input.addData(evs.filter(_.tsMicros <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evs.filter(_.tsMicros > cut).toIndexedSeq)
+      q.processAllAvailable()
+      // latest emission per user (max n_events) ≡ the one-shot batch fold
+      val got = spark.table("ewma_stream")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          round(col("st.ewma"), 6).as("ewma"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = SparkEntry.queries("ewma_user_value")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, "streaming EWMA diverged from the batch fold")
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("state store + state-metadata sources: checkpointed dedup state is introspectable offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
