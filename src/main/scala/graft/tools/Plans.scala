@@ -23,7 +23,10 @@ object Plans {
       "ann_ivf", "embed_documents", "topk_orders", "asof_join",
       // round-3 representatives
       "hybrid_rrf", "pagerank_pairs", "knn_batch_custom", "ann_ivf_kmeans",
-      "sentence_dedup", "winnow_dedup", "sql_udf", "lateral_topn")
+      "sentence_dedup", "winnow_dedup", "sql_udf", "lateral_topn",
+      // round-5 representatives
+      "ivfpq_rerank_recall", "pq_rerank_recall", "triangle_count",
+      "merge_upsert", "cohort_retention", "zscore_features", "image_phash_neardup")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, sfDir)
