@@ -100,10 +100,19 @@ object Dedup {
 
   /** 32-bit SimHash from a token-hash array column: bit k set iff the
     * signed count of tokens whose derived bit k is 1 outweighs those with
-    * 0. Derived bit k of hash h = ((h * (2k+1)) mod P) mod 2. Single fold
-    * with a 32-slot accumulator (codegen-friendly, one pass over tokens).
+    * 0. Derived bit k of hash h = ((h * (2k+1)) mod P) mod 2. Native
+    * single-pass kernel (graft.expressions.SimHash32) — bit-identical to
+    * [[simhash32Hof]], which remains as the reference formulation the
+    * DuckDB oracle mirrors (the HOF chain is O(tokens × 32) interpreted
+    * lambda evaluations; the kernel is one codegen-stage scalar call).
     */
-  def simhash32(hs: Column): Column = {
+  def simhash32(hs: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SimHash32(
+        org.apache.spark.sql.graft.Bridge.expression(hs)))
+
+  /** HOF formulation of [[simhash32]] — the oracle-shaped reference. */
+  def simhash32Hof(hs: Column): Column = {
     val weights = aggregate(hs, array_repeat(lit(0L), 32), (acc, h) =>
       transform(acc, (w, i) =>
         w + when((h * (i.cast("long") * 2L + 1L)) % P % 2L === 1L, 1L).otherwise(-1L)))

@@ -77,6 +77,16 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0) !== r(2))
     r.foreach(v => assert(v >= 0L && v < (1L << 32)))
   }
+
+  test("simhash native kernel is bit-identical to the HOF reference on the real corpus") {
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("hs", TextOps.tokenHashes($"text"))
+      .select(Dedup.simhash32($"hs").as("native"),
+        Dedup.simhash32Hof($"hs").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
