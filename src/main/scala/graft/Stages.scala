@@ -17,6 +17,7 @@ object Stages {
   val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "lsh-pairs"    -> ((s, d) => { queries.PipelineQueries.lshVerifiedPairs(s, d); () }),
     "cooc-edges"   -> ((s, d) => { queries.PipelineQueries.stagedCoocEdges(s, d); () }),
+    "tri-corners"  -> ((s, d) => { queries.PipelineQueries.stagedTriCorners(s, d); () }),
     "phash-bands"  -> ((s, d) => { queries.PipelineQueries.stagedPhashBands(s, d); () }),
     "shingles"     -> ((s, d) => { queries.TrainQueries.stagedShingles(s, d); () }),
     "bm25-tf"      -> ((s, d) => { queries.TextQueries.bm25Tf(s, d); () }),

@@ -71,6 +71,18 @@ object PipelineQueries {
         col("user_id"), col("user_id2"))
     }
 
+  /** The triangle corner table (x, y, z) — staged once per corpus:
+    * triangle_count and triangle_per_node are both statistics OVER the
+    * triangle list, and an engine materializes that derived table when
+    * several downstream stats consume it (same policy as the LSH pairs).
+    * Digest-only: three node ids per triangle, never text.
+    */
+  private[graft] def stagedTriCorners(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"tri-corners:$dir") {
+      graft.operators.Triangles.triangles(
+        stagedCoocEdges(s, dir), col("a"), col("b"))
+    }
+
   private def computePairs(s: SparkSession, dir: String): DataFrame = {
     val docs = spread(doubledDocs(s, dir))
     val sh = docs
@@ -152,13 +164,18 @@ object PipelineQueries {
     // a celebrity node cannot detonate the join. The oracle replays the
     // identical orientation + joins in SQL.
     "triangle_count" -> ((s, dir) =>
-      Triangles.count(stagedCoocEdges(s, dir), col("a"), col("b"))),
+      stagedTriCorners(s, dir).agg(count(lit(1)).as("n_triangles"))),
 
     // Per-node triangle participation (each triangle credits its three
     // corners) — the numerator of the local clustering coefficient.
-    "triangle_per_node" -> ((s, dir) =>
-      Triangles.perNode(stagedCoocEdges(s, dir), col("a"), col("b"))
-        .orderBy(col("n"))),
+    "triangle_per_node" -> ((s, dir) => {
+      val t = stagedTriCorners(s, dir)
+      t.select(col("x").as("n"))
+        .unionAll(t.select(col("y").as("n")))
+        .unionAll(t.select(col("z").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n"))
+    }),
 
     // Spark 4.1 RECURSIVE CTE (UnionLoop): transitive closure of the
     // near-dup graph through the SQL front-end — the declarative twin of
