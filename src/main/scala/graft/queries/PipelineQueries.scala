@@ -177,6 +177,28 @@ object PipelineQueries {
         .orderBy(col("n"))
     }),
 
+    // Local clustering coefficient: cc(n) = 2·tri(n) / (deg(n)·(deg(n)−1))
+    // — triangles-over-wedges per node, the standard graph-quality signal.
+    // Pure digest joins over the two staged tables (edges → degrees,
+    // corners → per-node counts); no re-walk of the graph.
+    "clustering_coeff" -> ((s, dir) => {
+      val e0 = stagedCoocEdges(s, dir)
+      val deg = e0.select(col("a").as("n")).unionAll(e0.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val t = stagedTriCorners(s, dir)
+      val tpn = t.select(col("x").as("n"))
+        .unionAll(t.select(col("y").as("n")))
+        .unionAll(t.select(col("z").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+      deg.join(tpn, Seq("n"), "left")
+        .select(col("n"), col("d"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(when(col("d") >= 2,
+              coalesce(col("n_tri"), lit(0L)) * 2.0 / (col("d") * (col("d") - 1)))
+            .otherwise(0.0), 6).as("cc"))
+        .orderBy(col("n"))
+    }),
+
     // Spark 4.1 RECURSIVE CTE (UnionLoop): transitive closure of the
     // near-dup graph through the SQL front-end — the declarative twin of
     // Components' imperative fixpoint loop. The recursion walks the
@@ -514,6 +536,18 @@ object PipelineQueries {
          |r AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
          |      UNION ALL SELECT z FROM tri)
          |SELECT n, count(*)::BIGINT AS n_tri FROM r GROUP BY n ORDER BY n""".stripMargin,
+
+    "clustering_coeff" ->
+      s"""WITH $duckTriCtes,
+         |tpn AS (SELECT n, count(*)::BIGINT AS n_tri FROM (
+         |  SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) GROUP BY n)
+         |SELECT deg.n, deg.d, coalesce(tpn.n_tri, 0)::BIGINT AS n_tri,
+         |  round(CASE WHEN deg.d >= 2
+         |    THEN coalesce(tpn.n_tri, 0) * 2.0 / (deg.d * (deg.d - 1))
+         |    ELSE 0.0 END, 6) AS cc
+         |FROM deg LEFT JOIN tpn ON tpn.n = deg.n
+         |ORDER BY deg.n""".stripMargin,
 
     "minhash_signature" ->
       s"""WITH ${duckShingleCtes("SELECT doc_id, text FROM documents")},
