@@ -63,6 +63,31 @@ class TriangleSpec extends AnyFunSuite {
       === canon.count())
   }
 
+  test("orientation caps out-degree near sqrt(2m) — the arboricity bound, on the real graph") {
+    val dir = "/root/testdata/sf0.01"
+    val edges = graft.queries.PipelineQueries.stagedCoocEdges(spark, dir)
+    val m = edges.count()
+    val maxOut = Triangles.orient(edges.select(col("a"), col("b")))
+      .groupBy(col("src")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    // degree orientation guarantees out-degree < sqrt(2m) + 1: an edge
+    // leaves a node only toward HIGHER-degree neighbors, so a node with
+    // out-degree d has degree ≥ d and so do d of its neighbors → the
+    // graph carries ≥ d·(d+1)/2 edge-endpoints among them → d ≲ sqrt(2m).
+    val bound = math.sqrt(2.0 * m) + 1
+    assert(maxOut <= bound,
+      s"max out-degree $maxOut exceeds the sqrt(2m)=$bound arboricity bound (m=$m)")
+    // and the un-oriented wedge count would have been far larger: the
+    // oriented wedge work (sum of out-deg²) must undercut sum(deg²)
+    val deg2 = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+      .groupBy(col("n")).count().agg(sum(col("count") * col("count")))
+      .collect()(0).getLong(0)
+    val out2 = Triangles.orient(edges.select(col("a"), col("b")))
+      .groupBy(col("src")).count().agg(sum(col("count") * col("count")))
+      .collect()(0).getLong(0)
+    assert(out2 < deg2, s"orientation must shrink wedge work: $out2 vs $deg2")
+  }
+
   test("registered co-occurrence triangle queries are consistent with each other") {
     val dir = "/root/testdata/sf0.01"
     val n = SparkEntry.queries("triangle_count")(spark, dir)
