@@ -55,15 +55,26 @@ object PipelineQueries {
   /** User co-occurrence graph: an undirected edge between two users who
     * performed the same event_type inside the same 5-minute wall-clock
     * bucket. Pair blowup is bounded by the (bucket, type) group sizes —
-    * the self-join never sees more than one bucket's users at a time.
-    * Staged once per (session, corpus): both triangle queries walk it.
+    * the self-join never sees more than one bucket's users at a time —
+    * and an EXPLICIT per-group cap (first [[CoocGroupCap]] users by id,
+    * deterministic and replayed in the oracle) guards the flash-crowd
+    * bucket whose quadratic pairs would otherwise detonate at 100 TB.
+    * Far above every fixture group size (max 16 at sf0.1), so the cap is
+    * a declared guard rail, not a silent truncation of the results.
+    * Staged once per (session, corpus): the triangle stats all walk it.
     */
+  private[graft] val CoocGroupCap = 256
+
   private[graft] def stagedCoocEdges(s: SparkSession, dir: String): DataFrame =
     graft.StageCache.getOrStage(s, s"cooc-edges:$dir") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"), col("event_type")).orderBy(col("user_id"))
       val g = events(s, dir)
         .select(expr("unix_seconds(ts) DIV 300").as("h"),
           col("event_type"), col("user_id"))
         .distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= CoocGroupCap).drop("rn")
       Triangles.canonEdges(
         g.join(g.select(col("h"), col("event_type"), col("user_id").as("user_id2")),
             Seq("h", "event_type"))
@@ -509,8 +520,12 @@ object PipelineQueries {
     * in the second half of a bucket boundary second.
     */
   private val duckTriCtes =
-    """g AS (SELECT DISTINCT epoch_us(ts) // 300000000 AS h, event_type, user_id
+    s"""g0 AS (SELECT DISTINCT epoch_us(ts) // 300000000 AS h, event_type, user_id
       |      FROM events),
+      |g AS (SELECT h, event_type, user_id FROM (
+      |  SELECT g0.*, row_number() OVER (PARTITION BY h, event_type
+      |    ORDER BY user_id) AS rn FROM g0)
+      |  WHERE rn <= $CoocGroupCap),
       |e0 AS (SELECT DISTINCT g1.user_id AS a, g2.user_id AS b
       |       FROM g g1 JOIN g g2 ON g1.h = g2.h AND g1.event_type = g2.event_type
       |        AND g1.user_id < g2.user_id),
