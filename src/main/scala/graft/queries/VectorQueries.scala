@@ -361,6 +361,49 @@ object VectorQueries {
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // IR evaluation metrics — MRR and binary nDCG@10 of the exact cosine
+    // ranking against label-match relevance, per query: the quality
+    // harness a retrieval engine ships with (the recall@k audits grade
+    // the INDEX vs the exact scan; this grades the RANKING vs ground
+    // truth). Order-deterministic on purpose: MRR is a max (no
+    // summation), DCG folds an rnk-ORDERED list, IDCG folds an ascending
+    // sequence — so the DuckDB replay is bit-equal before round(…, 6).
+    "retrieval_mrr" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val labelCounts = emb.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+      val log2 = (x: org.apache.spark.sql.Column) => log(x) / log(lit(2.0))
+      val top = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(VectorOps.cosine(
+          VectorOps.toDoubleArray(col("embedding")),
+          VectorOps.toDoubleArray(col("q_emb"))), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+        .withColumn("term",
+          when(col("rel") === 1, lit(1.0) / log2(col("rnk") + lit(1.0)))
+            .otherwise(lit(0.0)))
+      top.groupBy(col("qid"), col("q_label"))
+        .agg(
+          max(when(col("rel") === 1, lit(1.0) / col("rnk")).otherwise(0.0)).as("mrr0"),
+          sort_array(collect_list(struct(col("rnk"), col("term")))).as("terms"),
+          sum(col("rel")).cast("long").as("n_rel_10"))
+        .join(broadcast(labelCounts), col("q_label") === col("label"))
+        .withColumn("dcg", aggregate(col("terms"), lit(0.0),
+          (acc, x) => acc + x("term")))
+        .withColumn("idcg", aggregate(
+          sequence(lit(1), least(col("n_label") - 1, lit(10))), lit(0.0),
+          (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
+        .select(col("qid"), col("n_rel_10"), round(col("mrr0"), 6).as("mrr"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+        .orderBy(col("qid"))
+    }),
+
     "embed_documents" -> ((s, dir) => {
       spread(documents(s, dir))
         .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))
@@ -461,6 +504,37 @@ object VectorQueries {
        |  LIMIT 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "retrieval_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS q_label
+         |           FROM embeddings WHERE vec_id < 5),
+         |lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+         |scored AS (
+         |  SELECT q.qid, q.q_label, e.vec_id, e.label,
+         |    round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM scored),
+         |top AS (
+         |  SELECT qid, q_label, rnk,
+         |    CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+         |    CASE WHEN label = q_label THEN 1.0 / (ln(rnk + 1.0) / ln(2.0))
+         |         ELSE 0.0 END AS term
+         |  FROM ranked WHERE rnk <= 10),
+         |aggd AS (
+         |  SELECT qid, q_label,
+         |    max(CASE WHEN rel = 1 THEN 1.0 / rnk ELSE 0.0 END) AS mrr0,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY rnk)),
+         |      (acc, x) -> acc + x) AS dcg,
+         |    sum(rel)::BIGINT AS n_rel_10
+         |  FROM top GROUP BY qid, q_label)
+         |SELECT a.qid, a.n_rel_10, round(a.mrr0, 6) AS mrr,
+         |  round(a.dcg / list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, least(lc.n_label - 1, 10)),
+         |      i -> 1.0 / (ln(i + 1.0) / ln(2.0)))), (acc, x) -> acc + x), 6) AS ndcg10
+         |FROM aggd a JOIN lc ON lc.label = a.q_label
+         |ORDER BY qid""".stripMargin,
 
     // PQ-alone: ADC over every cell of the stored codes table; rescore
     // mirrors the Spark query's cosine(nemb, RAW q).
