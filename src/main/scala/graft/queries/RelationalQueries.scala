@@ -257,6 +257,25 @@ object RelationalQueries {
         .select(col("bin"), col("lo"), col("n"), col("sum_value"))
         .orderBy(col("bin"))),
 
+    // Incremental aggregate maintenance (IVM): yesterday's per-group
+    // state merged with today's delta aggregate — new_state =
+    // merge(old_state, agg(delta)) — instead of rescanning history. The
+    // oracle IS the full recompute over everything, proving the
+    // mergeability contract (count/sum are commutative monoids) that a
+    // 100 TB daily-rollup pipeline relies on: each day touches only the
+    // day's data plus a groups-sized state table.
+    "incremental_agg" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      def agg0(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      val state = agg0(events(s, dir).filter(col("ts") < cut))
+      val delta = agg0(events(s, dir).filter(col("ts") >= cut))
+      state.unionAll(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), round(sum(col("sv")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-group z-score feature scaling: one aggregate pass builds the
     // per-event_type (mean, stddev) digest — a handful of rows, broadcast
     // back — and the scaling itself is map-only over the events scan. The
@@ -1350,6 +1369,10 @@ object RelationalQueries {
         |  floor(value / 25.0)::BIGINT * 25.0 AS lo,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "incremental_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "zscore_features" ->
       """WITH st AS (
