@@ -38,7 +38,8 @@ class PlanLintSpec extends AnyFunSuite {
       "hll_sketch_ops", // 1-row merged-sketch × 1-row exact-count probe
       "pagerank_pairs", // 1-row node-count aggregate broadcast per iteration
       "resample_fill",  // 1-row grid-bound aggregate broadcast into the grid generator
-      "edit_distance_pairs") // 40-row blocked pair set, broadcast side
+      "edit_distance_pairs", // 40-row blocked pair set, broadcast side
+      "retrieval_mrr") // 5-row query panel broadcast against the corpus scan
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
