@@ -53,4 +53,28 @@ class ObserveSpec extends AnyFunSuite {
       assert(m.getLong(m.fieldIndex("n_docs")) > kept)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("streaming observe: per-trigger metrics ride StreamingQueryProgress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("k", "v")
+      .observe("batch_metrics", count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("obs_stream").start()
+    try {
+      input.addData((1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      input.addData((3L, 5.0))
+      q.processAllAvailable()
+      // each trigger reports ITS batch's metrics — cumulative telemetry
+      // is the listener's fold, exactly like production counters
+      val per = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("batch_metrics")))
+        .map(r => (r.getLong(r.fieldIndex("n")), r.getDouble(r.fieldIndex("sv"))))
+        .filter(_._1 > 0)
+      assert(per.toSet === Set((2L, 5.0), (1L, 5.0)),
+        s"per-trigger observed metrics wrong: $per")
+    } finally q.stop()
+  }
 }
