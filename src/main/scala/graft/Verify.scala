@@ -57,7 +57,9 @@ object Verify {
       "__IVFKM_LAYOUT__" -> graft.operators.Ann.kmeansLayoutPath(sfDir),
       "__IVFKM_CENTS__"  -> graft.operators.Ann.kmeansCentsPath(sfDir),
       "__PQ_BOOKS__"     -> graft.operators.Pq.booksPath(sfDir),
-      "__IVFPQ_CODES__"  -> graft.operators.Ivfpq.codesPath(sfDir))
+      "__IVFPQ_CODES__"  -> graft.operators.Ivfpq.codesPath(sfDir),
+      "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
+      "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

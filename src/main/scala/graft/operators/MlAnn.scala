@@ -72,6 +72,93 @@ object MlAnn {
       .orderBy(col("dist"), col(idCol))
   }
 
+  private val lshLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic on-disk location of the dumped LSH index for (sfDir,
+    * hyperparams) — pure path arithmetic (mirrors Ann.kmeansLayoutPath).
+    */
+  def lshLayoutPath(sfDir: String, numTables: Int = 10, seed: Long = 42L): String =
+    s"${sys.props("java.io.tmpdir")}/graft-lsh-" +
+      Ann.pathToken(s"$sfDir/$numTables/$seed")
+
+  /** Dump the FITTED LSH index once per JVM: every vector's L2-normalized
+    * coordinates plus its per-table bucket ids (the floors the seeded
+    * random hyperplanes produced). The hyperplanes are trained state, but
+    * search-over-given-buckets is deterministic — so with this table on
+    * disk the DuckDB oracle replays candidate selection (∃ table with
+    * equal bucket) and the exact-distance top-k, exactly like the dumped
+    * kmeans/PQ indexes. vec_id 0's row doubles as the query's buckets.
+    */
+  def lshLayout(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                numTables: Int = 10, seed: Long = 42L): String =
+    lshLayouts.computeIfAbsent(s"$sfDir/$numTables/$seed", { _ =>
+      val dir = lshLayoutPath(sfDir, numTables, seed)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (model, prepared) = fitLsh(emb, "embedding", numTables, seed = seed)
+      model.transform(prepared)
+        .select(col("vec_id"), col("label"),
+          vector_to_array(col("__norm")).as("nemb"),
+          transform(col("__hashes"), h => vector_to_array(h)(0)).as("hashes"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** LSH top-k SERVED from the dumped index: candidates share a bucket
+    * with the query in at least one hash table (MLlib's single-probe
+    * `hashDistance == 0` rule), ranked by exact euclidean distance on the
+    * unit sphere with a deterministic (dist, id) tie-break. Same result
+    * contract as [[approxNeighbors]] (MlAnnSpec pins the two against each
+    * other) but a plain DataFrame plan over the stored index — and
+    * therefore oracle-replayable.
+    */
+  def lshSearchLayout(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                      queryId: Long, k: Int): DataFrame = {
+    val lay = spark.read.parquet(lshLayout(spark, sfDir))
+    val q = lay.filter(col("vec_id") === queryId)
+      .select(col("nemb").as("q_emb"), col("hashes").as("q_hashes"))
+    lay.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .filter(exists(
+        zip_with(col("hashes"), col("q_hashes"), (a, b) => a === b),
+        x => x))
+      .withColumn("dist", round(sqrt(aggregate(
+        zip_with(col("nemb"), col("q_emb"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)), 6))
+      .orderBy(col("dist"), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("label"), col("dist"))
+  }
+
+  private val tfDumps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic location of the dumped HashingTF (term → bucket) map. */
+  def tfBucketsPath(sfDir: String, dim: Int = 64): String =
+    s"${sys.props("java.io.tmpdir")}/graft-tfbuckets-" +
+      Ann.pathToken(s"$sfDir/$dim")
+
+  /** Dump the murmur3 term→bucket assignment for every distinct corpus
+    * token (RegexTokenizer semantics: lowercase, split on [^a-z0-9]+,
+    * drop empties). The hash function is engine-specific; the MAPPING is
+    * index metadata — with it on disk, the oracle recomputes TF vectors
+    * and the L2 normalization from first principles (counts are exact
+    * integers, so the norms are bit-identical).
+    */
+  def tfBucketsLayout(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                      dim: Int = 64): String =
+    tfDumps.computeIfAbsent(s"$sfDir/$dim", { _ =>
+      val dir = tfBucketsPath(sfDir, dim)
+      val tf = new HashingTF().setNumFeatures(dim)
+      val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(filter(
+          split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
+        .distinct().collect().map(_.getString(0)) // vocab digest: KB-scale
+      import spark.implicits._
+      vocab.toSeq.map(t => (t, tf.indexOf(t)))
+        .toDF("term", "bucket").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Approximate similarity self-join: pairs within `maxDist` (euclidean on
     * the unit sphere; 0.6 ≈ cosine 0.82). Equi-join on LSH buckets — the
     * scalable near-dup shape.

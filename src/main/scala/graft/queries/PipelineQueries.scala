@@ -326,18 +326,24 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // MLlib LSH ANN: bucketed-random-projection index, bucket-probed
-    // top-5 (seeded; approximate → rows-only check; MlAnnSpec asserts
-    // recall vs exact knn_topk).
-    "ann_lsh" -> ((s, dir) => {
-      MlAnn.approxNeighbors(embeddings(s, dir), "embedding", "vec_id",
-        queryId = 0L, k = 5)
-    }),
+    // MLlib LSH ANN served from the DUMPED index (normalized vectors +
+    // per-table bucket ids written once by the seeded fit): candidates
+    // share a bucket in ≥1 hash table (MLlib's single-probe rule), exact
+    // euclidean rescore, deterministic (dist, id) tie-break. ORACLED by
+    // dumped-index replay — the hyperplanes stay engine-specific, the
+    // search over given buckets is deterministic; MlAnnSpec additionally
+    // pins this layout-served path against MLlib's own
+    // approxNearestNeighbors and the exact knn_topk recall.
+    "ann_lsh" -> ((s, dir) =>
+      MlAnn.lshSearchLayout(s, dir, queryId = 0L, k = 5)),
 
     // MLlib batch-embedding pipeline (RegexTokenizer → HashingTF →
-    // L2 Normalizer). Murmur3 bucketing is engine-specific → rows-only;
-    // spec asserts unit norms + determinism.
+    // L2 Normalizer). The murmur3 hash is engine-specific, but the
+    // (term → bucket) MAPPING is dumped index metadata — the oracle
+    // joins corpus tokens to it and recomputes TF + L2 normalization
+    // from exact integer counts (bit-identical norms). ORACLED.
     "embed_mllib" -> ((s, dir) => {
+      MlAnn.tfBucketsLayout(s, dir) // ensure the mapping dump exists
       MlAnn.embedPipeline(spread(documents(s, dir)), "text", "emb")
         .select(col("doc_id"), posexplode(col("emb")))
         .select(col("doc_id"), col("pos").as("bucket"),
@@ -542,6 +548,47 @@ object PipelineQueries {
       |        JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // LSH replay over the dumped index: ∃-table bucket equality is the
+    // candidate rule, then the identical squared-diff fold + sqrt + round.
+    "ann_lsh" ->
+      """WITH l AS (SELECT vec_id, label, nemb, hashes
+        |           FROM read_parquet('__LSH_LAYOUT__/*.parquet')),
+        |q AS (SELECT nemb AS qe, hashes AS qh FROM l WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT l.vec_id, l.label,
+        |    round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, len(l.nemb)),
+        |        i -> (l.nemb[i] - q.qe[i]) * (l.nemb[i] - q.qe[i]))),
+        |      (acc, x) -> acc + x)), 6) AS dist
+        |  FROM l CROSS JOIN q
+        |  WHERE l.vec_id <> 0
+        |    AND len(list_filter(generate_series(1, len(l.hashes)),
+        |          i -> l.hashes[i] = q.qh[i])) > 0)
+        |SELECT vec_id, label, dist FROM cand
+        |ORDER BY dist, vec_id LIMIT 5""".stripMargin,
+
+    // HashingTF replay: corpus tokens joined to the dumped murmur3
+    // (term → bucket) map; TF counts are exact integers so the L2 norm is
+    // bit-identical; dense 64-bucket grid mirrors the posexploded vector.
+    "embed_mllib" ->
+      s"""WITH tb AS (SELECT term, bucket
+         |            FROM read_parquet('__TF_BUCKETS__/*.parquet')),
+         |toks AS (SELECT doc_id, unnest(${TextQueries.duckToks("text")}) AS term
+         |         FROM documents),
+         |tf AS (SELECT t.doc_id, tb.bucket, count(*)::DOUBLE AS c
+         |       FROM toks t JOIN tb ON tb.term = t.term
+         |       GROUP BY t.doc_id, tb.bucket),
+         |nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM tf GROUP BY doc_id),
+         |grid AS (SELECT d.doc_id, g.b AS bucket FROM documents d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g)
+         |SELECT gr.doc_id, gr.bucket,
+         |  round(CASE WHEN nrm.nn IS NULL OR nrm.nn = 0 THEN 0.0
+         |    ELSE coalesce(tf.c, 0.0) / nrm.nn END, 6) AS weight
+         |FROM grid gr
+         |LEFT JOIN nrm ON nrm.doc_id = gr.doc_id
+         |LEFT JOIN tf ON tf.doc_id = gr.doc_id AND tf.bucket = gr.bucket
+         |ORDER BY gr.doc_id, gr.bucket""".stripMargin,
 
     "triangle_count" ->
       s"WITH $duckTriCtes\nSELECT count(*)::BIGINT AS n_triangles FROM tri",

@@ -32,6 +32,17 @@ class MlAnnSpec extends AnyFunSuite {
     assert((exact & got).size >= 2, s"recall too low: exact=$exact approx=$got")
   }
 
+  test("layout-served LSH search matches MLlib's own approxNearestNeighbors") {
+    val fromLayout = graft.operators.MlAnn.lshSearchLayout(spark, sf, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val fromModel = graft.operators.MlAnn
+      .approxNeighbors(Tables.embeddings(spark, sf), "embedding", "vec_id", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(fromLayout.toSeq === fromModel.toSeq,
+      s"dumped-index search diverged from the model probe: " +
+        s"${fromLayout.toSeq} vs ${fromModel.toSeq}")
+  }
+
   test("approxSelfJoin: returned pairs respect the distance bound") {
     val pairs = MlAnn.approxSelfJoin(
       Tables.embeddings(spark, sf).limit(100), "embedding", "vec_id", maxDist = 1.2)
