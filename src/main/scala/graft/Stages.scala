@@ -30,6 +30,8 @@ object Stages {
     "ivfkm-layout" -> ((s, d) => { operators.Ann.kmeansLayout(s, d); () }),
     "pq-codebooks" -> ((s, d) => { operators.Pq.train(s, d); () }),
     "ivfpq-codes"  -> ((s, d) => { operators.Ivfpq.codesLayout(s, d); () }),
+    "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
+    "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () })
   )
 }
