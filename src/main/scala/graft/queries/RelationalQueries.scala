@@ -257,6 +257,38 @@ object RelationalQueries {
         .select(col("bin"), col("lo"), col("n"), col("sum_value"))
         .orderBy(col("bin"))),
 
+    // IQR outlier detection (Tukey fences): per-type exact quartiles →
+    // tiny digest broadcast back → map-only flagging. Returns only the
+    // outlier rows (the review queue), with the fences that caught them.
+    "outlier_iqr" -> ((s, dir) => {
+      val fences = events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      events(s, dir).join(broadcast(fences), "event_type")
+        .filter(col("value") < col("lo") || col("value") > col("hi"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Time-series gap detection: per-user silences longer than 12 h —
+    // lead over the (user_id)-partitioned order, map-only after one
+    // digest-bounded window. The monitoring face of sessionize.
+    "ts_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull &&
+          unix_micros(col("next_ts")) - unix_micros(col("ts")) > 12L * 3600 * 1000000)
+        .select(col("user_id"), col("ts").as("gap_start"),
+          col("next_ts").as("gap_end"),
+          expr("(unix_micros(next_ts) - unix_micros(ts)) DIV 1000000")
+            .as("gap_seconds"))
+        .orderBy(col("user_id"), col("gap_start"))
+    }),
+
     // Incremental aggregate maintenance (IVM): yesterday's per-group
     // state merged with today's delta aggregate — new_state =
     // merge(old_state, agg(delta)) — instead of rescanning history. The
@@ -1369,6 +1401,31 @@ object RelationalQueries {
         |  floor(value / 25.0)::BIGINT * 25.0 AS lo,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "outlier_iqr" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |             q3 + (q3 - q1) * 1.5 AS hi FROM f)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(b.lo, 6) AS lo, round(b.hi, 6) AS hi
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value < b.lo OR e.value > b.hi
+        |ORDER BY e.event_id""".stripMargin,
+
+    "ts_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events)
+        |SELECT user_id, ts AS gap_start, next_ts AS gap_end,
+        |  (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS gap_seconds
+        |FROM g
+        |WHERE next_ts IS NOT NULL
+        |  AND epoch_us(next_ts) - epoch_us(ts) > 12::BIGINT * 3600 * 1000000
+        |ORDER BY user_id, gap_start""".stripMargin,
 
     "incremental_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
