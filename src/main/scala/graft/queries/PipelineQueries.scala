@@ -188,6 +188,28 @@ object PipelineQueries {
         .orderBy(col("n"))
     }),
 
+    // k-core peeling (k=2, FIXED 3 rounds so the oracle can unroll the
+    // identical loop): repeatedly drop nodes with degree < 2 and their
+    // edges — the community-pruning pass that strips pendant chains
+    // before expensive graph analytics. Each round is two digest-only
+    // joins; lineage truncated per round like Components' fixpoint.
+    "kcore_peel" -> ((s, dir) => {
+      var edges = stagedCoocEdges(s, dir).select(col("a"), col("b"))
+      for (_ <- 1 to 3) {
+        val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= 2).select(col("n"))
+        edges = edges
+          .join(keep.select(col("n").as("a")), "a")
+          .join(keep.select(col("n").as("b")), "b")
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+      }
+      edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .orderBy(col("n"))
+    }),
+
     // Local clustering coefficient: cc(n) = 2·tri(n) / (deg(n)·(deg(n)−1))
     // — triangles-over-wedges per node, the standard graph-quality signal.
     // Pure digest joins over the two staged tables (edges → degrees,
@@ -598,6 +620,25 @@ object PipelineQueries {
          |r AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
          |      UNION ALL SELECT z FROM tri)
          |SELECT n, count(*)::BIGINT AS n_tri FROM r GROUP BY n ORDER BY n""".stripMargin,
+
+    "kcore_peel" -> {
+      // one peel round as a CTE template: edges in `prev`, survivors `out`
+      def peel(prev: String, out: String): String =
+        s"""${out}d AS (SELECT n, count(*) AS d FROM (
+           |  SELECT a AS n FROM $prev UNION ALL SELECT b AS n FROM $prev)
+           |  GROUP BY n),
+           |$out AS (
+           |  SELECT e.a, e.b FROM $prev e
+           |  JOIN ${out}d ka ON ka.n = e.a AND ka.d >= 2
+           |  JOIN ${out}d kb ON kb.n = e.b AND kb.d >= 2)""".stripMargin
+      s"""WITH $duckTriCtes,
+         |${peel("e0", "p1")},
+         |${peel("p1", "p2")},
+         |${peel("p2", "p3")}
+         |SELECT n, count(*)::BIGINT AS d FROM (
+         |  SELECT a AS n FROM p3 UNION ALL SELECT b AS n FROM p3)
+         |GROUP BY n ORDER BY n""".stripMargin
+    },
 
     "clustering_coeff" ->
       s"""WITH $duckTriCtes,
