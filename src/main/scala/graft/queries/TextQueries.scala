@@ -590,6 +590,27 @@ object TextQueries {
     // the per-doc scorer; the model join key is the bigram — a shuffle
     // join on observed-bigram digests (vocabulary-bounded, never text).
     // High bits-per-bigram ≈ improbable transitions (shuffled text, spam).
+    // Top collocations by pointwise mutual information over the staged
+    // bigram digest: pmi(a,b) = ln(c(ab)·N / (c(a·)·c(·b))), min support
+    // 5 — the phrase-mining signal (all ratios are exact integer products
+    // under 2^53, so the double math is bit-identical cross-engine).
+    // Three digest aggregates + digest joins; N enters as a broadcast
+    // 1-row aggregate, the pagerank pattern.
+    "pmi_topk" -> ((s, dir) => {
+      val bg = stagedBigrams(s, dir)
+      val ab = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_ab"))
+      val a = bg.groupBy(col("prev")).agg(count(lit(1)).as("c_a"))
+      val b = bg.groupBy(col("cur")).agg(count(lit(1)).as("c_b"))
+      val nn = bg.agg(count(lit(1)).as("n_total"))
+      ab.join(a, "prev").join(b, "cur").crossJoin(broadcast(nn))
+        .filter(col("c_ab") >= 5)
+        .withColumn("pmi",
+          round(log(col("c_ab") * col("n_total") / (col("c_a") * col("c_b"))), 6))
+        .select(col("prev"), col("cur"), col("c_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("prev"), col("cur"))
+        .limit(20)
+    }),
+
     "bigram_lm_bits" -> ((s, dir) => {
       // feeds model + scorer AND repeat invocations: tokenized once per
       // (session, dir)
@@ -857,6 +878,24 @@ object TextQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin
     },
+
+    "pmi_topk" ->
+      s"""WITH t AS (SELECT ${duckToks("text")} AS toks FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(prev := toks[i], cur := toks[i+1]))) AS b
+         |  FROM t WHERE len(toks) >= 2),
+         |bgf AS (SELECT b.prev AS prev, b.cur AS cur FROM bg),
+         |ab AS (SELECT prev, cur, count(*) AS c_ab FROM bgf GROUP BY prev, cur),
+         |ua AS (SELECT prev, count(*) AS c_a FROM bgf GROUP BY prev),
+         |ub AS (SELECT cur, count(*) AS c_b FROM bgf GROUP BY cur),
+         |nn AS (SELECT count(*) AS n_total FROM bgf)
+         |SELECT ab.prev, ab.cur, ab.c_ab,
+         |  round(ln(ab.c_ab * nn.n_total / (ua.c_a * ub.c_b)), 6) AS pmi
+         |FROM ab JOIN ua USING (prev) JOIN ub USING (cur) CROSS JOIN nn
+         |WHERE ab.c_ab >= 5
+         |ORDER BY pmi DESC, prev, cur
+         |LIMIT 20""".stripMargin,
 
     "word_bigram_topk" ->
       s"""WITH t AS (SELECT ${duckToks("text")} AS toks FROM documents),

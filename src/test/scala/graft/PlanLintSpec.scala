@@ -39,7 +39,8 @@ class PlanLintSpec extends AnyFunSuite {
       "pagerank_pairs", // 1-row node-count aggregate broadcast per iteration
       "resample_fill",  // 1-row grid-bound aggregate broadcast into the grid generator
       "edit_distance_pairs", // 40-row blocked pair set, broadcast side
-      "retrieval_mrr") // 5-row query panel broadcast against the corpus scan
+      "retrieval_mrr", // 5-row query panel broadcast against the corpus scan
+      "pmi_topk") // 1-row total-count aggregate broadcast into the scorer
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
