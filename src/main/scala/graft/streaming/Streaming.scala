@@ -339,6 +339,41 @@ object Streaming {
       .toDF()
   }
 
+  case class GapEv(user_id: Long, tsMicros: Long, event_id: Long)
+  case class LastSeen(tsMicros: Long)
+
+  /** Streaming twin of the batch `ts_gaps` monitor: per-user last-seen
+    * timestamp carried in `flatMapGroupsWithState`; a silence longer than
+    * `gapSeconds` between consecutive events (including ACROSS triggers —
+    * the state is exactly one timestamp per key) emits one gap row. The
+    * alerting face of gap detection: the batch query audits history, this
+    * one fires as the stream runs, with O(1) state per key.
+    */
+  def gapStream(spark: SparkSession, rows: DataFrame,
+                gapSeconds: Long = 12L * 3600): DataFrame = {
+    import spark.implicits._
+    rows.select(col("user_id"), col("tsMicros"), col("event_id"))
+      .as[GapEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[GapEv], st: GroupState[LastSeen]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          var last = st.getOption
+          sorted.foreach { e =>
+            last.foreach { l =>
+              val d = e.tsMicros - l.tsMicros
+              if (d > gapSeconds * 1000000L)
+                out += ((uid, l.tsMicros, e.tsMicros, d / 1000000L))
+            }
+            last = Some(LastSeen(e.tsMicros))
+          }
+          last.foreach(st.update)
+          out.iterator
+      }.toDF("user_id", "gap_start_us", "gap_end_us", "gap_seconds")
+  }
+
   case class EwmaEv(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
   case class EwmaState(n: Long, s: Double)
 

@@ -297,6 +297,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming gap monitor detects cross-trigger silences and matches batch ts_gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("event_id"))
+      .as[Streaming.GapEv].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val cut = evs(evs.length / 2).tsMicros
+    val input = MemoryStream[Streaming.GapEv]
+    val q = Streaming.gapStream(spark, input.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_stream").start()
+    try {
+      input.addData(evs.filter(_.tsMicros <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evs.filter(_.tsMicros > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("gap_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = SparkEntry.queries("ts_gaps")(spark, sf).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[java.sql.Timestamp]("gap_start").getTime * 1000,
+          r.getAs[java.sql.Timestamp]("gap_end").getTime * 1000,
+          r.getLong(3))).toSet
+      // ms→µs via getTime loses sub-ms precision; compare at ms grain
+      def ms(s: Set[(Long, Long, Long, Long)]) = s.map(t => (t._1, t._2 / 1000, t._3 / 1000, t._4))
+      assert(ms(got) === ms(want), "streaming gaps diverged from the batch monitor")
+      assert(got.nonEmpty, "fixture must contain at least one gap")
+    } finally q.stop()
+  }
+
   test("streaming EWMA fold continues across triggers and matches the batch query exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
