@@ -325,6 +325,11 @@ object MediaCodec {
     var end = false
     while (!end && pos + 8 <= p.length) {
       val len = b.getInt(pos)
+      // the chunk length field is untrusted input: a truncated/corrupt
+      // file must fail as the declared IllegalArgumentException (which
+      // quarantine routing catches), not an IndexOutOfBoundsException
+      require(len >= 0 && pos + 8 + len <= p.length,
+        s"PNG chunk at $pos claims $len bytes beyond end of payload")
       val typ = new String(p, pos + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(p, pos + 8, len)
       if (typ == "IEND") end = true

@@ -61,13 +61,32 @@ object Phash {
   /** Decode payloads and hash, one codec pass per partition: doc →
     * [[Bands]] (band, value) rows. This is the only stage that touches
     * image bytes.
+    *
+    * One malformed image in 100 TB must not fail the job: each row's
+    * decode is tried individually, failures are counted in `quarantined`
+    * and excluded (MediaCodec's "quarantine, don't guess" posture — the
+    * codec throws IllegalArgumentException on anything it can't decode
+    * exactly; here that row is routed out instead of crashing the pass).
     */
-  def hashBands(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+  def hashBands(media: Dataset[Multimodal.MediaRow]): DataFrame =
+    hashBands(media,
+      media.sparkSession.sparkContext.longAccumulator("phash.quarantined"))
+
+  /** [[hashBands]] with a caller-owned quarantine counter (readable after
+    * the action; in a streaming query, cumulative across triggers).
+    */
+  def hashBands(media: Dataset[Multimodal.MediaRow],
+                quarantined: org.apache.spark.util.LongAccumulator): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val bands = aHashBands(MediaCodec.decodePixels(r.payload))
-        (0 until Bands).iterator.map(b => BandRow(r.doc_id, b, bands(b)))
+        scala.util.Try(aHashBands(MediaCodec.decodePixels(r.payload))) match {
+          case scala.util.Success(bands) =>
+            (0 until Bands).iterator.map(b => BandRow(r.doc_id, b, bands(b)))
+          case scala.util.Failure(_) =>
+            quarantined.add(1L)
+            Iterator.empty
+        }
       }
     }.toDF()
   }

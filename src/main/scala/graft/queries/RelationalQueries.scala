@@ -1222,19 +1222,22 @@ object RelationalQueries {
     // HLL sketch distinct counts (approx_count_distinct). Raw estimates are
     // algorithm-specific and not portable across engines, so the oracled
     // output is the error BOUND: exact count per group plus a boolean
-    // asserting the sketch landed within 5% of it (rsd=0.01 → 5% is >4σ,
+    // asserting the sketch landed within 3σ of it (rsd=0.05 → 15% bound,
     // deterministic in practice since Spark's HLL++ is seed-free). The
     // oracle emits literal TRUE — a hash-match proves the sketch held the
-    // bound. Exact twin: distinct_agg.
+    // bound. rsd was 0.01 (~16× the register space of the default) until
+    // round 6 — the extra precision bought no assertion strength and made
+    // this the registry's most expensive query (round-5 verdict #5).
+    // Exact twin: distinct_agg.
     "approx_distinct" -> ((s, dir) => {
       lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) <=
-            col("exact_parts") * lit(0.05)).as("within_5pct"))
+            col("exact_parts") * lit(0.15)).as("within_3sigma"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -2037,11 +2040,12 @@ object RelationalQueries {
 
     // The sketch estimate itself is engine-specific; the oracled claim is
     // the error bound (see the query's comment). Literal TRUE: hash-match
-    // ⇔ Spark's HLL++ stayed within 5% of exact on every group.
+    // ⇔ Spark's HLL++ stayed within 3σ (15% at rsd=0.05) of exact on
+    // every group.
     "approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS within_5pct
+        |  TRUE AS within_3sigma
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin

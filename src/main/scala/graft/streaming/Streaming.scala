@@ -253,6 +253,34 @@ object Streaming {
         unix_micros(col("view_ts")).as("view_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the join face people get
+    * wrong. Matched (click, view) pairs emit exactly like the inner join,
+    * as soon as both rows have arrived; a click with NO view in its
+    * preceding hour emits exactly ONE null-padded row — and only when the
+    * watermark passes the click's timestamp, because until every view
+    * that could still satisfy `view_ts ≤ click_ts` has provably arrived,
+    * "no match" is not yet a fact. The null row's emission is therefore
+    * tied to state EVICTION (StreamingSpec asserts numRowsRemoved > 0),
+    * and a pending click near the head of the stream is not a bug — its
+    * verdict is simply not in evidence yet. Same bounded state as
+    * [[clickViewJoin]]: both sides watermarked, the range predicate
+    * bounds both buffers to interval + lateness.
+    */
+  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val v = views.select(col("user_id").as("v_user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 60 MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   // --- stateful sessionization -------------------------------------------
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
@@ -347,7 +375,10 @@ object Streaming {
     * `gapSeconds` between consecutive events (including ACROSS triggers —
     * the state is exactly one timestamp per key) emits one gap row. The
     * alerting face of gap detection: the batch query audits history, this
-    * one fires as the stream runs, with O(1) state per key.
+    * one fires as the stream runs, with O(1) state per key. Out-of-order
+    * arrivals never rewind the state (last-seen is a running max), so a
+    * late event can close no-longer-open history but cannot re-open it;
+    * gaps wholly inside already-seen time are the batch monitor's job.
     */
   def gapStream(spark: SparkSession, rows: DataFrame,
                 gapSeconds: Long = 12L * 3600): DataFrame = {
@@ -367,7 +398,15 @@ object Streaming {
               if (d > gapSeconds * 1000000L)
                 out += ((uid, l.tsMicros, e.tsMicros, d / 1000000L))
             }
-            last = Some(LastSeen(e.tsMicros))
+            // keep the MAX last-seen: an out-of-order event arriving in a
+            // later trigger must not rewind state to its earlier timestamp
+            // — that would re-open already-covered history and emit a
+            // spurious overlapping gap (the batch ts_gaps oracle sorts
+            // globally, so it can never produce one). A late event still
+            // never BACKFILLS a silence already emitted; that is inherent
+            // to one-timestamp-per-key state, not to this max.
+            if (last.forall(_.tsMicros < e.tsMicros))
+              last = Some(LastSeen(e.tsMicros))
           }
           last.foreach(st.update)
           out.iterator

@@ -139,4 +139,27 @@ class PhashSpec extends AnyFunSuite {
     // identical dims + format class ⇒ identical image ⇒ hamming 0 present
     assert(got.values.exists(_ == 0L))
   }
+
+  test("malformed payloads are quarantined, not job-fatal") {
+    import spark.implicits._
+    val goodPng = MediaCodec.encodePng(8, 8, 0)
+    // a PNG whose first chunk claims more bytes than the payload holds —
+    // the chunk walk must reject it as IllegalArgumentException (bounds
+    // check), and hashBands must route it out instead of failing the job
+    val truncated = goodPng.take(20)
+    val garbage = Array.tabulate[Byte](40)(i => (i * 7).toByte)
+    val liar = goodPng.clone()
+    liar(8 + 3) = 127 // IHDR length byte: claims 127-byte chunk in a tiny file
+    intercept[IllegalArgumentException](MediaCodec.decodePixels(liar))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, goodPng),
+      Multimodal.MediaRow(2L, truncated),
+      Multimodal.MediaRow(3L, garbage),
+      Multimodal.MediaRow(4L, liar)).toDS()
+    val quarantined = spark.sparkContext.longAccumulator("test.quarantined")
+    val out = Phash.hashBands(rows, quarantined).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L), "only the good image hashes")
+    assert(out.length === Phash.Bands)
+    assert(quarantined.value === 3L, "each bad payload counted once")
+  }
 }

@@ -66,6 +66,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty) // the fixture must actually exercise the join
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit eagerly, no-match clicks null-pad only on watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000
+    val min = 60L * 1000 * 1000
+    val clicksIn = MemoryStream[(Long, Long, Long)] // (user_id, event_id, tsMicros)
+    val viewsIn = MemoryStream[(Long, Long, Long)]
+    def asDf(ms: MemoryStream[(Long, Long, Long)]) =
+      ms.toDF().toDF("user_id", "event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+    val joined = Streaming.clickViewJoinLeftOuter(
+      asDf(clicksIn).withWatermark("ts", "10 minutes"),
+      asDf(viewsIn).withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_louter").start()
+    try {
+      // click 100 @10h has view 200 @9h30 in its hour; click 101 @13h has none
+      clicksIn.addData((1L, 100L, 10 * hour), (1L, 101L, 13 * hour))
+      viewsIn.addData((1L, 200L, 10 * hour - 30 * min))
+      q.processAllAvailable()
+      def rows = spark.table("ss_louter").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      // the MATCH emits eagerly; the no-view click must NOT have null-
+      // padded yet — a view in (12h, 13h] could still arrive
+      assert(rows === Set((1L, 100L, Some(200L))),
+        s"premature outer emission: $rows")
+      // advance BOTH watermarks past 13h (disjoint users/times: the flush
+      // click stays pending itself, the flush view matches nothing)
+      clicksIn.addData((9L, 999L, 20 * hour))
+      viewsIn.addData((8L, 998L, 20 * hour))
+      q.processAllAvailable()
+      // now the no-match verdict is in evidence: exactly one null row
+      assert(rows === Set((1L, 100L, Some(200L)), (1L, 101L, None)),
+        s"outer row missing or duplicated after expiry: $rows")
+      // the null row rode on state eviction, and the engine says so
+      assert(q.recentProgress.exists(
+          _.stateOperators.exists(_.numRowsRemoved > 0)),
+        "no join state was evicted")
+      // per-trigger union ≡ the batch left-outer twin over the same
+      // pre-flush events (the pending flush click is not yet evidence)
+      val bc = Seq((1L, 100L, 10 * hour), (1L, 101L, 13 * hour))
+        .toDF("user_id", "event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val bv = Seq((1L, 200L, 10 * hour - 30 * min))
+        .toDF("user_id", "event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val batch = Streaming.clickViewJoinLeftOuter(bc, bv).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(rows === batch, s"streamed $rows != batch twin $batch")
+    } finally q.stop()
+  }
+
   test("watermark drops late events: a row older than the watermark never reaches the aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
