@@ -30,8 +30,28 @@ object Stages {
     "ivfkm-layout" -> ((s, d) => { operators.Ann.kmeansLayout(s, d); () }),
     "pq-codebooks" -> ((s, d) => { operators.Pq.train(s, d); () }),
     "ivfpq-codes"  -> ((s, d) => { operators.Ivfpq.codesLayout(s, d); () }),
+    "ivfpqres-codes" -> ((s, d) => { operators.Ivfpq.resCodesLayout(s, d); () }),
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () })
   )
+
+  /** Forget every one-time-build memo (JVM maps + staged checkpoints) so
+    * the bench harness can time a SECOND, equally-cold build of every
+    * `stage:*` item. A single-shot stage timing cannot distinguish a
+    * scheduler hiccup from a regression (round-5 verdict: the driver box
+    * recorded `stage:bm25-tf` at 31.2 s where an idle box measures 2.1 s —
+    * and with one sample, 31.2 became the number of record). On-disk
+    * outputs are rewritten in place: every build uses a deterministic path
+    * and mode=overwrite, so queries running afterwards see the same index
+    * contents either way.
+    */
+  def resetAll(spark: SparkSession): Unit = {
+    StageCache.evict(spark)
+    operators.Ann.resetMemos()
+    operators.Pq.resetMemos()
+    operators.Ivfpq.resetMemos()
+    operators.MlAnn.resetMemos()
+    sources.JdbcStore.resetMemos()
+  }
 }

@@ -57,7 +57,10 @@ object Verify {
       "__IVFKM_LAYOUT__" -> graft.operators.Ann.kmeansLayoutPath(sfDir),
       "__IVFKM_CENTS__"  -> graft.operators.Ann.kmeansCentsPath(sfDir),
       "__PQ_BOOKS__"     -> graft.operators.Pq.booksPath(sfDir),
+      "__PQRES_BOOKS__"  -> graft.operators.Pq.resBooksPath(sfDir),
+      "__PQRES_ANCHORS__" -> graft.operators.Pq.resAnchorsPath(sfDir),
       "__IVFPQ_CODES__"  -> graft.operators.Ivfpq.codesPath(sfDir),
+      "__IVFPQRES_CODES__" -> graft.operators.Ivfpq.resCodesPath(sfDir),
       "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
       "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir))
     val json = oracleSelected

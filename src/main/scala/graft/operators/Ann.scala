@@ -104,6 +104,20 @@ object Ann {
   def ivfSearchBatch(vecs: DataFrame, queries: DataFrame, cellCol: String,
                      cents: DataFrame, idCol: String, embCol: String, k: Int,
                      nprobe: Int = 1): DataFrame = {
+    val scored = scoredCandidates(vecs, queries, cellCol, cents, idCol, embCol, nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol), col(cellCol), col("sim"), col("rnk"))
+  }
+
+  /** Shared probe + scoring step of the batch searches: each query ranks
+    * the broadcast centroid table for its `nprobe` cells, then the corpus
+    * equi-joins the (qid, cell) probe set on the cell key and scores.
+    */
+  private def scoredCandidates(vecs: DataFrame, queries: DataFrame,
+                               cellCol: String, cents: DataFrame, idCol: String,
+                               embCol: String, nprobe: Int): DataFrame = {
     GraftFunctions.register(vecs.sparkSession)
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("probe_cell").asc)
@@ -113,11 +127,37 @@ object Ann {
       .withColumn("crnk", row_number().over(pw))
       .filter(col("crnk") <= nprobe)
       .select(col("qid"), col("q_emb"), col("probe_cell"))
-    val scored = vecs.join(broadcast(probes), col(cellCol) === col("probe_cell"))
+    vecs.join(broadcast(probes), col(cellCol) === col("probe_cell"))
       .withColumn("sim", round(GraftFunctions.cosineSim(col(embCol), col("q_emb")), 6))
+  }
+
+  /** Skew-hardened twin of [[ivfSearchBatch]]: same probe, same broadcast
+    * scoring join, but the per-qid ranking runs through the explicit
+    * partial/final TopKPerKey operator. Why batch search survives a
+    * flash-crowd cell (a celebrity cluster holding half the corpus) at
+    * all: the corpus side of the scoring join is BROADCAST-joined against
+    * the probe set, so tasks read uniform input splits — never
+    * one-task-per-cell — and the only skew-sensitive exchange is the
+    * per-qid ranking shuffle. This operator bounds that exchange to
+    * ≤ k·qids·partitions rows by construction (map-side heaps). The
+    * window formulation in [[ivfSearchBatch]] is ALSO safe on current
+    * Spark — `row_number ≤ k` over a window triggers the
+    * WindowGroupLimit rewrite, a map-side per-key limit before the
+    * exchange — but that protection is an optimizer pattern-match on the
+    * rank-filter idiom; this operator is the explicit contract the
+    * optimizer can't miss. AnnSkewSpec builds a 60%-hot cell and
+    * metric-asserts the bound on BOTH plans, plus row-identical results
+    * (the order is total: sim DESC, id ASC).
+    */
+  def ivfSearchBatchTopK(vecs: DataFrame, queries: DataFrame, cellCol: String,
+                         cents: DataFrame, idCol: String, embCol: String, k: Int,
+                         nprobe: Int = 1): DataFrame = {
+    val scored = scoredCandidates(vecs, queries, cellCol, cents, idCol, embCol, nprobe)
+      .select(col("qid"), col(idCol), col(cellCol), col("sim"))
+    val top = TopK.perKey(scored, Seq("qid"), Seq(("sim", false), (idCol, true)), k)
+    // ranking the survivors is a window over ≤ k rows per qid — harmless
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col(idCol).asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("qid"), col(idCol), col(cellCol), col("sim"), col("rnk"))
   }
 
@@ -210,6 +250,14 @@ object Ann {
       .withColumnRenamed("__cc", "cell")
   }
 
+  /** Drop the JVM layout memos so the bench harness can time a SECOND,
+    * equally-cold build of each index (Stages.resetAll — round-5 verdict:
+    * single-shot stage timings can't tell a hiccup from a regression).
+    * On-disk dirs are rewritten in place: the paths are deterministic and
+    * every build writes mode=overwrite.
+    */
+  private[graft] def resetMemos(): Unit = { layouts.clear(); kmLayouts.clear() }
+
   /** Append NEW vectors to an existing cell-partitioned layout: assign
     * (map-only) + partitioned append — each new row lands in its cell
     * directory, searches keep pruning, nothing is rewritten. At 100 TB
@@ -219,4 +267,48 @@ object Ann {
                      idCol: String, embCol: String): Unit =
     assignCells(newVecs, cents, idCol, embCol)
       .write.mode("append").partitionBy("cell").parquet(layoutPath)
+
+  /** Compact an append-maintained cell-partitioned layout back into
+    * target-sized files. [[appendToLayout]] lands one file per writing
+    * task per cell per batch — correct and cheap for the append, but a
+    * daily streaming maintenance job accumulates a file per trigger per
+    * cell and never removes any: at 100 TB that is the classic
+    * small-files death (metadata-bound planning, seek-bound scans). This
+    * is the periodic repair job an LSM-ish layout pairs with appends:
+    *
+    *  1. read the whole layout and shuffle BY THE CELL KEY (each cell's
+    *     rows converge on one task — the deterministic-file-count choice;
+    *     `maxRecordsPerFile` then rolls that task's output into exactly
+    *     ⌈cellRows/target⌉ files per cell);
+    *  2. write to a sibling tmp dir, so searches keep reading the old
+    *     layout for the whole rewrite;
+    *  3. atomically swap via two renames (old → .old, tmp → live), with
+    *     rollback if the second rename fails, then drop the old tree.
+    *
+    * Searches observe either the pre- or post-compaction layout, never a
+    * partial one — contents are row-identical (ScaleLayoutSpec asserts
+    * hash-equality and unchanged search results).
+    */
+  def compactLayout(spark: SparkSession, layoutPath: String,
+                    targetRowsPerFile: Long = 1L << 20): Unit = {
+    val tmp = layoutPath + "-compact-tmp"
+    val old = layoutPath + "-compact-old"
+    spark.read.parquet(layoutPath)
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy("cell").parquet(tmp)
+    val live = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val pTmp = new org.apache.hadoop.fs.Path(tmp)
+    val pOld = new org.apache.hadoop.fs.Path(old)
+    fs.delete(pOld, true) // leftover from an earlier crashed compaction
+    if (!fs.rename(live, pOld))
+      throw new java.io.IOException(s"compaction: could not move $layoutPath aside")
+    if (!fs.rename(pTmp, live)) {
+      fs.rename(pOld, live) // roll back: the un-compacted layout stays live
+      throw new java.io.IOException(s"compaction: could not promote $tmp")
+    }
+    fs.delete(pOld, true)
+  }
 }

@@ -62,6 +62,50 @@ object Ivfpq {
       dir
     })
 
+  /** Bench-harness hook: forget the codes layouts so a second build can be
+    * timed cold (see Ann.resetMemos).
+    */
+  private[graft] def resetMemos(): Unit = { layouts.clear(); resLayouts.clear() }
+
+  private val resLayouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic location of the RESIDUAL-encoded codes (true IVFADC —
+    * see [[resCodesLayout]]).
+    */
+  def resCodesPath(sfDir: String, cells: Int = 10, dim: Int = 64, m: Int = 8,
+                   k: Int = 16, seed: Long = 42L): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ivfpqres-" +
+      Ann.pathToken(s"$sfDir/$cells/$dim/$m/$k/$seed")
+
+  /** Residual-encoded codes table (Jégou 2011 §III, IVFADC proper): each
+    * vector's codes quantize `v − centroid(cell(v))` with the residual
+    * codebooks (Pq.trainResidual) instead of the raw vector — the cell
+    * geometry the coarse quantizer already captured is not re-spent, so
+    * recall at equal code size improves (AnnPqSpec measures it). Same
+    * physical layout as [[codesLayout]]: (vec_id, codes) partitioned BY
+    * CELL, 8 bytes per vector in the probed lists.
+    */
+  def resCodesLayout(spark: SparkSession, sfDir: String, cells: Int = 10,
+                     dim: Int = 64, m: Int = 8, k: Int = 16,
+                     seed: Long = 42L): String =
+    resLayouts.computeIfAbsent(s"$sfDir/$cells/$dim/$m/$k/$seed", { _ =>
+      val dir = resCodesPath(sfDir, cells, dim, m, k, seed)
+      val (kmDir, _) = Ann.kmeansLayout(spark, sfDir, cells, seed)
+      val cb = Pq.trainResidual(spark, sfDir, dim, m, k, seed, cells)
+      val anchorsDf = Ann.centroidsDf(spark,
+          Pq.residualAnchors(spark, sfDir, cells, seed))
+        .withColumnRenamed("centroid", "anchor")
+      val res = spark.read.parquet(kmDir)
+        .select(col("vec_id"), col("cell"),
+          VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+        .join(broadcast(anchorsDf), Seq("cell"))
+        .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c))
+      Pq.encode(res, "res", cb)
+        .select(col("vec_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    })
+
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
@@ -108,6 +152,49 @@ object Ivfpq {
       .orderBy(col("adc").desc, col("vec_id").asc).limit(shortlistN)
       .select(col("vec_id"))
     // full-precision vectors are touched for shortlistN rows only
+    val norm = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+    norm.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .withColumn("sim", round(VectorOps.cosine(col("nemb"), typedLit(qVec.toSeq)), 6))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** IVFADC search over the RESIDUAL codes: identical plan to [[search]]
+    * (static-pruned codes scan → ADC shortlist → exact rescore of the
+    * shortlist) except the ADC score carries the per-cell first-order
+    * term: `dot(q, v) ≈ dot(q, c_cell) + Σ_s table[s][code_s]` with the
+    * table built from the residual codebooks. `dot(q, c)` for the ≤nprobe
+    * probed cells is driver-side arithmetic over broadcast index metadata
+    * — injected as a literal cell→double map, zero extra scans.
+    */
+  def searchResidual(spark: SparkSession, sfDir: String, qVec: Array[Double],
+                     excludeId: Option[Long], k: Int, shortlistN: Int,
+                     nprobe: Int, cells: Int = 10): DataFrame = {
+    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
+    val cb = Pq.trainResidual(spark, sfDir, cells = cells)
+    val codesDir = resCodesLayout(spark, sfDir, cells)
+    // probe ranks the trained unit centers; the first-order ADC term uses
+    // the encoding-side ANCHORS (cell means — see Pq.residualAnchors)
+    val probes = probeCells(cents, qVec, nprobe)
+    val table = Pq.adcTable(qVec, cb)
+    val anchorOf = Pq.residualAnchors(spark, sfDir, cells).toMap
+    val qDotC = probes.map { c =>
+      val anchor = anchorOf(c)
+      var d = 0.0; var i = 0
+      while (i < qVec.length) { d += qVec(i) * anchor(i); i += 1 }
+      c -> d
+    }.toMap
+    val codes0 = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(probes: _*))
+    val codes = excludeId.map(id => codes0.filter(col("vec_id") =!= id))
+      .getOrElse(codes0)
+    val shortlist = codes
+      .withColumn("adc", round(
+        element_at(typedLit(qDotC), col("cell")) + Pq.adcScore(table, cb.m), 6))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(shortlistN)
+      .select(col("vec_id"))
     val norm = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
         VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))

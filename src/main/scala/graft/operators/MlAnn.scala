@@ -147,17 +147,32 @@ object MlAnn {
                       dim: Int = 64): String =
     tfDumps.computeIfAbsent(s"$sfDir/$dim", { _ =>
       val dir = tfBucketsPath(sfDir, dim)
+      // the mapping is computed DISTRIBUTED: a web-corpus vocabulary grows
+      // with the corpus (hundreds of millions of noisy distinct tokens at
+      // 100 TB), so unlike the centroid/cell-count collects in this family
+      // it is not driver-sized metadata. HashingTF is serializable and
+      // indexOf is its exact murmur3+mod — wrapping it keeps the dumped
+      // mapping identical-by-construction to what transform() computes.
       val tf = new HashingTF().setNumFeatures(dim)
-      val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bucketOf = udf((t: String) => tf.indexOf(t))
+      spark.read.parquet(s"$sfDir/documents.parquet")
         .select(explode(filter(
           split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("term"))
-        .distinct().collect().map(_.getString(0)) // vocab digest: KB-scale
-      import spark.implicits._
-      vocab.toSeq.map(t => (t, tf.indexOf(t)))
-        .toDF("term", "bucket").coalesce(1)
+        .distinct()
+        .select(col("term"), bucketOf(col("term")).as("bucket"))
+        // repartition, not coalesce: coalesce(1) would collapse the
+        // distinct itself to one task; this keeps the agg parallel and
+        // only funnels the (term, bucket) OUTPUT — at real scale drop it
+        // and let the mapping land as a many-file table
+        .repartition(1)
         .write.mode("overwrite").parquet(dir)
       dir
     })
+
+  /** Bench-harness hook: forget the dumped-index memos so a second build
+    * can be timed cold (see Ann.resetMemos).
+    */
+  private[graft] def resetMemos(): Unit = { lshLayouts.clear(); tfDumps.clear() }
 
   /** Approximate similarity self-join: pairs within `maxDist` (euclidean on
     * the unit sphere; 0.6 ≈ cosine 0.82). Equi-join on LSH buckets — the

@@ -361,6 +361,34 @@ object VectorQueries {
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // IVFADC proper (Jégou 2011 §III): same serving plan as
+    // ivfpq_rerank_recall — static-pruned codes scan, ADC table lookups,
+    // 20-vector exact rescore — but the codes quantize the RESIDUAL
+    // v − centroid(cell) with residual-trained codebooks, and the ADC
+    // score adds back the per-cell dot(q, centroid) first-order term
+    // (driver arithmetic over broadcast metadata, injected as a literal).
+    // Cell geometry is no longer re-spent by the product quantizer, so
+    // recall at equal (m, k_codes, shortlist) dominates the non-residual
+    // variant (AnnPqSpec asserts it). Same dumped-index replay oracle:
+    // residual books + residual codes + centers are all parquet.
+    "ivfpq_res_rerank_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val qn = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
+        .head().getSeq[Double](0).toArray // 1-row query fetch
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id",
+        "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val approx = graft.operators.Ivfpq.searchResidual(s, dir, qn,
+        excludeId = Some(0L), k = 5, shortlistN = 20, nprobe = 3)
+        .select(col("vec_id"))
+      approx.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(10).as("cells"), lit(3).as("nprobe"), lit(8).as("m"),
+          lit(16).as("k_codes"), lit(20).as("shortlist"), lit(5).as("k"),
+          col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
     // IR evaluation metrics — MRR and binary nDCG@10 of the exact cosine
     // ranking against label-match relevance, per query: the quality
     // harness a retrieval engine ships with (the recall@k audits grade
@@ -396,11 +424,18 @@ object VectorQueries {
         .join(broadcast(labelCounts), col("q_label") === col("label"))
         .withColumn("dcg", aggregate(col("terms"), lit(0.0),
           (acc, x) => acc + x("term")))
+        // clamp the sequence stop to ≥1: sequence(1, 0) auto-steps -1 in
+        // Spark (yielding [1, 0] and a 1/log2(1) = Inf term) while DuckDB's
+        // generate_series(1, 0) is empty — so a query whose label is unique
+        // (n_label = 1) would silently diverge across engines. The clamp
+        // plus the explicit zero branch below keeps both sides at 0.0.
         .withColumn("idcg", aggregate(
-          sequence(lit(1), least(col("n_label") - 1, lit(10))), lit(0.0),
+          sequence(lit(1), greatest(least(col("n_label") - 1, lit(10)), lit(1))),
+          lit(0.0),
           (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0))))
         .select(col("qid"), col("n_rel_10"), round(col("mrr0"), 6).as("mrr"),
-          round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+          round(when(col("n_label") > 1, col("dcg") / col("idcg"))
+            .otherwise(lit(0.0)), 6).as("ndcg10"))
         .orderBy(col("qid"))
     }),
 
@@ -503,7 +538,74 @@ object VectorQueries {
        |    e.vec_id ASC
        |  LIMIT 5)""".stripMargin
 
+  /** `cell IN (<the 3 probed cells>)` — the nprobe=3 cosine probe replayed
+    * over the dumped trained centers, shared by both IVFPQ oracle replays.
+    */
+  private def duckProbe3Where: String =
+    """ AND cell IN (
+      |  SELECT cell FROM (
+      |    SELECT c.cell FROM read_parquet('__IVFKM_CENTS__/*.parquet') c
+      |    CROSS JOIN (SELECT list_transform(embedding::DOUBLE[],
+      |        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qn
+      |      FROM embeddings WHERE vec_id = 0) nq
+      |    ORDER BY round(""".stripMargin +
+      duckCosine("c.centroid::DOUBLE[]", "nq.qn") +
+      """, 6) DESC, c.cell ASC
+      |    LIMIT 3))""".stripMargin
+
+  /** Dumped-RESIDUAL-index replay CTEs (ending in `short`): like
+    * [[duckPqShortCtes]] but over the residual books/codes, with the ADC
+    * score carrying the per-cell `dot(q, centroid)` first-order term —
+    * replayed as `qc.qdotc + <the same left fold>`, mirroring
+    * Ivfpq.searchResidual's `element_at(map, cell) + adcScore` exactly.
+    */
+  private def duckResShortCtes(codesWhere: String): String =
+    s"""books AS (SELECT s, code, cent::DOUBLE[] AS cent
+       |          FROM read_parquet('__PQRES_BOOKS__/*.parquet')),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT list_transform(qe,
+       |         x -> x / sqrt(list_dot_product(qe, qe))) AS qn FROM q),
+       |adc AS (SELECT b.s, b.code,
+       |          list_dot_product(b.cent, list_slice(n.qn, b.s*8+1, b.s*8+8)) AS dot
+       |        FROM books b CROSS JOIN qn n),
+       |qc AS (SELECT c.cell,
+       |         list_dot_product(c.anchor::DOUBLE[], n.qn) AS qdotc
+       |       FROM read_parquet('__PQRES_ANCHORS__/*.parquet') c CROSS JOIN qn n),
+       |codes AS (SELECT vec_id, codes, cell
+       |          FROM read_parquet('__IVFPQRES_CODES__/*/*.parquet', hive_partitioning=true)
+       |          WHERE vec_id <> 0$codesWhere),
+       |scored AS (
+       |  SELECT c.vec_id,
+       |    round(qc.qdotc + list_reduce(list_prepend(0.0::DOUBLE, list(a.dot ORDER BY a.s)),
+       |      (acc, x) -> acc + x), 6) AS adcs
+       |  FROM codes c
+       |  JOIN qc ON qc.cell = c.cell
+       |  CROSS JOIN generate_series(0, 7) g(s)
+       |  JOIN adc a ON a.s = g.s AND a.code = c.codes[g.s + 1]
+       |  GROUP BY c.vec_id, qc.qdotc),
+       |short AS (SELECT vec_id FROM scored ORDER BY adcs DESC, vec_id ASC LIMIT 20),
+       |nemb AS (SELECT e.vec_id,
+       |    list_transform(e.embedding::DOUBLE[], x -> x
+       |      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS nemb
+       |  FROM embeddings e JOIN short USING (vec_id)),
+       |exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) DESC,
+       |    e.vec_id ASC
+       |  LIMIT 5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "ivfpq_res_rerank_recall" ->
+      s"""WITH ${duckResShortCtes(duckProbe3Where)},
+         |rerank AS (SELECT n.vec_id FROM nemb n CROSS JOIN qn
+         |  ORDER BY round(${duckCosine("n.nemb", "qn.qn")}, 6) DESC, n.vec_id ASC
+         |  LIMIT 5)
+         |SELECT 10 AS cells, 3 AS nprobe, 8 AS m, 16 AS k_codes, 20 AS shortlist,
+         |  5 AS k, count(*)::BIGINT AS n_hit,
+         |  round(count(*)::DOUBLE / 5.0, 6) AS recall
+         |FROM rerank
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = rerank.vec_id)""".stripMargin,
 
     "retrieval_mrr" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS q_label
@@ -530,9 +632,11 @@ object VectorQueries {
          |    sum(rel)::BIGINT AS n_rel_10
          |  FROM top GROUP BY qid, q_label)
          |SELECT a.qid, a.n_rel_10, round(a.mrr0, 6) AS mrr,
-         |  round(a.dcg / list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(generate_series(1, least(lc.n_label - 1, 10)),
-         |      i -> 1.0 / (ln(i + 1.0) / ln(2.0)))), (acc, x) -> acc + x), 6) AS ndcg10
+         |  round(CASE WHEN lc.n_label > 1 THEN
+         |    a.dcg / list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, greatest(least(lc.n_label - 1, 10), 1)),
+         |        i -> 1.0 / (ln(i + 1.0) / ln(2.0)))), (acc, x) -> acc + x)
+         |  ELSE 0.0 END, 6) AS ndcg10
          |FROM aggd a JOIN lc ON lc.label = a.q_label
          |ORDER BY qid""".stripMargin,
 
@@ -552,17 +656,7 @@ object VectorQueries {
     // replayed over the dumped centers); rescore mirrors Ivfpq.search's
     // cosine(nemb, NORMALIZED q).
     "ivfpq_rerank_recall" ->
-      s"""WITH ${duckPqShortCtes(
-            """ AND cell IN (
-              |  SELECT cell FROM (
-              |    SELECT c.cell FROM read_parquet('__IVFKM_CENTS__/*.parquet') c
-              |    CROSS JOIN (SELECT list_transform(embedding::DOUBLE[],
-              |        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qn
-              |      FROM embeddings WHERE vec_id = 0) nq
-              |    ORDER BY round(""".stripMargin +
-              duckCosine("c.centroid::DOUBLE[]", "nq.qn") +
-              """, 6) DESC, c.cell ASC
-              |    LIMIT 3))""".stripMargin)},
+      s"""WITH ${duckPqShortCtes(duckProbe3Where)},
          |rerank AS (SELECT n.vec_id FROM nemb n CROSS JOIN qn
          |  ORDER BY round(${duckCosine("n.nemb", "qn.qn")}, 6) DESC, n.vec_id ASC
          |  LIMIT 5)

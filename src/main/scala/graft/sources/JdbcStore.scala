@@ -63,6 +63,11 @@ object JdbcStore {
       (dbDir, maxId)
     })
 
+  /** Bench-harness hook: forget the built stores so a second load can be
+    * timed cold (the Derby dir is rewritten in place, mode=overwrite).
+    */
+  private[graft] def resetMemos(): Unit = built.clear()
+
   /** Partitioned JDBC scan of the store + JSON vector decode back to
     * `array<float>`. Bit-exact round-trip: Spark writes floats via
     * shortest-round-trip JSON and reads them back to the identical float.

@@ -112,6 +112,79 @@ class AnnPqSpec extends AnyFunSuite {
     info(s"recall@5 at nprobe=all: ${recallVsExact(full)}")
   }
 
+  private def reconUdf(cb: Pq.Codebooks) = {
+    val bc = spark.sparkContext.broadcast(cb)
+    udf { (codes: Seq[Int]) =>
+      val c = bc.value
+      val out = new Array[Double](c.m * c.subDim)
+      var s = 0
+      while (s < c.m) {
+        System.arraycopy(c.books(s)(codes(s)), 0, out, s * c.subDim, c.subDim)
+        s += 1
+      }
+      out
+    }
+  }
+
+  test("residual codes (IVFADC) reconstruct strictly better than raw-vector codes") {
+    import graft.operators.Ann
+    val cbRaw = Pq.train(spark, sf)
+    val cbRes = Pq.trainResidual(spark, sf)
+    val (kmDir, _) = Ann.kmeansLayout(spark, sf)
+    val base = spark.read.parquet(kmDir)
+      .select(col("vec_id"), col("cell"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+      .join(broadcast(Ann.centroidsDf(spark, Pq.residualAnchors(spark, sf))
+        .withColumnRenamed("centroid", "anchor")), Seq("cell"))
+      .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c))
+    def sqErr(vec: String, rec: org.apache.spark.sql.Column) =
+      aggregate(zip_with(col(vec), rec, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    // ‖v − v̂_raw‖² vs ‖v − (c + r̃)‖² = ‖res − r̃‖²: the same m×k code
+    // budget, spent on residuals, must model the corpus strictly finer —
+    // this is the Jégou 2011 §III claim, asserted on real data
+    val rawMse = Pq.encode(base, "nemb", cbRaw)
+      .select(avg(sqErr("nemb", reconUdf(cbRaw)(col("codes")))).as("e"))
+      .head().getDouble(0)
+    val resMse = Pq.encode(base, "res", cbRes)
+      .select(avg(sqErr("res", reconUdf(cbRes)(col("codes")))).as("e"))
+      .head().getDouble(0)
+    info(f"mean squared reconstruction error: raw $rawMse%.5f residual $resMse%.5f")
+    assert(resMse < rawMse,
+      s"residual encoding did not improve reconstruction: $resMse vs $rawMse")
+  }
+
+  test("IVFADC recall@5 dominates non-residual IVFPQ at equal (m, k, shortlist, nprobe)") {
+    val recalls = (0L until 5L).map { qid =>
+      val qn = normed.filter(col("vec_id") === qid).head().getSeq[Double](1).toArray
+      val q = Tables.embeddings(spark, sf).filter(col("vec_id") === qid)
+        .select(col("embedding").as("q_emb"))
+      val exact = Knn.topK(
+          Tables.embeddings(spark, sf).filter(col("vec_id") =!= qid), q,
+          "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      val raw = Ivfpq.search(spark, sf, qn, excludeId = Some(qid), k = 5,
+        shortlistN = 20, nprobe = 3).collect().map(_.getLong(0)).toSet
+      val res = Ivfpq.searchResidual(spark, sf, qn, excludeId = Some(qid), k = 5,
+        shortlistN = 20, nprobe = 3).collect().map(_.getLong(0)).toSet
+      (exact.count(raw).toDouble / 5.0, exact.count(res).toDouble / 5.0)
+    }
+    val meanRaw = recalls.map(_._1).sum / recalls.size
+    val meanRes = recalls.map(_._2).sum / recalls.size
+    info(s"recall@5 over 5 queries: raw=$meanRaw residual=$meanRes ($recalls)")
+    assert(meanRes > meanRaw,
+      s"residual ADC did not improve recall: $meanRes vs $meanRaw")
+    // and the residual codes scan stays partition-pruned like the raw one
+    val qn0 = normed.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    val (_, cents) = graft.operators.Ann.kmeansLayout(spark, sf)
+    val probes = Ivfpq.probeCells(cents, qn0, nprobe = 3)
+    val pruned = spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .filter(col("cell").isin(probes: _*))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(spark.read.parquet(Ivfpq.resCodesLayout(spark, sf)).columns.toSet ===
+      Set("vec_id", "codes", "cell"))
+  }
+
   test("IVFPQ pruned probe: static partition pruning, no float vectors before rescore") {
     val qn = normed.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
     val codesDir = Ivfpq.codesLayout(spark, sf)

@@ -43,6 +43,19 @@ class MlAnnSpec extends AnyFunSuite {
         s"${fromLayout.toSeq} vs ${fromModel.toSeq}")
   }
 
+  test("dumped term→bucket map matches HashingTF.indexOf exactly") {
+    // the mapping is now computed distributed (UDF over the distinct-terms
+    // frame — no driver collect of the vocabulary); this pins that the
+    // dumped table still equals HashingTF's own hash for every term
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(64)
+    val dumped = spark.read.parquet(MlAnn.tfBucketsLayout(spark, sf))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(dumped.nonEmpty)
+    dumped.foreach { case (term, bucket) =>
+      assert(bucket === tf.indexOf(term), s"bucket drift for term '$term'")
+    }
+  }
+
   test("approxSelfJoin: returned pairs respect the distance bound") {
     val pairs = MlAnn.approxSelfJoin(
       Tables.embeddings(spark, sf).limit(100), "embedding", "vec_id", maxDist = 1.2)

@@ -31,6 +31,7 @@ class PlanLintSpec extends AnyFunSuite {
       "search_threshold", "pairwise_sim", "text_pairwise_sim", "ngram_jaccard",
       "ann_ivf", "ann_ivf_nprobe", "ann_ivf_rewrite", "ann_recall", "ann_lsh",
       "mrl_recall", "bq_rerank_recall", "pq_rerank_recall", "ivfpq_rerank_recall", // 1-row query side broadcast, shortlist-and-rescore
+      "ivfpq_res_rerank_recall", // same shape over the residual codes
       "ann_ivf_kmeans", "ann_recall_kmeans", "ann_ivf_batch", "ann_ivf_kmeans_batch",
       "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders",
       "bm25_search",  // 1-row corpus-stats side broadcast into the scorer

@@ -138,6 +138,56 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === total, "rows lost by file rolling")
   }
 
+  test("IVF compaction: accumulated append files collapse to ⌈rows/target⌉ per cell, contents and search unchanged") {
+    import graft.operators.Ann
+    val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath + "/layout"
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cents = Ann.cellMedoids(emb, "label", "vec_id", "embedding")
+    // simulate the daily maintenance loop: 4 streaming append batches,
+    // each landing its own files into the cell directories
+    for (b <- 0 until 4)
+      Ann.appendToLayout(emb.filter(col("vec_id") % 4 === b).drop("label"),
+        cents, dir, "vec_id", "embedding")
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerCell
+    assert(before.values.max >= 4,
+      s"appends should accumulate a file per batch per cell: $before")
+    val total = emb.count()
+    def snapshot = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .collect().map(_.toString).sorted.toSeq
+    def searchTop5 = {
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      Ann.ivfSearchCells(spark.read.parquet(dir), q, "cell",
+          Ann.cellMedoids(emb, "label", "vec_id", "embedding")
+            .withColumn("cell", col("cell").cast("int")),
+          "vec_id", "embedding", k = 5, excludeId = Some(0L), nprobe = 3)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val (rowsBefore, topBefore) = (snapshot, searchTop5)
+    // compact to 64-row target files: every cell collapses to ⌈n/64⌉
+    Ann.compactLayout(spark, dir, targetRowsPerFile = 64)
+    val after = filesPerCell
+    assert(after.keySet === before.keySet, "compaction must not drop cells")
+    val rowsPerCell = spark.read.parquet(dir).groupBy(col("cell")).count()
+      .collect().map(r => s"cell=${r.get(0)}" -> r.getLong(1)).toMap
+    after.foreach { case (cell, nFiles) =>
+      val expect = math.ceil(rowsPerCell(cell) / 64.0).toInt
+      assert(nFiles === expect,
+        s"$cell: $nFiles files after compaction, expected $expect (${rowsPerCell(cell)} rows)")
+    }
+    assert(spark.read.parquet(dir).count() === total, "rows lost by compaction")
+    assert(snapshot === rowsBefore, "compaction changed layout contents")
+    assert(searchTop5 === topBefore, "compaction changed search results")
+    // the swap left no droppings behind
+    assert(!new java.io.File(dir + "-compact-tmp").exists())
+    assert(!new java.io.File(dir + "-compact-old").exists())
+  }
+
   test("salted join equals the plain join exactly") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
