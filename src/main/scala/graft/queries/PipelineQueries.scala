@@ -152,6 +152,33 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // Leakage-safe train/val/test split — the eval-inflation guard a
+    // training pipeline needs ON TOP of dedup: `data_split` hashes each
+    // doc independently, so the two sides of a near-dup pair can land in
+    // different splits and the model "sees the test set" through a
+    // near-duplicate in train. Here the split is a pure function of the
+    // dup COMPONENT representative, so a whole near-dup cluster moves to
+    // one split together — by construction no verified pair can span
+    // train/test (TrainQueriesSpec also shows the naive split DOES leak
+    // on this corpus). Scale shape: components are the already-staged
+    // banded-LSH output; the split itself is a map-only projection of
+    // (id, rep) — same cost as the naive split once the dedup pipeline
+    // (which the corpus runs anyway) has produced components.
+    "leakage_safe_split" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir).select(col("id_a"), col("id_b"))
+      val nodes = spread(doubledDocs(s, dir)).select(col("doc_id").as("id"))
+      graft.operators.Components.connectedComponents(pairs, nodes)
+        .select(col("id").as("doc_id"), col("rep"))
+        .withColumn("bucket",
+          expr("((rep * 2654435761) % 4294967296) div 65536 % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PageRank over the near-dup pair graph — "which duplicate is the
     // IMPORTANT one": inside a duplicate cluster, keep the
     // most-connected representative rather than min-id. 3 fixed
@@ -673,6 +700,23 @@ object PipelineQueries {
          |  SELECT e.edst AS id, r.rep FROM reach r JOIN edges e ON e.esrc = r.id
          |)
          |SELECT id, min(rep) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $duckLshPairsCtes,
+         |edges AS (SELECT id_a AS esrc, id_b AS edst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS rep FROM src
+         |  UNION
+         |  SELECT e.edst AS id, r.rep FROM reach r JOIN edges e ON e.esrc = r.id
+         |),
+         |comp AS (SELECT id, min(rep) AS rep FROM reach GROUP BY id)
+         |SELECT id AS doc_id, rep,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT id, rep,
+         |        ((rep * 2654435761) % 4294967296) // 65536 % 100 AS b
+         |      FROM comp)
+         |ORDER BY doc_id""".stripMargin,
 
     "recursive_cte" ->
       s"""WITH RECURSIVE $duckLshPairsCtes,

@@ -28,6 +28,33 @@ class TrainQueriesSpec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train")
   }
 
+  test("leakage_safe_split: no near-dup pair spans splits; the naive per-doc split WOULD leak") {
+    val split = SparkEntry.queries("leakage_safe_split")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep"), r.getAs[String]("split"))).toMap
+    val pairs = queries.PipelineQueries.lshVerifiedPairs(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain verified near-dup pairs")
+    // by construction: both sides of every verified pair share a
+    // component rep, hence a split — near-dups cannot leak train→test
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) in different components")
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) LEAKED across splits")
+    }
+    // and the guard is not vacuous: the naive per-doc hash split puts at
+    // least one verified pair on different sides on this corpus — the
+    // exact eval-inflation bug this operator exists to prevent
+    def naiveSplit(id: Long): String = {
+      val b = ((id * 2654435761L) % 4294967296L) / 65536 % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => naiveSplit(a) != naiveSplit(b) },
+      "fixture too small to demonstrate the naive-split leak")
+    // every doc of the (doubled) dedup corpus is covered exactly once
+    assert(split.keySet.size === split.size)
+  }
+
   test("data_split is a pure function of doc_id (stable across reruns)") {
     val a = SparkEntry.queries("data_split")(spark, sf).collect().map(_.toSeq)
     val b = SparkEntry.queries("data_split")(spark, sf).collect().map(_.toSeq)
