@@ -161,6 +161,36 @@ object Ivfpq {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** Append NEW vectors to an existing residual codes layout WITHOUT
+    * retraining: assign each vector to its nearest trained center
+    * (broadcast metadata, map-only — Ann.assignCells), residual-encode
+    * against the FROZEN anchors + codebooks, and append the 8-byte code
+    * rows into the cell directories. Anchors and books retrain on an
+    * offline schedule, not per append — the standard serving-index
+    * contract: freshness now, optimal geometry at the next rebuild (a
+    * vector drifting far from every anchor still encodes, just with more
+    * quantization error, and the exact rescore stays exact either way).
+    * Pairs with Ann.compactLayout for the accumulated-small-files repair.
+    * `codesDir` is explicit so maintenance targets a caller-owned layout
+    * (the memoized shared one stays pristine under tests).
+    */
+  def appendToResLayout(spark: SparkSession, sfDir: String, newVecs: DataFrame,
+                        codesDir: String, cells: Int = 10): Unit = {
+    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
+    val cb = Pq.trainResidual(spark, sfDir, cells = cells)
+    val anchorsDf = Ann.centroidsDf(spark, Pq.residualAnchors(spark, sfDir, cells))
+      .withColumnRenamed("centroid", "anchor")
+    val assigned = Ann.assignCells(newVecs, Ann.centroidsDf(spark, cents),
+      "vec_id", "embedding")
+    val res = assigned.select(col("vec_id"), col("cell"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+      .join(broadcast(anchorsDf), Seq("cell"))
+      .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c))
+    Pq.encode(res, "res", cb)
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(codesDir)
+  }
+
   /** IVFADC search over the RESIDUAL codes: identical plan to [[search]]
     * (static-pruned codes scan → ADC shortlist → exact rescore of the
     * shortlist) except the ADC score carries the per-cell first-order
@@ -171,10 +201,17 @@ object Ivfpq {
     */
   def searchResidual(spark: SparkSession, sfDir: String, qVec: Array[Double],
                      excludeId: Option[Long], k: Int, shortlistN: Int,
-                     nprobe: Int, cells: Int = 10): DataFrame = {
+                     nprobe: Int, cells: Int = 10,
+                     // maintenance face: serve a caller-owned (appended/
+                     // compacted) codes dir + its matching full-precision
+                     // table instead of the memoized build (see
+                     // appendToResLayout; a maintained deployment appends
+                     // to BOTH the codes and the full-precision layout)
+                     codesDirOverride: Option[String] = None,
+                     rescoreDirOverride: Option[String] = None): DataFrame = {
     val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
-    val codesDir = resCodesLayout(spark, sfDir, cells)
+    val codesDir = codesDirOverride.getOrElse(resCodesLayout(spark, sfDir, cells))
     // probe ranks the trained unit centers; the first-order ADC term uses
     // the encoding-side ANCHORS (cell means — see Pq.residualAnchors)
     val probes = probeCells(cents, qVec, nprobe)
@@ -195,7 +232,8 @@ object Ivfpq {
         element_at(typedLit(qDotC), col("cell")) + Pq.adcScore(table, cb.m), 6))
       .orderBy(col("adc").desc, col("vec_id").asc).limit(shortlistN)
       .select(col("vec_id"))
-    val norm = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val norm = spark.read
+      .parquet(rescoreDirOverride.getOrElse(s"$sfDir/embeddings.parquet"))
       .select(col("vec_id"),
         VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
     norm.join(broadcast(shortlist), Seq("vec_id"), "left_semi")

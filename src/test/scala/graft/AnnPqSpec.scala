@@ -185,6 +185,50 @@ class AnnPqSpec extends AnyFunSuite {
       Set("vec_id", "codes", "cell"))
   }
 
+  test("residual codes maintenance: appends served without retraining, compaction repairs the files") {
+    import graft.operators.Ann
+    // caller-owned clones of BOTH halves of the index (codes + full
+    // precision), so the memoized shared layouts stay pristine
+    val base = java.nio.file.Files.createTempDirectory("graft_resmaint")
+      .toFile.getAbsolutePath
+    val codesDir = base + "/codes"
+    val vecsDir = base + "/vecs"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).write.parquet(vecsDir)
+    // live ingest: clones of vectors 0-5 under new ids, encoded with the
+    // FROZEN anchors + books (no retrain) and appended into the cell dirs
+    val arriving = Tables.embeddings(spark, sf).filter(col("vec_id") < 6)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    Ivfpq.appendToResLayout(spark, sf, arriving, codesDir)
+    arriving.write.mode("append").parquet(vecsDir)
+    def search = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3,
+        codesDirOverride = Some(codesDir), rescoreDirOverride = Some(vecsDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = search
+    // the appended exact duplicate of the query vector is immediately
+    // servable: top-1 with sim 1.0 (codes bit-identical to the original's,
+    // rescore exact)
+    assert(served.head._1 === 2000000L && served.head._2 >= 0.999999,
+      s"appended duplicate not served: $served")
+    def filesPerCell = new java.io.File(codesDir).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = filesPerCell
+    assert(before.values.max >= 2, s"append should add files per cell: $before")
+    val rowsBefore = spark.read.parquet(codesDir).count()
+    // the repair job: collapse the accumulated append files
+    Ann.compactLayout(spark, codesDir, targetRowsPerFile = 4096)
+    assert(filesPerCell.values.forall(_ === 1), s"compaction left $filesPerCell")
+    assert(spark.read.parquet(codesDir).count() === rowsBefore)
+    assert(search === served, "compaction changed residual search results")
+  }
+
+  private lazy val qn0: Array[Double] =
+    normed.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+
   test("IVFPQ pruned probe: static partition pruning, no float vectors before rescore") {
     val qn = normed.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
     val codesDir = Ivfpq.codesLayout(spark, sf)

@@ -733,6 +733,58 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed append broke pruning:\n$plan")
   }
 
+  test("streaming residual-codes maintenance: per-trigger appends served by IVFADC without retraining") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivfpq
+    // caller-owned clones of the codes + full-precision halves (the
+    // memoized shared layouts stay pristine under the test)
+    val base = java.nio.file.Files.createTempDirectory("graft_resmaint_stream")
+      .toFile.getAbsolutePath
+    val codesDir = base + "/codes"
+    val vecsDir = base + "/vecs"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).write.parquet(vecsDir)
+    // live ingest in two triggers: clones of vectors 0-5 under new ids;
+    // each trigger residual-encodes against the FROZEN anchors + books
+    // (map-only against broadcast metadata) and appends into the cell
+    // dirs — the daily IVFADC freshness job as a stream
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = vecs.splitAt(3)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivfpq.appendToResLayout(spark, sf, df, codesDir)
+        df.write.mode("append").parquet(vecsDir)
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(codesDir).filter(col("vec_id") >= 2000000L)
+      .count() === 6)
+    // the streamed exact duplicate of query vector 0 is immediately
+    // servable through the full IVFADC path (pruned codes scan → ADC with
+    // the anchor term → exact rescore): top-1 at sim 1.0
+    val qn = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(graft.functions.VectorOps.l2Normalize(
+        graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("n"))
+      .head().getSeq[Double](0).toArray
+    val res = Ivfpq.searchResidual(spark, sf, qn, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3,
+        codesDirOverride = Some(codesDir), rescoreDirOverride = Some(vecsDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.head._1 === 2000000L && res.head._2 >= 0.999999,
+      s"streamed duplicate not served: ${res.toSeq}")
+  }
+
   test("stream-static anti join equals the batch anti join (incremental dedup face)") {
     val static = Tables.events(spark, sf).filter(col("event_id") % 3 === 0)
       .select(col("event_id"))
