@@ -579,6 +579,18 @@ object RelationalQueries {
         .orderBy(col("click_id"), col("view_id"))
     }),
 
+    // LEFT OUTER interval join — the batch oracle of the streaming
+    // left-outer twin (clicks with no view in the preceding hour keep one
+    // null-padded row). view_id is nullable in the sort: NULLS FIRST
+    // pinned on both engines (Spark's asc default vs DuckDB's NULLS LAST).
+    "interval_join_louter" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.Streaming.clickViewJoinLeftOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id"), col("view_id").asc_nulls_first)
+    }),
+
     // Pure top-k: TakeOrderedAndProject, no aggregation.
     "topk_orders" -> ((s, dir) => {
       orders(s, dir)
@@ -1972,6 +1984,15 @@ object RelationalQueries {
         |WHERE a.event_type = 'click' AND b.event_type = 'view'
         |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
         |ORDER BY click_id, view_id""".stripMargin,
+
+    "interval_join_louter" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+        |  epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
+        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size,

@@ -12,17 +12,14 @@ class QueriesSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   /** Queries with no DuckDB-expressible semantics (driver falls back to a
-    * rows-only check). Keep this list SHORT and justified.
+    * rows-only check). EMPTY since round 5: every formerly-omitted query
+    * (ann_lsh, embed_mllib, the PQ/IVFPQ family, the trained-IVF family)
+    * is now oracled by dumped-index replay — the trained state is written
+    * to parquet and the oracle replays search over the same files. Any
+    * future query landing here makes the first test below fail until it
+    * either gets an oracle or earns a justified entry.
     */
-  val consciousOracleOmissions: Set[String] = Set(
-    "ann_lsh",           // seeded random projections — approximate by design
-    "embed_mllib",       // MLlib murmur3 term hashing — engine-specific
-    "pq_rerank_recall",  // trained product-quantization codebooks (AnnPqSpec is the gate)
-    "ivfpq_rerank_recall" // trained IVF cells × trained PQ codebooks (AnnPqSpec is the gate)
-    // ann_ivf_kmeans / ann_recall_kmeans / ann_ivf_kmeans_batch are now
-    // ORACLED: the trained layout + centers are dumped to parquet and the
-    // DuckDB SQL replays the search over those same files (PipelineQueries)
-  )
+  val consciousOracleOmissions: Set[String] = Set.empty
 
   test("every query has an oracle or a conscious omission") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
