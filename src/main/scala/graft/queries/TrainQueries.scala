@@ -97,6 +97,44 @@ object TrainQueries {
         .orderBy(col("rn"))
     }),
 
+    // HTML boilerplate extraction — the step-zero of every web corpus:
+    // crawled pages arrive as markup, training text is the main content
+    // with nav/script/style/footer boilerplate and entities stripped. The
+    // fixture is plain text, so each doc is first wrapped in a
+    // deterministic page (title/style/script/nav from doc_id arithmetic —
+    // the multimodal synthesis trick), then Spark extracts the content
+    // div, strips tags, decodes entities, and collapses whitespace while
+    // the oracle runs the identical chain in SQL: a hash match proves
+    // the extraction, and TrainQueriesSpec proves exact roundtrip (clean
+    // text == original + the injected entity span). Map-only projection
+    // over codegen'd regexes — the C4-grade heuristic extractor; a
+    // DOM-parser variant would slot into mapPartitions like MediaCodec.
+    "html_extract" -> ((s, dir) => {
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did,
+        lit("</title><style>body{font-size:"),
+        (col("doc_id") % 7 + lit(9)).cast("string"),
+        lit("px}</style><script>var id="), did,
+        lit(";track(id);</script></head><body><nav>Home | About | Page "),
+        (col("doc_id") % 13).cast("string"),
+        lit("</nav><div class=\"content\"><p>"), col("text"),
+        lit("</p><span>A &amp; B &lt;tag&gt;</span></div>" +
+          "<footer>&copy; example.com</footer></body></html>"))
+      documents(s, dir)
+        .select(col("doc_id"), html.as("html"))
+        .withColumn("main",
+          regexp_extract(col("html"), "<div class=\"content\">(.*?)</div>", 1))
+        .withColumn("clean", trim(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("main"), "<[^>]+>", " "),
+            "&amp;", "&"), "&lt;", "<"), "&gt;", ">"),
+          "\\s+", " ")))
+        .select(col("doc_id"), col("clean"),
+          length(col("clean")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Web-corpus curation, C4-style: documents carry provenance URLs (the
     // fixture has none, so they are synthesized deterministically from
     // doc_id — the multimodal trick: Spark PARSES the real URL string with
@@ -304,6 +342,31 @@ object TrainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>body{font-size:' || (doc_id % 7 + 9) ||
+        |    'px}</style><script>var id=' || doc_id ||
+        |    ';track(id);</script></head><body><nav>Home | About | Page ' ||
+        |    (doc_id % 13) ||
+        |    '</nav><div class="content"><p>' || text ||
+        |    '</p><span>A &amp; B &lt;tag&gt;</span></div>' ||
+        |    '<footer>&copy; example.com</footer></body></html>' AS html
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |        regexp_extract(html, '<div class="content">(.*?)</div>', 1) AS main
+        |      FROM h),
+        |c AS (SELECT doc_id,
+        |        trim(regexp_replace(
+        |          replace(replace(replace(
+        |            regexp_replace(main, '<[^>]+>', ' ', 'g'),
+        |            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |          '\s+', ' ', 'g')) AS clean
+        |      FROM m)
+        |SELECT doc_id, clean, length(clean) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "domain_stats" ->
       s"""WITH u AS (

@@ -28,6 +28,20 @@ class TrainQueriesSpec extends AnyFunSuite {
     assert(train > 0.6 && train < 0.95, s"train fraction $train")
   }
 
+  test("html_extract roundtrips the original text through markup exactly") {
+    val out = SparkEntry.queries("html_extract")(spark, sf).collect()
+    val orig = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === nDocs)
+    // extraction is the exact inverse of the synthesis: main content
+    // survives verbatim (plus the injected entity span, decoded), every
+    // piece of boilerplate — title, style, script, nav, footer — is gone
+    out.foreach { r =>
+      assert(r.getString(1) === orig(r.getLong(0)) + " A & B <tag>",
+        s"doc ${r.getLong(0)} did not roundtrip")
+    }
+  }
+
   test("leakage_safe_split: no near-dup pair spans splits; the naive per-doc split WOULD leak") {
     val split = SparkEntry.queries("leakage_safe_split")(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
