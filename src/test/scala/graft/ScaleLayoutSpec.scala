@@ -188,6 +188,34 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "-compact-old").exists())
   }
 
+  test("input split sizing: maxPartitionBytes fans a monolithic file out across tasks") {
+    // the read-side twin of the file-sizing test: one 10 GB file written
+    // by a misbehaving upstream must not become one task — the scan
+    // splits it at maxPartitionBytes boundaries (parquet row groups make
+    // the offsets seekable), restoring read parallelism without any
+    // rewrite. Verified: a single-file table read under a small split
+    // size plans >1 input partition and loses nothing.
+    val dir = Files.createTempDirectory("graft_monofile").toFile.getAbsolutePath
+    // sf0.01: the rewritten single file must exceed the 16 KB split size
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val total = ev.count()
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1, "fixture must be one file")
+    val saved = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (16 * 1024).toString)
+      val read = spark.read.parquet(dir)
+      assert(read.rdd.getNumPartitions > 1,
+        s"single file not split: ${read.rdd.getNumPartitions} partition(s)")
+      assert(read.count() === total, "splitting lost rows")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None    => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("salted join equals the plain join exactly") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
