@@ -161,6 +161,86 @@ object Ivfpq {
       .select(col("vec_id"), col("sim"))
   }
 
+  /** Batch IVFADC: serve a BATCH of queries against the residual codes
+    * layout in ONE job. Per query, the cell probe and the m×k ADC table
+    * are driver arithmetic over broadcast index metadata (centers,
+    * anchors, books — KBs; a serving batch is API-sized, so Q·m·k table
+    * entries stay a small literal). The job itself:
+    *
+    *  - the codes scan reads the UNION of all probed cells once
+    *    (literal partition filter — still nprobe/cells of the table per
+    *    query, shared across queries probing the same cell);
+    *  - each code row joins only the queries that probed its cell
+    *    (broadcast probe table);
+    *  - ADC is the literal-map lookup fold `qdotc + Σ table[qid][s][code]`
+    *    — no float vectors, no per-row join against a table DF;
+    *  - the per-qid shortlist runs through the partial/final TopKPerKey
+    *    heap (bounded exchange however hot a cell is — AnnSkewSpec's
+    *    argument applies verbatim);
+    *  - only shortlist rows touch full-precision vectors for the exact
+    *    rescore.
+    *
+    * Output (qid, vec_id, sim, rnk), self-matches excluded. Single-query
+    * [[searchResidual]] is the per-request face; this is the bulk/serving
+    * face (and the per-trigger body of [[graft.streaming.Streaming]]'s
+    * IVFADC serve).
+    */
+  def searchBatchResidual(spark: SparkSession, sfDir: String,
+                          queries: Seq[(Long, Array[Double])], k: Int,
+                          shortlistN: Int, nprobe: Int,
+                          cells: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
+    val cb = Pq.trainResidual(spark, sfDir, cells = cells)
+    val codesDir = resCodesLayout(spark, sfDir, cells)
+    val anchorOf = Pq.residualAnchors(spark, sfDir, cells).toMap
+    val kCodes = cb.books(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    // driver-side probe + first-order terms + ADC tables, all from
+    // broadcast metadata
+    val probeRows = queries.flatMap { case (qid, qn) =>
+      probeCells(cents, qn, nprobe).map { c => (qid, c, dot(qn, anchorOf(c))) }
+    }
+    val adcEntries: Map[Long, Double] = queries.flatMap { case (qid, qn) =>
+      val t = Pq.adcTable(qn, cb)
+      for { s <- 0 until cb.m; c <- 0 until kCodes }
+        yield ((qid * cb.m + s) * kCodes + c) -> t(s)(c)
+    }.toMap
+    val allCells = probeRows.map(_._2).distinct
+    val probesDf = probeRows.toDF("qid", "pcell", "qdotc")
+    val adcLit = typedLit(adcEntries)
+    val scored = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(allCells: _*)) // static partition pruning
+      .join(broadcast(probesDf), col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", round(col("qdotc") +
+        aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(adcLit,
+            (col("qid") * cb.m + s).cast("long") * kCodes +
+              element_at(col("codes"), s + 1))), 6))
+      .select(col("qid"), col("vec_id"), col("adc"))
+    val short = graft.operators.TopK.perKey(scored, Seq("qid"),
+      Seq(("adc", false), ("vec_id", true)), shortlistN)
+      .select(col("qid"), col("vec_id"))
+    val qnDf = queries.map { case (qid, qn) => (qid, qn.toSeq) }.toDF("qid", "qn")
+    val norm = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    // rescore touches shortlistN rows per query only
+    norm.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qnDf), Seq("qid"))
+      .withColumn("sim", round(VectorOps.cosine(col("nemb"), col("qn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   /** Append NEW vectors to an existing residual codes layout WITHOUT
     * retraining: assign each vector to its nearest trained center
     * (broadcast metadata, map-only — Ann.assignCells), residual-encode

@@ -389,6 +389,21 @@ object VectorQueries {
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // Batch IVFADC — the bulk/serving face of the residual index: three
+    // queries served in ONE job (union-of-probed-cells pruned scan, per-
+    // query ADC tables as a broadcast literal, TopKPerKey shortlist,
+    // rescore of shortlist rows only). Self-matches excluded. Oracled by
+    // the same dumped-index replay, per qid. See Ivfpq.searchBatchResidual.
+    "ivfpq_res_batch" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id"),
+          VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("qn"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      graft.operators.Ivfpq.searchBatchResidual(s, dir, qs,
+          k = 5, shortlistN = 20, nprobe = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // IR evaluation metrics — MRR and binary nDCG@10 of the exact cosine
     // ranking against label-match relevance, per query: the quality
     // harness a retrieval engine ships with (the recall@k audits grade
@@ -595,6 +610,56 @@ object VectorQueries {
        |  LIMIT 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Batch-IVFADC replay: per qid, probe over the dumped centers, ADC
+    // over the dumped residual books + anchors + codes, TopKPerKey-
+    // equivalent shortlist window, exact rescore — mirroring
+    // Ivfpq.searchBatchResidual's arithmetic operation for operation.
+    "ivfpq_res_batch" ->
+      s"""WITH books AS (SELECT s, code, cent::DOUBLE[] AS cent
+         |          FROM read_parquet('__PQRES_BOOKS__/*.parquet')),
+         |qs AS (SELECT vec_id AS qid, list_transform(embedding::DOUBLE[],
+         |         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qn
+         |       FROM embeddings WHERE vec_id < 3),
+         |cents AS (SELECT cell, centroid::DOUBLE[] AS cent
+         |          FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |anchors AS (SELECT cell, anchor::DOUBLE[] AS anchor
+         |            FROM read_parquet('__PQRES_ANCHORS__/*.parquet')),
+         |probe AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(${duckCosine("c.cent", "q.qn")}, 6) DESC, c.cell ASC) AS rn
+         |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
+         |qc AS (SELECT q.qid, a.cell, list_dot_product(a.anchor, q.qn) AS qdotc
+         |       FROM qs q CROSS JOIN anchors a),
+         |adc AS (SELECT q.qid, b.s, b.code,
+         |          list_dot_product(b.cent, list_slice(q.qn, b.s*8+1, b.s*8+8)) AS dot
+         |        FROM books b CROSS JOIN qs q),
+         |cand AS (SELECT p.qid, c.vec_id, c.cell, c.codes
+         |         FROM read_parquet('__IVFPQRES_CODES__/*/*.parquet', hive_partitioning=true) c
+         |         JOIN probe p ON p.cell = c.cell
+         |         WHERE c.vec_id <> p.qid),
+         |scored AS (SELECT cand.qid, cand.vec_id,
+         |    round(qc.qdotc + list_reduce(list_prepend(0.0::DOUBLE, list(a.dot ORDER BY a.s)),
+         |      (acc, x) -> acc + x), 6) AS adcs
+         |  FROM cand
+         |  JOIN qc ON qc.qid = cand.qid AND qc.cell = cand.cell
+         |  CROSS JOIN generate_series(0, 7) g(s)
+         |  JOIN adc a ON a.qid = cand.qid AND a.s = g.s AND a.code = cand.codes[g.s + 1]
+         |  GROUP BY cand.qid, cand.vec_id, qc.qdotc),
+         |short AS (SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adcs DESC, vec_id ASC) AS rn FROM scored) WHERE rn <= 20),
+         |nemb AS (SELECT e.vec_id,
+         |    list_transform(e.embedding::DOUBLE[], x -> x
+         |      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS nemb
+         |  FROM embeddings e JOIN (SELECT DISTINCT vec_id FROM short) sv USING (vec_id)),
+         |rer AS (SELECT s.qid, s.vec_id,
+         |    round(${duckCosine("n.nemb", "q.qn")}, 6) AS sim
+         |  FROM short s JOIN nemb n USING (vec_id) JOIN qs q ON q.qid = s.qid)
+         |SELECT qid, vec_id, sim, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id ASC) AS rnk FROM rer)
+         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "ivfpq_res_rerank_recall" ->
       s"""WITH ${duckResShortCtes(duckProbe3Where)},

@@ -220,6 +220,31 @@ object Streaming {
       }
       .start()
 
+  /** Continuous IVFADC serving: each micro-batch of query vectors
+    * (qid, q_emb) is served by `Ivfpq.searchBatchResidual` — union-of-
+    * probed-cells pruned scan over the 8-byte residual codes, literal ADC
+    * tables, TopKPerKey shortlist, exact rescore of shortlist rows only.
+    * The trigger's queries are collected to the driver: a serving batch
+    * is API-sized, and the probe/table arithmetic is driver math over
+    * broadcast index metadata by design (same class as the single-query
+    * probe). StreamingSpec asserts per-trigger ≡ the batch search over
+    * exactly that trigger's queries.
+    */
+  def ivfpqServe(queries: DataFrame, sfDir: String, k: Int, nprobe: Int,
+                 shortlistN: Int = 20)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("qid"),
+            graft.functions.VectorOps.l2Normalize(
+              graft.functions.VectorOps.toDoubleArray(col("q_emb"))).as("qn"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        if (qs.nonEmpty)
+          sink(graft.operators.Ivfpq.searchBatchResidual(
+            batch.sparkSession, sfDir, qs, k, shortlistN, nprobe), batchId)
+      }
+      .start()
+
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index
     * (here: an id blocklist standing in for the fingerprint table) and

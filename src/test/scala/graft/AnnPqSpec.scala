@@ -10,7 +10,8 @@ import graft.operators.{Ann, Ivfpq, Knn, Pq}
   * trained codebooks are engine-specific, so correctness is asserted here
   * rather than against DuckDB).
   */
-class AnnPqSpec extends AnyFunSuite {
+class AnnPqSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
@@ -183,6 +184,31 @@ class AnnPqSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     assert(spark.read.parquet(Ivfpq.resCodesLayout(spark, sf)).columns.toSet ===
       Set("vec_id", "codes", "cell"))
+  }
+
+  test("batch IVFADC equals the single-query search per qid, with the heap shortlist in the plan") {
+    val qs = (0L until 3L).map { qid =>
+      qid -> normed.filter(col("vec_id") === qid).head().getSeq[Double](1).toArray
+    }
+    val batch = Ivfpq.searchBatchResidual(spark, sf, qs, k = 5,
+      shortlistN = 20, nprobe = 3)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    qs.foreach { case (qid, qn) =>
+      val single = Ivfpq.searchResidual(spark, sf, qn, excludeId = Some(qid),
+          k = 5, shortlistN = 20, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      single.zipWithIndex.foreach { case ((vid, sim), i) =>
+        assert(got((qid, i + 1)) === ((vid, sim)),
+          s"qid $qid rank ${i + 1}: batch ${got((qid, i + 1))} vs single ($vid, $sim)")
+      }
+    }
+    // the shortlist runs through the partial/final TopKPerKey heap pair
+    val execs = collect(batch.queryExecution.executedPlan) {
+      case t: graft.plans.TopKPerKeyExec => t.partial
+    }
+    assert(execs.sorted === Seq(false, true),
+      "batch shortlist did not use the partial/final TopKPerKeyExec pair")
   }
 
   test("residual codes maintenance: appends served without retraining, compaction repairs the files") {

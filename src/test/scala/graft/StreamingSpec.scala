@@ -733,6 +733,47 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed append broke pruning:\n$plan")
   }
 
+  test("streaming IVFADC serve: per-trigger results equal the batch residual search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivfpq
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = vecs.splitAt(3)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val perTrigger = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[(Long, Long, Double, Int)])]
+    val q = Streaming.ivfpqServe(
+      input.toDF().toDF("qid", "q_emb"), sf, k = 5, nprobe = 3) {
+      (df, batchId) =>
+        perTrigger += batchId -> df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    }
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = perTrigger.filter(_._2.nonEmpty)
+    assert(nonEmpty.map(_._2.map(_._1).distinct.length).sum === 5,
+      s"expected 3+2 qids across triggers: ${nonEmpty.map(_._2.toSeq)}")
+    // per-trigger streamed output ≡ the batch search over exactly that
+    // trigger's queries
+    for ((_, rows) <- nonEmpty) {
+      val qids = rows.map(_._1).distinct.sorted
+      val qs = qids.map { qid =>
+        qid -> Tables.embeddings(spark, sf).filter(col("vec_id") === qid)
+          .select(graft.functions.VectorOps.l2Normalize(
+            graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("n"))
+          .head().getSeq[Double](0).toArray
+      }.toSeq
+      val batch = Ivfpq.searchBatchResidual(spark, sf, qs, k = 5,
+          shortlistN = 20, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(rows.sorted.toSeq === batch.sorted.toSeq)
+    }
+  }
+
   test("streaming residual-codes maintenance: per-trigger appends served by IVFADC without retraining") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
