@@ -290,10 +290,13 @@ object Ann {
     * hash-equality and unchanged search results).
     */
   def compactLayout(spark: SparkSession, layoutPath: String,
-                    targetRowsPerFile: Long = 1L << 20): Unit = {
+                    targetRowsPerFile: Long = 1L << 20,
+                    // rewrite-time row transform (e.g. dropping tombstoned
+                    // rows — Ivfpq.compactResLayout); identity by default
+                    transform: DataFrame => DataFrame = identity): Unit = {
     val tmp = layoutPath + "-compact-tmp"
     val old = layoutPath + "-compact-old"
-    spark.read.parquet(layoutPath)
+    transform(spark.read.parquet(layoutPath))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRowsPerFile)

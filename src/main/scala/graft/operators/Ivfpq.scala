@@ -188,11 +188,16 @@ object Ivfpq {
   def searchBatchResidual(spark: SparkSession, sfDir: String,
                           queries: Seq[(Long, Array[Double])], k: Int,
                           shortlistN: Int, nprobe: Int,
-                          cells: Int = 10): DataFrame = {
+                          cells: Int = 10,
+                          // maintenance face, as in [[searchResidual]]:
+                          // serve a caller-owned (appended / tombstoned /
+                          // compacted) layout instead of the memoized one
+                          codesDirOverride: Option[String] = None,
+                          rescoreDirOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
     val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
-    val codesDir = resCodesLayout(spark, sfDir, cells)
+    val codesDir = codesDirOverride.getOrElse(resCodesLayout(spark, sfDir, cells))
     val anchorOf = Pq.residualAnchors(spark, sfDir, cells).toMap
     val kCodes = cb.books(0).length
     def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -213,8 +218,8 @@ object Ivfpq {
     val allCells = probeRows.map(_._2).distinct
     val probesDf = probeRows.toDF("qid", "pcell", "qdotc")
     val adcLit = typedLit(adcEntries)
-    val scored = spark.read.parquet(codesDir)
-      .filter(col("cell").isin(allCells: _*)) // static partition pruning
+    val scored = withoutTombstones(spark, codesDir, spark.read.parquet(codesDir)
+        .filter(col("cell").isin(allCells: _*))) // static partition pruning
       .join(broadcast(probesDf), col("cell") === col("pcell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", round(col("qdotc") +
@@ -227,7 +232,8 @@ object Ivfpq {
       Seq(("adc", false), ("vec_id", true)), shortlistN)
       .select(col("qid"), col("vec_id"))
     val qnDf = queries.map { case (qid, qn) => (qid, qn.toSeq) }.toDF("qid", "qn")
-    val norm = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val norm = spark.read
+      .parquet(rescoreDirOverride.getOrElse(s"$sfDir/embeddings.parquet"))
       .select(col("vec_id"),
         VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
     val w = org.apache.spark.sql.expressions.Window
@@ -271,6 +277,68 @@ object Ivfpq {
       .write.mode("append").partitionBy("cell").parquet(codesDir)
   }
 
+  /** Tombstone sidecar location for a residual codes layout. Deletes are
+    * the third maintenance verb (after append and compact): a serving
+    * index cannot rewrite cell files per delete, so deletion is LOGICAL
+    * first — an id lands in the sidecar and every search anti-joins it —
+    * and PHYSICAL later, when [[compactResLayout]] rewrites the cells
+    * without the tombstoned rows and clears the sidecar.
+    */
+  def tombstonesPath(codesDir: String): String = codesDir + "-tombstones"
+
+  /** Logically delete `ids` from a caller-owned residual codes layout:
+    * append them to the tombstone sidecar (a parquet of vec_ids — KBs
+    * per maintenance batch; deletes-since-last-compaction stay small by
+    * construction, so serves broadcast it). Append-mode on purpose:
+    * concurrent/repeated delete batches union, and a re-delivered delete
+    * is idempotent through the anti-join.
+    */
+  def deleteFromResLayout(spark: SparkSession, ids: Seq[Long],
+                          codesDir: String): Unit = {
+    import spark.implicits._
+    deleteFromResLayout(ids.toDF("vec_id"), codesDir)
+  }
+
+  /** DataFrame overload — the `foreachBatch` sink shape: a per-trigger
+    * micro-batch of delete events lands in the sidecar as-is (map-only
+    * append; StreamingSpec serves the exclusions on the very next search).
+    */
+  def deleteFromResLayout(ids: DataFrame, codesDir: String): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(tombstonesPath(codesDir))
+
+  /** Anti-join the tombstone sidecar into a codes scan, if one exists.
+    * The sidecar is deletes-since-last-compaction — broadcast-sized — so
+    * the anti-join is map-side; a missing sidecar costs one driver-side
+    * existence check and leaves the plan untouched (the memoized shared
+    * layouts never have one, so registered queries are unaffected).
+    */
+  private def withoutTombstones(spark: SparkSession, codesDir: String,
+                                codes: DataFrame): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(tombstonesPath(codesDir))
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(t))
+      codes.join(broadcast(spark.read.parquet(t.toString)
+        .select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+    else codes
+  }
+
+  /** Physically apply tombstones: rewrite the cell files WITHOUT the
+    * tombstoned rows (riding [[Ann.compactLayout]]'s two-rename atomic
+    * swap, so searches see the old or new layout, never partial), then
+    * clear the sidecar. Crash-safe ordering: the sidecar is dropped only
+    * AFTER the swap promotes the cleaned layout — a crash in between
+    * re-applies the tombstones over rows that no longer exist, which the
+    * anti-join makes a no-op.
+    */
+  def compactResLayout(spark: SparkSession, codesDir: String,
+                       targetRowsPerFile: Long = 1L << 20): Unit = {
+    Ann.compactLayout(spark, codesDir, targetRowsPerFile,
+      transform = df => withoutTombstones(spark, codesDir, df))
+    val t = new org.apache.hadoop.fs.Path(tombstonesPath(codesDir))
+    t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+  }
+
   /** IVFADC search over the RESIDUAL codes: identical plan to [[search]]
     * (static-pruned codes scan → ADC shortlist → exact rescore of the
     * shortlist) except the ADC score carries the per-cell first-order
@@ -288,7 +356,17 @@ object Ivfpq {
                      // appendToResLayout; a maintained deployment appends
                      // to BOTH the codes and the full-precision layout)
                      codesDirOverride: Option[String] = None,
-                     rescoreDirOverride: Option[String] = None): DataFrame = {
+                     rescoreDirOverride: Option[String] = None,
+                     // metadata-filtered search: a 1-column (vec_id) frame
+                     // of ALLOWED candidates, PRE-filter semantics — the
+                     // semi-join restricts the codes scan BEFORE the ADC
+                     // shortlist, so all shortlistN slots go to vectors
+                     // satisfying the predicate. (Post-filtering an
+                     // unfiltered top-k starves on selective predicates —
+                     // AnnPqSpec demonstrates the failure.) Not forced
+                     // broadcast: the allowed set can be most of the
+                     // corpus; Catalyst/AQE picks the join side.
+                     filterIds: Option[DataFrame] = None): DataFrame = {
     val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
     val codesDir = codesDirOverride.getOrElse(resCodesLayout(spark, sfDir, cells))
@@ -303,10 +381,13 @@ object Ivfpq {
       while (i < qVec.length) { d += qVec(i) * anchor(i); i += 1 }
       c -> d
     }.toMap
-    val codes0 = spark.read.parquet(codesDir)
-      .filter(col("cell").isin(probes: _*))
-    val codes = excludeId.map(id => codes0.filter(col("vec_id") =!= id))
+    val codes0 = withoutTombstones(spark, codesDir,
+      spark.read.parquet(codesDir).filter(col("cell").isin(probes: _*)))
+    val codes1 = excludeId.map(id => codes0.filter(col("vec_id") =!= id))
       .getOrElse(codes0)
+    val codes = filterIds.map(f =>
+        codes1.join(f.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+      .getOrElse(codes1)
     val shortlist = codes
       .withColumn("adc", round(
         element_at(typedLit(qDotC), col("cell")) + Pq.adcScore(table, cb.m), 6))

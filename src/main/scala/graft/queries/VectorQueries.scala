@@ -389,6 +389,64 @@ object VectorQueries {
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // Metadata-filtered exact search — the "vector search with a WHERE
+    // clause" every production store exposes: top-k cosine among
+    // embeddings whose DOCUMENT row satisfies lang = 'en' (predicate on a
+    // separate metadata table, the realistic shape). The allowed ids
+    // reach the scorer via a semi-join BEFORE any scoring; only survivors
+    // are scored and ranked (TakeOrderedAndProject).
+    "knn_filtered" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val allowed = documents(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Knn.topK(emb.filter(col("vec_id") =!= 0)
+          .join(allowed, Seq("vec_id"), "left_semi"),
+        q, "vec_id", "embedding", k = 10, keep = Seq("vec_id"))
+    }),
+
+    // Metadata-filtered IVFADC — the same predicate pushed into the
+    // residual serving index with PRE-filter semantics: the allowed-id
+    // semi-join restricts the codes scan BEFORE the ADC shortlist, so all
+    // 20 shortlist slots go to vectors satisfying the predicate
+    // (post-filtering an unfiltered top-k starves on selective predicates
+    // — AnnPqSpec demonstrates). Oracled by the dumped-index replay with
+    // the identical filter on the codes CTE.
+    "ivfpq_res_filtered" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qn = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
+        .head().getSeq[Double](0).toArray // 1-row query fetch
+      val allowed = documents(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      graft.operators.Ivfpq.searchResidual(s, dir, qn, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3, filterIds = Some(allowed))
+    }),
+
+    // Tombstone deletes — the third maintenance verb of the serving index
+    // (append / compact / DELETE): ids 1 and 2 are logically deleted from
+    // a caller-owned clone of the codes layout (sidecar parquet; serves
+    // anti-join it broadcast) and the search no longer returns them,
+    // without any cell file being rewritten. compactResLayout later drops
+    // the rows physically (AnnPqSpec). The clone is rebuilt fresh each
+    // run so the query is deterministic; the oracle replays the PRISTINE
+    // dumped codes (byte-identical to the clone) with vec_id NOT IN (1,2).
+    "ivfpq_res_deleted" -> ((s, dir) => {
+      val ivfpq = graft.operators.Ivfpq
+      val emb = embeddings(s, dir)
+      val qn = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
+        .head().getSeq[Double](0).toArray // 1-row query fetch
+      val clone = ivfpq.resCodesPath(dir) + "-deleted-demo"
+      s.read.parquet(ivfpq.resCodesLayout(s, dir))
+        .write.mode("overwrite").partitionBy("cell").parquet(clone)
+      val t = new org.apache.hadoop.fs.Path(ivfpq.tombstonesPath(clone))
+      t.getFileSystem(s.sessionState.newHadoopConf()).delete(t, true)
+      ivfpq.deleteFromResLayout(s, Seq(1L, 2L), clone)
+      ivfpq.searchResidual(s, dir, qn, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3, codesDirOverride = Some(clone))
+    }),
+
     // Batch IVFADC — the bulk/serving face of the residual index: three
     // queries served in ONE job (union-of-probed-cells pruned scan, per-
     // query ADC tables as a broadcast literal, TopKPerKey shortlist,
@@ -610,6 +668,37 @@ object VectorQueries {
        |  LIMIT 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Metadata-filtered exact search: the same brute-force ranking
+    // restricted to ids whose document row passes the predicate.
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |  AND e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // Filtered-IVFADC replay: the allowed-id predicate lands on the codes
+    // CTE — i.e. BEFORE the shortlist window — mirroring the pre-filter
+    // semi-join in Ivfpq.searchResidual(filterIds = ...).
+    "ivfpq_res_filtered" ->
+      s"""WITH ${duckResShortCtes(duckProbe3Where +
+             "\n          AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")},
+         |rer AS (SELECT n.vec_id, round(${duckCosine("n.nemb", "qn.qn")}, 6) AS sim
+         |        FROM nemb n CROSS JOIN qn)
+         |SELECT vec_id, sim FROM rer ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // Tombstone replay: the Spark side served a cloned layout with ids
+    // 1 and 2 tombstoned; the clone is byte-identical to the pristine
+    // dumped codes, so the replay is the same scan minus those ids.
+    "ivfpq_res_deleted" ->
+      s"""WITH ${duckResShortCtes(duckProbe3Where + " AND vec_id NOT IN (1, 2)")},
+         |rer AS (SELECT n.vec_id, round(${duckCosine("n.nemb", "qn.qn")}, 6) AS sim
+         |        FROM nemb n CROSS JOIN qn)
+         |SELECT vec_id, sim FROM rer ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
 
     // Batch-IVFADC replay: per qid, probe over the dumped centers, ADC
     // over the dumped residual books + anchors + codes, TopKPerKey-

@@ -285,4 +285,80 @@ class AnnPqSpec extends AnyFunSuite
     info(s"recall@5 at nprobe=3: ${recallVsExact(ids.toSet)}")
     assert(recallVsExact(ids.toSet) >= 0.2, "pruned-probe recall collapsed")
   }
+
+  test("tombstone deletes: logical delete serves immediately, compaction applies it physically") {
+    // caller-owned clone so the memoized shared layout stays pristine
+    val codesDir = java.nio.file.Files.createTempDirectory("graft_restomb")
+      .toFile.getAbsolutePath + "/codes"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    def search = Ivfpq.searchResidual(spark, sf, qn0, excludeId = None,
+        k = 5, shortlistN = 20, nprobe = 3, codesDirOverride = Some(codesDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search
+    assert(before.head._1 === 0L && before.head._2 >= 0.999999,
+      s"query's own vector should rank first pre-delete: $before")
+    // logical delete: NO cell file is rewritten, the very next search
+    // excludes the id through the sidecar anti-join
+    Ivfpq.deleteFromResLayout(spark, Seq(0L), codesDir)
+    val after1 = search
+    assert(!after1.exists(_._1 === 0L), s"tombstoned id still served: $after1")
+    // tombstoned id ≡ excludeId on the pristine layout: both restrict the
+    // identical pruned scan, so results must match exactly
+    val twin = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after1 === twin, "tombstone and excludeId diverged")
+    // delete batches accumulate (append-mode sidecar)
+    val second = after1.head._1
+    Ivfpq.deleteFromResLayout(spark, Seq(second), codesDir)
+    val after2 = search
+    assert(!after2.exists(r => r._1 === 0L || r._1 === second))
+    // compaction drops the tombstoned rows physically and clears the
+    // sidecar; served results are unchanged
+    val live = spark.read.parquet(codesDir).count()
+    Ivfpq.compactResLayout(spark, codesDir, targetRowsPerFile = 4096)
+    assert(!new java.io.File(Ivfpq.tombstonesPath(codesDir)).exists(),
+      "compaction left the tombstone sidecar")
+    assert(spark.read.parquet(codesDir).count() === live - 2,
+      "compaction did not drop exactly the tombstoned rows")
+    assert(search === after2, "physical apply changed served results")
+  }
+
+  test("filtered IVFADC: pre-filter fills k from the predicate set where post-filter starves") {
+    // a selective predicate: the least-common label (~10% of the corpus)
+    val lbl = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+      .groupBy(col("label")).count()
+      .orderBy(col("count").asc, col("label").asc).head().getInt(0)
+    val allowed = Tables.embeddings(spark, sf)
+      .filter(col("label") === lbl).select(col("vec_id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val filtered = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3, filterIds = Some(allowed))
+      .collect().map(_.getLong(0)).toSeq
+    // pre-filter semantics: all k slots filled, every one from the set
+    assert(filtered.length === 5 && filtered.forall(allowedSet),
+      s"pre-filtered search broke the predicate: $filtered")
+    // the classic post-filter failure: filtering the UNFILTERED top-k
+    // afterwards starves on a ~10% predicate
+    val post = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3)
+      .collect().map(_.getLong(0)).filter(allowedSet)
+    assert(post.length < 5,
+      s"post-filtering should starve below k on a selective predicate: $post")
+    // exactness at full probe budget: with every cell probed and a
+    // shortlist covering the whole predicate set, the filtered ADC path
+    // must equal the exact filtered ranking (rescore is exact)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val exact = Knn.topK(emb.filter(col("vec_id") =!= 0)
+        .join(allowed, Seq("vec_id"), "left_semi"),
+      q, "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val full = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = allowedSet.size, nprobe = 10,
+        filterIds = Some(allowed))
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === exact, s"full-probe filtered search $full != exact $exact")
+  }
 }

@@ -774,6 +774,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming deletes: per-trigger tombstones excluded from IVFADC serving immediately") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivfpq
+    // caller-owned clone; the memoized shared layout stays pristine
+    val codesDir = java.nio.file.Files.createTempDirectory("graft_resdel_stream")
+      .toFile.getAbsolutePath + "/codes"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    val qn = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(graft.functions.VectorOps.l2Normalize(
+        graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("n"))
+      .head().getSeq[Double](0).toArray
+    def search = Ivfpq.searchResidual(spark, sf, qn, excludeId = None,
+        k = 5, shortlistN = 20, nprobe = 3, codesDirOverride = Some(codesDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search.head._1 === 0L, "self-match should rank first pre-delete")
+    // a stream of delete EVENTS: each trigger's ids land in the tombstone
+    // sidecar (map-only append) and the very next search excludes them —
+    // GDPR-style takedown latency is one trigger, no cell file rewritten
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("vec_id").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivfpq.deleteFromResLayout(df, codesDir)
+      }
+      .start()
+    try {
+      input.addData(0L); q.processAllAvailable()
+      val t1 = search
+      assert(!t1.exists(_._1 === 0L), s"tombstoned id still served: $t1")
+      // second trigger accumulates into the same sidecar
+      val second = t1.head._1
+      input.addData(second); q.processAllAvailable()
+      val t2 = search
+      assert(!t2.exists(r => r._1 === 0L || r._1 === second),
+        s"second-trigger delete not served: $t2")
+    } finally q.stop()
+  }
+
   test("streaming residual-codes maintenance: per-trigger appends served by IVFADC without retraining") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
