@@ -193,7 +193,12 @@ object Ivfpq {
                           // serve a caller-owned (appended / tombstoned /
                           // compacted) layout instead of the memoized one
                           codesDirOverride: Option[String] = None,
-                          rescoreDirOverride: Option[String] = None): DataFrame = {
+                          rescoreDirOverride: Option[String] = None,
+                          // pre-filter semantics for the whole batch, as
+                          // in [[searchResidual]]: the allowed-id
+                          // semi-join restricts the codes scan before any
+                          // per-query shortlist slot is spent
+                          filterIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
@@ -218,8 +223,12 @@ object Ivfpq {
     val allCells = probeRows.map(_._2).distinct
     val probesDf = probeRows.toDF("qid", "pcell", "qdotc")
     val adcLit = typedLit(adcEntries)
-    val scored = withoutTombstones(spark, codesDir, spark.read.parquet(codesDir)
-        .filter(col("cell").isin(allCells: _*))) // static partition pruning
+    val live = withoutTombstones(spark, codesDir, spark.read.parquet(codesDir)
+      .filter(col("cell").isin(allCells: _*))) // static partition pruning
+    val candidates = filterIds.map(f =>
+        live.join(f.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+      .getOrElse(live)
+    val scored = candidates
       .join(broadcast(probesDf), col("cell") === col("pcell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", round(col("qdotc") +

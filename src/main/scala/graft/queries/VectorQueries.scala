@@ -389,6 +389,23 @@ object VectorQueries {
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // Serving-index operability dashboard: per-cell population of the
+    // residual codes layout — the numbers an operator reads to decide
+    // compaction (file accumulation), retraining (cell-size skew = the
+    // coarse quantizer no longer fits the data), and nprobe tuning
+    // (share = expected scan fraction per probed cell). One shuffle of
+    // (cell, count) digests; the codes themselves never move.
+    "ivf_index_stats" -> ((s, dir) => {
+      val cellCounts = s.read
+        .parquet(graft.operators.Ivfpq.resCodesLayout(s, dir))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val tot = cellCounts.agg(sum(col("n_vecs")).as("tot"))
+      cellCounts.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("tot"), 6).as("share"))
+        .orderBy(col("cell"))
+    }),
+
     // Metadata-filtered exact search — the "vector search with a WHERE
     // clause" every production store exposes: top-k cosine among
     // embeddings whose DOCUMENT row satisfies lang = 'en' (predicate on a
@@ -668,6 +685,15 @@ object VectorQueries {
        |  LIMIT 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Index-stats replay over the same dumped codes the Spark side read.
+    "ivf_index_stats" ->
+      s"""WITH c AS (SELECT cell::INT AS cell, count(*) AS n_vecs
+         |           FROM read_parquet('__IVFPQRES_CODES__/*/*.parquet', hive_partitioning=true)
+         |           GROUP BY 1),
+         |t AS (SELECT sum(n_vecs) AS tot FROM c)
+         |SELECT c.cell, c.n_vecs, round(c.n_vecs::DOUBLE / t.tot, 6) AS share
+         |FROM c CROSS JOIN t ORDER BY c.cell""".stripMargin,
 
     // Metadata-filtered exact search: the same brute-force ranking
     // restricted to ids whose document row passes the predicate.

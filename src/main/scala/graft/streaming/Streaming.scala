@@ -231,7 +231,13 @@ object Streaming {
     * exactly that trigger's queries.
     */
   def ivfpqServe(queries: DataFrame, sfDir: String, k: Int, nprobe: Int,
-                 shortlistN: Int = 20)(
+                 shortlistN: Int = 20,
+                 // maintenance/production faces pass straight through to
+                 // the batch search: serve an appended/tombstoned/compacted
+                 // caller-owned layout, and/or a metadata pre-filter
+                 codesDirOverride: Option[String] = None,
+                 rescoreDirOverride: Option[String] = None,
+                 filterIds: Option[DataFrame] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -241,7 +247,10 @@ object Streaming {
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
         if (qs.nonEmpty)
           sink(graft.operators.Ivfpq.searchBatchResidual(
-            batch.sparkSession, sfDir, qs, k, shortlistN, nprobe), batchId)
+            batch.sparkSession, sfDir, qs, k, shortlistN, nprobe,
+            codesDirOverride = codesDirOverride,
+            rescoreDirOverride = rescoreDirOverride,
+            filterIds = filterIds), batchId)
       }
       .start()
 

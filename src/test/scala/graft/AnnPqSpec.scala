@@ -314,6 +314,12 @@ class AnnPqSpec extends AnyFunSuite
     Ivfpq.deleteFromResLayout(spark, Seq(second), codesDir)
     val after2 = search
     assert(!after2.exists(r => r._1 === 0L || r._1 === second))
+    // the batch serving face honors the same sidecar (its self-match
+    // exclusion vec_id =!= qid stands in for excludeId = Some(0))
+    val batchT = Ivfpq.searchBatchResidual(spark, sf, Seq(0L -> qn0), k = 5,
+        shortlistN = 20, nprobe = 3, codesDirOverride = Some(codesDir))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchT === after2, s"batch face ignored tombstones: $batchT vs $after2")
     // compaction drops the tombstoned rows physically and clears the
     // sidecar; served results are unchanged
     val live = spark.read.parquet(codesDir).count()
@@ -360,5 +366,14 @@ class AnnPqSpec extends AnyFunSuite
         filterIds = Some(allowed))
       .collect().map(_.getLong(0)).toSeq
     assert(full === exact, s"full-probe filtered search $full != exact $exact")
+    // the batch face applies the identical pre-filter (self-match
+    // exclusion vec_id =!= qid ≡ excludeId = Some(0))
+    val single = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3, filterIds = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batchF = Ivfpq.searchBatchResidual(spark, sf, Seq(0L -> qn0), k = 5,
+        shortlistN = 20, nprobe = 3, filterIds = Some(allowed))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchF === single, s"batch pre-filter diverged: $batchF vs $single")
   }
 }
