@@ -446,6 +446,47 @@ object TextQueries {
     // two k-row lists, i.e. driver-trivial regardless of corpus size. Ranks
     // are taken over round-6 scores so the orderings (and therefore the
     // fused scores) are engine-portable.
+    // Filtered hybrid retrieval — the enterprise-search request shape:
+    // BM25 + semantic + RRF fusion UNDER a metadata predicate
+    // (lang = 'en'). Pre-filter semantics on BOTH retrievers: the
+    // predicate lands BEFORE each top-k, so all kList slots per
+    // retriever go to predicate-passing docs and the RRF ranks are
+    // computed within the allowed set (post-filtering fused results
+    // would starve exactly like the ANN case AnnPqSpec demonstrates).
+    // BM25 stats (df, avgdl, N) stay CORPUS-wide — the convention of
+    // real engines, where the filter restricts candidates, not the
+    // index statistics; the oracle replays the same choice.
+    "hybrid_rrf_filtered" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      val kList = 20
+      val allowed = documents(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val lex = bm25Scores(s, dir, Seq("data", "table", "query"))
+        .join(allowed, Seq("doc_id"), "left_semi")
+        .orderBy(col("score").desc, col("doc_id").asc).limit(kList)
+        .withColumn("lex_rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("lex_rnk"))
+      val q = s.range(1).select(graft.functions.VectorOps.l2Normalize(
+        TextOps.hashEmbedRaw(lit("query: data table query"))).as("q_emb"))
+      val sem = spread(documents(s, dir)).filter(col("lang") === "en")
+        .withColumn("emb", TextOps.hashEmbedFused(TextOps.passageText(col("text"))))
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(
+          graft.expressions.GraftFunctions.cosineSim(col("emb"), col("q_emb")), 6))
+        .orderBy(col("sim").desc, col("doc_id").asc).limit(kList)
+        .withColumn("sem_rnk", row_number().over(
+          Window.orderBy(col("sim").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("sem_rnk"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rnk"), col("sem_rnk"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("sem_rnk")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "hybrid_rrf" -> ((s, dir) => {
       graft.expressions.GraftFunctions.register(s)
       val kList = 20
@@ -974,6 +1015,52 @@ object TextQueries {
          |SELECT doc_id, round(sum(contrib), 6) AS score, count(*) AS n_terms_hit
          |FROM scored GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // Same replay as hybrid_rrf, with the lang predicate applied BEFORE
+    // each retriever's row_number ranking (pre-filter) and the BM25/
+    // embedding statistics left corpus-wide — mirroring the Spark side's
+    // stats-scope decision exactly.
+    "hybrid_rrf_filtered" ->
+      s"""WITH ${VectorQueries.duckEmbedCteAs("q", "'query: data table query'", "WHERE d0.doc_id = 0")},
+         |${VectorQueries.duckEmbedCteAs("p", "'passage: ' || d0.text")},
+         |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |sem AS (
+         |  SELECT p.doc_id, round(sum(p.weight * q.weight), 6) AS sim
+         |  FROM pemb p JOIN qemb q ON p.bucket = q.bucket
+         |  GROUP BY p.doc_id),
+         |semr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS sem_rnk
+         |  FROM sem WHERE doc_id IN (SELECT doc_id FROM allowed)),
+         |toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN ('data', 'table', 'query') GROUP BY tok),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS contrib
+         |  FROM tf t
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  JOIN df d ON d.tok = t.tok
+         |  CROSS JOIN stats s
+         |  WHERE t.tok IN ('data', 'table', 'query')),
+         |lex AS (
+         |  SELECT doc_id, round(sum(contrib), 6) AS score FROM scored GROUP BY doc_id),
+         |lexr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rnk
+         |  FROM lex WHERE doc_id IN (SELECT doc_id FROM allowed))
+         |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rnk, s.sem_rnk,
+         |  round(coalesce(1.0 / (60 + l.lex_rnk), 0.0)
+         |      + coalesce(1.0 / (60 + s.sem_rnk), 0.0), 6) AS rrf
+         |FROM (SELECT * FROM lexr WHERE lex_rnk <= 20) l
+         |FULL OUTER JOIN (SELECT * FROM semr WHERE sem_rnk <= 20) s
+         |  ON l.doc_id = s.doc_id
+         |ORDER BY rrf DESC, doc_id ASC
          |LIMIT 10""".stripMargin,
 
     "hybrid_rrf" ->

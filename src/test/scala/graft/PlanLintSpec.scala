@@ -36,6 +36,7 @@ class PlanLintSpec extends AnyFunSuite {
       "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders",
       "bm25_search",  // 1-row corpus-stats side broadcast into the scorer
       "hybrid_rrf",   // 1-row query-embedding + 1-row bm25-stats broadcasts
+      "hybrid_rrf_filtered", // same shapes, corpus pre-restricted by the metadata semi-join
       "hll_sketch_ops", // 1-row merged-sketch × 1-row exact-count probe
       "pagerank_pairs", // 1-row node-count aggregate broadcast per iteration
       "resample_fill",  // 1-row grid-bound aggregate broadcast into the grid generator
