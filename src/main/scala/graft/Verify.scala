@@ -61,6 +61,11 @@ object Verify {
       "__PQRES_ANCHORS__" -> graft.operators.Pq.resAnchorsPath(sfDir),
       "__IVFPQ_CODES__"  -> graft.operators.Ivfpq.codesPath(sfDir),
       "__IVFPQRES_CODES__" -> graft.operators.Ivfpq.resCodesPath(sfDir),
+      // the split demo's caller-owned clone dumps its own metadata halves
+      // beside itself (Ivfpq.splitCell step 5)
+      "__SPLIT_CODES__"   -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo"),
+      "__SPLIT_CENTS__"   -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-cents"),
+      "__SPLIT_ANCHORS__" -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-anchors"),
       "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
       "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir))
     val json = oracleSelected

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -348,6 +350,126 @@ object Ivfpq {
     t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
   }
 
+  /** Max parquet files in any one cell directory of a codes layout — the
+    * number the compaction POLICY watches (file accumulation per cell is
+    * what appends produce; row-count skew is what [[graft.queries]]'
+    * ivf_index_stats watches for retraining). Driver-side listing of
+    * cell directories: #cells entries, the same metadata class as the
+    * broadcast centers.
+    */
+  def maxFilesPerCell(spark: SparkSession, codesDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(codesDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cell=")).map { d =>
+      fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+    }.foldLeft(0)(math.max)
+  }
+
+  /** The closed maintenance loop — what a deployment actually runs per
+    * ingest batch: append the new vectors (frozen anchors + books, no
+    * retrain), then compact IF any cell's file count crossed the policy
+    * threshold. Appends are cheap and frequent; compaction is the
+    * periodic repair — tying them to one observable policy knob is what
+    * keeps an always-appending index off the small-files death spiral
+    * without a human watching ivf_index_stats. Returns true when this
+    * batch triggered a compaction (tombstones, if any, are physically
+    * applied by it — compactResLayout clears the sidecar).
+    */
+  def appendAndMaybeCompact(spark: SparkSession, sfDir: String,
+                            newVecs: DataFrame, codesDir: String,
+                            filesPerCellThreshold: Int,
+                            targetRowsPerFile: Long = 1L << 20): Boolean = {
+    appendToResLayout(spark, sfDir, newVecs, codesDir)
+    val over = maxFilesPerCell(spark, codesDir) > filesPerCellThreshold
+    if (over) compactResLayout(spark, codesDir, targetRowsPerFile)
+    over
+  }
+
+  /** Split ONE hot cell of a caller-owned residual codes layout into two
+    * — targeted rebalancing, the repair for POPULATION skew (the other
+    * axis ivf_index_stats watches; file accumulation → compactResLayout,
+    * row skew → split). A whole-layout retrain is an offline decision; a
+    * split touches only the hot cell:
+    *
+    *  1. deterministic 2-means over just that cell's full-precision
+    *     vectors (1-partition sample-scale fit, like the coarse
+    *     quantizer itself);
+    *  2. new anchors = the two sub-cell MEANS (the variance-minimizing
+    *     choice — the same reasoning as Pq.residualAnchors);
+    *  3. residuals re-encoded against the new anchors with the SHARED
+    *     frozen codebooks (codes stay 8 bytes, other cells untouched);
+    *  4. the layout rewritten through [[Ann.compactLayout]]'s two-rename
+    *     atomic swap (transform = replace the split cell's rows), so
+    *     searches see the old or new layout, never partial;
+    *  5. the updated probe metadata (centers + anchors, with the two
+    *     sub-centers in place of the old cell's) dumped beside the
+    *     layout — `<codesDir>-cents` / `<codesDir>-anchors` — for the
+    *     serving face and the oracle replay.
+    *
+    * Returns (centers, anchors) to pass as `indexOverride` to
+    * [[searchResidual]]; the sub-centers probe like any trained center.
+    */
+  def splitCell(spark: SparkSession, sfDir: String, codesDir: String,
+                rescoreDir: String, cell: Int, cells: Int = 10,
+                seed: Long = 42L,
+                targetRowsPerFile: Long = 1L << 20)
+      : (Seq[(Int, Array[Double])], Map[Int, Array[Double]]) = {
+    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells, seed)
+    val anchors = Pq.residualAnchors(spark, sfDir, cells, seed).toMap
+    val cb = Pq.trainResidual(spark, sfDir, cells = cells, seed = seed)
+    val newId = cents.map(_._1).max + 1
+    val ids = spark.read.parquet(codesDir)
+      .filter(col("cell") === cell).select(col("vec_id"))
+    val vecs = spark.read.parquet(rescoreDir)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
+    val prepared = vecs.withColumn("__v", array_to_vector(col("nemb")))
+      .repartition(1).cache()
+    val km = new KMeans()
+      .setK(2).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
+      .setFeaturesCol("__v").setPredictionCol("half")
+      .fit(prepared)
+    val assigned = km.transform(prepared).drop("__v")
+      .withColumn("cell",
+        when(col("half") === 0, lit(cell)).otherwise(lit(newId)))
+      .drop("half")
+    // sub-cell means, the Pq.residualAnchors aggregation verbatim
+    val subAnchors = assigned
+      .select(col("cell"), posexplode(col("nemb")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("anchor"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
+    val anchorsDf = Ann.centroidsDf(spark,
+        subAnchors.toSeq.sortBy(_._1))
+      .withColumnRenamed("centroid", "anchor")
+    val reEncoded = Pq.encode(
+      assigned.join(broadcast(anchorsDf), Seq("cell"))
+        .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c)),
+      "res", cb)
+      .select(col("vec_id"), col("codes"), col("cell"))
+    prepared.unpersist()
+    Ann.compactLayout(spark, codesDir, targetRowsPerFile,
+      transform = df => df.filter(col("cell") =!= cell).unionByName(reEncoded))
+    val newCents = cents.filterNot(_._1 == cell) ++
+      km.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (if (i == 0) cell else newId) -> c.toArray
+      }
+    val newAnchors = (anchors - cell) ++ subAnchors
+    // dump both metadata halves beside the layout: with codes + centers +
+    // anchors all on disk, serving is deterministic and the DuckDB oracle
+    // replays the identical probe + ADC over the split index
+    Ann.centroidsDf(spark, newCents.sortBy(_._1)).coalesce(1)
+      .write.mode("overwrite").parquet(codesDir + "-cents")
+    Ann.centroidsDf(spark, newAnchors.toSeq.sortBy(_._1))
+      .withColumnRenamed("centroid", "anchor").coalesce(1)
+      .write.mode("overwrite").parquet(codesDir + "-anchors")
+    (newCents.sortBy(_._1), newAnchors)
+  }
+
   /** IVFADC search over the RESIDUAL codes: identical plan to [[search]]
     * (static-pruned codes scan → ADC shortlist → exact rescore of the
     * shortlist) except the ADC score carries the per-cell first-order
@@ -375,15 +497,22 @@ object Ivfpq {
                      // AnnPqSpec demonstrates the failure.) Not forced
                      // broadcast: the allowed set can be most of the
                      // corpus; Catalyst/AQE picks the join side.
-                     filterIds: Option[DataFrame] = None): DataFrame = {
-    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
+                     filterIds: Option[DataFrame] = None,
+                     // metadata-mutating maintenance (splitCell): serve
+                     // with the returned (probe centers, cell→anchor)
+                     // instead of the memoized trained metadata
+                     indexOverride: Option[(Seq[(Int, Array[Double])],
+                       Map[Int, Array[Double]])] = None): DataFrame = {
+    val cents = indexOverride.map(_._1)
+      .getOrElse(Ann.kmeansLayout(spark, sfDir, cells)._2)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
     val codesDir = codesDirOverride.getOrElse(resCodesLayout(spark, sfDir, cells))
     // probe ranks the trained unit centers; the first-order ADC term uses
     // the encoding-side ANCHORS (cell means — see Pq.residualAnchors)
     val probes = probeCells(cents, qVec, nprobe)
     val table = Pq.adcTable(qVec, cb)
-    val anchorOf = Pq.residualAnchors(spark, sfDir, cells).toMap
+    val anchorOf = indexOverride.map(_._2)
+      .getOrElse(Pq.residualAnchors(spark, sfDir, cells).toMap)
     val qDotC = probes.map { c =>
       val anchor = anchorOf(c)
       var d = 0.0; var i = 0

@@ -464,6 +464,33 @@ object VectorQueries {
         k = 5, shortlistN = 20, nprobe = 3, codesDirOverride = Some(clone))
     }),
 
+    // Cell split rebalancing — the repair for POPULATION skew, the other
+    // axis ivf_index_stats watches (files → compaction, rows → split):
+    // the most populous cell of a cloned layout is split in two by a
+    // deterministic 2-means over just that cell (other cells untouched,
+    // shared codebooks frozen, atomic-swap rewrite), and the search
+    // serves with the post-split metadata. Oracled by replaying the
+    // probe + anchor-ADC + rescore over the layout's own dumped
+    // post-split centers/anchors/codes. See Ivfpq.splitCell.
+    "ivfpq_res_split" -> ((s, dir) => {
+      val ivfpq = graft.operators.Ivfpq
+      val emb = embeddings(s, dir)
+      val qn = emb.filter(col("vec_id") === 0)
+        .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
+        .head().getSeq[Double](0).toArray // 1-row query fetch
+      val clone = ivfpq.resCodesPath(dir) + "-split-demo"
+      s.read.parquet(ivfpq.resCodesLayout(s, dir))
+        .write.mode("overwrite").partitionBy("cell").parquet(clone)
+      val hot = s.read.parquet(clone).groupBy(col("cell")).count()
+        .orderBy(col("count").desc, col("cell").asc).head().getInt(0)
+      val (cents2, anchors2) = ivfpq.splitCell(s, dir, clone,
+        s"$dir/embeddings.parquet", hot)
+      ivfpq.searchResidual(s, dir, qn, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3,
+        codesDirOverride = Some(clone),
+        indexOverride = Some((cents2, anchors2)))
+    }),
+
     // Batch IVFADC — the bulk/serving face of the residual index: three
     // queries served in ONE job (union-of-probed-cells pruned scan, per-
     // query ADC tables as a broadcast literal, TopKPerKey shortlist,
@@ -629,12 +656,14 @@ object VectorQueries {
        |  LIMIT 5)""".stripMargin
 
   /** `cell IN (<the 3 probed cells>)` — the nprobe=3 cosine probe replayed
-    * over the dumped trained centers, shared by both IVFPQ oracle replays.
+    * over the dumped centers (the trained ones by default; a maintained
+    * layout's own dump — e.g. post-split — via `centsGlob`). Shared by
+    * every IVFPQ/IVFADC oracle replay.
     */
-  private def duckProbe3Where: String =
-    """ AND cell IN (
+  private def duckProbe3Where(centsGlob: String = "__IVFKM_CENTS__"): String =
+    s""" AND cell IN (
       |  SELECT cell FROM (
-      |    SELECT c.cell FROM read_parquet('__IVFKM_CENTS__/*.parquet') c
+      |    SELECT c.cell FROM read_parquet('$centsGlob/*.parquet') c
       |    CROSS JOIN (SELECT list_transform(embedding::DOUBLE[],
       |        x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qn
       |      FROM embeddings WHERE vec_id = 0) nq
@@ -649,7 +678,9 @@ object VectorQueries {
     * replayed as `qc.qdotc + <the same left fold>`, mirroring
     * Ivfpq.searchResidual's `element_at(map, cell) + adcScore` exactly.
     */
-  private def duckResShortCtes(codesWhere: String): String =
+  private def duckResShortCtes(codesWhere: String,
+                               anchorsGlob: String = "__PQRES_ANCHORS__",
+                               codesGlob: String = "__IVFPQRES_CODES__"): String =
     s"""books AS (SELECT s, code, cent::DOUBLE[] AS cent
        |          FROM read_parquet('__PQRES_BOOKS__/*.parquet')),
        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
@@ -660,9 +691,9 @@ object VectorQueries {
        |        FROM books b CROSS JOIN qn n),
        |qc AS (SELECT c.cell,
        |         list_dot_product(c.anchor::DOUBLE[], n.qn) AS qdotc
-       |       FROM read_parquet('__PQRES_ANCHORS__/*.parquet') c CROSS JOIN qn n),
+       |       FROM read_parquet('$anchorsGlob/*.parquet') c CROSS JOIN qn n),
        |codes AS (SELECT vec_id, codes, cell
-       |          FROM read_parquet('__IVFPQRES_CODES__/*/*.parquet', hive_partitioning=true)
+       |          FROM read_parquet('$codesGlob/*/*.parquet', hive_partitioning=true)
        |          WHERE vec_id <> 0$codesWhere),
        |scored AS (
        |  SELECT c.vec_id,
@@ -711,7 +742,7 @@ object VectorQueries {
     // CTE — i.e. BEFORE the shortlist window — mirroring the pre-filter
     // semi-join in Ivfpq.searchResidual(filterIds = ...).
     "ivfpq_res_filtered" ->
-      s"""WITH ${duckResShortCtes(duckProbe3Where +
+      s"""WITH ${duckResShortCtes(duckProbe3Where() +
              "\n          AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")},
          |rer AS (SELECT n.vec_id, round(${duckCosine("n.nemb", "qn.qn")}, 6) AS sim
          |        FROM nemb n CROSS JOIN qn)
@@ -721,7 +752,20 @@ object VectorQueries {
     // 1 and 2 tombstoned; the clone is byte-identical to the pristine
     // dumped codes, so the replay is the same scan minus those ids.
     "ivfpq_res_deleted" ->
-      s"""WITH ${duckResShortCtes(duckProbe3Where + " AND vec_id NOT IN (1, 2)")},
+      s"""WITH ${duckResShortCtes(duckProbe3Where() + " AND vec_id NOT IN (1, 2)")},
+         |rer AS (SELECT n.vec_id, round(${duckCosine("n.nemb", "qn.qn")}, 6) AS sim
+         |        FROM nemb n CROSS JOIN qn)
+         |SELECT vec_id, sim FROM rer ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+
+    // Split replay: the identical probe + anchor-ADC + rescore chain, but
+    // every index half comes from the SPLIT layout's own dumps — centers
+    // with the two sub-centers, anchors with the two sub-cell means,
+    // codes re-encoded for the split cell. Nothing about the split is
+    // trusted: the oracle recomputes the served ranking from the dumped
+    // artifacts alone.
+    "ivfpq_res_split" ->
+      s"""WITH ${duckResShortCtes(duckProbe3Where("__SPLIT_CENTS__"),
+             anchorsGlob = "__SPLIT_ANCHORS__", codesGlob = "__SPLIT_CODES__")},
          |rer AS (SELECT n.vec_id, round(${duckCosine("n.nemb", "qn.qn")}, 6) AS sim
          |        FROM nemb n CROSS JOIN qn)
          |SELECT vec_id, sim FROM rer ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin,
@@ -777,7 +821,7 @@ object VectorQueries {
          |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "ivfpq_res_rerank_recall" ->
-      s"""WITH ${duckResShortCtes(duckProbe3Where)},
+      s"""WITH ${duckResShortCtes(duckProbe3Where())},
          |rerank AS (SELECT n.vec_id FROM nemb n CROSS JOIN qn
          |  ORDER BY round(${duckCosine("n.nemb", "qn.qn")}, 6) DESC, n.vec_id ASC
          |  LIMIT 5)
@@ -836,7 +880,7 @@ object VectorQueries {
     // replayed over the dumped centers); rescore mirrors Ivfpq.search's
     // cosine(nemb, NORMALIZED q).
     "ivfpq_rerank_recall" ->
-      s"""WITH ${duckPqShortCtes(duckProbe3Where)},
+      s"""WITH ${duckPqShortCtes(duckProbe3Where())},
          |rerank AS (SELECT n.vec_id FROM nemb n CROSS JOIN qn
          |  ORDER BY round(${duckCosine("n.nemb", "qn.qn")}, 6) DESC, n.vec_id ASC
          |  LIMIT 5)

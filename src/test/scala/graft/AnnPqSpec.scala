@@ -286,6 +286,52 @@ class AnnPqSpec extends AnyFunSuite
     assert(recallVsExact(ids.toSet) >= 0.2, "pruned-probe recall collapsed")
   }
 
+  test("cell split rebalancing: hot cell shrinks, contents preserved, serving exact at full probe") {
+    val codesDir = java.nio.file.Files.createTempDirectory("graft_ressplit")
+      .toFile.getAbsolutePath + "/codes"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    def pops = spark.read.parquet(codesDir).groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def ids = spark.read.parquet(codesDir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val (popBefore, idsBefore) = (pops, ids)
+    val hot = popBefore.maxBy { case (c, n) => (n, -c) }._1
+    val newId = popBefore.keySet.max + 1
+    val (cents2, anchors2) = Ivfpq.splitCell(spark, sf, codesDir,
+      s"$sf/embeddings.parquet", hot)
+    val popAfter = pops
+    // one more cell; every vector still present exactly once; only the
+    // hot cell was touched and its population strictly shrank
+    assert(popAfter.keySet === popBefore.keySet + newId)
+    assert(ids === idsBefore, "split lost or duplicated vectors")
+    assert(popAfter(hot) + popAfter(newId) === popBefore(hot))
+    assert(math.max(popAfter(hot), popAfter(newId)) < popBefore(hot),
+      s"2-means degenerated: $popAfter vs hot=${popBefore(hot)}")
+    (popBefore - hot).foreach { case (c, n) => assert(popAfter(c) === n) }
+    // the returned metadata describes the new geometry
+    assert(cents2.map(_._1).toSet === popAfter.keySet)
+    assert(anchors2.keySet === popAfter.keySet)
+    // serving is EXACT at full probe budget (every cell probed, shortlist
+    // covers the corpus, rescore exact) — the split cannot lose anything
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val exact = Knn.topK(emb.filter(col("vec_id") =!= 0), q, "vec_id",
+      "embedding", k = 5, keep = Seq("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val served = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 1000, nprobe = cents2.length,
+        codesDirOverride = Some(codesDir),
+        indexOverride = Some((cents2, anchors2)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(served === exact, s"full-probe post-split $served != exact $exact")
+    // and the pruned probe still statically prunes the split layout
+    val probes = Ivfpq.probeCells(cents2, qn0, nprobe = 3)
+    val pruned = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(probes: _*))
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("tombstone deletes: logical delete serves immediately, compaction applies it physically") {
     // caller-owned clone so the memoized shared layout stays pristine
     val codesDir = java.nio.file.Files.createTempDirectory("graft_restomb")

@@ -813,6 +813,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming auto-compaction: the append loop compacts itself when the file-count policy trips") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ivfpq
+    val base = java.nio.file.Files.createTempDirectory("graft_autocompact")
+      .toFile.getAbsolutePath
+    val codesDir = base + "/codes"
+    val vecsDir = base + "/vecs"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).write.parquet(vecsDir)
+    // four ingest triggers under a files-per-cell threshold of 2: without
+    // the policy the cell dirs accumulate one file per trigger forever
+    // (the small-files death); with it, compaction fires inside the loop
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        compactions += Ivfpq.appendAndMaybeCompact(spark, sf, df, codesDir,
+          filesPerCellThreshold = 2, targetRowsPerFile = 4096)
+        df.write.mode("append").parquet(vecsDir)
+      }
+      .start()
+    try {
+      vecs.grouped(2).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(compactions.contains(true),
+      s"policy never fired across ${compactions.length} triggers: $compactions")
+    // the loop's invariant: file counts stay bounded by the policy (a
+    // compaction run leaves exactly ⌈rows/target⌉ = 1 file per cell here)
+    assert(Ivfpq.maxFilesPerCell(spark, codesDir) <= 3,
+      "file accumulation not repaired by the in-loop compaction")
+    // and everything ever appended is still served: the streamed clone of
+    // query vector 0 ranks top-1 at sim 1.0 through the full IVFADC path
+    val qn = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(graft.functions.VectorOps.l2Normalize(
+        graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("n"))
+      .head().getSeq[Double](0).toArray
+    val res = Ivfpq.searchResidual(spark, sf, qn, excludeId = Some(0L),
+        k = 5, shortlistN = 20, nprobe = 3,
+        codesDirOverride = Some(codesDir), rescoreDirOverride = Some(vecsDir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.head._1 === 3000000L && res.head._2 >= 0.999999,
+      s"appended duplicate lost across auto-compactions: ${res.toSeq}")
+  }
+
   test("streaming residual-codes maintenance: per-trigger appends served by IVFADC without retraining") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
