@@ -53,9 +53,11 @@ object Bench {
     val stagePass2 = timeStages()
     val stageRuns: Seq[(String, Seq[Double])] =
       stagePass1.zip(stagePass2).map { case ((n, a), (_, b)) => (n, Seq(a, b)) }
+    // any failed pass poisons the stage's number of record (-1), keeping
+    // the artifact self-consistent with the errors list — a stage must
+    // not be simultaneously "errored" and validly timed
     val stageResults = stageRuns.map { case (n, rs) =>
-      val good = rs.filter(_ >= 0)
-      s"stage:$n" -> (if (good.isEmpty) -1.0 else good.min)
+      s"stage:$n" -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
     }
     // Materialize with the noop DSv2 sink, NOT .count(): under a count
     // aggregate Catalyst prunes the output projection and eliminates the
@@ -69,9 +71,13 @@ object Bench {
       var r = 0
       while (ok && r < runs) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // record successful passes only — a failed attempt's partial
+          // elapsed time is not a sample of anything
+          ts += (System.nanoTime() - t0) / 1e9
+        }
         catch { case scala.util.control.NonFatal(_) => errors += name; ok = false }
-        ts += (System.nanoTime() - t0) / 1e9
         r += 1
       }
       rawRuns(name) = ts.toSeq

@@ -94,16 +94,10 @@ object Ivfpq {
       val dir = resCodesPath(sfDir, cells, dim, m, k, seed)
       val (kmDir, _) = Ann.kmeansLayout(spark, sfDir, cells, seed)
       val cb = Pq.trainResidual(spark, sfDir, dim, m, k, seed, cells)
-      val anchorsDf = Ann.centroidsDf(spark,
-          Pq.residualAnchors(spark, sfDir, cells, seed))
-        .withColumnRenamed("centroid", "anchor")
-      val res = spark.read.parquet(kmDir)
+      val norm = spark.read.parquet(kmDir)
         .select(col("vec_id"), col("cell"),
           VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
-        .join(broadcast(anchorsDf), Seq("cell"))
-        .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c))
-      Pq.encode(res, "res", cb)
-        .select(col("vec_id"), col("codes"), col("cell"))
+      residualEncode(norm, Pq.residualAnchors(spark, sfDir, cells, seed), cb)
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       dir
     })
@@ -200,12 +194,22 @@ object Ivfpq {
                           // in [[searchResidual]]: the allowed-id
                           // semi-join restricts the codes scan before any
                           // per-query shortlist slot is spent
-                          filterIds: Option[DataFrame] = None): DataFrame = {
+                          filterIds: Option[DataFrame] = None,
+                          // true (default) when qids ARE corpus vec_ids
+                          // (self-similarity workloads: each query drops
+                          // its own vector). Set false when qids are an
+                          // unrelated request-id space — otherwise a
+                          // request id colliding with a corpus id would
+                          // silently lose that vector from its top-k.
+                          excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
     val codesDir = codesDirOverride.getOrElse(resCodesLayout(spark, sfDir, cells))
     val anchorOf = Pq.residualAnchors(spark, sfDir, cells).toMap
+    // an empty trained cell has no anchor (and no codes) — probing it is
+    // pointless and must not crash the probe arithmetic
+    val probeable = cents.filter { case (c, _) => anchorOf.contains(c) }
     val kCodes = cb.books(0).length
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var i = 0
@@ -215,7 +219,7 @@ object Ivfpq {
     // driver-side probe + first-order terms + ADC tables, all from
     // broadcast metadata
     val probeRows = queries.flatMap { case (qid, qn) =>
-      probeCells(cents, qn, nprobe).map { c => (qid, c, dot(qn, anchorOf(c))) }
+      probeCells(probeable, qn, nprobe).map { c => (qid, c, dot(qn, anchorOf(c))) }
     }
     val adcEntries: Map[Long, Double] = queries.flatMap { case (qid, qn) =>
       val t = Pq.adcTable(qn, cb)
@@ -230,9 +234,10 @@ object Ivfpq {
     val candidates = filterIds.map(f =>
         live.join(f.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       .getOrElse(live)
-    val scored = candidates
+    val paired = candidates
       .join(broadcast(probesDf), col("cell") === col("pcell"))
-      .filter(col("vec_id") =!= col("qid"))
+    val scored = (if (excludeSelf) paired.filter(col("vec_id") =!= col("qid"))
+                  else paired)
       .withColumn("adc", round(col("qdotc") +
         aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
           (acc, s) => acc + element_at(adcLit,
@@ -258,6 +263,25 @@ object Ivfpq {
       .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** Residual-encode (vec_id, cell, nemb) rows against per-cell anchors
+    * with the shared frozen codebooks → (vec_id, codes, cell). The single
+    * encode chain behind every layout writer — build ([[resCodesLayout]]),
+    * append ([[appendToResLayout]]), split ([[splitCell]]) — so a change
+    * to the residual arithmetic lands everywhere at once and codes can
+    * never silently diverge between maintenance paths.
+    */
+  private def residualEncode(withCells: DataFrame,
+                             anchors: Seq[(Int, Array[Double])],
+                             cb: Pq.Codebooks): DataFrame = {
+    val anchorsDf = Ann.centroidsDf(withCells.sparkSession, anchors)
+      .withColumnRenamed("centroid", "anchor")
+    Pq.encode(
+      withCells.join(broadcast(anchorsDf), Seq("cell"))
+        .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c)),
+      "res", cb)
+      .select(col("vec_id"), col("codes"), col("cell"))
+  }
+
   /** Append NEW vectors to an existing residual codes layout WITHOUT
     * retraining: assign each vector to its nearest trained center
     * (broadcast metadata, map-only — Ann.assignCells), residual-encode
@@ -275,16 +299,11 @@ object Ivfpq {
                         codesDir: String, cells: Int = 10): Unit = {
     val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells)
     val cb = Pq.trainResidual(spark, sfDir, cells = cells)
-    val anchorsDf = Ann.centroidsDf(spark, Pq.residualAnchors(spark, sfDir, cells))
-      .withColumnRenamed("centroid", "anchor")
     val assigned = Ann.assignCells(newVecs, Ann.centroidsDf(spark, cents),
-      "vec_id", "embedding")
-    val res = assigned.select(col("vec_id"), col("cell"),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("cell"),
         VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
-      .join(broadcast(anchorsDf), Seq("cell"))
-      .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c))
-    Pq.encode(res, "res", cb)
-      .select(col("vec_id"), col("codes"), col("cell"))
+    residualEncode(assigned, Pq.residualAnchors(spark, sfDir, cells), cb)
       .write.mode("append").partitionBy("cell").parquet(codesDir)
   }
 
@@ -337,17 +356,31 @@ object Ivfpq {
   /** Physically apply tombstones: rewrite the cell files WITHOUT the
     * tombstoned rows (riding [[Ann.compactLayout]]'s two-rename atomic
     * swap, so searches see the old or new layout, never partial), then
-    * clear the sidecar. Crash-safe ordering: the sidecar is dropped only
+    * clear EXACTLY the sidecar files this compaction applied. The
+    * snapshot-then-delete discipline is what makes concurrent deletes
+    * safe: a delete batch appended DURING the rewrite is not in the
+    * snapshot, so it survives the sweep and keeps anti-joining at serve
+    * time — blanket-deleting the sidecar dir would silently resurrect
+    * those vectors. Crash-safe ordering: snapshot files are dropped only
     * AFTER the swap promotes the cleaned layout — a crash in between
-    * re-applies the tombstones over rows that no longer exist, which the
-    * anti-join makes a no-op.
+    * re-applies them over rows that no longer exist, which the anti-join
+    * makes a no-op.
     */
   def compactResLayout(spark: SparkSession, codesDir: String,
                        targetRowsPerFile: Long = 1L << 20): Unit = {
-    Ann.compactLayout(spark, codesDir, targetRowsPerFile,
-      transform = df => withoutTombstones(spark, codesDir, df))
     val t = new org.apache.hadoop.fs.Path(tombstonesPath(codesDir))
-    t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+    val fs = t.getFileSystem(spark.sessionState.newHadoopConf())
+    val snapshot = if (fs.exists(t)) fs.listStatus(t).map(_.getPath) else Array.empty[org.apache.hadoop.fs.Path]
+    val appliedParquet = snapshot.filter(_.getName.endsWith(".parquet"))
+    val applied = if (appliedParquet.nonEmpty)
+      Some(spark.read.parquet(appliedParquet.map(_.toString).toIndexedSeq: _*)
+        .select(col("vec_id")).distinct())
+    else None
+    Ann.compactLayout(spark, codesDir, targetRowsPerFile,
+      transform = df => applied.map(a =>
+        df.join(broadcast(a), Seq("vec_id"), "left_anti")).getOrElse(df))
+    snapshot.foreach(p => fs.delete(p, false))
+    if (fs.exists(t) && fs.listStatus(t).isEmpty) fs.delete(t, true)
   }
 
   /** Max parquet files in any one cell directory of a codes layout — the
@@ -415,18 +448,43 @@ object Ivfpq {
                 seed: Long = 42L,
                 targetRowsPerFile: Long = 1L << 20)
       : (Seq[(Int, Array[Double])], Map[Int, Array[Double]]) = {
-    val (_, cents) = Ann.kmeansLayout(spark, sfDir, cells, seed)
-    val anchors = Pq.residualAnchors(spark, sfDir, cells, seed).toMap
     val cb = Pq.trainResidual(spark, sfDir, cells = cells, seed = seed)
-    val newId = cents.map(_._1).max + 1
+    // The BASE geometry is the layout's own dumped metadata when present
+    // (i.e. this is not the first split) and the pristine trained
+    // metadata otherwise. Deriving from the trained dumps on a second
+    // split would reuse the first split's cell id for a DIFFERENT anchor
+    // (one cell id, two encodings — ADC silently wrong for half its
+    // rows) and return metadata that forgets the first split entirely.
+    def readDump(path: String, valueCol: String): Option[Seq[(Int, Array[Double])]] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        Some(spark.read.parquet(path).select(col("cell"), col(valueCol))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .toSeq.sortBy(_._1))
+      else None
+    }
+    val baseCents = readDump(codesDir + "-cents", "centroid")
+      .getOrElse(Ann.kmeansLayout(spark, sfDir, cells, seed)._2)
+    val baseAnchors = readDump(codesDir + "-anchors", "anchor").map(_.toMap)
+      .getOrElse(Pq.residualAnchors(spark, sfDir, cells, seed).toMap)
+    val newId = baseCents.map(_._1).max + 1
     val ids = spark.read.parquet(codesDir)
       .filter(col("cell") === cell).select(col("vec_id"))
+    val nCodes = ids.count()
     val vecs = spark.read.parquet(rescoreDir)
       .join(ids, Seq("vec_id"), "left_semi")
       .select(col("vec_id"),
         VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
     val prepared = vecs.withColumn("__v", array_to_vector(col("nemb")))
       .repartition(1).cache()
+    // the rewrite REPLACES the whole cell with the re-encoded survivors
+    // of the rescore join — if the two index halves are out of sync,
+    // refusing loudly beats silently deleting the missing vectors
+    val nVecs = prepared.count()
+    require(nVecs == nCodes,
+      s"splitCell: rescoreDir holds $nVecs of cell $cell's $nCodes coded " +
+        s"vectors — codes and full-precision halves are out of sync; " +
+        s"refusing to drop ${nCodes - nVecs} vectors")
     val km = new KMeans()
       .setK(2).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
       .setFeaturesCol("__v").setPredictionCol("half")
@@ -443,25 +501,19 @@ object Ivfpq {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x("m")).as("anchor"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toMap
-    val anchorsDf = Ann.centroidsDf(spark,
-        subAnchors.toSeq.sortBy(_._1))
-      .withColumnRenamed("centroid", "anchor")
-    val reEncoded = Pq.encode(
-      assigned.join(broadcast(anchorsDf), Seq("cell"))
-        .withColumn("res", zip_with(col("nemb"), col("anchor"), (v, c) => v - c)),
-      "res", cb)
-      .select(col("vec_id"), col("codes"), col("cell"))
-    prepared.unpersist()
+    val reEncoded = residualEncode(assigned, subAnchors.toSeq.sortBy(_._1), cb)
     Ann.compactLayout(spark, codesDir, targetRowsPerFile,
       transform = df => df.filter(col("cell") =!= cell).unionByName(reEncoded))
-    val newCents = cents.filterNot(_._1 == cell) ++
+    prepared.unpersist() // reEncoded's lineage reads the cache until here
+    val newCents = baseCents.filterNot(_._1 == cell) ++
       km.clusterCenters.zipWithIndex.map { case (c, i) =>
         (if (i == 0) cell else newId) -> c.toArray
       }
-    val newAnchors = (anchors - cell) ++ subAnchors
+    val newAnchors = (baseAnchors - cell) ++ subAnchors
     // dump both metadata halves beside the layout: with codes + centers +
-    // anchors all on disk, serving is deterministic and the DuckDB oracle
-    // replays the identical probe + ADC over the split index
+    // anchors all on disk, serving is deterministic, the DuckDB oracle
+    // replays the identical probe + ADC over the split index, and the
+    // NEXT split resumes from this geometry instead of the trained one
     Ann.centroidsDf(spark, newCents.sortBy(_._1)).coalesce(1)
       .write.mode("overwrite").parquet(codesDir + "-cents")
     Ann.centroidsDf(spark, newAnchors.toSeq.sortBy(_._1))
@@ -509,10 +561,13 @@ object Ivfpq {
     val codesDir = codesDirOverride.getOrElse(resCodesLayout(spark, sfDir, cells))
     // probe ranks the trained unit centers; the first-order ADC term uses
     // the encoding-side ANCHORS (cell means — see Pq.residualAnchors)
-    val probes = probeCells(cents, qVec, nprobe)
-    val table = Pq.adcTable(qVec, cb)
     val anchorOf = indexOverride.map(_._2)
       .getOrElse(Pq.residualAnchors(spark, sfDir, cells).toMap)
+    // an empty trained cell has no anchor (and no codes) — probing it is
+    // pointless and must not crash the first-order term lookup
+    val probes = probeCells(
+      cents.filter { case (c, _) => anchorOf.contains(c) }, qVec, nprobe)
+    val table = Pq.adcTable(qVec, cb)
     val qDotC = probes.map { c =>
       val anchor = anchorOf(c)
       var d = 0.0; var i = 0

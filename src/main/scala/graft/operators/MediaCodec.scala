@@ -328,7 +328,9 @@ object MediaCodec {
       // the chunk length field is untrusted input: a truncated/corrupt
       // file must fail as the declared IllegalArgumentException (which
       // quarantine routing catches), not an IndexOutOfBoundsException
-      require(len >= 0 && pos + 8 + len <= p.length,
+      // long arithmetic: len near Int.MaxValue would wrap pos + 8 + len
+      // negative and sneak past an int-typed bound check
+      require(len >= 0 && pos.toLong + 8 + len <= p.length,
         s"PNG chunk at $pos claims $len bytes beyond end of payload")
       val typ = new String(p, pos + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(p, pos + 8, len)

@@ -74,6 +74,12 @@ object Phash {
 
   /** [[hashBands]] with a caller-owned quarantine counter (readable after
     * the action; in a streaming query, cumulative across triggers).
+    * AT-LEAST-ONCE semantics, inherent to accumulators updated inside a
+    * transformation: a task retry or speculative duplicate re-counts its
+    * partition's failures. Use it as a non-zero alert and an order of
+    * magnitude, not an exact tally — the exact set of quarantined ids is
+    * the anti-join of input ids against the output (exactly-once, it IS
+    * the data).
     */
   def hashBands(media: Dataset[Multimodal.MediaRow],
                 quarantined: org.apache.spark.util.LongAccumulator): DataFrame = {

@@ -59,37 +59,48 @@ object Pq {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(graft.functions.VectorOps.l2Normalize(
           graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("embedding"))
-        .repartition(1).cache()
-      try {
-        // materialize the cache before fanning out, so the m concurrent
-        // fits all read the block instead of racing to compute it
-        emb.count()
-        // the m subspace fits are independent single-partition jobs — run
-        // them concurrently (Spark's scheduler interleaves jobs submitted
-        // from different threads). Each fit is seeded per subspace, so the
-        // books are bit-identical to the former sequential loop; the stage
-        // was 10–16% of the whole bench run sequentially (round-5 verdict).
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val books = Await.result(
-          Future.sequence((0 until m).map { s => Future {
-            val sub = emb.select(array_to_vector(
-              expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
-            new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
-              .setFeaturesCol("__v").setPredictionCol("__c")
-              .fit(sub).clusterCenters.map(_.toArray)
-          } }), Duration.Inf).toArray
-        // dump (s, code, cent) beside the codes layout — the other half of
-        // the replayable index (see booksPath)
-        import spark.implicits._
-        (for { s <- 0 until m; c <- books(s).indices }
-          yield (s, c, books(s)(c).toSeq))
-          .toDF("s", "code", "cent").coalesce(1)
-          .write.mode("overwrite").parquet(booksPath(sfDir, dim, m, k, seed))
-        Codebooks(m, subDim, books)
-      } finally emb.unpersist()
+      fitBooks(spark, emb, m, subDim, k, seed, booksPath(sfDir, dim, m, k, seed))
     })
+
+  /** The one fit-and-dump block behind [[train]] (raw vectors) and
+    * [[trainResidual]] (residuals): the m per-subspace KMeans fits run
+    * CONCURRENTLY over a single cached partition, seeded per subspace
+    * (bit-identical to a sequential loop; the stage was 10–16% of the
+    * whole bench run sequentially — round-5 verdict), and the books dump
+    * as (s, code, cent) at `dumpPath` — the replayable half of the index.
+    * One implementation so the two trainers cannot silently diverge in
+    * fit, seed scheme, or dump format. `emb` must carry a DOUBLE[]
+    * `embedding` column of length m·subDim; it is collapsed to ONE cached
+    * partition here (sample-scale fit — Lloyd's many tiny jobs would pay
+    * 32-empty-task scheduler overhead per iteration otherwise).
+    */
+  private def fitBooks(spark: SparkSession, emb: DataFrame, m: Int,
+                       subDim: Int, k: Int, seed: Long,
+                       dumpPath: String): Codebooks = {
+    val cached = emb.repartition(1).cache()
+    try {
+      // materialize the cache before fanning out, so the m concurrent
+      // fits all read the block instead of racing to compute it
+      cached.count()
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val books = Await.result(
+        Future.sequence((0 until m).map { s => Future {
+          val sub = cached.select(array_to_vector(
+            expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
+          new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
+            .setFeaturesCol("__v").setPredictionCol("__c")
+            .fit(sub).clusterCenters.map(_.toArray)
+        } }), Duration.Inf).toArray
+      import spark.implicits._
+      (for { s <- 0 until m; c <- books(s).indices }
+        yield (s, c, books(s)(c).toSeq))
+        .toDF("s", "code", "cent").coalesce(1)
+        .write.mode("overwrite").parquet(dumpPath)
+      Codebooks(m, subDim, books)
+    } finally cached.unpersist()
+  }
 
   /** Bench-harness hook: forget the trained books so a second build can be
     * timed cold (see Ann.resetMemos).
@@ -180,27 +191,8 @@ object Pq {
           graft.functions.VectorOps.toDoubleArray(col("embedding"))).as("nemb"))
         .join(broadcast(anchorsDf), Seq("cell"))
         .select(zip_with(col("nemb"), col("anchor"), (v, c) => v - c).as("embedding"))
-        .repartition(1).cache()
-      try {
-        emb.count()
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val books = Await.result(
-          Future.sequence((0 until m).map { s => Future {
-            val sub = emb.select(array_to_vector(
-              expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
-            new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
-              .setFeaturesCol("__v").setPredictionCol("__c")
-              .fit(sub).clusterCenters.map(_.toArray)
-          } }), Duration.Inf).toArray
-        import spark.implicits._
-        (for { s <- 0 until m; c <- books(s).indices }
-          yield (s, c, books(s)(c).toSeq))
-          .toDF("s", "code", "cent").coalesce(1)
-          .write.mode("overwrite").parquet(resBooksPath(sfDir, dim, m, k, seed, cells))
-        Codebooks(m, subDim, books)
-      } finally emb.unpersist()
+      fitBooks(spark, emb, m, subDim, k, seed,
+        resBooksPath(sfDir, dim, m, k, seed, cells))
     })
 
   /** Map-only encoding: each (L2-normalized, double[]) vector → its m

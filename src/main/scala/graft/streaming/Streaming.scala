@@ -237,7 +237,10 @@ object Streaming {
                  // caller-owned layout, and/or a metadata pre-filter
                  codesDirOverride: Option[String] = None,
                  rescoreDirOverride: Option[String] = None,
-                 filterIds: Option[DataFrame] = None)(
+                 filterIds: Option[DataFrame] = None,
+                 // false when the stream's qids are request ids rather
+                 // than corpus vec_ids (see Ivfpq.searchBatchResidual)
+                 excludeSelf: Boolean = true)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -250,7 +253,7 @@ object Streaming {
             batch.sparkSession, sfDir, qs, k, shortlistN, nprobe,
             codesDirOverride = codesDirOverride,
             rescoreDirOverride = rescoreDirOverride,
-            filterIds = filterIds), batchId)
+            filterIds = filterIds, excludeSelf = excludeSelf), batchId)
       }
       .start()
 

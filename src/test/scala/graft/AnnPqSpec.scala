@@ -209,6 +209,13 @@ class AnnPqSpec extends AnyFunSuite
     }
     assert(execs.sorted === Seq(false, true),
       "batch shortlist did not use the partial/final TopKPerKeyExec pair")
+    // excludeSelf = false: qids from a request-id space must not lose the
+    // corpus vector sharing their number — vec 0 IS query 0's top-1 then
+    val noEx = Ivfpq.searchBatchResidual(spark, sf, qs.take(1), k = 5,
+        shortlistN = 20, nprobe = 3, excludeSelf = false)
+      .filter(col("rnk") === 1).head()
+    assert(noEx.getLong(1) === 0L && noEx.getDouble(2) >= 0.999999,
+      s"excludeSelf=false still dropped the colliding corpus vector: $noEx")
   }
 
   test("residual codes maintenance: appends served without retraining, compaction repairs the files") {
@@ -330,6 +337,50 @@ class AnnPqSpec extends AnyFunSuite
     val pruned = spark.read.parquet(codesDir)
       .filter(col("cell").isin(probes: _*))
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // a SECOND split resumes from the layout's own dumped geometry, not
+    // the pristine trained metadata: the new cell id does not collide
+    // with the first split's, and the returned metadata carries BOTH
+    // splits' sub-cells
+    val hot2 = pops.maxBy { case (c, n) => (n, -c) }._1
+    val (cents3, anchors3) = Ivfpq.splitCell(spark, sf, codesDir,
+      s"$sf/embeddings.parquet", hot2)
+    val popAfter2 = pops
+    assert(popAfter2.keySet === popAfter.keySet + (newId + 1),
+      s"second split must mint a fresh cell id: ${popAfter2.keySet}")
+    assert(ids === idsBefore, "second split lost or duplicated vectors")
+    assert(cents3.map(_._1).toSet === popAfter2.keySet &&
+      anchors3.keySet === popAfter2.keySet,
+      "second split's metadata forgot a sub-cell")
+    val served2 = Ivfpq.searchResidual(spark, sf, qn0, excludeId = Some(0L),
+        k = 5, shortlistN = 1000, nprobe = cents3.length,
+        codesDirOverride = Some(codesDir),
+        indexOverride = Some((cents3, anchors3)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(served2 === exact, s"full-probe after 2 splits $served2 != exact $exact")
+  }
+
+  test("splitCell refuses a desynced rescore table instead of silently dropping vectors") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ressplitsync")
+      .toFile.getAbsolutePath
+    val codesDir = base + "/codes"
+    val vecsDir = base + "/vecs"
+    spark.read.parquet(Ivfpq.resCodesLayout(spark, sf))
+      .write.partitionBy("cell").parquet(codesDir)
+    val hot = spark.read.parquet(codesDir).groupBy(col("cell")).count()
+      .orderBy(col("count").desc, col("cell").asc).head().getInt(0)
+    // a rescore clone MISSING one of the hot cell's vectors
+    val missing = spark.read.parquet(codesDir)
+      .filter(col("cell") === hot).select(col("vec_id"))
+      .head().getLong(0)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") =!= missing)
+      .select(col("vec_id"), col("embedding")).write.parquet(vecsDir)
+    val e = intercept[IllegalArgumentException] {
+      Ivfpq.splitCell(spark, sf, codesDir, vecsDir, hot)
+    }
+    assert(e.getMessage.contains("out of sync"), e.getMessage)
+    // and the refused split left the layout untouched
+    assert(spark.read.parquet(codesDir).filter(col("cell") === hot).count() > 0)
   }
 
   test("tombstone deletes: logical delete serves immediately, compaction applies it physically") {
@@ -375,6 +426,17 @@ class AnnPqSpec extends AnyFunSuite
     assert(spark.read.parquet(codesDir).count() === live - 2,
       "compaction did not drop exactly the tombstoned rows")
     assert(search === after2, "physical apply changed served results")
+    // the delete verb keeps working through compaction cycles: a fresh
+    // delete lands in a fresh sidecar, serves immediately, and the next
+    // compaction applies it too (the file-level sweep deletes only what
+    // it applied — see compactResLayout's snapshot discipline)
+    val third = after2.head._1
+    Ivfpq.deleteFromResLayout(spark, Seq(third), codesDir)
+    val after3 = search
+    assert(!after3.exists(_._1 === third), s"post-compaction delete ignored: $after3")
+    Ivfpq.compactResLayout(spark, codesDir, targetRowsPerFile = 4096)
+    assert(spark.read.parquet(codesDir).count() === live - 3)
+    assert(search === after3, "second physical apply changed served results")
   }
 
   test("filtered IVFADC: pre-filter fills k from the predicate set where post-filter starves") {
