@@ -103,6 +103,75 @@ object TextQueries {
         .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     }
 
+  /** Window width for exact substring-span dedup. Lee et al. 2021 use 50
+    * BPE tokens; 8 word tokens keeps the fixture's injected 13-token
+    * license line long enough to contain fully-shared windows.
+    */
+  private[graft] val SpanW = 8
+
+  /** The license line injected into every 7th fixture doc so cross-doc
+    * duplicated SPANS provably exist (the sentence_dedup pattern).
+    * 13 alnum tokens ⇒ 6 windows of 8 land fully inside it.
+    */
+  private[graft] val SpanBoiler =
+    "redistribution of this corpus is permitted under the license agreement version two only"
+
+  /** EXACT SUBSTRING-SPAN dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better" — the complement of MinHash
+    * whole-doc similarity: exact duplicated token SPANS, found by
+    * fingerprinting every `w`-token window). A window whose fingerprint
+    * appears in ≥2 DISTINCT docs is duplicated; per doc we report window
+    * totals plus the number of token POSITIONS covered by the union of
+    * its (overlapping) duplicated windows — the "fraction of this doc
+    * that is copied text" signal a curation pipeline thresholds on.
+    *
+    * Distributed shape: token hashes are computed once per doc in a
+    * map-only projection; the windows are a per-row explode of those
+    * hashes, so only (doc_id, i, wfp) DIGESTS ever shuffle — for the
+    * cross-doc frequency count, the dup-window count, and the coverage
+    * count — and the text itself moves zero times. At 100 TB the
+    * frequency table is itself huge but stays a hash-partitioned
+    * fingerprint digest (the same posture as minhash_lsh_dedup's bands);
+    * removal (not measured here) would be a map-side span-mask join back
+    * on doc_id.
+    *
+    * The rolling window hash folds the portable per-token hashes with the
+    * same (acc*131 + h) mod p scheme as [[TextOps.fingerprint]], so the
+    * DuckDB oracle replays it with list_reduce over list_slice.
+    */
+  private[graft] def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), t => TextOps.tokenHash(t)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_tokens"), col("hs"))
+    val wins = base.filter(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), (col("n_tokens") - (w - 1)).cast("int")),
+          i => struct(i.as("i"),
+            aggregate(slice(col("hs"), i, lit(w)), lit(0L),
+              (acc, h) => (acc * 131L + h) % TextOps.HashMod).as("wfp")))).as("win"))
+      .select(col("doc_id"), col("win.i").as("i"), col("win.wfp").as("wfp"))
+    val freq = wins.groupBy(col("wfp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dup = wins.join(freq, Seq("wfp")).filter(col("n_docs") >= 2)
+    val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupWin = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val dupCov = dup
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(nWin, Seq("doc_id"), "left")
+      .join(dupWin, Seq("doc_id"), "left")
+      .join(dupCov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** The BM25 (doc, term, tf) digest table — the inverted-index build
     * step. It feeds FOUR consumers inside one search (scorer, dl, stats,
     * df) AND every subsequent search / streaming-scorer snapshot over the
@@ -620,6 +689,19 @@ object TextQueries {
               struct(col("idx"), col("sent"))))),
             x => x.getField("sent")), ". ").as("cleaned"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact substring-span dedup (Lee et al. 2021) — see [[spanDedup]].
+    // Fixture: every 7th doc gets the deterministic license line
+    // prepended, so the corpus provably contains cross-doc duplicated
+    // 8-token windows with PARTIAL per-doc coverage (the interesting
+    // case — whole-doc dup is dedup_exact's job).
+    "substring_dedup" -> ((s, dir) => {
+      val injected = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(SpanBoiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      spanDedup(spread(injected), SpanW)
     }),
 
     // Token-BIGRAM LM scoring — charlm_bits lifted from characters to
@@ -1159,6 +1241,42 @@ object TextQueries {
          |FROM sents s JOIN freq f ON f.sfp = s.sfp
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    "substring_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$SpanBoiler ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    list_transform(${duckToks("text")}, tok -> ${duckTokHash("tok")}) AS hs
+         |  FROM d),
+         |base AS (SELECT doc_id, len(hs)::BIGINT AS n_tokens, hs FROM b),
+         |w AS (
+         |  SELECT doc_id, i,
+         |    list_reduce(list_prepend(0::BIGINT, list_slice(hs, i, i + ${SpanW - 1})),
+         |      (acc, x) -> (acc * 131 + x) % 1000000007) AS wfp
+         |  FROM base, unnest(generate_series(1, (n_tokens - ${SpanW - 1})::INT)) AS g(i)
+         |  WHERE n_tokens >= $SpanW),
+         |f AS (SELECT wfp, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY wfp),
+         |dup AS (SELECT w.doc_id, w.i FROM w JOIN f USING (wfp) WHERE f.n_docs >= 2),
+         |nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM w GROUP BY doc_id),
+         |dw AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows FROM dup GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT p)::BIGINT AS dup_tokens
+         |  FROM dup, unnest(generate_series(i, i + ${SpanW - 1})) AS u(p)
+         |  GROUP BY doc_id)
+         |SELECT base.doc_id, base.n_tokens,
+         |  coalesce(nw.n_windows, 0) AS n_windows,
+         |  coalesce(dw.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(cov.dup_tokens, 0)::DOUBLE / base.n_tokens, 6) AS dup_frac
+         |FROM base
+         |LEFT JOIN nw USING (doc_id)
+         |LEFT JOIN dw USING (doc_id)
+         |LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "bigram_lm_bits" ->
       s"""WITH t AS (

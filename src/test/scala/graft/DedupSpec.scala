@@ -87,6 +87,54 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
+
+  test("substring-span dedup: window counts, cross-doc-only matches, overlap-union coverage") {
+    import graft.queries.TextQueries
+    // w=4; docs 2 and 3 share a 6-token span (3 fully-contained windows,
+    // union covers 6 positions each); doc 5 repeats a window INSIDE one
+    // doc (must NOT count — cross-doc means >=2 DISTINCT docs); doc 4 is
+    // shorter than w (zero windows, zero coverage, frac 0 of 2 tokens).
+    val docs = Seq(
+      (1L, "apple banana cherry damson elder fig grape honeydew"),
+      (2L, "kiwi lemon shared span tokens run exactly here"),
+      (3L, "shared span tokens run exactly here mango nectarine"),
+      (4L, "only two"),
+      (5L, "rose sage thyme umber rose sage thyme umber")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.spanDedup(docs, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) === ((8L, 5L, 0L, 0L, 0.0)))
+    assert(out(2L) === ((8L, 5L, 3L, 6L, 0.75)))
+    assert(out(3L) === ((8L, 5L, 3L, 6L, 0.75)))
+    assert(out(4L) === ((2L, 0L, 0L, 0L, 0.0)))
+    assert(out(5L) === ((8L, 5L, 0L, 0L, 0.0)))
+  }
+
+  test("substring-span dedup: fixture corpus injection yields partial-coverage dups") {
+    import graft.queries.TextQueries
+    val out = SparkEntry.queries("substring_dedup")(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every injected doc (doc_id % 7 == 0, long enough) carries the
+    // boilerplate span and must show duplicated windows but NOT full
+    // coverage (the license line is a strict prefix of the doc)
+    val injected = rows.filter(r => r.getLong(0) % 7 == 0 && r.getLong(1) >= TextQueries.SpanW)
+    assert(injected.nonEmpty)
+    injected.foreach { r =>
+      assert(r.getLong(3) > 0L, s"doc ${r.getLong(0)} should have dup windows")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0,
+        s"doc ${r.getLong(0)} coverage out of range: ${r.getDouble(5)}")
+    }
+    // partial coverage is the interesting signal: injected docs whose own
+    // text is unique show the boilerplate span but NOT full coverage
+    // (fixture whole-doc duplicates legitimately reach 1.0)
+    assert(injected.count(r => r.getDouble(5) < 1.0) > injected.length / 2)
+    // non-injected docs may still collide on natural 8-grams, but the
+    // vast majority must be clean
+    val clean = rows.filter(r => r.getLong(0) % 7 != 0)
+    assert(clean.count(_.getLong(3) === 0L) > clean.length / 2)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
