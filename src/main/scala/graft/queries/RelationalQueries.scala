@@ -591,6 +591,19 @@ object RelationalQueries {
         .orderBy(col("click_id"), col("view_id").asc_nulls_first)
     }),
 
+    // FULL OUTER interval join — batch oracle of the streaming full-outer
+    // twin: unmatched clicks AND unmatched views each keep one null-padded
+    // row. Both sort keys are nullable now: NULLS FIRST pinned on both
+    // engines for both columns.
+    "interval_join_fouter" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.Streaming.clickViewJoinFullOuter(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id").asc_nulls_first,
+          col("view_id").asc_nulls_first)
+    }),
+
     // Pure top-k: TakeOrderedAndProject, no aggregation.
     "topk_orders" -> ((s, dir) => {
       orders(s, dir)
@@ -1993,6 +2006,16 @@ object RelationalQueries {
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
         |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
+
+    "interval_join_fouter" ->
+      """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  a.event_id AS click_id, b.event_id AS view_id,
+        |  epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
+        |ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size,

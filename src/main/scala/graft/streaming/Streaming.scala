@@ -318,6 +318,33 @@ object Streaming {
         unix_micros(col("view_ts")).as("view_us"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the outer-face
+    * matrix (inner / left / full). Matches emit eagerly; a click with no
+    * view null-pads once its watermark verdict is in (as in
+    * [[clickViewJoinLeftOuter]]); symmetrically a view that no LATER
+    * click ever claimed null-pads on ITS eviction — note the asymmetric
+    * horizon: a view stays claimable for the full 60-minute interval
+    * AFTER its timestamp, so its verdict lands an interval later than a
+    * click's. user_id must coalesce across sides: an unmatched view has
+    * no click-side columns. Both state buffers stay bounded by
+    * interval + lateness exactly as in the inner join.
+    */
+  def clickViewJoinFullOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val v = views.select(col("user_id").as("v_user_id"),
+      col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 60 MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "fullOuter")
+      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("click_id"), col("view_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   // --- stateful sessionization -------------------------------------------
 
   case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)

@@ -122,6 +122,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: both unmatched sides null-pad on their own eviction horizons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000
+    val min = 60L * 1000 * 1000
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val viewsIn = MemoryStream[(Long, Long, Long)]
+    def asDf(ms: MemoryStream[(Long, Long, Long)]) =
+      ms.toDF().toDF("user_id", "event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+    val joined = Streaming.clickViewJoinFullOuter(
+      asDf(clicksIn).withWatermark("ts", "10 minutes"),
+      asDf(viewsIn).withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ss_fouter").start()
+    try {
+      // click 100 @10h matches view 200 @9h30; click 101 @13h has no view;
+      // view 201 @11h is claimable only by clicks in [11h, 12h] — none come
+      clicksIn.addData((1L, 100L, 10 * hour), (1L, 101L, 13 * hour))
+      viewsIn.addData((1L, 200L, 10 * hour - 30 * min), (1L, 201L, 11 * hour))
+      q.processAllAvailable()
+      def rows = spark.table("ss_fouter").collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      // the match emits eagerly; click 101's no-view verdict is NOT in
+      // evidence yet (watermark 12h50 < 13h) — premature null-pad is the bug
+      val r1 = rows
+      assert(r1.contains((1L, Some(100L), Some(200L))), s"match missing: $r1")
+      assert(!r1.contains((1L, Some(101L), None)),
+        s"premature click-side outer emission: $r1")
+      // advance both watermarks past every horizon (disjoint user/time)
+      clicksIn.addData((9L, 999L, 20 * hour))
+      viewsIn.addData((8L, 998L, 20 * hour))
+      q.processAllAvailable()
+      // both verdicts now in evidence: the no-view click AND the
+      // never-claimed view null-pad exactly once each
+      val expected = Set(
+        (1L, Option(100L), Option(200L)),
+        (1L, Option(101L), Option.empty[Long]),
+        (1L, Option.empty[Long], Option(201L)))
+      assert(rows === expected, s"full-outer rows wrong: $rows")
+      // eviction evidence: on the full-outer path Spark 4.1 generates the
+      // null rows in the state-cleanup pass WITHOUT ticking numRowsRemoved
+      // (observed; the left-outer flush path does tick it), so assert the
+      // state footprint itself shrank: peak buffered rows > final buffered
+      // rows (final = only the two pending flush probes)
+      val totals = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).toSeq
+      assert(totals.nonEmpty && totals.max > totals.last,
+        s"join state never shrank: $totals")
+      // per-trigger union ≡ the batch full-outer twin on pre-flush events
+      val bc = Seq((1L, 100L, 10 * hour), (1L, 101L, 13 * hour))
+        .toDF("user_id", "event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val bv = Seq((1L, 200L, 10 * hour - 30 * min), (1L, 201L, 11 * hour))
+        .toDF("user_id", "event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val batch = Streaming.clickViewJoinFullOuter(bc, bv).collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(rows === batch, s"streamed $rows != batch twin $batch")
+    } finally q.stop()
+  }
+
   test("watermark drops late events: a row older than the watermark never reaches the aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
