@@ -604,6 +604,23 @@ object RelationalQueries {
           col("view_id").asc_nulls_first)
     }),
 
+    // Declarative data-quality suite (Deequ model): six constraints over
+    // orders evaluated in ONE aggregate pass → (check, observed, passed)
+    // report. price_under_100k FAILS on this fixture by design — the
+    // report carries failures instead of throwing (the pipeline-gate
+    // posture: the orchestrator decides publish/quarantine from rows).
+    "dq_checks" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      report(orders(s, dir), Seq(
+        Check("complete_custkey", completeness(col("o_custkey")), _ === 1.0),
+        Check("nonneg_totalprice", min(col("o_totalprice")).cast("double"), _ >= 0.0),
+        Check("price_under_100k", max(col("o_totalprice")).cast("double"), _ <= 100000.0),
+        Check("size_nonzero", count(lit(1)).cast("double"), _ > 0.0),
+        Check("status_in_set",
+          inSetRatio(col("o_orderstatus"), Seq("O", "F", "P")), _ === 1.0),
+        Check("unique_orderkey", uniquenessRatio(col("o_orderkey")), _ === 1.0)))
+    }),
+
     // Pure top-k: TakeOrderedAndProject, no aggregation.
     "topk_orders" -> ((s, dir) => {
       orders(s, dir)
@@ -2016,6 +2033,25 @@ object RelationalQueries {
         |  ON a.user_id = b.user_id
         |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
         |ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
+
+    "dq_checks" ->
+      """WITH m AS (
+        |  SELECT
+        |    round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE, 6) AS complete_custkey,
+        |    round(min(o_totalprice)::DOUBLE, 6) AS nonneg_totalprice,
+        |    round(max(o_totalprice)::DOUBLE, 6) AS price_under_100k,
+        |    round(count(*)::DOUBLE, 6) AS size_nonzero,
+        |    round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE, 6) AS status_in_set,
+        |    round(count(DISTINCT o_orderkey)::DOUBLE / count(*), 6) AS unique_orderkey
+        |  FROM orders)
+        |SELECT 'complete_custkey' AS check_name, complete_custkey AS observed,
+        |  complete_custkey = 1.0 AS passed FROM m
+        |UNION ALL SELECT 'nonneg_totalprice', nonneg_totalprice, nonneg_totalprice >= 0.0 FROM m
+        |UNION ALL SELECT 'price_under_100k', price_under_100k, price_under_100k <= 100000.0 FROM m
+        |UNION ALL SELECT 'size_nonzero', size_nonzero, size_nonzero > 0.0 FROM m
+        |UNION ALL SELECT 'status_in_set', status_in_set, status_in_set = 1.0 FROM m
+        |UNION ALL SELECT 'unique_orderkey', unique_orderkey, unique_orderkey = 1.0 FROM m
+        |ORDER BY check_name""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size,
