@@ -1,0 +1,83 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Distributed heavy hitters via per-partition Misra-Gries sketches
+  * (Misra & Gries 1982; the distributed argument is the standard
+  * pigeonhole: if a value's GLOBAL frequency exceeds n/k, some partition
+  * must see it more than n_p/k times, so it survives that partition's
+  * sketch — the union of per-partition survivors therefore contains
+  * every global φ-heavy hitter whenever φ ≥ 1/k).
+  *
+  * The sketch only NOMINATES. The output is an exact recount of the
+  * candidate set: corpus → semi-join the (≤ k·partitions)-row broadcast
+  * candidate list → partial+final count → φ threshold against the 1-row
+  * total. False candidates die at the threshold; true heavy hitters
+  * cannot be missed — so the result is EXACT and independent of
+  * partitioning, which is what makes it oracle-checkable by a plain
+  * GROUP BY/HAVING. At 100 TB the first pass reads every row but
+  * shuffles only the candidate digests; the naive alternative (full
+  * GROUP BY on a web-scale value column just to find the top handful)
+  * shuffles the whole distinct domain.
+  */
+object HeavyHitters {
+
+  /** Per-partition Misra-Gries survivors, deduplicated: at most k values
+    * per input partition, each a candidate heavy hitter. NULLs are
+    * skipped (they are a completeness problem, not a frequency one).
+    */
+  def candidates(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k > 0, "sketch capacity must be positive")
+    df.select(value.cast("string").as("value"))
+      .as(Encoders.STRING)
+      .mapPartitions { it =>
+        val counters = mutable.HashMap.empty[String, Long]
+        it.foreach { v =>
+          if (v != null) {
+            counters.get(v) match {
+              case Some(c) => counters.update(v, c + 1)
+              case None =>
+                if (counters.size < k) counters.update(v, 1L)
+                else {
+                  // classic MG step: decrement every counter, drop zeros
+                  val dead = mutable.ArrayBuffer.empty[String]
+                  counters.foreach { case (key, c) =>
+                    if (c == 1L) dead += key else counters.update(key, c - 1)
+                  }
+                  dead.foreach(counters.remove)
+                }
+            }
+          }
+        }
+        counters.keysIterator
+      }(Encoders.STRING)
+      .toDF("value")
+      .distinct()
+  }
+
+  /** Exact φ-heavy hitters (frequency > phi·n) of `value`, found by
+    * sketch-nominate + exact-recount. Requires phi ≥ 1/k or the sketch
+    * cannot guarantee completeness (enforced).
+    * Output: (value, n, share) ordered by value.
+    */
+  def heavyHitters(df: DataFrame, value: Column, k: Int,
+                   phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1): $phi")
+    require(phi >= 1.0 / k,
+      s"phi=$phi below the sketch guarantee 1/k=${1.0 / k}")
+    val vals = df.select(value.cast("string").as("value"))
+      .filter(col("value").isNotNull)
+    val cands = candidates(df, value, k)
+    val counts = vals.join(broadcast(cands), Seq("value"))
+      .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    val total = vals.agg(count(lit(1)).as("n_total"))
+    counts.join(broadcast(total))
+      .filter(col("n") > lit(phi) * col("n_total"))
+      .select(col("value"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("value"))
+  }
+}

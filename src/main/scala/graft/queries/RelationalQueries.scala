@@ -621,6 +621,21 @@ object RelationalQueries {
         Check("unique_orderkey", uniquenessRatio(col("o_orderkey")), _ === 1.0)))
     }),
 
+    // Misra-Gries heavy hitters: sketch-nominate + exact-recount (see
+    // HeavyHitters). The page column is a deterministic skewed derivation
+    // (60% home, 20% search, ~100 rare tail pages) so the sketch must
+    // actually evict: distinct values (102) >> capacity (16), yet the
+    // output is exact and partitioning-independent — the sketch only
+    // nominates, the threshold recount decides.
+    "heavy_hitters" -> ((s, dir) => {
+      val pages = events(s, dir).select(
+        when(col("event_id") % 10 < 6, lit("home"))
+          .when(col("event_id") % 10 < 8, lit("search"))
+          .otherwise(concat(lit("p"), col("event_id") % 500)).as("page"))
+      graft.operators.HeavyHitters.heavyHitters(pages, col("page"),
+        k = 16, phi = 0.1)
+    }),
+
     // Pure top-k: TakeOrderedAndProject, no aggregation.
     "topk_orders" -> ((s, dir) => {
       orders(s, dir)
@@ -2052,6 +2067,20 @@ object RelationalQueries {
         |UNION ALL SELECT 'status_in_set', status_in_set, status_in_set = 1.0 FROM m
         |UNION ALL SELECT 'unique_orderkey', unique_orderkey, unique_orderkey = 1.0 FROM m
         |ORDER BY check_name""".stripMargin,
+
+    "heavy_hitters" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN event_id % 10 < 6 THEN 'home'
+        |              WHEN event_id % 10 < 8 THEN 'search'
+        |              ELSE 'p' || (event_id % 500)::VARCHAR END AS value
+        |  FROM events),
+        |t AS (SELECT count(*) AS n_total FROM p)
+        |SELECT p.value, count(*)::BIGINT AS n,
+        |  round(count(*)::DOUBLE / t.n_total, 6) AS share
+        |FROM p, t
+        |GROUP BY p.value, t.n_total
+        |HAVING count(*) > 0.1 * t.n_total
+        |ORDER BY value""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.HeavyHitters
+
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // skewed synthetic: hot 5000, warm 1200, 200 tail values x 20 each
+  private def skewed(parts: Int) = {
+    import spark.implicits._
+    val rows = Seq.fill(5000)("hot") ++ Seq.fill(1200)("warm") ++
+      (0 until 200).flatMap(i => Seq.fill(20)(s"tail_$i"))
+    rows.toDF("v").repartition(parts)
+  }
+
+  test("MG candidates contain every phi-heavy value despite eviction pressure") {
+    // 202 distinct values >> k=16: the sketch must evict constantly, yet
+    // the pigeonhole guarantee keeps hot (48%) and warm (11%) nominated
+    val cands = HeavyHitters.candidates(skewed(10), col("v"), 16)
+      .collect().map(_.getString(0)).toSet
+    assert(cands.contains("hot") && cands.contains("warm"),
+      s"guaranteed heavy hitters evicted: $cands")
+    // and the nomination list stays sketch-sized, not domain-sized
+    assert(cands.size <= 16 * 10, s"candidate set too large: ${cands.size}")
+  }
+
+  test("heavy hitters are exact and independent of partitioning") {
+    val exp = Set(("hot", 5000L, 0.490196), ("warm", 1200L, 0.117647))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = HeavyHitters.heavyHitters(skewed(parts), col("v"), 16, 0.1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === exp, s"parts=$parts: $got")
+    }
+  }
+
+  test("nulls are skipped; guarantees below 1/k are refused") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
+    val hh = HeavyHitters.heavyHitters(df, col("v"), 8, 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === Seq(("a", 2L))) // share 2/3 of NON-NULL rows
+    intercept[IllegalArgumentException](
+      HeavyHitters.heavyHitters(df, col("v"), 8, 0.05)) // 0.05 < 1/8
+  }
+}

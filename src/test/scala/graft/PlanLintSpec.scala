@@ -44,7 +44,8 @@ class PlanLintSpec extends AnyFunSuite {
       "retrieval_mrr", // 5-row query panel broadcast against the corpus scan
       "pmi_topk", // 1-row total-count aggregate broadcast into the scorer
       "knn_filtered", // 1-row query side broadcast; corpus pre-restricted by the metadata semi-join
-      "ivf_index_stats") // 1-row corpus-total aggregate broadcast into the share projection
+      "ivf_index_stats", // 1-row corpus-total aggregate broadcast into the share projection
+      "heavy_hitters") // 1-row total-count aggregate broadcast into the φ threshold
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
