@@ -257,6 +257,29 @@ object Streaming {
       }
       .start()
 
+  /** Streaming data-quality gate: the ingest pipeline's per-trigger
+    * publish/quarantine decision. Each micro-batch is evaluated against
+    * the declared constraint suite (ONE aggregate pass over the batch —
+    * [[graft.operators.DataQuality.report]]) and the stamped report rows
+    * (check_name, observed, passed, batch_id) go to the sink; the caller
+    * decides publish vs quarantine from the rows — the gate itself never
+    * throws, exactly like the batch report. Empty triggers are skipped
+    * (no rows means nothing to gate; the isEmpty probe is a limit-1 job).
+    * At scale this is the standard last-stage of a streaming ingest: the
+    * report is KB-sized however wide the batch is, and the batch data
+    * itself is only read once.
+    */
+  def dqGate(stream: DataFrame,
+             checks: Seq[graft.operators.DataQuality.Check])(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.DataQuality.report(batch, checks)
+            .withColumn("batch_id", lit(batchId)), batchId)
+      }
+      .start()
+
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index
     * (here: an id blocklist standing in for the fingerprint table) and

@@ -32,6 +32,34 @@ class DataQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"suite fanned into repeated scans:\n$plan")
   }
 
+  test("streaming gate: per-trigger report equals the batch report over that trigger's rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val checks = Seq(
+      Check("complete_name", completeness(col("name")), _ === 1.0),
+      Check("v_max_le_40", max(col("v")).cast("double"), _ <= 40.0))
+    val input = MemoryStream[(Long, Option[String], Double)]
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Double, Boolean)]
+    val q = graft.streaming.Streaming.dqGate(
+      input.toDF().toDF("k", "name", "v"), checks) { (rep, bid) =>
+      reports ++= rep.collect().map(r =>
+        (r.getAs[Long]("batch_id"), r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    }
+    try {
+      // trigger 1: clean rows — both checks pass
+      input.addData((1L, Some("a"), 10.0), (2L, Some("b"), 40.0))
+      q.processAllAvailable()
+      // trigger 2: a null name and an out-of-range value — both fail
+      input.addData((3L, None, 99.0), (4L, Some("c"), 5.0))
+      q.processAllAvailable()
+      assert(reports.toSet === Set(
+        (0L, "complete_name", 1.0, true), (0L, "v_max_le_40", 40.0, true),
+        (1L, "complete_name", 0.5, false), (1L, "v_max_le_40", 99.0, false)))
+    } finally q.stop()
+  }
+
   test("duplicate check names and empty suites are rejected") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("k", "v")
