@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Per-partition Misra-Gries survivors, deduplicated: at most k values
-    * per input partition, each a candidate heavy hitter. NULLs are
-    * skipped (they are a completeness problem, not a frequency one).
+  /** Per-partition Misra-Gries summaries: at most k (value, est) rows per
+    * input partition. Estimates carry the classic MG guarantee per
+    * partition — never over the true partition count, under by at most
+    * n_p/k — and MG summaries are MERGEABLE (Agarwal et al. 2012): sum
+    * matching counters, then trim back to k by subtracting the (k+1)-th
+    * largest, and the combined bound is (n1+n2)/k. That mergeability is
+    * what the streaming face rides. NULLs are skipped (they are a
+    * completeness problem, not a frequency one).
     */
-  def candidates(df: DataFrame, value: Column, k: Int): DataFrame = {
+  def summaries(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k > 0, "sketch capacity must be positive")
     df.select(value.cast("string").as("value"))
       .as(Encoders.STRING)
@@ -52,11 +57,33 @@ object HeavyHitters {
             }
           }
         }
-        counters.keysIterator
-      }(Encoders.STRING)
-      .toDF("value")
-      .distinct()
+        counters.iterator.map { case (v, c) => (v, c) }
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF("value", "est")
   }
+
+  /** MG summary merge (Agarwal et al. 2012 §3): sum counters by value;
+    * if more than k survive, subtract the (k+1)-th largest count from
+    * all and drop the non-positive. Never overcounts; total undercount
+    * across any merge tree stays ≤ n/k.
+    */
+  def mergeSummaries(pairs: Iterable[(String, Long)],
+                     k: Int): Map[String, Long] = {
+    require(k > 0, "sketch capacity must be positive")
+    val summed = pairs.groupMapReduce(_._1)(_._2)(_ + _)
+    if (summed.size <= k) summed
+    else {
+      val d = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      summed.collect { case (v, c) if c - d > 0 => v -> (c - d) }
+    }
+  }
+
+  /** Per-partition MG survivors, deduplicated: the nomination list for
+    * the exact-recount path. Estimates dropped on purpose — candidacy is
+    * the only thing the batch path consumes.
+    */
+  def candidates(df: DataFrame, value: Column, k: Int): DataFrame =
+    summaries(df, value, k).select(col("value")).distinct()
 
   /** Exact φ-heavy hitters (frequency > phi·n) of `value`, found by
     * sketch-nominate + exact-recount. Requires phi ≥ 1/k or the sketch

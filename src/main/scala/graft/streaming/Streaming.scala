@@ -280,6 +280,36 @@ object Streaming {
       }
       .start()
 
+  /** Streaming heavy hitters: a one-pass bounded-memory frequency summary
+    * maintained across triggers. Each micro-batch computes its
+    * per-partition MG summaries distributed (≤ k rows per partition —
+    * the only thing collected, KB metadata like the BM25 snapshot), and
+    * the driver folds them into a running k-counter summary via the MG
+    * merge. Mergeability (Agarwal et al. 2012) gives the global
+    * guarantee: after any number of triggers the summary never
+    * overcounts, undercounts by at most n/k, and therefore still
+    * contains EVERY value with true frequency > n/k. Unlike the batch
+    * path there is no exact recount — rows already streamed past cannot
+    * be recounted, so the bounded-error estimate IS the streaming
+    * answer (the inherent one-pass trade; callers needing exactness run
+    * the batch operator over the archived corpus).
+    */
+  def heavyHittersStream(stream: DataFrame, value: org.apache.spark.sql.Column,
+                         k: Int)(
+      sink: (Map[String, Long], Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var summary = Map.empty[String, Long]
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchPairs = graft.operators.HeavyHitters
+          .summaries(batch, value, k)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        summary = graft.operators.HeavyHitters
+          .mergeSummaries(summary.toSeq ++ batchPairs, k)
+        sink(summary, batchId)
+      }
+      .start()
+  }
+
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index
     * (here: an id blocklist standing in for the fingerprint table) and

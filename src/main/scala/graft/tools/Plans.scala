@@ -26,7 +26,9 @@ object Plans {
       "sentence_dedup", "winnow_dedup", "sql_udf", "lateral_topn",
       // round-5 representatives
       "ivfpq_rerank_recall", "pq_rerank_recall", "triangle_count",
-      "merge_upsert", "cohort_retention", "zscore_features", "image_phash_neardup")
+      "merge_upsert", "cohort_retention", "zscore_features", "image_phash_neardup",
+      // round-6 representatives
+      "substring_dedup", "heavy_hitters", "dq_checks", "interval_join_fouter")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, sfDir)

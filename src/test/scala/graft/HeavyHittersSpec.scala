@@ -36,6 +36,38 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MG summary: cross-trigger merge keeps every heavy value within the n/k bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val k = 16
+    // three triggers; hot appears in all, warm only in the middle one,
+    // each trigger brings 100 fresh tail values (300 distinct total)
+    val t1 = Seq.fill(2000)("hot") ++ (0 until 100).flatMap(i => Seq.fill(10)(s"tail_$i"))
+    val t2 = Seq.fill(1500)("hot") ++ Seq.fill(1200)("warm") ++
+      (100 until 200).flatMap(i => Seq.fill(10)(s"tail_$i"))
+    val t3 = Seq.fill(1500)("hot") ++ (200 until 300).flatMap(i => Seq.fill(10)(s"tail_$i"))
+    val n = (t1 ++ t2 ++ t3).length
+    val truth = (t1 ++ t2 ++ t3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val input = MemoryStream[String]
+    var last = Map.empty[String, Long]
+    val q = graft.streaming.Streaming.heavyHittersStream(
+      input.toDF().toDF("v"), col("v"), k) { (s, _) => last = s }
+    try {
+      for (t <- Seq(t1, t2, t3)) { input.addData(t); q.processAllAvailable() }
+    } finally q.stop()
+    assert(last.size <= k, s"summary exceeded capacity: ${last.size}")
+    // every value with true frequency > n/k must still be present
+    val bound = n.toLong / k
+    for ((v, c) <- truth if c > bound)
+      assert(last.contains(v), s"heavy value $v (true $c > n/k $bound) evicted: $last")
+    // estimates never overcount and undercount by at most n/k
+    for ((v, est) <- last) {
+      assert(est <= truth(v), s"$v overcounted: est $est > true ${truth(v)}")
+      assert(est >= truth(v) - bound, s"$v undershot the bound: est $est, true ${truth(v)}, n/k $bound")
+    }
+  }
+
   test("nulls are skipped; guarantees below 1/k are refused") {
     import spark.implicits._
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
