@@ -44,6 +44,50 @@ object DataQuality {
   def inSetRatio(c: Column, allowed: Seq[String]): Column =
     avg(coalesce(c.isin(allowed: _*), lit(false)).cast("int")).cast("double")
 
+  /** Population Stability Index between a baseline and a current
+    * population of one numeric column — the distribution-shift monitor a
+    * training pipeline runs between corpus snapshots (PSI < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 significant by the usual banking-scorecard
+    * convention). Fixed-width binning (caller supplies width; values
+    * clamp into [0, nBins-1] so outliers land in the edge bins rather
+    * than vanish), Laplace-smoothed shares (+0.5 per bin over a full bin
+    * spine) so empty bins cannot produce ln(0).
+    *
+    * Scale shape: each side is one partial+final count aggregate down to
+    * nBins rows; everything after — spine join, shares, contributions,
+    * the PSI sum — is arithmetic over that nBins-row frame (the
+    * unpartitioned window sums are bounded by nBins, not the data).
+    */
+  def psiDrift(base: DataFrame, cur: DataFrame, value: Column,
+               nBins: Int, width: Double): DataFrame = {
+    require(nBins > 1, "need at least 2 bins")
+    require(width > 0, "bin width must be positive")
+    def binned(df: DataFrame) = df
+      .select(greatest(lit(0L),
+        least(lit(nBins - 1L), floor(value / width).cast("long"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    val spine = base.sparkSession.range(nBins).select(col("id").as("bin"))
+    val joined = spine
+      .join(binned(base).withColumnRenamed("c", "cb"), Seq("bin"), "left")
+      .join(binned(cur).withColumnRenamed("c", "cc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cb"), lit(0L)).as("n_base"),
+        coalesce(col("cc"), lit(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(Seq.empty[Column]: _*) // nBins-row frame — bounded
+    val smooth = 0.5 * nBins
+    joined
+      .withColumn("pb",
+        (col("n_base") + 0.5) / (sum(col("n_base")).over(all) + smooth))
+      .withColumn("pc",
+        (col("n_cur") + 0.5) / (sum(col("n_cur")).over(all) + smooth))
+      .withColumn("raw", (col("pb") - col("pc")) * log(col("pb") / col("pc")))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round(col("pb"), 6).as("p_base"), round(col("pc"), 6).as("p_cur"),
+        round(col("raw"), 6).as("contrib"),
+        round(sum(col("raw")).over(all), 6).as("psi"))
+      .orderBy(col("bin"))
+  }
+
   /** Evaluate the suite: one aggregate pass, then a map-only explode into
     * the (check, observed, passed) report, ordered by check name.
     */

@@ -636,6 +636,19 @@ object RelationalQueries {
         k = 16, phi = 0.1)
     }),
 
+    // PSI drift monitor between two event populations (deterministic
+    // even/odd split stands in for last-week/this-week snapshots): one
+    // count-aggregate per side down to 10 bins, then pure arithmetic
+    // over the 10-row frame. Near-identical populations here — the spec
+    // demonstrates detection on a synthetic shift.
+    "psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.operators.DataQuality.psiDrift(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        col("value"), nBins = 10, width = 50.0)
+    }),
+
     // Pure top-k: TakeOrderedAndProject, no aggregation.
     "topk_orders" -> ((s, dir) => {
       orders(s, dir)
@@ -2081,6 +2094,30 @@ object RelationalQueries {
         |GROUP BY p.value, t.n_total
         |HAVING count(*) > 0.1 * t.n_total
         |ORDER BY value""".stripMargin,
+
+    "psi_drift" ->
+      """WITH b AS (
+        |  SELECT greatest(0, least(9, floor(value / 50.0)))::BIGINT AS bin,
+        |    count(*) AS c
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |cur AS (
+        |  SELECT greatest(0, least(9, floor(value / 50.0)))::BIGINT AS bin,
+        |    count(*) AS c
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, 9))::BIGINT AS bin),
+        |j AS (
+        |  SELECT spine.bin, coalesce(b.c, 0) AS n_base, coalesce(cur.c, 0) AS n_cur
+        |  FROM spine LEFT JOIN b USING (bin) LEFT JOIN cur USING (bin)),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j),
+        |p AS (
+        |  SELECT j.bin, j.n_base, j.n_cur,
+        |    (j.n_base + 0.5) / (t.tb + 5.0) AS pb,
+        |    (j.n_cur + 0.5) / (t.tc + 5.0) AS pc
+        |  FROM j, t)
+        |SELECT bin, n_base, n_cur, round(pb, 6) AS p_base, round(pc, 6) AS p_cur,
+        |  round((pb - pc) * ln(pb / pc), 6) AS contrib,
+        |  round(sum((pb - pc) * ln(pb / pc)) OVER (), 6) AS psi
+        |FROM p ORDER BY bin""".stripMargin,
 
     "q16_supplier_cnt" ->
       """SELECT p.p_brand, p.p_size,

@@ -60,6 +60,26 @@ class DataQualitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PSI drift: near-zero on identical populations, fires on a shifted one, smoothing kills ln(0)") {
+    import spark.implicits._
+    // baseline: uniform over [0, 100); shifted: mass moved to [60, 160)
+    val base = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val same = (0 until 1000).map(i => (i.toLong, ((i * 7) % 100).toDouble)).toDF("id", "v")
+    val shifted = (0 until 1000).map(i => (i.toLong, 60.0 + (i % 100))).toDF("id", "v")
+    def psiOf(cur: org.apache.spark.sql.DataFrame) =
+      graft.operators.DataQuality.psiDrift(base, cur, col("v"), 10, 20.0)
+    val calm = psiOf(same).collect()
+    assert(calm.forall(r => r.getDouble(6) < 0.01),
+      s"identical populations reported drift: ${calm.head.getDouble(6)}")
+    val hot = psiOf(shifted).collect()
+    assert(hot.head.getDouble(6) > 0.25,
+      s"significant shift not detected: ${hot.head.getDouble(6)}")
+    // bins 0-2 are EMPTY on the shifted side: smoothing must keep every
+    // contribution finite
+    assert(hot.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+    assert(hot.length === 10) // full spine, empty bins included
+  }
+
   test("duplicate check names and empty suites are rejected") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("k", "v")
