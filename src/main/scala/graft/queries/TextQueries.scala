@@ -139,7 +139,10 @@ object TextQueries {
     * same (acc*131 + h) mod p scheme as [[TextOps.fingerprint]], so the
     * DuckDB oracle replays it with list_reduce over list_slice.
     */
-  private[graft] def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+  /** (doc_id, n_tokens) base + exploded (doc_id, i, wfp) window digests —
+    * the shared front half of the batch and incremental span-dedup faces.
+    */
+  private def spanParts(docs: DataFrame, w: Int): (DataFrame, DataFrame) = {
     val base = docs
       .select(col("doc_id"),
         transform(TextOps.tokens(col("text")), t => TextOps.tokenHash(t)).as("hs"))
@@ -151,15 +154,20 @@ object TextQueries {
             aggregate(slice(col("hs"), i, lit(w)), lit(0L),
               (acc, h) => (acc * 131L + h) % TextOps.HashMod).as("wfp")))).as("win"))
       .select(col("doc_id"), col("win.i").as("i"), col("win.wfp").as("wfp"))
-    val freq = wins.groupBy(col("wfp"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val dup = wins.join(freq, Seq("wfp")).filter(col("n_docs") >= 2)
+    (base.select(col("doc_id"), col("n_tokens")), wins)
+  }
+
+  /** Shared back half: per-doc window totals + overlap-union coverage of
+    * the given duplicated windows.
+    */
+  private def spanReport(base: DataFrame, wins: DataFrame, dup: DataFrame,
+                         w: Int): DataFrame = {
     val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
     val dupWin = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
     val dupCov = dup
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
       .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_tokens"))
-    base.select(col("doc_id"), col("n_tokens"))
+    base
       .join(nWin, Seq("doc_id"), "left")
       .join(dupWin, Seq("doc_id"), "left")
       .join(dupCov, Seq("doc_id"), "left")
@@ -170,6 +178,31 @@ object TextQueries {
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
       .orderBy(col("doc_id"))
+  }
+
+  private[graft] def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    val (base, wins) = spanParts(docs, w)
+    val freq = wins.groupBy(col("wfp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dup = wins.join(freq, Seq("wfp")).filter(col("n_docs") >= 2)
+    spanReport(base, wins, dup, w)
+  }
+
+  /** Incremental substring-span dedup — the daily-ingest face: arriving
+    * docs are measured against the HISTORICAL window-fingerprint index
+    * only (cross-incoming duplication is the batch job's business; the
+    * incremental question is "how much of this new doc is already in the
+    * corpus"). The history side reduces to a distinct-fp digest — at
+    * scale a persisted bucketed index table appended per ingest, exactly
+    * like the exact-dedup fingerprint index — and incoming windows meet
+    * it in a semi-join on the fingerprint; neither side's text moves.
+    */
+  private[graft] def spanDupAgainstIndex(incoming: DataFrame,
+                                         history: DataFrame, w: Int): DataFrame = {
+    val histFps = spanParts(history, w)._2.select(col("wfp")).distinct()
+    val (base, wins) = spanParts(incoming, w)
+    val dup = wins.join(histFps, Seq("wfp"), "left_semi")
+    spanReport(base, wins, dup, w)
   }
 
   /** The BM25 (doc, term, tf) digest table — the inverted-index build
@@ -702,6 +735,19 @@ object TextQueries {
           concat(lit(SpanBoiler + " "), col("text")))
           .otherwise(col("text")).as("text"))
       spanDedup(spread(injected), SpanW)
+    }),
+
+    // Incremental face of the span dedup: odd doc_ids arrive against the
+    // even-doc_id history index. Injected docs (every 7th) alternate
+    // parity, so incoming boilerplate provably matches history.
+    "substring_dedup_incr" -> ((s, dir) => {
+      val injected = documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(SpanBoiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val all = spread(injected)
+      spanDupAgainstIndex(all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0), SpanW)
     }),
 
     // Token-BIGRAM LM scoring — charlm_bits lifted from characters to
@@ -1276,6 +1322,45 @@ object TextQueries {
          |LEFT JOIN nw USING (doc_id)
          |LEFT JOIN dw USING (doc_id)
          |LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "substring_dedup_incr" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '$SpanBoiler ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    list_transform(${duckToks("text")}, tok -> ${duckTokHash("tok")}) AS hs
+         |  FROM d),
+         |base AS (SELECT doc_id, len(hs)::BIGINT AS n_tokens, hs FROM b),
+         |w AS (
+         |  SELECT doc_id, i,
+         |    list_reduce(list_prepend(0::BIGINT, list_slice(hs, i, i + ${SpanW - 1})),
+         |      (acc, x) -> (acc * 131 + x) % 1000000007) AS wfp
+         |  FROM base, unnest(generate_series(1, (n_tokens - ${SpanW - 1})::INT)) AS g(i)
+         |  WHERE n_tokens >= $SpanW),
+         |hist AS (SELECT DISTINCT wfp FROM w WHERE doc_id % 2 = 0),
+         |winc AS (SELECT doc_id, i, wfp FROM w WHERE doc_id % 2 = 1),
+         |dup AS (SELECT winc.doc_id, winc.i FROM winc
+         |        WHERE winc.wfp IN (SELECT wfp FROM hist)),
+         |nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM winc GROUP BY doc_id),
+         |dw AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows FROM dup GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT p)::BIGINT AS dup_tokens
+         |  FROM dup, unnest(generate_series(i, i + ${SpanW - 1})) AS u(p)
+         |  GROUP BY doc_id)
+         |SELECT base.doc_id, base.n_tokens,
+         |  coalesce(nw.n_windows, 0) AS n_windows,
+         |  coalesce(dw.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(cov.dup_tokens, 0)::DOUBLE / base.n_tokens, 6) AS dup_frac
+         |FROM base
+         |LEFT JOIN nw USING (doc_id)
+         |LEFT JOIN dw USING (doc_id)
+         |LEFT JOIN cov USING (doc_id)
+         |WHERE base.doc_id % 2 = 1
          |ORDER BY doc_id""".stripMargin,
 
     "bigram_lm_bits" ->

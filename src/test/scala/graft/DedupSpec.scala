@@ -111,6 +111,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L) === ((8L, 5L, 0L, 0L, 0.0)))
   }
 
+  test("substring-span incremental face: incoming measured against history only") {
+    import graft.queries.TextQueries
+    val history = Seq(
+      (1L, "kiwi lemon shared span tokens run exactly here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (2L, "shared span tokens run exactly here mango nectarine"), // 6-token overlap w/ history
+      (3L, "totally unrelated words appear in this one friend"),
+      // 4 and 5 duplicate each OTHER but nothing in history — the
+      // incremental face must NOT count cross-incoming duplication
+      (4L, "violet walnut xylem yarrow zinnia acorn basil clove"),
+      (5L, "violet walnut xylem yarrow zinnia acorn basil clove")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.spanDupAgainstIndex(incoming, history, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(2L) === ((8L, 5L, 3L, 6L, 0.75)))
+    assert(out(3L) === ((8L, 5L, 0L, 0L, 0.0)))
+    assert(out(4L) === ((8L, 5L, 0L, 0L, 0.0)))
+    assert(out(5L) === ((8L, 5L, 0L, 0L, 0.0)))
+    assert(!out.contains(1L)) // history is the index, not a subject
+  }
+
   test("substring-span dedup: fixture corpus injection yields partial-coverage dups") {
     import graft.queries.TextQueries
     val out = SparkEntry.queries("substring_dedup")(spark, "/root/testdata/sf0.001")
