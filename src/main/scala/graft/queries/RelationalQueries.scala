@@ -1048,6 +1048,35 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Last-touch attribution — the marketing rollup the as-of carry
+    // exists for: each purchase claims the user's most recent click
+    // (AsOfJoin.backward), the click's campaign comes out of its JSON
+    // props, a 4-hour lookback gates the claim (stale clicks → organic),
+    // and the report is one partial+final aggregate per campaign.
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          concat(lit("c"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .cast("string")).as("campaign"))
+      graft.operators.AsOfJoin.backward(purchases, clicks,
+          "user_id", "ts", "event_id",
+          Map("campaign" -> "campaign", "ts" -> "click_ts"))
+        .withColumn("attributed",
+          when(col("click_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("click_ts")) <=
+              4L * 3600 * 1000000,
+            col("campaign")).otherwise(lit("organic")))
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("conversions"),
+          round(sum(col("value")), 2).as("revenue"))
+        .select(col("attributed").as("campaign"),
+          col("conversions"), col("revenue"))
+        .orderBy(col("campaign"))
+    }),
+
     // Forward as-of join (same union+window carry, time axis reversed):
     // each purchase picks the user's EARLIEST click at-or-after it.
     "asof_forward" -> ((s, dir) => {
@@ -1717,6 +1746,23 @@ object RelationalQueries {
         |  round(c.value, 2) AS click_value, epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id,
+        |        'c' || (CAST(json_extract_string(props, '$.k') AS INTEGER) % 5)::VARCHAR AS campaign
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.ts, p.value, c.campaign, c.ts AS click_ts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |a AS (
+        |  SELECT CASE WHEN click_ts IS NOT NULL
+        |              AND epoch_us(ts) - epoch_us(click_ts) <= 14400000000
+        |         THEN campaign ELSE 'organic' END AS campaign, value
+        |  FROM j)
+        |SELECT campaign, count(*)::BIGINT AS conversions,
+        |  round(sum(value), 2) AS revenue
+        |FROM a GROUP BY campaign ORDER BY campaign""".stripMargin,
 
     "resample_fill" ->
       """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0 FROM events),
