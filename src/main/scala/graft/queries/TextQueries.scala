@@ -737,9 +737,36 @@ object TextQueries {
       spanDedup(spread(injected), SpanW)
     }),
 
+    // Corpus snapshot diff — the data-ops release gate: what changed
+    // between yesterday's corpus and today's? Both sides reduce to
+    // (doc_id, fingerprint) digests map-side, meet in ONE full-outer
+    // equi-join on doc_id, and classify added / removed / changed /
+    // unchanged — text never shuffles. The "new" snapshot is simulated
+    // deterministically (drop %11, edit %13, clone %17 under fresh ids)
+    // so the fixture provably exercises all four statuses.
+    "snapshot_diff" -> ((s, dir) => {
+      val old = documents(s, dir).select(col("doc_id"), col("text"))
+      val newSnap = old.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" new")).as("text")))
+      val o = old.select(col("doc_id"), TextOps.fingerprint(col("text")).as("ofp"))
+      val n = newSnap.select(col("doc_id"), TextOps.fingerprint(col("text")).as("nfp"))
+      o.join(n, Seq("doc_id"), "full_outer")
+        .select(when(col("nfp").isNull, "removed")
+          .when(col("ofp").isNull, "added")
+          .when(col("ofp") =!= col("nfp"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    }),
+
     // Incremental face of the span dedup: odd doc_ids arrive against the
     // even-doc_id history index. Injected docs (every 7th) alternate
-    // parity, so incoming boilerplate provably matches history.
+    // parity, so injected boilerplate provably matches history.
     "substring_dedup_incr" -> ((s, dir) => {
       val injected = documents(s, dir).select(col("doc_id"),
         when(col("doc_id") % 7 === 0,
@@ -1323,6 +1350,25 @@ object TextQueries {
          |LEFT JOIN dw USING (doc_id)
          |LEFT JOIN cov USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "snapshot_diff" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents),
+         |nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM old WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' new' FROM old WHERE doc_id % 17 = 0),
+         |o AS (SELECT doc_id, ${duckFingerprint("text")} AS ofp FROM old),
+         |n AS (SELECT doc_id, ${duckFingerprint("text")} AS nfp FROM nw),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, ofp, nfp
+         |      FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+         |SELECT CASE WHEN nfp IS NULL THEN 'removed'
+         |            WHEN ofp IS NULL THEN 'added'
+         |            WHEN ofp <> nfp THEN 'changed'
+         |            ELSE 'unchanged' END AS status,
+         |  count(*)::BIGINT AS n_docs
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "substring_dedup_incr" ->
       s"""WITH d AS (

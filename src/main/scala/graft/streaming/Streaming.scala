@@ -280,6 +280,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming drift monitor: each micro-batch's value distribution is
+    * PSI-compared against the STATIC baseline snapshot (the training
+    * corpus / last release), batch_id-stamped per-bin rows to the sink —
+    * the alarm wire for "today's ingest no longer looks like what the
+    * model was trained on". Rides [[graft.operators.DataQuality.psiDrift]]
+    * per trigger: the baseline reduces to its nBins-row digest each
+    * trigger (at scale: precompute the baseline digest once — the batch
+    * side of psiDrift is one count-aggregate either way).
+    */
+  def psiGate(stream: DataFrame, baseline: DataFrame,
+              value: org.apache.spark.sql.Column, nBins: Int, width: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.DataQuality
+            .psiDrift(baseline, batch, value, nBins, width)
+            .withColumn("batch_id", lit(batchId)), batchId)
+      }
+      .start()
+
   /** Streaming heavy hitters: a one-pass bounded-memory frequency summary
     * maintained across triggers. Each micro-batch computes its
     * per-partition MG summaries distributed (≤ k rows per partition —

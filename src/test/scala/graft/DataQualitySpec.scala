@@ -80,6 +80,27 @@ class DataQualitySpec extends AnyFunSuite {
     assert(hot.length === 10) // full spine, empty bins included
   }
 
+  test("streaming PSI gate: calm trigger stays calm, shifted trigger fires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val baseline = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    val input = MemoryStream[Double]
+    val psis = scala.collection.mutable.Map.empty[Long, Double]
+    val q = graft.streaming.Streaming.psiGate(
+      input.toDF().toDF("v"), baseline, col("v"), 10, 20.0) { (rep, bid) =>
+      psis(bid) = rep.select(col("psi")).head().getDouble(0)
+    }
+    try {
+      input.addData((0 until 500).map(i => ((i * 3) % 100).toDouble): _*) // same shape
+      q.processAllAvailable()
+      input.addData((0 until 500).map(i => 60.0 + (i % 100)): _*) // shifted
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(psis(0L) < 0.01, s"calm trigger reported drift: ${psis(0L)}")
+    assert(psis(1L) > 0.25, s"shifted trigger not detected: ${psis(1L)}")
+  }
+
   test("duplicate check names and empty suites are rejected") {
     import spark.implicits._
     val df = Seq((1L, 1.0)).toDF("k", "v")
