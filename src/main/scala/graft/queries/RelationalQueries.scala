@@ -228,6 +228,26 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Native session_window sessionization — the built-in face of the
+    // lag+cumsum technique above (and the one session primitive that
+    // also runs under Structured Streaming with merging state). Note the
+    // boundary convention difference, replayed exactly in the oracle: a
+    // session window is [first_ts, last_ts + gap), and an event exactly
+    // AT prev + gap starts a NEW session (the custom sessionize splits
+    // only strictly beyond the gap).
+    "session_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("value_sum"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
     // Cohort retention: users grouped by first-active day, activity as
     // (cohort_day, day_offset) distinct-user counts — the product
     // analytics matrix behind every retention curve. Scale shape: events
@@ -1487,6 +1507,25 @@ object RelationalQueries {
         |  round(sum(value), 2) AS value_sum
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // >= gap (not >) replays session_window's [start, start+gap) merge
+    // rule; session_end = last event + gap by the same convention.
+    "session_window_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS seq
+        |  FROM e)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM s GROUP BY user_id, seq
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "cohort_retention" ->
       """WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_d

@@ -280,6 +280,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming CDC apply — the upsert SINK loop: each trigger's changeset
+    * (key, op ∈ d/u/i, value) merges into the bucket-partitioned parquet
+    * snapshot via [[graft.operators.CdcSnapshot.applyBatch]]: only the
+    * buckets the changeset's keys hash into are read (partition-pruned),
+    * rewritten, and per-bucket atomically swapped — the copy-on-write
+    * table loop that turns a CDC stream into an always-queryable keyed
+    * snapshot whose per-trigger cost scales with change volume, not
+    * table size. Closes the CDC story the way appendAndMaybeCompact
+    * closes the index-maintenance story.
+    */
+  def cdcApply(changes: DataFrame, snapshotPath: String,
+               keyCol: String = "key")(
+      afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CdcSnapshot.applyBatch(
+          batch.sparkSession, snapshotPath, batch, keyCol)
+        afterBatch(batchId)
+      }
+      .start()
+
   /** Streaming drift monitor: each micro-batch's value distribution is
     * PSI-compared against the STATIC baseline snapshot (the training
     * corpus / last release), batch_id-stamped per-bin rows to the sink —

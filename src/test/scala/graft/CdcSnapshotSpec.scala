@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CdcSnapshot
+
+class CdcSnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def snapshotMap(path: String): Map[Long, Double] =
+    CdcSnapshot.read(spark, path).collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Double]("value")).toMap
+
+  test("changesets rewrite only affected buckets; merge precedence and NOT-MATCHED inserts hold") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cdc").toFile.getAbsolutePath + "/snap"
+    CdcSnapshot.init(
+      (0L until 100L).map(k => (k, k.toDouble)).toDF("key", "value"), path)
+    // untouched-bucket witness: bucket 7 keys are 7, 23, 39, ... — the
+    // changeset below touches buckets of keys {3, 17, 5, 200} = {3, 1, 5, 8}
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def listing(b: Int) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/bucket=$b"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    val bucket7Before = listing(7)
+
+    val changes = Seq(
+      (3L, "d", 0.0), (17L, "d", 0.0),   // deletes
+      (5L, "u", 500.0),                   // update
+      (200L, "i", 200.0),                 // insert (new key)
+      (6L, "i", 999.0)                    // insert on a LIVE key → ignored
+    ).toDF("key", "op", "value")
+    CdcSnapshot.applyBatch(spark, path, changes)
+
+    val expect1 = ((0L until 100L).map(k => k -> k.toDouble).toMap
+      - 3L - 17L + (5L -> 500.0) + (200L -> 200.0))
+    assert(snapshotMap(path) === expect1)
+    assert(listing(7) === bucket7Before,
+      "an untouched bucket was rewritten — COW granularity broken")
+
+    // batch 2: the deleted key 3 can now be inserted (NOT MATCHED again);
+    // key 200 updates; a whole-bucket delete leaves no dangling dir
+    val changes2 = Seq(
+      (3L, "i", 33.0), (200L, "u", 201.0)).toDF("key", "op", "value")
+    CdcSnapshot.applyBatch(spark, path, changes2)
+    val expect2 = expect1 + (3L -> 33.0) + (200L -> 201.0)
+    assert(snapshotMap(path) === expect2)
+  }
+
+  test("streaming loop: per-trigger changesets keep the snapshot queryable and right") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft_cdcs").toFile.getAbsolutePath + "/snap"
+    CdcSnapshot.init(
+      (0L until 40L).map(k => (k, k.toDouble)).toDF("key", "value"), path)
+    val input = MemoryStream[(Long, String, Double)]
+    var batches = 0L
+    val q = graft.streaming.Streaming.cdcApply(
+      input.toDF().toDF("key", "op", "value"), path) { _ => batches += 1 }
+    try {
+      input.addData((1L, "u", 100.0), (2L, "d", 0.0))
+      q.processAllAvailable()
+      assert(snapshotMap(path) ===
+        ((0L until 40L).map(k => k -> k.toDouble).toMap - 2L + (1L -> 100.0)))
+      input.addData((2L, "i", 22.0), (50L, "i", 50.0))
+      q.processAllAvailable()
+      assert(snapshotMap(path) ===
+        ((0L until 40L).map(k => k -> k.toDouble).toMap
+          + (1L -> 100.0) + (2L -> 22.0) + (50L -> 50.0)))
+      assert(batches === 2L)
+    } finally q.stop()
+  }
+}
