@@ -44,6 +44,15 @@ object CdcSnapshot {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Point lookup: the key's bucket is known arithmetically, so the scan
+    * partition-prunes to ONE bucket directory before the key predicate
+    * runs — the poor man's primary index a bucketed COW table gives for
+    * free (serving tier reads one bucket, not the table).
+    */
+  def lookup(spark: SparkSession, path: String, key: Long): DataFrame =
+    read(spark, path)
+      .filter(col("bucket") === (key % NumBuckets) && col("key") === key)
+
   /** Apply one changeset (keyCol, op in 'd'/'u'/'i', value). */
   def applyBatch(spark: SparkSession, path: String, changes: DataFrame,
                  keyCol: String = "key"): Unit = {

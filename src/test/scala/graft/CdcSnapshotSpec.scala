@@ -50,6 +50,30 @@ class CdcSnapshotSpec extends AnyFunSuite {
     CdcSnapshot.applyBatch(spark, path, changes2)
     val expect2 = expect1 + (3L -> 33.0) + (200L -> 201.0)
     assert(snapshotMap(path) === expect2)
+
+    // IDEMPOTENCE — the crash-recovery property: foreachBatch is
+    // at-least-once, so a redelivered changeset must be a no-op (delete
+    // of an absent key, update carrying the already-applied value,
+    // insert against a now-live key — every op re-applies harmlessly)
+    CdcSnapshot.applyBatch(spark, path, changes2)
+    assert(snapshotMap(path) === expect2,
+      "re-applied changeset changed the snapshot — redelivery unsafe")
+  }
+
+  test("point lookup partition-prunes to one bucket directory") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cdcl").toFile.getAbsolutePath + "/snap"
+    CdcSnapshot.init(
+      (0L until 64L).map(k => (k, k.toDouble)).toDF("key", "value"), path)
+    val q = CdcSnapshot.lookup(spark, path, 37L)
+    assert(q.collect().map(r => (r.getAs[Long]("key"), r.getAs[Double]("value")))
+      .toSeq === Seq((37L, 37.0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    val files = q.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numFiles")
+    files.foreach(m => assert(m.value <= 1,
+      s"read ${m.value} files for a point lookup — bucket pruning failed"))
   }
 
   test("streaming loop: per-trigger changesets keep the snapshot queryable and right") {
