@@ -228,6 +228,27 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // ANSI escape hatches: Spark 4 runs ANSI mode by default (divide by
+    // zero / bad cast / overflow THROW), and try_* is the row-level
+    // quarantine — failures become NULLs instead of killing a 100 TB
+    // job for one bad row. DuckDB's corresponding forms null the same
+    // cases (verified: x/0 → NULL, TRY_CAST → NULL, list OOB → NULL);
+    // the overflow case replays as an explicit CASE because DuckDB
+    // widens to INT128 instead of overflowing.
+    "try_funcs" -> ((s, dir) => {
+      orders(s, dir).filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          round(try_divide(col("o_totalprice"),
+            (col("o_orderkey") % 3).cast("double")), 6).as("safe_div"),
+          expr("try_cast(o_orderpriority AS INT)").as("safe_cast"),
+          try_element_at(array(col("o_orderkey"), col("o_custkey")), lit(5))
+            .as("safe_elem"),
+          try_add(lit(Long.MaxValue), col("o_orderkey")).as("safe_add"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("prio_num"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Native session_window sessionization — the built-in face of the
     // lag+cumsum technique above (and the one session primitive that
     // also runs under Structured Streaming with merging state). Note the
@@ -1507,6 +1528,17 @@ object RelationalQueries {
         |  round(sum(value), 2) AS value_sum
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "try_funcs" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice / (o_orderkey % 3), 6) AS safe_div,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS safe_cast,
+        |  ([o_orderkey, o_custkey])[5] AS safe_elem,
+        |  CASE WHEN o_orderkey > 0 THEN NULL
+        |       ELSE 9223372036854775807 + o_orderkey END::BIGINT AS safe_add,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
 
     // >= gap (not >) replays session_window's [start, start+gap) merge
     // rule; session_end = last event + gap by the same convention.

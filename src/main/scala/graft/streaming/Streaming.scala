@@ -301,6 +301,27 @@ object Streaming {
       }
       .start()
 
+  /** Stream enrichment against slowly-changing reference data: each
+    * trigger left-joins the batch onto a FRESH read of the CDC-maintained
+    * snapshot — because [[cdcApply]] swaps buckets atomically, every
+    * trigger sees a consistent (per-bucket) reference version, and an
+    * upstream reference change is visible to the very next trigger. The
+    * re-read is partition-pruned to the buckets the batch's keys touch
+    * at scale (the join pushes the bucket filter); here the whole
+    * snapshot read keeps the demo honest about the default.
+    */
+  def enrichWithSnapshot(stream: DataFrame, snapshotPath: String,
+                         keyCol: String = "key")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ref = graft.operators.CdcSnapshot
+          .read(batch.sparkSession, snapshotPath)
+          .select(col(keyCol), col("value").as("ref_value"))
+        sink(batch.join(ref, Seq(keyCol), "left"), batchId)
+      }
+      .start()
+
   /** Streaming drift monitor: each micro-batch's value distribution is
     * PSI-compared against the STATIC baseline snapshot (the training
     * corpus / last release), batch_id-stamped per-bin rows to the sink —

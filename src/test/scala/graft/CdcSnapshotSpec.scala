@@ -60,6 +60,34 @@ class CdcSnapshotSpec extends AnyFunSuite {
       "re-applied changeset changed the snapshot — redelivery unsafe")
   }
 
+  test("stream enrichment sees each CDC version at the very next trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft_cdce").toFile.getAbsolutePath + "/snap"
+    CdcSnapshot.init(
+      (0L until 10L).map(k => (k, k.toDouble)).toDF("key", "value"), path)
+    val input = MemoryStream[Long]
+    val seen = scala.collection.mutable.Map.empty[(Long, Long), Option[Double]]
+    val q = graft.streaming.Streaming.enrichWithSnapshot(
+      input.toDF().toDF("key"), path) { (rep, bid) =>
+      rep.collect().foreach(r =>
+        seen((bid, r.getLong(0))) = Option(r.get(1)).map(_.asInstanceOf[Double]))
+    }
+    try {
+      input.addData(1L, 99L) // 99 is not in the reference
+      q.processAllAvailable()
+      // the reference changes between triggers
+      CdcSnapshot.applyBatch(spark, path,
+        Seq((1L, "u", 100.0), (99L, "i", 9.9)).toDF("key", "op", "value"))
+      input.addData(1L, 99L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen((0L, 1L)) === Some(1.0))
+    assert(seen((0L, 99L)) === None) // unmatched enriches to NULL, not dropped
+    assert(seen((1L, 1L)) === Some(100.0)) // next trigger sees the update
+    assert(seen((1L, 99L)) === Some(9.9))  // and the insert
+  }
+
   test("point lookup partition-prunes to one bucket directory") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_cdcl").toFile.getAbsolutePath + "/snap"
