@@ -512,6 +512,43 @@ class StreamingSpec extends AnyFunSuite {
       s"checkpointed dedup state must hold exactly the first-seen keys: $keys")
   }
 
+  test("restart from checkpoint: a new query resumes the old state, not a blank one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000
+    val input = MemoryStream[(Long, Long)]
+    def dedup = Streaming.dedupStream(
+      input.toDF().toDF("event_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros"))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = dedup.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted ++= b.select(col("event_id")).collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    // incarnation 1: keys 1 and 2 enter state
+    val q1 = start()
+    try {
+      input.addData((1L, 100 * hour), (2L, 100 * hour + 1))
+      q1.processAllAvailable()
+      assert(emitted.sorted.toSeq === Seq(1L, 2L))
+    } finally q1.stop()
+    // incarnation 2: SAME checkpoint — the crash-recovery path. A replay
+    // of key 1 must still be suppressed (state restored from the store,
+    // not rebuilt blank — a blank restart would emit 1 again), a fresh
+    // key 3 passes.
+    val q2 = start()
+    try {
+      input.addData((1L, 100 * hour + 2), (3L, 100 * hour + 3))
+      q2.processAllAvailable()
+      assert(emitted.sorted.toSeq === Seq(1L, 2L, 3L),
+        s"restart broke dedup state: ${emitted.sorted.toSeq}")
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
