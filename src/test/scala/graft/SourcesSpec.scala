@@ -83,6 +83,38 @@ class SourcesSpec extends AnyFunSuite {
       s"no pushed filter in:\n$plan")
   }
 
+  test("binaryFile source: image files ingest with metadata, glob-filtered, and decode end-to-end") {
+    import graft.operators.MediaCodec
+    // the standard multimodal ingest: a directory of raw image files →
+    // (path, modificationTime, length, content) rows → the pure-JVM
+    // decoder; pathGlobFilter keeps the stray sidecar file out
+    val dir = tmpDir("graft_binfile")
+    val png1 = MediaCodec.encodePng(5, 3, 2)
+    val png2 = MediaCodec.encodePng(4, 4, 0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), png1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.png"), png2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/notes.txt"), "not an image")
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+    assert(files.schema.fieldNames.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val rows = files.orderBy(col("path")).collect()
+    assert(rows.length === 2, "glob filter must exclude the sidecar")
+    assert(rows(0).getAs[Long]("length") === png1.length.toLong)
+    // content survives byte-exact: decode the ingested bytes
+    val dims = rows.map(r => {
+      val px = MediaCodec.decodePixels(r.getAs[Array[Byte]]("content"))
+      (px.width, px.height)
+    })
+    assert(dims.toSeq === Seq((5, 3), (4, 4)))
+    // pushdown: a length predicate reaches the file-listing scan
+    val plan = files.filter(col("length") < 10000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(length"),
+      s"length filter not pushed to the binary source:\n$plan")
+  }
+
   test("DSv2 connector: id-range pushdown prunes at the source, columns pruned at the reader") {
     val base = spark.read.format("graft_range")
       .option("n", "10000").option("slices", "8").load()
