@@ -58,6 +58,14 @@ object CdcSnapshot {
                  keyCol: String = "key"): Unit = {
     val ch = bucketed(changes, keyCol).select(
       col(keyCol), col("op"), col("value").as("new_value"), col("bucket"))
+    // unknown ops must fail loudly BEFORE any bucket is touched: the
+    // matched-side filter below would otherwise silently treat a typo'd
+    // op as a DELETE (rides the bucket-list job — ≤ NumBuckets+bad rows)
+    val distinctOps = ch.select(col("op")).distinct()
+      .collect().map(_.getString(0))
+    val bad = distinctOps.filterNot(Set("d", "u", "i"))
+    require(bad.isEmpty, s"unknown CDC ops ${bad.mkString(",")} — refusing " +
+      "to apply (an unrecognized op would silently delete matched rows)")
     // ≤ NumBuckets rows — index metadata, same class as probed-cell lists
     val buckets = ch.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted

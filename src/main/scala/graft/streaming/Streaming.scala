@@ -303,12 +303,15 @@ object Streaming {
 
   /** Stream enrichment against slowly-changing reference data: each
     * trigger left-joins the batch onto a FRESH read of the CDC-maintained
-    * snapshot — because [[cdcApply]] swaps buckets atomically, every
-    * trigger sees a consistent (per-bucket) reference version, and an
-    * upstream reference change is visible to the very next trigger. The
-    * re-read is partition-pruned to the buckets the batch's keys touch
-    * at scale (the join pushes the bucket filter); here the whole
-    * snapshot read keeps the demo honest about the default.
+    * snapshot — an upstream reference change is visible to the very next
+    * trigger. The bucket swap is rename-atomic, but a reader that listed
+    * files JUST before a concurrent swap can hit since-deleted paths; a
+    * deployment running enrichment and [[cdcApply]] concurrently
+    * schedules them on the same trigger loop (as here — foreachBatch
+    * bodies run sequentially per stream) or reads with
+    * `spark.sql.files.ignoreMissingFiles` and retries. The cross-trigger
+    * point-in-time guarantee of a real table format needs its txn log
+    * (see [[graft.operators.CdcSnapshot]]).
     */
   def enrichWithSnapshot(stream: DataFrame, snapshotPath: String,
                          keyCol: String = "key")(

@@ -51,6 +51,13 @@ class CdcSnapshotSpec extends AnyFunSuite {
     val expect2 = expect1 + (3L -> 33.0) + (200L -> 201.0)
     assert(snapshotMap(path) === expect2)
 
+    // a typo'd op must be refused BEFORE any bucket is touched — the
+    // alternative is a silent delete of every matched row
+    val pre = snapshotMap(path)
+    intercept[IllegalArgumentException](CdcSnapshot.applyBatch(spark, path,
+      Seq((5L, "upsert", 1.0)).toDF("key", "op", "value")))
+    assert(snapshotMap(path) === pre, "refused batch still mutated the snapshot")
+
     // IDEMPOTENCE — the crash-recovery property: foreachBatch is
     // at-least-once, so a redelivered changeset must be a no-op (delete
     // of an absent key, update carrying the already-applied value,
