@@ -47,34 +47,64 @@ object CdcSnapshot {
   /** Point lookup: the key's bucket is known arithmetically, so the scan
     * partition-prunes to ONE bucket directory before the key predicate
     * runs — the poor man's primary index a bucketed COW table gives for
-    * free (serving tier reads one bucket, not the table).
+    * free (serving tier reads one bucket, not the table). The bucket
+    * arithmetic must be pmod, not JVM % — they disagree on negative keys
+    * (pmod(-5,16)=11, -5%16=-5) and the layout is written with pmod.
     */
-  def lookup(spark: SparkSession, path: String, key: Long): DataFrame =
-    read(spark, path)
-      .filter(col("bucket") === (key % NumBuckets) && col("key") === key)
+  def lookup(spark: SparkSession, path: String, key: Long): DataFrame = {
+    val b = ((key % NumBuckets) + NumBuckets) % NumBuckets
+    read(spark, path).filter(col("bucket") === b && col("key") === key)
+  }
+
+  /** Crash repair, run by the writer before every apply: a process death
+    * between the two swap renames leaves a bucket's only copy in its
+    * dot-prefixed `.bucket=N.old` holdout (which Spark's listing hides —
+    * readers see the bucket as absent until this runs). Restore any
+    * holdout whose live directory is missing; drop holdouts whose
+    * promote DID land (death between promote and cleanup). Single-writer
+    * discipline: only the apply path repairs, readers never mutate.
+    */
+  private def repair(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath).filter { p =>
+      p.getName.startsWith(".bucket=") && p.getName.endsWith(".old")
+    }.foreach { oldB =>
+      val liveB = new Path(root, oldB.getName.stripPrefix(".").stripSuffix(".old"))
+      if (!fs.exists(liveB)) {
+        if (!fs.rename(oldB, liveB))
+          throw new java.io.IOException(s"cdc repair: could not restore $oldB")
+      } else fs.delete(oldB, true)
+    }
+  }
 
   /** Apply one changeset (keyCol, op in 'd'/'u'/'i', value). */
   def applyBatch(spark: SparkSession, path: String, changes: DataFrame,
                  keyCol: String = "key"): Unit = {
+    val fs0 = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    repair(fs0, path) // restore any crash holdout BEFORE reading
     val ch = bucketed(changes, keyCol).select(
       col(keyCol), col("op"), col("value").as("new_value"), col("bucket"))
-    // unknown ops must fail loudly BEFORE any bucket is touched: the
-    // matched-side filter below would otherwise silently treat a typo'd
-    // op as a DELETE (rides the bucket-list job — ≤ NumBuckets+bad rows)
-    val distinctOps = ch.select(col("op")).distinct()
-      .collect().map(_.getString(0))
-    val bad = distinctOps.filterNot(Set("d", "u", "i"))
+    // ONE metadata job (≤ 3·NumBuckets rows) yields both the op
+    // validation and the bucket list — unknown ops must fail loudly
+    // BEFORE any bucket is touched, because the matched-side filter
+    // below would silently treat a typo'd op as a DELETE
+    val opBuckets = ch.select(col("op"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bad = opBuckets.map(_._1).distinct.filterNot(Set("d", "u", "i"))
     require(bad.isEmpty, s"unknown CDC ops ${bad.mkString(",")} — refusing " +
       "to apply (an unrecognized op would silently delete matched rows)")
-    // ≤ NumBuckets rows — index metadata, same class as probed-cell lists
-    val buckets = ch.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val buckets = opBuckets.map(_._2).distinct.sorted
     if (buckets.isEmpty) return
     // partition pruning: only affected bucket directories are read
     val live = read(spark, path).filter(col("bucket").isin(buckets: _*))
+    // no forced broadcast: a routine CDC trickle broadcasts anyway under
+    // AQE, while a backfill-sized changeset must be free to shuffle-join
+    // (the digest-only-broadcast discipline — a changeset is data, not
+    // index metadata)
     val nonIns = ch.filter(col("op") =!= "i")
     val matched = live
-      .join(broadcast(nonIns.select(col(keyCol), col("op"), col("new_value"))),
+      .join(nonIns.select(col(keyCol), col("op"), col("new_value")),
         Seq(keyCol), "left")
       .filter(col("op").isNull || col("op") === "u")
       .select(col(keyCol),

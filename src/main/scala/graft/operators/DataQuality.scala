@@ -62,9 +62,13 @@ object DataQuality {
                nBins: Int, width: Double): DataFrame = {
     require(nBins > 1, "need at least 2 bins")
     require(width > 0, "bin width must be positive")
+    // NULLs are excluded, not binned: Spark's least/greatest SKIP nulls,
+    // so an unfiltered NULL would land in the top bin and fake a right
+    // shift. A null-rate change is dq_checks' completeness business.
     def binned(df: DataFrame) = df
+      .select(value.cast("double").as("v")).filter(col("v").isNotNull)
       .select(greatest(lit(0L),
-        least(lit(nBins - 1L), floor(value / width).cast("long"))).as("bin"))
+        least(lit(nBins - 1L), floor(col("v") / width).cast("long"))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
     val spine = base.sparkSession.range(nBins).select(col("id").as("bin"))
     val joined = spine
@@ -95,11 +99,15 @@ object DataQuality {
     require(checks.nonEmpty, "empty check suite")
     require(checks.map(_.name).distinct.length == checks.length,
       "duplicate check names")
-    val metrics = checks.map(c => round(c.observed.cast("double"), 6).as(c.name))
+    val metrics = checks.map(c => c.observed.cast("double").as(c.name))
     val agged = df.agg(metrics.head, metrics.tail: _*)
+    // the pass predicate sees the RAW metric; only the displayed value
+    // rounds. Gating on the rounded value would wave through a 1-in-10M
+    // completeness/uniqueness miss (0.9999999 rounds to 1.0) — exactly
+    // the rows an exactness check exists to catch.
     agged.select(explode(array(checks.map { c =>
         struct(lit(c.name).as("check_name"),
-          col(c.name).as("observed"),
+          round(col(c.name), 6).as("observed"),
           c.pass(col(c.name)).as("passed"))
       }: _*)).as("r"))
       .select(col("r.check_name"), col("r.observed"), col("r.passed"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
@@ -84,6 +85,59 @@ object HeavyHitters {
     */
   def candidates(df: DataFrame, value: Column, k: Int): DataFrame =
     summaries(df, value, k).select(col("value")).distinct()
+
+  // --- durable journal for the streaming face ----------------------------
+  // foreachBatch is at-least-once and a restarted query loses closure
+  // state, so the cross-trigger summary must live OUTSIDE the query:
+  // a KB-sized (batchId, summary) journal, written atomically
+  // (tmp + ATOMIC_MOVE) and idempotent by batchId — a redelivered trigger
+  // returns the saved summary instead of double-merging. At scale the
+  // journal rides the same durable store as the query checkpoint.
+
+  private def journalPaths(path: String) =
+    (java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".tmp"))
+
+  def loadJournal(path: String): Option[(Long, Map[String, Long])] = {
+    val (p, _) = journalPaths(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(p)
+      val summary = lines.asScala.drop(1).filter(_.nonEmpty).map { l =>
+        val Array(v, c) = l.split(" ", 2)
+        java.net.URLDecoder.decode(v, "UTF-8") -> c.toLong
+      }.toMap
+      Some((lines.get(0).toLong, summary))
+    }
+  }
+
+  def saveJournal(path: String, batchId: Long,
+                  summary: Map[String, Long]): Unit = {
+    val (p, tmp) = journalPaths(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val body = (Seq(batchId.toString) ++ summary.toSeq.sortBy(_._1).map {
+      case (v, c) => s"${java.net.URLEncoder.encode(v, "UTF-8")} $c"
+    }).mkString("\n")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One journaled merge step: load, skip if this batchId was already
+    * applied (redelivery), else merge + save. Returns the summary that is
+    * current AFTER the step either way.
+    */
+  def applyJournaled(journalPath: String, batchId: Long,
+                     pairs: Seq[(String, Long)], k: Int): Map[String, Long] = {
+    val (lastApplied, saved) =
+      loadJournal(journalPath).getOrElse((-1L, Map.empty[String, Long]))
+    if (batchId <= lastApplied) saved
+    else {
+      val merged = mergeSummaries(saved.toSeq ++ pairs, k)
+      saveJournal(journalPath, batchId, merged)
+      merged
+    }
+  }
 
   /** Exact φ-heavy hitters (frequency > phi·n) of `value`, found by
     * sketch-nominate + exact-recount. Requires phi ≥ 1/k or the sketch

@@ -2179,23 +2179,25 @@ object RelationalQueries {
         |  AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
         |ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""".stripMargin,
 
+    // pass predicates gate on the RAW metric (a 1-in-10M miss must not
+    // round to 1.0 and slip through); only `observed` rounds for display
     "dq_checks" ->
       """WITH m AS (
         |  SELECT
-        |    round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE, 6) AS complete_custkey,
-        |    round(min(o_totalprice)::DOUBLE, 6) AS nonneg_totalprice,
-        |    round(max(o_totalprice)::DOUBLE, 6) AS price_under_100k,
-        |    round(count(*)::DOUBLE, 6) AS size_nonzero,
-        |    round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE, 6) AS status_in_set,
-        |    round(count(DISTINCT o_orderkey)::DOUBLE / count(*), 6) AS unique_orderkey
+        |    avg(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE AS complete_custkey,
+        |    min(o_totalprice)::DOUBLE AS nonneg_totalprice,
+        |    max(o_totalprice)::DOUBLE AS price_under_100k,
+        |    count(*)::DOUBLE AS size_nonzero,
+        |    avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE AS status_in_set,
+        |    count(DISTINCT o_orderkey)::DOUBLE / count(*) AS unique_orderkey
         |  FROM orders)
-        |SELECT 'complete_custkey' AS check_name, complete_custkey AS observed,
+        |SELECT 'complete_custkey' AS check_name, round(complete_custkey, 6) AS observed,
         |  complete_custkey = 1.0 AS passed FROM m
-        |UNION ALL SELECT 'nonneg_totalprice', nonneg_totalprice, nonneg_totalprice >= 0.0 FROM m
-        |UNION ALL SELECT 'price_under_100k', price_under_100k, price_under_100k <= 100000.0 FROM m
-        |UNION ALL SELECT 'size_nonzero', size_nonzero, size_nonzero > 0.0 FROM m
-        |UNION ALL SELECT 'status_in_set', status_in_set, status_in_set = 1.0 FROM m
-        |UNION ALL SELECT 'unique_orderkey', unique_orderkey, unique_orderkey = 1.0 FROM m
+        |UNION ALL SELECT 'nonneg_totalprice', round(nonneg_totalprice, 6), nonneg_totalprice >= 0.0 FROM m
+        |UNION ALL SELECT 'price_under_100k', round(price_under_100k, 6), price_under_100k <= 100000.0 FROM m
+        |UNION ALL SELECT 'size_nonzero', round(size_nonzero, 6), size_nonzero > 0.0 FROM m
+        |UNION ALL SELECT 'status_in_set', round(status_in_set, 6), status_in_set = 1.0 FROM m
+        |UNION ALL SELECT 'unique_orderkey', round(unique_orderkey, 6), unique_orderkey = 1.0 FROM m
         |ORDER BY check_name""".stripMargin,
 
     "heavy_hitters" ->

@@ -359,22 +359,26 @@ object Streaming {
     * be recounted, so the bounded-error estimate IS the streaming
     * answer (the inherent one-pass trade; callers needing exactness run
     * the batch operator over the archived corpus).
+    *
+    * The summary lives in a durable (batchId, summary) JOURNAL, not a
+    * closure var: foreachBatch is at-least-once and a restarted query
+    * drops closure state, so a redelivered trigger must find its batchId
+    * already applied (no double-merge — the never-overcounts guarantee
+    * survives redelivery) and a restarted query must resume the saved
+    * summary (HeavyHitters.applyJournaled; atomic tmp+rename writes).
     */
   def heavyHittersStream(stream: DataFrame, value: org.apache.spark.sql.Column,
-                         k: Int)(
-      sink: (Map[String, Long], Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    var summary = Map.empty[String, Long]
+                         k: Int, journalPath: String)(
+      sink: (Map[String, Long], Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val batchPairs = graft.operators.HeavyHitters
           .summaries(batch, value, k)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        summary = graft.operators.HeavyHitters
-          .mergeSummaries(summary.toSeq ++ batchPairs, k)
-        sink(summary, batchId)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        sink(graft.operators.HeavyHitters
+          .applyJournaled(journalPath, batchId, batchPairs, k), batchId)
       }
       .start()
-  }
 
   /** Stream-STATIC anti join: the streaming face of incremental dedup —
     * arriving docs/events are checked against a static historical index
@@ -395,16 +399,28 @@ object Streaming {
     * the interval + lateness horizon, so state does not grow with the
     * stream. Output times are epoch micros (cross-engine-stable longs).
     */
-  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickViewIntervalJoin(clicks, views, "inner")
+
+  /** Shared body of the three interval-join faces — one place owns the
+    * interval predicate and output shape, so the batch oracles and the
+    * streaming faces cannot drift apart. user_id coalesces across sides
+    * only for fullOuter (the one face with view-only rows).
+    */
+  private def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame,
+                                    joinType: String): DataFrame = {
     val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
       col("ts").as("click_ts"))
     val v = views.select(col("user_id").as("v_user_id"),
       col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val uid = if (joinType == "fullOuter")
+      coalesce(col("user_id"), col("v_user_id")) else col("user_id")
     c.join(v,
         col("user_id") === col("v_user_id") &&
           col("view_ts") >= col("click_ts") - expr("INTERVAL 60 MINUTES") &&
-          col("view_ts") <= col("click_ts"))
-      .select(col("user_id"), col("click_id"), col("view_id"),
+          col("view_ts") <= col("click_ts"),
+        joinType)
+      .select(uid.as("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("view_ts")).as("view_us"))
   }
@@ -422,20 +438,8 @@ object Streaming {
     * [[clickViewJoin]]: both sides watermarked, the range predicate
     * bounds both buffers to interval + lateness.
     */
-  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
-    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
-      col("ts").as("click_ts"))
-    val v = views.select(col("user_id").as("v_user_id"),
-      col("event_id").as("view_id"), col("ts").as("view_ts"))
-    c.join(v,
-        col("user_id") === col("v_user_id") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 60 MINUTES") &&
-          col("view_ts") <= col("click_ts"),
-        "leftOuter")
-      .select(col("user_id"), col("click_id"), col("view_id"),
-        unix_micros(col("click_ts")).as("click_us"),
-        unix_micros(col("view_ts")).as("view_us"))
-  }
+  def clickViewJoinLeftOuter(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickViewIntervalJoin(clicks, views, "leftOuter")
 
   /** Stream-stream FULL OUTER interval join — completes the outer-face
     * matrix (inner / left / full). Matches emit eagerly; a click with no
@@ -448,21 +452,8 @@ object Streaming {
     * no click-side columns. Both state buffers stay bounded by
     * interval + lateness exactly as in the inner join.
     */
-  def clickViewJoinFullOuter(clicks: DataFrame, views: DataFrame): DataFrame = {
-    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
-      col("ts").as("click_ts"))
-    val v = views.select(col("user_id").as("v_user_id"),
-      col("event_id").as("view_id"), col("ts").as("view_ts"))
-    c.join(v,
-        col("user_id") === col("v_user_id") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 60 MINUTES") &&
-          col("view_ts") <= col("click_ts"),
-        "fullOuter")
-      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
-        col("click_id"), col("view_id"),
-        unix_micros(col("click_ts")).as("click_us"),
-        unix_micros(col("view_ts")).as("view_us"))
-  }
+  def clickViewJoinFullOuter(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickViewIntervalJoin(clicks, views, "fullOuter")
 
   // --- stateful sessionization -------------------------------------------
 

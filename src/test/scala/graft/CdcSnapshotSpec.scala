@@ -67,6 +67,27 @@ class CdcSnapshotSpec extends AnyFunSuite {
       "re-applied changeset changed the snapshot — redelivery unsafe")
   }
 
+  test("crash between the swap renames: the next apply restores the holdout bucket first") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cdcx").toFile.getAbsolutePath + "/snap"
+    CdcSnapshot.init(
+      (0L until 32L).map(k => (k, k.toDouble)).toDF("key", "value"), path)
+    // simulate a death between rename(live→old) and rename(tmp→live):
+    // bucket 3's only copy sits in the dot-prefixed holdout
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/bucket=3"),
+      new org.apache.hadoop.fs.Path(s"$path/.bucket=3.old")))
+    // the redelivered changeset touches bucket 3 — without repair it
+    // would read the bucket as empty and then destroy the backup
+    CdcSnapshot.applyBatch(spark, path,
+      Seq((3L, "u", 333.0)).toDF("key", "op", "value"))
+    val expect = (0L until 32L).map(k => k -> k.toDouble).toMap + (3L -> 333.0)
+    assert(snapshotMap(path) === expect,
+      "bucket contents lost across the simulated crash")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/.bucket=3.old")))
+  }
+
   test("stream enrichment sees each CDC version at the very next trigger") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

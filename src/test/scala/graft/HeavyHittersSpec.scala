@@ -50,12 +50,22 @@ class HeavyHittersSpec extends AnyFunSuite {
     val n = (t1 ++ t2 ++ t3).length
     val truth = (t1 ++ t2 ++ t3).groupBy(identity).view.mapValues(_.length.toLong).toMap
     val input = MemoryStream[String]
+    val journal = java.nio.file.Files
+      .createTempDirectory("graft_hh").toString + "/mg-journal"
     var last = Map.empty[String, Long]
     val q = graft.streaming.Streaming.heavyHittersStream(
-      input.toDF().toDF("v"), col("v"), k) { (s, _) => last = s }
+      input.toDF().toDF("v"), col("v"), k, journal) { (s, _) => last = s }
     try {
       for (t <- Seq(t1, t2, t3)) { input.addData(t); q.processAllAvailable() }
     } finally q.stop()
+    // redelivery: re-applying an already-journaled batchId must NOT
+    // double-merge (the never-overcounts guarantee under at-least-once)
+    val redelivered = graft.operators.HeavyHitters
+      .applyJournaled(journal, 2L, Seq("hot" -> 999L), k)
+    assert(redelivered === last, "redelivered trigger double-merged")
+    // restart: a fresh incarnation loads the journal, not a blank summary
+    assert(graft.operators.HeavyHitters.loadJournal(journal)
+      .map(_._2) === Some(last), "journal lost across restart")
     assert(last.size <= k, s"summary exceeded capacity: ${last.size}")
     // every value with true frequency > n/k must still be present
     val bound = n.toLong / k
