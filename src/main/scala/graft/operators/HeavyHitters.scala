@@ -86,6 +86,64 @@ object HeavyHitters {
   def candidates(df: DataFrame, value: Column, k: Int): DataFrame =
     summaries(df, value, k).select(col("value")).distinct()
 
+  /** Per-GROUP Misra-Gries as a typed Aggregator UDAF: one bounded
+    * k-counter sketch per group key, partial sketches merged with the
+    * same mergeable-summaries rule. The per-group guarantee is the
+    * global one scoped to the group: a value with frequency > n_g/k in
+    * group g survives g's sketch. Buffer/output ride the Catalyst map
+    * encoder so the result column explodes straight into candidate rows.
+    */
+  class MgSketch(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b
+      else b.get(v) match {
+        case Some(c) => b.updated(v, c + 1)
+        case None if b.size < k => b.updated(v, 1L)
+        case None => // decrement-all, drop zeros (classic MG step)
+          b.flatMap { case (key, c) =>
+            if (c == 1L) None else Some(key -> (c - 1)) }
+      }
+    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+      mergeSummaries(b1.toSeq ++ b2.toSeq, k)
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Exact φ-heavy hitters PER GROUP — "top terms per language": per-group
+    * MG sketches nominate (≤ k values per group), the exact recount of
+    * the (group, candidate) pairs decides against each group's own
+    * total. Same exactness/partitioning-independence argument as the
+    * global operator, scoped per group.
+    * Output: (grp, value, n, share) ordered by (grp, value).
+    */
+  def heavyHittersByGroup(df: DataFrame, group: Column, value: Column,
+                          k: Int, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1): $phi")
+    require(phi >= 1.0 / k,
+      s"phi=$phi below the sketch guarantee 1/k=${1.0 / k}")
+    val sketch = udaf(new MgSketch(k))
+    val vals = df
+      .select(group.cast("string").as("grp"), value.cast("string").as("value"))
+      .filter(col("grp").isNotNull && col("value").isNotNull)
+    val cands = vals.groupBy(col("grp"))
+      .agg(sketch(col("value")).as("summary"))
+      .select(col("grp"), explode(map_keys(col("summary"))).as("value"))
+    val counts = vals.join(cands, Seq("grp", "value"))
+      .groupBy(col("grp"), col("value")).agg(count(lit(1)).as("n"))
+    val totals = vals.groupBy(col("grp")).agg(count(lit(1)).as("n_total"))
+    counts.join(totals, Seq("grp"))
+      .filter(col("n") > lit(phi) * col("n_total"))
+      .select(col("grp"), col("value"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("grp"), col("value"))
+  }
+
   // --- durable journal for the streaming face ----------------------------
   // foreachBatch is at-least-once and a restarted query loses closure
   // state, so the cross-trigger summary must live OUTSIDE the query:

@@ -737,6 +737,17 @@ object TextQueries {
       spanDedup(spread(injected), SpanW)
     }),
 
+    // Per-group heavy hitters — "top terms per language", the stopword/
+    // boilerplate discovery cut: per-group MG sketches (typed Aggregator
+    // UDAF) nominate, an exact recount against each language's own token
+    // total decides. φ=0.038 ≥ 1/k=1/32 keeps the sketch guarantee.
+    "heavy_hitters_by_group" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      graft.operators.HeavyHitters.heavyHittersByGroup(
+        toks, col("lang"), col("tok"), k = 32, phi = 0.038)
+    }),
+
     // Corpus snapshot diff — the data-ops release gate: what changed
     // between yesterday's corpus and today's? Both sides reduce to
     // (doc_id, fingerprint) digests map-side, meet in ONE full-outer
@@ -1350,6 +1361,18 @@ object TextQueries {
          |LEFT JOIN dw USING (doc_id)
          |LEFT JOIN cov USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "heavy_hitters_by_group" ->
+      s"""WITH t AS (
+         |  SELECT lang AS grp, unnest(${duckToks("text")}) AS value
+         |  FROM documents),
+         |tot AS (SELECT grp, count(*) AS n_total FROM t GROUP BY grp),
+         |c AS (SELECT grp, value, count(*) AS n FROM t GROUP BY grp, value)
+         |SELECT c.grp, c.value, c.n::BIGINT AS n,
+         |  round(c.n::DOUBLE / tot.n_total, 6) AS share
+         |FROM c JOIN tot USING (grp)
+         |WHERE c.n > 0.038 * tot.n_total
+         |ORDER BY grp, value""".stripMargin,
 
     "snapshot_diff" ->
       s"""WITH old AS (SELECT doc_id, text FROM documents),

@@ -78,6 +78,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("per-group heavy hitters: each group judged against its OWN total, partitioning-independent") {
+    import spark.implicits._
+    // g1: hot dominates (80%); g2: uniform (10% each) — nothing heavy
+    val rows = Seq.fill(80)(("g1", "hot")) ++
+      (0 until 20).map(i => ("g1", s"t$i")) ++
+      (0 until 10).flatMap(i => Seq.fill(10)(("g2", s"u$i")))
+    for (parts <- Seq(1, 13)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = HeavyHitters.heavyHittersByGroup(df, col("g"), col("v"), 4, 0.5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got === Seq(("g1", "hot", 80L, 0.8)), s"parts=$parts: $got")
+    }
+  }
+
   test("nulls are skipped; guarantees below 1/k are refused") {
     import spark.implicits._
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
