@@ -158,21 +158,25 @@ object TextQueries {
   }
 
   /** Shared back half: per-doc window totals + overlap-union coverage of
-    * the given duplicated windows.
+    * the given duplicated windows. One aggregation pass over the dup
+    * rows serves BOTH outputs (countDistinct(i) = dup windows,
+    * countDistinct(p) = covered positions after the overlap explode);
+    * n_windows is pure arithmetic off n_tokens — recomputing the window
+    * subtree per output branch is what made the first cut of this query
+    * the bench's third most expensive item.
     */
-  private def spanReport(base: DataFrame, wins: DataFrame, dup: DataFrame,
+  private def spanReport(base: DataFrame, dup: DataFrame,
                          w: Int): DataFrame = {
-    val nWin = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
-    val dupWin = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-    val dupCov = dup
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
-      .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("dup_tokens"))
+    val dupAgg = dup
+      .select(col("doc_id"), col("i"),
+        explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("i")).as("n_dup_windows"),
+        countDistinct(col("p")).as("dup_tokens"))
     base
-      .join(nWin, Seq("doc_id"), "left")
-      .join(dupWin, Seq("doc_id"), "left")
-      .join(dupCov, Seq("doc_id"), "left")
+      .join(dupAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .withColumn("dup_frac",
@@ -185,7 +189,7 @@ object TextQueries {
     val freq = wins.groupBy(col("wfp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val dup = wins.join(freq, Seq("wfp")).filter(col("n_docs") >= 2)
-    spanReport(base, wins, dup, w)
+    spanReport(base, dup, w)
   }
 
   /** Incremental substring-span dedup — the daily-ingest face: arriving
@@ -202,7 +206,7 @@ object TextQueries {
     val histFps = spanParts(history, w)._2.select(col("wfp")).distinct()
     val (base, wins) = spanParts(incoming, w)
     val dup = wins.join(histFps, Seq("wfp"), "left_semi")
-    spanReport(base, wins, dup, w)
+    spanReport(base, dup, w)
   }
 
   /** The BM25 (doc, term, tf) digest table — the inverted-index build
