@@ -55,6 +55,26 @@ object Streaming {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Native session-window aggregation — the streaming face of the batch
+    * `session_window_agg` query (identical transformation; the batch run
+    * is the oracle). Spark maintains MERGING session state per user: an
+    * event within 30 minutes of an open session extends it (and can fuse
+    * two open sessions); the watermark closes and emits sessions whose
+    * [start, last+gap) window has provably no more members. The one
+    * built-in stateful operator whose state is interval-shaped rather
+    * than key/window-shaped.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("value_sum"))
+
   /** Streaming exactly-once dedup: drop replayed event ids, state bounded
     * by the watermark (duplicates are only expected within the lateness
     * horizon). Streaming twin of the batch dedup_exact operator family.

@@ -27,6 +27,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session_window: emitted sessions equal the batch twin; only unclosed tail sessions pend") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("value_sum"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.sessionWindowAgg(Streaming.readEventsStream(spark, sf)),
+      "stream_sess_win", OutputMode.Append())
+      .collect().map(key).toSet
+    val batch = SparkEntry.queries("session_window_agg")(spark, sf)
+      .collect().map(key).toSet
+    // append mode emits a session only once the watermark proves it
+    // closed; at end-of-stream the watermark rests 2h behind max event
+    // time, so tail sessions legitimately pend — every EMITTED session
+    // must match the batch twin exactly, and every missing one must sit
+    // inside the unclosed horizon
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      s"streamed rows diverge from batch: ${(streamed -- batch).take(3)}")
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val watermarkUs = maxUs - 2L * 3600 * 1000 * 1000
+    val pending = batch -- streamed
+    assert(pending.forall(_._3 >= watermarkUs),
+      s"closed sessions were never emitted: ${pending.filter(_._3 < watermarkUs).take(3)}")
+  }
+
   test("stateful sessionization: gap splits sessions, state carries across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
