@@ -32,6 +32,18 @@ class DataQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Union"), s"suite fanned into repeated scans:\n$plan")
   }
 
+  test("pass predicates gate on the RAW metric; rounding is display-only") {
+    import spark.implicits._
+    // a 1-in-10M miss: raw 0.9999999 rounds to 1.0 for display but MUST
+    // fail an exactness gate — gating on the rounded value is how
+    // incomplete data gets published
+    val df = Seq(1).toDF("x")
+    val rows = report(df, Seq(
+      Check("near_one", max(lit(0.9999999)), _ === 1.0)))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.toSeq === Seq(("near_one", 1.0, false)))
+  }
+
   test("streaming gate: per-trigger report equals the batch report over that trigger's rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
