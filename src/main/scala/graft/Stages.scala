@@ -33,7 +33,8 @@ object Stages {
     "ivfpqres-codes" -> ((s, d) => { operators.Ivfpq.resCodesLayout(s, d); () }),
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
-    "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () })
+    "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),
+    "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () })
   )
 
   /** Forget every one-time-build memo (JVM maps + staged checkpoints) so
@@ -53,5 +54,6 @@ object Stages {
     operators.Ivfpq.resetMemos()
     operators.MlAnn.resetMemos()
     sources.JdbcStore.resetMemos()
+    sources.SkipIndex.resetMemos()
   }
 }

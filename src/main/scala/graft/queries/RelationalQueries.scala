@@ -383,6 +383,37 @@ object RelationalQueries {
             (acc, x) => lit(0.3) * x("value") + lit(0.7) * acc), 6).as("ewma"))
         .orderBy(col("user_id"))),
 
+    // Holt double-exponential smoothing (level + trend) per key — the
+    // step up from EWMA when the series drifts: level_i = α·x_i +
+    // (1−α)·(level + trend), trend_i = β·(level_i − level) + (1−β)·trend
+    // (Holt 1957). Same execution shape as ewma_user_value (one shuffle
+    // on user_id, ordered in-group fold), but the accumulator is a
+    // 2-field struct, initialized (x_0, 0) so a single-event key yields
+    // (level=x_0, trend=0). The h-step forecast level + h·trend is what a
+    // capacity planner actually reads. The oracle replays the identical
+    // fold with a struct-typed list_reduce — the new level appears twice
+    // in both lambdas (no let-binding in either engine), so the double
+    // ops are literally the same expression tree on both sides.
+    "holt_forecast" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+        .select(col("user_id"), col("n_events"),
+          expr("""aggregate(
+                 |  slice(xs, 2, size(xs) - 1),
+                 |  named_struct('l', xs[0].value, 'b', CAST(0.0 AS DOUBLE)),
+                 |  (acc, x) -> named_struct(
+                 |    'l', 0.4d * x.value + 0.6d * (acc.l + acc.b),
+                 |    'b', 0.2d * ((0.4d * x.value + 0.6d * (acc.l + acc.b)) - acc.l)
+                 |         + 0.8d * acc.b))""".stripMargin).as("st"))
+        .select(col("user_id"), col("n_events"),
+          round(col("st")("l"), 6).as("level"),
+          round(col("st")("b"), 6).as("trend"),
+          round(col("st")("l") + lit(3.0) * col("st")("b"), 6).as("forecast3"))
+        .orderBy(col("user_id"))),
+
     // MERGE INTO (CDC upsert) as a Spark plan: apply a deterministic
     // changeset (deletes / updates / inserts derived arithmetically from
     // the snapshot, delete > update > insert precedence as in an explicit
@@ -559,6 +590,19 @@ object RelationalQueries {
     // pruning) and materializes only the projected columns. Oracle
     // recomputes the arithmetic over generate_series; hash match proves
     // the pushdown didn't change semantics.
+    // File-level data skipping (the table-format planning technique on
+    // plain parquet): the documents corpus lives range-clustered with a
+    // per-file (min, max, rows) sidecar; a doc_id range query selects its
+    // files from the sidecar BEFORE any footer is opened and re-applies
+    // the exact predicate on the rows (superset selection — a stale
+    // sidecar can only cost reads, never answers). The oracle sees the
+    // plain table: layout + sidecar are an access path, not semantics.
+    "skip_index_scan" -> ((s, dir) =>
+      graft.sources.SkipIndex.prunedRead(s, dir, 100L, 299L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))),
+
     "dsv2_scan" -> ((s, dir) => {
       s.read.format("graft_range")
         .option("n", "10000").option("slices", "8").load()
@@ -607,6 +651,24 @@ object RelationalQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Sliding (hopping) event-time windows — the window face between
+    // tumbling (events_window) and session (session_window_agg): 1-hour
+    // windows every 15 minutes, so each event contributes to 4 windows.
+    // Spark plans this as an Expand (row → 4 window copies) feeding an
+    // ordinary partial+final hash agg — fan-out is bounded by len/slide,
+    // map-side combine still applies. Window starts surface as epoch
+    // micros: the oracle replays the epoch-aligned start arithmetic with
+    // integer division, and BIGINTs compare exactly across engines where
+    // timestamp rendering wouldn't.
+    "sliding_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win_start_us"), col("event_type"))
     }),
 
     // Batch twin of the stream-stream interval join (views in the hour
@@ -1619,6 +1681,30 @@ object RelationalQueries {
         |    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // NOT list_reduce: DuckDB's list_reduce reuses the accumulator buffer
+    // in place from the second application on, so a struct lambda's later
+    // fields read already-overwritten earlier fields (verified: step 1
+    // clean, steps 2+ aliased — and the Holt update matrix has complex
+    // eigenvalues, so no field ordering is alias-safe). The recursive CTE
+    // reads the PREVIOUS ROW's columns — unaliasable by construction —
+    // and replays the identical double ops per step.
+    "holt_forecast" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+        |    count(*) AS n FROM events GROUP BY user_id),
+        |fold AS (
+        |  SELECT user_id, n, 1 AS i, xs[1]::DOUBLE AS l, 0.0::DOUBLE AS b, xs
+        |  FROM ordered
+        |  UNION ALL
+        |  SELECT user_id, n, i + 1,
+        |    0.4 * xs[i+1] + 0.6 * (l + b),
+        |    0.2 * ((0.4 * xs[i+1] + 0.6 * (l + b)) - l) + 0.8 * b, xs
+        |  FROM fold WHERE i < n)
+        |SELECT user_id, n AS n_events,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(l + 3.0 * b, 6) AS forecast3
+        |FROM fold WHERE i = n ORDER BY user_id""".stripMargin,
+
     "merge_upsert" ->
       """WITH ch0 AS (
         |  SELECT doc_id, n_chars,
@@ -1751,6 +1837,18 @@ object RelationalQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+
+    "sliding_window_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t_us, event_type, value FROM events),
+        |w AS (
+        |  SELECT ((t_us // 900000000) - k) * 900000000 AS win_start_us,
+        |    event_type, value
+        |  FROM e CROSS JOIN generate_series(0, 3) s(k)
+        |  WHERE t_us < ((t_us // 900000000) - k) * 900000000 + 3600000000)
+        |SELECT win_start_us, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY win_start_us, event_type""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -1891,6 +1989,12 @@ object RelationalQueries {
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  2::BIGINT AS n_sketches, TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    "skip_index_scan" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dsv2_scan" ->
       """SELECT i AS id, i * i AS sq, (i % 10)::INTEGER AS label

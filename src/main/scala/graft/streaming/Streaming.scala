@@ -55,6 +55,22 @@ object Streaming {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding (hopping) window aggregation — the streaming face of the
+    * batch `sliding_window_agg` query (identical transformation; the
+    * batch run is the oracle). 1-hour windows every 15 minutes: each
+    * event expands into len/slide = 4 open windows, so per-key state is
+    * 4× the tumbling footprint but still bounded by the watermark
+    * horizon; eviction finalizes each window when the watermark passes
+    * its end, exactly as in the tumbling face.
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Native session-window aggregation — the streaming face of the batch
     * `session_window_agg` query (identical transformation; the batch run
     * is the oracle). Spark maintains MERGING session state per user: an
@@ -637,6 +653,39 @@ object Streaming {
           st.update(EwmaState(n, s))
           (uid, n, s)
       }.toDF("user_id", "n_events", "ewma")
+  }
+
+  case class HoltState(n: Long, l: Double, b: Double)
+
+  /** Streaming twin of the batch `holt_forecast` query: per-user Holt
+    * level+trend smoothing carried across triggers in
+    * `mapGroupsWithState`. Same fold-continuation contract as
+    * [[ewmaStream]]: state initializes (l = x_0, b = 0) on the first
+    * event ever seen for a key, then every later event applies the
+    * identical double ops the batch fold applies, so any batch split of
+    * the same per-key-ordered feed reaches bit-identical (n, l, b).
+    * Update mode: each trigger emits every touched user's latest
+    * (n_events, level, trend, forecast3).
+    */
+  def holtStream(spark: SparkSession, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    rows.select(col("user_id"), col("tsMicros"), col("event_id"), col("value"))
+      .as[EwmaEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaEv], st: GroupState[HoltState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var s = st.getOption.getOrElse(HoltState(0L, 0.0, 0.0))
+          sorted.foreach { e =>
+            s = if (s.n == 0L) HoltState(1L, e.value, 0.0)
+            else {
+              val l1 = 0.4 * e.value + 0.6 * (s.l + s.b)
+              HoltState(s.n + 1, l1, 0.2 * (l1 - s.l) + 0.8 * s.b)
+            }
+          }
+          st.update(s)
+          (uid, s.n, s.l, s.b, s.l + 3.0 * s.b)
+      }.toDF("user_id", "n_events", "level", "trend", "forecast3")
   }
 
   case class FunnelEv(user_id: Long, event_type: String, tsMicros: Long)

@@ -111,6 +111,32 @@ class ScaleLayoutSpec extends AnyFunSuite {
       s"z-order not meaningfully better than single-key sort: $zOnPart vs $xOnPart")
   }
 
+  test("skipping sidecar: file selection happens at planning time, superset semantics hold") {
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.sources.SkipIndex.dataFiles(spark, sf)
+    assert(all.length >= 8, s"layout produced only ${all.length} files")
+    // the sidecar carries exactly one digest row per data file
+    val dir = graft.sources.SkipIndex.layout(spark, sf)
+    val stats = spark.read.parquet(s"$dir/stats")
+    assert(stats.count() === all.length.toLong)
+    // a narrow range reads a strict subset of files — the skipped files
+    // never appear in the scan's file list (planning-time exclusion, not
+    // footer-stats row-group skipping)
+    val pruned = graft.sources.SkipIndex.prunedRead(spark, sf, 100L, 199L)
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < all.length / 2,
+      s"read ${pruned.inputFiles.length} of ${all.length} files — sidecar did not prune")
+    // superset + residual filter ≡ the plain filtered table, row for row
+    val got = pruned.select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 100 && col("doc_id") <= 199)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want && want.nonEmpty)
+    // a range no file can hold selects zero files and zero rows, not an error
+    assert(graft.sources.SkipIndex.prunedRead(spark, sf, -500L, -1L).count() === 0L)
+  }
+
   test("output file sizing: maxRecordsPerFile bounds every written file") {
     // The small-files/large-files control at 100 TB: a writer that emits
     // one file per task produces either 10 GB monsters (slow readers, no

@@ -27,6 +27,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sliding-window agg equals the batch sliding_window_agg result") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("win_start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value"))
+    val streamed = Streaming.runToMemory(spark,
+      Streaming.slidingWindowAgg(Streaming.readEventsStream(spark, sf)),
+      "stream_slide_win")
+      .collect().map(key).toSet
+    val batch = SparkEntry.queries("sliding_window_agg")(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed === batch, "sliding-window stream diverged from batch")
+    assert(batch.nonEmpty)
+    // the hop really overlaps: 4 window starts per hour of data, so
+    // distinct sliding starts must outnumber the tumbling face's
+    // distinct hours
+    val tumblingHours = SparkEntry.queries("events_window")(spark, sf)
+      .select("hour_start").distinct().count()
+    assert(batch.map(_._1).size > tumblingHours,
+      "slide produced no overlapping windows")
+  }
+
   test("streaming session_window: emitted sessions equal the batch twin; only unclosed tail sessions pend") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
@@ -507,6 +528,48 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got === want, "streaming EWMA diverged from the batch fold")
       assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming Holt level+trend fold continues across triggers and matches the batch query exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("value"))
+      .as[Streaming.EwmaEv].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val cut = evs(evs.length / 2).tsMicros
+    val input = MemoryStream[Streaming.EwmaEv]
+    val q = Streaming.holtStream(spark, input.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("holt_stream").start()
+    try {
+      input.addData(evs.filter(_.tsMicros <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evs.filter(_.tsMicros > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("holt_stream")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("level"), col("trend"),
+          col("forecast3"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          round(col("st.level"), 6).as("level"),
+          round(col("st.trend"), 6).as("trend"),
+          round(col("st.forecast3"), 6).as("forecast3"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      val want = SparkEntry.queries("holt_forecast")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      assert(got === want, "streaming Holt diverged from the batch fold")
+      assert(want.nonEmpty)
+      // a single-event key must read (level = x_0, trend = 0): the
+      // batch init contract carried by the streaming first-event branch
+      val singles = want.filter(_._2 == 1L)
+      assert(singles.forall(t => t._4 == 0.0 && t._5 == t._3),
+        "single-event keys must carry zero trend")
     } finally q.stop()
   }
 
