@@ -27,6 +27,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded ingestion: maxFilesPerTrigger caps per-trigger work, AvailableNow drains everything") {
+    import scala.jdk.CollectionConverters._
+    // the file-source backpressure lever (the Kafka maxOffsetsPerTrigger
+    // twin): a backlog of N files must drain in N bounded micro-batches,
+    // not one unbounded catch-up batch — at 100 TB the difference between
+    // a restartable checkpointed backfill and an OOM'd executor fleet
+    val dir = java.nio.file.Files.createTempDirectory("graft_bounded").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    docs.repartition(6).write.mode("overwrite").parquet(dir)
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(nFiles >= 6)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.add((id, b.count())); ()
+      }.start()
+    try { q.awaitTermination(120000) } finally q.stop()
+    val got = batches.asScala.toSeq
+    val maxPerFile = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path")).count()
+      .agg(max("count")).head().getLong(0)
+    // every trigger bounded by one file's rows; the whole backlog drained
+    assert(got.count(_._2 > 0) === nFiles,
+      s"expected $nFiles single-file triggers, got $got")
+    assert(got.forall(_._2 <= maxPerFile))
+    assert(got.map(_._2).sum === docs.count())
+  }
+
   test("streaming sliding-window agg equals the batch sliding_window_agg result") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("win_start_us"), r.getAs[String]("event_type"),
