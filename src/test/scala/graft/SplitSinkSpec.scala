@@ -52,4 +52,48 @@ class SplitSinkSpec extends AnyFunSuite {
         (col("bucket") >= 90 && col("split") =!= "test"))
     assert(wrong.count() === 0)
   }
+
+  test("dynamic partition overwrite: rewriting one partition leaves the others byte-identical") {
+    // The incremental warehouse-maintenance lever: a daily job recomputes
+    // ONE partition and overwrites the table — dynamic mode replaces only
+    // the partitions present in the incoming data, where static mode
+    // truncates the whole table first. At 100 TB this is the difference
+    // between rewriting one day and rewriting three years.
+    def listing(dir: String, part: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/lang=$part")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val dir = Files.createTempDirectory("graft_dynpo").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source", "n_chars", "lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length >= 3)
+    val target = "en"
+    val othersBefore = langs.filterNot(_ == target)
+      .map(l => l -> listing(dir, l)).toMap
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      docs.filter(col("lang") === target)
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // untouched partitions: identical file names AND sizes
+    othersBefore.foreach { case (l, files) =>
+      assert(listing(dir, l) === files, s"partition lang=$l was rewritten")
+    }
+    // the rewritten partition carries the new content; totals conserved
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("lang") === target)
+      .agg(min("n_chars")).head().getLong(0) >= 1000000L)
+    assert(back.filter(col("lang") =!= target)
+      .agg(max("n_chars")).head().getLong(0) < 1000000L)
+    assert(back.count() === docs.count())
+  }
 }
