@@ -102,16 +102,39 @@ object Bench {
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total counts each staged build ONCE (its min), same basis as queries
     val total = (results.values ++ stageResults.map(_._2)).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,""" +
       s""""runs":$runsJson,"host":$host,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout tails get truncated in driver captures; also persist the full
-    // per-query JSON so every round's numbers are enumerable afterwards
+    // Persist the FULL per-query JSON (every item, raw per-run timings, box
+    // stamp) so every round's numbers are enumerable afterwards.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       line.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"could not write $out: $e") }
+    // The driver's capture keeps only the LAST ~2000 chars of stdout and
+    // json-parses a line from it — every prior round's line was longer than
+    // the window, so BENCH_r01..r06 all recorded "parsed": null. The final
+    // stdout line must therefore be a complete JSON object that fits inside
+    // the window together with sbt's trailing "[success] …" line. Emit the
+    // contract keys with a HEADLINE subset of per-query timings, hard-capped
+    // well under the window; the full map lives in BENCH_DETAIL.json.
+    val headline = Seq(
+      "q1_agg", "q5_nation_revenue", "q9_profit", "q18_big_orders",
+      "knn_topk", "knn_batch_custom", "ann_ivf_kmeans", "ann_lsh",
+      "ivfpq_res_rerank_recall", "pq_rerank_recall", "bm25_search",
+      "hybrid_rrf", "dedup_exact", "minhash_lsh_dedup", "simhash",
+      "image_phash_neardup", "embed_documents", "window_topn", "sessionize",
+      "interval_join", "approx_distinct", "bpe_tokenize",
+      "sliding_window_agg", "skip_index_scan", "merge_upsert", "q6_forecast")
+    val resultMap = results.toMap
+    var hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + j(v)))
+    def compact(entries: Seq[String]): String =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
+        s""""queries":${entries.mkString("{", ",", "}")},""" +
+        s""""n_items":${results.size + stageResults.size},"errors":$errs,""" +
+        s""""detail":"$out","sf":"$sfDir"}"""
+    while (compact(hq).length > 1600 && hq.nonEmpty) hq = hq.dropRight(1)
+    println(compact(hq))
     spark.stop()
   }
 }
