@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated Parquet fixtures (see repo:TESTDATA.md,
   * repo:FIXTURES.md). One Parquet file per table under `sfDir`. Schemas are
@@ -30,11 +30,26 @@ object Tables {
   def tune(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // All timestamp semantics are pinned to UTC at the load choke point:
+    // the NTZ→instant normalization below interprets naive fixture wall
+    // times in the SESSION zone, and the DuckDB oracle reads the same
+    // parquet values as naive-UTC — they only agree because this is set.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The round-7 fixture drop writes timestamps as parquet timestamp[us]
+    // WITHOUT isAdjustedToUTC, which Spark reads as TIMESTAMP_NTZ (earlier
+    // drops were UTC-adjusted → TimestampType). unix_seconds/unix_micros,
+    // to_utc_timestamp and friends reject NTZ, so normalize every NTZ
+    // column back to a UTC instant here — one cast at the choke point
+    // instead of NTZ-awareness in every operator; under the UTC session
+    // zone above the epoch value is unchanged, so every engine query AND
+    // every DuckDB oracle reads the identical instant either way.
+    raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** The fixture tables are single small parquet files → 1 input split →

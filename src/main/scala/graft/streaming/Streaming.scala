@@ -21,22 +21,27 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as Spark reads it with nanosAsLong (see Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming read of an events parquet directory, ts normalized to
-    * TimestampType exactly like the batch reader.
+    * TimestampType exactly like the batch reader ([[graft.Tables.events]]).
+    * The file source needs an explicit schema, and the fixture's physical
+    * ts type has changed across driver drops (TIMESTAMP(NANOS) → long under
+    * nanosAsLong; round-7: timestamp[us] NTZ) — so take the schema from the
+    * file footer via a one-off batch read and normalize per type, keeping
+    * the stream reader generation-agnostic the same way the batch reader is.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.tune(spark) // pins session zone UTC: NTZ cast below is zone-sensitive
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileSchema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Tumbling-window counts/sums per event type — identical transformation
