@@ -34,7 +34,9 @@ object Stages {
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),
-    "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () })
+    "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () }),
+    "dv-layout"    -> ((s, d) => { operators.DeletionVectors.layout(s, d); () }),
+    "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () })
   )
 
   /** Forget every one-time-build memo (JVM maps + staged checkpoints) so
@@ -53,6 +55,7 @@ object Stages {
     operators.Pq.resetMemos()
     operators.Ivfpq.resetMemos()
     operators.MlAnn.resetMemos()
+    operators.DeletionVectors.resetMemos()
     sources.JdbcStore.resetMemos()
     sources.SkipIndex.resetMemos()
   }

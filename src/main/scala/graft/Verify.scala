@@ -67,7 +67,11 @@ object Verify {
       "__SPLIT_CENTS__"   -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-cents"),
       "__SPLIT_ANCHORS__" -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-anchors"),
       "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
-      "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir))
+      "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir),
+      "__DV_DATA__"      -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/data"),
+      "__DV_DELETES__"   -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/deletes"),
+      "__DVC_DATA__"     -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/data"),
+      "__DVC_DELETES__"  -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/deletes"))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

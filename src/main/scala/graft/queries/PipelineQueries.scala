@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.{Ann, Dedup, MlAnn, Multimodal, Phash, Triangles}
+import graft.operators.{Ann, Dedup, DeletionVectors, MlAnn, Multimodal, Phash, SemDedup, Triangles}
 
 /** Advanced LLM-pipeline operators: MinHash/LSH near-dedup, SimHash,
   * document chunking, multimodal binary columns, IVF-pruned ANN search.
@@ -504,8 +504,60 @@ object PipelineQueries {
       Ann.ivfSearchBatch(ivf.filter(col("vec_id") >= 3), qs, "cell",
           Ann.centroidsDf(s, cents), "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // SemDeDup (Abbas 2023): paraphrase-level dedup by embedding — the
+    // trained KMeans cells are the blocking key, so the pair search is a
+    // bounded within-cell equi-join over the SAME one-time layout the ANN
+    // family serves from. Keep-first-by-id keeper (see SemDedup scaladoc);
+    // fully oracled by replaying the verdict over the dumped layout.
+    "semantic_dedup" -> ((s, dir) => {
+      val (path, _) = Ann.kmeansLayout(s, dir)
+      val ivf = s.read.parquet(path)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      SemDedup.verdicts(ivf, "vec_id", "embedding", "cell", tau = semTau)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Merge-on-read over position-delete sidecars (DeletionVectors): the
+    // delete path that rewrites NOTHING — readers subtract the sidecar
+    // with a broadcast anti-join on (file, row-position). Oracled by
+    // replaying the identical physical-address subtraction in DuckDB
+    // (filename + file_row_number ≡ _metadata.file_path + row_index).
+    "dv_mor_read" -> ((s, dir) => {
+      val root = DeletionVectors.layout(s, dir)
+      DeletionVectors.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Live/dead bookkeeping per bucket — the table-service view that picks
+    // compaction candidates; proves the sidecar tracks exactly the
+    // predicate-matched rows, no more, no fewer.
+    "dv_bucket_stats" -> ((s, dir) => {
+      val root = DeletionVectors.layout(s, dir)
+      DeletionVectors.bucketStats(s, root).orderBy(col("bucket"))
+    }),
+
+    // Same corpus + same deletes THEN compacted (every touched bucket
+    // rewritten, sidecar GC'd): the MOR read over the folded layout must
+    // produce the identical logical table dv_mor_read serves through the
+    // sidecar — deletion vectors and compaction commute.
+    "dv_compact_read" -> ((s, dir) => {
+      val root = DeletionVectors.compactedLayout(s, dir)
+      DeletionVectors.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Cosine threshold for semantic_dedup: inside a trained cell, pairs at
+    * or above this are paraphrase-level duplicates. (The paper sweeps
+    * 1 - eps in [0.9, 0.95+]; the synthetic fixture's label clusters are
+    * looser, so the demo threshold sits where the corpus actually has
+    * within-cell near-dups — the OPERATOR is threshold-agnostic.)
+    */
+  private val semTau = 0.5
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -1051,6 +1103,69 @@ object PipelineQueries {
          |  WHERE e.vec_id >= 3)
          |SELECT qid, vec_id, cell, sim, rnk FROM scored
          |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-    }
+    },
+
+    // SemDeDup verdict replay: same dumped trained layout; the within-cell
+    // pair search + keep-first-by-id witness is a pure function of
+    // (layout, tau), so DuckDB replays it exactly. Rounding before the
+    // threshold keeps the boundary decision engine-portable.
+    "semantic_dedup" -> {
+      val pCos = VectorQueries.duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+      s"""WITH ivf AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |wit AS (
+         |  SELECT b.vec_id AS id_b, min(a.vec_id) AS witness
+         |  FROM ivf a JOIN ivf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round($pCos, 6) >= $semTau
+         |  GROUP BY b.vec_id)
+         |SELECT v.vec_id, v.cell, w.witness,
+         |  CASE WHEN w.witness IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |FROM ivf v LEFT JOIN wit w ON v.vec_id = w.id_b
+         |ORDER BY v.vec_id""".stripMargin
+    },
+
+    // MOR replay: DuckDB's (filename, file_row_number) is the same
+    // physical row address Spark's (_metadata.file_path, row_index)
+    // exposes — subtract the dumped sidecar from the dumped data files.
+    "dv_mor_read" ->
+      """WITH data AS (
+        |  SELECT doc_id, lang, n_chars, bucket,
+        |    regexp_extract(filename, '[^/]+$') AS fn, file_row_number AS pos
+        |  FROM read_parquet('__DV_DATA__/*/*.parquet',
+        |         filename=true, file_row_number=true, hive_partitioning=true)),
+        |dels AS (SELECT bucket, file_name, pos
+        |         FROM read_parquet('__DV_DELETES__/*.parquet'))
+        |SELECT doc_id, lang, n_chars FROM data d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dels x WHERE x.bucket::BIGINT = d.bucket::BIGINT
+        |    AND x.file_name = d.fn AND x.pos = d.pos)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dv_bucket_stats" ->
+      """WITH data AS (
+        |  SELECT bucket::BIGINT AS bucket
+        |  FROM read_parquet('__DV_DATA__/*/*.parquet', hive_partitioning=true)),
+        |dels AS (SELECT bucket::BIGINT AS bucket
+        |         FROM read_parquet('__DV_DELETES__/*.parquet'))
+        |SELECT t.bucket, t.total_rows, coalesce(d.deleted_rows, 0) AS deleted_rows
+        |FROM (SELECT bucket, count(*) AS total_rows FROM data GROUP BY bucket) t
+        |LEFT JOIN (SELECT bucket, count(*) AS deleted_rows
+        |           FROM dels GROUP BY bucket) d USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+
+    "dv_compact_read" ->
+      """WITH data AS (
+        |  SELECT doc_id, lang, n_chars, bucket,
+        |    regexp_extract(filename, '[^/]+$') AS fn, file_row_number AS pos
+        |  FROM read_parquet('__DVC_DATA__/*/*.parquet',
+        |         filename=true, file_row_number=true, hive_partitioning=true)),
+        |dels AS (SELECT bucket, file_name, pos
+        |         FROM read_parquet('__DVC_DELETES__/*.parquet'))
+        |SELECT doc_id, lang, n_chars FROM data d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dels x WHERE x.bucket::BIGINT = d.bucket::BIGINT
+        |    AND x.file_name = d.fn AND x.pos = d.pos)
+        |ORDER BY doc_id""".stripMargin
   )
 }
