@@ -739,6 +739,14 @@ object RelationalQueries {
         k = 16, phi = 0.1)
     }),
 
+    // Count-min sketch audit: mergeable typed-Aggregator sketch over the
+    // user_id stream, probed at the true-heaviest users; ok asserts the
+    // CMS one-sided guarantee est >= true. Integer-only universal hashing
+    // → the DuckDB oracle replays estimates exactly (min over depth rows
+    // of the matching bucket's count).
+    "cms_heavy_probes" -> ((s, dir) =>
+      graft.operators.CountMin.probeTopUsers(s, dir, k = 5)),
+
     // PSI drift monitor between two event populations (deterministic
     // even/odd split stands in for last-week/this-week snapshots): one
     // count-aggregate per side down to 10 bins, then pure arithmetic
@@ -2317,6 +2325,30 @@ object RelationalQueries {
         |GROUP BY p.value, t.n_total
         |HAVING count(*) > 0.1 * t.n_total
         |ORDER BY value""".stripMargin,
+
+    // CMS estimate replay: est(k) = min over hash rows i of the count of
+    // inputs landing in k's row-i bucket — same fixed (a,b,p,width)
+    // universal-family constants as CountMin.bucket, integer-only.
+    "cms_heavy_probes" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |tc AS (SELECT user_id, count(*)::BIGINT AS true_cnt FROM ev
+        |       GROUP BY user_id ORDER BY true_cnt DESC, user_id ASC LIMIT 5),
+        |depths AS (SELECT * FROM (VALUES
+        |  (1103515245::BIGINT, 12345::BIGINT), (134775813::BIGINT, 1::BIGINT),
+        |  (69069::BIGINT, 7::BIGINT), (1664525::BIGINT, 1013904223::BIGINT))
+        |  AS d(a, b)),
+        |bc AS (
+        |  SELECT d.a, d.b, ((d.a*e.user_id + d.b) % 2147483647) % 256 AS bk,
+        |    count(*)::BIGINT AS c
+        |  FROM ev e CROSS JOIN depths d GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT t.user_id, t.true_cnt, min(bc.c) AS est
+        |  FROM tc t JOIN depths d ON true
+        |  JOIN bc ON bc.a = d.a AND bc.b = d.b
+        |    AND bc.bk = ((d.a*t.user_id + d.b) % 2147483647) % 256
+        |  GROUP BY t.user_id, t.true_cnt)
+        |SELECT user_id, true_cnt, est, (est >= true_cnt) AS ok
+        |FROM est ORDER BY user_id""".stripMargin,
 
     "psi_drift" ->
       """WITH b AS (

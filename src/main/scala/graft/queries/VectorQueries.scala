@@ -563,7 +563,15 @@ object VectorQueries {
         .select(col("doc_id"), col("pos").as("bucket"),
           round(col("col"), 6).as("weight"))
         .orderBy(col("doc_id"), col("bucket"))
-    })
+    }),
+
+    // MMR diversified rerank of the flagship search: distributed top-20
+    // shortlist + pairwise sims, then the (inherently sequential) greedy
+    // over the collected 20-row matrix on the driver — see Mmr scaladoc.
+    // Oracled by unrolling the k greedy argmax steps as DuckDB CTEs.
+    "mmr_rerank" -> ((s, dir) =>
+      graft.operators.Mmr.rerank(s, dir, qId = 0L, k = 5, shortlistN = 20,
+        lam = 0.7, mu = 0.3))
   )
 
   /** Cosine similarity of two DOUBLE[] expressions in DuckDB, with the
@@ -1108,6 +1116,9 @@ object VectorQueries {
       s"""WITH ${duckEmbedCte("'passage: ' || d0.text")}
          |SELECT doc_id, bucket, round(weight, 6) AS weight
          |FROM emb
-         |ORDER BY doc_id, bucket""".stripMargin
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    "mmr_rerank" -> graft.operators.Mmr.oracleSql(
+      qId = 0L, k = 5, shortlistN = 20, lam = 0.7, mu = 0.3, duckCosine)
   )
 }
