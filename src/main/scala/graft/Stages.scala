@@ -36,7 +36,9 @@ object Stages {
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),
     "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () }),
     "dv-layout"    -> ((s, d) => { operators.DeletionVectors.layout(s, d); () }),
-    "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () })
+    "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () }),
+    "uni-vocab"    -> ((s, d) => {
+      operators.Unigram.vocabLayout(s, d, sp => queries.TextQueries.wordFreqs(sp, d)); () })
   )
 
   /** Forget every one-time-build memo (JVM maps + staged checkpoints) so
@@ -56,6 +58,7 @@ object Stages {
     operators.Ivfpq.resetMemos()
     operators.MlAnn.resetMemos()
     operators.DeletionVectors.resetMemos()
+    operators.Unigram.resetMemos()
     sources.JdbcStore.resetMemos()
     sources.SkipIndex.resetMemos()
   }

@@ -71,7 +71,8 @@ object Verify {
       "__DV_DATA__"      -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/data"),
       "__DV_DELETES__"   -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/deletes"),
       "__DVC_DATA__"     -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/data"),
-      "__DVC_DELETES__"  -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/deletes"))
+      "__DVC_DELETES__"  -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/deletes"),
+      "__UNI_VOCAB__"    -> graft.operators.Unigram.vocabPath(sfDir))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

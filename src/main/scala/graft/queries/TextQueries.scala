@@ -943,10 +943,85 @@ object TextQueries {
           TextOps.nfcNormalize(raw).as("norm"))
         .withColumn("n_norm", length(col("norm")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM tokenizer, seed stage: the over-complete substring
+    // candidate table EM starts from — one distributed explode+agg over
+    // the word digest (operators/Unigram.scala).
+    "unigram_seed" -> ((s, dir) =>
+      graft.operators.Unigram.seedCounts(wordFreqs(s, dir))
+        .orderBy(col("cnt").desc, col("piece").asc).limit(30)),
+
+    // Unigram-LM tokenize: Viterbi best-segmentation scores of the top
+    // digest words under the TRAINED (EM-fitted, pruned) model. The
+    // trained (piece, logp) table is dumped parquet — the oracle replays
+    // the identical DP over the dumped values (logp rounded at the model
+    // boundary, so no transcendental is ever computed on both engines).
+    "unigram_tokenize" -> ((s, dir) => {
+      val path = graft.operators.Unigram.vocabLayout(s, dir,
+        sp => wordFreqs(sp, dir))
+      graft.operators.Unigram.tokenizeScores(
+        wordFreqs(s, dir), s.read.parquet(path))
     })
   )
 
+  /** The unigram Viterbi DP unrolled in DuckDB SQL: b_j(word) = best
+    * log-prob of segmenting the first j chars, b_j = max over piece
+    * lengths 1..MaxPieceLen of b_i + logp(word[i+1..j]) — CTE b_j joins
+    * the union of b_{j-4}..b_{j-1}. Scores only (ties cannot affect the
+    * max), over the DUMPED model table.
+    */
+  private def duckUnigramTokenize(topN: Int): String = {
+    val M = graft.operators.Unigram.MaxPieceLen
+    val L = graft.operators.Unigram.MaxWordLen
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    // and a 16-deep DP chain whose every step references 4 predecessors
+    // would re-expand (and re-open the scans of) the whole prefix
+    // exponentially — "Too many open files" in practice
+    val bCtes = (1 to L).map { j =>
+      val prevs = (math.max(0, j - M) until j)
+        .map(i => s"SELECT word, s, $i AS i FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""b$j AS MATERIALIZED (
+         |  SELECT w.word, max(prev.s + v.logp) AS s
+         |  FROM w JOIN ($prevs) prev USING (word)
+         |  JOIN v ON v.piece = substring(w.word, prev.i + 1, $j - prev.i)
+         |  WHERE length(w.word) >= $j
+         |  GROUP BY w.word)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to L).map(j => s"SELECT word, s, $j AS l FROM b$j")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS MATERIALIZED (SELECT piece, logp FROM read_parquet('__UNI_VOCAB__/*.parquet')),
+       |wf AS MATERIALIZED (SELECT t AS word, count(*)::BIGINT AS freq
+       |       FROM documents, unnest(${duckToks("text")}) AS u(t) GROUP BY t),
+       |w AS MATERIALIZED (SELECT word, freq FROM wf WHERE length(word) <= $L
+       |      ORDER BY freq DESC, word ASC LIMIT $topN),
+       |b0 AS MATERIALIZED (SELECT word, 0.0::DOUBLE AS s FROM w),
+       |$bCtes,
+       |fin AS ($finals)
+       |SELECT w.word, w.freq, round(f.s, 6) AS score
+       |FROM w JOIN fin f ON f.word = w.word AND f.l = length(w.word)
+       |ORDER BY w.word""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "unigram_seed" -> {
+      val M = graft.operators.Unigram.MaxPieceLen
+      s"""WITH wf AS (
+         |  SELECT t AS word, count(*)::BIGINT AS freq
+         |  FROM documents, unnest(${duckToks("text")}) AS u(t) GROUP BY t),
+         |sub AS (
+         |  SELECT substring(word, i, l) AS piece, sum(freq)::BIGINT AS cnt
+         |  FROM wf,
+         |    unnest(generate_series(1, length(word))) AS S(i),
+         |    unnest(generate_series(1, $M)) AS L(l)
+         |  WHERE i + l - 1 <= length(word)
+         |  GROUP BY 1)
+         |SELECT piece, cnt FROM sub ORDER BY cnt DESC, piece LIMIT 30""".stripMargin
+    },
+
+    "unigram_tokenize" -> duckUnigramTokenize(20),
+
     "bpe_pair_counts" ->
       s"""WITH w AS (
          |  SELECT t AS word, count(*)::BIGINT AS freq
