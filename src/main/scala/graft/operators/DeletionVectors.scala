@@ -89,8 +89,20 @@ object DeletionVectors {
     * re-issued predicate appends nothing), and only the 3-column position
     * tuple moves — never row payloads. Returns the number of rows marked.
     */
-  def deleteWhere(spark: SparkSession, root: String, pred: Column): Long = {
-    val live = read(spark, root, keepMeta = true).filter(pred)
+  def deleteWhere(spark: SparkSession, root: String, pred: Column): Long =
+    appendDelta(read(spark, root, keepMeta = true).filter(pred), root)
+
+  /** Keyed delete: the doomed-key set arrives as a DataFrame (a CDC/GDPR
+    * delete stream's micro-batch) and is subtracted via semi-join — no
+    * driver round-trip, so a batch of millions of keys stays distributed.
+    */
+  def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCol: String): Long =
+    appendDelta(read(spark, root, keepMeta = true)
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"), root)
+
+  private def appendDelta(doomed: DataFrame, root: String): Long = {
+    val live = doomed
       .select(col("bucket"), col("__file").as("file_name"), col("__pos").as("pos"))
     val n = live.count()
     if (n > 0)

@@ -342,6 +342,27 @@ object Streaming {
       }
       .start()
 
+  /** Streaming deletes against a merge-on-read table: each trigger's batch
+    * of doomed keys becomes ONE appended position-delete delta —
+    * [[graft.operators.DeletionVectors.deleteWhere]] per micro-batch, no
+    * data file ever rewritten on the hot path (the GDPR/retention stream
+    * shape: deletes trickle in continuously; compaction is a separate
+    * scheduled job, not a per-trigger cost). foreachBatch bodies run
+    * sequentially, so delta appends never race each other; a batch's
+    * deletes are visible to any MOR read started after the trigger
+    * commits.
+    */
+  def dvDeleteStream(doomedKeys: DataFrame, root: String,
+                     keyCol: String = "doc_id")(
+      afterBatch: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    doomedKeys.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = graft.operators.DeletionVectors.deleteKeys(
+          batch.sparkSession, root, batch, keyCol)
+        afterBatch(batchId, n)
+      }
+      .start()
+
   /** Stream enrichment against slowly-changing reference data: each
     * trigger left-joins the batch onto a FRESH read of the CDC-maintained
     * snapshot — an upstream reference change is visible to the very next

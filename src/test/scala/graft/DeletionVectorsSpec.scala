@@ -95,6 +95,31 @@ class DeletionVectorsSpec extends AnyFunSuite {
       !== filesAfter.filter(_.contains("bucket=0")).toSet)
   }
 
+  test("streaming deletes: each trigger appends one delta; reads after the trigger exclude its keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (root, total) = freshTable()
+    val input = MemoryStream[Long]
+    val batchCounts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = graft.streaming.Streaming.dvDeleteStream(
+      input.toDF().withColumnRenamed("value", "doc_id"), root) {
+      (id, n) => batchCounts.add((id, n)); ()
+    }
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(DeletionVectors.read(spark, root).count() === total - 3)
+      input.addData(3L, 4L) // 3 re-deleted: already dead, marks nothing
+      q.processAllAvailable()
+      assert(DeletionVectors.read(spark, root).count() === total - 4)
+      assert(DeletionVectors.read(spark, root)
+        .filter(col("doc_id").isin(1L, 2L, 3L, 4L)).count() === 0)
+      // per-trigger delta exactness: 3 then 1 (idempotent redelivery)
+      assert(batchCounts.toArray.toSeq === Seq((0L, 3L), (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("MOR read plan: sidecar anti-join is broadcast, no shuffle of the corpus") {
     val (root, _) = freshTable()
     DeletionVectors.deleteWhere(spark, root, col("doc_id") < 10)
