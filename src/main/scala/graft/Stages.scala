@@ -38,7 +38,8 @@ object Stages {
     "dv-layout"    -> ((s, d) => { operators.DeletionVectors.layout(s, d); () }),
     "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () }),
     "uni-vocab"    -> ((s, d) => {
-      operators.Unigram.vocabLayout(s, d, sp => queries.TextQueries.wordFreqs(sp, d)); () })
+      operators.Unigram.vocabLayout(s, d, sp => queries.TextQueries.wordFreqs(sp, d)); () }),
+    "txn-layout"   -> ((s, d) => { operators.TxnLog.layout(s, d); () })
   )
 
   /** Forget every one-time-build memo (JVM maps + staged checkpoints) so
@@ -59,6 +60,7 @@ object Stages {
     operators.MlAnn.resetMemos()
     operators.DeletionVectors.resetMemos()
     operators.Unigram.resetMemos()
+    operators.TxnLog.resetMemos()
     sources.JdbcStore.resetMemos()
     sources.SkipIndex.resetMemos()
   }

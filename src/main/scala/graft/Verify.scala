@@ -72,7 +72,10 @@ object Verify {
       "__DV_DELETES__"   -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/deletes"),
       "__DVC_DATA__"     -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/data"),
       "__DVC_DELETES__"  -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/deletes"),
-      "__UNI_VOCAB__"    -> graft.operators.Unigram.vocabPath(sfDir))
+      "__UNI_VOCAB__"    -> graft.operators.Unigram.vocabPath(sfDir),
+      "__TT_FILES__"     -> (graft.operators.TxnLog.layoutPath(sfDir) + "/files"),
+      "__TT_DELETES__"   -> (graft.operators.TxnLog.layoutPath(sfDir) + "/deletes"),
+      "__TT_MANIFESTS__" -> (graft.operators.TxnLog.layoutPath(sfDir) + "/manifests"))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

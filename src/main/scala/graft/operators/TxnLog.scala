@@ -1,0 +1,240 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based transaction log — the missing half both [[CdcSnapshot]]
+  * and [[DeletionVectors]] document as out of scope: those give PER-BUCKET
+  * atomicity; a reader listing directories during a multi-bucket commit
+  * can still see bucket A pre-batch and bucket B post-batch. The fix is
+  * the Delta/Iceberg core idea, rebuilt on plain parquet + renames:
+  * readers never list data directories at all — they read a MANIFEST
+  * (the versioned list of live data + delete files), and a commit is one
+  * atomic pointer flip.
+  *
+  * Layout under `root`:
+  *   - `files/part-*.parquet`    — immutable data files, append-only
+  *   - `deletes/part-*.parquet`  — immutable position-delete deltas
+  *     (rows `(target_file, pos)` — [[DeletionVectors]] addressing, flat
+  *     dir so basenames alone are unique here)
+  *   - `manifests/version=N/`    — manifest N: rows `(kind, file_name)`,
+  *     kind ∈ data|delete
+  *   - `_latest`                 — the current version number; updated by
+  *     write-tmp + rename, the single atomic commit point
+  *
+  * Invariants:
+  *   - Commits only ADD data/delete files and ADD a manifest, then flip
+  *     the pointer. No commit mutates or removes a file any manifest
+  *     references — so a reader that resolved version N sees N's exact
+  *     bit-identical table for as long as it cares to, across any number
+  *     of concurrent commits (snapshot isolation), and `read(version=N)`
+  *     is time travel for free.
+  *   - A crash before the pointer flip leaves orphan files referenced by
+  *     no manifest: invisible to every reader, reclaimed by [[vacuum]].
+  *   - [[vacuum]] deletes files unreferenced by the retained manifests —
+  *     the ONLY deletion in the system, and it never touches anything the
+  *     retained versions can reach.
+  *
+  * Single-writer discipline (as [[CdcSnapshot]]): commits serialize;
+  * readers never write.
+  */
+object TxnLog {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Current committed version (0 = empty table, no commits yet). */
+  def latestVersion(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val ptr = new Path(s"$root/_latest")
+    if (!f.exists(ptr)) 0
+    else {
+      val buf = new Array[Byte](f.getFileStatus(ptr).getLen.toInt)
+      val in = f.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toInt
+    }
+  }
+
+  /** Manifest N as (kind, file_name) rows. */
+  def manifest(spark: SparkSession, root: String, version: Int): DataFrame =
+    spark.read.parquet(s"$root/manifests/version=$version")
+
+  /** Write a new table version listing exactly these files, then flip the
+    * pointer. The manifest write lands BEFORE the pointer flip — a crash
+    * between the two leaves an unreachable manifest, not a torn table.
+    */
+  private def commit(spark: SparkSession, root: String,
+                     dataFiles: Seq[String], deleteFiles: Seq[String]): Int = {
+    val v = latestVersion(spark, root) + 1
+    import spark.implicits._
+    (dataFiles.map(("data", _)) ++ deleteFiles.map(("delete", _)))
+      .toDF("kind", "file_name")
+      .repartition(1)
+      .write.mode("errorifexists").parquet(s"$root/manifests/version=$v")
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/._latest.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(s"$root/_latest")
+    f.delete(ptr, false) // HDFS-style rename refuses to clobber
+    if (!f.rename(tmp, ptr))
+      throw new java.io.IOException(s"txn: pointer flip failed for v$v")
+    v
+  }
+
+  /** Stage `df` as new immutable files under `dir`, returning their
+    * basenames: write to a tmp dir, then move each part file in — the
+    * files are invisible to readers (nothing references them) until the
+    * commit that lists them lands.
+    */
+  private def stageFiles(df: DataFrame, root: String, dir: String): Seq[String] = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val tmp = s"$root/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(tmp)
+    val moved = f.listStatus(new Path(tmp)).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .map { p =>
+        val dest = new Path(s"$root/$dir/${p.getName}")
+        f.mkdirs(dest.getParent)
+        if (!f.rename(p, dest))
+          throw new java.io.IOException(s"txn: staging move failed for $p")
+        p.getName
+      }.toSeq
+    f.delete(new Path(tmp), true)
+    moved.sorted
+  }
+
+  private def listed(spark: SparkSession, root: String, version: Int,
+                     kind: String): Seq[String] =
+    manifest(spark, root, version).filter(col("kind") === kind)
+      .select(col("file_name")).collect().map(_.getString(0)).sorted.toSeq
+
+  /** Commit 1: create the table. */
+  def init(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    commit(spark, root, stageFiles(df, root, "files"), Nil)
+  }
+
+  /** Append-only commit: new files join the live set; deletes carry over. */
+  def append(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    commit(spark, root,
+      listed(spark, root, v, "data") ++ stageFiles(df, root, "files"),
+      listed(spark, root, v, "delete"))
+  }
+
+  /** Merge-on-read delete commit: stage one position-delete delta over the
+    * CURRENT version's live rows, list it alongside the untouched data
+    * files.
+    */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column): Int = {
+    val v = latestVersion(spark, root)
+    val doomed = read(spark, root, Some(v), keepMeta = true).filter(pred)
+      .select(col("__file").as("target_file"), col("__pos").as("pos"))
+      .repartition(1) // one delta file per delete commit (DV convention)
+    commit(spark, root, listed(spark, root, v, "data"),
+      listed(spark, root, v, "delete") ++ stageFiles(doomed, root, "deletes"))
+  }
+
+  /** Rewrite commit: fold the current version into fresh files with the
+    * deletes applied; the new manifest lists only them. Old files remain
+    * on disk — every prior version stays readable (time travel) until
+    * [[vacuum]] reclaims what no retained manifest references.
+    */
+  def compact(spark: SparkSession, root: String, numFiles: Int = 2): Int = {
+    val v = latestVersion(spark, root)
+    val live = read(spark, root, Some(v)).repartition(numFiles)
+    commit(spark, root, stageFiles(live, root, "files"), Nil)
+  }
+
+  /** Read table version `version` (default: latest): exactly the
+    * manifest-listed data files minus the manifest-listed delete
+    * positions. No directory listing of `files/` ever happens — the
+    * manifest IS the table.
+    */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None,
+           keepMeta: Boolean = false): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val dataFiles = listed(spark, root, v, "data").map(n => s"$root/files/$n")
+    val delFiles = listed(spark, root, v, "delete").map(n => s"$root/deletes/$n")
+    val data = spark.read.parquet(dataFiles: _*)
+      .withColumn("__file",
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val out = if (delFiles.isEmpty) data else {
+      val dels = spark.read.parquet(delFiles: _*)
+        .select(col("target_file").as("__file"), col("pos").as("__pos"))
+      data.join(broadcast(dels), Seq("__file", "__pos"), "left_anti")
+    }
+    if (keepMeta) out else out.drop("__file", "__pos")
+  }
+
+  /** (version, n_data_files, n_delete_files) across the whole log. */
+  def history(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/manifests")
+      .groupBy(col("version").cast("long").as("version"))
+      .agg(sum(when(col("kind") === "data", 1L).otherwise(0L)).as("n_data_files"),
+        sum(when(col("kind") === "delete", 1L).otherwise(0L)).as("n_delete_files"))
+      .orderBy(col("version"))
+
+  /** Reclaim files referenced by NO manifest ≥ (latest − keepVersions + 1)
+    * and drop the older manifests. Returns the deleted file names. The
+    * one deletion in the system — everything the retained versions can
+    * reach is untouched.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[String] = {
+    val latest = latestVersion(spark, root)
+    val keepFrom = math.max(1, latest - keepVersions + 1)
+    val keep = (keepFrom to latest)
+      .flatMap(v => manifest(spark, root, v)
+        .select("kind", "file_name").collect()
+        .map(r => (r.getString(0), r.getString(1))))
+      .toSet
+    val f = fs(spark, root)
+    val dropped = Seq("data" -> "files", "delete" -> "deletes").flatMap {
+      case (kind, dir) =>
+        val d = new Path(s"$root/$dir")
+        if (!f.exists(d)) Nil
+        else f.listStatus(d).map(_.getPath.getName)
+          .filterNot(n => keep.contains((kind, n)))
+          .map { n => f.delete(new Path(s"$root/$dir/$n"), false); n }.toSeq
+    }
+    (1 until keepFrom).foreach { v =>
+      f.delete(new Path(s"$root/manifests/version=$v"), true)
+    }
+    dropped.sorted
+  }
+
+  // --- staged demo lifecycle (memoized once per JVM per sf dir) ----------
+
+  def layoutPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-txn-" + Ann.pathToken(sfDir)
+
+  private val memo = new ConcurrentHashMap[String, String]()
+
+  /** v1 init (docs with doc_id < 300) → v2 append (the rest) → v3 MOR
+    * delete (doc_id % 7 == 2) → v4 compact. Every version stays readable.
+    */
+  def layout(spark: SparkSession, sfDir: String): String =
+    memo.computeIfAbsent(sfDir, { _ =>
+      val root = layoutPath(sfDir)
+      fs(spark, root).delete(new Path(root), true)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      init(docs.filter(col("doc_id") < 300).repartition(2), root)
+      append(docs.filter(col("doc_id") >= 300).repartition(2), root)
+      deleteWhere(spark, root, pmod(col("doc_id"), lit(7L)) === 2L)
+      compact(spark, root)
+      root
+    })
+
+  private[graft] def resetMemos(): Unit = memo.clear()
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.{Ann, Dedup, DeletionVectors, MlAnn, Multimodal, Phash, SemDedup, Triangles}
+import graft.operators.{Ann, Dedup, DeletionVectors, MlAnn, Multimodal, Phash, SemDedup, Triangles, TxnLog}
 
 /** Advanced LLM-pipeline operators: MinHash/LSH near-dedup, SimHash,
   * document chunking, multimodal binary columns, IVF-pruned ANN search.
@@ -548,6 +548,32 @@ object PipelineQueries {
       DeletionVectors.read(s, root)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Transaction-log table (TxnLog): readers resolve the MANIFEST, never
+    // list data dirs — one atomic pointer flip per commit gives cross-file
+    // snapshot isolation, and every committed version stays readable.
+    // The demo lifecycle is init → append → MOR delete → compact (v1..v4).
+    "tt_read_latest" -> ((s, dir) => {
+      val root = TxnLog.layout(s, dir)
+      TxnLog.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Time travel: version 2 (post-append, pre-delete) replayed exactly —
+    // the files live on after later commits; only the manifest differs.
+    "tt_read_v2" -> ((s, dir) => {
+      val root = TxnLog.layout(s, dir)
+      TxnLog.read(s, root, Some(2))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The log itself as data: per-version live data/delete file counts.
+    "tt_history" -> ((s, dir) => {
+      val root = TxnLog.layout(s, dir)
+      TxnLog.history(s, root)
     })
   )
 
@@ -1166,6 +1192,45 @@ object PipelineQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM dels x WHERE x.bucket::BIGINT = d.bucket::BIGINT
         |    AND x.file_name = d.fn AND x.pos = d.pos)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // TxnLog replay: resolve the chosen manifest version from the dumped
+    // manifests, read ONLY its listed data files (the glob sees every
+    // version's files — the manifest filter IS the table), subtract its
+    // listed delete deltas by (target_file, pos).
+    "tt_read_latest" -> duckTxnRead(
+      "(SELECT max(version) FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true))"),
+
+    "tt_read_v2" -> duckTxnRead("2"),
+
+    "tt_history" ->
+      """SELECT version::BIGINT AS version,
+        |  sum(CASE WHEN kind = 'data' THEN 1 ELSE 0 END)::BIGINT AS n_data_files,
+        |  sum(CASE WHEN kind = 'delete' THEN 1 ELSE 0 END)::BIGINT AS n_delete_files
+        |FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+        |GROUP BY 1 ORDER BY version""".stripMargin
   )
+
+  private def duckTxnRead(versionExpr: String): String =
+    s"""WITH m AS (
+       |  SELECT kind, file_name
+       |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+       |  WHERE version = $versionExpr),
+       |data AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    regexp_extract(filename, '[^/]+$$') AS fn, file_row_number AS pos
+       |  FROM read_parquet('__TT_FILES__/*.parquet',
+       |         filename=true, file_row_number=true)),
+       |live AS (
+       |  SELECT d.* FROM data d
+       |  WHERE d.fn IN (SELECT file_name FROM m WHERE kind = 'data')),
+       |dels AS (
+       |  SELECT t.target_file, t.pos
+       |  FROM read_parquet('__TT_DELETES__/*.parquet', filename=true) t
+       |  WHERE regexp_extract(t.filename, '[^/]+$$')
+       |    IN (SELECT file_name FROM m WHERE kind = 'delete'))
+       |SELECT doc_id, lang, n_chars FROM live d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM dels x WHERE x.target_file = d.fn AND x.pos = d.pos)
+       |ORDER BY doc_id""".stripMargin
 }

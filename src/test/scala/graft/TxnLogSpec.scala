@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TxnLog
+
+/** Transaction-log contract: atomic pointer-flip commits, cross-file
+  * snapshot isolation, time travel, crash-orphan invisibility, vacuum
+  * retention.
+  */
+class TxnLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+    .select("doc_id", "lang", "n_chars")
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_txn").toFile.getAbsolutePath + "/t"
+
+  private def lifecycle(root: String): Unit = {
+    TxnLog.init(docs.filter(col("doc_id") < 300).repartition(2), root)
+    TxnLog.append(docs.filter(col("doc_id") >= 300).repartition(2), root)
+    TxnLog.deleteWhere(spark, root, pmod(col("doc_id"), lit(7L)) === 2L)
+    TxnLog.compact(spark, root)
+  }
+
+  test("lifecycle: every version stays readable; compact preserves content") {
+    val root = freshRoot()
+    lifecycle(root)
+    assert(TxnLog.latestVersion(spark, root) === 4)
+    val total = docs.count()
+    val deleted = docs.filter(pmod(col("doc_id"), lit(7L)) === 2L).count()
+    assert(TxnLog.read(spark, root, Some(1)).count() === 300)
+    assert(TxnLog.read(spark, root, Some(2)).count() === total)
+    assert(TxnLog.read(spark, root, Some(3)).count() === total - deleted)
+    val v3 = TxnLog.read(spark, root, Some(3)).orderBy("doc_id").collect()
+    val v4 = TxnLog.read(spark, root, Some(4)).orderBy("doc_id").collect()
+    assert(v3.toSeq === v4.toSeq)
+  }
+
+  test("snapshot isolation: a resolved reader is immune to later commits") {
+    val root = freshRoot()
+    lifecycle(root)
+    // resolve version 2's file list NOW (TxnLog.read lists eagerly)
+    val frozen = TxnLog.read(spark, root, Some(2))
+    val before = frozen.count()
+    // concurrent writer commits twice more (another delete + compact)
+    TxnLog.deleteWhere(spark, root, col("lang") === "de")
+    TxnLog.compact(spark, root)
+    assert(TxnLog.latestVersion(spark, root) === 6)
+    // the frozen reader still sees version 2, bit-for-bit
+    assert(frozen.count() === before)
+    assert(TxnLog.read(spark, root, Some(2)).count() === before)
+  }
+
+  test("a manifest without a pointer flip (crash window) is invisible") {
+    val root = freshRoot()
+    lifecycle(root)
+    val latest = TxnLog.latestVersion(spark, root)
+    // simulate a writer that died after writing its manifest but before
+    // flipping the pointer: a fake future-version manifest appears
+    import spark.implicits._
+    Seq(("data", "part-ghost.parquet")).toDF("kind", "file_name")
+      .write.parquet(s"$root/manifests/version=${latest + 1}")
+    assert(TxnLog.latestVersion(spark, root) === latest)
+    // readers still resolve the committed version and its real files
+    assert(TxnLog.read(spark, root).count() ===
+      TxnLog.read(spark, root, Some(latest)).count())
+  }
+
+  test("vacuum reclaims only what retained versions cannot reach") {
+    val root = freshRoot()
+    lifecycle(root)
+    // retaining v3+v4 reclaims NOTHING: v3 still references every original
+    // data file and the delete delta — reachability, not age, decides
+    assert(TxnLog.vacuum(spark, root, keepVersions = 2) === Nil)
+    val keepReadV4 = TxnLog.read(spark, root, Some(4)).orderBy("doc_id").collect()
+    // retaining only v4 (post-compact) orphans the 4 original data files
+    // and the delete delta
+    val dropped = TxnLog.vacuum(spark, root, keepVersions = 1)
+    assert(dropped.length === 5, s"expected 4 data + 1 delta dropped, got $dropped")
+    // the retained version is unaffected, bit-for-bit
+    assert(TxnLog.read(spark, root, Some(4)).orderBy("doc_id").collect().toSeq
+      === keepReadV4.toSeq)
+    // vacuumed versions are genuinely gone
+    intercept[Exception] { TxnLog.read(spark, root, Some(1)).count() }
+    intercept[Exception] { TxnLog.read(spark, root, Some(3)).count() }
+  }
+
+  test("reads never list data directories: only manifest-listed files are scanned") {
+    val root = freshRoot()
+    lifecycle(root)
+    // v4 (compacted) lists exactly 2 files; the files dir holds 6 (v1:2 +
+    // v2:2 + v4:2) — the scan must touch only the manifest's 2
+    val scanned = TxnLog.read(spark, root, Some(4))
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(scanned === 2)
+    val onDisk = new java.io.File(s"$root/files").list().count(_.startsWith("part-"))
+    assert(onDisk === 6)
+  }
+}
