@@ -28,7 +28,10 @@ object Plans {
       "ivfpq_rerank_recall", "pq_rerank_recall", "triangle_count",
       "merge_upsert", "cohort_retention", "zscore_features", "image_phash_neardup",
       // round-6 representatives
-      "substring_dedup", "heavy_hitters", "dq_checks", "interval_join_fouter")
+      "substring_dedup", "heavy_hitters", "dq_checks", "interval_join_fouter",
+      // round-7 representatives
+      "semantic_dedup", "dv_mor_read", "tt_read_latest", "mmr_rerank",
+      "cms_heavy_probes", "unigram_tokenize")
     names.foreach { n =>
       println(s"\n===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, sfDir)
