@@ -65,13 +65,33 @@ object TxnLog {
   def manifest(spark: SparkSession, root: String, version: Int): DataFrame =
     spark.read.parquet(s"$root/manifests/version=$version")
 
+  /** Optimistic-concurrency conflict: the table moved past the version the
+    * writer based its commit on.
+    */
+  final class CommitConflict(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   /** Write a new table version listing exactly these files, then flip the
     * pointer. The manifest write lands BEFORE the pointer flip — a crash
     * between the two leaves an unreachable manifest, not a torn table.
+    *
+    * Two conflict guards:
+    *  - logical (optimistic concurrency): when the caller passes the
+    *    version it READ, the commit refuses if the table has moved —
+    *    the read-check-write contract every optimistic writer follows;
+    *  - physical: the manifest directory is written `errorifexists`, so
+    *    two writers racing to the same version number cannot both land —
+    *    the loser dies at the manifest write, BEFORE any pointer flip.
     */
   private def commit(spark: SparkSession, root: String,
-                     dataFiles: Seq[String], deleteFiles: Seq[String]): Int = {
-    val v = latestVersion(spark, root) + 1
+                     dataFiles: Seq[String], deleteFiles: Seq[String],
+                     expected: Option[Int] = None): Int = {
+    val cur = latestVersion(spark, root)
+    expected.foreach { e =>
+      if (cur != e) throw new CommitConflict(
+        s"txn: commit based on v$e but table is at v$cur — re-read and retry")
+    }
+    val v = cur + 1
     import spark.implicits._
     (dataFiles.map(("data", _)) ++ deleteFiles.map(("delete", _)))
       .toDF("kind", "file_name")
@@ -122,13 +142,17 @@ object TxnLog {
     commit(spark, root, stageFiles(df, root, "files"), Nil)
   }
 
-  /** Append-only commit: new files join the live set; deletes carry over. */
-  def append(df: DataFrame, root: String): Int = {
+  /** Append-only commit: new files join the live set; deletes carry over.
+    * `expectedVersion` opts into optimistic concurrency: the commit fails
+    * with [[CommitConflict]] if another writer landed since that read.
+    */
+  def append(df: DataFrame, root: String,
+             expectedVersion: Option[Int] = None): Int = {
     val spark = df.sparkSession
-    val v = latestVersion(spark, root)
+    val v = expectedVersion.getOrElse(latestVersion(spark, root))
     commit(spark, root,
       listed(spark, root, v, "data") ++ stageFiles(df, root, "files"),
-      listed(spark, root, v, "delete"))
+      listed(spark, root, v, "delete"), expectedVersion)
   }
 
   /** Merge-on-read delete commit: stage one position-delete delta over the
@@ -165,7 +189,11 @@ object TxnLog {
     val v = version.getOrElse(latestVersion(spark, root))
     val dataFiles = listed(spark, root, v, "data").map(n => s"$root/files/$n")
     val delFiles = listed(spark, root, v, "delete").map(n => s"$root/deletes/$n")
-    val data = spark.read.parquet(dataFiles: _*)
+    // mergeSchema: a version whose manifest spans commits with evolved
+    // schemas (added columns) unions the fields — older files surface the
+    // new columns as null. Time travel composes for free: an old version's
+    // manifest lists only old-schema files, so it reads the OLD schema.
+    val data = spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
       .withColumn("__file",
         regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
       .withColumn("__pos", col("_metadata.row_index"))

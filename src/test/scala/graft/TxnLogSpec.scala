@@ -91,6 +91,51 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[Exception] { TxnLog.read(spark, root, Some(3)).count() }
   }
 
+  test("optimistic concurrency: a commit based on a stale read refuses; retry succeeds") {
+    val root = freshRoot()
+    lifecycle(root)
+    val myRead = TxnLog.latestVersion(spark, root) // 4
+    // another writer lands first
+    TxnLog.append(docs.limit(0), root)             // 5
+    val extra = docs.filter(col("doc_id") < 5)
+    intercept[TxnLog.CommitConflict] {
+      TxnLog.append(extra, root, expectedVersion = Some(myRead))
+    }
+    // the failed commit left no trace a reader can see
+    assert(TxnLog.latestVersion(spark, root) === 5)
+    // re-read and retry — the optimistic loop's second iteration
+    val v = TxnLog.append(extra, root,
+      expectedVersion = Some(TxnLog.latestVersion(spark, root)))
+    assert(v === 6)
+  }
+
+  test("two writers racing to the same version: the loser dies at the manifest write") {
+    val root = freshRoot()
+    lifecycle(root)
+    // simulate the other racer having just written manifest v5
+    import spark.implicits._
+    Seq(("data", "part-racer.parquet")).toDF("kind", "file_name")
+      .write.parquet(s"$root/manifests/version=5")
+    intercept[Exception] { TxnLog.append(docs.limit(1), root) }
+    // pointer never flipped — readers still at v4, table intact
+    assert(TxnLog.latestVersion(spark, root) === 4)
+    assert(TxnLog.read(spark, root).count() ===
+      TxnLog.read(spark, root, Some(4)).count())
+  }
+
+  test("schema evolution: an added column surfaces as null for old files; time travel keeps the old schema") {
+    val root = freshRoot()
+    lifecycle(root)
+    TxnLog.append(
+      docs.filter(col("doc_id") < 3).withColumn("quality", lit(0.9)), root)
+    val latest = TxnLog.read(spark, root)
+    assert(latest.columns.contains("quality"))
+    assert(latest.filter(col("quality").isNotNull).count() === 3)
+    assert(latest.filter(col("quality").isNull).count() === latest.count() - 3)
+    // the pre-evolution version still reads the pre-evolution schema
+    assert(!TxnLog.read(spark, root, Some(4)).columns.contains("quality"))
+  }
+
   test("reads never list data directories: only manifest-listed files are scanned") {
     val root = freshRoot()
     lifecycle(root)
