@@ -65,6 +65,21 @@ object TxnLog {
   def manifest(spark: SparkSession, root: String, version: Int): DataFrame =
     spark.read.parquet(s"$root/manifests/version=$version")
 
+  /** One manifest row: a file the version references, with per-file
+    * column statistics for data files (min/max/rows over [[statsCol]]) —
+    * the Iceberg/Delta data-skipping lever: a predicate on the stats
+    * column prunes the FILE LIST from the manifest alone, before any
+    * footer or directory is touched. Stats are None for delete deltas and
+    * for data staged without the stats column (stale-safe: a file with no
+    * stats is always kept).
+    */
+  case class ManifestEntry(kind: String, file_name: String,
+                           min_id: Option[Long], max_id: Option[Long],
+                           n_rows: Option[Long])
+
+  /** The column per-file stats are collected on when present. */
+  val statsCol = "doc_id"
+
   /** Optimistic-concurrency conflict: the table moved past the version the
     * writer based its commit on.
     */
@@ -84,7 +99,7 @@ object TxnLog {
     *    the loser dies at the manifest write, BEFORE any pointer flip.
     */
   private def commit(spark: SparkSession, root: String,
-                     dataFiles: Seq[String], deleteFiles: Seq[String],
+                     entries: Seq[ManifestEntry],
                      expected: Option[Int] = None): Int = {
     val cur = latestVersion(spark, root)
     expected.foreach { e =>
@@ -93,8 +108,7 @@ object TxnLog {
     }
     val v = cur + 1
     import spark.implicits._
-    (dataFiles.map(("data", _)) ++ deleteFiles.map(("delete", _)))
-      .toDF("kind", "file_name")
+    entries.toDF()
       .repartition(1)
       .write.mode("errorifexists").parquet(s"$root/manifests/version=$v")
     val f = fs(spark, root)
@@ -108,16 +122,30 @@ object TxnLog {
     v
   }
 
-  /** Stage `df` as new immutable files under `dir`, returning their
-    * basenames: write to a tmp dir, then move each part file in — the
-    * files are invisible to readers (nothing references them) until the
-    * commit that lists them lands.
+  /** Stage `df` as new immutable files under `dir`, returning manifest
+    * entries: write to a tmp dir, collect per-file stats on [[statsCol]]
+    * (when the frame carries it) in one job over the STAGED files, then
+    * move each part file in — the files are invisible to readers (nothing
+    * references them) until the commit that lists them lands. Stats stay
+    * valid across the move: they are keyed by basename and the move
+    * preserves it.
     */
-  private def stageFiles(df: DataFrame, root: String, dir: String): Seq[String] = {
+  private def stageFiles(df: DataFrame, root: String, dir: String,
+                         kind: String): Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val tmp = s"$root/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(tmp)
+    val stats: Map[String, (Long, Long, Long)] =
+      if (!df.columns.contains(statsCol)) Map.empty
+      else spark.read.parquet(tmp)
+        .groupBy(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("fn"))
+        .agg(min(col(statsCol)).cast("long").as("mn"),
+          max(col(statsCol)).cast("long").as("mx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
     val moved = f.listStatus(new Path(tmp)).map(_.getPath)
       .filter(p => p.getName.startsWith("part-"))
       .map { p =>
@@ -128,18 +156,29 @@ object TxnLog {
         p.getName
       }.toSeq
     f.delete(new Path(tmp), true)
-    moved.sorted
+    moved.sorted.map { n =>
+      val s = stats.get(n)
+      ManifestEntry(kind, n, s.map(_._1), s.map(_._2), s.map(_._3))
+    }
   }
+
+  private def listedEntries(spark: SparkSession, root: String, version: Int,
+                            kind: String): Seq[ManifestEntry] =
+    manifest(spark, root, version).filter(col("kind") === kind)
+      .select(col("file_name"), col("min_id"), col("max_id"), col("n_rows"))
+      .collect().map { r =>
+        def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        ManifestEntry(kind, r.getString(0), opt(1), opt(2), opt(3))
+      }.sortBy(_.file_name).toSeq
 
   private def listed(spark: SparkSession, root: String, version: Int,
                      kind: String): Seq[String] =
-    manifest(spark, root, version).filter(col("kind") === kind)
-      .select(col("file_name")).collect().map(_.getString(0)).sorted.toSeq
+    listedEntries(spark, root, version, kind).map(_.file_name)
 
   /** Commit 1: create the table. */
   def init(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession
-    commit(spark, root, stageFiles(df, root, "files"), Nil)
+    commit(spark, root, stageFiles(df, root, "files", "data"))
   }
 
   /** Append-only commit: new files join the live set; deletes carry over.
@@ -151,8 +190,10 @@ object TxnLog {
     val spark = df.sparkSession
     val v = expectedVersion.getOrElse(latestVersion(spark, root))
     commit(spark, root,
-      listed(spark, root, v, "data") ++ stageFiles(df, root, "files"),
-      listed(spark, root, v, "delete"), expectedVersion)
+      listedEntries(spark, root, v, "data") ++
+        stageFiles(df, root, "files", "data") ++
+        listedEntries(spark, root, v, "delete"),
+      expectedVersion)
   }
 
   /** Merge-on-read delete commit: stage one position-delete delta over the
@@ -164,8 +205,10 @@ object TxnLog {
     val doomed = read(spark, root, Some(v), keepMeta = true).filter(pred)
       .select(col("__file").as("target_file"), col("__pos").as("pos"))
       .repartition(1) // one delta file per delete commit (DV convention)
-    commit(spark, root, listed(spark, root, v, "data"),
-      listed(spark, root, v, "delete") ++ stageFiles(doomed, root, "deletes"))
+    commit(spark, root,
+      listedEntries(spark, root, v, "data") ++
+        listedEntries(spark, root, v, "delete") ++
+        stageFiles(doomed, root, "deletes", "delete"))
   }
 
   /** Rewrite commit: fold the current version into fresh files with the
@@ -176,7 +219,7 @@ object TxnLog {
   def compact(spark: SparkSession, root: String, numFiles: Int = 2): Int = {
     val v = latestVersion(spark, root)
     val live = read(spark, root, Some(v)).repartition(numFiles)
-    commit(spark, root, stageFiles(live, root, "files"), Nil)
+    commit(spark, root, stageFiles(live, root, "files", "data"))
   }
 
   /** Read table version `version` (default: latest): exactly the
@@ -203,6 +246,38 @@ object TxnLog {
       data.join(broadcast(dels), Seq("__file", "__pos"), "left_anti")
     }
     if (keepMeta) out else out.drop("__file", "__pos")
+  }
+
+  /** Manifest-level data skipping: a range predicate on [[statsCol]]
+    * prunes the FILE LIST using the per-file min/max recorded at commit
+    * time — no footer, no directory listing, no file open for a skipped
+    * file; at millions of files the planning cost is a manifest scan, not
+    * a filesystem walk. Superset-then-refilter discipline (as SkipIndex):
+    * files without stats are kept, and the exact predicate re-applies
+    * after the scan, so stats can only cost reads, never answers. Delete
+    * subtraction is unaffected — a pruned file's delete entries simply
+    * match nothing.
+    */
+  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
+                 version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val entries = listedEntries(spark, root, v, "data")
+    val chosen = entries.filter(e => (e.min_id, e.max_id) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _                    => true // stale-safe: no stats → keep
+    })
+    val dataFiles = chosen.map(e => s"$root/files/${e.file_name}")
+    val delFiles = listed(spark, root, v, "delete").map(n => s"$root/deletes/$n")
+    val data = spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
+      .withColumn("__file",
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live = if (delFiles.isEmpty) data else {
+      val dels = spark.read.parquet(delFiles: _*)
+        .select(col("target_file").as("__file"), col("pos").as("__pos"))
+      data.join(broadcast(dels), Seq("__file", "__pos"), "left_anti")
+    }
+    live.drop("__file", "__pos").filter(col(statsCol).between(lo, hi))
   }
 
   /** (version, n_data_files, n_delete_files) across the whole log. */
@@ -250,6 +325,9 @@ object TxnLog {
 
   /** v1 init (docs with doc_id < 300) → v2 append (the rest) → v3 MOR
     * delete (doc_id % 7 == 2) → v4 compact. Every version stays readable.
+    * Commits stage range-clustered on doc_id, so the per-file min/max in
+    * the manifests carry real skipping power (the SkipIndex layout
+    * discipline, recorded in the log instead of a sidecar).
     */
   def layout(spark: SparkSession, sfDir: String): String =
     memo.computeIfAbsent(sfDir, { _ =>
@@ -257,8 +335,10 @@ object TxnLog {
       fs(spark, root).delete(new Path(root), true)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      init(docs.filter(col("doc_id") < 300).repartition(2), root)
-      append(docs.filter(col("doc_id") >= 300).repartition(2), root)
+      init(docs.filter(col("doc_id") < 300)
+        .repartitionByRange(2, col("doc_id")), root)
+      append(docs.filter(col("doc_id") >= 300)
+        .repartitionByRange(2, col("doc_id")), root)
       deleteWhere(spark, root, pmod(col("doc_id"), lit(7L)) === 2L)
       compact(spark, root)
       root

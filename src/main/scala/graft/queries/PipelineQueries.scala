@@ -574,6 +574,17 @@ object PipelineQueries {
     "tt_history" -> ((s, dir) => {
       val root = TxnLog.layout(s, dir)
       TxnLog.history(s, root)
+    }),
+
+    // Manifest-level data skipping: the per-file min/max recorded at
+    // commit time prunes the file list BEFORE any footer opens (asserted
+    // in TxnLogSpec); superset-then-refilter, so the result is exactly
+    // the plain filtered read — which is what the oracle checks.
+    "tt_pruned_scan" -> ((s, dir) => {
+      val root = TxnLog.layout(s, dir)
+      TxnLog.readPruned(s, root, 100L, 150L, Some(2))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1203,6 +1214,8 @@ object PipelineQueries {
 
     "tt_read_v2" -> duckTxnRead("2"),
 
+    "tt_pruned_scan" -> duckTxnRead("2", "doc_id BETWEEN 100 AND 150"),
+
     "tt_history" ->
       """SELECT version::BIGINT AS version,
         |  sum(CASE WHEN kind = 'data' THEN 1 ELSE 0 END)::BIGINT AS n_data_files,
@@ -1211,7 +1224,7 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY version""".stripMargin
   )
 
-  private def duckTxnRead(versionExpr: String): String =
+  private def duckTxnRead(versionExpr: String, where: String = "1 = 1"): String =
     s"""WITH m AS (
        |  SELECT kind, file_name
        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
@@ -1232,5 +1245,6 @@ object PipelineQueries {
        |SELECT doc_id, lang, n_chars FROM live d
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM dels x WHERE x.target_file = d.fn AND x.pos = d.pos)
+       |  AND ($where)
        |ORDER BY doc_id""".stripMargin
 }

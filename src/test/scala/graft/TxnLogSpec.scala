@@ -22,8 +22,10 @@ class TxnLogSpec extends AnyFunSuite {
     Files.createTempDirectory("graft_txn").toFile.getAbsolutePath + "/t"
 
   private def lifecycle(root: String): Unit = {
-    TxnLog.init(docs.filter(col("doc_id") < 300).repartition(2), root)
-    TxnLog.append(docs.filter(col("doc_id") >= 300).repartition(2), root)
+    TxnLog.init(docs.filter(col("doc_id") < 300)
+      .repartitionByRange(2, col("doc_id")), root)
+    TxnLog.append(docs.filter(col("doc_id") >= 300)
+      .repartitionByRange(2, col("doc_id")), root)
     TxnLog.deleteWhere(spark, root, pmod(col("doc_id"), lit(7L)) === 2L)
     TxnLog.compact(spark, root)
   }
@@ -134,6 +136,23 @@ class TxnLogSpec extends AnyFunSuite {
     assert(latest.filter(col("quality").isNull).count() === latest.count() - 3)
     // the pre-evolution version still reads the pre-evolution schema
     assert(!TxnLog.read(spark, root, Some(4)).columns.contains("quality"))
+  }
+
+  test("manifest stats prune the file list before any footer opens; result is exactly the plain filter") {
+    val root = freshRoot()
+    lifecycle(root)
+    // v2 holds 4 range-clustered files (~0-150, ~150-300, ~300-400,
+    // ~400-500); a [100,150] range must skip at least the two ≥300 files
+    val pruned = TxnLog.readPruned(spark, root, 100L, 150L, Some(2))
+    val scanned = pruned.select(col("_metadata.file_path")).distinct().count()
+    assert(scanned <= 2, s"scanned $scanned files — manifest stats did not prune")
+    val plain = TxnLog.read(spark, root, Some(2))
+      .filter(col("doc_id").between(100L, 150L))
+      .orderBy("doc_id").collect()
+    assert(pruned.orderBy("doc_id").collect().toSeq === plain.toSeq)
+    // stats recorded for every data file in every version's manifest
+    val m = TxnLog.manifest(spark, root, 2).filter(col("kind") === "data")
+    assert(m.filter(col("min_id").isNull).count() === 0)
   }
 
   test("reads never list data directories: only manifest-listed files are scanned") {
