@@ -75,7 +75,8 @@ object TxnLog {
     */
   case class ManifestEntry(kind: String, file_name: String,
                            min_id: Option[Long], max_id: Option[Long],
-                           n_rows: Option[Long])
+                           n_rows: Option[Long],
+                           data_change: Boolean = true)
 
   /** The column per-file stats are collected on when present. */
   val statsCol = "doc_id"
@@ -131,7 +132,7 @@ object TxnLog {
     * preserves it.
     */
   private def stageFiles(df: DataFrame, root: String, dir: String,
-                         kind: String): Seq[ManifestEntry] = {
+                         kind: String, dataChange: Boolean = true): Seq[ManifestEntry] = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val tmp = s"$root/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -158,17 +159,18 @@ object TxnLog {
     f.delete(new Path(tmp), true)
     moved.sorted.map { n =>
       val s = stats.get(n)
-      ManifestEntry(kind, n, s.map(_._1), s.map(_._2), s.map(_._3))
+      ManifestEntry(kind, n, s.map(_._1), s.map(_._2), s.map(_._3), dataChange)
     }
   }
 
   private def listedEntries(spark: SparkSession, root: String, version: Int,
                             kind: String): Seq[ManifestEntry] =
     manifest(spark, root, version).filter(col("kind") === kind)
-      .select(col("file_name"), col("min_id"), col("max_id"), col("n_rows"))
+      .select(col("file_name"), col("min_id"), col("max_id"), col("n_rows"),
+        col("data_change"))
       .collect().map { r =>
         def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
-        ManifestEntry(kind, r.getString(0), opt(1), opt(2), opt(3))
+        ManifestEntry(kind, r.getString(0), opt(1), opt(2), opt(3), r.getBoolean(4))
       }.sortBy(_.file_name).toSeq
 
   private def listed(spark: SparkSession, root: String, version: Int,
@@ -219,7 +221,9 @@ object TxnLog {
   def compact(spark: SparkSession, root: String, numFiles: Int = 2): Int = {
     val v = latestVersion(spark, root)
     val live = read(spark, root, Some(v)).repartition(numFiles)
-    commit(spark, root, stageFiles(live, root, "files", "data"))
+    // dataChange=false: a rewrite commits the SAME logical rows — the
+    // change-data feed must not read it as delete-everything+insert-all
+    commit(spark, root, stageFiles(live, root, "files", "data", dataChange = false))
   }
 
   /** Read table version `version` (default: latest): exactly the
@@ -278,6 +282,66 @@ object TxnLog {
       data.join(broadcast(dels), Seq("__file", "__pos"), "left_anti")
     }
     live.drop("__file", "__pos").filter(col(statsCol).between(lo, hi))
+  }
+
+  /** Change-data feed between two committed versions, computed by FILE
+    * DIFF of the manifests — never a row-level table compare:
+    *
+    *   - inserts: rows of data files listed by `toV` but not `fromV`,
+    *     minus `toV` delete positions targeting them (a row inserted and
+    *     deleted inside the window nets to no change);
+    *   - deletes: rows addressed by delete deltas new in the window whose
+    *     target file already existed at `fromV`.
+    *
+    * Cost scales with the CHANGED files, not the table. A rewrite commit
+    * (compact — `data_change = false`) inside the window is refused, as a
+    * file diff across it would misread the rewrite as delete-all +
+    * insert-all; Delta's CDF draws the same line.
+    */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV < toV, s"changes: fromV $fromV must precede toV $toV")
+    val from = listedEntries(spark, root, fromV, "data")
+    val to = listedEntries(spark, root, toV, "data")
+    val fromNames = from.map(_.file_name).toSet
+    val newFiles = to.filterNot(e => fromNames(e.file_name))
+    require(newFiles.forall(_.data_change) &&
+      from.forall(e => to.exists(_.file_name == e.file_name)),
+      s"changes: a rewrite commit lies between v$fromV and v$toV — " +
+        "file diff cannot represent it; read the versions directly")
+    val fromDeltas = listed(spark, root, fromV, "delete").toSet
+    val newDeltas = listed(spark, root, toV, "delete").filterNot(fromDeltas)
+    val allDeltas = listed(spark, root, toV, "delete")
+    def readFiles(names: Seq[String], dir: String): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(names.map(n => s"$root/$dir/$n"): _*)
+    val withAddr = (df: DataFrame) => df
+      .withColumn("__file",
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val inserts = if (newFiles.isEmpty) None else {
+      val rows = withAddr(readFiles(newFiles.map(_.file_name), "files"))
+      val cleaned = if (allDeltas.isEmpty) rows else {
+        val dels = readFiles(allDeltas, "deletes")
+          .select(col("target_file").as("__file"), col("pos").as("__pos"))
+        rows.join(broadcast(dels), Seq("__file", "__pos"), "left_anti")
+      }
+      Some(cleaned.drop("__file", "__pos").withColumn("op", lit("insert")))
+    }
+    val deletes = if (newDeltas.isEmpty) None else {
+      val doomed = readFiles(newDeltas, "deletes")
+        .filter(col("target_file").isin(fromNames.toSeq: _*))
+        .select(col("target_file").as("__file"), col("pos").as("__pos"))
+      Some(withAddr(readFiles(to.map(_.file_name), "files"))
+        .join(broadcast(doomed), Seq("__file", "__pos"), "left_semi")
+        .drop("__file", "__pos").withColumn("op", lit("delete")))
+    }
+    (inserts, deletes) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None)    => i
+      case (None, Some(d))    => d
+      case (None, None) =>
+        read(spark, root, Some(toV)).limit(0).withColumn("op", lit(""))
+    }
   }
 
   /** (version, n_data_files, n_delete_files) across the whole log. */

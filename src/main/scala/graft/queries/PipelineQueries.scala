@@ -585,6 +585,17 @@ object PipelineQueries {
       TxnLog.readPruned(s, root, 100L, 150L, Some(2))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Change-data feed v1→v3 by manifest FILE DIFF (never a row compare):
+    // v2's appended files are the inserts (minus in-window re-deletes),
+    // v3's new delete delta addresses the deletes. Cost scales with the
+    // changed files; a rewrite commit inside the window is refused.
+    "tt_changes" -> ((s, dir) => {
+      val root = TxnLog.layout(s, dir)
+      TxnLog.changes(s, root, 1, 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("op"))
+        .orderBy(col("op"), col("doc_id"))
     })
   )
 
@@ -1215,6 +1226,48 @@ object PipelineQueries {
     "tt_read_v2" -> duckTxnRead("2"),
 
     "tt_pruned_scan" -> duckTxnRead("2", "doc_id BETWEEN 100 AND 150"),
+
+    // CDF replay: the same file-diff over the dumped manifests.
+    "tt_changes" ->
+      """WITH m1 AS (
+        |  SELECT kind, file_name
+        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+        |  WHERE version = 1),
+        |m3 AS (
+        |  SELECT kind, file_name
+        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+        |  WHERE version = 3),
+        |data AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    regexp_extract(filename, '[^/]+$') AS fn, file_row_number AS pos
+        |  FROM read_parquet('__TT_FILES__/*.parquet',
+        |         filename=true, file_row_number=true)),
+        |deltas AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS delta_file,
+        |    target_file, pos
+        |  FROM read_parquet('__TT_DELETES__/*.parquet', filename=true)),
+        |newfiles AS (
+        |  SELECT file_name FROM m3 WHERE kind = 'data'
+        |  AND file_name NOT IN (SELECT file_name FROM m1 WHERE kind = 'data')),
+        |d3 AS (
+        |  SELECT t.target_file, t.pos FROM deltas t
+        |  WHERE t.delta_file IN (SELECT file_name FROM m3 WHERE kind = 'delete')),
+        |newdeltas AS (
+        |  SELECT file_name FROM m3 WHERE kind = 'delete'
+        |  AND file_name NOT IN (SELECT file_name FROM m1 WHERE kind = 'delete')),
+        |ins AS (
+        |  SELECT doc_id, lang, n_chars, 'insert' AS op FROM data d
+        |  WHERE d.fn IN (SELECT file_name FROM newfiles)
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM d3 x WHERE x.target_file = d.fn AND x.pos = d.pos)),
+        |del AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, 'delete' AS op FROM data d
+        |  JOIN deltas t ON t.target_file = d.fn AND t.pos = d.pos
+        |  WHERE t.delta_file IN (SELECT file_name FROM newdeltas)
+        |    AND d.fn IN (SELECT file_name FROM m1 WHERE kind = 'data'))
+        |SELECT doc_id, lang, n_chars, op FROM ins
+        |UNION ALL SELECT doc_id, lang, n_chars, op FROM del
+        |ORDER BY op, doc_id""".stripMargin,
 
     "tt_history" ->
       """SELECT version::BIGINT AS version,

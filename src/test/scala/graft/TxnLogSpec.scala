@@ -155,6 +155,28 @@ class TxnLogSpec extends AnyFunSuite {
     assert(m.filter(col("min_id").isNull).count() === 0)
   }
 
+  test("change-data feed: file-diff yields exactly the row-level diff; rewrite windows refuse") {
+    val root = freshRoot()
+    lifecycle(root)
+    val ch = TxnLog.changes(spark, root, 1, 3)
+    // row-level ground truth from the two version reads
+    val v1 = TxnLog.read(spark, root, Some(1)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val v3 = TxnLog.read(spark, root, Some(3)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val ins = ch.filter(col("op") === "insert").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val del = ch.filter(col("op") === "delete").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ins === v3 -- v1, "insert set != set difference of the version reads")
+    assert(del === v1 -- v3, "delete set != set difference of the version reads")
+    // v3→v4 is the compact rewrite: file diff cannot represent it
+    intercept[IllegalArgumentException] { TxnLog.changes(spark, root, 3, 4) }
+    // an in-window insert-then-delete nets to no change
+    assert(ch.filter(col("op") === "insert")
+      .filter(pmod(col("doc_id"), lit(7L)) === 2L).count() === 0)
+  }
+
   test("reads never list data directories: only manifest-listed files are scanned") {
     val root = freshRoot()
     lifecycle(root)
