@@ -363,6 +363,24 @@ object Streaming {
       }
       .start()
 
+  /** Streaming ingestion into the transaction-log table: each trigger's
+    * batch becomes ONE atomic commit ([[graft.operators.TxnLog.append]])
+    * — staged immutable files, manifest, pointer flip. Readers resolve
+    * whole trigger-batches or nothing, ever (the exactly-the-batch
+    * visibility a foreachBatch parquet append CANNOT give: a plain
+    * append is visible file-by-file as tasks finish). Downstream
+    * incremental consumers follow the commit stream with
+    * [[graft.operators.TxnLog.changes]] version windows.
+    */
+  def txnAppendStream(rows: DataFrame, root: String)(
+      afterBatch: (Long, Int) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = graft.operators.TxnLog.append(batch, root)
+        afterBatch(batchId, v)
+      }
+      .start()
+
   /** Stream enrichment against slowly-changing reference data: each
     * trigger left-joins the batch onto a FRESH read of the CDC-maintained
     * snapshot — an upstream reference change is visible to the very next

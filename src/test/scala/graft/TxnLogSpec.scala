@@ -177,6 +177,35 @@ class TxnLogSpec extends AnyFunSuite {
       .filter(pmod(col("doc_id"), lit(7L)) === 2L).count() === 0)
   }
 
+  test("streaming appends: one atomic commit per trigger; CDF windows recover each batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    TxnLog.init(docs.filter(col("doc_id") < 10), root) // v1
+    val input = MemoryStream[Long]
+    val commits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val q = graft.streaming.Streaming.txnAppendStream(
+      input.toDF().select(col("value").as("doc_id"),
+        lit("xx").as("lang"), lit(1L).as("n_chars")), root) {
+      (id, v) => commits.add((id, v)); ()
+    }
+    try {
+      input.addData(100L, 101L)
+      q.processAllAvailable()
+      input.addData(200L)
+      q.processAllAvailable()
+      assert(commits.toArray.toSeq === Seq((0L, 2), (1L, 3)))
+      // each version boundary is exactly one trigger batch
+      assert(TxnLog.changes(spark, root, 1, 2).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(100L, 101L))
+      assert(TxnLog.changes(spark, root, 2, 3).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(200L))
+      // a reader pinned before the stream started is unaffected
+      assert(TxnLog.read(spark, root, Some(1)).count() === 10)
+    } finally q.stop()
+  }
+
   test("reads never list data directories: only manifest-listed files are scanned") {
     val root = freshRoot()
     lifecycle(root)
