@@ -147,8 +147,31 @@ object DeletionVectors {
     * Buckets below the threshold keep their sidecar entries: compaction
     * cost scales with the DEAD volume, not the table.
     */
+  /** Crash repair, run by the writer before every compaction (the
+    * [[CdcSnapshot]] discipline): a death between compact's two swap
+    * renames leaves a bucket's only copy in its dot-prefixed holdout —
+    * hidden from Spark listings, so readers see the bucket as absent
+    * until this restores it. Holdouts whose promote DID land are
+    * leftovers; drop them.
+    */
+  private def repair(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataRoot = new Path(s"$root/data")
+    if (!fs.exists(dataRoot)) return
+    fs.listStatus(dataRoot).map(_.getPath).filter { p =>
+      p.getName.startsWith(".bucket=") && p.getName.endsWith(".old")
+    }.foreach { oldB =>
+      val liveB = new Path(dataRoot, oldB.getName.stripPrefix(".").stripSuffix(".old"))
+      if (!fs.exists(liveB)) {
+        if (!fs.rename(oldB, liveB))
+          throw new java.io.IOException(s"dv repair: could not restore $oldB")
+      } else fs.delete(oldB, true)
+    }
+  }
+
   def compact(spark: SparkSession, root: String,
               minDeadFraction: Double = 0.1): Seq[Long] = {
+    repair(spark, root) // restore any crash holdout BEFORE reading stats
     // partition-dir columns read back as INT (Spark's hive-partition type
     // inference) — cast before collect instead of assuming the write type
     val candidates = bucketStats(spark, root)

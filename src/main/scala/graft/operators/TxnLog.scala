@@ -377,6 +377,12 @@ object TxnLog {
     (1 until keepFrom).foreach { v =>
       f.delete(new Path(s"$root/manifests/version=$v"), true)
     }
+    // abandoned staging dirs (a writer that died mid-stage, before its
+    // commit): referenced by nothing, invisible to readers — single-writer
+    // discipline means none can be live while vacuum runs
+    f.listStatus(new Path(root)).map(_.getPath)
+      .filter(_.getName.startsWith(".stage-"))
+      .foreach(p => f.delete(p, true))
     dropped.sorted
   }
 

@@ -120,6 +120,26 @@ class DeletionVectorsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crash between compact's swap renames: the next compaction restores the bucket") {
+    val (root, total) = freshTable()
+    DeletionVectors.deleteWhere(spark, root, col("doc_id") < 20)
+    // simulate the crash window: bucket 3's only copy sits in the hidden
+    // holdout, its live directory gone
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/data/bucket=3"),
+      new org.apache.hadoop.fs.Path(s"$root/data/.bucket=3.old")))
+    // readers see the bucket as absent (the documented crash window)
+    assert(DeletionVectors.read(spark, root)
+      .filter(col("bucket") === 3).count() === 0)
+    // the writer's next compaction repairs first — bucket restored, then
+    // folded like any other candidate
+    DeletionVectors.compact(spark, root, minDeadFraction = 0.0001)
+    val live = DeletionVectors.read(spark, root)
+    assert(live.filter(col("bucket") === 3).count() > 0)
+    assert(live.count() === total - 20)
+  }
+
   test("MOR read plan: sidecar anti-join is broadcast, no shuffle of the corpus") {
     val (root, _) = freshTable()
     DeletionVectors.deleteWhere(spark, root, col("doc_id") < 10)

@@ -93,6 +93,18 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[Exception] { TxnLog.read(spark, root, Some(3)).count() }
   }
 
+  test("vacuum sweeps abandoned staging dirs (a writer that died mid-stage)") {
+    val root = freshRoot()
+    lifecycle(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.stage-deadbeef"))
+    val before = TxnLog.read(spark, root).count()
+    TxnLog.vacuum(spark, root, keepVersions = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/.stage-deadbeef")))
+    assert(TxnLog.read(spark, root).count() === before)
+  }
+
   test("optimistic concurrency: a commit based on a stale read refuses; retry succeeds") {
     val root = freshRoot()
     lifecycle(root)
