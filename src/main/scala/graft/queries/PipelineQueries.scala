@@ -596,6 +596,30 @@ object PipelineQueries {
       TxnLog.changes(s, root, 1, 3)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("op"))
         .orderBy(col("op"), col("doc_id"))
+    }),
+
+    // Incremental view maintenance from the CDF: a per-lang count MV
+    // initialized at v1 and folded forward through the v1→2 and v2→3
+    // change windows (+1 insert / −1 delete) — NEVER re-reading the base
+    // table after v1. The oracle computes the same counts DIRECTLY over
+    // the v3 read: the hash-match is the incremental ≡ direct proof, the
+    // maintenance pattern every downstream aggregate follows at 100 TB
+    // (apply the delta, don't rescan the table).
+    "tt_ivm_langs" -> ((s, dir) => {
+      val root = TxnLog.layout(s, dir)
+      val base = TxnLog.read(s, root, Some(1))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val folded = (1 until 3).foldLeft(base) { (mv, v) =>
+        val delta = TxnLog.changes(s, root, v, v + 1)
+          .groupBy(col("lang"))
+          .agg(sum(when(col("op") === "insert", 1L).otherwise(-1L)).as("d"))
+        mv.join(delta, Seq("lang"), "full_outer")
+          .select(col("lang"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+      }
+      folded.filter(col("n") > 0)
+        .select(col("lang"), col("n").as("n_docs"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1268,6 +1292,31 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_chars, op FROM ins
         |UNION ALL SELECT doc_id, lang, n_chars, op FROM del
         |ORDER BY op, doc_id""".stripMargin,
+
+    // IVM proof: the DIRECT per-lang counts at v3 — the Spark side folds
+    // CDF deltas instead; hash-match proves incremental ≡ direct.
+    "tt_ivm_langs" ->
+      """WITH m AS (
+        |  SELECT kind, file_name
+        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+        |  WHERE version = 3),
+        |data AS (
+        |  SELECT lang, regexp_extract(filename, '[^/]+$') AS fn,
+        |    file_row_number AS pos
+        |  FROM read_parquet('__TT_FILES__/*.parquet',
+        |         filename=true, file_row_number=true)),
+        |live AS (
+        |  SELECT d.* FROM data d
+        |  WHERE d.fn IN (SELECT file_name FROM m WHERE kind = 'data')),
+        |dels AS (
+        |  SELECT t.target_file, t.pos
+        |  FROM read_parquet('__TT_DELETES__/*.parquet', filename=true) t
+        |  WHERE regexp_extract(t.filename, '[^/]+$')
+        |    IN (SELECT file_name FROM m WHERE kind = 'delete'))
+        |SELECT lang, count(*)::BIGINT AS n_docs FROM live d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dels x WHERE x.target_file = d.fn AND x.pos = d.pos)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tt_history" ->
       """SELECT version::BIGINT AS version,
