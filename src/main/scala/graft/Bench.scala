@@ -125,7 +125,9 @@ object Bench {
       "hybrid_rrf", "dedup_exact", "minhash_lsh_dedup", "simhash",
       "image_phash_neardup", "embed_documents", "window_topn", "sessionize",
       "interval_join", "approx_distinct", "bpe_tokenize",
-      "sliding_window_agg", "skip_index_scan", "merge_upsert", "q6_forecast")
+      "sliding_window_agg", "skip_index_scan", "merge_upsert", "q6_forecast",
+      "semantic_dedup", "dv_mor_read", "tt_read_latest", "tt_changes",
+      "mmr_rerank", "cms_heavy_probes", "unigram_tokenize")
     val resultMap = results.toMap
     var hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + j(v)))
     def compact(entries: Seq[String]): String =
