@@ -31,6 +31,8 @@ object Stages {
     "pq-codebooks" -> ((s, d) => { operators.Pq.train(s, d); () }),
     "ivfpq-codes"  -> ((s, d) => { operators.Ivfpq.codesLayout(s, d); () }),
     "ivfpqres-codes" -> ((s, d) => { operators.Ivfpq.resCodesLayout(s, d); () }),
+    "ivfpq-deldemo" -> ((s, d) => { operators.Ivfpq.deletedDemoLayout(s, d); () }),
+    "ivfpq-splitdemo" -> ((s, d) => { operators.Ivfpq.splitDemoLayout(s, d); () }),
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),

@@ -67,7 +67,53 @@ object Ivfpq {
   /** Bench-harness hook: forget the codes layouts so a second build can be
     * timed cold (see Ann.resetMemos).
     */
-  private[graft] def resetMemos(): Unit = { layouts.clear(); resLayouts.clear() }
+  private[graft] def resetMemos(): Unit = {
+    layouts.clear(); resLayouts.clear(); demoLayouts.clear()
+  }
+
+  private val demoLayouts = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** One-time staged build of the tombstone-delete demo: a caller-owned
+    * clone of the residual codes layout with ids 1,2 logically deleted.
+    * The MUTATION is the one-time build (a `stage:*` bench line item, per
+    * the round-4 stage/query separation); the query then measures the
+    * SEARCH over the mutated index, not the mutation.
+    */
+  def deletedDemoLayout(spark: SparkSession, sfDir: String): String =
+    demoLayouts.computeIfAbsent(s"$sfDir/del", { _ =>
+      val clone = resCodesPath(sfDir) + "-deleted-demo"
+      spark.read.parquet(resCodesLayout(spark, sfDir))
+        .write.mode("overwrite").partitionBy("cell").parquet(clone)
+      val t = new org.apache.hadoop.fs.Path(tombstonesPath(clone))
+      t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+      deleteFromResLayout(spark, Seq(1L, 2L), clone)
+      clone
+    }).asInstanceOf[String]
+
+  /** One-time staged build of the cell-split demo: clone, split the most
+    * populous cell, return (dir, post-split centers, anchors). The stale
+    * metadata dumps of an earlier build are deleted BEFORE the split so
+    * every build splits from pristine geometry — [[splitCell]]'s
+    * dump-first base-geometry rule would otherwise chain a second split
+    * on top of the first build's.
+    */
+  def splitDemoLayout(spark: SparkSession, sfDir: String)
+      : (String, Seq[(Int, Array[Double])], Map[Int, Array[Double]]) =
+    demoLayouts.computeIfAbsent(s"$sfDir/split", { _ =>
+      val clone = resCodesPath(sfDir) + "-split-demo"
+      spark.read.parquet(resCodesLayout(spark, sfDir))
+        .write.mode("overwrite").partitionBy("cell").parquet(clone)
+      val fsys = new org.apache.hadoop.fs.Path(clone)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("-cents", "-anchors").foreach { suf =>
+        fsys.delete(new org.apache.hadoop.fs.Path(clone + suf), true)
+      }
+      val hot = spark.read.parquet(clone).groupBy(col("cell")).count()
+        .orderBy(col("count").desc, col("cell").asc).head().getInt(0)
+      val (c2, a2) = splitCell(spark, sfDir, clone,
+        s"$sfDir/embeddings.parquet", hot)
+      (clone, c2, a2)
+    }).asInstanceOf[(String, Seq[(Int, Array[Double])], Map[Int, Array[Double]])]
 
   private val resLayouts = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -445,21 +445,17 @@ object VectorQueries {
     // a caller-owned clone of the codes layout (sidecar parquet; serves
     // anti-join it broadcast) and the search no longer returns them,
     // without any cell file being rewritten. compactResLayout later drops
-    // the rows physically (AnnPqSpec). The clone is rebuilt fresh each
-    // run so the query is deterministic; the oracle replays the PRISTINE
-    // dumped codes (byte-identical to the clone) with vec_id NOT IN (1,2).
+    // the rows physically (AnnPqSpec). The MUTATION is the one-time
+    // staged build (stage:ivfpq-deldemo) — the query measures the search
+    // over the mutated index; the oracle replays the PRISTINE dumped
+    // codes (byte-identical to the clone) with vec_id NOT IN (1,2).
     "ivfpq_res_deleted" -> ((s, dir) => {
       val ivfpq = graft.operators.Ivfpq
       val emb = embeddings(s, dir)
       val qn = emb.filter(col("vec_id") === 0)
         .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
         .head().getSeq[Double](0).toArray // 1-row query fetch
-      val clone = ivfpq.resCodesPath(dir) + "-deleted-demo"
-      s.read.parquet(ivfpq.resCodesLayout(s, dir))
-        .write.mode("overwrite").partitionBy("cell").parquet(clone)
-      val t = new org.apache.hadoop.fs.Path(ivfpq.tombstonesPath(clone))
-      t.getFileSystem(s.sessionState.newHadoopConf()).delete(t, true)
-      ivfpq.deleteFromResLayout(s, Seq(1L, 2L), clone)
+      val clone = ivfpq.deletedDemoLayout(s, dir)
       ivfpq.searchResidual(s, dir, qn, excludeId = Some(0L),
         k = 5, shortlistN = 20, nprobe = 3, codesDirOverride = Some(clone))
     }),
@@ -469,22 +465,18 @@ object VectorQueries {
     // the most populous cell of a cloned layout is split in two by a
     // deterministic 2-means over just that cell (other cells untouched,
     // shared codebooks frozen, atomic-swap rewrite), and the search
-    // serves with the post-split metadata. Oracled by replaying the
-    // probe + anchor-ADC + rescore over the layout's own dumped
-    // post-split centers/anchors/codes. See Ivfpq.splitCell.
+    // serves with the post-split metadata. The SPLIT is the one-time
+    // staged build (stage:ivfpq-splitdemo); the query measures the
+    // post-split search. Oracled by replaying the probe + anchor-ADC +
+    // rescore over the layout's own dumped post-split
+    // centers/anchors/codes. See Ivfpq.splitCell.
     "ivfpq_res_split" -> ((s, dir) => {
       val ivfpq = graft.operators.Ivfpq
       val emb = embeddings(s, dir)
       val qn = emb.filter(col("vec_id") === 0)
         .select(VectorOps.l2Normalize(VectorOps.toDoubleArray(col("embedding"))).as("n"))
         .head().getSeq[Double](0).toArray // 1-row query fetch
-      val clone = ivfpq.resCodesPath(dir) + "-split-demo"
-      s.read.parquet(ivfpq.resCodesLayout(s, dir))
-        .write.mode("overwrite").partitionBy("cell").parquet(clone)
-      val hot = s.read.parquet(clone).groupBy(col("cell")).count()
-        .orderBy(col("count").desc, col("cell").asc).head().getInt(0)
-      val (cents2, anchors2) = ivfpq.splitCell(s, dir, clone,
-        s"$dir/embeddings.parquet", hot)
+      val (clone, cents2, anchors2) = ivfpq.splitDemoLayout(s, dir)
       ivfpq.searchResidual(s, dir, qn, excludeId = Some(0L),
         k = 5, shortlistN = 20, nprobe = 3,
         codesDirOverride = Some(clone),
