@@ -220,7 +220,15 @@ object TxnLog {
     */
   def compact(spark: SparkSession, root: String, numFiles: Int = 2): Int = {
     val v = latestVersion(spark, root)
-    val live = read(spark, root, Some(v)).repartition(numFiles)
+    val rows = read(spark, root, Some(v))
+    // re-cluster on the stats column, not round-robin: a rewrite is the
+    // one chance to restore file-level clustering, and a round-robin
+    // compact would leave every new file spanning the full value range —
+    // manifest stats technically correct but pruning-powerless at the
+    // very version every reader resolves by default
+    val live = if (rows.columns.contains(statsCol))
+      rows.repartitionByRange(numFiles, col(statsCol))
+    else rows.repartition(numFiles)
     // dataChange=false: a rewrite commits the SAME logical rows — the
     // change-data feed must not read it as delete-everything+insert-all
     commit(spark, root, stageFiles(live, root, "files", "data", dataChange = false))

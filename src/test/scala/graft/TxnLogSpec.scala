@@ -165,6 +165,13 @@ class TxnLogSpec extends AnyFunSuite {
     // stats recorded for every data file in every version's manifest
     val m = TxnLog.manifest(spark, root, 2).filter(col("kind") === "data")
     assert(m.filter(col("min_id").isNull).count() === 0)
+    // compact re-clusters: pruning power survives the rewrite — the
+    // LATEST version (2 compacted files) still skips for a narrow range
+    val prunedLatest = TxnLog.readPruned(spark, root, 100L, 150L)
+    assert(prunedLatest.select(col("_metadata.file_path")).distinct().count() === 1,
+      "post-compact manifest lost pruning power — rewrite must re-cluster")
+    assert(prunedLatest.count() ===
+      TxnLog.read(spark, root).filter(col("doc_id").between(100L, 150L)).count())
   }
 
   test("change-data feed: file-diff yields exactly the row-level diff; rewrite windows refuse") {
