@@ -13,6 +13,10 @@ object Plans {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // same extensions as Verify/Bench — without them the custom
+      // strategies (TopKPerKeyPlan, IVF rewrite) have no physical plan
+      // and the audit dies with "No plan for"
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
