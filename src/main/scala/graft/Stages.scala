@@ -37,6 +37,7 @@ object Stages {
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),
     "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () }),
+    "bloom-layout" -> ((s, d) => { sources.BloomSkip.layout(s, d); () }),
     "dv-layout"    -> ((s, d) => { operators.DeletionVectors.layout(s, d); () }),
     "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () }),
     "uni-vocab"    -> ((s, d) => {
@@ -65,5 +66,6 @@ object Stages {
     operators.TxnLog.resetMemos()
     sources.JdbcStore.resetMemos()
     sources.SkipIndex.resetMemos()
+    sources.BloomSkip.resetMemos()
   }
 }

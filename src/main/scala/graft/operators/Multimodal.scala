@@ -84,6 +84,62 @@ object Multimodal {
     }
   }
 
+  case class AudioFeatures(doc_id: Long, n_samples: Int, peak: Int,
+                           sumsq: Long, rms: Double, zero_crossings: Int)
+
+  /** SAMPLE-LEVEL audio feature extraction — the audio twin of the image
+    * path's pixel decode: walk the PCM16 data chunk of each WAV payload and
+    * compute the standard signal statistics a curation pipeline filters on
+    * (peak/RMS for clipping and silence gates, zero-crossing count as the
+    * cheap voicing/noisiness proxy). All integer arithmetic except the
+    * final RMS, which is rounded at the boundary (HALF_UP, 4 dp) so the
+    * oracle's replay compares exactly.
+    *
+    * A zero crossing is counted per channel when consecutive frames'
+    * samples have strictly opposite signs (product < 0) — the convention
+    * the oracle replays verbatim.
+    *
+    * 100 TB shape: map-only over the binary column (mapPartitions is the
+    * right tool for a codec loop — same posture as the image decoders);
+    * per-row output is 5 scalars, so the payload bytes never shuffle.
+    */
+  def audioFeatures(media: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = MediaCodec.decodeWav(r.payload)
+        val b = java.nio.ByteBuffer.wrap(r.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val ch = d.channels
+        val n = d.nFrames * ch
+        var peak = 0
+        var sumsq = 0L
+        var zc = 0
+        var f = 0
+        while (f < d.nFrames) {
+          var c = 0
+          while (c < ch) {
+            val s = b.getShort(44 + 2 * (f * ch + c)).toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumsq += s.toLong * s
+            if (f + 1 < d.nFrames) {
+              val next = b.getShort(44 + 2 * ((f + 1) * ch + c)).toLong
+              if (s.toLong * next < 0L) zc += 1
+            }
+            c += 1
+          }
+          f += 1
+        }
+        val rms =
+          if (n == 0) 0.0
+          else BigDecimal(math.sqrt(sumsq.toDouble / n))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioFeatures(r.doc_id, n, peak, sumsq, rms, zc)
+      }
+    }
+  }
+
   case class VideoRow(doc_id: Long, payload: Array[Byte])
   case class DecodedVideo(doc_id: Long, fmt: String, fps: Int, n_frames: Int,
                           width: Int, height: Int, duration_ms: Long,

@@ -348,6 +348,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sample-level audio features — the audio twin of pixel-level image
+    // decode: walk every payload's PCM16 data chunk and compute the
+    // curation-gate statistics (peak for clipping, RMS for silence,
+    // zero-crossing count for voicing). Spark reads actual sample bytes;
+    // the oracle re-derives each sample from the synthesis arithmetic in
+    // list space — hash match proves the PCM walk is bit-faithful.
+    "audio_features" -> ((s, dir) => {
+      val audio = Multimodal.synthesizeAudio(documents(s, dir))
+      Multimodal.audioFeatures(audio).toDF()
+        .select(col("doc_id"), col("n_samples"), col("peak"), col("sumsq"),
+          col("rms"), col("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Video modality — the third leg of image/audio/video: synthesize
     // real RIFF/AVI headers, parse them back per-partition, and emit the
     // 1 Hz frame-sampling plan (n_sampled, last index) a decode stage
@@ -950,6 +964,30 @@ object PipelineQueries {
         |  (50 + n_chars % 200)::INTEGER AS n_frames,
         |  ((50 + n_chars % 200) * 1000 // (8000 + (doc_id % 3) * 4000))::BIGINT AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays the PCM sawtooth s(f,c) = (f·257 + c·1031) % 65536 − 32768
+    // per doc in list space (operands non-negative, so % agrees across
+    // engines); zero crossings pair interleaved index i with i+ch (the
+    // same channel, next frame). Spark walks the real bytes instead.
+    "audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, (1 + doc_id % 2) AS ch, (50 + n_chars % 200) AS fr
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ch, fr,
+        |    flatten(list_transform(range(fr), f ->
+        |      list_transform(range(ch), c ->
+        |        (f * 257 + c * 1031) % 65536 - 32768))) AS xs
+        |  FROM p)
+        |SELECT doc_id,
+        |  (fr * ch)::INTEGER AS n_samples,
+        |  list_max(list_transform(xs, x -> abs(x)))::INTEGER AS peak,
+        |  list_sum(list_transform(xs, x -> x * x))::BIGINT AS sumsq,
+        |  round(sqrt(list_sum(list_transform(xs, x -> x * x))::DOUBLE
+        |    / (fr * ch)), 4) AS rms,
+        |  len(list_filter(range((fr - 1) * ch), i ->
+        |    xs[i + 1] * xs[i + 1 + ch] < 0))::INTEGER AS zero_crossings
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "video_meta" ->
       """WITH p AS (

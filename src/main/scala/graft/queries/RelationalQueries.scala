@@ -603,6 +603,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))),
 
+    // Bloom-filter file skipping — the POINT-LOOKUP pruning lever: the
+    // corpus lives clustered by (lang, n_chars) for analytics, so doc_id
+    // is scattered and every file's [min, max] id span covers every probe
+    // (min/max sidecar selects ALL files — spec-pinned). The per-file
+    // bloom sidecar selects only the files that can hold the probed ids;
+    // the exact IN predicate re-applies on the rows (no false negatives by
+    // construction, a false positive costs one file read, never answers).
+    // Oracle sees the plain table: the layout is an access path.
+    "bloom_skip_scan" -> ((s, dir) =>
+      graft.sources.BloomSkip.lookup(s, dir, Seq(7L, 233L, 411L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "dsv2_scan" -> ((s, dir) => {
       s.read.format("graft_range")
         .option("n", "10000").option("slices", "8").load()
@@ -2003,6 +2016,12 @@ object RelationalQueries {
         |FROM documents
         |WHERE doc_id BETWEEN 100 AND 299
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "bloom_skip_scan" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id IN (7, 233, 411)
+        |ORDER BY doc_id""".stripMargin,
 
     "dsv2_scan" ->
       """SELECT i AS id, i * i AS sq, (i % 10)::INTEGER AS label
