@@ -38,6 +38,7 @@ object Stages {
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),
     "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () }),
     "bloom-layout" -> ((s, d) => { sources.BloomSkip.layout(s, d); () }),
+    "invidx-layout" -> ((s, d) => { operators.InvertedIndex.layout(s, d); () }),
     "dv-layout"    -> ((s, d) => { operators.DeletionVectors.layout(s, d); () }),
     "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () }),
     "uni-vocab"    -> ((s, d) => {
@@ -64,6 +65,7 @@ object Stages {
     operators.DeletionVectors.resetMemos()
     operators.Unigram.resetMemos()
     operators.TxnLog.resetMemos()
+    operators.InvertedIndex.resetMemos()
     sources.JdbcStore.resetMemos()
     sources.SkipIndex.resetMemos()
     sources.BloomSkip.resetMemos()

@@ -414,6 +414,43 @@ object RelationalQueries {
           round(col("st")("l") + lit(3.0) * col("st")("b"), 6).as("forecast3"))
         .orderBy(col("user_id"))),
 
+    // Holt-WINTERS triple exponential smoothing (Winters 1960) — the
+    // seasonal step up from Holt when a per-key series has a repeating
+    // cycle (additive seasonality, period m=4 here). Classic init over
+    // the first two seasons (level = first-season mean; trend = season-
+    // mean difference / m; seasonals = first-season deviations), then the
+    // standard fold from t=m+1 with the NEW level inside both the trend
+    // and seasonal updates — inlined identically on both sides because
+    // neither engine's lambda has let-binding. The seasonal state is the
+    // rotating last-m deviations array; forecast1 = l + b + s[next].
+    // Same scale shape as Holt: one shuffle on user_id, then an in-group
+    // fold; keys below two seasons are filtered on both sides.
+    "holt_winters" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(ts, event_id, value))), x -> x.value)").as("xs"))
+        .filter(size(col("xs")) >= 8)
+        .withColumn("l0", expr("(xs[0]+xs[1]+xs[2]+xs[3]) / 4.0d"))
+        .withColumn("b0", expr("((xs[4]+xs[5]+xs[6]+xs[7]) / 4.0d - (xs[0]+xs[1]+xs[2]+xs[3]) / 4.0d) / 4.0d"))
+        .withColumn("s0", expr("array(xs[0]-l0, xs[1]-l0, xs[2]-l0, xs[3]-l0)"))
+        .withColumn("st",
+          expr("""aggregate(
+                 |  slice(xs, 5, size(xs) - 4),
+                 |  named_struct('l', l0, 'b', b0, 's', s0),
+                 |  (acc, x) -> named_struct(
+                 |    'l', 0.4d * (x - element_at(acc.s, 1)) + 0.6d * (acc.l + acc.b),
+                 |    'b', 0.2d * ((0.4d * (x - element_at(acc.s, 1)) + 0.6d * (acc.l + acc.b)) - acc.l)
+                 |         + 0.8d * acc.b,
+                 |    's', concat(slice(acc.s, 2, 3),
+                 |      array(0.3d * (x - (0.4d * (x - element_at(acc.s, 1)) + 0.6d * (acc.l + acc.b)))
+                 |            + 0.7d * element_at(acc.s, 1)))))""".stripMargin))
+        .select(col("user_id"), size(col("xs")).cast("long").as("n_events"),
+          round(col("st")("l"), 6).as("level"),
+          round(col("st")("b"), 6).as("trend"),
+          round(element_at(col("st")("s"), 1), 6).as("s_next"),
+          round(col("st")("l") + col("st")("b") + element_at(col("st")("s"), 1), 6).as("forecast1"))
+        .orderBy(col("user_id"))),
+
     // MERGE INTO (CDC upsert) as a Spark plan: apply a deterministic
     // changeset (deletes / updates / inserts derived arithmetically from
     // the snapshot, delete > update > insert precedence as in an explicit
@@ -682,6 +719,22 @@ object RelationalQueries {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy(col("win_start_us"), col("event_type"))
+    }),
+
+    // Batch twin of the CHAINED stateful streaming query (hourly window
+    // agg re-aggregated into 4-hour rollups via window-on-window): the
+    // same two-level plan run over batch events. The double rounding
+    // (hourly then 4-hourly) is part of the semantics and the oracle
+    // replays it with nested GROUP BYs.
+    "chained_window_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("hour_value"))
+        .groupBy(window(col("window"), "4 hours"), col("event_type"))
+        .agg(sum(col("n")).as("n"), round(sum(col("hour_value")), 2).as("total_value"))
+        .select(unix_micros(col("window.start")).as("win4_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("win4_start_us"), col("event_type"))
     }),
 
     // Batch twin of the stream-stream interval join (views in the hour
@@ -1726,6 +1779,37 @@ object RelationalQueries {
         |  round(l + 3.0 * b, 6) AS forecast3
         |FROM fold WHERE i = n ORDER BY user_id""".stripMargin,
 
+    // Replays the HW fold as a recursive CTE (the Holt oracle's lesson:
+    // list_reduce aliases its struct buffer in place, and the HW update
+    // uses the new level in two later fields — only previous-ROW reads
+    // are alias-safe). Init binds in a CTE exactly as Spark binds l0/b0/s0
+    // columns; inside the step the new level is inlined identically.
+    "holt_winters" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+        |    count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 8),
+        |init AS (
+        |  SELECT user_id, n, xs,
+        |    (xs[1]+xs[2]+xs[3]+xs[4]) / 4.0 AS l0,
+        |    ((xs[5]+xs[6]+xs[7]+xs[8]) / 4.0 - (xs[1]+xs[2]+xs[3]+xs[4]) / 4.0) / 4.0 AS b0
+        |  FROM ordered),
+        |fold AS (
+        |  SELECT user_id, n, xs, 4 AS i, l0::DOUBLE AS l, b0::DOUBLE AS b,
+        |    [xs[1]-l0, xs[2]-l0, xs[3]-l0, xs[4]-l0]::DOUBLE[] AS s
+        |  FROM init
+        |  UNION ALL
+        |  SELECT user_id, n, xs, i + 1,
+        |    0.4 * (xs[i+1] - s[1]) + 0.6 * (l + b),
+        |    0.2 * ((0.4 * (xs[i+1] - s[1]) + 0.6 * (l + b)) - l) + 0.8 * b,
+        |    [s[2], s[3], s[4],
+        |     0.3 * (xs[i+1] - (0.4 * (xs[i+1] - s[1]) + 0.6 * (l + b))) + 0.7 * s[1]]
+        |  FROM fold WHERE i < n)
+        |SELECT user_id, n AS n_events,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(s[1], 6) AS s_next,
+        |  round(l + b + s[1], 6) AS forecast1
+        |FROM fold WHERE i = n ORDER BY user_id""".stripMargin,
+
     "merge_upsert" ->
       """WITH ch0 AS (
         |  SELECT doc_id, n_chars,
@@ -1870,6 +1954,17 @@ object RelationalQueries {
         |  round(sum(value), 2) AS total_value
         |FROM w GROUP BY 1, 2
         |ORDER BY win_start_us, event_type""".stripMargin,
+
+    "chained_window_agg" ->
+      """WITH hourly AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h_us,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS hour_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT (h_us // 14400000000) * 14400000000 AS win4_start_us,
+        |  event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  round(sum(hour_value), 2) AS total_value
+        |FROM hourly GROUP BY 1, 2
+        |ORDER BY win4_start_us, event_type""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate

@@ -543,6 +543,16 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
 
+    // Inverted-index term lookup — "which docs contain X, how often"
+    // served from the bucket-partitioned postings layout: the term's
+    // bucket is a driver-computed literal, so the scan partition-prunes
+    // to ONE directory (spec-pinned) and reads postings digests, never
+    // the corpus. The oracle recomputes postings straight from
+    // `documents` — the layout is an access path, not semantics.
+    "term_lookup" -> ((s, dir) =>
+      graft.operators.InvertedIndex.lookup(s, dir, "column")
+        .orderBy(col("doc_id"))),
+
     // Hybrid retrieval: the BM25 lexical ranking and the embedding-cosine
     // semantic ranking over the SAME corpus, fused with reciprocal-rank
     // fusion (Cormack et al. 2009: score = Σ 1/(60 + rank)). This is the
@@ -1238,6 +1248,12 @@ object TextQueries {
          |SELECT doc_id, lang, n_tok, digit_ratio FROM r
          |WHERE rn = 1 AND n_tok BETWEEN 10 AND 512 AND digit_ratio <= 0.2
          |ORDER BY doc_id""".stripMargin,
+
+    "term_lookup" ->
+      s"""SELECT doc_id, count(*)::BIGINT AS tf
+         |FROM (SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents)
+         |WHERE term = 'column'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "bm25_search" ->
       s"""WITH toks AS (

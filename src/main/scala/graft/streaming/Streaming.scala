@@ -76,6 +76,31 @@ object Streaming {
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** CHAINED stateful operators — two window aggregations in ONE streaming
+    * query (hourly partials re-aggregated into 4-hour rollups), the
+    * pre-Spark-3.4 impossibility that forced intermediate Kafka topics
+    * between stateful stages. `window(col("window"), …)` re-windows the
+    * first aggregate's event-time window column, so watermark propagation
+    * crosses the stage boundary: the downstream agg finalizes a 4-hour
+    * window only when the watermark proves every upstream hourly partial
+    * inside it is final. The plan carries TWO state stores (spec-pinned
+    * via the progress metrics).
+    *
+    * At scale this halves the infrastructure of every rollup cascade
+    * (raw → minutely → hourly → daily): one query, one checkpoint, no
+    * replay topic between tiers — and the downstream state is one row per
+    * open coarse window, not per event.
+    */
+  def chainedWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("hour_value"))
+      .groupBy(window(col("window"), "4 hours"), col("event_type"))
+      .agg(sum(col("n")).as("n"), round(sum(col("hour_value")), 2).as("total_value"))
+      .select(unix_micros(col("window.start")).as("win4_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Native session-window aggregation — the streaming face of the batch
     * `session_window_agg` query (identical transformation; the batch run
     * is the oracle). Spark maintains MERGING session state per user: an
@@ -730,6 +755,63 @@ object Streaming {
           st.update(s)
           (uid, s.n, s.l, s.b, s.l + 3.0 * s.b)
       }.toDF("user_id", "n_events", "level", "trend", "forecast3")
+  }
+
+  case class HwState(buf: List[Double], l: Double, b: Double,
+                     s: List[Double], n: Long)
+
+  /** Streaming Holt-WINTERS — the triple-smoothing twin of the batch
+    * `holt_winters` query, continuing the identical fold from checkpointed
+    * state. The init contract is stateful: the first 2m=8 values BUFFER in
+    * state (no model yet — HW has no defensible estimate before two
+    * seasons); the 8th arrival computes the classic init and immediately
+    * folds the second season through the update, exactly as the batch
+    * fold consumes elements m+1..n. From then on each event applies the
+    * same double ops in the same order, so any per-key-ordered batch
+    * split reaches bit-identical (l, b, s).
+    *
+    * State per key is max(8 buffered doubles, 2 + m doubles) — O(m),
+    * stream-length-independent.
+    */
+  def holtWintersStream(spark: SparkSession, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    def step(state: HwState, x: Double): HwState = {
+      val l1 = 0.4 * (x - state.s.head) + 0.6 * (state.l + state.b)
+      val b1 = 0.2 * (l1 - state.l) + 0.8 * state.b
+      val sNew = 0.3 * (x - l1) + 0.7 * state.s.head
+      HwState(Nil, l1, b1, state.s.tail :+ sNew, state.n + 1)
+    }
+    rows.select(col("user_id"), col("tsMicros"), col("event_id"), col("value"))
+      .as[EwmaEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaEv], st: GroupState[HwState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var s = st.getOption.getOrElse(HwState(Nil, 0.0, 0.0, Nil, 0L))
+          sorted.foreach { e =>
+            s =
+              if (s.n >= 8L) step(s, e.value)
+              else {
+                val buf = s.buf :+ e.value
+                if (buf.length < 8) HwState(buf, 0.0, 0.0, Nil, s.n + 1)
+                else {
+                  val l0 = (buf(0) + buf(1) + buf(2) + buf(3)) / 4.0
+                  val b0 = ((buf(4) + buf(5) + buf(6) + buf(7)) / 4.0 -
+                    (buf(0) + buf(1) + buf(2) + buf(3)) / 4.0) / 4.0
+                  var cur = HwState(Nil, l0, b0,
+                    List(buf(0) - l0, buf(1) - l0, buf(2) - l0, buf(3) - l0), 4L)
+                  buf.drop(4).foreach { x => cur = step(cur, x) }
+                  cur
+                }
+              }
+          }
+          st.update(s)
+          val ready = s.n >= 8L && s.s.nonEmpty
+          (uid, s.n, ready,
+            if (ready) s.l else 0.0, if (ready) s.b else 0.0,
+            if (ready) s.s.head else 0.0,
+            if (ready) s.l + s.b + s.s.head else 0.0)
+      }.toDF("user_id", "n_events", "ready", "level", "trend", "s_next", "forecast1")
   }
 
   case class FunnelEv(user_id: Long, event_type: String, tsMicros: Long)

@@ -79,6 +79,36 @@ class StreamingSpec extends AnyFunSuite {
       "slide produced no overlapping windows")
   }
 
+  test("chained stateful operators: hourly agg re-windowed into 4-hour rollups in ONE query") {
+    // Two window aggregations chained in a single streaming query — the
+    // rollup cascade (raw → hourly → 4-hourly) without an intermediate
+    // topic + second job. The downstream agg must finalize a 4-hour
+    // window only when the watermark proves all its hourly partials
+    // final; the plan must really carry TWO state stores.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("win4_start_us"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total_value"))
+    val q = Streaming.chainedWindowAgg(Streaming.readEventsStream(spark, sf))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_chained").start()
+    val progress = try { q.processAllAvailable(); q.lastProgress } finally q.stop()
+    assert(progress.stateOperators.length === 2,
+      s"expected 2 stateful operators in one query, got ${progress.stateOperators.length}")
+    val streamed = spark.table("stream_chained").collect().map(key).toSet
+    val batch = SparkEntry.queries("chained_window_agg")(spark, sf)
+      .collect().map(key).toSet
+    // append mode: emitted ⊆ batch exactly; anything missing must be a
+    // 4-hour window still inside the unclosed watermark horizon
+    assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      s"chained stream diverged from batch: ${(streamed -- batch).take(3)}")
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val watermarkUs = maxUs - 2L * 3600 * 1000 * 1000
+    val pending = batch -- streamed
+    assert(pending.forall(_._1 + 4L * 3600 * 1000 * 1000 >= watermarkUs),
+      s"closed 4-hour windows never emitted: ${pending.take(3)}")
+  }
+
   test("streaming session_window: emitted sessions equal the batch twin; only unclosed tail sessions pend") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
@@ -601,6 +631,51 @@ class StreamingSpec extends AnyFunSuite {
       val singles = want.filter(_._2 == 1L)
       assert(singles.forall(t => t._4 == 0.0 && t._5 == t._3),
         "single-event keys must carry zero trend")
+    } finally q.stop()
+  }
+
+  test("streaming Holt-Winters: buffered init + fold continuation matches the batch query exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("value"))
+      .as[Streaming.EwmaEv].collect().sortBy(e => (e.tsMicros, e.event_id))
+    // cut INSIDE many keys' first two seasons so the buffered-init path
+    // provably crosses a trigger boundary for some users
+    val cut = evs(evs.length / 3).tsMicros
+    val input = MemoryStream[Streaming.EwmaEv]
+    val q = Streaming.holtWintersStream(spark, input.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hw_stream").start()
+    try {
+      input.addData(evs.filter(_.tsMicros <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evs.filter(_.tsMicros > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("hw_stream")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ready"), col("level"),
+          col("trend"), col("s_next"), col("forecast1"))).as("st"))
+        .filter(col("st.ready"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          round(col("st.level"), 6).as("level"),
+          round(col("st.trend"), 6).as("trend"),
+          round(col("st.s_next"), 6).as("s_next"),
+          round(col("st.forecast1"), 6).as("forecast1"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSet
+      val want = SparkEntry.queries("holt_winters")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toSet
+      assert(got === want, "streaming Holt-Winters diverged from the batch fold")
+      assert(want.nonEmpty)
+      // below-two-seasons keys must be suppressed, not emitted with a
+      // half-initialized model
+      val notReady = spark.table("hw_stream").filter(!col("ready"))
+      assert(notReady.filter(col("n_events") >= 8).count() === 0L)
     } finally q.stop()
   }
 
