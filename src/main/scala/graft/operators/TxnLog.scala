@@ -112,6 +112,11 @@ object TxnLog {
     entries.toDF()
       .repartition(1)
       .write.mode("errorifexists").parquet(s"$root/manifests/version=$v")
+    flipPointer(spark, root, v)
+    v
+  }
+
+  private def flipPointer(spark: SparkSession, root: String, v: Int): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(s"$root/._latest.tmp")
     val out = f.create(tmp, true)
@@ -120,7 +125,6 @@ object TxnLog {
     f.delete(ptr, false) // HDFS-style rename refuses to clobber
     if (!f.rename(tmp, ptr))
       throw new java.io.IOException(s"txn: pointer flip failed for v$v")
-    v
   }
 
   /** Stage `df` as new immutable files under `dir`, returning manifest
@@ -196,6 +200,79 @@ object TxnLog {
         stageFiles(df, root, "files", "data") ++
         listedEntries(spark, root, v, "delete"),
       expectedVersion)
+  }
+
+  // ------------------------------------------------- write-audit-publish
+
+  /** WRITE half of write-audit-publish (the Iceberg WAP pattern): stage
+    * the append's files AND its manifest for version v+1, but do NOT flip
+    * `_latest` — readers resolving the table still see v, while the audit
+    * can `read(version = staged)` the exact candidate snapshot. The
+    * manifest write is the same `errorifexists` slot the ordinary commit
+    * takes, so a concurrent writer cannot interleave between stage and
+    * publish — staging RESERVES the version (our single-log WAP is
+    * serializing by construction; Iceberg's branch-based WAP trades that
+    * for cherry-pick rebases).
+    */
+  def stageAppend(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    val staged = v + 1
+    import spark.implicits._
+    (listedEntries(spark, root, v, "data") ++
+      stageFiles(df, root, "files", "data") ++
+      listedEntries(spark, root, v, "delete")).toDF()
+      .repartition(1)
+      .write.mode("errorifexists").parquet(s"$root/manifests/version=$staged")
+    staged
+  }
+
+  /** PUBLISH half: flip the pointer to an already-staged version. The
+    * audit ran against exactly these files — publishing adds no new I/O,
+    * so what was audited is what readers get.
+    */
+  def publish(spark: SparkSession, root: String, staged: Int): Unit = {
+    val cur = latestVersion(spark, root)
+    require(staged == cur + 1,
+      s"txn: publish expects the next staged version (staged=$staged, latest=$cur)")
+    flipPointer(spark, root, staged)
+  }
+
+  /** ABORT a staged version: delete the data files only the staged
+    * manifest references, then the manifest itself — the version slot
+    * reopens for the next attempt and no reader ever saw the candidate.
+    */
+  def abortStaged(spark: SparkSession, root: String, staged: Int): Unit = {
+    val cur = latestVersion(spark, root)
+    require(staged == cur + 1, s"txn: cannot abort published version $staged")
+    val prior = listed(spark, root, cur, "data").toSet
+    val orphans = listed(spark, root, staged, "data").filterNot(prior)
+    val f = fs(spark, root)
+    orphans.foreach { n => f.delete(new Path(s"$root/files/$n"), false) }
+    f.delete(new Path(s"$root/manifests/version=$staged"), true)
+  }
+
+  /** The composed gate: stage the append, run the declarative
+    * data-quality suite against the STAGED snapshot (the whole-table
+    * candidate, not just the increment — cross-batch invariants like
+    * uniqueness need the union), publish iff every check passes, abort
+    * otherwise. Returns (published?, the (check, observed, passed)
+    * report) — the orchestrator's decision record either way.
+    */
+  def wapAppend(df: DataFrame, root: String,
+                checks: Seq[DataQuality.Check]): (Boolean, DataFrame) = {
+    val spark = df.sparkSession
+    val staged = stageAppend(df, root)
+    val lazyReport = DataQuality.report(read(spark, root, Some(staged)), checks)
+    // materialize BEFORE the verdict: an aborted stage deletes the files
+    // the lazy plan reads, and the report must outlive the abort
+    val rows = lazyReport.collect()
+    val report = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      lazyReport.schema)
+    val ok = rows.forall(_.getAs[Boolean]("passed"))
+    if (ok) publish(spark, root, staged) else abortStaged(spark, root, staged)
+    (ok, report)
   }
 
   /** Merge-on-read delete commit: stage one position-delete delta over the

@@ -225,6 +225,54 @@ class TxnLogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("write-audit-publish: staging is invisible, publish is what was audited, abort reopens the slot") {
+    import graft.operators.DataQuality
+    val root = freshRoot()
+    TxnLog.init(docs.filter(col("doc_id") < 300)
+      .repartitionByRange(2, col("doc_id")), root)
+    val checks = Seq(
+      DataQuality.Check("doc_id_complete", DataQuality.completeness(col("doc_id")),
+        _ === 1.0),
+      DataQuality.Check("doc_id_unique", DataQuality.uniquenessRatio(col("doc_id")),
+        _ === 1.0))
+
+    // 1. a GOOD batch: staged → audited → published
+    val good = docs.filter(col("doc_id") >= 300)
+    val staged = TxnLog.stageAppend(good, root)
+    // between stage and publish, default readers still resolve v1
+    assert(TxnLog.latestVersion(spark, root) === 1)
+    assert(TxnLog.read(spark, root).count() === 300)
+    // ...while the audit sees the full candidate snapshot
+    assert(TxnLog.read(spark, root, Some(staged)).count() === docs.count())
+    TxnLog.publish(spark, root, staged)
+    assert(TxnLog.latestVersion(spark, root) === 2)
+    assert(TxnLog.read(spark, root).count() === docs.count())
+
+    // 2. a BAD batch (duplicate ids): wapAppend audits, refuses, aborts
+    val bad = docs.filter(col("doc_id") < 50) // re-append existing ids
+    val before = TxnLog.read(spark, root).orderBy("doc_id").collect()
+    val (published, report) = TxnLog.wapAppend(bad, root, checks)
+    assert(!published, "a uniqueness-violating batch must not publish")
+    assert(report.filter(col("check_name") === "doc_id_unique" && !col("passed"))
+      .count() === 1L, "the report must name the failing check")
+    // the table is untouched: same version, same rows, no orphan files
+    assert(TxnLog.latestVersion(spark, root) === 2)
+    assert(TxnLog.read(spark, root).orderBy("doc_id").collect().toSeq === before.toSeq)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/files"))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(onDisk === TxnLog.manifest(spark, root, 2)
+      .filter(col("kind") === "data").count(),
+      s"aborted stage left orphan data files: $onDisk on disk")
+
+    // 3. the version slot reopened: a corrected batch lands normally
+    val (ok2, _) = TxnLog.wapAppend(
+      good.withColumn("doc_id", col("doc_id") + 100000L), root, checks)
+    assert(ok2, "the corrected batch must publish into the reopened slot")
+    assert(TxnLog.latestVersion(spark, root) === 3)
+  }
+
   test("reads never list data directories: only manifest-listed files are scanned") {
     val root = freshRoot()
     lifecycle(root)
