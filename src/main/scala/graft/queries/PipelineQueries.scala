@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -150,6 +151,31 @@ object PipelineQueries {
       val nodes = spread(doubledDocs(s, dir)).select(col("doc_id").as("id"))
       graft.operators.Components.connectedComponents(pairs, nodes)
         .orderBy(col("id"))
+    }),
+
+    // Keeper SELECTION policy — dedup's third verdict axis after
+    // keep-first-by-id and component membership: within each near-dup
+    // cluster keep the HIGHEST-QUALITY member (longest text here; any
+    // scalar quality score slots in), ties to the smallest id so the
+    // verdict is replayable. This is what real curation does — clones
+    // are usually truncations/boilerplate-wrapped copies, and keep-first
+    // keeps whichever arrived first, not whichever is best. The per-rep
+    // window runs over CLUSTERS (bounded by the dedup verdict), never
+    // the corpus.
+    "dedup_best_keeper" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir).select(col("id_a"), col("id_b"))
+      val nodes = spread(doubledDocs(s, dir)).select(col("doc_id").as("id"))
+      val comp = graft.operators.Components.connectedComponents(pairs, nodes)
+      val quality = doubledDocs(s, dir)
+        .select(col("doc_id").as("id"), length(col("text")).cast("long").as("q"))
+      comp.join(quality, "id")
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("rep"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("rep")).orderBy(col("q").desc, col("id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("rep"), col("cluster_size"), col("id").as("keeper_id"),
+          col("q").as("keeper_len"))
+        .orderBy(col("rep"))
     }),
 
     // Leakage-safe train/val/test split — the eval-inflation guard a
@@ -838,6 +864,25 @@ object PipelineQueries {
          |  SELECT e.edst AS id, r.rep FROM reach r JOIN edges e ON e.esrc = r.id
          |)
          |SELECT id, min(rep) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "dedup_best_keeper" ->
+      s"""WITH RECURSIVE $duckLshPairsCtes,
+         |edges AS (SELECT id_a AS esrc, id_b AS edst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS rep FROM src
+         |  UNION
+         |  SELECT e.edst AS id, r.rep FROM reach r JOIN edges e ON e.esrc = r.id
+         |),
+         |comp AS (SELECT id, min(rep) AS rep FROM reach GROUP BY id),
+         |qual AS (SELECT doc_id AS id, length(text)::BIGINT AS q
+         |         FROM ($doubledDocsSql))
+         |SELECT rep, cluster_size, id AS keeper_id, q AS keeper_len FROM (
+         |  SELECT c.rep, c.id, qual.q,
+         |    count(*) OVER (PARTITION BY c.rep) AS cluster_size,
+         |    row_number() OVER (PARTITION BY c.rep ORDER BY qual.q DESC, c.id) AS rn
+         |  FROM comp c JOIN qual USING (id))
+         |WHERE rn = 1 ORDER BY rep""".stripMargin,
 
     "leakage_safe_split" ->
       s"""WITH RECURSIVE $duckLshPairsCtes,

@@ -314,6 +314,26 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // MAD outlier detection — the ROBUST sibling of IQR and z-score: the
+    // median absolute deviation survives up to 50% contamination, where
+    // the IQR fences move at 25% and the z-score's mean/σ move on one bad
+    // row. Modified z-score |x − med| / (1.4826·MAD) > 3.5 is the
+    // Iglewicz–Hoaglin convention. Two digest aggregates (per-type
+    // median, then median of |x − med|) broadcast back; flagging is
+    // map-only — no full-table window at any point.
+    "outlier_mad" -> ((s, dir) => {
+      val med = events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = events(s, dir).join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      events(s, dir).join(broadcast(mad), "event_type")
+        .filter(abs(col("value") - col("med")) > lit(3.5) * lit(1.4826) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+        .orderBy(col("event_id"))
+    }),
+
     // Time-series gap detection: per-user silences longer than 12 h —
     // lead over the (user_id)-partitioned order, map-only after one
     // digest-bounded window. The monitoring face of sessionize.
@@ -1722,6 +1742,21 @@ object RelationalQueries {
         |  round(b.lo, 6) AS lo, round(b.hi, 6) AS hi
         |FROM events e JOIN b USING (event_type)
         |WHERE e.value < b.lo OR e.value > b.hi
+        |ORDER BY e.event_id""".stripMargin,
+
+    "outlier_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, m.med,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(d.med, 6) AS med, round(d.mad, 6) AS mad
+        |FROM events e JOIN d USING (event_type)
+        |WHERE abs(e.value - d.med) > 3.5 * 1.4826 * d.mad
         |ORDER BY e.event_id""".stripMargin,
 
     "ts_gaps" ->

@@ -893,6 +893,25 @@ object TextQueries {
     }),
 
     // Token-count statistics per language.
+    // Sequence-length bucketing — the batched-inference packing planner:
+    // group docs into pad-to-multiple-of-64 length buckets and report the
+    // padding efficiency (real tokens / padded slots) per bucket. This is
+    // the table an inference scheduler reads to size batches: padding
+    // waste is pure GPU burn, and bucketing by length is the standard
+    // fix. One tokenize pass + one hash agg; map-side combinable.
+    "length_buckets" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("bucket", (ceil(col("n_tokens") / 64.0) * 64).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("real_tokens"))
+        .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+        .withColumn("efficiency",
+          round(col("real_tokens") / col("padded_tokens"), 6))
+        .orderBy(col("bucket"))
+    }),
+
     "token_counts" -> ((s, dir) => {
       documents(s, dir)
         .withColumn("n_tokens", TextOps.tokenCount(col("text")))
@@ -1575,6 +1594,17 @@ object TextQueries {
          |  FROM c)
          |SELECT rank, tok, n, round(cum::DOUBLE / total, 6) AS cum_frac
          |FROM r, t WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    "length_buckets" ->
+      s"""WITH t AS (
+         |  SELECT (ceil(len(${duckToks("text")}) / 64.0) * 64)::BIGINT AS bucket,
+         |    len(${duckToks("text")})::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT bucket, count(*) AS n_docs,
+         |  sum(n_tokens)::BIGINT AS real_tokens,
+         |  (bucket * count(*))::BIGINT AS padded_tokens,
+         |  round(sum(n_tokens)::DOUBLE / (bucket * count(*)), 6) AS efficiency
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "token_counts" ->
       s"""SELECT lang, sum(len(${duckToks("text")}))::BIGINT AS total_tokens,
