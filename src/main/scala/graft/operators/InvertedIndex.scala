@@ -51,23 +51,77 @@ object InvertedIndex {
 
   private val memos = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Tokenize → (term, doc_id, tf, bucket) postings rows for any doc
+    * frame — shared by the full build and the incremental append.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val bucketOf = udf((t: String) => termBucket(t))
+    docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term")))
+  }
+
   def layout(spark: SparkSession, sfDir: String): String =
     memos.computeIfAbsent(sfDir, { _ =>
       val dir = layoutPath(sfDir)
-      val bucketOf = udf((t: String) => termBucket(t))
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"),
-          explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
-            .as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", bucketOf(col("term")))
+      postingsOf(spark.read.parquet(s"$sfDir/documents.parquet"))
         // one output file per bucket, postings sorted for in-file locality
         .repartition(NumBuckets, col("bucket"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      // the index carries its own corpus stats: N (for idf) as a 1-row
+      // meta table beside the postings — serving never touches the corpus
+      val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      spark.range(1).select(lit(n).as("n_docs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir-meta")
       dir
     })
+
+  /** Incremental maintenance — the daily-ingest face: arriving docs'
+    * postings append into their bucket directories (per-bucket appends,
+    * the same shape as the IVF cell appends; the compaction/two-rename
+    * repair family applies when files accumulate), and the 1-row meta
+    * table advances N. Serving reads the union automatically.
+    */
+  def appendDocs(spark: SparkSession, sfDir: String, docs: DataFrame): Unit = {
+    val dir = layout(spark, sfDir)
+    postingsOf(docs)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").partitionBy("bucket").parquet(dir)
+    val n = spark.read.parquet(s"$dir-meta").head().getLong(0) + docs.count()
+    spark.range(1).select(lit(n).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir-meta")
+  }
+
+  /** Sparse TF-IDF retrieval SERVED FROM THE INDEX — the lexical search
+    * path once an inverted index exists: only the query terms' buckets
+    * are read (partition-pruned to ≤|terms| directories), df comes from
+    * the posting lists themselves and N from the meta table (the index
+    * carries its own statistics — the corpus is never touched at serve
+    * time). Score = Σ tf·ln(N/df), rounded before ranking so the
+    * ordering is engine-portable; top-k with id tiebreak.
+    */
+  def sparseSearch(spark: SparkSession, sfDir: String, terms: Seq[String],
+                   k: Int = 10): DataFrame = {
+    val dir = layout(spark, sfDir)
+    val buckets = terms.map(termBucket(_)).distinct
+    val postings = spark.read.parquet(dir)
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(terms))
+    val n = spark.read.parquet(s"$dir-meta").head().getLong(0)
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    postings.join(broadcast(df), "term")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 
   /** Serve "docs containing TERM": partition-prune to the term's bucket
     * directory, then filter the postings rows. The bucket predicate is a

@@ -543,6 +543,16 @@ object TextQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
 
+    // Sparse TF-IDF retrieval SERVED FROM THE INDEX: only the query
+    // terms' buckets are read (partition-pruned), df comes from the
+    // posting lists and N from the index's own meta table — the corpus
+    // is never touched at serve time (the bm25_search family reads a
+    // staged digest; this serves from the persisted index layout). The
+    // oracle recomputes from documents directly.
+    "sparse_search" -> ((s, dir) =>
+      graft.operators.InvertedIndex.sparseSearch(s, dir,
+        Seq("data", "table", "query"))),
+
     // Inverted-index term lookup — "which docs contain X, how often"
     // served from the bucket-partitioned postings layout: the term's
     // bucket is a driver-computed literal, so the scan partition-prunes
@@ -1267,6 +1277,17 @@ object TextQueries {
          |SELECT doc_id, lang, n_tok, digit_ratio FROM r
          |WHERE rn = 1 AND n_tok BETWEEN 10 AND 512 AND digit_ratio <= 0.2
          |ORDER BY doc_id""".stripMargin,
+
+    "sparse_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('data', 'table', 'query') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+         |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "term_lookup" ->
       s"""SELECT doc_id, count(*)::BIGINT AS tf

@@ -757,6 +757,32 @@ object Streaming {
       }.toDF("user_id", "n_events", "level", "trend", "forecast3")
   }
 
+  /** Streaming WRITE-AUDIT-PUBLISH ingestion — the gated form of
+    * [[txnAppendStream]]: every micro-batch stages into the transaction
+    * log, the declarative DQ suite audits the staged whole-table
+    * candidate, and the batch publishes (one atomic commit) or aborts
+    * (table untouched, slot reopened) on the verdict. A poisoned trigger
+    * therefore quarantines itself instead of landing — the difference
+    * between "bad data arrived and we alerted" and "bad data never became
+    * the table". Verdicts journal per batch_id for the orchestrator.
+    * Same at-least-once posture as [[txnAppendStream]]: a redelivered
+    * trigger would re-stage; exactly-once pairs the commit with an
+    * (appId, batchId) high-watermark in the manifest, as Delta's txn
+    * action does.
+    */
+  def wapIngestStream(spark: SparkSession, docs: DataFrame, root: String,
+                      checks: Seq[graft.operators.DataQuality.Check],
+                      verdicts: java.util.Queue[(Long, Boolean)]): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val (published, _) = graft.operators.TxnLog.wapAppend(b, root, checks)
+          verdicts.add((id, published))
+        }
+        ()
+      }.start()
+
   case class HwState(buf: List[Double], l: Double, b: Double,
                      s: List[Double], n: Long)
 

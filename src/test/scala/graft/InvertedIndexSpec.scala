@@ -57,6 +57,52 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(layoutTotal === corpusTotal)
   }
 
+  test("sparse search serves from the index: pruned buckets, df/N from the layout") {
+    // the postings scan the search plans (same filter) touches only the
+    // query terms' bucket directories — one file per probed bucket
+    val terms = Seq("data", "table", "query")
+    val expectBuckets = terms.map(InvertedIndex.termBucket(_)).distinct.size
+    val pruned = spark.read.parquet(InvertedIndex.layout(spark, sf))
+      .filter(col("bucket").isInCollection(terms.map(InvertedIndex.termBucket(_)).distinct) &&
+        col("term").isInCollection(terms))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get
+    assert(scan.metrics("numFiles").value <= expectBuckets,
+      s"postings scan read ${scan.metrics("numFiles").value} files " +
+        s"for $expectBuckets probed buckets")
+    // and the search itself returns a full top-k
+    assert(InvertedIndex.sparseSearch(spark, sf, terms).count() === 10L)
+  }
+
+  test("incremental append: new docs served immediately; N advances") {
+    import spark.implicits._
+    // fresh layout in a throwaway sf-keyed memo: reuse the real one but
+    // restore it after — simpler: append synthetic docs with ids far
+    // outside the fixture range, then verify lookup sees them
+    val dirBefore = InvertedIndex.layout(spark, sf)
+    val nBefore = spark.read.parquet(s"$dirBefore-meta").head().getLong(0)
+    val fresh = Seq(
+      (9000001L, "zzqx zzqx zzqx unique probe text"),
+      (9000002L, "zzqx another arrival")).toDF("doc_id", "text")
+    InvertedIndex.appendDocs(spark, sf, fresh)
+    try {
+      val got = InvertedIndex.lookup(spark, sf, "zzqx")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === Seq((9000001L, 3L), (9000002L, 1L)))
+      val nAfter = spark.read.parquet(s"$dirBefore-meta").head().getLong(0)
+      assert(nAfter === nBefore + 2)
+    } finally {
+      // restore the shared layout for other tests/queries: rebuild clean
+      InvertedIndex.resetMemos()
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dirBefore), spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(dirBefore), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dirBefore-meta"), true)
+      InvertedIndex.layout(spark, sf)
+    }
+  }
+
   test("bucket function: write-side UDF and read-side driver call agree") {
     val rows = spark.read.parquet(InvertedIndex.layout(spark, sf))
       .select("term", "bucket").distinct().collect()

@@ -679,6 +679,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WAP ingestion: good triggers publish atomically, a poisoned trigger quarantines itself") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{DataQuality, TxnLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_wap_stream")
+      .toFile.getAbsolutePath + "/t"
+    TxnLog.init(Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang"), root)
+    val checks = Seq(
+      DataQuality.Check("ids_unique", DataQuality.uniquenessRatio(col("doc_id")),
+        _ === 1.0),
+      DataQuality.Check("lang_known", DataQuality.inSetRatio(col("lang"),
+        Seq("en", "de", "fr")), _ === 1.0))
+    val verdicts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.wapIngestStream(spark,
+      input.toDF().toDF("doc_id", "lang"), root, checks, verdicts)
+    try {
+      input.addData((3L, "fr"), (4L, "en"))        // good
+      q.processAllAvailable()
+      input.addData((3L, "en"), (5L, "xx"))        // poisoned: dup id + bad lang
+      q.processAllAvailable()
+      input.addData((6L, "de"))                    // good again
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = verdicts.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(vs === Seq(true, false, true), s"verdicts: $vs")
+    // the table holds exactly the published batches — the poisoned rows
+    // never landed, and the version history shows 3 commits (init + 2)
+    assert(TxnLog.latestVersion(spark, root) === 3)
+    val ids = TxnLog.read(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 3L, 4L, 6L))
+  }
+
   test("state store + state-metadata sources: checkpointed dedup state is introspectable offline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
