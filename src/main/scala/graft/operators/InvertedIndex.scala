@@ -86,6 +86,13 @@ object InvertedIndex {
     * the same shape as the IVF cell appends; the compaction/two-rename
     * repair family applies when files accumulate), and the 1-row meta
     * table advances N. Serving reads the union automatically.
+    *
+    * Semantics: arrivals are assumed NEW docs (a re-append would double
+    * their postings — dedup belongs upstream, `incremental_dedup`'s
+    * job). Crash between the postings append and the meta write leaves N
+    * one batch low: df stays exact, idf reads marginally high — stale-
+    * safe in the same sense as the skipping sidecars (costs ranking
+    * nuance, never correctness of which docs match).
     */
   def appendDocs(spark: SparkSession, sfDir: String, docs: DataFrame): Unit = {
     val dir = layout(spark, sfDir)

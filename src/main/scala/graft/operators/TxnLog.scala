@@ -213,6 +213,13 @@ object TxnLog {
     * publish — staging RESERVES the version (our single-log WAP is
     * serializing by construction; Iceberg's branch-based WAP trades that
     * for cherry-pick rebases).
+    *
+    * Crash window: an auditor that dies between stage and verdict leaves
+    * the reserved slot occupied — every later commit refuses at the
+    * errorifexists write. Recovery is [[abortStaged]] after restart: its
+    * precondition (staged == latest + 1) still holds because nothing
+    * could publish past the reservation, so the repair is always safe to
+    * run and reopens the slot orphan-free (spec-pinned).
     */
   def stageAppend(df: DataFrame, root: String): Int = {
     val spark = df.sparkSession

@@ -273,6 +273,27 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.latestVersion(spark, root) === 3)
   }
 
+  test("crashed audit: the staged slot blocks commits until abortStaged repairs it") {
+    val root = freshRoot()
+    TxnLog.init(docs.filter(col("doc_id") < 300)
+      .repartitionByRange(2, col("doc_id")), root)
+    // the auditor stages... and dies (no publish, no abort)
+    val staged = TxnLog.stageAppend(docs.filter(col("doc_id") >= 300), root)
+    // the reservation blocks every later commit — loudly, not silently
+    val boom = intercept[Exception] {
+      TxnLog.append(docs.filter(col("doc_id") >= 400), root)
+    }
+    assert(boom.getMessage != null)
+    assert(TxnLog.latestVersion(spark, root) === 1,
+      "a blocked commit must not move the pointer")
+    // restart-side repair: abortStaged's precondition still holds
+    // (nothing can publish past the reservation), so it reopens the slot
+    TxnLog.abortStaged(spark, root, staged)
+    val v = TxnLog.append(docs.filter(col("doc_id") >= 300), root)
+    assert(v === 2)
+    assert(TxnLog.read(spark, root).count() === docs.count())
+  }
+
   test("reads never list data directories: only manifest-listed files are scanned") {
     val root = freshRoot()
     lifecycle(root)
