@@ -142,5 +142,36 @@ object InvertedIndex {
       .select(col("doc_id"), col("tf"))
   }
 
+  /** BULK sparse serving — Q queries against the postings layout in ONE
+    * job (the batch face of [[sparseSearch]], mirroring the IVF family's
+    * `ivfSearchBatch`): the postings scan reads the UNION of all probed
+    * buckets once, each posting row joins only the queries that asked for
+    * its term (broadcast query table — KBs), df/N come from the index as
+    * in the single-query path, and the per-qid ranking is the custom
+    * partial/final TopKPerKey heap pair — ≤k rows per qid per partition
+    * cross the exchange, however common a term is.
+    */
+  def sparseSearchBatch(spark: SparkSession, sfDir: String,
+                        queries: Seq[(Long, Seq[String])], k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val dir = layout(spark, sfDir)
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.map(termBucket(_)).distinct
+    val qTerms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val postings = spark.read.parquet(dir)
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(allTerms))
+    val n = spark.read.parquet(s"$dir-meta").head().getLong(0)
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(df), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
+    TopK.perKey(scored, Seq("qid"), Seq(("score", false), ("doc_id", true)), k)
+      .orderBy(col("qid"), col("score").desc, col("doc_id"))
+  }
+
   private[graft] def resetMemos(): Unit = memos.clear()
 }

@@ -553,6 +553,17 @@ object TextQueries {
       graft.operators.InvertedIndex.sparseSearch(s, dir,
         Seq("data", "table", "query"))),
 
+    // Bulk sparse serving — Q queries in ONE job over the postings
+    // layout: union of probed buckets scanned once, broadcast query
+    // table routes each posting row to the queries that asked for its
+    // term, per-qid ranking via the partial/final TopKPerKey heap pair
+    // (bounded exchange however common a term is).
+    "sparse_search_batch" -> ((s, dir) =>
+      graft.operators.InvertedIndex.sparseSearchBatch(s, dir, Seq(
+        1L -> Seq("data", "table"),
+        2L -> Seq("query", "join"),
+        3L -> Seq("scan")))),
+
     // Inverted-index term lookup — "which docs contain X, how often"
     // served from the bucket-partitioned postings layout: the term's
     // bucket is a driver-computed literal, so the scan partition-prunes
@@ -859,6 +870,23 @@ object TextQueries {
             .as("bits_per_bigram"))
         .orderBy(col("doc_id"))
     }),
+
+    // PII PSEUDONYMIZATION — the other half of the privacy story beside
+    // redaction (`pii_scrub`): identity columns replaced with a STABLE
+    // deterministic token ('u-' + md5 prefix), so analytics and joins
+    // keep working (same user → same pseudonym, grouping by pseudonym ≡
+    // grouping by user) while the raw identifier never leaves the
+    // boundary. Map-only rewrite; the hash-match against the oracle's
+    // identical md5 arithmetic proves cross-engine token stability.
+    "pii_pseudonymize" -> ((s, dir) =>
+      graft.Tables.events(s, dir)
+        .select(concat(lit("u-"),
+          substring(md5(col("user_id").cast("string")), 1, 12)).as("user_pseudo"),
+          col("value"))
+        .groupBy(col("user_pseudo"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_pseudo"))),
 
     // PII scrubbing: the redaction pass every released corpus gets. The
     // fixture text is clean, so deterministic synthetic PII (an email and
@@ -1289,6 +1317,26 @@ object TextQueries {
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    "sparse_search_batch" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents),
+         |qt(qid, term) AS (VALUES (1, 'data'), (1, 'table'),
+         |                         (2, 'query'), (2, 'join'), (3, 'scan')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+         |scored AS (
+         |  SELECT qt.qid::BIGINT AS qid, tf.doc_id,
+         |    round(sum(tf.tf * ln(nd / df.df)), 6) AS score
+         |  FROM tf JOIN qt USING (term) JOIN df USING (term) CROSS JOIN n
+         |  GROUP BY qt.qid, tf.doc_id),
+         |r AS (SELECT qid, doc_id, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+         |      FROM scored)
+         |SELECT qid, doc_id, score FROM r WHERE rn <= 5
+         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+
     "term_lookup" ->
       s"""SELECT doc_id, count(*)::BIGINT AS tf
          |FROM (SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents)
@@ -1587,6 +1635,11 @@ object TextQueries {
          |FROM dc JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
          |GROUP BY dc.doc_id
          |ORDER BY dc.doc_id""".stripMargin,
+
+    "pii_pseudonymize" ->
+      """SELECT 'u-' || substr(md5(user_id::VARCHAR), 1, 12) AS user_pseudo,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pii_scrub" ->
       s"""WITH tainted AS (

@@ -757,6 +757,26 @@ object Streaming {
       }.toDF("user_id", "n_events", "level", "trend", "forecast3")
   }
 
+  /** Streaming sparse-search serve — the LEXICAL twin of [[ivfpqServe]]:
+    * each trigger's text queries are answered from the persisted postings
+    * layout via the bulk batch face (union-of-probed-buckets scan,
+    * broadcast query routing, TopKPerKey ranking). Queries collect to the
+    * driver — a serving batch is API-sized, and bucket probing is driver
+    * arithmetic by design, exactly as the vector serve collects its
+    * query embeddings.
+    */
+  def sparseServe(queries: DataFrame, sfDir: String, k: Int = 5)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("qid"), col("terms"))
+          .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+        if (qs.nonEmpty)
+          sink(graft.operators.InvertedIndex.sparseSearchBatch(
+            batch.sparkSession, sfDir, qs, k), batchId)
+        ()
+      }.start()
+
   /** Streaming WRITE-AUDIT-PUBLISH ingestion — the gated form of
     * [[txnAppendStream]]: every micro-batch stages into the transaction
     * log, the declarative DQ suite audits the staged whole-table

@@ -679,6 +679,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sparse serve: per-trigger text queries equal the batch search over the same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val q1 = Seq(1L -> Seq("data", "table"), 2L -> Seq("query", "join"))
+    val q2 = Seq(3L -> Seq("scan"))
+    val results = scala.collection.mutable.Map[Long, Array[(Long, Long, Double)]]()
+    val input = MemoryStream[(Long, Seq[String])]
+    val q = Streaming.sparseServe(input.toDF().toDF("qid", "terms"), sf) {
+      (df, id) =>
+        results(id) = df.collect().map(r =>
+          (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+        ()
+    }
+    try {
+      input.addData(q1: _*); q.processAllAvailable()
+      input.addData(q2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def batch(qs: Seq[(Long, Seq[String])]) =
+      graft.operators.InvertedIndex.sparseSearchBatch(spark, sf, qs)
+        .collect().map(r =>
+          (r.getAs[Long]("qid"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(results(0L).toSeq === batch(q1).toSeq)
+    assert(results(1L).toSeq === batch(q2).toSeq)
+    assert(results(0L).nonEmpty && results(1L).nonEmpty)
+  }
+
   test("streaming WAP ingestion: good triggers publish atomically, a poisoned trigger quarantines itself") {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
