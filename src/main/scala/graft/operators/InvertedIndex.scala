@@ -54,14 +54,18 @@ object InvertedIndex {
   /** Tokenize → (term, doc_id, tf, bucket) postings rows for any doc
     * frame — shared by the full build and the incremental append.
     */
+  /** Postings carry POSITIONS beside tf — the payload a phrase query
+    * needs (real postings formats store exactly this; positions are
+    * 0-based over the filtered token sequence).
+    */
   private def postingsOf(docs: DataFrame): DataFrame = {
     val bucketOf = udf((t: String) => termBucket(t))
     docs
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
-          .as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+        posexplode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketOf(col("term")))
   }
 
@@ -140,6 +144,69 @@ object InvertedIndex {
     spark.read.parquet(dir)
       .filter(col("bucket") === lit(termBucket(term)) && col("term") === lit(term))
       .select(col("doc_id"), col("tf"))
+  }
+
+  /** PHRASE search over the positional postings — "these words, adjacent,
+    * in order", the query BM25's bag-of-words provably cannot answer:
+    * the phrase's start positions survive a fold of per-term position
+    * intersections (a start s survives term i iff s+i is in term i's
+    * position list). Only position DIGESTS join (on doc_id, one join per
+    * extra phrase term) — the corpus text is never touched, and docs
+    * missing any term drop out at the first join.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val dir = layout(spark, sfDir)
+    val buckets = terms.map(termBucket(_)).distinct
+    val posts = spark.read.parquet(dir)
+      .filter(col("bucket").isInCollection(buckets) &&
+        col("term").isInCollection(terms))
+      .select(col("term"), col("doc_id"), col("positions"))
+    val first = posts.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("positions").as("starts"))
+    val matched = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(posts.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as("p")), "doc_id")
+        .select(col("doc_id"),
+          expr(s"filter(starts, s -> array_contains(p, s + $i))").as("starts"))
+        .filter(size(col("starts")) > 0)
+    }
+    matched.select(col("doc_id"), size(col("starts")).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Compaction — the repair [[appendDocs]] pairs with: per-ingest
+    * appends accumulate one file per bucket per batch (the same
+    * small-files spiral as IVF cell appends), and this folds each bucket
+    * back to target-sized sorted runs through the SAME two-rename atomic
+    * swap discipline as `Ann.compactLayout` — readers see the old or new
+    * layout, never a partial one; a crash rolls back to the un-compacted
+    * layout.
+    */
+  def compactPostings(spark: SparkSession, sfDir: String,
+                      targetRowsPerFile: Long = 1L << 20): Unit = {
+    val dir = layout(spark, sfDir)
+    val tmp = dir + "-compact-tmp"
+    val old = dir + "-compact-old"
+    spark.read.parquet(dir)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy("bucket").parquet(tmp)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val pTmp = new org.apache.hadoop.fs.Path(tmp)
+    val pOld = new org.apache.hadoop.fs.Path(old)
+    fs.delete(pOld, true) // leftover from an earlier crashed compaction
+    if (!fs.rename(live, pOld))
+      throw new java.io.IOException(s"postings compaction: could not move $dir aside")
+    if (!fs.rename(pTmp, live)) {
+      fs.rename(pOld, live) // roll back: the un-compacted layout stays live
+      throw new java.io.IOException(s"postings compaction: could not promote $tmp")
+    }
+    fs.delete(pOld, true)
   }
 
   /** BULK sparse serving — Q queries against the postings layout in ONE

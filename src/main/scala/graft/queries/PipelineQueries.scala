@@ -512,6 +512,33 @@ object PipelineQueries {
           round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // nprobe SWEEP — the recall↔I/O tradeoff table an operator tunes the
+    // serving knob from: recall@5 vs the exact scan at nprobe ∈ {1,2,4},
+    // beside the scan share each setting costs (probed cells / total
+    // cells — on the cell-partitioned layout that IS the fraction of the
+    // corpus read). The sweep unions three searches over the SAME dumped
+    // trained layout; each is the ann_recall_kmeans computation at a
+    // different nprobe, so the whole table replays in the oracle.
+    "ann_nprobe_sweep" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val exact = graft.operators.Knn.topK(emb.filter(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val (path, cents) = Ann.kmeansLayout(s, dir)
+      val ivf = s.read.parquet(path)
+      val nCells = Ann.centroidsDf(s, cents).count()
+      Seq(1, 2, 4).map { np =>
+        Ann.ivfSearchCells(ivf, q, "cell", Ann.centroidsDf(s, cents),
+            "vec_id", "embedding", k = 5, excludeId = Some(0L), nprobe = np)
+          .select(col("vec_id"))
+          .join(exact, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(np).as("nprobe"), col("n_hit"),
+            round(col("n_hit").cast("double") / 5.0, 6).as("recall"),
+            round(lit(np.toDouble / nCells), 6).as("scan_share"))
+      }.reduce(_.unionAll(_)).orderBy(col("nprobe"))
+    }),
+
     // BATCH IVF: many queries probe-and-prune in ONE job — each query
     // ranks the broadcast centroid table for its probe cell, then scoring
     // is an equi-join of the corpus against the (qid, cell) probe set on
@@ -1229,6 +1256,47 @@ object PipelineQueries {
          |  round(count(*)::DOUBLE / 5.0, 6) AS recall
          |FROM approx
          |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = approx.vec_id)""".stripMargin,
+
+    // The sweep replays ann_recall_kmeans at each nprobe over the same
+    // dumped layout; a LEFT JOIN from the sweep values keeps a zero-hit
+    // setting visible instead of dropping its row.
+    "ann_nprobe_sweep" -> {
+      val qCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH ivf AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |cents AS (SELECT cell, centroid FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round($qCos, 6) DESC, e.vec_id ASC
+         |  LIMIT 5),
+         |sweep(np) AS (VALUES (1), (2), (4)),
+         |ranked AS (
+         |  SELECT s.np, c.cell, row_number() OVER (PARTITION BY s.np
+         |      ORDER BY round(${VectorQueries.duckCosine("c.centroid", "q.qe")}, 6) DESC,
+         |        c.cell ASC) AS crnk
+         |  FROM cents c CROSS JOIN q CROSS JOIN sweep s),
+         |probe AS (SELECT np, cell FROM ranked WHERE crnk <= np),
+         |approx AS (
+         |  SELECT p.np, e.vec_id, row_number() OVER (PARTITION BY p.np
+         |      ORDER BY round($qCos, 6) DESC, e.vec_id ASC) AS rnk
+         |  FROM ivf e CROSS JOIN q JOIN probe p ON e.cell = p.cell
+         |  WHERE e.vec_id <> 0),
+         |hits AS (
+         |  SELECT np, count(*) AS n_hit FROM approx
+         |  WHERE rnk <= 5
+         |    AND EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = approx.vec_id)
+         |  GROUP BY np),
+         |nc AS (SELECT count(*)::DOUBLE AS n_cells FROM cents)
+         |SELECT s.np::INTEGER AS nprobe,
+         |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall,
+         |  round(s.np / nc.n_cells, 6) AS scan_share
+         |FROM sweep s LEFT JOIN hits h ON h.np = s.np CROSS JOIN nc
+         |ORDER BY nprobe""".stripMargin
+    },
 
     // Batch search over the trained layout (nprobe=2): per-qid centroid
     // probe → cell equi-join → per-qid top-3, replayed over the dumped

@@ -553,6 +553,14 @@ object TextQueries {
       graft.operators.InvertedIndex.sparseSearch(s, dir,
         Seq("data", "table", "query"))),
 
+    // PHRASE search — "these words, adjacent, in order" from the
+    // positional postings: per-term position lists join on doc_id and
+    // the phrase's start positions survive an intersection fold. The
+    // bag-of-words rankers provably cannot answer this; the positions
+    // payload is why real postings formats carry positions at all.
+    "phrase_search" -> ((s, dir) =>
+      graft.operators.InvertedIndex.phraseSearch(s, dir, Seq("window", "join"))),
+
     // Bulk sparse serving — Q queries in ONE job over the postings
     // layout: union of probed buckets scanned once, broadcast query
     // table routes each posting row to the queries that asked for its
@@ -1316,6 +1324,20 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Consecutive-position replay: DuckDB subscripts are 1-based and
+    // Spark's posexplode 0-based, but adjacency (b.i = a.i + 1) is
+    // base-independent.
+    "phrase_search" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${duckToks("text")} AS l FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS i
+         |  FROM base)
+         |SELECT a.doc_id, count(*)::INTEGER AS n_matches
+         |FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |WHERE a.term = 'window' AND b.term = 'join'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "sparse_search_batch" ->
       s"""WITH toks AS (

@@ -92,6 +92,26 @@ class InvertedIndexSpec extends AnyFunSuite {
       assert(got.toSeq === Seq((9000001L, 3L), (9000002L, 1L)))
       val nAfter = spark.read.parquet(s"$dirBefore-meta").head().getLong(0)
       assert(nAfter === nBefore + 2)
+
+      // the append landed as extra files in the zzqx bucket; compaction
+      // folds the bucket back to one sorted run through the atomic swap,
+      // with every posting conserved and lookups unchanged
+      def bucketFiles(): Int = {
+        val b = InvertedIndex.termBucket("zzqx")
+        spark.read.parquet(dirBefore).inputFiles
+          .count(_.contains(s"bucket=$b/"))
+      }
+      assert(bucketFiles() >= 2, "append did not accumulate files — premise broke")
+      val totalBefore = spark.read.parquet(dirBefore)
+        .agg(sum(col("tf"))).head().getLong(0)
+      InvertedIndex.compactPostings(spark, sf)
+      assert(bucketFiles() === 1,
+        s"compaction left ${bucketFiles()} files in the probed bucket")
+      assert(spark.read.parquet(dirBefore).agg(sum(col("tf"))).head().getLong(0)
+        === totalBefore, "compaction lost postings")
+      val got2 = InvertedIndex.lookup(spark, sf, "zzqx")
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got2.toSeq === got.toSeq, "lookup changed across compaction")
     } finally {
       // restore the shared layout for other tests/queries: rebuild clean
       InvertedIndex.resetMemos()

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden plan-shape pins for headline queries: the structural facts the
+  * 100 TB story depends on (broadcast dims stay broadcast, top-k stays a
+  * bounded heap, shuffle counts stay flat). An optimizer upgrade or an
+  * innocent-looking query edit that silently degrades one of these —
+  * broadcast→SMJ, TakeOrdered→global sort, an extra exchange — fails here
+  * loudly instead of surfacing as a mystery regression at scale.
+  *
+  * Counts are asserted as budgets (≤), not exact equality: AQE is free to
+  * collapse stages, and fewer exchanges is never a regression.
+  */
+class PlanGoldenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // force AQE to its final shape
+    // AdaptiveSparkPlan prints final AND initial plans — count only the
+    // final section or every operator tallies twice
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllMatchIn(plan).length
+
+  test("q5_nation_revenue: dimension chain stays broadcast, no sort-merge join") {
+    val p = planOf("q5_nation_revenue")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"dim chain lost its broadcasts (${count(p, "BroadcastHashJoin")} BHJ)")
+    assert(!p.contains("SortMergeJoin"), "a dim join degraded to SMJ")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("knn_topk: ranking is a bounded TakeOrdered heap, not a global sort") {
+    val p = planOf("knn_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost its bounded heap")
+    // the 1-row query side may broadcast-cross by design; PlanLintSpec
+    // already lints unbroadcast cartesians registry-wide
+  }
+
+  test("knn_batch_custom: the partial/final TopKPerKey pair survives") {
+    val p = planOf("knn_batch_custom")
+    assert(count(p, "TopKPerKey") >= 2,
+      s"custom partial/final heap pair missing:\n${p.take(400)}")
+  }
+
+  test("topk_orders: LIMIT-over-ORDER stays TakeOrdered") {
+    val p = planOf("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.matches("(?s).*GlobalLimit.*Sort.*"),
+      "top-k planned as global sort + limit")
+  }
+
+  test("dedup_exact: exactly its three known shuffles, digests only") {
+    // budget accounting: spread's deliberate fixture scatter + the fp
+    // aggregation + the oracle-parity output sort — anything beyond is
+    // a regression
+    val p = planOf("dedup_exact")
+    assert(count(p, "Exchange") <= 3,
+      s"dedup grew extra shuffles (${count(p, "Exchange")} exchanges)")
+  }
+
+  test("window_topn: rank pushdown keeps the WindowGroupLimit rewrite") {
+    val p = planOf("window_topn")
+    assert(p.contains("WindowGroupLimit"),
+      "per-key rank filter lost the WindowGroupLimit pushdown")
+  }
+
+  test("q1_agg: partial+final hash aggregate, single exchange") {
+    val p = planOf("q1_agg")
+    assert(count(p, "HashAggregate") >= 2, "partial aggregation disappeared")
+    assert(count(p, "Exchange") <= 2)
+  }
+}
