@@ -64,23 +64,45 @@ object Bench {
     // result sort — for map-only queries the very work being benched is
     // deleted from the plan (round-4 verdict, verified empirically). The
     // noop sink consumes every row of the full plan and writes nothing.
+    // Shuffle-bytes beside wall-clock: time tells you a query got slower,
+    // shuffle bytes tell you WHY at 100 TB (an extra exchange scales with
+    // data; a JIT hiccup doesn't). One global listener accumulates stage
+    // shuffle writes; the bus is DRAINED before each read (listener
+    // delivery is async — without the drain, a query's last stages would
+    // bill to the next query). Bytes are per-plan deterministic, so the
+    // last run's delta is the number (no min-of-N needed).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def drainedShuffleBytes(): Long = {
+      org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+      shuffleBytes.get()
+    }
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val shuffles = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       var r = 0
+      var lastShuffle = -1L
       while (ok && r < runs) {
+        val s0 = drainedShuffleBytes()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           // record successful passes only — a failed attempt's partial
           // elapsed time is not a sample of anything
           ts += (System.nanoTime() - t0) / 1e9
+          lastShuffle = drainedShuffleBytes() - s0
         }
         catch { case scala.util.control.NonFatal(_) => errors += name; ok = false }
         r += 1
       }
       rawRuns(name) = ts.toSeq
+      if (ok && lastShuffle >= 0) shuffles(name) = lastShuffle
       name -> (if (ok) ts.min else -1.0)
     }
     val qs = (results ++ stageResults).map { case (k, v) => s"\"" + k + "\":" + j(v) }
@@ -102,8 +124,10 @@ object Bench {
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     // total counts each staged build ONCE (its min), same basis as queries
     val total = (results.values ++ stageResults.map(_._2)).filter(_ >= 0).sum
+    val shufJson = shuffles
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,""" +
-      s""""runs":$runsJson,"host":$host,"errors":$errs,"sf":"$sfDir"}"""
+      s""""runs":$runsJson,"shuffle_bytes":$shufJson,"host":$host,"errors":$errs,"sf":"$sfDir"}"""
     // Persist the FULL per-query JSON (every item, raw per-run timings, box
     // stamp) so every round's numbers are enumerable afterwards.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")

@@ -198,8 +198,36 @@ object TxnLog {
     commit(spark, root,
       listedEntries(spark, root, v, "data") ++
         stageFiles(df, root, "files", "data") ++
-        listedEntries(spark, root, v, "delete"),
+        listedEntries(spark, root, v, "delete") ++
+        listedEntries(spark, root, v, "txn"),
       expectedVersion)
+  }
+
+  /** EXACTLY-ONCE append: the (appId, batchId) high-watermark rides IN
+    * the manifest as a `kind="txn"` row (Delta's txn action, one row per
+    * appId holding its latest applied batch). Marker and data land in
+    * ONE atomic commit, so at-least-once foreachBatch redelivery cannot
+    * double-append and no crash can separate the marker from its data —
+    * the property a side-channel journal cannot give. Returns None when
+    * the batch was already applied (the redelivery no-op).
+    */
+  def appendOnce(df: DataFrame, root: String, appId: String,
+                 batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root)
+    val txns = listedEntries(spark, root, v, "txn")
+    val prefix = appId + ":"
+    val last = txns.find(_.file_name.startsWith(prefix))
+      .map(_.file_name.stripPrefix(prefix).toLong)
+    if (last.exists(_ >= batchId)) None
+    else Some(commit(spark, root,
+      listedEntries(spark, root, v, "data") ++
+        stageFiles(df, root, "files", "data") ++
+        listedEntries(spark, root, v, "delete") ++
+        (txns.filterNot(_.file_name.startsWith(prefix)) :+
+          ManifestEntry("txn", s"$appId:$batchId", None, None, None,
+            data_change = false)),
+      Some(v)))
   }
 
   // ------------------------------------------------- write-audit-publish
@@ -228,7 +256,8 @@ object TxnLog {
     import spark.implicits._
     (listedEntries(spark, root, v, "data") ++
       stageFiles(df, root, "files", "data") ++
-      listedEntries(spark, root, v, "delete")).toDF()
+      listedEntries(spark, root, v, "delete") ++
+      listedEntries(spark, root, v, "txn")).toDF()
       .repartition(1)
       .write.mode("errorifexists").parquet(s"$root/manifests/version=$staged")
     staged
@@ -294,7 +323,8 @@ object TxnLog {
     commit(spark, root,
       listedEntries(spark, root, v, "data") ++
         listedEntries(spark, root, v, "delete") ++
-        stageFiles(doomed, root, "deletes", "delete"))
+        stageFiles(doomed, root, "deletes", "delete") ++
+        listedEntries(spark, root, v, "txn"))
   }
 
   /** Rewrite commit: fold the current version into fresh files with the
@@ -314,8 +344,12 @@ object TxnLog {
       rows.repartitionByRange(numFiles, col(statsCol))
     else rows.repartition(numFiles)
     // dataChange=false: a rewrite commits the SAME logical rows — the
-    // change-data feed must not read it as delete-everything+insert-all
-    commit(spark, root, stageFiles(live, root, "files", "data", dataChange = false))
+    // change-data feed must not read it as delete-everything+insert-all.
+    // txn watermarks survive the rewrite: dropping them would let a
+    // redelivered batch double-apply right after every compaction.
+    commit(spark, root,
+      stageFiles(live, root, "files", "data", dataChange = false) ++
+        listedEntries(spark, root, v, "txn"))
   }
 
   /** Read table version `version` (default: latest): exactly the

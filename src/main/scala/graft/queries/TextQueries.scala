@@ -553,6 +553,31 @@ object TextQueries {
       graft.operators.InvertedIndex.sparseSearch(s, dir,
         Seq("data", "table", "query"))),
 
+    // KWIC snippet extraction — the search-serving feature positions pay
+    // for twice: the index answers WHERE the hit is (first occurrence per
+    // doc, no text scan), and only then does one targeted join fetch the
+    // matching docs' text to slice the ±3-token window around it. The
+    // corpus-wide tokenize happens on the MATCHING docs only at serve
+    // time in a real deployment; here the window arithmetic (1-based,
+    // edge-clamped) is replayed exactly by the oracle.
+    "snippet_extract" -> ((s, dir) => {
+      val dirL = graft.operators.InvertedIndex.layout(s, dir)
+      val b = graft.operators.InvertedIndex.termBucket("column")
+      val posts = s.read.parquet(dirL)
+        .filter(col("bucket") === b && col("term") === "column")
+        .select(col("doc_id"),
+          (element_at(col("positions"), 1) + 1).as("p1"))
+      val toks = documents(s, dir).select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("l"))
+      posts.join(toks, "doc_id")
+        .select(col("doc_id"), col("p1").cast("int").as("pos"),
+          array_join(slice(col("l"),
+            greatest(col("p1") - 3, lit(1)),
+            col("p1") + lit(3) - greatest(col("p1") - 3, lit(1)) + lit(1)),
+            " ").as("snippet"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PHRASE search — "these words, adjacent, in order" from the
     // positional postings: per-term position lists join on doc_id and
     // the phrase's start positions survive an intersection fold. The
@@ -1324,6 +1349,20 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "snippet_extract" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${duckToks("text")} AS l FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS i
+         |  FROM base),
+         |firstpos AS (
+         |  SELECT doc_id, min(i) AS p1 FROM toks
+         |  WHERE term = 'column' GROUP BY doc_id)
+         |SELECT f.doc_id, f.p1::INTEGER AS pos,
+         |  array_to_string(b.l[greatest(f.p1 - 3, 1) : f.p1 + 3], ' ') AS snippet
+         |FROM firstpos f JOIN base b USING (doc_id)
+         |ORDER BY f.doc_id""".stripMargin,
 
     // Consecutive-position replay: DuckDB subscripts are 1-based and
     // Spark's posexplode 0-based, but adjacency (b.i = a.i + 1) is

@@ -406,6 +406,22 @@ object Streaming {
       }
       .start()
 
+  /** EXACTLY-ONCE streaming ingestion into the txn-log table — the
+    * hardened form of [[txnAppendStream]]: each trigger commits through
+    * [[graft.operators.TxnLog.appendOnce]], whose (appId, batchId)
+    * watermark rides IN the manifest — marker and data are one atomic
+    * commit, so foreachBatch's at-least-once redelivery is a provable
+    * no-op and no crash can apply data without advancing the watermark.
+    */
+  def txnAppendStreamOnce(rows: DataFrame, root: String, appId: String)(
+      afterBatch: (Long, Option[Int]) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        afterBatch(batchId,
+          graft.operators.TxnLog.appendOnce(batch, root, appId, batchId))
+      }
+      .start()
+
   /** Stream enrichment against slowly-changing reference data: each
     * trigger left-joins the batch onto a FRESH read of the CDC-maintained
     * snapshot — an upstream reference change is visible to the very next

@@ -273,6 +273,59 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.latestVersion(spark, root) === 3)
   }
 
+  test("exactly-once appendOnce: redelivery is a no-op; the watermark survives other commits and compaction") {
+    val root = freshRoot()
+    TxnLog.init(docs.filter(col("doc_id") < 200)
+      .repartitionByRange(2, col("doc_id")), root)
+    val b0 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+
+    // first delivery applies
+    assert(TxnLog.appendOnce(b0, root, "ingest-a", 0L) === Some(2))
+    val afterFirst = TxnLog.read(spark, root).count()
+    // redelivery of the SAME batch: provable no-op, version unmoved
+    assert(TxnLog.appendOnce(b0, root, "ingest-a", 0L) === None)
+    assert(TxnLog.latestVersion(spark, root) === 2)
+    assert(TxnLog.read(spark, root).count() === afterFirst)
+    // a SECOND app's batch 0 is independent (watermarks are per appId)
+    assert(TxnLog.appendOnce(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350),
+      root, "ingest-b", 0L).isDefined)
+    // ordinary commits and a rewrite must CARRY the watermark — dropping
+    // it would let a redelivery double-apply right after
+    TxnLog.deleteWhere(spark, root, col("doc_id") === 250L)
+    TxnLog.compact(spark, root)
+    assert(TxnLog.appendOnce(b0, root, "ingest-a", 0L) === None,
+      "compaction dropped the txn watermark — redelivery double-applied")
+    // ...while the app's NEXT batch still lands
+    assert(TxnLog.appendOnce(docs.filter(col("doc_id") >= 350 && col("doc_id") < 400),
+      root, "ingest-a", 1L).isDefined)
+  }
+
+  test("exactly-once streaming ingestion: per-trigger appendOnce commits, watermark visible in the manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = freshRoot()
+    TxnLog.init(Seq((1L, "en")).toDF("doc_id", "lang"), root)
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Int])]()
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.txnAppendStreamOnce(
+      input.toDF().toDF("doc_id", "lang"), root, "stream-app") {
+      (id, v) => applied.add((id, v)); ()
+    }
+    try {
+      input.addData((2L, "de")); q.processAllAvailable()
+      input.addData((3L, "fr")); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(applied.asScala.toSeq.sortBy(_._1).map(_._2) === Seq(Some(2), Some(3)))
+    assert(TxnLog.read(spark, root).count() === 3)
+    // the watermark is INSPECTABLE state: the latest manifest carries it
+    val wm = TxnLog.manifest(spark, root, 3)
+      .filter(col("kind") === "txn").select("file_name")
+      .collect().map(_.getString(0))
+    assert(wm.toSeq === Seq("stream-app:1"))
+  }
+
   test("crashed audit: the staged slot blocks commits until abortStaged repairs it") {
     val root = freshRoot()
     TxnLog.init(docs.filter(col("doc_id") < 300)
