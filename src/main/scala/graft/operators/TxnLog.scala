@@ -352,6 +352,29 @@ object TxnLog {
         listedEntries(spark, root, v, "txn"))
   }
 
+  /** TIMESTAMP AS OF — resolve the newest version whose manifest landed
+    * at or before `tsMillis`, from manifest-directory modification times
+    * (the commit's durable wall-clock — exactly how Delta resolves
+    * `TIMESTAMP AS OF` from log-file mtimes). Commits are strictly
+    * ordered by the version slot, so mtimes are monotone and the
+    * resolution is a max over ≤latest candidates — metadata-only.
+    */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int = {
+    val f = fs(spark, root)
+    val latest = latestVersion(spark, root)
+    val candidates = (1 to latest).filter { v =>
+      f.getFileStatus(new Path(s"$root/manifests/version=$v"))
+        .getModificationTime <= tsMillis
+    }
+    require(candidates.nonEmpty,
+      s"txn: no committed version at or before $tsMillis (earliest is v1)")
+    candidates.max
+  }
+
+  /** Time-travel read by wall-clock instead of version number. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, tsMillis)))
+
   /** Read table version `version` (default: latest): exactly the
     * manifest-listed data files minus the manifest-listed delete
     * positions. No directory listing of `files/` ever happens — the

@@ -314,6 +314,24 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // PATH analysis — "what do users do next": top 3-step event-type
+    // sequences across all users, the product-analytics staple funnels
+    // are the special case of. Per-user windows (bounded by the user's
+    // own events) emit the 3-grams, one hash agg counts them, the top-10
+    // is a TakeOrdered — no global window anywhere.
+    "session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(10)
+    }),
+
     // MAD outlier detection — the ROBUST sibling of IQR and z-score: the
     // median absolute deviation survives up to 50% contamination, where
     // the IQR fences move at 25% and the z-score's mean/σ move on one bad
@@ -1743,6 +1761,17 @@ object RelationalQueries {
         |FROM events e JOIN b USING (event_type)
         |WHERE e.value < b.lo OR e.value > b.hi
         |ORDER BY e.event_id""".stripMargin,
+
+    "session_paths" ->
+      """WITH s AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM s WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
 
     "outlier_mad" ->
       """WITH m AS (

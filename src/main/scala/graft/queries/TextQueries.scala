@@ -553,6 +553,20 @@ object TextQueries {
       graft.operators.InvertedIndex.sparseSearch(s, dir,
         Seq("data", "table", "query"))),
 
+    // BOOLEAN retrieval — the third index query class beside ranked
+    // (sparse_search) and positional (phrase_search): AND = successive
+    // left-semi joins of posting doc-sets, NOT = one anti join. Set
+    // algebra over digests; the corpus and even the text column never
+    // participate.
+    "bool_search" -> ((s, dir) => {
+      def posts(t: String) = graft.operators.InvertedIndex.lookup(s, dir, t)
+        .select(col("doc_id"))
+      posts("data")
+        .join(posts("table"), Seq("doc_id"), "left_semi")
+        .join(posts("join"), Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     // KWIC snippet extraction — the search-serving feature positions pay
     // for twice: the index answers WHERE the hit is (first occurrence per
     // doc, no text scan), and only then does one targeted join fetch the
@@ -1349,6 +1363,15 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bool_search" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckToks("text")}) AS term
+         |  FROM documents)
+         |SELECT doc_id FROM toks WHERE term = 'data'
+         |INTERSECT SELECT doc_id FROM toks WHERE term = 'table'
+         |EXCEPT SELECT doc_id FROM toks WHERE term = 'join'
+         |ORDER BY doc_id""".stripMargin,
 
     "snippet_extract" ->
       s"""WITH base AS (

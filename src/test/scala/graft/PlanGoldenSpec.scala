@@ -77,4 +77,31 @@ class PlanGoldenSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "partial aggregation disappeared")
     assert(count(p, "Exchange") <= 2)
   }
+
+  test("runtime shuffle-byte budgets: knn_topk moves ZERO bytes, q5 moves digests") {
+    // the measured twin of the structural pins above — the same listener
+    // channel the bench artifact records every round
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(name: String): Long = {
+        org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+        val b0 = bytes.get()
+        SparkEntry.queries(name)(spark, sf).collect()
+        org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+        bytes.get() - b0
+      }
+      // broadcast query + per-partition heaps: the corpus NEVER shuffles
+      assert(measure("knn_topk") === 0L, "knn_topk shuffled corpus bytes")
+      // broadcast dim chain: only partial-aggregate digests cross the wire
+      val q5 = measure("q5_nation_revenue")
+      assert(q5 < 64 * 1024,
+        s"q5 shuffled $q5 bytes — digests should be KBs, a fact join leaked")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

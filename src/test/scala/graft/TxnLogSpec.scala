@@ -273,6 +273,26 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.latestVersion(spark, root) === 3)
   }
 
+  test("TIMESTAMP AS OF: wall-clock resolves to the version live at that instant") {
+    val root = freshRoot()
+    TxnLog.init(docs.filter(col("doc_id") < 200)
+      .repartitionByRange(2, col("doc_id")), root)
+    Thread.sleep(30) // distinct manifest mtimes (ms resolution)
+    val betweenV1andV2 = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxnLog.append(docs.filter(col("doc_id") >= 200), root)
+    Thread.sleep(30)
+    val afterV2 = System.currentTimeMillis()
+    assert(TxnLog.versionAsOf(spark, root, betweenV1andV2) === 1)
+    assert(TxnLog.versionAsOf(spark, root, afterV2) === 2)
+    assert(TxnLog.readAsOf(spark, root, betweenV1andV2).count() === 200)
+    assert(TxnLog.readAsOf(spark, root, afterV2).count() === docs.count())
+    // before the first commit: refuse loudly, not an empty table
+    intercept[IllegalArgumentException] {
+      TxnLog.versionAsOf(spark, root, 1000L)
+    }
+  }
+
   test("exactly-once appendOnce: redelivery is a no-op; the watermark survives other commits and compaction") {
     val root = freshRoot()
     TxnLog.init(docs.filter(col("doc_id") < 200)
