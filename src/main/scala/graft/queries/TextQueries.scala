@@ -857,6 +857,43 @@ object TextQueries {
         .orderBy(col("status"))
     }),
 
+    // VOCABULARY drift — the text twin of the numeric PSI monitor: KL
+    // divergence between two corpus snapshots' unigram distributions
+    // (Laplace-smoothed over the union vocabulary, so births/deaths
+    // can't ln(0)), with the top-10 surging terms by contribution — the
+    // "did the crawl shift?" alarm plus its explanation in one table.
+    // Both snapshots reduce to vocabulary-sized count digests; the KL
+    // total is an AGGREGATE broadcast back (never a global window over
+    // the vocabulary — at web scale that vocabulary is itself large).
+    // Same deterministic snapshot simulation as snapshot_diff.
+    "vocab_kl" -> ((s, dir) => {
+      val old = documents(s, dir).select(col("doc_id"), col("text"))
+      val newSnap = old.filter(col("doc_id") % 11 =!= 0)
+        .select(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") % 17 === 0)
+          .select(concat(col("text"), lit(" new")).as("text")))
+      def counts(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => t =!= "")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as(as))
+      val joined = counts(old, "c_old")
+        .join(counts(newSnap.toDF(), "c_new"), Seq("term"), "full_outer")
+        .na.fill(0L, Seq("c_old", "c_new"))
+      val tot = joined.agg(count(lit(1)).as("v"),
+        sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+      val contrib = joined.crossJoin(broadcast(tot))
+        .withColumn("p", (col("c_new") + 1).cast("double") / (col("n_new") + col("v")))
+        .withColumn("q", (col("c_old") + 1).cast("double") / (col("n_old") + col("v")))
+        .withColumn("raw", col("p") * log(col("p") / col("q")))
+      val kl = contrib.agg(round(sum(col("raw")), 6).as("kl"))
+      contrib.crossJoin(broadcast(kl))
+        .select(col("term"), col("c_old"), col("c_new"),
+          round(col("raw"), 6).as("contrib"), col("kl"))
+        .orderBy(col("contrib").desc, col("term"))
+        .limit(10)
+    }),
+
     // Incremental face of the span dedup: odd doc_ids arrive against the
     // even-doc_id history index. Injected docs (every 7th) alternate
     // parity, so injected boilerplate provably matches history.
@@ -1363,6 +1400,38 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "vocab_kl" ->
+      s"""WITH oldc AS (
+         |  SELECT term, count(*) AS c_old FROM (
+         |    SELECT unnest(${duckToks("text")}) AS term FROM documents)
+         |  GROUP BY term),
+         |newdocs AS (
+         |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT text || ' new' FROM documents WHERE doc_id % 17 = 0),
+         |newc AS (
+         |  SELECT term, count(*) AS c_new FROM (
+         |    SELECT unnest(${duckToks("text")}) AS term FROM newdocs)
+         |  GROUP BY term),
+         |joined AS (
+         |  SELECT coalesce(o.term, n.term) AS term,
+         |    coalesce(o.c_old, 0) AS c_old, coalesce(n.c_new, 0) AS c_new
+         |  FROM oldc o FULL OUTER JOIN newc n ON o.term = n.term),
+         |tot AS (SELECT count(*) AS v, sum(c_old) AS n_old, sum(c_new) AS n_new
+         |        FROM joined),
+         |contrib AS (
+         |  SELECT term, c_old, c_new,
+         |    ((c_new + 1)::DOUBLE / (n_new + v)) *
+         |      ln(((c_new + 1)::DOUBLE / (n_new + v)) /
+         |         ((c_old + 1)::DOUBLE / (n_old + v))) AS raw
+         |  FROM joined CROSS JOIN tot),
+         |kl AS (SELECT round(sum(raw), 6) AS kl FROM contrib)
+         |SELECT term, c_old::BIGINT AS c_old, c_new::BIGINT AS c_new,
+         |  round(raw, 6) AS contrib, kl.kl
+         |FROM contrib CROSS JOIN kl
+         |ORDER BY contrib DESC, term LIMIT 10""".stripMargin,
 
     "bool_search" ->
       s"""WITH toks AS (

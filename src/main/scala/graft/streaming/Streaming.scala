@@ -793,6 +793,31 @@ object Streaming {
         ()
       }.start()
 
+  /** Streaming inverted-index maintenance — the postings twin of the IVF
+    * `appendAndMaybeCompact` loop: each trigger's docs append per-bucket
+    * postings (served immediately), then compaction fires iff any
+    * bucket's file count crossed the policy threshold — the always-
+    * appending text index stays off the small-files spiral without a
+    * human watching it.
+    */
+  def postingsIngestStream(spark: SparkSession, docs: DataFrame, sfDir: String,
+                           maxFilesPerBucket: Int = 2)(
+      afterBatch: (Long, Boolean) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          graft.operators.InvertedIndex.appendDocs(spark, sfDir, b)
+          val dir = graft.operators.InvertedIndex.layout(spark, sfDir)
+          val perBucket = spark.read.parquet(dir).inputFiles
+            .groupBy(f => f.split("/").init.last).values.map(_.length)
+          val compact = perBucket.exists(_ > maxFilesPerBucket)
+          if (compact)
+            graft.operators.InvertedIndex.compactPostings(spark, sfDir)
+          afterBatch(id, compact)
+        }
+        ()
+      }.start()
+
   /** Streaming WRITE-AUDIT-PUBLISH ingestion — the gated form of
     * [[txnAppendStream]]: every micro-batch stages into the transaction
     * log, the declarative DQ suite audits the staged whole-table

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.InvertedIndex
+import graft.streaming.Streaming
 
 /** Inverted-index serving layout: term lookups must partition-prune to one
   * bucket directory, postings must conserve the corpus token counts, and
@@ -119,6 +120,47 @@ class InvertedIndexSpec extends AnyFunSuite {
         new java.net.URI(dirBefore), spark.sparkContext.hadoopConfiguration)
       f.delete(new org.apache.hadoop.fs.Path(dirBefore), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$dirBefore-meta"), true)
+      InvertedIndex.layout(spark, sf)
+    }
+  }
+
+  test("streaming postings maintenance: per-trigger appends served, threshold compaction fires in-loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = InvertedIndex.layout(spark, sf)
+    val verdicts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.postingsIngestStream(spark,
+      input.toDF().toDF("doc_id", "text"), sf, maxFilesPerBucket = 2) {
+      (id, c) => verdicts.add((id, c)); ()
+    }
+    try {
+      // three triggers, each appending one file into the qqzz bucket —
+      // the threshold (2) must trip inside the loop
+      (0 until 3).foreach { i =>
+        input.addData((9100000L + i, s"qqzz trigger$i payload"))
+        q.processAllAvailable()
+      }
+      import scala.jdk.CollectionConverters._
+      assert(verdicts.asScala.exists(_._2), "compaction never fired in-loop")
+      // everything ever appended is still served
+      val got = InvertedIndex.lookup(spark, sf, "qqzz")
+        .orderBy("doc_id").collect().map(_.getLong(0))
+      assert(got.toSeq === Seq(9100000L, 9100001L, 9100002L))
+      // and the file counts stay bounded by the policy
+      val perBucket = spark.read.parquet(dir).inputFiles
+        .groupBy(f => f.split("/").init.last).values.map(_.length)
+      assert(perBucket.forall(_ <= 3),
+        s"file counts unbounded: max ${perBucket.max}")
+    } finally {
+      q.stop()
+      // restore the shared layout for other suites
+      InvertedIndex.resetMemos()
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir-meta"), true)
       InvertedIndex.layout(spark, sf)
     }
   }
