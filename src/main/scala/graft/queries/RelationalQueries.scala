@@ -678,6 +678,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"))),
 
+    // Z-ORDER 2-D skipping — the multi-dimensional clustering face: a
+    // query constraining BOTH doc_id and n_chars serves from the
+    // z-ordered layout through its two-column sidecar, pruning on both
+    // predicates at planning time (a single-key sort can only ever prune
+    // one). The oracle sees the plain table: clustering is an access
+    // path, not semantics.
+    "zorder_scan" -> ((s, dir) =>
+      graft.sources.ZOrderSkip.prunedRead(s, dir, 100L, 299L, 200L, 700L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))),
+
     // Bloom-filter file skipping — the POINT-LOOKUP pruning lever: the
     // corpus lives clustered by (lang, n_chars) for analytics, so doc_id
     // is scattered and every file's [min, max] id span covers every probe
@@ -2174,6 +2186,12 @@ object RelationalQueries {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
         |WHERE doc_id BETWEEN 100 AND 299
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "zorder_scan" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299 AND n_chars BETWEEN 200 AND 700
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "bloom_skip_scan" ->

@@ -314,6 +314,25 @@ object TrainQueries {
     }),
 
     // THE capstone composition: the full release pipeline in one query —
+    // Deterministic per-EPOCH shuffle — the training-order operator:
+    // every epoch reads the corpus in a different but REPRODUCIBLE
+    // order (order key = md5(epoch:doc_id)), so a crashed epoch resumes
+    // at the same permutation and two trainers on the same seed see the
+    // same batches. One range-partitioned sort per epoch — exactly the
+    // shuffle the reorder semantically requires; at 100 TB the sort key
+    // is a digest and text rides it once. The query emits both epochs'
+    // first-10 windows; the oracle replays the same md5 ordering (the
+    // windows provably differ across epochs — that's the point).
+    "epoch_shuffle" -> ((s, dir) => {
+      def epoch(e: Int) = documents(s, dir)
+        .select(lit(e).as("epoch"), col("doc_id"),
+          md5(concat(lit(s"$e:"), col("doc_id").cast("string"))).as("ord"))
+        .orderBy(col("ord")).limit(10)
+      epoch(1).unionByName(epoch(2))
+        .select(col("epoch"), col("doc_id"), col("ord"))
+        .orderBy(col("epoch"), col("ord"))
+    }),
+
     // doubled corpus → exact-dedup keeper (one fp-window shuffle) →
     // quality gates (map-side) → deterministic hash split (map-side) →
     // per-(split, lang) manifest stats (one partial+final agg). Two
@@ -488,6 +507,17 @@ object TrainQueries {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY shard, seq_id
          |ORDER BY shard, seq_id""".stripMargin,
+
+    "epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT 1 AS epoch, doc_id, md5('1:' || doc_id::VARCHAR) AS ord
+        |  FROM documents ORDER BY ord LIMIT 10),
+        |f AS (
+        |  SELECT 2 AS epoch, doc_id, md5('2:' || doc_id::VARCHAR) AS ord
+        |  FROM documents ORDER BY ord LIMIT 10)
+        |SELECT epoch, doc_id, ord FROM (
+        |  SELECT * FROM e UNION ALL SELECT * FROM f)
+        |ORDER BY epoch, ord""".stripMargin,
 
     "train_manifest" ->
       s"""WITH src AS (
