@@ -1304,6 +1304,43 @@ object RelationalQueries {
         .orderBy(col("campaign"))
     }),
 
+    // LINEAR multi-touch attribution — the fairness upgrade from
+    // last-touch: every in-window click splits the purchase's credit
+    // equally (value/n), no-click purchases stay organic at full value.
+    // Clicks meet purchases in a user_id equi-join with a time residual
+    // (the interval-join shape — never a theta join), and the per-
+    // purchase touch count is a window bounded by that purchase's own
+    // clicks.
+    "attribution_linear" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("pid"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          concat(lit("c"), (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .cast("string")).as("campaign"))
+      purchases.join(clicks,
+          purchases("user_id") === clicks("user_id") &&
+            col("cts") <= col("pts") &&
+            unix_micros(col("pts")) - unix_micros(col("cts")) <= 4L * 3600 * 1000000,
+          "left")
+        .withColumn("n_touch",
+          count(col("campaign")).over(Window.partitionBy(col("pid"))))
+        .select(coalesce(col("campaign"), lit("organic")).as("campaign"),
+          when(col("n_touch") === 0, col("value"))
+            .otherwise(col("value") / col("n_touch")).as("credit"))
+        .groupBy(col("campaign"))
+        // fractional credits summed in exact DECIMAL after a 6-dp round:
+        // a double fold's last bits depend on summation order, and with
+        // hundreds of value/n fractions the 2-dp boundary (x.xx5) is
+        // actually hit — same convention as q9's DECIMAL profit sum
+        .agg(count(lit(1)).as("touches"),
+          round(sum(round(col("credit"), 6).cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy(col("campaign"))
+    }),
+
     // Forward as-of join (same union+window carry, time axis reversed):
     // each purchase picks the user's EARLIEST click at-or-after it.
     "asof_forward" -> ((s, dir) => {
@@ -2124,6 +2161,24 @@ object RelationalQueries {
         |SELECT campaign, count(*)::BIGINT AS conversions,
         |  round(sum(value), 2) AS revenue
         |FROM a GROUP BY campaign ORDER BY campaign""".stripMargin,
+
+    "attribution_linear" ->
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS pid, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts,
+        |        'c' || (CAST(json_extract_string(props, '$.k') AS INTEGER) % 5)::VARCHAR AS campaign
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.pid, p.value, c.campaign
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+        |    AND epoch_us(p.pts) - epoch_us(c.cts) <= 14400000000),
+        |w AS (SELECT pid, value, campaign,
+        |        count(campaign) OVER (PARTITION BY pid) AS n_touch FROM j)
+        |SELECT coalesce(campaign, 'organic') AS campaign,
+        |  count(*) AS touches,
+        |  round(sum(CAST(round(CASE WHEN n_touch = 0 THEN value
+        |                 ELSE value / n_touch END, 6) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "resample_fill" ->
       """WITH b AS (SELECT date_trunc('minute', min(ts)) AS t0 FROM events),

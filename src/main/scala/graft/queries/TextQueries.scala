@@ -857,6 +857,22 @@ object TextQueries {
         .orderBy(col("status"))
     }),
 
+    // OVERLAPPING chunking — the RAG-prep face of the chunk family:
+    // 128-token windows every 64 tokens (stride < window, so every
+    // token belongs to two chunks and no retrieval-relevant span is
+    // split across a hard boundary). Map-only explode of per-doc chunk
+    // start sequences; the tail chunk is partial by design.
+    "chunk_overlap" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+            .as("n"))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(64))).as("start"))
+        .select(col("doc_id"), (col("start") / 64).cast("long").as("chunk_id"),
+          col("start"), least(lit(128), col("n") - col("start")).as("len"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // VOCABULARY drift — the text twin of the numeric PSI monitor: KL
     // divergence between two corpus snapshots' unigram distributions
     // (Laplace-smoothed over the union vocabulary, so births/deaths
@@ -1400,6 +1416,16 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(${duckToks("text")}) AS n FROM documents),
+         |st AS (
+         |  SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS start
+         |  FROM t)
+         |SELECT doc_id, (start // 64)::BIGINT AS chunk_id, start::INTEGER AS start,
+         |  least(128, n - start)::INTEGER AS len
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "vocab_kl" ->
       s"""WITH oldc AS (
