@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1613,6 +1613,123 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ROC-AUC of a score against a binary outcome — the distributed model
+    // eval everyone computes with a global per-row rank, which plans a
+    // single-partition window over the corpus. Instead: quantize scores to
+    // 0.1 bins (histogram AUC — what large-scale eval uses anyway), reduce
+    // the corpus to one (bin → pos/neg) digest, and run the tie-aware
+    // Mann-Whitney rank-sum as a window over the DIGEST, bounded by
+    // score-range/bin-width (~1k rows here), never by the corpus:
+    // AUC = Σ_bins pos_b · (neg_below + neg_tied/2) / (P·N).
+    "auc_score" -> ((s, dir) => {
+      val binned = events(s, dir).select(
+        round(col("value"), 1).as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val digest = binned.groupBy(col("bin"))
+        .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+      // unpartitioned window: input is the score-bin digest (bounded by the
+      // score range / bin width, not the corpus) — see PlanLint allowlist
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      digest
+        .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+        .agg(
+          round(
+            sum(col("n_pos") * (col("neg_below").cast("double") +
+              col("n_neg").cast("double") / lit(2.0))) /
+              (sum(col("n_pos")) * sum(col("n_neg"))).cast("double"), 6).as("auc"),
+          sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+    }),
+
+    // Welch two-sample t-test for an A/B experiment: each arm reduces to
+    // (n, mean, var_samp) in ONE map-side-combined aggregate; the t
+    // statistic and Welch–Satterthwaite df are arithmetic over the two
+    // 1-row digests (broadcast nested loop on 1-row sides — lint-allowed).
+    // At 100 TB the corpus contributes exactly one shuffle of 2 rows.
+    "ab_welch" -> ((s, dir) => {
+      val g = orders(s, dir)
+        .withColumn("variant",
+          when(col("o_orderkey") % 2 === 0, "A").otherwise("B"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("o_totalprice")).as("m"),
+          var_samp(col("o_totalprice")).as("v"))
+      val a = g.filter(col("variant") === "A")
+        .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+      val b = g.filter(col("variant") === "B")
+        .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+      a.crossJoin(b)
+        .withColumn("se2", col("va") / col("na") + col("vb") / col("nb"))
+        .select(
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(col("ma"), 2).as("mean_a"), round(col("mb"), 2).as("mean_b"),
+          round((col("ma") - col("mb")) / sqrt(col("se2")), 6).as("t_stat"),
+          round(pow(col("se2"), 2) /
+            (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+             pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("df"))
+    }),
+
+    // RFM customer segmentation (recency / frequency / monetary quintiles).
+    // The textbook formulation is three global ntile(5) windows over the
+    // per-customer digest — a single partition holding every customer.
+    // Scale shape instead: quintile BREAKPOINTS via one exact-percentile
+    // aggregate over the digest (4 doubles per dimension), broadcast back,
+    // scoring map-only. Equal values land in the same band by construction
+    // (ntile would split ties across bands by row position).
+    "rfm_segments" -> ((s, dir) => {
+      val per = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+        .withColumn("rec", unix_micros(col("last_order")))
+      val bps = per.agg(
+        expr("percentile(rec, array(0.2D,0.4D,0.6D,0.8D))").as("rb"),
+        expr("percentile(freq, array(0.2D,0.4D,0.6D,0.8D))").as("fb"),
+        expr("percentile(monetary, array(0.2D,0.4D,0.6D,0.8D))").as("mb"))
+      def band(x: Column, bp: Column): Column =
+        lit(1) + (x > bp(0)).cast("int") + (x > bp(1)).cast("int") +
+          (x > bp(2)).cast("int") + (x > bp(3)).cast("int")
+      per.crossJoin(broadcast(bps))
+        .select(col("o_custkey"),
+          band(col("rec").cast("double"), col("rb")).as("r_score"),
+          band(col("freq").cast("double"), col("fb")).as("f_score"),
+          band(col("monetary"), col("mb")).as("m_score"))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Market-basket association rules (support / confidence / lift): the
+    // within-basket pair join is keyed on the basket id, so the shuffle is
+    // one pass over (basket, item) digests and every join partition is
+    // bounded by the largest single basket — never an all-pairs item join.
+    // Item frequencies and the basket total are digest-sized side inputs.
+    "assoc_rules" -> ((s, dir) => {
+      val baskets = lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+        .distinct()
+      val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val total = baskets.agg(countDistinct(col("okey")).as("n_baskets"))
+      val pairs = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.okey") === col("b.okey") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= 2)
+      pairs
+        .join(broadcast(itemN.withColumnRenamed("item", "item_a")
+          .withColumnRenamed("n_item", "n_a")), "item_a")
+        .join(broadcast(itemN.withColumnRenamed("item", "item_b")
+          .withColumnRenamed("n_item", "n_b")), "item_b")
+        .crossJoin(broadcast(total))
+        .select(col("item_a"), col("item_b"), col("pair_n"),
+          round(col("pair_n").cast("double") / col("n_a"), 6).as("conf"),
+          round(col("pair_n").cast("double") * col("n_baskets") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(col("pair_n").desc, col("item_a"), col("item_b"))
+        .limit(20)
     })
   )
 
@@ -2700,6 +2817,92 @@ object RelationalQueries {
         |  TRUE AS within_3sigma
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "auc_score" ->
+      """WITH b AS (
+        |  SELECT round(value, 1) AS bin,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |d AS (
+        |  SELECT bin, sum(pos)::BIGINT AS n_pos, sum(1 - pos)::BIGINT AS n_neg
+        |  FROM b GROUP BY bin),
+        |c AS (
+        |  SELECT bin, n_pos, n_neg,
+        |    coalesce(sum(n_neg) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM d)
+        |SELECT
+        |  round(sum(n_pos * (neg_below::DOUBLE + n_neg::DOUBLE / 2.0)) /
+        |    (sum(n_pos) * sum(n_neg))::DOUBLE, 6) AS auc,
+        |  sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg
+        |FROM c""".stripMargin,
+
+    "ab_welch" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    count(*)::DOUBLE AS n, avg(o_totalprice) AS m,
+        |    var_samp(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |ab AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 'A' THEN n END) AS na,
+        |    max(CASE WHEN variant = 'A' THEN m END) AS ma,
+        |    max(CASE WHEN variant = 'A' THEN v END) AS va,
+        |    max(CASE WHEN variant = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN variant = 'B' THEN m END) AS mb,
+        |    max(CASE WHEN variant = 'B' THEN v END) AS vb
+        |  FROM g),
+        |s AS (SELECT *, va / na + vb / nb AS se2 FROM ab)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(ma, 2) AS mean_a, round(mb, 2) AS mean_b,
+        |  round((ma - mb) / sqrt(se2), 6) AS t_stat,
+        |  round(pow(se2, 2) /
+        |    (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 2) AS df
+        |FROM s""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, epoch_us(max(o_orderdate)) AS rec,
+        |    count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |bp AS (
+        |  SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM per),
+        |sc AS (
+        |  SELECT o_custkey,
+        |    1 + (rec > rb[1])::INT + (rec > rb[2])::INT +
+        |      (rec > rb[3])::INT + (rec > rb[4])::INT AS r_score,
+        |    1 + (freq > fb[1])::INT + (freq > fb[2])::INT +
+        |      (freq > fb[3])::INT + (freq > fb[4])::INT AS f_score,
+        |    1 + (monetary > mb[1])::INT + (monetary > mb[2])::INT +
+        |      (monetary > mb[3])::INT + (monetary > mb[4])::INT AS m_score
+        |  FROM per, bp)
+        |SELECT o_custkey, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
+    "assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+        |item_n AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
+        |total AS (SELECT count(DISTINCT okey) AS n_baskets FROM baskets),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_n
+        |  FROM baskets a JOIN baskets b
+        |    ON a.okey = b.okey AND a.item < b.item
+        |  GROUP BY a.item, b.item
+        |  HAVING count(*) >= 2)
+        |SELECT item_a, item_b, pair_n,
+        |  round(pair_n::DOUBLE / na.n_item, 6) AS conf,
+        |  round(pair_n::DOUBLE * t.n_baskets / (na.n_item * nb.n_item), 6) AS lift
+        |FROM pairs
+        |JOIN item_n na ON na.item = pairs.item_a
+        |JOIN item_n nb ON nb.item = pairs.item_b
+        |CROSS JOIN total t
+        |ORDER BY pair_n DESC, item_a, item_b
+        |LIMIT 20""".stripMargin
   )
 }

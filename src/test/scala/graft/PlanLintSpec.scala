@@ -47,7 +47,10 @@ class PlanLintSpec extends AnyFunSuite {
       "pmi_topk", // 1-row total-count aggregate broadcast into the scorer
       "knn_filtered", // 1-row query side broadcast; corpus pre-restricted by the metadata semi-join
       "ivf_index_stats", // 1-row corpus-total aggregate broadcast into the share projection
-      "heavy_hitters") // 1-row total-count aggregate broadcast into the φ threshold
+      "heavy_hitters", // 1-row total-count aggregate broadcast into the φ threshold
+      "ab_welch",     // two 1-row per-arm moment digests joined
+      "rfm_segments", // 1-row quintile-breakpoint aggregate broadcast into the scorer
+      "assoc_rules")  // 1-row basket-total aggregate broadcast into the lift projection
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
