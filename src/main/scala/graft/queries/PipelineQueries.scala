@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -687,6 +687,68 @@ object PipelineQueries {
       folded.filter(col("n") > 0)
         .select(col("lang"), col("n").as("n_docs"))
         .orderBy(col("lang"))
+    }),
+
+    // Order-independent table fingerprint — the replication/migration
+    // integrity primitive: did the copy land bit-identical, without
+    // shipping either side's rows anywhere? Each row reduces to a 60-bit
+    // digest of its canonical string (md5 prefix — cross-engine exact),
+    // the table reduces to (count, modular digest sum) in ONE
+    // map-side-combined aggregate: per-partition partials are (long,
+    // decimal) pairs, so the "comparison" of two 100 TB tables moves a
+    // few bytes per partition and the fingerprints can be computed by
+    // DIFFERENT engines (as this oracle proves by construction).
+    "table_fingerprint" -> ((s, dir) => {
+      def fp(df: DataFrame, tbl: String, canon: Column) =
+        df.select(conv(substring(md5(canon), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+              .as("fp"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("fp"))
+      fp(documents(s, dir), "documents",
+          concat_ws("|", col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars")))
+        // doubles enter the canonical string as floor-to-integer cents-free
+        // units: double→string rendering is NOT identical across engines
+        // (Java pre-19 toString vs DuckDB's Ryu), integer rendering is
+        .union(fp(orders(s, dir), "orders",
+          concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), floor(col("o_totalprice")).cast("long"))))
+        .union(fp(nation(s, dir), "nation",
+          concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+        .orderBy(col("tbl"))
+    }),
+
+    // Snapshot reconciliation (table diff): base corpus vs its next
+    // version (deterministic simulated drift: deletes, in-place edits,
+    // new docs), classified added/removed/changed by ONE full-outer join
+    // on the key comparing row digests — payload text never crosses the
+    // join, only (key, 60-bit digest) pairs; at 100 TB both sides bucket
+    // on the key and the diff is a zero-exchange sort-merge.
+    "table_diff" -> ((s, dir) => {
+      val hash = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      val base = documents(s, dir)
+        .select(col("doc_id"), hash(concat_ws("|", col("doc_id"), col("text"))).as("h"))
+      val docs = documents(s, dir)
+      val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 89 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id")).as("text")))
+        .select(col("doc_id"), hash(concat_ws("|", col("doc_id"), col("text"))).as("h"))
+      base.select(col("doc_id"), col("h").as("h_old"))
+        .join(v2.select(col("doc_id"), col("h").as("h_new")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1474,7 +1536,60 @@ object PipelineQueries {
         |  sum(CASE WHEN kind = 'data' THEN 1 ELSE 0 END)::BIGINT AS n_data_files,
         |  sum(CASE WHEN kind = 'delete' THEN 1 ELSE 0 END)::BIGINT AS n_delete_files
         |FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
-        |GROUP BY 1 ORDER BY version""".stripMargin
+        |GROUP BY 1 ORDER BY version""".stripMargin,
+
+    // The whole point of the fingerprint: a DIFFERENT engine computes the
+    // identical (n_rows, fp) from the same rows — this oracle IS the
+    // cross-engine replication check the operator exists for.
+    "table_fingerprint" ->
+      """WITH fps AS (
+        |  SELECT 'documents' AS tbl, count(*) AS n_rows,
+        |    sum(('0x' || substr(md5(
+        |      concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT)
+        |      % 2305843009213693951 AS fp
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    sum(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |      o_orderstatus, floor(o_totalprice)::BIGINT)), 1, 15))::BIGINT)
+        |      % 2305843009213693951
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'nation', count(*),
+        |    sum(('0x' || substr(md5(
+        |      concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15))::BIGINT)
+        |      % 2305843009213693951
+        |  FROM nation)
+        |SELECT tbl, n_rows::BIGINT AS n_rows, fp::BIGINT AS fp
+        |FROM fps ORDER BY tbl""".stripMargin,
+
+    "table_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(concat_ws('|', doc_id, text)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |v2r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'new doc ' || doc_id
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(concat_ws('|', doc_id, text)), 1, 15))::BIGINT AS h
+        |  FROM v2r),
+        |j AS (
+        |  SELECT coalesce(base.doc_id, v2.doc_id) AS doc_id,
+        |    base.h AS h_old, v2.h AS h_new
+        |  FROM base FULL OUTER JOIN v2 ON base.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed' END AS status
+        |FROM j
+        |WHERE (h_old IS NULL) OR (h_new IS NULL) OR (h_old <> h_new)
+        |ORDER BY doc_id""".stripMargin
   )
 
   private def duckTxnRead(versionExpr: String, where: String = "1 = 1"): String =
