@@ -44,7 +44,8 @@ object Stages {
     "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () }),
     "uni-vocab"    -> ((s, d) => {
       operators.Unigram.vocabLayout(s, d, sp => queries.TextQueries.wordFreqs(sp, d)); () }),
-    "txn-layout"   -> ((s, d) => { operators.TxnLog.layout(s, d); () })
+    "txn-layout"   -> ((s, d) => { operators.TxnLog.layout(s, d); () }),
+    "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () })
   )
 
   /** Forget every one-time-build memo (JVM maps + staged checkpoints) so

@@ -73,6 +73,7 @@ object Verify {
       "__DVC_DATA__"     -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/data"),
       "__DVC_DELETES__"  -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/deletes"),
       "__UNI_VOCAB__"    -> graft.operators.Unigram.vocabPath(sfDir),
+      "__PCA_MODEL__"    -> graft.operators.Pca.modelPath(sfDir),
       "__TT_FILES__"     -> (graft.operators.TxnLog.layoutPath(sfDir) + "/files"),
       "__TT_DELETES__"   -> (graft.operators.TxnLog.layoutPath(sfDir) + "/deletes"),
       "__TT_MANIFESTS__" -> (graft.operators.TxnLog.layoutPath(sfDir) + "/manifests"))

@@ -48,6 +48,9 @@ class PlanLintSpec extends AnyFunSuite {
       "knn_filtered", // 1-row query side broadcast; corpus pre-restricted by the metadata semi-join
       "ivf_index_stats", // 1-row corpus-total aggregate broadcast into the share projection
       "heavy_hitters", // 1-row total-count aggregate broadcast into the φ threshold
+      "pca_project",  // broadcast model rows (k·d doubles) against the corpus scan
+      "pca_variance", // 1-row retained-mass total broadcast into the share projection
+      "pca_recall",   // 1-row query / projected-query broadcasts, shortlist-and-rescore
       "ab_welch",     // two 1-row per-arm moment digests joined
       "rfm_segments", // 1-row quintile-breakpoint aggregate broadcast into the scorer
       "assoc_rules")  // 1-row basket-total aggregate broadcast into the lift projection
