@@ -1730,6 +1730,32 @@ object RelationalQueries {
             (col("n_a") * col("n_b")), 6).as("lift"))
         .orderBy(col("pair_n").desc, col("item_a"), col("item_b"))
         .limit(20)
+    }),
+
+    // KMV (k-minimum-values / bottom-k) distinct estimator — the
+    // DETERMINISTIC sketch beside engine-specific HLL++ (approx_distinct):
+    // k smallest distinct 60-bit hashes; estimate = (k−1)/u_k (Bar-Yossef
+    // 2002). Deterministic hash ⇒ the oracle replays the ESTIMATE exactly,
+    // not just an error bound. Plan: map-side partial dedup of 8-byte hash
+    // digests, then the min-k is TakeOrderedAndProject (bounded per-
+    // partition heaps); a fused bounded-state Aggregator (k-heap with
+    // inline dedup) would drop the dedup shuffle too — the sketch is
+    // trivially mergeable by construction (min-k of unions).
+    "kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val kth = lineitem(s, dir)
+        .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+        .distinct()
+        .orderBy(col("h").asc).limit(k)
+        .agg(max(col("h")).as("hk"))
+      val exact = lineitem(s, dir)
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      kth.crossJoin(exact)
+        .select(lit(k).as("k"), col("n_exact"),
+          round(lit((k - 1).toDouble) /
+            (col("hk").cast("double") / lit(1152921504606846976.0)), 2)
+            .as("est_kmv"))
     })
   )
 
@@ -2903,6 +2929,18 @@ object RelationalQueries {
         |JOIN item_n nb ON nb.item = pairs.item_b
         |CROSS JOIN total t
         |ORDER BY pair_n DESC, item_a, item_b
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |kth AS (SELECT max(h) AS hk
+        |        FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+        |ex AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+        |SELECT 64 AS k, n_exact,
+        |  round(63.0 / (hk::DOUBLE / 1152921504606846976.0), 2) AS est_kmv
+        |FROM kth CROSS JOIN ex""".stripMargin
   )
 }

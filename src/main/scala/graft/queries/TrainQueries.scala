@@ -357,6 +357,43 @@ object TrainQueries {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
         .orderBy(col("split"), col("lang"))
+    }),
+
+    // URL canonicalization dedup — the crawl-frontier step BEFORE any
+    // content dedup: the same page arrives as scheme/host-case variants,
+    // default-port forms, tracking-parameter decorations, fragments, and
+    // trailing slashes. Three deterministic messy variants per doc are
+    // synthesized (the multimodal trick: the oracle re-derives them from
+    // the same arithmetic and runs the same canonicalizer), collapsed by
+    // the canonical form. Map-only regex chain + one digest-keyed groupBy;
+    // a production canonicalizer adds param re-sorting (order-insensitive
+    // keys) — here the synthesized params are already ordered, noted.
+    "url_canonical" -> ((s, dir) => {
+      val did = col("doc_id")
+      val base = concat(lit("http://w"), did % 7, lit(".site"), did % 13,
+        lit(".com/doc/"), did)
+      val messy = documents(s, dir).filter(did < 40).select(did.as("doc_id"),
+          array(
+            concat(lit("HTTP://W"), did % 7, lit(".SITE"), did % 13,
+              lit(".COM:80/doc/"), did, lit("#sec"), did % 4),
+            concat(base, lit("/")),
+            concat(base, lit("?utm_source=feed&utm_medium=email"))
+          ).as("urls"))
+        .select(col("doc_id"), explode(col("urls")).as("url"))
+      val canon = {
+        val noFrag = regexp_replace(col("url"), "#.*$", "")
+        val noUtm = regexp_replace(noFrag, "[?&]utm_[^&#]*", "")
+        val prefix = regexp_replace(
+          lower(regexp_extract(noUtm, "^([a-zA-Z]+://[^/?#]+)", 1)),
+          ":80$", "")
+        val rest = regexp_replace(noUtm, "^[a-zA-Z]+://[^/?#]+", "")
+        regexp_replace(concat(prefix, rest), "/$", "")
+      }
+      messy.withColumn("canonical", canon)
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("url")).as("n_distinct_raw"))
+        .orderBy(col("canonical"))
     })
   )
 
@@ -545,6 +582,36 @@ object TrainQueries {
          |  FROM kept)
          |SELECT split, lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens
          |FROM sp GROUP BY split, lang
-         |ORDER BY split, lang""".stripMargin
+         |ORDER BY split, lang""".stripMargin,
+
+    "url_canonical" ->
+      """WITH m AS (
+        |  SELECT doc_id, unnest([
+        |    'HTTP://W' || (doc_id % 7) || '.SITE' || (doc_id % 13) ||
+        |      '.COM:80/doc/' || doc_id || '#sec' || (doc_id % 4),
+        |    'http://w' || (doc_id % 7) || '.site' || (doc_id % 13) ||
+        |      '.com/doc/' || doc_id || '/',
+        |    'http://w' || (doc_id % 7) || '.site' || (doc_id % 13) ||
+        |      '.com/doc/' || doc_id || '?utm_source=feed&utm_medium=email'
+        |  ]) AS url
+        |  FROM documents WHERE doc_id < 40),
+        |c AS (
+        |  SELECT url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_extract(
+        |          regexp_replace(regexp_replace(url, '#.*$', ''),
+        |            '[?&]utm_[^&#]*', '', 'g'),
+        |          '^([a-zA-Z]+://[^/?#]+)', 1)),
+        |        ':80$', '') ||
+        |      regexp_replace(
+        |        regexp_replace(regexp_replace(url, '#.*$', ''),
+        |          '[?&]utm_[^&#]*', '', 'g'),
+        |        '^[a-zA-Z]+://[^/?#]+', ''),
+        |      '/$', '') AS canonical
+        |  FROM m)
+        |SELECT canonical, count(*) AS n_variants,
+        |  count(DISTINCT url) AS n_distinct_raw
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin
   )
 }

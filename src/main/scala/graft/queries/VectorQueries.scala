@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -644,6 +645,39 @@ object VectorQueries {
         .agg(count(lit(1)).as("n_hit"))
         .select(lit(16).as("pca_dim"), lit(20).as("shortlist"), lit(5).as("k"),
           col("n_hit"), round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
+    // Semi-supervised label spread — the auto-labeling step of a training
+    // corpus: every 5th vector keeps its gold label, a serving batch of
+    // unlabeled vectors takes the majority vote of its 5 nearest labeled
+    // neighbors (cosine; ties → larger vote count, then smaller label).
+    // Plan shape = knn_batch: broadcast query panel, per-qid rank window,
+    // then a votes-sized argmax window. At full scale the labeled corpus
+    // side rides the IVF layout instead of a flat scan — the vote logic
+    // is unchanged.
+    "knn_label_spread" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = embeddings(s, dir)
+      val labeled = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("lid"), col("embedding"), col("label"))
+      val un = emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val scored = labeled.crossJoin(broadcast(un))
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("lid").asc)
+      val votes = scored.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wWin = Window.partitionBy(col("qid"))
+        .orderBy(col("n_votes").desc, col("label").asc)
+      votes.withColumn("w", row_number().over(wWin))
+        .filter(col("w") === 1)
+        .select(col("qid").as("vec_id"), col("label").as("pred_label"),
+          col("n_votes"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -845,6 +879,28 @@ object VectorQueries {
          |  (SELECT count(*) FROM rr JOIN exact USING (vec_id)) AS n_hit,
          |  round((SELECT count(*) FROM rr JOIN exact USING (vec_id))::DOUBLE / 5.0,
          |    6) AS recall""".stripMargin,
+
+    "knn_label_spread" ->
+      s"""WITH l AS (SELECT vec_id AS lid, embedding::DOUBLE[] AS v, label
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |u AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id < 40),
+         |scored AS (
+         |  SELECT u.qid, l.lid, l.label,
+         |    round(${duckCosine("l.v", "u.qv")}, 6) AS sim
+         |  FROM l CROSS JOIN u),
+         |top5 AS (
+         |  SELECT qid, lid, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, lid ASC) AS rnk FROM scored)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT qid, label, count(*) AS n_votes
+         |  FROM top5 GROUP BY qid, label)
+         |SELECT qid AS vec_id, label AS pred_label, n_votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY n_votes DESC, label ASC) AS w FROM votes)
+         |WHERE w = 1 ORDER BY vec_id""".stripMargin,
 
     // Index-stats replay over the same dumped codes the Spark side read.
     "ivf_index_stats" ->

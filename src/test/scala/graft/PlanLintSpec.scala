@@ -48,6 +48,8 @@ class PlanLintSpec extends AnyFunSuite {
       "knn_filtered", // 1-row query side broadcast; corpus pre-restricted by the metadata semi-join
       "ivf_index_stats", // 1-row corpus-total aggregate broadcast into the share projection
       "heavy_hitters", // 1-row total-count aggregate broadcast into the φ threshold
+      "knn_label_spread", // broadcast unlabeled query panel against the labeled scan
+      "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "pca_project",  // broadcast model rows (k·d doubles) against the corpus scan
       "pca_variance", // 1-row retained-mass total broadcast into the share projection
       "pca_recall",   // 1-row query / projected-query broadcasts, shortlist-and-rescore
