@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.operators.Skyline
 
 /** North-star relational operator inventory (SURVEY.md §2B) over the
   * TPC-H-ish star schema + events table: scans with pushed-down predicates,
@@ -1756,6 +1757,18 @@ object RelationalQueries {
           round(lit((k - 1).toDouble) /
             (col("hk").cast("double") / lit(1152921504606846976.0)), 2)
             .as("est_kmv"))
+    }),
+
+    // 2-D skyline / Pareto frontier (cheapest part at every size point:
+    // minimize price, maximize size) — see operators/Skyline for why this
+    // is a two-pass range-partitioned scheme and not the quadratic
+    // NOT EXISTS self-join the oracle runs, nor a global-window running
+    // max. Frontier candidates reduce to the distinct-price digest first.
+    "skyline_parts" -> ((s, dir) => {
+      Skyline.skyline(
+        part(s, dir).select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size")
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -2941,6 +2954,14 @@ object RelationalQueries {
         |ex AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
         |SELECT 64 AS k, n_exact,
         |  round(63.0 / (hk::DOUBLE / 1152921504606846976.0), 2) AS est_kmv
-        |FROM kth CROSS JOIN ex""".stripMargin
+        |FROM kth CROSS JOIN ex""".stripMargin,
+
+    "skyline_parts" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin
   )
 }
