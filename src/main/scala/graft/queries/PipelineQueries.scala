@@ -749,6 +749,45 @@ object PipelineQueries {
         .filter(col("status").isNotNull)
         .select(col("doc_id"), col("status"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Containment dedup — the ASYMMETRIC score Jaccard cannot express:
+    // C(A→B) = |A∩B| / |A| flags a short excerpt/quote living inside a
+    // long document (C ≈ 1) where Jaccard stays near |A|/|B| and every
+    // symmetric threshold misses it (Broder 1997 distinguishes resemblance
+    // from containment for exactly this). Corpus augmented with
+    // deterministic 40%-prefix excerpts; candidates meet in the same
+    // shingle-hash equi-join as winnowing (digests only — at 100 TB the
+    // join is banded/frequency-capped like LSH, never all-pairs), and the
+    // jacc column shows the asymmetry the operator exists to catch.
+    "containment_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir).filter(col("doc_id") < 60)
+      val aug = docs.select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            col("text").substr(lit(1),
+              greatest(expr("CAST((n_chars * 2) DIV 5 AS INT)"), lit(20)))
+              .as("text")))
+      val sh = aug.withColumn("hs", TextOps.tokenHashes(col("text")))
+        .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
+        .localCheckpoint() // feeds sizes + both join sides
+      val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("shs")).as("fp"))
+      val pairs = ex.select(col("doc_id").as("id_a"), col("fp"))
+        .join(ex.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("containment",
+          round(col("shared").cast("double") / col("n_a"), 6))
+        .withColumn("jacc", round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6))
+        .filter(col("shared").cast("double") / col("n_a") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          col("containment"), col("jacc"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1589,7 +1628,31 @@ object PipelineQueries {
         |       WHEN h_old <> h_new THEN 'changed' END AS status
         |FROM j
         |WHERE (h_old IS NULL) OR (h_new IS NULL) OR (h_old <> h_new)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "containment_dedup" -> {
+      val augSql =
+        """SELECT doc_id, text FROM documents WHERE doc_id < 60
+          |  UNION ALL
+          |  SELECT doc_id + 40000,
+          |    substr(text, 1, greatest((n_chars * 2) // 5, 20))
+          |  FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0""".stripMargin
+      s"""WITH ${duckShingleCtes(augSql)},
+         |sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(shs) AS fp FROM sh),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |      FROM ex a JOIN ex b USING (fp)
+         |      WHERE a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, shared,
+         |  round(shared::DOUBLE / sa.n, 6) AS containment,
+         |  round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jacc
+         |FROM p
+         |JOIN sz sa ON sa.doc_id = p.id_a
+         |JOIN sz sb ON sb.doc_id = p.id_b
+         |WHERE shared::DOUBLE / sa.n >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 
   private def duckTxnRead(versionExpr: String, where: String = "1 = 1"): String =

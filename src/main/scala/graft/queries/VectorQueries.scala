@@ -678,6 +678,45 @@ object VectorQueries {
         .select(col("qid").as("vec_id"), col("label").as("pred_label"),
           col("n_votes"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, "ratio" margin):
+    // the parallel-corpus miner for translation training data. A raw
+    // cosine threshold over two monolingual corpora drowns in hubs —
+    // vectors similar to EVERYTHING; the margin normalizes each pair score
+    // by both endpoints' average k-NN similarity, so only pairs that are
+    // mutually MUCH closer than their neighborhoods survive (margin > 1).
+    // Corpora = even/odd vec_ids. The cross-score table is staged once
+    // (three consumers: forward k-NN averages, backward averages, pair
+    // scores); at 100 TB the candidate pairs and both k-NN shortlists come
+    // from the trained ANN layout instead of the exact cross join — the
+    // margin arithmetic is unchanged.
+    "bitext_margin" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = embeddings(s, dir)
+      val a = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val scored = a.crossJoin(broadcast(b))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6))
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .localCheckpoint()
+      def knnAvg(key: String, other: String, out: String) = {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("sim").desc, col(other).asc)
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= 4)
+          .groupBy(col(key)).agg(avg(col("sim")).as(out))
+      }
+      scored
+        .join(knnAvg("id_a", "id_b", "avg_a"), "id_a")
+        .join(knnAvg("id_b", "id_a", "avg_b"), "id_b")
+        .withColumn("margin",
+          round(col("sim") / ((col("avg_a") + col("avg_b")) / 2), 6))
+        .filter(col("margin") > 1.0)
+        .select(col("id_a"), col("id_b"), col("sim"), col("margin"))
+        .orderBy(col("margin").desc, col("id_a"), col("id_b"))
+        .limit(10)
     })
   )
 
@@ -901,6 +940,28 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY n_votes DESC, label ASC) AS w FROM votes)
          |WHERE w = 1 ORDER BY vec_id""".stripMargin,
+
+    "bitext_margin" ->
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS ea
+         |           FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS eb
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |s AS (SELECT id_a, id_b,
+         |        round(${duckCosine("ea", "eb")}, 6) AS sim
+         |      FROM a CROSS JOIN b),
+         |na AS (SELECT id_a, avg(sim) AS avg_a FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY id_a
+         |           ORDER BY sim DESC, id_b ASC) AS r FROM s)
+         |       WHERE r <= 4 GROUP BY id_a),
+         |nb AS (SELECT id_b, avg(sim) AS avg_b FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY id_b
+         |           ORDER BY sim DESC, id_a ASC) AS r FROM s)
+         |       WHERE r <= 4 GROUP BY id_b),
+         |m AS (SELECT s.id_a, s.id_b, s.sim,
+         |        round(s.sim / ((na.avg_a + nb.avg_b) / 2), 6) AS margin
+         |      FROM s JOIN na USING (id_a) JOIN nb USING (id_b))
+         |SELECT id_a, id_b, sim, margin FROM m WHERE margin > 1.0
+         |ORDER BY margin DESC, id_a, id_b LIMIT 10""".stripMargin,
 
     // Index-stats replay over the same dumped codes the Spark side read.
     "ivf_index_stats" ->

@@ -49,6 +49,7 @@ class PlanLintSpec extends AnyFunSuite {
       "ivf_index_stats", // 1-row corpus-total aggregate broadcast into the share projection
       "heavy_hitters", // 1-row total-count aggregate broadcast into the φ threshold
       "knn_label_spread", // broadcast unlabeled query panel against the labeled scan
+      "bitext_margin", // broadcast side-B panel; ANN candidates at scale (comment)
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "pca_project",  // broadcast model rows (k·d doubles) against the corpus scan
       "pca_variance", // 1-row retained-mass total broadcast into the share projection
