@@ -1013,6 +1013,23 @@ object Streaming {
       }.toDF()
   }
 
+  /** Running (n_rows, fp) over an unbounded stream — the ingest-side twin
+    * of the batch `table_fingerprint` query: the 60-bit md5 row digests
+    * sum modularly, and a modular sum is commutative + associative, so the
+    * streaming global aggregate holds ONE (count, sum) pair of state
+    * regardless of stream length, and at every trigger the emitted
+    * fingerprint equals the batch fingerprint of everything ingested so
+    * far (asserted per-trigger in StreamingSpec). This is how a replica's
+    * integrity check runs against a live ingest feed: no rescan, no
+    * payload retention — the fingerprint folds forward.
+    */
+  def fingerprintStream(rows: DataFrame, canon: org.apache.spark.sql.Column): DataFrame =
+    rows
+      .select(conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+          .as("fp"))
+
   /** Run a streaming DataFrame to completion against the memory sink and
     * return the materialized result (test/demo harness; production uses a
     * real sink + checkpoint).

@@ -559,6 +559,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fingerprint: every trigger's emission equals the batch fingerprint of rows-so-far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    assert(chunks.length === 3)
+    val input = MemoryStream[(Long, String)]
+    val canon = concat_ws("|", col("_1"), col("_2"))
+    val q = Streaming.fingerprintStream(input.toDF(), canon)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("fp_stream").start()
+    try {
+      var seen = Seq.empty[(Long, String)]
+      chunks.foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+        seen = seen ++ chunk
+        val got = spark.table("fp_stream").collect()
+        assert(got.length === 1)
+        // batch fingerprint of the prefix — the SAME helper over a batch
+        // frame (one definition, two execution modes)
+        val want = Streaming.fingerprintStream(seen.toDF("_1", "_2"), canon).head()
+        assert(got.head.getLong(0) === want.getLong(0), "n_rows diverged")
+        assert(got.head.getLong(1) === want.getLong(1),
+          s"fingerprint diverged after ${seen.length} rows")
+      }
+      assert(seen.length === docs.length)
+    } finally q.stop()
+  }
+
   test("streaming EWMA fold continues across triggers and matches the batch query exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
