@@ -1759,6 +1759,126 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Time-weighted average (TWAP) — the correct mean for irregularly
+    // sampled state: each reading holds until the next one, so its weight
+    // is its holding DURATION, not 1. A plain avg over-counts bursts (ten
+    // readings in a minute ≠ ten hours at that level). One user-keyed
+    // shuffle, lead() duration per reading, weighted agg; the final
+    // reading carries no duration and drops out, as in any TWAP window.
+    "twap_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur", (col("next_us") - unix_micros(col("ts")))
+          .cast("double") / 1000000.0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(col("value") * col("dur")) / sum(col("dur")), 6).as("twap"),
+          round(avg(col("value")), 6).as("plain_avg"))
+        .filter(col("n_intervals") >= 3)
+        .orderBy(col("user_id"))
+    }),
+
+    // Column profiling — the data-quality census a pipeline runs before
+    // trusting a new source: per column null count, distinct count, range,
+    // and modal value (ties → smallest value, deterministic). Long-form
+    // (one row per column) so adding columns never changes the schema.
+    // Each column costs one map-side-combined agg + a mode argmax over its
+    // value digest; values stringify at the boundary so heterogeneous
+    // columns share the report schema.
+    "column_profile" -> ((s, dir) => {
+      val d = documents(s, dir)
+      def profile(cn: String): DataFrame = {
+        // stats run on the NATIVE type (numeric min ≠ lexicographic min),
+        // stringify only at the report boundary
+        val c = col(cn)
+        val base = d.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_val"),
+          max(c).cast("string").as("max_val"))
+        val mode = d.filter(c.isNotNull).groupBy(c.as("v"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("v").asc).limit(1)
+          .select(col("v").cast("string").as("top_val"), col("n").as("top_n"))
+        base.crossJoin(mode).select(lit(cn).as("column"),
+          col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_val"), col("max_val"), col("top_val"), col("top_n"))
+      }
+      profile("lang").union(profile("source")).union(profile("n_chars"))
+        .orderBy(col("column"))
+    }),
+
+    // KMV sketch ALGEBRA — the reason bottom-k beats HLL for set
+    // arithmetic: K(A∪B) = k smallest of K_A ∪ K_B exactly (closed under
+    // union from the component sketches alone — no rescan), the Jaccard
+    // estimate is the fraction of union-sketch hashes present in both
+    // sides, and |A∩B| ≈ J·|A∪B| (Beyer 2007). Sketches are 64 longs each;
+    // the whole algebra runs over KB-sized frames beside exact audit twins.
+    "kmv_set_ops" -> ((s, dir) => {
+      def hashed(flag: String) = lineitem(s, dir)
+        .filter(col("l_returnflag") === flag)
+        .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"))
+        .distinct()
+      def sketch(df: DataFrame) = df.orderBy(col("h").asc).limit(64)
+      val ka = sketch(hashed("R")).localCheckpoint()
+      val kb = sketch(hashed("A")).localCheckpoint()
+      val ku = sketch(ka.union(kb).distinct()).localCheckpoint()
+      val uEst = ku.agg(max(col("h")).as("hk"))
+        .select((lit(63.0) / (col("hk").cast("double") / lit(1152921504606846976.0)))
+          .as("est_union"))
+      val common = ku.join(ka, Seq("h"), "left_semi")
+        .join(kb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      val exact = lineitem(s, dir).filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_partkey"),
+          (col("l_returnflag") === "R").as("inA"),
+          (col("l_returnflag") === "A").as("inB"))
+        .groupBy(col("l_partkey"))
+        .agg(max(col("inA")).as("a"), max(col("inB")).as("b"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("exact_inter"))
+      uEst.crossJoin(common).crossJoin(exact)
+        .select(round(col("est_union"), 2).as("est_union"), col("exact_union"),
+          round(col("n_common").cast("double") / 64.0, 6).as("jacc_est"),
+          round(col("n_common").cast("double") / 64.0 * col("est_union"), 2)
+            .as("est_inter"),
+          col("exact_inter"))
+    }),
+
+    // CUSUM change-point detection (Page 1954) — the drift monitor that
+    // catches a persistent small shift a per-point z-score never trips on:
+    // S_t = max(0, S_{t−1} + (x_t − μ)) accumulates deviation from the
+    // baseline mean, flagged when it crosses 2σ. The corpus reduces to the
+    // (event_type, day) count digest; the inherently sequential fold runs
+    // INSIDE each type's collected day array (bounded by the calendar,
+    // never the corpus — the Holt/EWMA fold discipline); baseline moments
+    // broadcast back from one digest aggregate.
+    "cusum_shift" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sd"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+        .join(broadcast(stats), "event_type")
+        .withColumn("ss", expr(
+          """slice(aggregate(xs, array(0.0D),
+            |  (acc, e) -> concat(acc,
+            |    array(greatest(0.0D, element_at(acc, -1) + e.x - mu)))),
+            |2, size(xs))""".stripMargin))
+        .select(col("event_type"), col("sd"),
+          explode(arrays_zip(col("xs"), col("ss"))).as("z"))
+        .select(col("event_type"), col("z.xs.day").as("day"),
+          col("z.xs.x").as("x"), round(col("z.ss"), 6).as("s"),
+          (round(col("z.ss"), 6) > round(lit(2.0) * col("sd"), 6)).as("shift_flag"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // 2-D skyline / Pareto frontier (cheapest part at every size point:
     // minimize price, maximize size) — see operators/Skyline for why this
     // is a two-pass range-partitioned scheme and not the quadratic
@@ -2955,6 +3075,109 @@ object RelationalQueries {
         |SELECT 64 AS k, n_exact,
         |  round(63.0 / (hk::DOUBLE / 1152921504606846976.0), 2) AS est_kmv
         |FROM kth CROSS JOIN ex""".stripMargin,
+
+    "kmv_set_ops" ->
+      """WITH ha AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |hb AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM (SELECT DISTINCT h FROM (
+        |         SELECT h FROM ka UNION ALL SELECT h FROM kb))
+        |       ORDER BY h LIMIT 64),
+        |ue AS (SELECT 63.0 / (max(h)::DOUBLE / 1152921504606846976.0)
+        |         AS est_union FROM ku),
+        |cm AS (SELECT count(*) AS n_common FROM ku
+        |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |ex AS (SELECT count(*) AS exact_union,
+        |         sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+        |       FROM (SELECT l_partkey,
+        |               max(l_returnflag = 'R') AS a, max(l_returnflag = 'A') AS b
+        |             FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |             GROUP BY l_partkey))
+        |SELECT round(est_union, 2) AS est_union, exact_union,
+        |  round(n_common::DOUBLE / 64.0, 6) AS jacc_est,
+        |  round(n_common::DOUBLE / 64.0 * est_union, 2) AS est_inter,
+        |  exact_inter
+        |FROM ue CROSS JOIN cm CROSS JOIN ex""".stripMargin,
+
+    "cusum_shift" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+        |       FROM daily GROUP BY 1),
+        |ord AS (SELECT event_type, day, x,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |        FROM daily),
+        |r AS (
+        |  SELECT o.event_type, o.day, o.x, o.rn,
+        |    greatest(0.0, o.x - st.mu) AS s
+        |  FROM ord o JOIN st USING (event_type) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.day, o.x, o.rn,
+        |    greatest(0.0, r.s + o.x - st.mu)
+        |  FROM r
+        |  JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+        |  JOIN st ON st.event_type = o.event_type)
+        |SELECT r.event_type, r.day, r.x, round(r.s, 6) AS s,
+        |  (round(r.s, 6) > round(2.0 * st.sd, 6)) AS shift_flag
+        |FROM r JOIN st USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "twap_user" ->
+      """WITH i AS (
+        |  SELECT user_id, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |d AS (SELECT user_id, value,
+        |        (next_us - us)::DOUBLE / 1000000.0 AS dur
+        |      FROM i WHERE next_us IS NOT NULL)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  round(sum(value * dur) / sum(dur), 6) AS twap,
+        |  round(avg(value), 6) AS plain_avg
+        |FROM d GROUP BY user_id HAVING count(*) >= 3
+        |ORDER BY user_id""".stripMargin,
+
+    "column_profile" ->
+      """WITH lang_m AS (
+        |  SELECT lang AS v, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang ORDER BY n DESC, v ASC LIMIT 1),
+        |src_m AS (
+        |  SELECT source AS v, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source ORDER BY n DESC, v ASC LIMIT 1),
+        |nc_m AS (
+        |  SELECT n_chars AS v, count(*) AS n FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY n_chars ORDER BY n DESC, v ASC LIMIT 1),
+        |p AS (
+        |  SELECT 'lang' AS "column", count(*) AS n_rows,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |    count(DISTINCT lang) AS n_distinct,
+        |    min(lang)::VARCHAR AS min_val, max(lang)::VARCHAR AS max_val,
+        |    (SELECT v FROM lang_m)::VARCHAR AS top_val,
+        |    (SELECT n FROM lang_m) AS top_n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT source),
+        |    min(source)::VARCHAR, max(source)::VARCHAR,
+        |    (SELECT v FROM src_m)::VARCHAR, (SELECT n FROM src_m)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT n_chars),
+        |    min(n_chars)::VARCHAR, max(n_chars)::VARCHAR,
+        |    (SELECT v FROM nc_m)::VARCHAR, (SELECT n FROM nc_m)
+        |  FROM documents)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
 
     "skyline_parts" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p

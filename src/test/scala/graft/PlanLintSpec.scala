@@ -51,6 +51,8 @@ class PlanLintSpec extends AnyFunSuite {
       "knn_label_spread", // broadcast unlabeled query panel against the labeled scan
       "bitext_margin", // broadcast side-B panel; ANN candidates at scale (comment)
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
+      "kmv_set_ops",  // three 1-row sketch-algebra frames joined
+      "column_profile", // per-column 1-row stats × 1-row mode frames
       "pca_project",  // broadcast model rows (k·d doubles) against the corpus scan
       "pca_variance", // 1-row retained-mass total broadcast into the share projection
       "pca_recall",   // 1-row query / projected-query broadcasts, shortlist-and-rescore
