@@ -1644,6 +1644,84 @@ object RelationalQueries {
           sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
     }),
 
+    // ROC curve points at fixed thresholds — the operating-point table
+    // behind auc_score's single number: TPR/FPR from the same (bin →
+    // pos/neg) digest, one threshold membership explode over digest rows
+    // (9 × |digest|, map-side combined back to 9 rows). Monotone by
+    // construction; the serving team picks the knee.
+    "roc_curve" -> ((s, dir) => {
+      val digest = events(s, dir)
+        .select(round(col("value"), 1).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+      val tot = digest.agg(sum(col("n_pos")).as("p"), sum(col("n_neg")).as("n"))
+      digest
+        .select(col("bin"), col("n_pos"), col("n_neg"),
+          explode(sequence(lit(1), lit(9))).as("t"))
+        .groupBy(col("t"))
+        .agg(sum(when(col("bin") >= col("t") * 10, col("n_pos")).otherwise(0L)).as("tp"),
+          sum(when(col("bin") >= col("t") * 10, col("n_neg")).otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(tot))
+        .select((col("t") * 10).cast("double").as("threshold"),
+          round(col("tp").cast("double") / col("p"), 6).as("tpr"),
+          round(col("fp").cast("double") / col("n"), 6).as("fpr"))
+        .orderBy(col("threshold"))
+    }),
+
+    // Benford first-digit audit — the cheap fraud/synthetic-data smell
+    // test: natural multi-scale magnitudes follow P(d) = log10(1+1/d);
+    // fabricated or truncated data doesn't. First digit extracted via
+    // integer string arithmetic (floor is exact; int→string rendering is
+    // engine-identical, double→string is NOT), χ² against the Benford
+    // expectation as 9-row digest arithmetic.
+    "benford_check" -> ((s, dir) => {
+      val obs = orders(s, dir)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+          1, 1).cast("int").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("expected", col("n") * log10(lit(1.0) + lit(1.0) / col("d")))
+        .select(col("d"), col("n_obs"),
+          round(col("expected"), 2).as("n_exp"),
+          round(pow(col("n_obs") - col("expected"), 2) / col("expected"), 4)
+            .as("chi2_term"))
+        .orderBy(col("d"))
+    }),
+
+    // Poisson bootstrap confidence interval (Chamandy 2012 — the
+    // resampling scheme that actually runs at scale): instead of B full
+    // resamples, each row draws a deterministic pseudo-Poisson(1) weight
+    // per replicate from a hash — one pass, B × |digest| partials map-side
+    // combined to B replicate means, CI = percentiles over the 32-row
+    // replicate digest. No data movement beyond B rows per partition.
+    "bootstrap_ci" -> ((s, dir) => {
+      val b = 32
+      val reps = orders(s, dir)
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("x"))
+        .select(col("id"), col("x"), explode(sequence(lit(0), lit(b - 1))).as("r"))
+        .withColumn("u",
+          ((col("id") * 2654435761L + col("r") * 2246822519L) % 1000000007L)
+            .cast("double") / 1000000007.0)
+        // Poisson(1) cdf thresholds: e^-1, 2e^-1, 2.5e^-1·2, ...
+        .withColumn("w",
+          when(col("u") < 0.3678794412, 0)
+            .when(col("u") < 0.7357588823, 1)
+            .when(col("u") < 0.9196986029, 2)
+            .when(col("u") < 0.9810118431, 3).otherwise(4))
+        .groupBy(col("r"))
+        .agg((sum(col("w") * col("x")) / sum(col("w"))).as("mean_r"))
+      val point = orders(s, dir).agg(avg(col("o_totalprice")).as("m"))
+      reps.agg(
+          expr("percentile(mean_r, 0.025D)").as("lo"),
+          expr("percentile(mean_r, 0.975D)").as("hi"),
+          count(lit(1)).as("n_reps"))
+        .crossJoin(point)
+        .select(col("n_reps"), round(col("m"), 2).as("mean"),
+          round(col("lo"), 2).as("ci_lo"), round(col("hi"), 2).as("ci_hi"))
+    }),
+
     // Welch two-sample t-test for an A/B experiment: each arm reduces to
     // (n, mean, var_samp) in ONE map-side-combined aggregate; the t
     // statistic and Welch–Satterthwaite df are arithmetic over the two
@@ -1809,6 +1887,41 @@ object RelationalQueries {
       }
       profile("lang").union(profile("source")).union(profile("n_chars"))
         .orderBy(col("column"))
+    }),
+
+    // Item-item collaborative filtering (Sarwar 2001 / Amazon's
+    // neighborhood method): sim(i,j) = |buyers(i) ∩ buyers(j)| /
+    // √(|buyers(i)|·|buyers(j)|) — binary-vector cosine over the
+    // customer×item matrix, WITHOUT materializing it: co-occurrence pairs
+    // meet in a customer-keyed join (partitions bounded by the biggest
+    // single buyer — the assoc_rules shape), item degrees are a broadcast
+    // digest, and the per-item top-3 is a pair-digest window. The "users
+    // who bought this also bought" table, deterministic end to end.
+    "item_item_recs" -> ((s, dir) => {
+      val bought = lineitem(s, dir)
+        .join(orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")), "l_orderkey")
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+      val degree = bought.groupBy(col("item")).agg(count(lit(1)).as("deg"))
+      val pairs = bought.as("a")
+        .join(bought.as("b"),
+          col("a.cust") === col("b.cust") && col("a.item") =!= col("b.item"))
+        .groupBy(col("a.item").as("item"), col("b.item").as("rec"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 2)
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("sim").desc, col("rec").asc)
+      pairs
+        .join(broadcast(degree.select(col("item"), col("deg").as("deg_i"))), "item")
+        .join(broadcast(degree.select(col("item").as("rec"), col("deg").as("deg_j"))), "rec")
+        .withColumn("sim", round(col("n_common").cast("double") /
+          sqrt(col("deg_i").cast("double") * col("deg_j")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("item"), col("rnk"), col("rec"), col("n_common"), col("sim"))
+        .orderBy(col("item"), col("rnk"))
+        .limit(60)
     }),
 
     // KMV sketch ALGEBRA — the reason bottom-k beats HLL for set
@@ -3075,6 +3188,77 @@ object RelationalQueries {
         |SELECT 64 AS k, n_exact,
         |  round(63.0 / (hk::DOUBLE / 1152921504606846976.0), 2) AS est_kmv
         |FROM kth CROSS JOIN ex""".stripMargin,
+
+    "roc_curve" ->
+      """WITH b AS (
+        |  SELECT round(value, 1) AS bin,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |d AS (SELECT bin, sum(pos)::BIGINT AS n_pos, sum(1 - pos)::BIGINT AS n_neg
+        |      FROM b GROUP BY bin),
+        |tot AS (SELECT sum(n_pos) AS p, sum(n_neg) AS n FROM d),
+        |pts AS (
+        |  SELECT t.t,
+        |    sum(CASE WHEN d.bin >= t.t * 10 THEN d.n_pos ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN d.bin >= t.t * 10 THEN d.n_neg ELSE 0 END)::BIGINT AS fp
+        |  FROM d CROSS JOIN generate_series(1, 9) t(t)
+        |  GROUP BY t.t)
+        |SELECT (t * 10)::DOUBLE AS threshold,
+        |  round(tp::DOUBLE / tot.p, 6) AS tpr,
+        |  round(fp::DOUBLE / tot.n, 6) AS fpr
+        |FROM pts CROSS JOIN tot ORDER BY threshold""".stripMargin,
+
+    "benford_check" ->
+      """WITH o AS (
+        |  SELECT substr((floor(o_totalprice)::BIGINT)::VARCHAR, 1, 1)::INT AS d
+        |  FROM orders),
+        |obs AS (SELECT d, count(*) AS n_obs FROM o GROUP BY d),
+        |tot AS (SELECT sum(n_obs) AS n FROM obs)
+        |SELECT d, n_obs,
+        |  round(tot.n * log10(1.0 + 1.0 / d), 2) AS n_exp,
+        |  round(pow(n_obs - tot.n * log10(1.0 + 1.0 / d), 2) /
+        |    (tot.n * log10(1.0 + 1.0 / d)), 4) AS chi2_term
+        |FROM obs CROSS JOIN tot ORDER BY d""".stripMargin,
+
+    "bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT o_totalprice AS x, r.r AS r,
+        |    ((o_orderkey * 2654435761 + r.r * 2246822519) % 1000000007)::DOUBLE
+        |      / 1000000007.0 AS u
+        |  FROM orders CROSS JOIN generate_series(0, 31) r(r)),
+        |reps AS (
+        |  SELECT r, x,
+        |    CASE WHEN u < 0.3678794412 THEN 0
+        |         WHEN u < 0.7357588823 THEN 1
+        |         WHEN u < 0.9196986029 THEN 2
+        |         WHEN u < 0.9810118431 THEN 3 ELSE 4 END AS w
+        |  FROM base),
+        |m AS (SELECT r, sum(w * x) / sum(w) AS mean_r FROM reps GROUP BY r),
+        |ci AS (SELECT quantile_cont(mean_r, 0.025) AS lo,
+        |         quantile_cont(mean_r, 0.975) AS hi, count(*) AS n_reps FROM m),
+        |pt AS (SELECT avg(o_totalprice) AS m FROM orders)
+        |SELECT n_reps, round(pt.m, 2) AS mean,
+        |  round(lo, 2) AS ci_lo, round(hi, 2) AS ci_hi
+        |FROM ci CROSS JOIN pt""".stripMargin,
+
+    "item_item_recs" ->
+      """WITH bought AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |deg AS (SELECT item, count(*) AS deg FROM bought GROUP BY item),
+        |p AS (SELECT a.item AS item, b.item AS rec, count(*) AS n_common
+        |      FROM bought a JOIN bought b
+        |        ON a.cust = b.cust AND a.item <> b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT p.item, p.rec, p.n_common,
+        |        round(p.n_common::DOUBLE / sqrt(da.deg::DOUBLE * db.deg), 6) AS sim
+        |      FROM p
+        |      JOIN deg da ON da.item = p.item
+        |      JOIN deg db ON db.item = p.rec)
+        |SELECT item, rnk, rec, n_common, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY sim DESC, rec ASC) AS rnk FROM s)
+        |WHERE rnk <= 3 ORDER BY item, rnk LIMIT 60""".stripMargin,
 
     "kmv_set_ops" ->
       """WITH ha AS (SELECT DISTINCT

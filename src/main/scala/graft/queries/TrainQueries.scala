@@ -394,6 +394,30 @@ object TrainQueries {
         .agg(count(lit(1)).as("n_variants"),
           countDistinct(col("url")).as("n_distinct_raw"))
         .orderBy(col("canonical"))
+    }),
+
+    // Deterministic negative sampling — the contrastive-pair assembly step
+    // (anchor, positive, k in-batch negatives): each anchor draws 4
+    // negatives as a pure hash function of (anchor, slot), so reruns,
+    // shards, and engines agree on every pair. The +1 … % (N−1) offset
+    // construction EXCLUDES self by arithmetic, not by a filter that would
+    // leave variable-length lists. Map-only over the anchors; N is one
+    // broadcast digest row. Negatives join their text length to show the
+    // pairs are materializable without moving the corpus twice.
+    "neg_samples" -> ((s, dir) => {
+      val n = documents(s, dir).agg((max(col("doc_id")) + 1).as("n"))
+      val anchors = documents(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("slot"))
+        .crossJoin(broadcast(n))
+        .withColumn("neg_id",
+          (col("doc_id") + 1 +
+            (col("doc_id") * 2654435761L + col("slot") * 2246822519L) %
+              (col("n") - 1)) % col("n"))
+      anchors
+        .join(documents(s, dir).select(col("doc_id").as("neg_id"),
+          col("n_chars").as("neg_chars")), Seq("neg_id"))
+        .select(col("doc_id"), col("slot"), col("neg_id"), col("neg_chars"))
+        .orderBy(col("doc_id"), col("slot"))
     })
   )
 
@@ -612,6 +636,21 @@ object TrainQueries {
         |  FROM m)
         |SELECT canonical, count(*) AS n_variants,
         |  count(DISTINCT url) AS n_distinct_raw
-        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    "neg_samples" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |a AS (
+        |  SELECT d.doc_id, s.slot,
+        |    (d.doc_id + 1 +
+        |      (d.doc_id * 2654435761 + s.slot * 2246822519) % (n.n - 1)) % n.n
+        |      AS neg_id
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 3) s(slot)
+        |  CROSS JOIN n
+        |  WHERE d.doc_id < 30)
+        |SELECT a.doc_id, a.slot, a.neg_id, d2.n_chars AS neg_chars
+        |FROM a JOIN documents d2 ON d2.doc_id = a.neg_id
+        |ORDER BY a.doc_id, a.slot""".stripMargin
   )
 }

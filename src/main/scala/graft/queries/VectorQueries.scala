@@ -680,6 +680,31 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Hard-negative mining — the contrastive-training staple: for each
+    // anchor, the most SIMILAR vectors of a DIFFERENT class (random
+    // negatives are too easy; these sit at the decision boundary and carry
+    // the gradient). knn_batch plan with the label-mismatch predicate
+    // pushed below the rank window; at scale the candidate set comes from
+    // the ANN index and the mismatch filter rides the probe.
+    "hard_negatives" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val scored = emb.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("sim"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019, "ratio" margin):
     // the parallel-corpus miner for translation training data. A raw
     // cosine threshold over two monolingual corpora drowns in hubs —
@@ -940,6 +965,20 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY n_votes DESC, label ASC) AS w FROM votes)
          |WHERE w = 1 ORDER BY vec_id""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         |             label AS q_label
+         |           FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT a.qid, e.vec_id, e.label,
+         |    round(${duckCosine("e.embedding::DOUBLE[]", "a.qv")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN a
+         |  WHERE e.label <> a.q_label)
+         |SELECT qid, rnk, vec_id AS neg_id, label AS neg_label, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim DESC, vec_id ASC) AS rnk FROM s)
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     "bitext_margin" ->
       s"""WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS ea

@@ -740,6 +740,38 @@ object Streaming {
       }.toDF("user_id", "n_events", "ewma")
   }
 
+  case class CusumEv(event_type: String, dayUs: Long, x: Double)
+  case class CusumState(n: Long, s: Double)
+
+  /** Streaming CUSUM drift monitor — the monitoring twin of the batch
+    * `cusum_shift` query: per-key cumulative deviation
+    * S ← max(0, S + x − μ) carried across triggers in
+    * `mapGroupsWithState`, fed by an upstream windowed count (the x
+    * values). The baseline μ per key is broadcast-sized reference state
+    * fit OFFLINE on a training period — exactly how production monitors
+    * pin their baseline so the monitored stream can't drag the target
+    * along with the drift it should be flagging. Same fold-continuation
+    * contract as [[ewmaStream]]/[[holtStream]]: any trigger split of the
+    * per-key-ordered feed reaches the identical (n, S).
+    */
+  def cusumStream(spark: SparkSession, rows: DataFrame,
+                  mu: Map[String, Double]): DataFrame = {
+    import spark.implicits._
+    rows.select(col("event_type"), col("dayUs"), col("x")).as[CusumEv]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[CusumEv], st: GroupState[CusumState]) =>
+          val sorted = it.toSeq.sortBy(_.dayUs)
+          var s = st.getOption.getOrElse(CusumState(0L, 0.0))
+          val target = mu.getOrElse(k, 0.0)
+          sorted.foreach { e =>
+            s = CusumState(s.n + 1, math.max(0.0, s.s + e.x - target))
+          }
+          st.update(s)
+          (k, s.n, s.s)
+      }.toDF("event_type", "n_days", "s")
+  }
+
   case class HoltState(n: Long, l: Double, b: Double)
 
   /** Streaming twin of the batch `holt_forecast` query: per-user Holt

@@ -50,6 +50,11 @@ class PlanLintSpec extends AnyFunSuite {
       "heavy_hitters", // 1-row total-count aggregate broadcast into the φ threshold
       "knn_label_spread", // broadcast unlabeled query panel against the labeled scan
       "bitext_margin", // broadcast side-B panel; ANN candidates at scale (comment)
+      "hard_negatives", // broadcast anchor panel against the corpus scan
+      "roc_curve",    // 1-row (P, N) totals broadcast into the rate projection
+      "benford_check", // 1-row total broadcast into the expectation arithmetic
+      "bootstrap_ci", // 32-row replicate digest × 1-row point estimate
+      "neg_samples",  // 1-row corpus-size digest broadcast into the hash draw
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "kmv_set_ops",  // three 1-row sketch-algebra frames joined
       "column_profile", // per-column 1-row stats × 1-row mode frames

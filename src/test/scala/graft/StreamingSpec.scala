@@ -591,6 +591,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM continues across triggers and matches the batch fold's final state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the daily-count digest + offline baseline, exactly what the batch
+    // query computes before its fold
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .select(col("event_type"), unix_micros(col("day")).as("dayUs"), col("x"))
+      .collect().map(r => Streaming.CusumEv(r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e.dayUs, e.event_type))
+    val mu = daily.groupBy(_.event_type)
+      .map { case (k, es) => k -> es.map(_.x).sum / es.length }
+    val cut = daily(daily.length / 2).dayUs
+    val input = MemoryStream[Streaming.CusumEv]
+    val q = Streaming.cusumStream(spark, input.toDF(), mu)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cusum_stream").start()
+    try {
+      input.addData(daily.filter(_.dayUs <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(daily.filter(_.dayUs > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("cusum_stream")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_days"), col("s"))).as("st"))
+        .select(col("event_type"), col("st.n_days").as("n_days"),
+          round(col("st.s"), 6).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch twin: last row per type of cusum_shift (the fold's endpoint)
+      val batch = SparkEntry.queries("cusum_shift")(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), max(struct(col("day"), col("s"))).as("last"))
+        .select(col("event_type"), col("n_days"), round(col("last.s"), 6).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === batch, s"streaming CUSUM diverged: $got vs $batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming EWMA fold continues across triggers and matches the batch query exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
