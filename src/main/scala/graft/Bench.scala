@@ -48,9 +48,19 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => errors += s"stage:$name"; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val stagePass1 = timeStages()
-    Stages.resetAll(spark)
-    val stagePass2 = timeStages()
+    // Local-iteration filter (comma-separated query names): measures just
+    // those queries, WITHOUT the stage pre-builds (stage-backed queries
+    // then pay their cold build inside the first run — fine for iterating
+    // on a plan, not a number of record). The driver sets no filter.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val (stagePass1, stagePass2) =
+      if (only.isDefined) (Nil, Nil)
+      else {
+        val p1 = timeStages()
+        Stages.resetAll(spark)
+        (p1, timeStages())
+      }
     val stageRuns: Seq[(String, Seq[Double])] =
       stagePass1.zip(stagePass2).map { case ((n, a), (_, b)) => (n, Seq(a, b)) }
     // any failed pass poisons the stage's number of record (-1), keeping
@@ -83,7 +93,11 @@ object Bench {
     }
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val shuffles = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val benchQueries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = benchQueries.map { case (name, fn) =>
       val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       var r = 0

