@@ -1837,6 +1837,27 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Funnel latency — the "how long does conversion take" face of the
+    // funnel stage counts: per user, first view → first SUBSEQUENT
+    // purchase, then the latency distribution (p50/p90) a product team
+    // actually tracks. One user-keyed join + digest percentiles; the
+    // percentile input is one row per converted user, never raw events.
+    "funnel_latency" -> ((s, dir) => {
+      val firstView = events(s, dir).filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val conv = events(s, dir).filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") > col("first_view"))
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(col("ts")).as("first_purchase"))
+        .withColumn("delta_s",
+          expr("(unix_micros(first_purchase) - unix_micros(first_view)) DIV 1000000"))
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta_s, 0.5D)"), 2).as("p50_s"),
+        round(expr("percentile(delta_s, 0.9D)"), 2).as("p90_s"),
+        max(col("delta_s")).as("max_s"))
+    }),
+
     // Time-weighted average (TWAP) — the correct mean for irregularly
     // sampled state: each reading holds until the next one, so its weight
     // is its holding DURATION, not 1. A plain avg over-counts bursts (ten
@@ -3322,6 +3343,23 @@ object RelationalQueries {
         |  (round(r.s, 6) > round(2.0 * st.sd, 6)) AS shift_flag
         |FROM r JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "funnel_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, fv.first_view, min(e.ts) AS first_purchase
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+        |  GROUP BY e.user_id, fv.first_view),
+        |d AS (SELECT (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+        |        AS delta_s FROM c)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(delta_s, 0.5), 2) AS p50_s,
+        |  round(quantile_cont(delta_s, 0.9), 2) AS p90_s,
+        |  max(delta_s) AS max_s
+        |FROM d""".stripMargin,
 
     "twap_user" ->
       """WITH i AS (

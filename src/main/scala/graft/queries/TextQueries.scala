@@ -365,6 +365,44 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k-anonymity audit — the release gate beside pseudonymization and PII
+    // scrubbing: rows whose quasi-identifier combination (lang, source,
+    // length bucket) is shared by fewer than k=5 records are re-
+    // identifiable by linkage even with every direct identifier removed
+    // (Sweeney 2002). One group-size digest aggregate; the summary row a
+    // privacy review signs off on rides beside the per-group detail.
+    "k_anonymity" -> ((s, dir) => {
+      val groups = documents(s, dir)
+        .select(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("long").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+      groups
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
+    }),
+
+    // Differentially-private release counts (Dwork 2006, Laplace
+    // mechanism, ε = 1): per-language counts plus Laplace(1/ε) noise —
+    // sensitivity 1 for a count. The noise draw is DETERMINISTIC (inverse-
+    // CDF over a group-keyed hash), which is exactly how DP releases are
+    // made reproducible for audit: the seed is the secret, not the
+    // mechanism. noisy = n + sign·ln(1−2|u−½|)/ε replayed exactly in SQL.
+    "dp_counts" -> ((s, dir) => {
+      val counts = documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val u = conv(substring(md5(col("lang")), 1, 15), 16, 10).cast("double") /
+        lit(1152921504606846976.0)
+      counts
+        .withColumn("u", round(u, 9)) // quantize the draw at the boundary
+        .withColumn("noise",
+          when(col("u") < 0.5, log(lit(2.0) * col("u")))
+            .otherwise(-log(lit(2.0) * (lit(1.0) - col("u")))))
+        .select(col("lang"), col("n"),
+          round(col("n") + col("noise"), 4).as("noisy_n"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact deduplication: rolling-hash fingerprint → hash groupBy →
     // keeper = min id. Over the doubled corpus every text appears twice.
     "dedup_exact" -> ((s, dir) => {
@@ -1208,6 +1246,24 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY lang, source, len_bucket
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    "dp_counts" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |u AS (SELECT lang, n,
+        |        round(('0x' || substr(md5(lang), 1, 15))::BIGINT::DOUBLE
+        |          / 1152921504606846976.0, 9) AS u
+        |      FROM c)
+        |SELECT lang, n,
+        |  round(n + CASE WHEN u < 0.5 THEN ln(2.0 * u)
+        |                 ELSE -ln(2.0 * (1.0 - u)) END, 4) AS noisy_n
+        |FROM u ORDER BY lang""".stripMargin,
+
     "readability" ->
       s"""WITH f AS (
          |  SELECT doc_id,
