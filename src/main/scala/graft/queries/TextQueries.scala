@@ -365,6 +365,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the token co-occurrence graph (undirected edge iff two distinct
+    // tokens appear within 2 positions) — the unsupervised keyword scorer
+    // TF can't match because it rewards CONNECTEDNESS, not raw count.
+    // Pure composition: the position-window self-join is per-doc-bounded
+    // (≤2 edges per token — linear, never quadratic), then the existing
+    // distributed PageRank runs unchanged over word nodes; the oracle
+    // unrolls the same 3 damped iterations over the same edges.
+    "textrank_keywords" -> ((s, dir) => {
+      val toks = documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      val a = toks.select(col("doc_id"), col("pos").as("pa"), col("tok").as("ta"))
+      val b = toks.select(col("doc_id"), col("pos").as("pb"), col("tok").as("tb"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .filter(col("pb") > col("pa") && col("pb") - col("pa") <= 2 &&
+          col("ta") =!= col("tb"))
+        .select(least(col("ta"), col("tb")).as("id_a"),
+          greatest(col("ta"), col("tb")).as("id_b"))
+        .distinct()
+      val nodes = toks.select(col("tok").as("id")).distinct()
+      graft.operators.PageRank.run(pairs, nodes, iters = 3)
+        .orderBy(round(col("pr"), 6).desc, col("id").asc).limit(10)
+        .select(col("id").as("word"), round(col("pr"), 6).as("pr"))
+    }),
+
     // k-anonymity audit — the release gate beside pseudonymization and PII
     // scrubbing: rows whose quasi-identifier combination (lang, source,
     // length bucket) is shared by fewer than k=5 records are re-
@@ -1246,6 +1272,42 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "textrank_keywords" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (
+           |  SELECT nd.id, (0.15 / nn.n) + 0.85 * coalesce(f.inflow, 0.0) AS pr
+           |  FROM nodes nd CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p.pr / d.deg) AS inflow
+           |    FROM edges e
+           |    JOIN deg d ON d.src = e.src
+           |    JOIN $prev p ON p.id = e.src
+           |    GROUP BY e.dst) f ON f.id = nd.id)""".stripMargin
+      s"""WITH tl AS (
+         |  SELECT doc_id, ${duckToks("text")} AS t
+         |  FROM documents WHERE doc_id < 50),
+         |toks AS (
+         |  SELECT doc_id, unnest(t) AS tok,
+         |    unnest(generate_series(0, len(t) - 1)) AS pos
+         |  FROM tl),
+         |pairs AS (
+         |  SELECT DISTINCT least(a.tok, b.tok) AS id_a,
+         |    greatest(a.tok, b.tok) AS id_b
+         |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         |    AND b.pos > a.pos AND b.pos - a.pos <= 2 AND a.tok <> b.tok),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT tok AS id FROM toks),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT id AS word, round(pr, 6) AS pr FROM pr3
+         |ORDER BY round(pr, 6) DESC, id ASC LIMIT 10""".stripMargin
+    },
+
     "k_anonymity" ->
       """SELECT lang, source, n_chars // 100 AS len_bucket,
         |  count(*) AS n, count(*) < 5 AS at_risk
