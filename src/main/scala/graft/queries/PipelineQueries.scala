@@ -751,6 +751,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k-hop reachability (BFS frontier expansion) — the DISTANCE face of
+    // the graph family: Components answers "same cluster?", PageRank
+    // "how central?", this answers "how far?". Three frontier iterations:
+    // each is one edges⋈frontier join + an anti-join against the visited
+    // set — only (node, dist) digests move, and the first-visit anti-join
+    // IS the min-dist semantics (the oracle proves it by min-over-walks).
+    "khop_reach" -> ((s, dir) => {
+      import s.implicits._
+      val e = stagedCoocEdges(s, dir)
+      val sym = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      // deterministic source: smallest node id (1 value of metadata)
+      val src = sym.agg(min(col("src"))).head().getLong(0)
+      var reach = Seq((src, 0)).toDF("node", "dist")
+      for (h <- 1 to 3) {
+        val frontier = reach.filter(col("dist") === h - 1)
+          .select(col("node").as("src"))
+        val nxt = sym.join(frontier, "src")
+          .select(col("dst").as("node")).distinct()
+          .join(reach.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+        reach = reach.union(nxt).localCheckpoint()
+      }
+      reach.orderBy(col("dist"), col("node"))
+    }),
+
     // Cluster labeling — the human-readable face of the trained index:
     // each KMeans cell gets its top distinguishing tokens by TF-ICF lift
     // (share of the cell's docs containing the token / share of the whole
@@ -1662,6 +1689,20 @@ object PipelineQueries {
         |FROM j
         |WHERE (h_old IS NULL) OR (h_new IS NULL) OR (h_old <> h_new)
         |ORDER BY doc_id""".stripMargin,
+
+    "khop_reach" ->
+      s"""WITH RECURSIVE $duckTriCtes,
+         |sym AS (SELECT a AS src, b AS dst FROM e0
+         |        UNION ALL SELECT b, a FROM e0),
+         |srcn AS (SELECT min(src) AS s FROM sym),
+         |walks AS (
+         |  SELECT s AS node, 0 AS dist FROM srcn
+         |  UNION ALL
+         |  SELECT e.dst, w.dist + 1
+         |  FROM walks w JOIN sym e ON e.src = w.node
+         |  WHERE w.dist < 3)
+         |SELECT node, min(dist) AS dist FROM walks
+         |GROUP BY node ORDER BY dist, node""".stripMargin,
 
     "cluster_labels" ->
       s"""WITH cells AS (

@@ -1837,6 +1837,71 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // First-order Markov transition matrix over user event sequences —
+    // the behavior model path analysis samples from: P(next | current)
+    // via one per-user lead() window + a 25-cell digest aggregate.
+    // Rows normalize within the digest (transition counts / row totals).
+    "markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = trans.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      trans.join(broadcast(rowTot), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // Calibration bins (reliability diagram) — does a score MEAN what it
+    // says: per score-decile, predicted rate (mean score/100) vs observed
+    // positive rate. The companion to roc_curve/auc_score: AUC measures
+    // ranking, calibration measures the probabilities themselves. One
+    // bin-digest aggregate.
+    "calibration_bins" -> ((s, dir) => {
+      events(s, dir)
+        .select((floor(col("value") / 10).cast("int")).as("bin"),
+          col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .filter(col("bin").between(0, 9))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value") / 100.0), 6).as("pred_rate"),
+          round(avg(col("pos").cast("double")), 6).as("obs_rate"))
+        .orderBy(col("bin"))
+    }),
+
+    // Cohort LTV curves — cohort_retention's revenue sibling: per signup
+    // cohort (first-order month), CUMULATIVE average revenue per customer
+    // by month offset — the curve a payback model is fit to. Cohorts and
+    // offsets are calendar-bounded digests; the running sum is a window
+    // over the (cohort, offset) digest, partitioned by cohort.
+    "cohort_ltv" -> ((s, dir) => {
+      val first = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(min(date_trunc("MONTH", col("o_orderdate"))).as("cohort"))
+      val sized = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+      // per-cell revenue rounds to 2 dp then accumulates in EXACT DECIMAL
+      // (the q9/attribution_linear convention): a double running sum
+      // drifts with summation order and lands on .xx5 rounding boundaries
+      val rev = orders(s, dir).join(first, "o_custkey")
+        .withColumn("offset",
+          months_between(date_trunc("MONTH", col("o_orderdate")), col("cohort"))
+            .cast("int"))
+        .groupBy(col("cohort"), col("offset"))
+        .agg(round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("rev"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.join(broadcast(sized), "cohort")
+        .withColumn("cum_rev", sum(col("rev")).over(w))
+        .filter(col("offset") <= 6)
+        .select(col("cohort"), col("offset"), col("cohort_n"),
+          round(col("cum_rev").cast("double") / col("cohort_n"), 2)
+            .as("ltv_per_cust"))
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
     // Funnel latency — the "how long does conversion take" face of the
     // funnel stage counts: per user, first view → first SUBSEQUENT
     // purchase, then the latency distribution (p50/p90) a product team
@@ -3343,6 +3408,53 @@ object RelationalQueries {
         |  (round(r.s, 6) > round(2.0 * st.sd, 6)) AS shift_flag
         |FROM r JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n
+        |      FROM t WHERE next_type IS NOT NULL
+        |      GROUP BY event_type, next_type),
+        |rt AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.next_type, c.n,
+        |  round(c.n::DOUBLE / rt.tot, 6) AS p
+        |FROM c JOIN rt USING (event_type)
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
+
+    "calibration_bins" ->
+      """SELECT floor(value / 10)::INT AS bin, count(*) AS n,
+        |  round(avg(value / 100.0), 6) AS pred_rate,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END),
+        |    6) AS obs_rate
+        |FROM events
+        |WHERE floor(value / 10)::INT BETWEEN 0 AND 9
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH first AS (
+        |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+        |  FROM orders GROUP BY o_custkey),
+        |sized AS (SELECT cohort, count(*) AS cohort_n FROM first GROUP BY cohort),
+        |rev AS (
+        |  SELECT f.cohort,
+        |    datediff('month', f.cohort, date_trunc('month', o.o_orderdate))
+        |      AS "offset",
+        |    round(sum(o.o_totalprice), 2)::DECIMAL(18,2) AS rev
+        |  FROM orders o JOIN first f USING (o_custkey)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, "offset",
+        |    sum(rev) OVER (PARTITION BY cohort ORDER BY "offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev)
+        |SELECT c.cohort, c."offset" AS "offset", s.cohort_n,
+        |  round(c.cum_rev::DOUBLE / s.cohort_n, 2) AS ltv_per_cust
+        |FROM cum c JOIN sized s USING (cohort)
+        |WHERE c."offset" <= 6
+        |ORDER BY c.cohort, c."offset"""".stripMargin,
 
     "funnel_latency" ->
       """WITH fv AS (

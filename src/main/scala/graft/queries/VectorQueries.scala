@@ -680,6 +680,34 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding drift monitor — the ML-ops gate between embedding-model
+    // versions: per-label centroid cosine + L2 shift between the current
+    // corpus and its next revision (simulated: half the vectors scaled
+    // and offset deterministically). Everything reduces to the
+    // (label, dim) mean digest — two map-side-combined aggregates and
+    // 640-row arithmetic; re-embedding 100 TB is compared through KBs.
+    "embedding_drift" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .withColumn("v", VectorOps.toDoubleArray(col("embedding")))
+      val v2 = emb.withColumn("v",
+        when(col("vec_id") % 2 === 0,
+          transform(col("v"), x => x * lit(1.02) + lit(0.01)))
+          .otherwise(col("v")))
+      def centroids(df: DataFrame, out: String) = df
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim")).agg(avg(col("x")).as(out))
+      centroids(emb, "m1").join(centroids(v2, "m2"), Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(sum(col("m1") * col("m2")).as("dot"),
+          sum(col("m1") * col("m1")).as("n1"),
+          sum(col("m2") * col("m2")).as("n2"),
+          sum(pow(col("m1") - col("m2"), 2)).as("shift2"))
+        .select(col("label"),
+          round(col("dot") / sqrt(col("n1") * col("n2")), 6).as("centroid_cos"),
+          round(sqrt(col("shift2")), 6).as("centroid_shift"))
+        .orderBy(col("label"))
+    }),
+
     // Hard-negative mining — the contrastive-training staple: for each
     // anchor, the most SIMILAR vectors of a DIFFERENT class (random
     // negatives are too easy; these sit at the decision boundary and carry
@@ -965,6 +993,29 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY qid
          |    ORDER BY n_votes DESC, label ASC) AS w FROM votes)
          |WHERE w = 1 ORDER BY vec_id""".stripMargin,
+
+    "embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |e2 AS (SELECT vec_id, label,
+        |         CASE WHEN vec_id % 2 = 0
+        |           THEN list_transform(v, x -> x * 1.02 + 0.01) ELSE v END AS v
+        |       FROM e),
+        |c1 AS (SELECT label, dim, avg(x) AS m1 FROM (
+        |         SELECT label, unnest(v) AS x,
+        |           unnest(generate_series(0, len(v) - 1)) AS dim FROM e) t
+        |       GROUP BY label, dim),
+        |c2 AS (SELECT label, dim, avg(x) AS m2 FROM (
+        |         SELECT label, unnest(v) AS x,
+        |           unnest(generate_series(0, len(v) - 1)) AS dim FROM e2) t
+        |       GROUP BY label, dim),
+        |j AS (SELECT c1.label, c1.m1, c2.m2
+        |      FROM c1 JOIN c2 ON c1.label = c2.label AND c1.dim = c2.dim)
+        |SELECT label,
+        |  round(sum(m1 * m2) / sqrt(sum(m1 * m1) * sum(m2 * m2)), 6)
+        |    AS centroid_cos,
+        |  round(sqrt(sum(pow(m1 - m2, 2))), 6) AS centroid_shift
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     "hard_negatives" ->
       s"""WITH a AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
