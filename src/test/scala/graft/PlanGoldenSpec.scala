@@ -102,6 +102,14 @@ class PlanGoldenSpec extends AnyFunSuite {
       val q5 = measure("q5_nation_revenue")
       assert(q5 < 64 * 1024,
         s"q5 shuffled $q5 bytes — digests should be KBs, a fact join leaked")
+      // item-item CF: the anchor-side restriction is what keeps the pair
+      // shuffle at |anchors|·basket instead of |catalog|² (round-7 third
+      // session: the unrestricted form measured 144 MB at sf0.1 / 23.8 s).
+      // At sf0.001 the restricted plan moves well under 2 MB — a silent
+      // return to the quadratic shape trips this immediately.
+      val cf = measure("item_item_recs")
+      assert(cf < 2 * 1024 * 1024,
+        s"item_item_recs shuffled $cf bytes — anchor restriction lost?")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
