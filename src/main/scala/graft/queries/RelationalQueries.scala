@@ -1837,6 +1837,56 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Time-series decomposition (trend / weekly seasonal / residual — the
+    // classical-decomposition core of STL): trend = centered 7-day moving
+    // average, seasonal = mean detrended value per day-of-week, residual
+    // = the anomaly channel monitors then watch. All windows run over the
+    // calendar-bounded daily digest; day-of-week is epoch-day arithmetic
+    // (engine date functions disagree on week origin, integers don't).
+    "ts_decompose" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        .withColumn("dow", expr("(unix_micros(day) DIV 86400000000) % 7"))
+      val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val trended = daily
+        // unpartitioned window: input is the daily digest (calendar-
+        // bounded), the same class as auc_score's bin digest
+        .withColumn("trend", avg(col("n")).over(wMa))
+        .withColumn("detr", col("n") - col("trend"))
+      val seasonal = trended.groupBy(col("dow"))
+        .agg(avg(col("detr")).as("seas"))
+      trended.join(broadcast(seasonal), "dow")
+        .select(col("day"), col("n"), round(col("trend"), 6).as("trend"),
+          round(col("seas"), 6).as("seasonal"),
+          round(col("n") - col("trend") - col("seas"), 6).as("resid"))
+        .orderBy(col("day"))
+    }),
+
+    // Median imputation of missing values (nulls simulated
+    // deterministically) — the repair step between profiling
+    // (column_profile counts the nulls) and modeling: per-group median
+    // from the non-null digest broadcast back, fill map-only, and the
+    // report carries the imputed count beside a value checksum so a
+    // repair that silently changed non-missing rows is visible.
+    "impute_missing" -> ((s, dir) => {
+      val holed = events(s, dir)
+        .withColumn("v",
+          when(col("event_id") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+      val med = holed.filter(col("v").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(v, 0.5D)").as("med"))
+      holed.join(broadcast(med), "event_type")
+        .withColumn("filled", coalesce(col("v"), col("med")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_imputed"),
+          round(max(col("med")), 6).as("median_used"),
+          round(sum(col("filled")), 2).as("filled_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // First-order Markov transition matrix over user event sequences —
     // the behavior model path analysis samples from: P(next | current)
     // via one per-user lead() window + a 25-cell digest aggregate.
@@ -3408,6 +3458,37 @@ object RelationalQueries {
         |  (round(r.s, 6) > round(2.0 * st.sd, 6)) AS shift_flag
         |FROM r JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "ts_decompose" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day, n, (epoch_us(day) // 86400000000) % 7 AS dow
+        |       FROM daily),
+        |t AS (
+        |  SELECT day, n, dow,
+        |    avg(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM d2),
+        |s AS (SELECT dow, avg(n - trend) AS seas FROM t GROUP BY dow)
+        |SELECT t.day, t.n, round(t.trend, 6) AS trend,
+        |  round(s.seas, 6) AS seasonal,
+        |  round(t.n - t.trend - s.seas, 6) AS resid
+        |FROM t JOIN s USING (dow) ORDER BY t.day""".stripMargin,
+
+    "impute_missing" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        |      FROM h WHERE v IS NOT NULL GROUP BY event_type)
+        |SELECT h.event_type, count(*) AS n,
+        |  sum(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+        |  round(max(m.med), 6) AS median_used,
+        |  round(sum(coalesce(h.v, m.med)), 2) AS filled_sum
+        |FROM h JOIN m USING (event_type)
+        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin,
 
     "markov_transitions" ->
       """WITH t AS (
