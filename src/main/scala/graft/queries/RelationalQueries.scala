@@ -1837,6 +1837,87 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Simple OLS regression per group — slope/intercept/R² straight from
+    // the second-moment digest (cov/var/corr are all one-pass
+    // map-side-combined aggregates): the price-sensitivity readout
+    // (quantity on discount) without collecting anything. The moment
+    // formulation is exactly how a 1000-executor regression runs; the
+    // closed form needs no iterations at all.
+    "ols_slope" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          covar_samp(col("l_discount"), col("l_quantity")).as("cxy"),
+          var_samp(col("l_discount")).as("vx"),
+          avg(col("l_discount")).as("mx"),
+          avg(col("l_quantity")).as("my"),
+          corr(col("l_discount"), col("l_quantity")).as("r"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("cxy") / col("vx"), 6).as("slope"),
+          round(col("my") - col("cxy") / col("vx") * col("mx"), 6).as("intercept"),
+          round(col("r") * col("r"), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Gini coefficient of revenue concentration per market segment — the
+    // marketplace-health metric: 0 = spend spread evenly over customers,
+    // →1 = a whale economy. Sort-based formula Σ(2i−n−1)xᵢ / (nΣx) with
+    // the rank window PARTITIONED by segment over the per-customer digest
+    // — skew bounded by the largest segment, never a global sort.
+    "gini_concentration" -> ((s, dir) => {
+      val per = orders(s, dir)
+        .join(customer(s, dir).select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")), "o_custkey")
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("rev"), col("o_custkey"))
+      per.withColumn("i", row_number().over(w))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("i") * col("rev")).as("sixr"),
+          sum(col("rev")).as("sr"))
+        .select(col("c_mktsegment"), col("n_cust"),
+          round((lit(2) * col("sixr") - (col("n_cust") + 1) * col("sr")) /
+            (col("n_cust") * col("sr")), 6).as("gini"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Per-user behavioral entropy — the diversity signal bot detection
+    // and engagement scoring both read: H = −Σ p ln p over the user's
+    // event-type mix. One (user, type) digest, one per-user fold.
+    "session_entropy" -> ((s, dir) => {
+      val mix = events(s, dir).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = mix.groupBy(col("user_id")).agg(sum(col("n")).as("tot"))
+      mix.join(tot, "user_id")
+        .withColumn("p", col("n").cast("double") / col("tot"))
+        .groupBy(col("user_id"))
+        .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"),
+          count(lit(1)).as("n_types"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Time-decayed aggregates (exponential recency weighting, λ = ln2/7 —
+    // a 7-day half-life): the counter shape feature stores serve, where
+    // yesterday's signal counts double last week's. Reference instant =
+    // the corpus max ts (broadcast digest); weights are map-only
+    // arithmetic, the aggregate stays one partial+final pass.
+    "decayed_counts" -> ((s, dir) => {
+      val ref = events(s, dir).agg(max(unix_micros(col("ts"))).as("ref_us"))
+      events(s, dir).crossJoin(broadcast(ref))
+        .withColumn("age_days",
+          (col("ref_us") - unix_micros(col("ts"))).cast("double") / 86400000000.0)
+        .withColumn("w", exp(lit(-0.09902102579427789) * col("age_days")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          round(sum(col("w")), 6).as("decayed_n"),
+          round(sum(col("w") * col("value")) / sum(col("w")), 6)
+            .as("decayed_mean"),
+          round(avg(col("value")), 6).as("plain_mean"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-series decomposition (trend / weekly seasonal / residual — the
     // classical-decomposition core of STL): trend = centered 7-day moving
     // average, seasonal = mean detrended value per day-of-week, residual
@@ -3458,6 +3539,55 @@ object RelationalQueries {
         |  (round(r.s, 6) > round(2.0 * st.sd, 6)) AS shift_flag
         |FROM r JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "ols_slope" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(covar_samp(l_discount, l_quantity) / var_samp(l_discount),
+        |    6) AS slope,
+        |  round(avg(l_quantity) - covar_samp(l_discount, l_quantity)
+        |    / var_samp(l_discount) * avg(l_discount), 6) AS intercept,
+        |  round(pow(corr(l_discount, l_quantity), 2), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "gini_concentration" ->
+      """WITH per AS (
+        |  SELECT c.c_mktsegment, o.o_custkey,
+        |    round(sum(o.o_totalprice), 2) AS rev
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, rev,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY rev, o_custkey) AS i
+        |      FROM per)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  round((2 * sum(i * rev) - (count(*) + 1) * sum(rev)) /
+        |    (count(*) * sum(rev)), 6) AS gini
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "session_entropy" ->
+      """WITH mix AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, sum(n) AS tot FROM mix GROUP BY user_id)
+        |SELECT m.user_id,
+        |  round(-sum((m.n::DOUBLE / t.tot) * ln(m.n::DOUBLE / t.tot)), 6)
+        |    AS entropy,
+        |  count(*) AS n_types
+        |FROM mix m JOIN tot t USING (user_id)
+        |GROUP BY m.user_id ORDER BY m.user_id""".stripMargin,
+
+    "decayed_counts" ->
+      """WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    exp(-0.09902102579427789 *
+        |      ((ref.ref_us - epoch_us(ts))::DOUBLE / 86400000000.0)) AS w
+        |  FROM events CROSS JOIN ref)
+        |SELECT event_type, count(*) AS n_raw,
+        |  round(sum(w), 6) AS decayed_n,
+        |  round(sum(w * value) / sum(w), 6) AS decayed_mean,
+        |  round(avg(value), 6) AS plain_mean
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_decompose" ->
       """WITH daily AS (
