@@ -772,6 +772,42 @@ object Streaming {
       }.toDF("event_type", "n_days", "s")
   }
 
+  case class DecayState(n: Long, s: Double, sv: Double, lastUs: Long)
+
+  /** Streaming exponentially-decayed counter — the fold form of the batch
+    * `decayed_counts` query and the canonical feature-store counter: on
+    * each event, first decay the standing state by the elapsed gap
+    * (S ← S·e^(−λΔt)), then add the new observation. Telescoping makes
+    * the fold equal the batch sum Σe^(−λ(t_ref − t_i)) up to floating
+    * error: the product of incremental exps accumulates ~1 ulp per event
+    * where the batch computes one exp per event, so the streaming twin is
+    * asserted to a 1e-9 RELATIVE tolerance rather than bit-equality — the
+    * honest contract for a multiplicative fold (EWMA/Holt are additive
+    * folds and can promise bit-equality; this one cannot, and says so).
+    */
+  def decayedCountStream(spark: SparkSession, rows: DataFrame,
+                         lambdaPerDay: Double): DataFrame = {
+    import spark.implicits._
+    val usPerDay = 86400000000.0
+    rows.select(col("event_type"), col("tsMicros"), col("value")).as[DecayEv]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[DecayEv], st: GroupState[DecayState]) =>
+          val sorted = it.toSeq.sortBy(_.tsMicros)
+          var s = st.getOption.getOrElse(DecayState(0L, 0.0, 0.0, Long.MinValue))
+          sorted.foreach { e =>
+            val decay = if (s.n == 0L) 1.0
+              else math.exp(-lambdaPerDay * (e.tsMicros - s.lastUs) / usPerDay)
+            s = DecayState(s.n + 1, s.s * decay + 1.0,
+              s.sv * decay + e.value, e.tsMicros)
+          }
+          st.update(s)
+          (k, s.n, s.s, s.sv, s.lastUs)
+      }.toDF("event_type", "n_raw", "decayed_n", "decayed_sum", "last_us")
+  }
+
+  case class DecayEv(event_type: String, tsMicros: Long, value: Double)
+
   case class HoltState(n: Long, l: Double, b: Double)
 
   /** Streaming twin of the batch `holt_forecast` query: per-user Holt

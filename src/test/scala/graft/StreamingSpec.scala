@@ -591,6 +591,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decayed counter: incremental-decay fold matches the batch weights within 1e-9 relative") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lambda = 0.09902102579427789 // ln2 / 7 days, the batch query's λ
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .collect().map(r => Streaming.DecayEv(r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_.tsMicros)
+    val cut = evs(evs.length / 2).tsMicros
+    val input = MemoryStream[Streaming.DecayEv]
+    val q = Streaming.decayedCountStream(spark, input.toDF(), lambda)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("decay_stream").start()
+    try {
+      input.addData(evs.filter(_.tsMicros <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(evs.filter(_.tsMicros > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("decay_stream")
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_raw"), col("decayed_n"), col("decayed_sum"),
+          col("last_us"))).as("st"))
+        .select(col("event_type"), col("st.*"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+        .toMap
+      // batch twin computed per type at each type's own last-event instant
+      // (the state the stream holds), same Σ e^(−λ(ref−t)) weights
+      val batch = evs.groupBy(_.event_type).map { case (k, es) =>
+        val ref = es.map(_.tsMicros).max
+        val dn = es.map(e => math.exp(-lambda * (ref - e.tsMicros) / 86400000000.0)).sum
+        val dv = es.map(e => e.value * math.exp(-lambda * (ref - e.tsMicros) / 86400000000.0)).sum
+        k -> (es.length.toLong, dn, dv, ref)
+      }
+      assert(got.keySet === batch.keySet)
+      got.foreach { case (k, (n, dn, dv, last)) =>
+        val (bn, bdn, bdv, bref) = batch(k)
+        assert(n === bn && last === bref)
+        assert(math.abs(dn - bdn) / bdn < 1e-9,
+          s"$k decayed_n: stream $dn vs batch $bdn")
+        assert(math.abs(dv - bdv) / math.abs(bdv) < 1e-9,
+          s"$k decayed_sum: stream $dv vs batch $bdv")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CUSUM continues across triggers and matches the batch fold's final state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
