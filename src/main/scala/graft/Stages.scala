@@ -72,5 +72,6 @@ object Stages {
     sources.SkipIndex.resetMemos()
     sources.BloomSkip.resetMemos()
     sources.ZOrderSkip.resetMemos()
+    operators.Pca.resetMemos()
   }
 }

@@ -30,6 +30,12 @@ object Pca {
 
   private val models = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drop the JVM memo so Bench's second stage pass times an equally-cold
+    * build (see Ann.resetMemos — without this, stage:pca-model's second
+    * sample reads ~0 s and min-of-2 ships a bogus number).
+    */
+  private[graft] def resetMemos(): Unit = models.clear()
+
   /** On-disk location of the dumped model for (sfDir, k): rows
     * (comp, eigval, w). comp = -1 holds the corpus mean; comps 0..k-1 the
     * top eigenvectors by eigenvalue descending.

@@ -699,12 +699,11 @@ object PipelineQueries {
     // few bytes per partition and the fingerprints can be computed by
     // DIFFERENT engines (as this oracle proves by construction).
     "table_fingerprint" -> ((s, dir) => {
+      // the aggregate IS Streaming.fingerprintStream run on a batch frame
+      // (one definition, two execution modes — StreamingSpec proves the
+      // per-trigger fold equals this on every prefix)
       def fp(df: DataFrame, tbl: String, canon: Column) =
-        df.select(conv(substring(md5(canon), 1, 15), 16, 10)
-            .cast("long").as("h"))
-          .agg(count(lit(1)).as("n_rows"),
-            expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
-              .as("fp"))
+        graft.streaming.Streaming.fingerprintStream(df, canon)
           .select(lit(tbl).as("tbl"), col("n_rows"), col("fp"))
       fp(documents(s, dir), "documents",
           concat_ws("|", col("doc_id"), col("text"), col("lang"),
@@ -727,7 +726,7 @@ object PipelineQueries {
     // join, only (key, 60-bit digest) pairs; at 100 TB both sides bucket
     // on the key and the diff is a zero-exchange sort-merge.
     "table_diff" -> ((s, dir) => {
-      val hash = (t: Column) => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      val hash = (t: Column) => graft.functions.Digests.digest60(t)
       val base = documents(s, dir)
         .select(col("doc_id"), hash(concat_ws("|", col("doc_id"), col("text"))).as("h"))
       val docs = documents(s, dir)

@@ -1631,7 +1631,8 @@ object RelationalQueries {
       val digest = binned.groupBy(col("bin"))
         .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
       // unpartitioned window: input is the score-bin digest (bounded by the
-      // score range / bin width, not the corpus) — see PlanLint allowlist
+      // score range / bin width, not the corpus) — allowlisted with that
+      // justification in PlanLintSpec's unpartitioned-window lint
       val w = Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, -1)
       digest
@@ -1823,17 +1824,20 @@ object RelationalQueries {
     "kmv_distinct" -> ((s, dir) => {
       val k = 64
       val kth = lineitem(s, dir)
-        .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15),
-          16, 10).cast("long").as("h"))
+        .select(graft.functions.Digests.digest60(col("l_partkey").cast("string"))
+          .as("h"))
         .distinct()
         .orderBy(col("h").asc).limit(k)
-        .agg(max(col("h")).as("hk"))
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
       val exact = lineitem(s, dir)
         .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      // unsaturated sketch (fewer than k distinct values) IS the distinct
+      // set — the estimator formula only applies at m = k
       kth.crossJoin(exact)
         .select(lit(k).as("k"), col("n_exact"),
-          round(lit((k - 1).toDouble) /
-            (col("hk").cast("double") / lit(1152921504606846976.0)), 2)
+          round(when(col("m") < k, col("m").cast("double"))
+            .otherwise((col("m") - 1).cast("double") /
+              (col("hk").cast("double") / lit(1152921504606846976.0))), 2)
             .as("est_kmv"))
     }),
 
@@ -2159,16 +2163,21 @@ object RelationalQueries {
     "kmv_set_ops" -> ((s, dir) => {
       def hashed(flag: String) = lineitem(s, dir)
         .filter(col("l_returnflag") === flag)
-        .select(conv(substring(md5(col("l_partkey").cast("string")), 1, 15),
-          16, 10).cast("long").as("h"))
+        .select(graft.functions.Digests.digest60(col("l_partkey").cast("string"))
+          .as("h"))
         .distinct()
       def sketch(df: DataFrame) = df.orderBy(col("h").asc).limit(64)
       val ka = sketch(hashed("R")).localCheckpoint()
       val kb = sketch(hashed("A")).localCheckpoint()
       val ku = sketch(ka.union(kb).distinct()).localCheckpoint()
-      val uEst = ku.agg(max(col("h")).as("hk"))
-        .select((lit(63.0) / (col("hk").cast("double") / lit(1152921504606846976.0)))
-          .as("est_union"))
+      // unsaturated union sketch = the exact distinct set (m < k rule, as
+      // in kmv_distinct); saturated → (m−1)/u_m
+      val uEst = ku.agg(max(col("h")).as("hk"), count(lit(1)).as("mu"))
+        .select(col("mu"),
+          when(col("mu") < 64, col("mu").cast("double"))
+            .otherwise((col("mu") - 1).cast("double") /
+              (col("hk").cast("double") / lit(1152921504606846976.0)))
+            .as("est_union"))
       val common = ku.join(ka, Seq("h"), "left_semi")
         .join(kb, Seq("h"), "left_semi")
         .agg(count(lit(1)).as("n_common"))
@@ -2182,8 +2191,8 @@ object RelationalQueries {
           sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("exact_inter"))
       uEst.crossJoin(common).crossJoin(exact)
         .select(round(col("est_union"), 2).as("est_union"), col("exact_union"),
-          round(col("n_common").cast("double") / 64.0, 6).as("jacc_est"),
-          round(col("n_common").cast("double") / 64.0 * col("est_union"), 2)
+          round(col("n_common").cast("double") / col("mu"), 6).as("jacc_est"),
+          round(col("n_common").cast("double") / col("mu") * col("est_union"), 2)
             .as("est_inter"),
           col("exact_inter"))
     }),
@@ -3408,11 +3417,13 @@ object RelationalQueries {
         |  SELECT DISTINCT
         |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
         |  FROM lineitem),
-        |kth AS (SELECT max(h) AS hk
+        |kth AS (SELECT max(h) AS hk, count(*) AS m
         |        FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
         |ex AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
         |SELECT 64 AS k, n_exact,
-        |  round(63.0 / (hk::DOUBLE / 1152921504606846976.0), 2) AS est_kmv
+        |  round(CASE WHEN m < 64 THEN m::DOUBLE
+        |        ELSE (m - 1)::DOUBLE / (hk::DOUBLE / 1152921504606846976.0)
+        |        END, 2) AS est_kmv
         |FROM kth CROSS JOIN ex""".stripMargin,
 
     "roc_curve" ->
@@ -3499,8 +3510,12 @@ object RelationalQueries {
         |ku AS (SELECT h FROM (SELECT DISTINCT h FROM (
         |         SELECT h FROM ka UNION ALL SELECT h FROM kb))
         |       ORDER BY h LIMIT 64),
-        |ue AS (SELECT 63.0 / (max(h)::DOUBLE / 1152921504606846976.0)
-        |         AS est_union FROM ku),
+        |ue AS (SELECT count(*) AS mu,
+        |         CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |           ELSE (count(*) - 1)::DOUBLE
+        |             / (max(h)::DOUBLE / 1152921504606846976.0) END
+        |           AS est_union
+        |       FROM ku),
         |cm AS (SELECT count(*) AS n_common FROM ku
         |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
         |ex AS (SELECT count(*) AS exact_union,
@@ -3510,8 +3525,8 @@ object RelationalQueries {
         |             FROM lineitem WHERE l_returnflag IN ('R', 'A')
         |             GROUP BY l_partkey))
         |SELECT round(est_union, 2) AS est_union, exact_union,
-        |  round(n_common::DOUBLE / 64.0, 6) AS jacc_est,
-        |  round(n_common::DOUBLE / 64.0 * est_union, 2) AS est_inter,
+        |  round(n_common::DOUBLE / mu, 6) AS jacc_est,
+        |  round(n_common::DOUBLE / mu * est_union, 2) AS est_inter,
         |  exact_inter
         |FROM ue CROSS JOIN cm CROSS JOIN ex""".stripMargin,
 

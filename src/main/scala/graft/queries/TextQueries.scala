@@ -417,7 +417,7 @@ object TextQueries {
     "dp_counts" -> ((s, dir) => {
       val counts = documents(s, dir).groupBy(col("lang"))
         .agg(count(lit(1)).as("n"))
-      val u = conv(substring(md5(col("lang")), 1, 15), 16, 10).cast("double") /
+      val u = graft.functions.Digests.digest60(col("lang")).cast("double") /
         lit(1152921504606846976.0)
       counts
         .withColumn("u", round(u, 9)) // quantize the draw at the boundary

@@ -1093,9 +1093,9 @@ object Streaming {
     */
   def fingerprintStream(rows: DataFrame, canon: org.apache.spark.sql.Column): DataFrame =
     rows
-      .select(conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("h"))
+      .select(graft.functions.Digests.digest60(canon).as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % ${graft.functions.Digests.FingerprintMod} AS BIGINT)")
           .as("fp"))
 
   /** Run a streaming DataFrame to completion against the memory sink and

@@ -22,6 +22,50 @@ class PlanLintSpec extends AnyFunSuite {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("unpartitioned windows appear only over digest-bounded inputs") {
+    // `row_number() OVER (ORDER BY …)` with no PARTITION BY funnels the
+    // window's whole input through ONE task. Legitimate only when that
+    // input is a bounded digest (a score-bin table, a top-k shortlist, a
+    // vocabulary slice) — never the corpus. Every query that plans an
+    // empty-partitionSpec Window must be allowlisted here WITH the bound
+    // that justifies it; anything else is the classic silent 100 TB
+    // single-task regression.
+    val allowed = Map(
+      "auc_score" -> "score-bin digest (score range / 0.1 bins)",
+      "roc_curve" -> "score-bin digest (shared with auc_score)",
+      "ts_decompose" -> "calendar-bounded daily digest",
+      "global_rownum" -> "the ORACLE half only; the operator is the two-pass scheme",
+      "hybrid_rrf" -> "top-k shortlists (≤k rows per ranker)",
+      "hybrid_rrf_filtered" -> "top-k shortlists (≤k rows per ranker)",
+      "bm25_search" -> "top-k shortlist rank",
+      "mrl_recall" -> "20-row shortlist rank",
+      "vocab_kl" -> "vocabulary digest",
+      "vocab_coverage" -> "vocabulary digest",
+      "bpe_merges" -> "vocabulary-bounded pair table",
+      "bpe_pair_counts" -> "vocabulary-bounded pair table",
+      "unigram_seed" -> "candidate-piece vocabulary slice",
+      "weighted_sample" -> "50-row sample tail",
+      "sql_surface" -> "demo over a LIMITed frame",
+      "resample_fill" -> "calendar grid",
+      "pmi_topk" -> "top-k pair digest",
+      "heavy_hitters" -> "candidate digest (≤1/φ rows)",
+      "value_histogram" -> "bin digest",
+      "approx_topk_ops" -> "sketch candidate digest",
+      "approx_topk_grouped" -> "sketch candidate digest",
+      "charlm_bits" -> "36-row [a-z0-9] character model total",
+      "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val hasGlobalWindow = q(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobalWindow && !allowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in un-allowlisted queries: ${offenders.mkString(", ")}")
+  }
+
   test("every broadcast join in the registry builds the small side") {
     // BroadcastNestedLoopJoin is legitimate ONLY with a broadcast (tiny)
     // build side — which Spark guarantees by construction. This lint just
@@ -56,6 +100,7 @@ class PlanLintSpec extends AnyFunSuite {
       "bootstrap_ci", // 32-row replicate digest × 1-row point estimate
       "neg_samples",  // 1-row corpus-size digest broadcast into the hash draw
       "cluster_labels", // 1-row corpus-total broadcast into the lift score
+      "decayed_counts", // 1-row reference-instant digest broadcast into the weights
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "kmv_set_ops",  // three 1-row sketch-algebra frames joined
       "column_profile", // per-column 1-row stats × 1-row mode frames
