@@ -45,7 +45,8 @@ object Stages {
     "uni-vocab"    -> ((s, d) => {
       operators.Unigram.vocabLayout(s, d, sp => queries.TextQueries.wordFreqs(sp, d)); () }),
     "txn-layout"   -> ((s, d) => { operators.TxnLog.layout(s, d); () }),
-    "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () })
+    "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
+    "mv-layout"    -> ((s, d) => { plans.MvDemo.ensure(s, d); () })
   )
 
   /** Forget every one-time-build memo (JVM maps + staged checkpoints) so
@@ -73,5 +74,6 @@ object Stages {
     sources.BloomSkip.resetMemos()
     sources.ZOrderSkip.resetMemos()
     operators.Pca.resetMemos()
+    plans.MvDemo.resetMemos()
   }
 }

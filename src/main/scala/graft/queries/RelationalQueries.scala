@@ -1841,6 +1841,22 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Transparent materialized-view rewrite (plans/MvRewrite — the
+    // aggregate twin of the IVF top-k rewrite): the query below is the
+    // plain user aggregate over the SOURCE table; the optimizer swaps the
+    // scan+shuffle+agg for the registered groups-sized summary
+    // (MvRewriteSpec pins the plan), while the DuckDB oracle computes the
+    // same numbers DIRECTLY — a hash match proves the rewrite serves the
+    // right rows. Freshness is fingerprint-driven (refreshIfStale), and
+    // the maintenance rebuild runs with the rewrite suspended so the MV
+    // can never refresh itself from itself.
+    "mv_rewrite" -> ((s, dir) => {
+      val src = graft.plans.MvDemo.ensure(s, dir)
+      s.read.parquet(src).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Simple OLS regression per group — slope/intercept/R² straight from
     // the second-moment digest (cov/var/corr are all one-pass
     // map-side-combined aggregates): the price-sensitivity readout
@@ -3554,6 +3570,10 @@ object RelationalQueries {
         |  (round(r.s, 6) > round(2.0 * st.sd, 6)) AS shift_flag
         |FROM r JOIN st USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "mv_rewrite" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ols_slope" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MvRegistry
+
+/** Transparent materialized-view rewrite (plans/MvRewrite): the exact
+  * user query over the SOURCE must silently read the groups-sized summary,
+  * results must match the direct computation, staleness must be caught by
+  * the fingerprint-driven refresh, and non-covered shapes must fall
+  * through untouched.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def freshSource(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_src").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def query(src: String) = spark.read.parquet(src)
+    .groupBy(col("lang"))
+    .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Root paths of every parquet relation in the optimized plan. */
+  private def scannedPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString.stripPrefix("file:"))
+    }.flatten
+
+  test("covered aggregate reads the MV, results equal the direct plan") {
+    val src = freshSource()
+    val mv = src + "-mv"
+    try {
+      // control BEFORE registration — direct plan, direct results
+      val direct = query(src).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      MvRegistry.register(spark, src, mv, "lang", Seq("n_chars"))
+      val q = query(src)
+      val scanned = scannedPaths(q)
+      assert(scanned.nonEmpty && scanned.forall(_.startsWith(mv)),
+        s"plan should scan ONLY the MV, scanned: $scanned")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === direct && got.nonEmpty)
+    } finally MvRegistry.unregister(src)
+  }
+
+  test("non-covered shapes fall through: filters, other group keys, other aggregates") {
+    val src = freshSource()
+    val mv = src + "-mv"
+    try {
+      MvRegistry.register(spark, src, mv, "lang", Seq("n_chars"))
+      val filtered = spark.read.parquet(src)
+        .filter(col("doc_id") >= 100)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      assert(!scannedPaths(filtered).exists(_.startsWith(mv)),
+        "a FILTERED aggregate must never read the whole-table MV")
+      val otherKey = spark.read.parquet(src)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+      assert(!scannedPaths(otherKey).exists(_.startsWith(mv)))
+      val otherAgg = spark.read.parquet(src)
+        .groupBy(col("lang")).agg(avg(col("n_chars")).as("m"))
+      assert(!scannedPaths(otherAgg).exists(_.startsWith(mv)),
+        "avg is not covered by (count, sum) columns — must fall through")
+      // the filtered result must reflect the filter (i.e. really ran direct)
+      val full = query(src).agg(sum(col("n_docs"))).head().getLong(0)
+      val part = filtered.agg(sum(col("n_docs"))).head().getLong(0)
+      assert(part < full)
+    } finally MvRegistry.unregister(src)
+  }
+
+  test("stale MV serves stale rows; fingerprint refresh repairs it") {
+    val src = freshSource()
+    val mv = src + "-mv"
+    try {
+      MvRegistry.register(spark, src, mv, "lang", Seq("n_chars"))
+      val before = query(src).agg(sum(col("n_docs"))).head().getLong(0)
+      // source grows behind the MV's back
+      spark.range(7).select((col("id") + 90000).as("doc_id"),
+          lit("zz").as("lang"), lit(11L).as("n_chars"))
+        .write.mode("append").parquet(src)
+      // un-refreshed: the rewrite still serves the OLD summary — the
+      // documented failure mode of every MV system
+      val stale = query(src).agg(sum(col("n_docs"))).head().getLong(0)
+      assert(stale === before, "expected the stale MV to show (that's the point)")
+      // fingerprint catches the drift, rebuild, correct rows
+      assert(MvRegistry.refreshIfStale(spark, src), "drift not detected")
+      val fresh = query(src).agg(sum(col("n_docs"))).head().getLong(0)
+      assert(fresh === before + 7)
+      // idempotent: no drift → no rebuild
+      assert(!MvRegistry.refreshIfStale(spark, src))
+    } finally MvRegistry.unregister(src)
+  }
+
+  test("unregister restores the direct plan") {
+    val src = freshSource()
+    val mv = src + "-mv"
+    MvRegistry.register(spark, src, mv, "lang", Seq("n_chars"))
+    assert(scannedPaths(query(src)).exists(_.startsWith(mv)))
+    MvRegistry.unregister(src)
+    assert(scannedPaths(query(src)) === Seq(src))
+  }
+}
