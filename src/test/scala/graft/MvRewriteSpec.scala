@@ -101,6 +101,39 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(src)
   }
 
+  test("streaming MV maintenance: per-trigger refresh keeps the rewrite serving fresh rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = freshSource()
+    val mv = src + "-mv"
+    try {
+      MvRegistry.register(spark, src, mv, "lang", Seq("n_chars"))
+      val base = query(src).agg(sum(col("n_docs"))).head().getLong(0)
+      val input = MemoryStream[(Long, String, Long)]
+      // the MV maintenance loop a lakehouse runs: each micro-batch lands
+      // in the source, then refreshIfStale re-summarizes — serving
+      // queries keep hitting the MV and see each trigger's rows
+      val q = input.toDF().toDF("doc_id", "lang", "n_chars")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(src)
+          MvRegistry.refreshIfStale(spark, src)
+          ()
+        }.start()
+      try {
+        input.addData((91000L, "zz", 5L), (91001L, "zz", 7L))
+        q.processAllAvailable()
+        assert(scannedPaths(query(src)).exists(_.startsWith(mv)),
+          "serving query stopped reading the MV")
+        assert(query(src).agg(sum(col("n_docs"))).head().getLong(0) === base + 2)
+        input.addData((91002L, "qq", 9L))
+        q.processAllAvailable()
+        assert(query(src).agg(sum(col("n_docs"))).head().getLong(0) === base + 3)
+      } finally q.stop()
+    } finally MvRegistry.unregister(src)
+  }
+
   test("unregister restores the direct plan") {
     val src = freshSource()
     val mv = src + "-mv"
