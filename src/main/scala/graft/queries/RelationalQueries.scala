@@ -1841,6 +1841,65 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Trimmed mean — the robust-stats family's aggregate face (IQR/MAD
+    // flag outliers; trimming just refuses to let them vote): drop the
+    // tails outside [p5, p95] and average the middle. Percentile bounds
+    // broadcast back from one digest aggregate, the trim is a map-only
+    // filter.
+    "trimmed_mean" -> ((s, dir) => {
+      val bounds = events(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05D)").as("lo"),
+          expr("percentile(value, 0.95D)").as("hi"))
+      events(s, dir).join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= col("lo") && col("value") <= col("hi"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          round(avg(when(col("value") >= col("lo") && col("value") <= col("hi"),
+            col("value"))), 6).as("trimmed_mean"),
+          round(avg(col("value")), 6).as("plain_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // DAU / rolling-7-day WAU / stickiness — the engagement report: the
+    // corpus reduces to the (day, user) distinct digest, daily actives are
+    // a count, and the rolling weekly actives come from distinct-flattened
+    // per-day user sets over a calendar-bounded window (rows-based: the
+    // fixture calendar is contiguous; a production run joins a date spine
+    // first, as resample_fill does).
+    "active_users" -> ((s, dir) => {
+      val du = events(s, dir)
+        .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val daily = du.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"), collect_set(col("user_id")).as("users"))
+      // unpartitioned window over the daily digest — calendar-bounded
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("wau",
+          size(array_distinct(flatten(collect_list(col("users")).over(w)))))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    // Week-over-week revenue with percent change — the reporting staple:
+    // weekly sums in exact 2-dp DECIMAL, lag over the weeks digest, the
+    // delta as double arithmetic at the boundary.
+    "period_over_period" -> ((s, dir) => {
+      val weekly = orders(s, dir)
+        .groupBy(date_trunc("WEEK", col("o_orderdate")).as("week"))
+        .agg(round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("rev"))
+      val w = Window.orderBy(col("week"))
+      weekly
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("week"), col("rev").cast("double").as("rev"),
+          round((col("rev").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double") * 100, 4).as("pct_change"))
+        .orderBy(col("week"))
+    }),
+
     // Transparent materialized-view rewrite (plans/MvRewrite — the
     // aggregate twin of the IVF top-k rewrite): the query below is the
     // plain user aggregate over the SOURCE table; the optimizer swaps the
@@ -3574,6 +3633,46 @@ object RelationalQueries {
     "mv_rewrite" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(avg(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+        |      THEN e.value END), 6) AS trimmed_mean,
+        |  round(avg(e.value), 6) AS plain_mean
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |d AS (SELECT day, count(*) AS dau, list(user_id) AS users
+        |      FROM du GROUP BY day),
+        |w AS (
+        |  SELECT day, dau,
+        |    len(list_distinct(flatten(list(users) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS wau
+        |  FROM d)
+        |SELECT day, dau, wau,
+        |  round(dau::DOUBLE / wau, 6) AS stickiness
+        |FROM w ORDER BY day""".stripMargin,
+
+    "period_over_period" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', o_orderdate) AS week,
+        |    round(sum(o_totalprice), 2)::DECIMAL(18,2) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT week, rev, lag(rev) OVER (ORDER BY week) AS prev
+        |      FROM weekly)
+        |SELECT week, rev::DOUBLE AS rev,
+        |  round((rev::DOUBLE - prev::DOUBLE) / prev::DOUBLE * 100, 4)
+        |    AS pct_change
+        |FROM l WHERE prev IS NOT NULL ORDER BY week""".stripMargin,
 
     "ols_slope" ->
       """SELECT l_returnflag, count(*) AS n,

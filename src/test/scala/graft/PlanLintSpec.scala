@@ -52,6 +52,8 @@ class PlanLintSpec extends AnyFunSuite {
       "value_histogram" -> "bin digest",
       "approx_topk_ops" -> "sketch candidate digest",
       "approx_topk_grouped" -> "sketch candidate digest",
+      "active_users" -> "calendar-bounded daily digest (rolling WAU window)",
+      "period_over_period" -> "weeks digest (lag)",
       "charlm_bits" -> "36-row [a-z0-9] character model total",
       "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
