@@ -1841,6 +1841,46 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Grid-blocked radius search — the distributed spatial-join shape:
+    // points land in 5° grid cells (at scale the cell IS the partition
+    // key), a radius query scans only the cell neighborhood that can
+    // contain the radius, and exact haversine filters within it. The
+    // ORACLE runs UNBLOCKED over every point — the hash match is the
+    // proof that the 5×5 neighborhood is a superset of the 800 km ball
+    // (blocking may cost reads, never answers). Coordinates synthesized
+    // from customer ids (the multimodal trick: both engines re-derive
+    // them from identical integer arithmetic).
+    "geo_radius" -> ((s, dir) => {
+      // md5-derived coordinates (Digests.digest60 with per-axis salts) —
+      // multiplicative hashes of sequential ids form a rank-1 lattice in
+      // 2-D (the classic LCG-planes defect): the points sat on a few
+      // lines and every query ball between them came back empty
+      def frac(salt: String): Column =
+        graft.functions.Digests.digest60(
+          concat(col("c_custkey").cast("string"), lit(salt)))
+          .cast("double") / 1152921504606846976.0
+      val pts = customer(s, dir).select(col("c_custkey"),
+        (lit(-60.0) + frac(":lat") * 120.0).as("lat"),
+        (lit(-180.0) + frac(":lon") * 360.0).as("lon"))
+      val (qLat, qLon, radiusKm) = (10.0, 20.0, 800.0)
+      val blocked = pts.filter(
+        floor(col("lat") / 5) >= math.floor(qLat / 5) - 2 &&
+        floor(col("lat") / 5) <= math.floor(qLat / 5) + 2 &&
+        floor(col("lon") / 5) >= math.floor(qLon / 5) - 2 &&
+        floor(col("lon") / 5) <= math.floor(qLon / 5) + 2)
+      val dLat = radians(col("lat") - qLat) / 2
+      val dLon = radians(col("lon") - qLon) / 2
+      val a = pow(sin(dLat), 2) +
+        cos(radians(lit(qLat))) * cos(radians(col("lat"))) * pow(sin(dLon), 2)
+      blocked
+        .withColumn("dist_km", round(lit(2 * 6371.0) * asin(sqrt(a)), 3))
+        .filter(col("dist_km") <= radiusKm)
+        .select(col("c_custkey"), round(col("lat"), 6).as("lat"),
+          round(col("lon"), 6).as("lon"), col("dist_km"))
+        .orderBy(col("dist_km"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // Trimmed mean — the robust-stats family's aggregate face (IQR/MAD
     // flag outliers; trimming just refuses to let them vote): drop the
     // tails outside [p5, p95] and average the middle. Percentile bounds
@@ -3633,6 +3673,27 @@ object RelationalQueries {
     "mv_rewrite" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // UNBLOCKED replay: every customer's distance computed — the match
+    // proves the Spark side's grid neighborhood dropped nothing.
+    "geo_radius" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    -60.0 + (('0x' || substr(md5(c_custkey::VARCHAR || ':lat'), 1, 15))
+        |      ::BIGINT::DOUBLE / 1152921504606846976.0) * 120.0 AS lat,
+        |    -180.0 + (('0x' || substr(md5(c_custkey::VARCHAR || ':lon'), 1, 15))
+        |      ::BIGINT::DOUBLE / 1152921504606846976.0) * 360.0 AS lon
+        |  FROM customer),
+        |d AS (
+        |  SELECT c_custkey, lat, lon,
+        |    round(2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(lat - 10.0) / 2), 2) +
+        |      cos(radians(10.0)) * cos(radians(lat)) *
+        |        pow(sin(radians(lon - 20.0) / 2), 2))), 3) AS dist_km
+        |  FROM pts)
+        |SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon, dist_km
+        |FROM d WHERE dist_km <= 800.0
+        |ORDER BY dist_km, c_custkey LIMIT 20""".stripMargin,
 
     "trimmed_mean" ->
       """WITH b AS (
