@@ -1841,6 +1841,61 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Kaplan-Meier survival curve (Kaplan & Meier 1958) — "how long do
+    // users stay active", with the censoring a naive average of lifetimes
+    // gets wrong: users still active at the observation edge (last event
+    // within 1 day of corpus end) contribute risk-time but no churn
+    // event. Per-user lifetimes reduce to a (duration → churned/censored)
+    // digest; at-risk counts are a descending cumulative over the digest,
+    // and S(t) = Π(1 − dᵢ/nᵢ) runs as exp of a running log-sum (windows
+    // over the duration digest, bounded by the calendar).
+    "survival_curve" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val endUs = events(s, dir).agg(max(unix_micros(col("ts"))).as("end_us"))
+      val lives = perUser.crossJoin(broadcast(endUs))
+        .select(
+          expr("(last_us - first_us) DIV 86400000000").as("t_days"),
+          (col("last_us") < col("end_us") - 86400000000L).cast("long").as("churn"))
+      val digest = lives.groupBy(col("t_days"))
+        .agg(count(lit(1)).as("ending"), sum(col("churn")).as("d"))
+      val wRisk = Window.orderBy(col("t_days"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wS = Window.orderBy(col("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      digest
+        .withColumn("n_risk", sum(col("ending")).over(wRisk))
+        .withColumn("s", exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk"))).over(wS)))
+        .filter(col("d") > 0)
+        .select(col("t_days"), col("n_risk"), col("d").as("d_churn"),
+          round(col("s"), 6).as("survival"))
+        .orderBy(col("t_days"))
+    }),
+
+    // One-way ANOVA F statistic from group moments — "do the group means
+    // differ at all", the k-group generalization of ab_welch's two arms:
+    // SSB/SSW from one per-group (n, mean, var) digest + a 1-row grand
+    // mean. Closed form, one pass, nothing collected.
+    "anova_f" -> ((s, dir) => {
+      val g = lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("l_quantity")).as("m"),
+          var_samp(col("l_quantity")).as("v"))
+      val grand = lineitem(s, dir).agg(avg(col("l_quantity")).as("gm"),
+        count(lit(1)).cast("double").as("gn"))
+      g.crossJoin(broadcast(grand))
+        .agg(count(lit(1)).cast("double").as("k"),
+          sum(col("n") * pow(col("m") - col("gm"), 2)).as("ssb"),
+          sum((col("n") - 1) * col("v")).as("ssw"),
+          max(col("gn")).as("gn"))
+        .select(col("k").cast("long").as("k"), col("gn").cast("long").as("n"),
+          round(col("ssb"), 4).as("ssb"), round(col("ssw"), 4).as("ssw"),
+          round((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("gn") - col("k"))), 6).as("f_stat"))
+    }),
+
     // Grid-blocked radius search — the distributed spatial-join shape:
     // points land in 5° grid cells (at scale the cell IS the partition
     // key), a radius query scans only the cell neighborhood that can
@@ -3673,6 +3728,50 @@ object RelationalQueries {
     "mv_rewrite" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "survival_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+        |lives AS (
+        |  SELECT (last_us - first_us) // 86400000000 AS t_days,
+        |    CASE WHEN last_us < e.end_us - 86400000000 THEN 1 ELSE 0 END AS churn
+        |  FROM pu CROSS JOIN e),
+        |d AS (SELECT t_days, count(*) AS ending, sum(churn)::BIGINT AS d
+        |      FROM lives GROUP BY t_days),
+        |r AS (
+        |  SELECT t_days, ending, d,
+        |    sum(ending) OVER (ORDER BY t_days
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM d),
+        |sv AS (
+        |  SELECT t_days, n_risk, d,
+        |    exp(sum(ln(1.0 - d::DOUBLE / n_risk)) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM r)
+        |SELECT t_days, n_risk::BIGINT AS n_risk, d AS d_churn,
+        |  round(s, 6) AS survival
+        |FROM sv WHERE d > 0 ORDER BY t_days""".stripMargin,
+
+    "anova_f" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*)::DOUBLE AS n,
+        |    avg(l_quantity) AS m, var_samp(l_quantity) AS v
+        |  FROM lineitem GROUP BY l_returnflag),
+        |gr AS (SELECT avg(l_quantity) AS gm, count(*)::DOUBLE AS gn
+        |       FROM lineitem),
+        |a AS (
+        |  SELECT count(*)::DOUBLE AS k,
+        |    sum(g.n * pow(g.m - gr.gm, 2)) AS ssb,
+        |    sum((g.n - 1) * g.v) AS ssw,
+        |    max(gr.gn) AS gn
+        |  FROM g CROSS JOIN gr)
+        |SELECT k::BIGINT AS k, gn::BIGINT AS n,
+        |  round(ssb, 4) AS ssb, round(ssw, 4) AS ssw,
+        |  round((ssb / (k - 1)) / (ssw / (gn - k)), 6) AS f_stat
+        |FROM a""".stripMargin,
 
     // UNBLOCKED replay: every customer's distance computed — the match
     // proves the Spark side's grid neighborhood dropped nothing.

@@ -53,6 +53,7 @@ class PlanLintSpec extends AnyFunSuite {
       "approx_topk_ops" -> "sketch candidate digest",
       "approx_topk_grouped" -> "sketch candidate digest",
       "active_users" -> "calendar-bounded daily digest (rolling WAU window)",
+      "survival_curve" -> "duration digest (calendar-bounded KM windows)",
       "period_over_period" -> "weeks digest (lag)",
       "charlm_bits" -> "36-row [a-z0-9] character model total",
       "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)")
