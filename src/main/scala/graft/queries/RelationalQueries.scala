@@ -1841,6 +1841,79 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Chi-square test of independence over the lang × source contingency
+    // table — "does the corpus mix depend on where it came from": expected
+    // counts from the marginal digests, χ² summed over the k·m cells.
+    "chi2_independence" -> ((s, dir) => {
+      val cells = documents(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val rowM = cells.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+      val colM = cells.groupBy(col("source")).agg(sum(col("n")).as("cn"))
+      val tot = cells.agg(sum(col("n")).cast("double").as("t"))
+      cells.join(broadcast(rowM), "lang").join(broadcast(colM), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("exp", col("rn") * col("cn") / col("t"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(pow(col("n") - col("exp"), 2) / col("exp")), 6).as("chi2"))
+        .select(col("n_cells"), col("chi2"),
+          (col("n_cells") - lit(1)).as("df_note"))
+    }),
+
+    // Two-proportion z-test — ab_welch's twin for BINARY outcomes (did
+    // the user convert): pooled-variance z over per-arm (n, conversions)
+    // digests; the experiment readout for rates rather than means.
+    "two_proportion_z" -> ((s, dir) => {
+      // outcome = "more purchases than views" — scale-free (a has-any-
+      // purchase flag saturates to p = 1 on this fixture and the pooled
+      // variance degenerates to a division by zero)
+      val arms = events(s, dir).groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)))
+          .cast("long").as("converted"))
+        .withColumn("arm", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("converted")).cast("double").as("x"))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n").as("na"), col("x").as("xa"))
+      val b = arms.filter(col("arm") === "B")
+        .select(col("n").as("nb"), col("x").as("xb"))
+      a.crossJoin(b)
+        .withColumn("p", (col("xa") + col("xb")) / (col("na") + col("nb")))
+        .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(col("xa") / col("na"), 6).as("rate_a"),
+          round(col("xb") / col("nb"), 6).as("rate_b"),
+          round((col("xa") / col("na") - col("xb") / col("nb")) /
+            sqrt(col("p") * (lit(1.0) - col("p")) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6)
+            .as("z_stat"))
+    }),
+
+    // Lorenz curve points — the picture behind gini_concentration: at each
+    // revenue decile of customers, the cumulative share of total spend
+    // they account for. Rank + running sums over the per-customer digest
+    // within one segment-free decile window... windows partition by the
+    // decile arithmetic's own bounded key (the digest rank), never raw
+    // orders.
+    "lorenz_curve" -> ((s, dir) => {
+      val per = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).cast("decimal(18,2)").as("rev"))
+      val w = Window.orderBy(col("rev"), col("o_custkey"))
+      val tot = per.agg(sum(col("rev")).as("trev"),
+        count(lit(1)).as("n_cust"))
+      per
+        .withColumn("i", row_number().over(w))
+        .withColumn("cum", sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", ceil(col("i") * 10 / col("n_cust")).cast("int"))
+        .groupBy(col("decile"))
+        .agg(max(col("i")).as("n_below"),
+          round(max(col("cum")).cast("double") /
+            max(col("trev")).cast("double"), 6).as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
     // Kaplan-Meier survival curve (Kaplan & Meier 1958) — "how long do
     // users stay active", with the censoring a naive average of lifetimes
     // gets wrong: users still active at the observation edge (last event
@@ -3728,6 +3801,61 @@ object RelationalQueries {
     "mv_rewrite" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |rm AS (SELECT lang, sum(n) AS rn FROM cells GROUP BY lang),
+        |cm AS (SELECT source, sum(n) AS cn FROM cells GROUP BY source),
+        |t AS (SELECT sum(n)::DOUBLE AS t FROM cells)
+        |SELECT count(*) AS n_cells,
+        |  round(sum(pow(c.n - rm.rn * cm.cn / t.t, 2)
+        |    / (rm.rn * cm.cn / t.t)), 6) AS chi2,
+        |  count(*) - 1 AS df_note
+        |FROM cells c
+        |JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN t""".stripMargin,
+
+    "two_proportion_z" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |         THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    count(*)::DOUBLE AS n, sum(converted)::DOUBLE AS x
+        |  FROM u GROUP BY 1),
+        |ab AS (
+        |  SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN x END) AS xa,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN x END) AS xb
+        |  FROM arms),
+        |s AS (SELECT *, (xa + xb) / (na + nb) AS p FROM ab)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(xa / na, 6) AS rate_a, round(xb / nb, 6) AS rate_b,
+        |  round((xa / na - xb / nb) /
+        |    sqrt(p * (1 - p) * (1 / na + 1 / nb)), 6) AS z_stat
+        |FROM s""".stripMargin,
+
+    "lorenz_curve" ->
+      """WITH per AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2)::DECIMAL(18,2) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT sum(rev) AS trev, count(*) AS n_cust FROM per),
+        |r AS (
+        |  SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev, o_custkey) AS i,
+        |    sum(rev) OVER (ORDER BY rev, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per)
+        |SELECT ceil(r.i * 10 / t.n_cust)::INT AS decile,
+        |  max(r.i)::BIGINT AS n_below,
+        |  round(max(r.cum)::DOUBLE / max(t.trev)::DOUBLE, 6) AS cum_share
+        |FROM r CROSS JOIN t
+        |GROUP BY decile ORDER BY decile""".stripMargin,
 
     "survival_curve" ->
       """WITH pu AS (

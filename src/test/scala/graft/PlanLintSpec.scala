@@ -54,6 +54,7 @@ class PlanLintSpec extends AnyFunSuite {
       "approx_topk_grouped" -> "sketch candidate digest",
       "active_users" -> "calendar-bounded daily digest (rolling WAU window)",
       "survival_curve" -> "duration digest (calendar-bounded KM windows)",
+      "lorenz_curve" -> "per-customer revenue digest; scale path = the GlobalRowNum/Skyline two-pass prefix scheme",
       "period_over_period" -> "weeks digest (lag)",
       "charlm_bits" -> "36-row [a-z0-9] character model total",
       "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)")
@@ -106,6 +107,11 @@ class PlanLintSpec extends AnyFunSuite {
       "decayed_counts", // 1-row reference-instant digest broadcast into the weights
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "kmv_set_ops",  // three 1-row sketch-algebra frames joined
+      "two_proportion_z", // two 1-row per-arm digests joined
+      "chi2_independence", // 1-row grand total broadcast into the cell arithmetic
+      "lorenz_curve", // 1-row totals broadcast into the share projection
+      "anova_f",      // 1-row grand-mean digest joined into the group digest
+      "survival_curve", // 1-row observation-end digest broadcast into censoring
       "column_profile", // per-column 1-row stats × 1-row mode frames
       "pca_project",  // broadcast model rows (k·d doubles) against the corpus scan
       "pca_variance", // 1-row retained-mass total broadcast into the share projection
