@@ -114,4 +114,72 @@ class PropertiesSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) === r.getSeq[String](1))
     }
   }
+
+  test("property: skyline equals the quadratic dominance definition on random point sets (20 sets)") {
+    val setGen: Gen[List[(Double, Int)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      pts <- Gen.listOfN(n, for {
+        // small value ranges FORCE duplicate x values, duplicate y values,
+        // and exact duplicate points — the tie cases that break naive
+        // skyline implementations
+        x <- Gen.chooseNum(0, 9)
+        y <- Gen.chooseNum(0, 9)
+      } yield (x.toDouble, y))
+    } yield pts
+    samples(setGen, 20).zipWithIndex.foreach { case (pts, i) =>
+      val df = pts.zipWithIndex.map { case ((x, y), id) => (id.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val fast = graft.operators.Skyline.skyline(df, "x", "y", numPartitions = 3)
+        .select($"id").collect().map(_.getLong(0)).sorted
+      val slow = pts.zipWithIndex.collect {
+        case ((x, y), id) if !pts.exists { case (qx, qy) =>
+          qx <= x && qy >= y && (qx < x || qy > y) } => id.toLong
+      }.sorted
+      assert(fast.sameElements(slow),
+        s"set $i: fast=${fast.mkString(",")} slow=${slow.mkString(",")} pts=$pts")
+    }
+  }
+
+  test("property: table fingerprint is order- and partitioning-independent (10 cases)") {
+    val rowsGen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, Gen.alphaNumStr)
+    } yield rows
+    samples(rowsGen, 10).foreach { rows =>
+      val base = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      def fp(seq: Seq[(Long, String)], parts: Int): (Long, Long) = {
+        val r = graft.streaming.Streaming.fingerprintStream(
+          seq.toDF("id", "s").repartition(parts),
+          concat_ws("|", $"id", $"s")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val a = fp(base, 1)
+      assert(fp(scala.util.Random.shuffle(base), 4) === a)
+      assert(fp(base.reverse, 7) === a)
+      // and any single-row change MUST move it
+      if (base.nonEmpty) {
+        val mutated = base.updated(0, (base.head._1, base.head._2 + "x"))
+        assert(fp(mutated, 4) !== a)
+      }
+    }
+  }
+
+  test("property: KMV unsaturated sketches are exact; saturated estimates within 3/sqrt(k) (10 cases)") {
+    import graft.functions.Digests
+    val k = 64
+    val nGen = Gen.oneOf(Gen.chooseNum(1, 40), Gen.chooseNum(500, 3000))
+    samples(nGen, 10).foreach { n =>
+      val df = (0 until n).map(i => s"v$i").toDF("v")
+        .select(Digests.digest60($"v").as("h")).distinct()
+      val sk = df.orderBy($"h".asc).limit(k)
+        .agg(max($"h").as("hk"), count(lit(1)).as("m")).head()
+      val (hk, m) = (sk.getLong(0), sk.getLong(1))
+      if (m < k) assert(m === n.toLong, "unsaturated sketch IS the distinct set")
+      else {
+        val est = (k - 1).toDouble / (hk.toDouble / 1152921504606846976.0)
+        assert(math.abs(est - n) / n < 3.0 / math.sqrt(k.toDouble),
+          s"n=$n est=$est outside the 3/sqrt(k) bound")
+      }
+    }
+  }
 }
