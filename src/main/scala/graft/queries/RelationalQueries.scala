@@ -1841,6 +1841,47 @@ object RelationalQueries {
             .as("est_kmv"))
     }),
 
+    // Autocorrelation function of the daily event series (lags 1–7) — the
+    // diagnostic that says whether ts_decompose's weekly seasonal is real
+    // (a spike at lag 7) and how much memory the series has. The corpus
+    // reduces to the daily digest; each lag is a digest self-join on the
+    // day index, moments broadcast from one aggregate.
+    "acf_daily" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .withColumn("idx", row_number().over(Window.orderBy(col("day"))))
+      val stats = daily.agg(avg(col("x")).as("mu"),
+        sum(pow(col("x"), 2)).as("sx2"), count(lit(1)).as("n"))
+        .select(col("mu"), col("n"),
+          (col("sx2") - col("n") * col("mu") * col("mu")).as("denom"))
+      daily.select(col("idx"), col("x"),
+          explode(sequence(lit(1), lit(7))).as("lag"))
+        .join(daily.select(col("idx").as("idx0"), col("x").as("x0")),
+          col("idx") - col("lag") === col("idx0"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum((col("x") - col("mu")) * (col("x0") - col("mu"))) /
+            max(col("denom")), 6).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    // Fano factor (variance-to-mean of daily counts per type) — the
+    // overdispersion monitor: ≈1 = Poisson arrivals, >1 = bursty/clumped
+    // traffic, <1 = throttled/regular. Two digest aggregates.
+    "fano_factor" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(col("x")), 6).as("mean_daily"),
+          round(var_samp(col("x")), 6).as("var_daily"),
+          round(var_samp(col("x")) / avg(col("x")), 6).as("fano"))
+        .orderBy(col("event_type"))
+    }),
+
     // Chi-square test of independence over the lang × source contingency
     // table — "does the corpus mix depend on where it came from": expected
     // counts from the marginal digests, χ² summed over the k·m cells.
@@ -3801,6 +3842,36 @@ object RelationalQueries {
     "mv_rewrite" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "acf_daily" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, x, row_number() OVER (ORDER BY day) AS idx
+        |      FROM daily),
+        |st AS (SELECT avg(x) AS mu, count(*) AS n,
+        |         sum(pow(x, 2)) - count(*) * avg(x) * avg(x) AS denom
+        |       FROM d),
+        |p AS (
+        |  SELECT l.lag, a.x, b.x AS x0
+        |  FROM d a
+        |  CROSS JOIN generate_series(1, 7) l(lag)
+        |  JOIN d b ON a.idx - l.lag = b.idx)
+        |SELECT lag, count(*) AS n_pairs,
+        |  round(sum((p.x - st.mu) * (p.x0 - st.mu)) / max(st.denom), 6) AS acf
+        |FROM p CROSS JOIN st
+        |GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "fano_factor" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*)::DOUBLE AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(avg(x), 6) AS mean_daily,
+        |  round(var_samp(x), 6) AS var_daily,
+        |  round(var_samp(x) / avg(x), 6) AS fano
+        |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "chi2_independence" ->
       """WITH cells AS (

@@ -34,6 +34,7 @@ class PlanLintSpec extends AnyFunSuite {
       "auc_score" -> "score-bin digest (score range / 0.1 bins)",
       "roc_curve" -> "score-bin digest (shared with auc_score)",
       "ts_decompose" -> "calendar-bounded daily digest",
+      "acf_daily" -> "calendar-bounded daily digest (lag self-join index)",
       "global_rownum" -> "the ORACLE half only; the operator is the two-pass scheme",
       "hybrid_rrf" -> "top-k shortlists (≤k rows per ranker)",
       "hybrid_rrf_filtered" -> "top-k shortlists (≤k rows per ranker)",
@@ -112,6 +113,7 @@ class PlanLintSpec extends AnyFunSuite {
       "lorenz_curve", // 1-row totals broadcast into the share projection
       "anova_f",      // 1-row grand-mean digest joined into the group digest
       "survival_curve", // 1-row observation-end digest broadcast into censoring
+      "acf_daily",    // 1-row moment digest broadcast into the lag products
       "column_profile", // per-column 1-row stats × 1-row mode frames
       "pca_project",  // broadcast model rows (k·d doubles) against the corpus scan
       "pca_variance", // 1-row retained-mass total broadcast into the share projection
