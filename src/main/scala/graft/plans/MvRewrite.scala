@@ -3,8 +3,8 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -185,7 +185,43 @@ case class MvAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             tryRewrite(agg, g, aggExprs, entry).getOrElse(agg)
           case _ => agg
         }
+      // ROLLUP SUBSUMPTION: a GLOBAL count/sum over the source is also
+      // answered by the MV — counts and sums re-aggregate losslessly
+      // (Σ_g cnt_g = count(*), Σ_g sum_g = sum; avg/min-of-distinct do
+      // NOT and fall through). The rewrite reads G rows instead of the
+      // table — the roll-up face real MV systems advertise.
+      case agg @ Aggregate(Nil, aggExprs, child, _) =>
+        sourcePaths(child).flatMap(MvRegistry.lookup) match {
+          case Some(entry) => tryRollup(aggExprs, entry).getOrElse(agg)
+          case _ => agg
+        }
     }
+  }
+
+  private def tryRollup(aggExprs: Seq[NamedExpression],
+                        entry: MvRegistry.Entry): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val mvPlan = spark.read.parquet(entry.mvPath).queryExecution.analyzed
+    val mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
+    def sumOf(colName: String): Option[Expression] =
+      mvAttrs.get(colName).map(a =>
+        AggregateExpression(Sum(a), Complete, isDistinct = false))
+    val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        // count(*) over the source = Σ cnt_star; sum(long) is long-typed,
+        // matching count's LongType output
+        sumOf("cnt_star").map(e => Alias(e, al.name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(Sum(s: AttributeReference, _), _, false, None, _), _)
+          if entry.sumCols.contains(s.name) =>
+        sumOf(s"sum_${s.name}").map { e =>
+          val cast = if (e.dataType == al.dataType) e else Cast(e, al.dataType)
+          Alias(cast, al.name)(exprId = al.exprId)
+        }
+      case _ => None
+    }
+    if (mapped.nonEmpty && mapped.forall(_.isDefined))
+      Some(Aggregate(Nil, mapped.map(_.get), mvPlan))
+    else None
   }
 
   /** Unwrap a column-pruning Project to the underlying parquet relation's

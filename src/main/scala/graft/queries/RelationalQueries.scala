@@ -2125,6 +2125,16 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    // Rollup SUBSUMPTION through the same MV: the global corpus totals —
+    // no GROUP BY at all — are answered by re-aggregating the G-row
+    // summary (Σ cnt_g, Σ sum_g), the query-subsumption face real MV
+    // systems advertise. The oracle computes the totals directly.
+    "mv_rollup" -> ((s, dir) => {
+      val src = graft.plans.MvDemo.ensure(s, dir)
+      s.read.parquet(src)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // Simple OLS regression per group — slope/intercept/R² straight from
     // the second-moment digest (cov/var/corr are all one-pass
     // map-side-combined aggregates): the price-sensitivity readout
@@ -4032,6 +4042,10 @@ object RelationalQueries {
         |  round((rev::DOUBLE - prev::DOUBLE) / prev::DOUBLE * 100, 4)
         |    AS pct_change
         |FROM l WHERE prev IS NOT NULL ORDER BY week""".stripMargin,
+
+    "mv_rollup" ->
+      """SELECT count(*) AS n_rows, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents""".stripMargin,
 
     "ols_slope" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -134,6 +134,27 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(src)
   }
 
+  test("rollup subsumption: a GLOBAL count/sum is answered by re-aggregating the MV") {
+    val src = freshSource()
+    val mv = src + "-mv"
+    try {
+      val direct = spark.read.parquet(src)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("tc")).head()
+      MvRegistry.register(spark, src, mv, "lang", Seq("n_chars"))
+      val rolled = spark.read.parquet(src)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("tc"))
+      assert(scannedPaths(rolled).forall(_.startsWith(mv)),
+        "global aggregate should re-aggregate the MV")
+      val got = rolled.head()
+      assert(got.getLong(0) === direct.getLong(0))
+      assert(got.getLong(1) === direct.getLong(1))
+      // a global aggregate the MV can NOT answer falls through
+      val gmin = spark.read.parquet(src).agg(min(col("n_chars")).as("m"))
+      assert(!scannedPaths(gmin).exists(_.startsWith(mv)),
+        "min does not re-aggregate from (count, sum) — must fall through")
+    } finally MvRegistry.unregister(src)
+  }
+
   test("unregister restores the direct plan") {
     val src = freshSource()
     val mv = src + "-mv"
