@@ -1900,6 +1900,26 @@ object RelationalQueries {
           (col("n_cells") - lit(1)).as("df_note"))
     }),
 
+    // Sample-ratio-mismatch check — the guardrail read BEFORE any
+    // experiment metric: if the arm sizes themselves deviate from the
+    // designed 50/50 beyond chance (χ², 1 df, 3.841 at α=0.05), the
+    // randomizer is broken and every downstream readout (ab_welch,
+    // two_proportion_z) is invalid. One user-digest aggregate.
+    "srm_check" -> ((s, dir) => {
+      val arms = events(s, dir).select(col("user_id")).distinct()
+        .groupBy((col("user_id") % 2 === 0).as("armA"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val a = arms.filter(col("armA")).select(col("n").as("na"))
+      val b = arms.filter(!col("armA")).select(col("n").as("nb"))
+      a.crossJoin(b)
+        .withColumn("e", (col("na") + col("nb")) / 2)
+        .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(pow(col("na") - col("e"), 2) / col("e") +
+            pow(col("nb") - col("e"), 2) / col("e"), 6).as("chi2"),
+          (pow(col("na") - col("e"), 2) / col("e") +
+            pow(col("nb") - col("e"), 2) / col("e") > 3.841).as("srm_flag"))
+    }),
+
     // Two-proportion z-test — ab_welch's twin for BINARY outcomes (did
     // the user convert): pooled-variance z over per-arm (n, conversions)
     // digests; the experiment readout for rates rather than means.
@@ -3896,6 +3916,21 @@ object RelationalQueries {
         |  count(*) - 1 AS df_note
         |FROM cells c
         |JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN t""".stripMargin,
+
+    "srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT (user_id % 2 = 0) AS armA, count(*)::DOUBLE AS n
+        |  FROM u GROUP BY 1),
+        |ab AS (
+        |  SELECT max(CASE WHEN armA THEN n END) AS na,
+        |    max(CASE WHEN NOT armA THEN n END) AS nb
+        |  FROM arms),
+        |s AS (SELECT *, (na + nb) / 2 AS e FROM ab)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(pow(na - e, 2) / e + pow(nb - e, 2) / e, 6) AS chi2,
+        |  (pow(na - e, 2) / e + pow(nb - e, 2) / e > 3.841) AS srm_flag
+        |FROM s""".stripMargin,
 
     "two_proportion_z" ->
       """WITH u AS (

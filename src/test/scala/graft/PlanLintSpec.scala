@@ -109,6 +109,7 @@ class PlanLintSpec extends AnyFunSuite {
       "kmv_distinct", // 1-row kth-hash × 1-row exact-count audit probe
       "kmv_set_ops",  // three 1-row sketch-algebra frames joined
       "two_proportion_z", // two 1-row per-arm digests joined
+      "srm_check",    // two 1-row arm-size digests joined
       "chi2_independence", // 1-row grand total broadcast into the cell arithmetic
       "lorenz_curve", // 1-row totals broadcast into the share projection
       "anova_f",      // 1-row grand-mean digest joined into the group digest
