@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run JVM's stdout straight through, WITHOUT sbt's
+// "[info] " logger prefix: the driver machine-parses the last JSON line
+// of `runMain graft.Bench` output, and the prefix broke that parse in
+// rounds 1-7 (VERDICT r7 finding #1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,23 +47,24 @@ object Skyline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = ranged
       .withColumn("__localPrev", max(col(yCol)).over(wLocal))
-    // #partitions rows of metadata → exclusive prefix max per partition
-    val partMax = ranged.groupBy(col("__pid"))
-      .agg(max(col(yCol).cast("double")).as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val n = if (partMax.isEmpty) 0 else partMax.keys.max + 1
-    val prefix = (0 until n).scanLeft(Double.NegativeInfinity) {
-      (acc, pid) => math.max(acc, partMax.getOrElse(pid, Double.NegativeInfinity))
-    }
-    val prefixMap = (0 until n).map(pid => pid -> prefix(pid)).toMap
-    val prefixCol = prefixMap.foldLeft(lit(Double.NegativeInfinity)) {
-      case (acc, (pid, m)) => when(col("__pid") === pid, m).otherwise(acc)
-    }
+    // #partitions rows of metadata → exclusive prefix max per partition.
+    // All maxima stay in yCol's NATIVE type end to end — a double detour
+    // here loses precision past 2^53 for BIGINT axes, making distinct y
+    // values compare equal and corrupting the frontier. The prefix max is
+    // a global window over ≤ numPartitions AGGREGATED rows (bytes of
+    // metadata, never corpus) so the SinglePartition exchange is free;
+    // the null sentinel replaces -Inf ("no earlier partition"), and
+    // greatest() skips nulls by definition.
+    val partMax = ranged.groupBy(col("__pid")).agg(max(col(yCol)).as("__pm"))
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixDf = partMax
+      .withColumn("__prevBest", max(col("__pm")).over(wPrefix))
+      .select(col("__pid"), col("__prevBest"))
     val frontier = withLocal
-      .withColumn("__best",
-        greatest(coalesce(col("__localPrev").cast("double"),
-          lit(Double.NegativeInfinity)), prefixCol))
-      .filter(col(yCol).cast("double") > col("__best"))
+      .join(broadcast(prefixDf), Seq("__pid"), "left")
+      .withColumn("__best", greatest(col("__localPrev"), col("__prevBest")))
+      .filter(col("__best").isNull || col(yCol) > col("__best"))
       .select(col(xCol), col(yCol))
     df.join(frontier, Seq(xCol, yCol), "left_semi")
   }

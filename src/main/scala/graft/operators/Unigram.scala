@@ -116,11 +116,15 @@ object Unigram {
   def train(words: DataFrame): Seq[(String, Double)] = {
     val spark = words.sparkSession
     import spark.implicits._
-    val seed = seedCounts(words)
+    // ONE substring-seed aggregation feeds both consumers (top-SeedSize
+    // and the single-char floor) — recomputing it doubled the seed stage
+    val digest = seedCounts(words).persist()
+    val seed = digest
       .orderBy(col("cnt").desc, col("piece").asc).limit(SeedSize)
       .as[(String, Long)].collect().toSeq
-    val chars = seedCounts(words).filter(length(col("piece")) === 1)
+    val chars = digest.filter(length(col("piece")) === 1)
       .as[(String, Long)].collect().toSeq
+    digest.unpersist()
     var vocab = normalize((seed ++ chars.filterNot(c => seed.exists(_._1 == c._1))))
     for (_ <- 1 to EmIters) {
       val bc = spark.sparkContext.broadcast(vocab)

@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -31,11 +31,17 @@ import org.apache.spark.sql.functions._
 object MvRegistry {
 
   /** One registered MV: summary-table path, the group column, the sum'd
-    * columns (count(*) is always present as `cnt_star`), and the source
-    * fingerprint at build time.
+    * columns (count(*) is always present as `cnt_star`), the source
+    * fingerprint at build time, and the ANALYZED scan of the summary
+    * table. Caching the scan here (resolved once, at register/refresh
+    * time) keeps the optimizer rule free of planning-time I/O — without
+    * it every optimization pass over a matching Aggregate re-listed the
+    * MV directory and re-read parquet footers, on the exact serving path
+    * the rewrite is meant to accelerate.
     */
   final case class Entry(mvPath: String, groupCol: String,
-                         sumCols: Seq[String], fingerprint: Long)
+                         sumCols: Seq[String], fingerprint: Long,
+                         mvRelation: LogicalRelation)
 
   private val registry = new ConcurrentHashMap[String, Entry]()
 
@@ -82,7 +88,27 @@ object MvRegistry {
     val fp = fingerprintOf(spark, sourcePath)
     val versioned = s"$mvPath-v$fp"
     buildSuspended(spark, sourcePath, versioned, groupCol, sumCols)
-    registry.put(canon(sourcePath), Entry(versioned, groupCol, sumCols, fp))
+    val prev = Option(registry.put(canon(sourcePath),
+      Entry(versioned, groupCol, sumCols, fp, analyzedScan(spark, versioned))))
+    // GC a superseded summary dir: once the pointer swaps, nothing holds a
+    // listing of the old version (the cached Entry scan references only the
+    // new dir), so the delete can't race a reader
+    prev.filter(_.mvPath != versioned)
+      .foreach(p => deleteDir(spark, p.mvPath))
+  }
+
+  /** Resolve the summary scan ONCE; the rule reuses it (via `newInstance`
+    * for fresh attribute ids per substitution) instead of doing file
+    * listing + footer schema inference inside the optimizer.
+    */
+  private def analyzedScan(spark: SparkSession, path: String): LogicalRelation =
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation => lr
+    }.getOrElse(sys.error(s"parquet scan of $path did not analyze to a LogicalRelation"))
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   /** Run the maintenance aggregate with the source's rewrite SUSPENDED:
@@ -119,7 +145,11 @@ object MvRegistry {
           val base = e.mvPath.replaceAll("-v-?\\d+$", "")
           val versioned = s"$base-v$fp"
           buildSuspended(spark, sourcePath, versioned, e.groupCol, e.sumCols)
-          registry.put(key, e.copy(mvPath = versioned, fingerprint = fp))
+          registry.put(key, e.copy(mvPath = versioned, fingerprint = fp,
+            mvRelation = analyzedScan(spark, versioned)))
+          // streaming maintenance refreshes per micro-batch: without this
+          // delete the versioned dirs accumulate unboundedly
+          if (e.mvPath != versioned) deleteDir(spark, e.mvPath)
           true
         }
     }
@@ -201,7 +231,9 @@ case class MvAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRollup(aggExprs: Seq[NamedExpression],
                         entry: MvRegistry.Entry): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val mvPlan = spark.read.parquet(entry.mvPath).queryExecution.analyzed
+    // fresh attribute ids per substitution — the cached relation may be
+    // spliced into several places of one plan
+    val mvPlan = entry.mvRelation.newInstance()
     val mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
     def sumOf(colName: String): Option[Expression] =
       mvAttrs.get(colName).map(a =>
@@ -209,8 +241,11 @@ case class MvAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _), _) =>
         // count(*) over the source = Σ cnt_star; sum(long) is long-typed,
-        // matching count's LongType output
-        sumOf("cnt_star").map(e => Alias(e, al.name)(exprId = al.exprId))
+        // matching count's LongType output. Coalesce: over an EMPTY MV
+        // SUM returns NULL but count(*) must return 0 — without it the
+        // rewritten plan breaks count's non-null contract.
+        sumOf("cnt_star").map(e =>
+          Alias(Coalesce(Seq(e, Literal(0L))), al.name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(Sum(s: AttributeReference, _), _, false, None, _), _)
           if entry.sumCols.contains(s.name) =>
         sumOf(s"sum_${s.name}").map { e =>
@@ -239,7 +274,7 @@ case class MvAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, g: AttributeReference,
                          aggExprs: Seq[NamedExpression],
                          entry: MvRegistry.Entry): Option[LogicalPlan] = {
-    val mvPlan = spark.read.parquet(entry.mvPath).queryExecution.analyzed
+    val mvPlan = entry.mvRelation.newInstance()
     val mvAttrs = mvPlan.output.map(a => a.name -> a).toMap
     // every output of the original aggregate must map onto an MV column
     val mapped: Seq[Option[NamedExpression]] = aggExprs.map {

@@ -621,10 +621,13 @@ object VectorQueries {
         .map(_.getSeq[Double](2))
       val muLit = typedLit(m.filter(col("comp") === -1).collect()
         .head.getSeq[Double](2))
-      def proj(v: Column): Column = array(wrows.map { wk =>
-        val wl = typedLit(wk)
-        round(VectorOps.dot(v, wl) - VectorOps.dot(muLit, wl), 6)
-      }: _*)
+      // ONE k×d 2-D literal + a transform fold instead of k unrolled
+      // per-component typedLit dot products — same per-element arithmetic
+      // (identical fold, identical rounding) but a constant-size
+      // expression tree, so plan/codegen cost stays flat as k grows
+      val wLit = typedLit(wrows.toSeq.map(_.toSeq))
+      def proj(v: Column): Column = transform(wLit, wk =>
+        round(VectorOps.dot(v, wk) - VectorOps.dot(muLit, wk), 6))
       val emb = embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       val corpus = emb.filter(col("vec_id") =!= 0)

@@ -1095,7 +1095,9 @@ object Streaming {
     rows
       .select(graft.functions.Digests.digest60(canon).as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        expr(s"CAST(sum(CAST(h AS DECIMAL(38,0))) % ${graft.functions.Digests.FingerprintMod} AS BIGINT)")
+        // coalesce: sum() over zero rows is NULL, but an EMPTY table must
+        // fingerprint as (0, 0) — downstream staleness probes getLong(1)
+        expr(s"CAST(coalesce(sum(CAST(h AS DECIMAL(38,0))), 0) % ${graft.functions.Digests.FingerprintMod} AS BIGINT)")
           .as("fp"))
 
   /** Run a streaming DataFrame to completion against the memory sink and

@@ -58,6 +58,7 @@ class PlanLintSpec extends AnyFunSuite {
       "lorenz_curve" -> "per-customer revenue digest; scale path = the GlobalRowNum/Skyline two-pass prefix scheme",
       "period_over_period" -> "weeks digest (lag)",
       "charlm_bits" -> "36-row [a-z0-9] character model total",
+      "skyline_parts" -> "cross-partition prefix max over ≤numPartitions AGGREGATED maxima (bytes of metadata; the corpus-facing window is __pid-partitioned)",
       "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
