@@ -33,6 +33,8 @@ object Stages {
     "ivfpqres-codes" -> ((s, d) => { operators.Ivfpq.resCodesLayout(s, d); () }),
     "ivfpq-deldemo" -> ((s, d) => { operators.Ivfpq.deletedDemoLayout(s, d); () }),
     "ivfpq-splitdemo" -> ((s, d) => { operators.Ivfpq.splitDemoLayout(s, d); () }),
+    "hnsw-graph"   -> ((s, d) => { operators.Hnsw.layout(s, d); () }),
+    "kll-sketch"   -> ((s, d) => { operators.Kll.layout(s, d); () }),
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),
     "jdbc-store"   -> ((s, d) => { sources.JdbcStore.ensureStore(s, d); () }),
@@ -65,6 +67,8 @@ object Stages {
     operators.Pq.resetMemos()
     operators.Ivfpq.resetMemos()
     operators.MlAnn.resetMemos()
+    operators.Hnsw.resetMemos()
+    operators.Kll.resetMemos()
     operators.DeletionVectors.resetMemos()
     operators.Unigram.resetMemos()
     operators.TxnLog.resetMemos()

@@ -66,6 +66,10 @@ object Verify {
       "__SPLIT_CODES__"   -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo"),
       "__SPLIT_CENTS__"   -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-cents"),
       "__SPLIT_ANCHORS__" -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-anchors"),
+      "__KLL_ITEMS__"    -> graft.operators.Kll.itemsPath(sfDir),
+      "__KLL_META__"     -> graft.operators.Kll.metaPath(sfDir),
+      "__HNSW_EDGES__"   -> graft.operators.Hnsw.edgesPath(sfDir),
+      "__HNSW_META__"    -> graft.operators.Hnsw.metaPath(sfDir),
       "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
       "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir),
       "__DV_DATA__"      -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/data"),

@@ -573,6 +573,49 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // GRAPH ANN (HNSW family): beam search over the dumped layered
+    // small-world graph — entry point → 2 hops on the express layer →
+    // 3 hops on the base layer, beam width 8, then top-5. The search is a
+    // fixed bounded dataflow (per hop: ≤Ef-row broadcast beam, equi-join
+    // on the src-clustered adjacency, TakeOrdered re-rank), so the DuckDB
+    // oracle replays every hop over the dumped edges as chained CTEs — a
+    // hash match proves the whole search path. See Hnsw scaladoc for the
+    // 100 TB shape.
+    "ann_hnsw" -> ((s, dir) => {
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.search(s, dir, q, k = 5)
+        .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
+    }),
+
+    // Recall@5 of the graph search vs the exact scan — the serving-quality
+    // audit, same shape as ann_recall_kmeans. HnswSpec additionally pins
+    // recall ≥ the IVF index's at an equal candidate budget.
+    "ann_hnsw_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val exact = graft.operators.Knn.topK(emb.filter(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", k = 5, keep = Seq("vec_id")).select(col("vec_id"))
+      val qdf = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.search(s, dir, qdf, k = 5).select(col("vec_id"))
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(0L).as("qid"), lit(5).as("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+    }),
+
+    // Batch graph serving: one pass per hop shared by the whole query
+    // batch, per-qid beams (the window partitions by qid). In-corpus
+    // queries legitimately retrieve themselves at sim 1.0 — the oracle
+    // replays that too.
+    "ann_hnsw_batch" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.search(s, dir, qs, k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // SemDeDup (Abbas 2023): paraphrase-level dedup by embedding — the
     // trained KMeans cells are the blocking key, so the pair search is a
     // bounded within-cell equi-join over the SAME one-time layout the ANN
@@ -857,6 +900,48 @@ object PipelineQueries {
     * within-cell near-dups — the OPERATOR is threshold-agnostic.)
     */
   private val semTau = 0.5
+
+  /** Name of the final beam CTE emitted by [[hnswBeamCtes]] — one per hop
+    * in Hnsw.Schedule, beam0 being the entry point.
+    */
+  private def hnswLastBeam: String = s"beam${graft.operators.Hnsw.Schedule.length}"
+
+  /** The HNSW beam search unrolled as chained CTEs over the dumped graph:
+    * `qsSql` defines the query batch as (qid, qe); each hop h expands the
+    * previous beam's neighbors on that hop's layer (UNION dedups, exactly
+    * the Spark side's union+distinct), rescores against qe, and keeps the
+    * top-Ef per qid by (sim desc, vec_id asc). The final CTE keeps `rn` so
+    * callers cut to their k. Mechanical mirror of Hnsw.search's loop — the
+    * hop schedule and Ef come from the SAME constants.
+    */
+  private def hnswBeamCtes(qsSql: String): String = {
+    import graft.operators.Hnsw
+    val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+    val sb = new StringBuilder
+    sb ++= s"""hedges AS (SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')),
+              |qs AS ($qsSql),
+              |beam0 AS (SELECT qs.qid, m.entry AS vec_id
+              |  FROM qs CROSS JOIN read_parquet('__HNSW_META__/*.parquet') m)""".stripMargin
+    Hnsw.Schedule.zipWithIndex.foreach { case (layer, i) =>
+      val prev = s"beam$i"
+      sb ++= s""",
+                |cand${i + 1} AS (
+                |  SELECT qid, vec_id FROM $prev
+                |  UNION
+                |  SELECT b.qid, e.dst AS vec_id
+                |  FROM hedges e JOIN $prev b ON e.layer = $layer AND e.src = b.vec_id),
+                |beam${i + 1} AS (
+                |  SELECT qid, vec_id, sim, rn FROM (
+                |    SELECT qid, vec_id, sim, row_number() OVER (
+                |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+                |    FROM (SELECT c.qid, c.vec_id, round($cos, 6) AS sim
+                |      FROM cand${i + 1} c
+                |      JOIN embeddings em ON em.vec_id = c.vec_id
+                |      JOIN qs ON qs.qid = c.qid))
+                |  WHERE rn <= ${Hnsw.Ef})""".stripMargin
+    }
+    sb.toString
+  }
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -1486,6 +1571,39 @@ object PipelineQueries {
          |  WHERE e.vec_id >= 3)
          |SELECT qid, vec_id, cell, sim, rnk FROM scored
          |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
+
+    // Graph-ANN replays: the dumped (layer, src, dst) adjacency + entry
+    // point make beam search a pure function of the artifact, so every
+    // hop of the FIXED schedule unrolls as a CTE (see hnswBeamCtes). The
+    // build (shard pairing, degree caps) stays engine-specific — the
+    // oracle never re-derives edges, exactly the trained-KMeans posture.
+    "ann_hnsw" -> {
+      s"""WITH ${hnswBeamCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")}
+         |SELECT vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
+         |WHERE rn <= 5 ORDER BY rnk""".stripMargin
+    },
+
+    "ann_hnsw_recall" -> {
+      val eCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH ${hnswBeamCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")},
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |exact AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round($eCos, 6) DESC, e.vec_id ASC
+         |  LIMIT 5),
+         |appr AS (SELECT vec_id FROM $hnswLastBeam WHERE rn <= 5)
+         |SELECT 0::BIGINT AS qid, 5 AS k, count(*)::BIGINT AS n_hit,
+         |  round(count(*) / 5.0, 6) AS recall
+         |FROM appr
+         |WHERE EXISTS (SELECT 1 FROM exact WHERE exact.vec_id = appr.vec_id)""".stripMargin
+    },
+
+    "ann_hnsw_batch" -> {
+      s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")}
+         |SELECT qid, vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
+         |WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
     },
 
     // SemDeDup verdict replay: same dumped trained layout; the within-cell

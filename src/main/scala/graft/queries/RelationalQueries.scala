@@ -1437,6 +1437,44 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // KLL mergeable quantile sketch with DUMPED-STATE replay — unlike
+    // approx_percentiles (GK state never leaves the agg), the sketch items
+    // land on disk, every estimate is a pure fold over the dump (DuckDB
+    // replays it identically), and the in_bound audit uses the sketch's
+    // own carried worst-case rank certificate (Kll scaladoc) — sound for
+    // ANY merge order, so no task-schedule flake. One counting pass over
+    // events against a 4-row broadcast closes the audit.
+    "kll_quantiles" -> ((s, dir) => {
+      import graft.operators.Kll
+      Kll.layout(s, dir)
+      import s.implicits._
+      val items = s.read.parquet(Kll.itemsPath(dir))
+      val meta = s.read.parquet(Kll.metaPath(dir)) // (err, n) — 1 row
+      val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+        .toDF("pct", "q")
+      val wCum = Window.partitionBy(col("pct")).orderBy(col("value"))
+      val est = items.groupBy(col("value")).agg(sum(col("weight")).as("w"))
+        .crossJoin(broadcast(qs)) // sketch-sized frame × 4 percentiles
+        .withColumn("cw", sum(col("w")).over(wCum))
+        .crossJoin(broadcast(meta))
+        .filter(col("cw") >= col("q") * col("n")) // Σweight = n by conservation
+        .groupBy(col("pct"), col("q"), col("err"))
+        .agg(min(col("value")).as("est")) // first cumulative crossing
+      events(s, dir).select(col("value").as("v"))
+        .crossJoin(broadcast(est))
+        .groupBy(col("pct"), col("q"), col("err"), col("est"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("cnt_le"),
+          sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("cnt_lt"))
+        // true rank interval [cnt_lt+1, cnt_le] must meet q·N ± err;
+        // compare on the UNROUNDED estimate (rounding could cross a tie)
+        .select(col("pct"), round(col("est"), 6).as("est"), col("n"),
+          col("cnt_le"), col("cnt_lt"), col("err"),
+          (col("cnt_le") >= col("q") * col("n") - col("err") &&
+            col("cnt_lt") < col("q") * col("n") + col("err")).as("in_bound"))
+        .orderBy(col("pct"))
+    }),
+
     // MERGEABLE sketches — the distributed-cardinality workhorse: per-half
     // DataSketches HLL sketches built independently, merged with
     // hll_union_agg, estimate checked against the exact distinct count
@@ -3174,6 +3212,33 @@ object RelationalQueries {
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |  2::BIGINT AS n_sketches, TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    // dumped-state replay: estimates re-derived from the dumped sketch by
+    // the identical cumulative-weight fold; rank counts from raw events
+    "kll_quantiles" ->
+      """WITH items AS (SELECT value, weight FROM read_parquet('__KLL_ITEMS__/*.parquet')),
+        |meta AS (SELECT err, n FROM read_parquet('__KLL_META__/*.parquet')),
+        |qs(pct, q) AS (VALUES ('p25', 0.25), ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+        |byv AS (SELECT value, sum(weight) AS w FROM items GROUP BY value),
+        |cum AS (
+        |  SELECT q.pct, q.q, b.value,
+        |    sum(b.w) OVER (PARTITION BY q.pct ORDER BY b.value) AS cw
+        |  FROM byv b CROSS JOIN qs q),
+        |est AS (
+        |  SELECT c.pct, c.q, m.err, min(c.value) AS est
+        |  FROM cum c CROSS JOIN meta m
+        |  WHERE c.cw >= c.q * m.n
+        |  GROUP BY c.pct, c.q, m.err),
+        |cnt AS (
+        |  SELECT e.pct, e.q, e.err, e.est, count(*) AS n,
+        |    sum(CASE WHEN ev.value <= e.est THEN 1 ELSE 0 END) AS cnt_le,
+        |    sum(CASE WHEN ev.value < e.est THEN 1 ELSE 0 END) AS cnt_lt
+        |  FROM events ev CROSS JOIN est e
+        |  GROUP BY e.pct, e.q, e.err, e.est)
+        |SELECT pct, round(est, 6) AS est, n::BIGINT AS n,
+        |  cnt_le::BIGINT AS cnt_le, cnt_lt::BIGINT AS cnt_lt, err::BIGINT AS err,
+        |  (cnt_le >= q * n - err AND cnt_lt < q * n + err) AS in_bound
+        |FROM cnt ORDER BY pct""".stripMargin,
 
     "skip_index_scan" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
