@@ -47,7 +47,10 @@ object Stages {
     "uni-vocab"    -> ((s, d) => {
       operators.Unigram.vocabLayout(s, d, sp => queries.TextQueries.wordFreqs(sp, d)); () }),
     "txn-layout"   -> ((s, d) => { operators.TxnLog.layout(s, d); () }),
+    "txn-opt-layout" -> ((s, d) => { operators.TxnLog.optimizeLayout(s, d); () }),
+    "txn-multi-layout" -> ((s, d) => { operators.TxnLog.multiLayout(s, d); () }),
     "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
+    "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
     "mv-layout"    -> ((s, d) => { plans.MvDemo.ensure(s, d); () })
   )
 
@@ -78,6 +81,7 @@ object Stages {
     sources.BloomSkip.resetMemos()
     sources.ZOrderSkip.resetMemos()
     operators.Pca.resetMemos()
+    operators.LogReg.resetMemos()
     plans.MvDemo.resetMemos()
   }
 }

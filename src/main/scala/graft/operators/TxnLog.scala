@@ -352,6 +352,143 @@ object TxnLog {
         listedEntries(spark, root, v, "txn"))
   }
 
+  /** OPTIMIZE: re-cluster the live rows by Z-ORDER over two columns inside
+    * a log-committed rewrite — [[graft.sources.ZOrderSkip]]'s layout
+    * discipline composed with the manifest log (Delta's `OPTIMIZE ZORDER
+    * BY`). The rewrite is `data_change = false` (same logical rows — the
+    * CDF must refuse a window spanning it, exactly as [[compact]]), per-
+    * file stats on [[statsCol]] are re-collected in the SAME commit (the
+    * manifest a reader prunes from is never stale), txn watermarks carry
+    * over, and every prior version stays readable (time travel) until
+    * [[vacuum]].
+    *
+    * Why not [[compact]]'s single-key range sort: that gives perfect file
+    * locality on ONE column and none on any other; interleaving the two
+    * range-binned columns gives GOOD min/max locality on each, so a
+    * predicate on either column prunes files from the manifest stats
+    * alone. At 100 TB this runs per cold partition as a background
+    * maintenance commit — reads of hot data never block (snapshot
+    * isolation), and concurrent appends conflict only at the version slot.
+    */
+  def optimize(spark: SparkSession, root: String, colA: String, colB: String,
+               numFiles: Int = 8): Int = {
+    val v = latestVersion(spark, root)
+    val rows = read(spark, root, Some(v))
+    val b = rows.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val z = graft.sources.ZOrderSkip.interleave8(
+      graft.sources.ZOrderSkip.bin8(col(colA), b.getLong(0), b.getLong(1)),
+      graft.sources.ZOrderSkip.bin8(col(colB), b.getLong(2), b.getLong(3)))
+    val clustered = rows.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(spark, root,
+      stageFiles(clustered, root, "files", "data", dataChange = false) ++
+        listedEntries(spark, root, v, "txn"))
+  }
+
+  /** The data files a range predicate on [[statsCol]] selects at
+    * `version`, from manifest stats alone — the pruning [[readPruned]]
+    * serves from, exposed so specs can pin "optimize shrank the file
+    * list" without reading a byte of data.
+    */
+  def dataFilesOverlapping(spark: SparkSession, root: String, lo: Long,
+                           hi: Long, version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    listedEntries(spark, root, v, "data").filter(e => (e.min_id, e.max_id) match {
+      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+      case _                    => true
+    }).map(_.file_name)
+  }
+
+  // ------------------------------------------------- multi-table commits
+
+  /** Atomic CROSS-TABLE commit: ONE manifest lists the live files of
+    * every table in the log (kind = `data:<table>`, files under
+    * `files/<table>/`), and the single pointer flip publishes them
+    * together — so two tables that must agree (postings + their totals
+    * sidecar, data + its skipping index) can never be observed desynced:
+    * a reader resolves ONE version and gets that version's pair, old-old
+    * before the flip, new-new after, mixed never. This is the gap
+    * [[InvertedIndex]].appendDocs documents (postings and meta advance as
+    * two separate writes there).
+    *
+    * `tables`: (name, frame, replace?) — replace=false appends to the
+    * table's live set, replace=true swaps it wholesale (the sidecar/meta
+    * posture). Tables in the log but not in this commit carry over
+    * unchanged. All other log machinery composes: optimistic concurrency
+    * via `expected`, snapshot isolation, time travel, vacuum.
+    */
+  def commitTables(spark: SparkSession, root: String,
+                   tables: Seq[(String, DataFrame, Boolean)],
+                   expected: Option[Int] = None): Int = {
+    // refuse BEFORE staging (no orphan files on the expected-version miss;
+    // the race between this check and the manifest write is closed by the
+    // errorifexists version slot, as in the single-table commit)
+    expected.foreach { e =>
+      val cur = latestVersion(spark, root)
+      if (cur != e) throw new CommitConflict(
+        s"txn: commit based on v$e but table is at v$cur — re-read and retry")
+    }
+    val (v, entries) = stagedTableEntries(spark, root, tables)
+    import spark.implicits._
+    val next = v + 1
+    entries.toDF().repartition(1)
+      .write.mode("errorifexists").parquet(s"$root/manifests/version=$next")
+    flipPointer(spark, root, next)
+    next
+  }
+
+  /** CRASH-WINDOW half of [[commitTables]], for specs and WAP-style
+    * audits: stage the files AND the manifest for v+1 but do NOT flip —
+    * readers still resolve the old version and see the old PAIR. Publish
+    * with [[publish]]; a crash here leaves old-old visible, never mixed.
+    */
+  private[graft] def stageTablesNoFlip(spark: SparkSession, root: String,
+                                       tables: Seq[(String, DataFrame, Boolean)]): Int = {
+    val (v, entries) = stagedTableEntries(spark, root, tables)
+    import spark.implicits._
+    val next = v + 1
+    entries.toDF().repartition(1)
+      .write.mode("errorifexists").parquet(s"$root/manifests/version=$next")
+    next
+  }
+
+  private def stagedTableEntries(spark: SparkSession, root: String,
+                                 tables: Seq[(String, DataFrame, Boolean)])
+      : (Int, Seq[ManifestEntry]) = {
+    val v = latestVersion(spark, root)
+    val touched = tables.map(_._1).toSet
+    val fresh = tables.flatMap { case (t, df, replace) =>
+      val prior = if (replace || v == 0) Nil
+                  else listedEntries(spark, root, v, s"data:$t")
+      prior ++ stageFiles(df, root, s"files/$t", s"data:$t")
+    }
+    val carried = if (v == 0) Nil else
+      manifest(spark, root, v)
+        .filter(!col("kind").isin(touched.toSeq.map(t => s"data:$t"): _*))
+        .select(col("kind"), col("file_name"), col("min_id"), col("max_id"),
+          col("n_rows"), col("data_change"))
+        .collect().map { r =>
+          def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          ManifestEntry(r.getString(0), r.getString(1), opt(2), opt(3), opt(4),
+            r.getBoolean(5))
+        }.sortBy(e => (e.kind, e.file_name)).toSeq
+    (v, fresh ++ carried)
+  }
+
+  /** Read table `table` of a multi-table log at `version` (default
+    * latest): exactly the manifest-listed files under `files/<table>/`.
+    */
+  def readTable(spark: SparkSession, root: String, table: String,
+                version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    val files = listed(spark, root, v, s"data:$table")
+      .map(n => s"$root/files/$table/$n")
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   /** TIMESTAMP AS OF — resolve the newest version whose manifest landed
     * at or before `tsMillis`, from manifest-directory modification times
     * (the commit's durable wall-clock — exactly how Delta resolves
@@ -563,5 +700,67 @@ object TxnLog {
       root
     })
 
-  private[graft] def resetMemos(): Unit = memo.clear()
+  def optimizeLayoutPath(sfDir: String): String = layoutPath(sfDir) + "-opt"
+
+  /** OPTIMIZE demo: v1 init with files HASH-scattered on doc_id (every
+    * file spans the full id range — per-file min/max stats technically
+    * correct, pruning-powerless: the layout every long-lived append-heavy
+    * table degrades into), v2 MOR delete (rides through the rewrite), v3
+    * z-order optimize over (doc_id, n_chars). The spec pins that the
+    * [100,150] manifest-prune touches every v2 file and a strict subset
+    * at v3; tt_optimize_scan pins result ≡ the same read pre-optimize.
+    */
+  def optimizeLayout(spark: SparkSession, sfDir: String): String =
+    optMemo.computeIfAbsent(sfDir, { _ =>
+      val root = optimizeLayoutPath(sfDir)
+      fs(spark, root).delete(new Path(root), true)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      init(docs.repartition(8, col("doc_id")), root)
+      deleteWhere(spark, root, pmod(col("doc_id"), lit(11L)) === 3L)
+      optimize(spark, root, "doc_id", "n_chars")
+      root
+    })
+
+  def multiLayoutPath(sfDir: String): String = layoutPath(sfDir) + "-multi"
+
+  /** Multi-table demo: an inverted-postings table and its corpus-totals
+    * sidecar (n_docs, total_tokens, avgdl — the BM25 normalizers) commit
+    * ATOMICALLY, twice: v1 covers doc_id < 300, v2 appends the rest's
+    * postings AND swaps the recomputed totals in the same manifest. The
+    * invariant a reader can now rely on at ANY version: the meta row
+    * describes exactly the corpus the postings cover.
+    */
+  def multiLayout(spark: SparkSession, sfDir: String): String =
+    multiMemo.computeIfAbsent(sfDir, { _ =>
+      val root = multiLayoutPath(sfDir)
+      fs(spark, root).delete(new Path(root), true)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def postings(d: DataFrame): DataFrame = d
+        .select(col("doc_id"),
+          explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .repartitionByRange(2, col("term"))
+      def meta(d: DataFrame): DataFrame = d
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextOps.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"))
+        .select(col("n_docs"), col("total_tokens"),
+          (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+      val first = docs.filter(col("doc_id") < 300)
+      commitTables(spark, root, Seq(
+        ("postings", postings(first), false), ("meta", meta(first), true)))
+      commitTables(spark, root, Seq(
+        ("postings", postings(docs.filter(col("doc_id") >= 300)), false),
+        ("meta", meta(docs), true)))
+      root
+    })
+
+  private val optMemo = new ConcurrentHashMap[String, String]()
+  private val multiMemo = new ConcurrentHashMap[String, String]()
+
+  private[graft] def resetMemos(): Unit = {
+    memo.clear(); optMemo.clear(); multiMemo.clear()
+  }
 }

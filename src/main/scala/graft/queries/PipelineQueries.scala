@@ -732,6 +732,38 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // OPTIMIZE-then-scan: the same manifest-pruned range read served from
+    // the z-order-optimized version (v3) of a table whose initial layout
+    // was hash-scattered (every v1 file spans the full id range). The
+    // oracle replays v3's manifest directly, proving the rewrite commit
+    // changed the LAYOUT and not one row; TxnOptimizeSpec pins the file-
+    // list shrink and the CDF refusal across the rewrite.
+    "tt_optimize_scan" -> ((s, dir) => {
+      val root = TxnLog.optimizeLayout(s, dir)
+      TxnLog.readPruned(s, root, 100L, 150L, Some(3))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-table atomic read: per-term document frequency from the
+    // postings table joined with the corpus totals from its meta sidecar —
+    // BOTH resolved from ONE manifest version, so the idf denominators
+    // always describe exactly the corpus the postings cover (the desync
+    // the two-write append in InvertedIndex.appendDocs admits, closed by
+    // commitTables). Postings fold partially (map-side combine) to a
+    // term digest; meta is a broadcast single row.
+    "tt_multi_idf" -> ((s, dir) => {
+      val root = TxnLog.multiLayout(s, dir)
+      val post = TxnLog.readTable(s, root, "postings")
+      val meta = TxnLog.readTable(s, root, "meta")
+      post.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(meta.select(col("n_docs"))))
+        .filter(col("df") >= col("n_docs").cast("double") / 5.0)
+        .select(col("term"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+        .orderBy(col("term"))
+    }),
+
     // Order-independent table fingerprint — the replication/migration
     // integrity primitive: did the copy land bit-identical, without
     // shipping either side's rows anywhere? Each row reduces to a 60-bit
@@ -1680,6 +1712,36 @@ object PipelineQueries {
 
     "tt_pruned_scan" -> duckTxnRead("2", "doc_id BETWEEN 100 AND 150"),
 
+    // the optimized table's v3 read, replayed from ITS manifest log
+    "tt_optimize_scan" -> duckTxnRead("3", "doc_id BETWEEN 100 AND 150",
+      "__TTO_MANIFESTS__", "__TTO_FILES__", "__TTO_DELETES__"),
+
+    // both tables of the multi-table log resolved from ONE manifest
+    // version (the atomic pair), then the same df/idf arithmetic
+    "tt_multi_idf" ->
+      """WITH m AS (
+        |  SELECT kind, file_name
+        |  FROM read_parquet('__TTM_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+        |  WHERE version = 2),
+        |p AS (
+        |  SELECT term, doc_id, regexp_extract(filename, '[^/]+$') AS fn
+        |  FROM read_parquet('__TTM_POST__/*.parquet', filename=true)),
+        |lp AS (
+        |  SELECT term, doc_id FROM p
+        |  WHERE fn IN (SELECT file_name FROM m WHERE kind = 'data:postings')),
+        |mt AS (
+        |  SELECT n_docs, regexp_extract(filename, '[^/]+$') AS fn
+        |  FROM read_parquet('__TTM_META__/*.parquet', filename=true)),
+        |lmt AS (
+        |  SELECT n_docs FROM mt
+        |  WHERE fn IN (SELECT file_name FROM m WHERE kind = 'data:meta')),
+        |d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        |      FROM lp GROUP BY term)
+        |SELECT term, df, round(ln(n_docs::DOUBLE / df), 6) AS idf
+        |FROM d CROSS JOIN lmt
+        |WHERE df >= n_docs / 5.0
+        |ORDER BY term""".stripMargin,
+
     // CDF replay: the same file-diff over the dumped manifests.
     "tt_changes" ->
       """WITH m1 AS (
@@ -1873,22 +1935,25 @@ object PipelineQueries {
     }
   )
 
-  private def duckTxnRead(versionExpr: String, where: String = "1 = 1"): String =
+  private def duckTxnRead(versionExpr: String, where: String = "1 = 1",
+                          man: String = "__TT_MANIFESTS__",
+                          files: String = "__TT_FILES__",
+                          dels: String = "__TT_DELETES__"): String =
     s"""WITH m AS (
        |  SELECT kind, file_name
-       |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+       |  FROM read_parquet('$man/*/*.parquet', hive_partitioning=true)
        |  WHERE version = $versionExpr),
        |data AS (
        |  SELECT doc_id, lang, n_chars,
        |    regexp_extract(filename, '[^/]+$$') AS fn, file_row_number AS pos
-       |  FROM read_parquet('__TT_FILES__/*.parquet',
+       |  FROM read_parquet('$files/*.parquet',
        |         filename=true, file_row_number=true)),
        |live AS (
        |  SELECT d.* FROM data d
        |  WHERE d.fn IN (SELECT file_name FROM m WHERE kind = 'data')),
        |dels AS (
        |  SELECT t.target_file, t.pos
-       |  FROM read_parquet('__TT_DELETES__/*.parquet', filename=true) t
+       |  FROM read_parquet('$dels/*.parquet', filename=true) t
        |  WHERE regexp_extract(t.filename, '[^/]+$$')
        |    IN (SELECT file_name FROM m WHERE kind = 'delete'))
        |SELECT doc_id, lang, n_chars FROM live d

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextOps
-import graft.operators.{Dedup, GlobalRowNum}
+import graft.operators.{Dedup, GlobalRowNum, LogReg}
 
 /** Training-data assembly operators: deterministic dataset splitting,
   * stratified sampling, and token-budget sequence packing — the steps
@@ -418,6 +418,47 @@ object TrainQueries {
           col("n_chars").as("neg_chars")), Seq("neg_id"))
         .select(col("doc_id"), col("slot"), col("neg_id"), col("neg_chars"))
         .orderBy(col("doc_id"), col("slot"))
+    }),
+
+    // Trained quality classifier — score every doc with the IRLS-fitted
+    // logistic model (operators/LogReg): p = σ(w·x) over the cheap text-
+    // statistic features, predicted label at 0.5. Map-only scoring (one
+    // fused sigmoid expression, weights inlined as literals — the
+    // broadcast-model posture); the oracle replays the SAME dumped
+    // weights, summing the linear predictor in the same fixed order.
+    "logreg_quality" -> ((s, dir) => {
+      val w = LogReg.model(s, dir).toSeq
+      documents(s, dir)
+        .withColumn("p_raw", LogReg.sigmoid(LogReg.linear(col("text"), w)))
+        .select(col("doc_id"),
+          LogReg.label(col("text")).cast("long").as("y"),
+          round(col("p_raw"), 6).as("p_quality"),
+          when(col("p_raw") >= 0.5, 1L).otherwise(0L).as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Classifier evaluation off the scored corpus: confusion counts +
+    // accuracy — one partial+final aggregation over the map-only scores.
+    "logreg_eval" -> ((s, dir) => {
+      val w = LogReg.model(s, dir).toSeq
+      documents(s, dir)
+        .select(LogReg.label(col("text")).cast("long").as("y"),
+          when(LogReg.sigmoid(LogReg.linear(col("text"), w)) >= 0.5, 1L)
+            .otherwise(0L).as("pred"))
+        .agg(sum(col("y") * col("pred")).as("tp"),
+          sum((lit(1L) - col("y")) * col("pred")).as("fp"),
+          sum((lit(1L) - col("y")) * (lit(1L) - col("pred"))).as("tn"),
+          sum(col("y") * (lit(1L) - col("pred"))).as("fn"),
+          round(avg((col("y") === col("pred")).cast("double")), 6).as("accuracy"))
+    }),
+
+    // Fit diagnostics: the per-iteration deviance trace the IRLS dump
+    // carries (iter 0 = the w=0 start; LogRegSpec pins monotone descent).
+    "logreg_trace" -> ((s, dir) => {
+      LogReg.model(s, dir)
+      s.read.parquet(LogReg.tracePath(dir))
+        .select(col("iter"), round(col("deviance"), 6).as("deviance"))
+        .orderBy(col("iter"))
     })
   )
 
@@ -651,6 +692,74 @@ object TrainQueries {
         |  WHERE d.doc_id < 30)
         |SELECT a.doc_id, a.slot, a.neg_id, d2.n_chars AS neg_chars
         |FROM a JOIN documents d2 ON d2.doc_id = a.neg_id
-        |ORDER BY a.doc_id, a.slot""".stripMargin
+        |ORDER BY a.doc_id, a.slot""".stripMargin,
+
+    "logreg_quality" ->
+      s"""WITH w AS ($duckLogregWeights),
+         |s AS (SELECT doc_id,
+         |        ($duckLogregY)::BIGINT AS y,
+         |        1.0 / (1.0 + exp(-($duckLogregZ))) AS p_raw
+         |      FROM documents CROSS JOIN w)
+         |SELECT doc_id, y, round(p_raw, 6) AS p_quality,
+         |  (CASE WHEN p_raw >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "logreg_eval" ->
+      s"""WITH w AS ($duckLogregWeights),
+         |s AS (SELECT ($duckLogregY)::BIGINT AS y,
+         |        (CASE WHEN 1.0 / (1.0 + exp(-($duckLogregZ))) >= 0.5
+         |          THEN 1 ELSE 0 END)::BIGINT AS pred
+         |      FROM documents CROSS JOIN w)
+         |SELECT sum(y * pred)::BIGINT AS tp,
+         |  sum((1 - y) * pred)::BIGINT AS fp,
+         |  sum((1 - y) * (1 - pred))::BIGINT AS tn,
+         |  sum(y * (1 - pred))::BIGINT AS fn,
+         |  round(avg(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+         |FROM s""".stripMargin,
+
+    "logreg_trace" ->
+      """SELECT iter, round(deviance, 6) AS deviance
+        |FROM read_parquet('__LOGREG_TRACE__/*.parquet')
+        |ORDER BY iter""".stripMargin
   )
+
+  /** Pivot the dumped weight rows (j, feat, w) into one row of w0..w5 —
+    * the oracle's broadcast of the trained model.
+    */
+  private def duckLogregWeights: String =
+    (0 until LogReg.Dim)
+      .map(j => s"max(CASE WHEN j = $j THEN w END) AS w$j")
+      .mkString("SELECT ", ", ", " FROM read_parquet('__LOGREG_W__/*.parquet')")
+
+  /** The quality label LogReg.label computes: type-token ratio ≥ 0.7
+    * (the Gopher-style non-repetitive-doc gate) — exact integer-ratio
+    * arithmetic, so both engines compare the identical double.
+    */
+  private def duckLogregY: String = {
+    val t = TextQueries.duckToks("text")
+    s"""CASE WHEN len($t) = 0 THEN 0
+       | WHEN len(list_distinct($t))::DOUBLE / len($t)::DOUBLE >= 0.7 THEN 1
+       | ELSE 0 END""".stripMargin
+  }
+
+  /** The linear predictor over the SAME feature expressions TextOps
+    * computes (the quality_scores twins), summed in the same left-to-right
+    * order as LogReg.linear — the only cross-engine divergence left in the
+    * score is the exp() ULP, absorbed by round-6.
+    */
+  private def duckLogregZ: String = {
+    val t = TextQueries.duckToks("text")
+    val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+    val x1 = s"len($t)::DOUBLE / 100.0"
+    val x2 = s"""CASE WHEN len($t) = 0 THEN 0.0
+                | ELSE list_sum(list_transform($t, x -> length(x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin
+    val x3 = """CASE WHEN length(text) = 0 THEN 0.0
+               | ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin
+    val x4 = """CASE WHEN length(text) = 0 THEN 0.0
+               | ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin
+    val x5 = s"""CASE WHEN len($t) = 0 THEN 0.0
+                | ELSE len(list_filter($t, x -> list_contains([$stops], x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin
+    s"""1.0 * w.w0 + ($x1) * w.w1 + ($x2) * w.w2
+       | + ($x3) * w.w3 + ($x4) * w.w4 + ($x5) * w.w5""".stripMargin
+  }
 }

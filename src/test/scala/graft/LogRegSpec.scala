@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LogReg
+
+/** Gates for the IRLS logistic-regression quality classifier beyond what
+  * the oracled queries (logreg_quality/eval/trace — dumped-model scoring
+  * replay) check: the Newton solver's algebra, monotone deviance descent,
+  * a real fit improvement over the null model, and that the trained gate
+  * actually separates the classes it claims to.
+  */
+class LogRegSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("ridge-damped Gaussian solve recovers a known system") {
+    // A = [[4,1,0],[1,3,1],[0,1,2]], x = (1,-2,3) → b = A·x
+    val a = Array(Array(4.0, 1.0, 0.0), Array(1.0, 3.0, 1.0), Array(0.0, 1.0, 2.0))
+    val x = Array(1.0, -2.0, 3.0)
+    val b = a.map(row => row.zip(x).map { case (r, v) => r * v }.sum)
+    val got = LogReg.solve(a, b, 0.0)
+    x.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-10) }
+  }
+
+  test("solve pivots: zero leading diagonal does not divide by zero") {
+    val a = Array(Array(0.0, 1.0), Array(1.0, 0.0))
+    val got = LogReg.solve(a, Array(2.0, 3.0), 0.0) // swaps rows → x=(3,2)
+    assert(math.abs(got(0) - 3.0) < 1e-12 && math.abs(got(1) - 2.0) < 1e-12)
+  }
+
+  test("deviance trace: monotone descent from the null start") {
+    LogReg.model(spark, sf)
+    val devs = spark.read.parquet(LogReg.tracePath(sf))
+      .orderBy(col("iter")).collect().map(_.getDouble(1))
+    assert(devs.length === LogReg.Iters + 1)
+    // iter 0 is w = 0: every p = 0.5, so deviance = 2·N·ln 2 exactly
+    val n = Tables.documents(spark, sf).count()
+    assert(math.abs(devs.head - 2.0 * n * math.log(2.0)) < 1e-6)
+    devs.zip(devs.tail).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(b <= a + 1e-6, s"deviance rose at iter ${i + 1}: $a -> $b")
+    }
+    // and the fit is REAL: a >10% drop vs the null model, not a plateau
+    assert(devs.last < 0.9 * devs.head,
+      s"fit barely moved: ${devs.head} -> ${devs.last}")
+  }
+
+  test("dumped weights: one row per feature, finite, length signal negative") {
+    LogReg.model(spark, sf)
+    val rows = spark.read.parquet(LogReg.weightsPath(sf))
+      .orderBy(col("j")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.map(_._2).toSeq === LogReg.FeatNames)
+    assert(rows.forall { case (_, _, w) => java.lang.Double.isFinite(w) })
+    // the label is "non-repetitive" and longer word-soup docs repeat more
+    // (bounded vocab) — the token-count feature must carry negative
+    // weight, or the fit learned noise
+    val wTok = rows.find(_._2 == "tok_100").get._3
+    assert(wTok < 0.0, s"tok_100 weight $wTok should be negative")
+  }
+
+  test("trained gate beats the majority-class baseline on its corpus") {
+    val w = LogReg.model(spark, sf).toSeq
+    val scored = Tables.documents(spark, sf)
+      .select(LogReg.label(col("text")).as("y"),
+        when(LogReg.sigmoid(LogReg.linear(col("text"), w)) >= 0.5, 1.0)
+          .otherwise(0.0).as("pred"))
+      .agg(avg((col("y") === col("pred")).cast("double")).as("acc"),
+        avg(col("y")).as("base"))
+      .head()
+    val (acc, base) = (scored.getDouble(0), scored.getDouble(1))
+    val majority = math.max(base, 1.0 - base)
+    assert(acc > majority,
+      s"accuracy $acc does not beat majority-class $majority")
+  }
+
+  test("fit is partition-layout independent (within float-sum noise)") {
+    // same corpus, adversarial partitioning: weights must agree to ~1e-6
+    // relative — IRLS digests are plain sums, so only summation order can
+    // differ, and the driver solve amplifies nothing at this conditioning
+    val (w1, _) = LogReg.fit(spark, sf)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft-logreg-spec-repart"
+    Tables.documents(spark, sf).repartition(7, col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (w2, _) = LogReg.fit(spark, tmp)
+    w1.zip(w2).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)),
+        s"weights diverged across layouts: $a vs $b")
+    }
+  }
+}
