@@ -662,6 +662,73 @@ object Streaming {
       .toDF()
   }
 
+  // --- state schema evolution across a checkpoint restart ---------------
+
+  case class CntV1(n: Long)
+  case class CntV2(n: Long, lastLen: Option[Long])
+  case class CntOut(k: Long, n: Long, lastLen: Long)
+
+  /** Per-key running row count — generation 1 of an operator whose state
+    * struct will later grow a field. Output carries −1 in the slot the
+    * next generation will fill, so both generations share one schema.
+    */
+  class CountProcessorV1
+      extends StatefulProcessor[Long, KeyedRow, CntOut] {
+    @transient private var st: ValueState[CntV1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CntV1]("cnt",
+        org.apache.spark.sql.Encoders.product[CntV1], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedRow],
+                                 timers: TimerValues): Iterator[CntOut] = {
+      val n = (if (st.exists()) st.get().n else 0L) + rows.size
+      st.update(CntV1(n))
+      Iterator.single(CntOut(key, n, -1L))
+    }
+  }
+
+  /** Generation 2: the state gains `lastLen` (length of the key's most
+    * recent value). The added field is an Option with a None default —
+    * the one evolution shape Avro state encoding resolves for state
+    * written by generation 1 (missing field → None); non-Option or
+    * defaultless additions are refused at query start.
+    */
+  class CountProcessorV2
+      extends StatefulProcessor[Long, KeyedRow, CntOut] {
+    @transient private var st: ValueState[CntV2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CntV2]("cnt",
+        org.apache.spark.sql.Encoders.product[CntV2], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedRow],
+                                 timers: TimerValues): Iterator[CntOut] = {
+      val buf = rows.toSeq
+      val prior = if (st.exists()) st.get() else CntV2(0L, None)
+      val next = CntV2(prior.n + buf.size,
+        buf.lastOption.map(_.v.length.toLong).orElse(prior.lastLen))
+      st.update(next)
+      Iterator.single(CntOut(key, next.n, next.lastLen.getOrElse(-1L)))
+    }
+  }
+
+  /** The evolution harness: the SAME logical query at either state-schema
+    * generation, so a spec can restart gen 2 on gen 1's checkpoint — the
+    * mid-flight operator upgrade every long-lived streaming pipeline
+    * eventually ships. Whether that restart RESUMES (Avro state encoding,
+    * additive Option field) or REFUSES LOUDLY (default UnsafeRow encoding
+    * — schema check at query start) is pinned by StateEvolutionSpec; what
+    * must never happen is a silent blank-state restart.
+    */
+  def runningCountStream(spark: SparkSession, rows: DataFrame,
+                         gen2: Boolean): DataFrame = {
+    import spark.implicits._
+    val keyed = rows.select(col("k"), col("v")).as[KeyedRow].groupByKey(_.k)
+    (if (gen2)
+      keyed.transformWithState(new CountProcessorV2,
+        TimeMode.None(), OutputMode.Append())
+    else
+      keyed.transformWithState(new CountProcessorV1,
+        TimeMode.None(), OutputMode.Append())).toDF()
+  }
+
   case class GapEv(user_id: Long, tsMicros: Long, event_id: Long)
   case class LastSeen(tsMicros: Long)
 
