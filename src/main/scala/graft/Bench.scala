@@ -165,7 +165,9 @@ object Bench {
       "interval_join", "approx_distinct", "bpe_tokenize",
       "sliding_window_agg", "skip_index_scan", "merge_upsert", "q6_forecast",
       "semantic_dedup", "dv_mor_read", "tt_read_latest", "tt_changes",
-      "mmr_rerank", "cms_heavy_probes", "unigram_tokenize")
+      "mmr_rerank", "cms_heavy_probes", "unigram_tokenize",
+      "ann_hnsw_recall", "kll_quantiles", "logreg_quality",
+      "tt_optimize_scan", "tt_multi_idf")
     val resultMap = results.toMap
     var hq = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + j(v)))
     def compact(entries: Seq[String]): String =
