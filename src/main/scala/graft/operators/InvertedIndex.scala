@@ -97,6 +97,14 @@ object InvertedIndex {
     * one batch low: df stays exact, idf reads marginally high — stale-
     * safe in the same sense as the skipping sidecars (costs ranking
     * nuance, never correctness of which docs match).
+    *
+    * When even that window is unacceptable (meta carries more than N —
+    * say BM25 avgdl — and a reader must never see it desynced), commit
+    * postings + meta through [[TxnLog.commitTables]] instead: one
+    * manifest spans both tables and a single pointer flip publishes the
+    * pair (old-old or new-new, never mixed — TxnOptimizeSpec pins the
+    * crash window; `tt_multi_idf` serves exactly this pairing from the
+    * log).
     */
   def appendDocs(spark: SparkSession, sfDir: String, docs: DataFrame): Unit = {
     val dir = layout(spark, sfDir)

@@ -652,13 +652,24 @@ object TxnLog {
         .map(r => (r.getString(0), r.getString(1))))
       .toSet
     val f = fs(spark, root)
+    // single-table layout: files under files/ and deletes/; multi-table
+    // layout ([[commitTables]]): files/<table>/ subdirectories whose
+    // entries are kept under kind `data:<table>` — walk one level down
+    // instead of non-recursively "deleting" a table directory
     val dropped = Seq("data" -> "files", "delete" -> "deletes").flatMap {
       case (kind, dir) =>
         val d = new Path(s"$root/$dir")
         if (!f.exists(d)) Nil
-        else f.listStatus(d).map(_.getPath.getName)
-          .filterNot(n => keep.contains((kind, n)))
-          .map { n => f.delete(new Path(s"$root/$dir/$n"), false); n }.toSeq
+        else f.listStatus(d).flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && kind == "data")
+            f.listStatus(st.getPath).map(_.getPath.getName)
+              .filterNot(fn => keep.contains((s"data:$n", fn)))
+              .map { fn => f.delete(new Path(s"$root/$dir/$n/$fn"), false)
+                s"$n/$fn" }.toSeq
+          else if (keep.contains((kind, n))) Nil
+          else { f.delete(st.getPath, false); Seq(n) }
+        }.toSeq
     }
     (1 until keepFrom).foreach { v =>
       f.delete(new Path(s"$root/manifests/version=$v"), true)

@@ -1761,6 +1761,124 @@ object RelationalQueries {
           round(col("lo"), 2).as("ci_lo"), round(col("hi"), 2).as("ci_hi"))
     }),
 
+    // CUPED variance reduction (Deng et al. 2013 — the experimentation-
+    // platform standard): per-user pre-period covariate x (days 1-15) and
+    // experiment metric y (days 16-30); θ = cov(x,y)/var(x) from ONE
+    // pooled moment digest; adjusted metric y' = y − θ(x − E[x]) is
+    // map-only over the per-user digest. Reports per-arm raw vs adjusted
+    // means and the realized variance-reduction ratio — the number that
+    // says how much smaller the experiment could have been. Scale shape:
+    // corpus → per-user digest (one partial agg), θ + means = a 1-row
+    // broadcast, adjust map-only, final agg digest-sized.
+    "cuped_adjust" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < cut, col("value")).otherwise(0.0)).as("x"),
+          sum(when(col("ts") >= cut, col("value")).otherwise(0.0)).as("y"))
+        .withColumn("variant",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      val digest = per.agg(
+        (covar_samp(col("x"), col("y")) / var_samp(col("x"))).as("theta"),
+        avg(col("x")).as("mx"), var_samp(col("y")).as("vy"))
+      val adj = per.crossJoin(broadcast(digest))
+        .withColumn("y_adj",
+          col("y") - col("theta") * (col("x") - col("mx")))
+      val arms = adj.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), avg(col("y")).as("m_raw"),
+          avg(col("y_adj")).as("m_adj"))
+      val vr = adj.agg((lit(1.0) - var_samp(col("y_adj")) / first(col("vy")))
+        .as("var_reduction"))
+      arms.crossJoin(broadcast(vr)).crossJoin(broadcast(digest.select(col("theta"))))
+        .select(col("variant"), col("n"),
+          round(col("m_raw"), 4).as("mean_raw"),
+          round(col("m_adj"), 4).as("mean_adj"),
+          round(col("theta"), 6).as("theta"),
+          round(col("var_reduction"), 6).as("var_reduction"))
+        .orderBy(col("variant"))
+    }),
+
+    // Mann–Whitney U — the nonparametric A/B test (no normality
+    // assumption, the robust twin of ab_welch). Tie-exact midranks
+    // WITHOUT a row-level global window: values collapse to a (value,
+    // per-arm count) digest first, the cumulative-weight window runs
+    // over DISTINCT values only, midrank = cum − cnt + (cnt+1)/2, and
+    // U_A folds from the digest. For a continuous metric the distinct
+    // digest is ~N (this corpus), so production quantizes the metric
+    // (cents, or KLL buckets) to make the window genuinely digest-sized
+    // — the rank_normalize caveat; the dataflow is unchanged. Normal
+    // approximation z with tie-corrected variance.
+    "mann_whitney" -> ((s, dir) => {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVal = orders(s, dir)
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderkey") % 2 === 0, 1.0).otherwise(0.0).as("isA"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).cast("double").as("cnt"), sum(col("isA")).as("ca"))
+      val ranked = byVal
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("midrank", col("cum") - col("cnt") + (col("cnt") + 1) / 2)
+      ranked.agg(
+          sum(col("ca") * col("midrank")).as("ra"),
+          sum(col("ca")).as("na"),
+          sum(col("cnt") - col("ca")).as("nb"),
+          sum(col("cnt")).as("n"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+        .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(col("ra") - col("na") * (col("na") + 1) / 2, 2).as("u_stat"),
+          round(((col("ra") - col("na") * (col("na") + 1) / 2) -
+            col("na") * col("nb") / 2) /
+            sqrt(col("na") * col("nb") / 12 *
+              ((col("n") + 1) - col("tie3") / (col("n") * (col("n") - 1)))),
+            6).as("z"))
+    }),
+
+    // Theil–Sen robust trend of the daily revenue series: median of all
+    // pairwise slopes (breakdown point 29% vs OLS's 0) + the paired
+    // median intercept. The series is a 30-row daily digest, so the
+    // pairwise self-join is 435 driver-sized rows — the raw corpus never
+    // joins itself. The estimator every monitoring system wants when one
+    // bad day would bend a least-squares trend.
+    "theil_sen" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(dayofmonth(col("ts")).cast("double").as("d"))
+        .agg(sum(col("value")).as("r"))
+      val a = daily.select(col("d").as("di"), col("r").as("ri"))
+      val b = daily.select(col("d").as("dj"), col("r").as("rj"))
+      val slope = a.join(broadcast(b), col("dj") > col("di"))
+        .select(((col("rj") - col("ri")) / (col("dj") - col("di"))).as("s"))
+        .agg(expr("percentile(s, 0.5D)").as("slope"))
+      daily.crossJoin(broadcast(slope))
+        .select((col("r") - col("slope") * col("d")).as("b0"), col("slope"))
+        .agg(round(first(col("slope")), 6).as("slope"),
+          round(expr("percentile(b0, 0.5D)"), 6).as("intercept"),
+          count(lit(1)).as("n_days"))
+    }),
+
+    // Difference-in-differences: the 2×2 (arm × period) panel estimator —
+    // did = (B_post − B_pre) − (A_post − A_pre), the causal-effect
+    // workhorse when assignment wasn't randomized. One partial+final agg
+    // to a 4-cell digest; arithmetic on one row.
+    "diff_in_diff" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      events(s, dir)
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+          when(col("ts") < cut, lit("pre")).otherwise(lit("post")).as("period"),
+          col("value"))
+        .groupBy(col("arm"), col("period"))
+        .agg(avg(col("value")).as("m"))
+        .agg(
+          sum(when(col("arm") === "A" && col("period") === "pre", col("m"))).as("a_pre"),
+          sum(when(col("arm") === "A" && col("period") === "post", col("m"))).as("a_post"),
+          sum(when(col("arm") === "B" && col("period") === "pre", col("m"))).as("b_pre"),
+          sum(when(col("arm") === "B" && col("period") === "post", col("m"))).as("b_post"))
+        .select(round(col("a_pre"), 6).as("a_pre"), round(col("a_post"), 6).as("a_post"),
+          round(col("b_pre"), 6).as("b_pre"), round(col("b_post"), 6).as("b_post"),
+          round((col("b_post") - col("b_pre")) - (col("a_post") - col("a_pre")), 6)
+            .as("did"))
+    }),
+
     // Welch two-sample t-test for an A/B experiment: each arm reduces to
     // (n, mean, var_samp) in ONE map-side-combined aggregate; the t
     // statistic and Welch–Satterthwaite df are arithmetic over the two
@@ -3722,6 +3840,74 @@ object RelationalQueries {
         |  round(sum(n_pos * (neg_below::DOUBLE + n_neg::DOUBLE / 2.0)) /
         |    (sum(n_pos) * sum(n_neg))::DOUBLE, 6) AS auc,
         |  sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg
+        |FROM c""".stripMargin,
+
+    "cuped_adjust" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT covar_samp(x, y) / var_samp(x) AS theta,
+        |        avg(x) AS mx, var_samp(y) AS vy FROM per),
+        |adj AS (SELECT variant, y, y - d.theta * (x - d.mx) AS y_adj, d.vy
+        |        FROM per CROSS JOIN d),
+        |vr AS (SELECT 1.0 - var_samp(y_adj) / any_value(vy) AS var_reduction
+        |       FROM adj),
+        |arms AS (SELECT variant, count(*) AS n, avg(y) AS m_raw,
+        |           avg(y_adj) AS m_adj
+        |         FROM adj GROUP BY variant)
+        |SELECT variant, n, round(m_raw, 4) AS mean_raw,
+        |  round(m_adj, 4) AS mean_adj, round(d.theta, 6) AS theta,
+        |  round(vr.var_reduction, 6) AS var_reduction
+        |FROM arms CROSS JOIN d CROSS JOIN vr ORDER BY variant""".stripMargin,
+
+    "mann_whitney" ->
+      """WITH byval AS (
+        |  SELECT o_totalprice AS v, count(*)::DOUBLE AS cnt,
+        |    sum(CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END) AS ca
+        |  FROM orders GROUP BY o_totalprice),
+        |r AS (SELECT v, cnt, ca,
+        |        sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM byval),
+        |m AS (SELECT sum(ca * (cum - cnt + (cnt + 1) / 2)) AS ra,
+        |        sum(ca) AS na, sum(cnt - ca) AS nb, sum(cnt) AS n,
+        |        sum(cnt * cnt * cnt - cnt) AS tie3
+        |      FROM r)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(ra - na * (na + 1) / 2, 2) AS u_stat,
+        |  round(((ra - na * (na + 1) / 2) - na * nb / 2) /
+        |    sqrt(na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))), 6) AS z
+        |FROM m""".stripMargin,
+
+    "theil_sen" ->
+      """WITH daily AS (
+        |  SELECT day(ts)::DOUBLE AS d, sum(value) AS r
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT quantile_cont((b.r - a.r) / (b.d - a.d), 0.5) AS slope
+        |      FROM daily a JOIN daily b ON b.d > a.d)
+        |SELECT round(any_value(s.slope), 6) AS slope,
+        |  round(quantile_cont(daily.r - s.slope * daily.d, 0.5), 6) AS intercept,
+        |  count(*) AS n_days
+        |FROM daily CROSS JOIN s""".stripMargin,
+
+    "diff_in_diff" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END
+        |      AS period,
+        |    avg(value) AS m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT
+        |  round(sum(CASE WHEN arm = 'A' AND period = 'pre' THEN m END), 6) AS a_pre,
+        |  round(sum(CASE WHEN arm = 'A' AND period = 'post' THEN m END), 6) AS a_post,
+        |  round(sum(CASE WHEN arm = 'B' AND period = 'pre' THEN m END), 6) AS b_pre,
+        |  round(sum(CASE WHEN arm = 'B' AND period = 'post' THEN m END), 6) AS b_post,
+        |  round((sum(CASE WHEN arm = 'B' AND period = 'post' THEN m END) -
+        |         sum(CASE WHEN arm = 'B' AND period = 'pre' THEN m END)) -
+        |        (sum(CASE WHEN arm = 'A' AND period = 'post' THEN m END) -
+        |         sum(CASE WHEN arm = 'A' AND period = 'pre' THEN m END)), 6) AS did
         |FROM c""".stripMargin,
 
     "ab_welch" ->

@@ -59,7 +59,8 @@ class PlanLintSpec extends AnyFunSuite {
       "period_over_period" -> "weeks digest (lag)",
       "charlm_bits" -> "36-row [a-z0-9] character model total",
       "skyline_parts" -> "cross-partition prefix max over ≤numPartitions AGGREGATED maxima (bytes of metadata; the corpus-facing window is __pid-partitioned)",
-      "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)")
+      "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)",
+      "mann_whitney" -> "cumulative-weight window over the DISTINCT-value digest; production quantizes a continuous metric first (query comment)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val hasGlobalWindow = q(spark, sf).queryExecution.optimizedPlan.collect {
@@ -124,7 +125,10 @@ class PlanLintSpec extends AnyFunSuite {
       "pca_recall",   // 1-row query / projected-query broadcasts, shortlist-and-rescore
       "ab_welch",     // two 1-row per-arm moment digests joined
       "rfm_segments", // 1-row quintile-breakpoint aggregate broadcast into the scorer
-      "assoc_rules")  // 1-row basket-total aggregate broadcast into the lift projection
+      "assoc_rules",  // 1-row basket-total aggregate broadcast into the lift projection
+      "cuped_adjust", // 1-row θ/mean/variance digests broadcast into the map-only adjust
+      "theil_sen",    // 30-row daily digest self-paired + 1-row median-slope broadcast
+      "tt_multi_idf") // 1-row meta sidecar broadcast into the idf projection
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString

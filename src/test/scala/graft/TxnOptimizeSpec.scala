@@ -153,6 +153,27 @@ class TxnOptimizeSpec extends AnyFunSuite {
       .select(countDistinct(col("doc_id"))).head().getLong(0) === nAfter)
   }
 
+  test("vacuum on a multi-table log reclaims superseded sidecar files, keeps live pair") {
+    val root = freshRoot()
+    val first = fullDocs.filter(col("doc_id") < 300)
+    TxnLog.commitTables(spark, root, Seq(
+      ("postings", postings(first), false), ("meta", meta(first), true)))
+    TxnLog.commitTables(spark, root, Seq(
+      ("postings", postings(fullDocs.filter(col("doc_id") >= 300)), false),
+      ("meta", meta(fullDocs), true)))
+    // v1's meta file was REPLACED at v2 → unreferenced once v1 is dropped
+    val dropped = TxnLog.vacuum(spark, root, keepVersions = 1)
+    assert(dropped.exists(_.startsWith("meta/")),
+      s"superseded meta file not reclaimed: $dropped")
+    assert(!dropped.exists(_.startsWith("postings/")),
+      s"live postings must survive vacuum: $dropped")
+    // the surviving pair still reads consistently
+    val n = TxnLog.readTable(spark, root, "meta").head().getLong(0)
+    val d = TxnLog.readTable(spark, root, "postings")
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(n === d && n === fullDocs.count())
+  }
+
   test("multi-table optimistic concurrency: stale base version refuses") {
     val root = freshRoot()
     TxnLog.commitTables(spark, root, Seq(("meta", meta(fullDocs), true)))
