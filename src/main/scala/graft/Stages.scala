@@ -51,6 +51,7 @@ object Stages {
     "txn-multi-layout" -> ((s, d) => { operators.TxnLog.multiLayout(s, d); () }),
     "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
     "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
+    "logreg-calib" -> ((s, d) => { operators.LogReg.calibration(s, d); () }),
     "mv-layout"    -> ((s, d) => { plans.MvDemo.ensure(s, d); () })
   )
 

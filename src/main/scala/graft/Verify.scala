@@ -80,6 +80,7 @@ object Verify {
       "__PCA_MODEL__"    -> graft.operators.Pca.modelPath(sfDir),
       "__LOGREG_W__"     -> graft.operators.LogReg.weightsPath(sfDir),
       "__LOGREG_TRACE__" -> graft.operators.LogReg.tracePath(sfDir),
+      "__LOGREG_CAL__"   -> graft.operators.LogReg.calibPath(sfDir),
       "__TT_FILES__"     -> (graft.operators.TxnLog.layoutPath(sfDir) + "/files"),
       "__TT_DELETES__"   -> (graft.operators.TxnLog.layoutPath(sfDir) + "/deletes"),
       "__TT_MANIFESTS__" -> (graft.operators.TxnLog.layoutPath(sfDir) + "/manifests"),

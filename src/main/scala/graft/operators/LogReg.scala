@@ -234,8 +234,74 @@ object LogReg {
       w
     })
 
+  // ------------------------------------------------ isotonic calibration
+
+  /** Number of equal-width probability bins the calibration map covers. */
+  val CalBins = 20
+
+  /** Pool-adjacent-violators (Ayer et al. 1955 — the isotonic-regression
+    * workhorse): given per-bin (weight, rate) in score order, merge
+    * adjacent bins whose rates DECREASE until the sequence is monotone;
+    * each merged block takes its weighted-mean rate. Classic stack
+    * formulation; runs on the DRIVER over the bin digest (≤[[CalBins]]
+    * rows — model metadata, the jacobiEig/solve posture).
+    */
+  private[graft] def pav(wr: Seq[(Double, Double)]): Seq[Double] = {
+    // stack of (weight, rate, span)
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    wr.foreach { case (w0, r0) =>
+      var (w, r, span) = (w0, r0, 1)
+      while (st.nonEmpty && st.last._2 > r) {
+        val (pw, pr, ps) = st.remove(st.length - 1)
+        r = (pw * pr + w * r) / (pw + w)
+        w += pw
+        span += ps
+      }
+      st += ((w, r, span))
+    }
+    st.flatMap { case (_, r, span) => Seq.fill(span)(r) }.toSeq
+  }
+
+  def calibPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-logreg-c-" + Ann.pathToken(sfDir)
+
+  private val calMemo = new ConcurrentHashMap[String, String]()
+
+  /** Fit-and-dump the isotonic calibration map for the trained model —
+    * the step between "a score that RANKS well" and "a score that IS a
+    * probability" (a sigmoid over weak features is usually over-confident
+    * at the ends; downstream corpus-mixing weights need calibrated mass).
+    * One pass bins every scored doc into [[CalBins]] equal-width buckets
+    * (digest-sized agg), PAV pools the per-bin empirical rates on the
+    * driver, the map dumps as (bin, n, raw_rate, cal_rate). Calibrated
+    * serving is then a broadcast join against ≤[[CalBins]] rows.
+    */
+  def calibration(spark: SparkSession, sfDir: String): String =
+    calMemo.computeIfAbsent(sfDir, { _ =>
+      val w = model(spark, sfDir).toSeq
+      val binned = Tables.documents(spark, sfDir)
+        .select(label(col("text")).as("y"),
+          sigmoid(linear(col("text"), w)).as("p"))
+        .withColumn("bin",
+          least(floor(col("p") * CalBins), lit(CalBins - 1)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .orderBy(col("bin"))
+        .collect() // ≤ CalBins rows — model metadata
+      val rates = binned.map(r => (r.getLong(1).toDouble,
+        r.getDouble(2) / r.getLong(1)))
+      val cal = pav(rates.toSeq)
+      import spark.implicits._
+      val path = calibPath(sfDir)
+      binned.zip(cal).map { case (r, c) =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2) / r.getLong(1), c)
+      }.toSeq.toDF("bin", "n", "raw_rate", "cal_rate").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Drop the JVM memo so Bench's second stage pass times an equally-cold
     * fit (the Ann.resetMemos contract).
     */
-  private[graft] def resetMemos(): Unit = memo.clear()
+  private[graft] def resetMemos(): Unit = { memo.clear(); calMemo.clear() }
 }

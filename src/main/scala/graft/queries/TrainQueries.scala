@@ -459,6 +459,29 @@ object TrainQueries {
       s.read.parquet(LogReg.tracePath(dir))
         .select(col("iter"), round(col("deviance"), 6).as("deviance"))
         .orderBy(col("iter"))
+    }),
+
+    // Isotonic calibration report: per-score-bin empirical rate (raw,
+    // recomputed live from the corpus) beside the PAV-pooled calibrated
+    // rate (replayed from the dumped map) — the reliability table that
+    // says whether the classifier's probabilities MEAN anything.
+    // Calibrated serving = this ≤20-row broadcast join.
+    "logreg_calibrate" -> ((s, dir) => {
+      val w = LogReg.model(s, dir).toSeq
+      LogReg.calibration(s, dir)
+      val calMap = s.read.parquet(LogReg.calibPath(dir))
+        .select(col("bin"), col("cal_rate"))
+      documents(s, dir)
+        .select(LogReg.label(col("text")).as("y"),
+          LogReg.sigmoid(LogReg.linear(col("text"), w)).as("p"))
+        .withColumn("bin", least(floor(col("p") * LogReg.CalBins),
+          lit(LogReg.CalBins - 1)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("y")), 6).as("raw_rate"))
+        .join(broadcast(calMap), "bin")
+        .select(col("bin"), col("n"), col("raw_rate"),
+          round(col("cal_rate"), 6).as("cal_rate"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -720,7 +743,21 @@ object TrainQueries {
     "logreg_trace" ->
       """SELECT iter, round(deviance, 6) AS deviance
         |FROM read_parquet('__LOGREG_TRACE__/*.parquet')
-        |ORDER BY iter""".stripMargin
+        |ORDER BY iter""".stripMargin,
+
+    "logreg_calibrate" ->
+      s"""WITH w AS ($duckLogregWeights),
+         |s AS (SELECT ($duckLogregY) AS y,
+         |        1.0 / (1.0 + exp(-($duckLogregZ))) AS p
+         |      FROM documents CROSS JOIN w),
+         |b AS (SELECT least(floor(p * ${LogReg.CalBins}),
+         |          ${LogReg.CalBins - 1})::BIGINT AS bin,
+         |        count(*) AS n, round(avg(y), 6) AS raw_rate
+         |      FROM s GROUP BY 1),
+         |c AS (SELECT bin, cal_rate
+         |      FROM read_parquet('__LOGREG_CAL__/*.parquet'))
+         |SELECT b.bin, b.n, b.raw_rate, round(c.cal_rate, 6) AS cal_rate
+         |FROM b JOIN c USING (bin) ORDER BY b.bin""".stripMargin
   )
 
   /** Pivot the dumped weight rows (j, feat, w) into one row of w0..w5 —

@@ -75,6 +75,36 @@ class LogRegSpec extends AnyFunSuite {
       s"accuracy $acc does not beat majority-class $majority")
   }
 
+  test("PAV pools adjacent violators to the weighted mean, leaves isotonic input alone") {
+    // already isotonic → unchanged
+    assert(LogReg.pav(Seq((1.0, 0.1), (2.0, 0.2), (1.0, 0.9))) ===
+      Seq(0.1, 0.2, 0.9))
+    // single violation pools to the weighted mean: (1·0.3 + 2·0.15)/3 = 0.2
+    val pooled = LogReg.pav(Seq((1.0, 0.1), (1.0, 0.3), (2.0, 0.15), (1.0, 0.5)))
+    assert(pooled.length === 4)
+    assert(math.abs(pooled(1) - 0.2) < 1e-12 && math.abs(pooled(2) - 0.2) < 1e-12)
+    assert(pooled === pooled.sorted, s"not isotonic: $pooled")
+    // cascade: a low tail pulls earlier blocks down too
+    val cascade = LogReg.pav(Seq((1.0, 0.5), (1.0, 0.4), (1.0, 0.0)))
+    assert(cascade.toSet.size === 1 && math.abs(cascade.head - 0.3) < 1e-12)
+  }
+
+  test("dumped calibration map: monotone, covers all occupied bins, conserves mass") {
+    LogReg.calibration(spark, sf)
+    val m = spark.read.parquet(LogReg.calibPath(sf)).orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(m.nonEmpty && m.length <= LogReg.CalBins)
+    val cal = m.map(_._4)
+    assert(cal.zip(cal.tail).forall { case (a, b) => b >= a - 1e-12 },
+      s"calibrated rates not monotone: ${cal.mkString(",")}")
+    // PAV preserves the weighted mean (total positive mass)
+    val rawMass = m.map { case (_, n, raw, _) => n * raw }.sum
+    val calMass = m.map { case (_, n, _, c) => n * c }.sum
+    assert(math.abs(rawMass - calMass) < 1e-6,
+      s"pooling changed total mass: $rawMass vs $calMass")
+    assert(cal.forall(c => c >= -1e-12 && c <= 1 + 1e-12))
+  }
+
   test("fit is partition-layout independent (within float-sum noise)") {
     // same corpus, adversarial partitioning: weights must agree to ~1e-6
     // relative — IRLS digests are plain sums, so only summation order can
