@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Kll, LogReg}
+
+/** Streaming twins of the round-8 trained-state operators: the dumped
+  * artifacts (logreg weights, KLL sketch) must serve on a STREAM exactly
+  * as they do in batch — scoring is a map-only expression so per-trigger
+  * output must be bit-equal to the batch query; the KLL typed Aggregator
+  * is mergeable by construction, so folding it across triggers must keep
+  * its self-certified rank bound sound over the full prefix.
+  */
+class StreamingModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming logreg scoring: per-trigger map-only scores equal the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = LogReg.model(spark, sf).toSeq
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        round(LogReg.sigmoid(LogReg.linear(col("text"), w)), 6).as("p"))
+    val q = scored.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_logreg").start()
+    try {
+      docs.grouped(200).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("stream_logreg").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val want = SparkEntry.queries("logreg_quality")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toMap
+      assert(got.size === want.size)
+      assert(got === want, "streamed scores diverge from the batch query")
+    } finally q.stop()
+  }
+
+  test("streaming KLL maintenance: sketch folds across triggers, certificate sound on the full prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 4000).map(i => ((i * 2654435761L) % 1000) / 7.0)
+    val input = MemoryStream[Double]
+    val agg = input.toDS().groupByKey(_ => 0)
+      .agg(Kll.sketchAgg.toColumn.name("sk"))
+    val q = agg.toDF("g", "sk").writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_kll").start()
+    try {
+      vals.grouped(800).foreach { c =>
+        input.addData(c.toSeq); q.processAllAvailable()
+      }
+      val sk = spark.table("stream_kll")
+        .selectExpr("sk.levels AS levels", "sk.err AS err")
+        .as[Kll.Buf].head()
+      val its = Kll.items(sk)
+      // exact weight conservation across every trigger fold
+      assert(its.map(_._2).sum === vals.length.toLong)
+      // rank certificate sound at the quartiles + p90 over the FULL data
+      val n = vals.length
+      for (p <- Seq(0.25, 0.5, 0.75, 0.9)) {
+        val est = Kll.estimate(its, p)
+        val rLo = vals.count(_ < est) + 1
+        val rHi = vals.count(_ <= est)
+        assert(rHi >= p * n - sk.err && rLo <= p * n + sk.err,
+          s"q=$p est=$est rank[$rLo,$rHi] outside ${p * n} ± ${sk.err}")
+      }
+      // the certificate is not vacuous after streaming folds either
+      assert(sk.err < n / 4, s"streaming folds inflated err to ${sk.err}")
+    } finally q.stop()
+  }
+}
