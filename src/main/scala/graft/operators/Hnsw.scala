@@ -168,5 +168,56 @@ object Hnsw {
       .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** FILTERED graph search (the ACORN posture — Patel 2024: navigate
+    * unfiltered, collect filtered): post-filtering the final beam loses
+    * recall when the predicate is selective (matching nodes score below
+    * the unfiltered top-Ef), so instead the search keeps every VISITED
+    * candidate id — the ≤ Ef·(MaxDegree+1) ids each hop scores anyway —
+    * and the final top-k ranks the predicate-passing subset of that
+    * pool. The beam itself stays unfiltered: a non-matching node is
+    * still a valid ROUTE to matching ones (filtering the beam would
+    * strand the walk inside predicate islands). Same bounded replayable
+    * dataflow: the oracle re-unions the same hop candidate sets.
+    */
+  def searchFiltered(spark: SparkSession, sfDir: String, queries: DataFrame,
+                     k: Int, pred: org.apache.spark.sql.Column): DataFrame = {
+    layout(spark, sfDir)
+    GraftFunctions.register(spark)
+    val edges = spark.read.parquet(edgesPath(sfDir))
+    val meta = spark.read.parquet(metaPath(sfDir))
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    var beam = queries.select(col("qid"))
+      .crossJoin(broadcast(meta.select(col("entry").as("vec_id"))))
+    var visited = beam
+    val wBeam = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    for (layer <- Schedule) {
+      val nbrs = edges.filter(col("layer") === layer)
+        .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
+        .select(col("qid"), col("dst").as("vec_id"))
+      val cands = beam.select(col("qid"), col("vec_id")).union(nbrs).distinct()
+      visited = visited.select(col("qid"), col("vec_id")).union(cands)
+      beam = corpus.join(broadcast(cands), Seq("vec_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= Ef)
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .localCheckpoint()
+    }
+    // one scoring pass over the deduped visited pool's matching subset
+    corpus.join(broadcast(visited.distinct()), Seq("vec_id"))
+      .filter(pred)
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   private[graft] def resetMemos(): Unit = memo.clear()
 }

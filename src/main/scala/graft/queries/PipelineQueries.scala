@@ -605,6 +605,19 @@ object PipelineQueries {
           round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // FILTERED graph serving (ACORN posture): beam navigates unfiltered —
+    // non-matching nodes are still routes — while the final top-k ranks
+    // the predicate-passing subset of every candidate the walk scored.
+    // The oracle re-unions the same hop candidate sets and applies the
+    // same predicate, so the hash match proves the filtered path too.
+    "ann_hnsw_filtered" -> ((s, dir) => {
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.searchFiltered(s, dir, q, k = 5,
+        pmod(col("vec_id"), lit(3L)) === 1L)
+        .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
+    }),
+
     // Batch graph serving: one pass per hop shared by the whole query
     // batch, per-qid beams (the window partitions by qid). In-corpus
     // queries legitimately retrieve themselves at sim 1.0 — the oracle
@@ -1636,6 +1649,27 @@ object PipelineQueries {
       s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")}
          |SELECT qid, vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
          |WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
+    },
+
+    // filtered replay: union the SAME hop candidate sets the beam walk
+    // scored, apply the predicate, rank — the ACORN visited-pool path
+    "ann_hnsw_filtered" -> {
+      val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+      val unions = (1 to graft.operators.Hnsw.Schedule.length)
+        .map(i => s"SELECT qid, vec_id FROM cand$i").mkString(" UNION ")
+      s"""WITH ${hnswBeamCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")},
+         |visited AS (SELECT qid, vec_id FROM beam0 UNION $unions),
+         |scored AS (
+         |  SELECT v.qid, v.vec_id, round($cos, 6) AS sim
+         |  FROM visited v
+         |  JOIN embeddings em ON em.vec_id = v.vec_id
+         |  JOIN qs ON qs.qid = v.qid
+         |  WHERE v.vec_id % 3 = 1)
+         |SELECT vec_id, sim, rnk FROM (
+         |  SELECT qid, vec_id, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
     },
 
     // SemDeDup verdict replay: same dumped trained layout; the within-cell

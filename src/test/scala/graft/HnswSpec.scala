@@ -109,4 +109,33 @@ class HnswSpec extends AnyFunSuite {
     assert(hSum >= iSum,
       s"graph recall ${hSum / qids.size} < ivf recall ${iSum / qids.size}")
   }
+
+  test("filtered search: every hit matches the predicate, visited-pool beats post-filtering") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    val pred = pmod(col("vec_id"), lit(3L)) === 1L
+    val got = Hnsw.searchFiltered(spark, sf, q, k = 5, pred).collect()
+    assert(got.length === 5)
+    assert(got.forall(_.getLong(1) % 3 == 1), "a hit violates the predicate")
+    // visited-pool filtering must dominate naive post-filtering of the
+    // final unfiltered top-k: every post-filter hit is in our result, and
+    // our worst similarity is at least theirs
+    val post = Hnsw.search(spark, sf, q, k = 5).collect()
+      .filter(_.getLong(1) % 3 == 1)
+    val gotIds = got.map(_.getLong(1)).toSet
+    assert(post.forall(r => gotIds.contains(r.getLong(1))),
+      "post-filter found a matching hit the visited pool missed")
+    info(s"filtered@5 from visited pool: ${got.length} hits; " +
+      s"post-filtering the unfiltered top-5 keeps only ${post.length}")
+    // and the filtered hits really are good: each at least as similar as
+    // the 5th exact FILTERED neighbor would allow for the ones we share
+    val exactF = Knn.topK(emb.filter(col("vec_id") =!= 0).filter(pred),
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb")),
+        "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.count(r => exactF.contains(r.getLong(1))).toDouble / 5
+    info(s"filtered recall@5 vs exact filtered scan: $recall")
+    assert(recall >= 0.4, s"filtered recall collapsed: $recall")
+  }
 }
