@@ -1879,6 +1879,77 @@ object RelationalQueries {
             .as("did"))
     }),
 
+    // Always-valid sequential monitor (mSPRT — Johari et al. 2017, the
+    // "peeking-proof" A/B test every experimentation platform ships): per
+    // day, the cumulative mean difference θ̂ feeds a normal-mixture
+    // likelihood ratio Λ_d = √(σ²_d/(σ²_d+τ²))·exp(θ̂²τ²/(2σ²_d(σ²_d+τ²)))
+    // with τ² = σ² (the pooled variance, one broadcast digest), and the
+    // always-valid p-value is 1/runmax(Λ) — monotone by construction, so
+    // stopping the experiment the first day it crosses α is valid. Scale
+    // shape: corpus → per-(day, arm) digest, cumulative windows run over
+    // the 30-row daily digest only.
+    "msprt_monitor" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(dayofmonth(col("ts")).cast("long").as("day"),
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+          col("value"))
+        .groupBy(col("day"), col("arm"))
+        .agg(count(lit(1)).cast("double").as("n"), sum(col("value")).as("sv"))
+      val sigma2 = events(s, dir).agg(var_samp(col("value")).as("s2"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily.groupBy(col("day"))
+        .agg(sum(when(col("arm") === "A", col("n")).otherwise(0.0)).as("na"),
+          sum(when(col("arm") === "B", col("n")).otherwise(0.0)).as("nb"),
+          sum(when(col("arm") === "A", col("sv")).otherwise(0.0)).as("sa"),
+          sum(when(col("arm") === "B", col("sv")).otherwise(0.0)).as("sb"))
+        .select(col("day"),
+          sum(col("na")).over(wCum).as("cna"), sum(col("nb")).over(wCum).as("cnb"),
+          sum(col("sa")).over(wCum).as("csa"), sum(col("sb")).over(wCum).as("csb"))
+      val lam = cum.crossJoin(broadcast(sigma2))
+        .withColumn("theta", col("csa") / col("cna") - col("csb") / col("cnb"))
+        .withColumn("v_d", col("s2") * (lit(1.0) / col("cna") + lit(1.0) / col("cnb")))
+        .withColumn("lambda",
+          sqrt(col("v_d") / (col("v_d") + col("s2"))) *
+            exp(col("theta") * col("theta") * col("s2") /
+              (lit(2.0) * col("v_d") * (col("v_d") + col("s2")))))
+      lam.withColumn("p_av",
+          least(lit(1.0), lit(1.0) / max(col("lambda")).over(wCum)))
+        .select(col("day"), col("cna").cast("long").as("n_a"),
+          col("cnb").cast("long").as("n_b"),
+          round(col("theta"), 6).as("theta"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("p_av"), 6).as("p_always_valid"))
+        .orderBy(col("day"))
+    }),
+
+    // Power analysis / minimum detectable effect — the pre-experiment
+    // sizing answer "what lift could this traffic even see?": MDE =
+    // (z_{α/2} + z_{power})·SE at α=0.05, power 0.80 over the two arms'
+    // (n, variance) digests. One 2-row digest, pure arithmetic.
+    "power_mde" -> ((s, dir) => {
+      val zA = 1.959963984540054  // Φ⁻¹(0.975)
+      val zP = 0.8416212335729143 // Φ⁻¹(0.80)
+      val g = orders(s, dir)
+        .withColumn("variant",
+          when(col("o_orderkey") % 2 === 0, "A").otherwise("B"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("o_totalprice")).as("m"), var_samp(col("o_totalprice")).as("v"))
+      val a = g.filter(col("variant") === "A")
+        .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+      val b = g.filter(col("variant") === "B")
+        .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+      a.crossJoin(b)
+        .withColumn("se", sqrt(col("va") / col("na") + col("vb") / col("nb")))
+        .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(col("se"), 6).as("se"),
+          round((lit(zA) + lit(zP)) * col("se"), 6).as("mde_abs"),
+          round((lit(zA) + lit(zP)) * col("se") /
+            ((col("na") * col("ma") + col("nb") * col("mb")) /
+              (col("na") + col("nb"))), 6).as("mde_rel"))
+    }),
+
     // Welch two-sample t-test for an A/B experiment: each arm reduces to
     // (n, mean, var_samp) in ONE map-side-combined aggregate; the t
     // statistic and Welch–Satterthwaite df are arithmetic over the two
@@ -3841,6 +3912,61 @@ object RelationalQueries {
         |    (sum(n_pos) * sum(n_neg))::DOUBLE, 6) AS auc,
         |  sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg
         |FROM c""".stripMargin,
+
+    "msprt_monitor" ->
+      """WITH daily AS (
+        |  SELECT day(ts) AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    count(*)::DOUBLE AS n, sum(value) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |s2t AS (SELECT var_samp(value) AS s2 FROM events),
+        |byday AS (
+        |  SELECT day,
+        |    sum(CASE WHEN arm = 'A' THEN n ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS nb,
+        |    sum(CASE WHEN arm = 'A' THEN sv ELSE 0 END) AS sa,
+        |    sum(CASE WHEN arm = 'B' THEN sv ELSE 0 END) AS sb
+        |  FROM daily GROUP BY day),
+        |cum AS (
+        |  SELECT day,
+        |    sum(na) OVER w AS cna, sum(nb) OVER w AS cnb,
+        |    sum(sa) OVER w AS csa, sum(sb) OVER w AS csb
+        |  FROM byday WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |lam AS (
+        |  SELECT day, cna, cnb, csa / cna - csb / cnb AS theta,
+        |    s2 * (1.0 / cna + 1.0 / cnb) AS v_d, s2
+        |  FROM cum CROSS JOIN s2t),
+        |l2 AS (
+        |  SELECT day, cna, cnb, theta,
+        |    sqrt(v_d / (v_d + s2)) *
+        |      exp(theta * theta * s2 / (2.0 * v_d * (v_d + s2))) AS lambda
+        |  FROM lam)
+        |SELECT day, cna::BIGINT AS n_a, cnb::BIGINT AS n_b,
+        |  round(theta, 6) AS theta, round(lambda, 6) AS lambda,
+        |  round(least(1.0, 1.0 / max(lambda) OVER
+        |    (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS p_always_valid
+        |FROM l2 ORDER BY day""".stripMargin,
+
+    "power_mde" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    count(*)::DOUBLE AS n, avg(o_totalprice) AS m,
+        |    var_samp(o_totalprice) AS v
+        |  FROM orders GROUP BY 1),
+        |ab AS (SELECT
+        |    max(CASE WHEN variant = 'A' THEN n END) AS na,
+        |    max(CASE WHEN variant = 'A' THEN m END) AS ma,
+        |    max(CASE WHEN variant = 'A' THEN v END) AS va,
+        |    max(CASE WHEN variant = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN variant = 'B' THEN m END) AS mb,
+        |    max(CASE WHEN variant = 'B' THEN v END) AS vb
+        |  FROM g),
+        |s AS (SELECT *, sqrt(va / na + vb / nb) AS se FROM ab)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(se, 6) AS se,
+        |  round((1.959963984540054 + 0.8416212335729143) * se, 6) AS mde_abs,
+        |  round((1.959963984540054 + 0.8416212335729143) * se /
+        |    ((na * ma + nb * mb) / (na + nb)), 6) AS mde_rel
+        |FROM s""".stripMargin,
 
     "cuped_adjust" ->
       """WITH per AS (

@@ -60,7 +60,8 @@ class PlanLintSpec extends AnyFunSuite {
       "charlm_bits" -> "36-row [a-z0-9] character model total",
       "skyline_parts" -> "cross-partition prefix max over ≤numPartitions AGGREGATED maxima (bytes of metadata; the corpus-facing window is __pid-partitioned)",
       "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)",
-      "mann_whitney" -> "cumulative-weight window over the DISTINCT-value digest; production quantizes a continuous metric first (query comment)")
+      "mann_whitney" -> "cumulative-weight window over the DISTINCT-value digest; production quantizes a continuous metric first (query comment)",
+      "msprt_monitor" -> "calendar-bounded daily digest (cumulative mixture-LR + running max)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val hasGlobalWindow = q(spark, sf).queryExecution.optimizedPlan.collect {
@@ -128,6 +129,8 @@ class PlanLintSpec extends AnyFunSuite {
       "rfm_segments", // 1-row quintile-breakpoint aggregate broadcast into the scorer
       "assoc_rules",  // 1-row basket-total aggregate broadcast into the lift projection
       "cuped_adjust", // 1-row θ/mean/variance digests broadcast into the map-only adjust
+      "msprt_monitor", // 1-row pooled-variance digest broadcast into the daily digest
+      "power_mde",    // two 1-row per-arm moment digests joined (the ab_welch shape)
       "theil_sen",    // 30-row daily digest self-paired + 1-row median-slope broadcast
       "tt_multi_idf") // 1-row meta sidecar broadcast into the idf projection
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
