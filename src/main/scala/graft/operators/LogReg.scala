@@ -38,8 +38,9 @@ import graft.functions.TextOps
   *     the corpus to one Newton digest: gradient g = Σ xᵢ(yᵢ−pᵢ) (d
   *     doubles), Hessian H = Σ pᵢ(1−pᵢ)xᵢxᵢᵀ (d(d+1)/2 doubles via the
   *     j≥i double-posexplode, exactly [[Pca]]'s second-moment digest),
-  *     and the deviance −2Σ[y ln p + (1−y) ln(1−p)] — all map-side-
-  *     combined hash aggregations, digest-only shuffle;
+  *     and the deviance −2Σ[y ln p + (1−y) ln(1−p)] — all three families
+  *     unioned into ONE map-side-combined aggregation per iteration
+  *     (T+1 corpus passes total), digest-only shuffle;
   *   - the DRIVER solves the d×d ridge-damped system (H+λI)δ = g
   *     (Gaussian elimination over 6×6 — model metadata, the same posture
   *     as [[Pca]]'s Jacobi eigensolver) and steps w ← w + δ.
@@ -110,8 +111,12 @@ object LogReg {
       array(features(col("text")): _*).as("x"))
 
   /** One Newton digest at weights `w`: (gradient, Hessian upper triangle,
-    * deviance). Three partial-aggregated jobs over the checkpointed
-    * feature frame; each shuffles ≤ d(d+1)/2 doubles per partition.
+    * deviance) — computed in ONE job: the three moment families ride a
+    * union of exploded branches keyed by sentinel (i, j) pairs
+    * (gradient at (i, −1), Hessian at (i, j≥i), deviance at (−2, −2))
+    * into a single map-side-combined aggregation. At 100 TB this is the
+    * difference between T+1 and 3(T+1) corpus passes; the shuffle is
+    * d(d+3)/2 + 2 doubles per partition either way.
     */
   private def newtonDigest(feats: DataFrame, w: Array[Double])
       : (Array[Double], Array[Array[Double]], Double) = {
@@ -123,28 +128,33 @@ object LogReg {
     val p0 = lit(1.0) / (lit(1.0) + exp(-z))
     val scored = feats.select(col("y"), col("x"),
       least(lit(1.0 - 1e-12), greatest(lit(1e-12), p0)).as("p"))
-    val g = new Array[Double](d)
-    scored.select(posexplode(col("x")).as(Seq("i", "xi")),
+    val grad = scored
+      .select(posexplode(col("x")).as(Seq("i", "xi")),
         (col("y") - col("p")).as("r"))
-      .groupBy(col("i")).agg(sum(col("xi") * col("r")).as("gi"))
-      .collect().foreach(r => g(r.getInt(0)) = r.getDouble(1))
-    val h = Array.ofDim[Double](d, d)
-    scored.select(posexplode(col("x")).as(Seq("i", "xi")), col("x"),
+      .select(col("i"), lit(-1).as("j"), (col("xi") * col("r")).as("v"))
+    val hess = scored
+      .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"),
         (col("p") * (lit(1.0) - col("p"))).as("s"))
       .select(col("i"), col("xi"), col("s"),
         posexplode(col("x")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("s") * col("xi") * col("xj")).as("hij"))
-      .collect().foreach { r =>
-        val (i, j) = (r.getInt(0), r.getInt(1))
-        h(i)(j) = r.getDouble(2); h(j)(i) = r.getDouble(2)
-      }
-    val dev = scored.agg(
-      sum(lit(-2.0) * (col("y") * log(col("p")) +
-        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("dev"))
-      .head().getDouble(0)
-    (g, h, dev)
+      .select(col("i"), col("j"), (col("s") * col("xi") * col("xj")).as("v"))
+    val dev = scored.select(lit(-2).as("i"), lit(-2).as("j"),
+      (lit(-2.0) * (col("y") * log(col("p")) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("v"))
+    val rows = grad.unionByName(hess).unionByName(dev)
+      .groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
+      .collect() // d(d+3)/2 + 2 rows — model metadata
+    val g = new Array[Double](d)
+    val h = Array.ofDim[Double](d, d)
+    var devSum = 0.0
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      if (i == -2) devSum = v
+      else if (j == -1) g(i) = v
+      else { h(i)(j) = v; h(j)(i) = v }
+    }
+    (g, h, devSum)
   }
 
   /** Solve (a + ridge·I) x = b by Gaussian elimination with partial
