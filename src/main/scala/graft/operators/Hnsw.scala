@@ -124,8 +124,19 @@ object Hnsw {
       // table so each hop's probe touches only matching buckets
       l0.union(l1).repartition(col("src"))
         .write.mode("overwrite").parquet(edgesPath(sfDir))
+      // meta carries the corpus MEMBERSHIP fingerprint beside the entry
+      // point: the order-independent (n, digest-sum) of the indexed ids,
+      // so a reader can detect "rows were appended/deleted since this
+      // graph was built" from two 1-row digests (ann_stale_check) —
+      // in-place vector mutation is out of scope for a membership digest
+      // (the id canon carries no floats; float rendering isn't
+      // cross-engine portable — the table_fingerprint caveat).
       val entry = promoted.agg(min(col("vec_id")).as("entry"))
-      entry.coalesce(1).write.mode("overwrite").parquet(metaPath(sfDir))
+      val fp = graft.streaming.Streaming.fingerprintStream(
+        corpus.select(col("vec_id")), col("vec_id").cast("string"))
+        .select(col("n_rows").as("corpus_n"), col("fp").as("corpus_fp"))
+      entry.crossJoin(fp)
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(sfDir))
       staged.unpersist()
       edgesPath(sfDir)
     })

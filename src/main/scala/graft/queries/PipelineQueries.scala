@@ -605,6 +605,26 @@ object PipelineQueries {
           round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
     }),
 
+    // Index staleness probe: the serving-time gate "was anything appended
+    // or deleted since this index was built?" — the live corpus reduces
+    // to the same order-independent membership fingerprint the graph
+    // build dumped into its meta, and freshness is a two-1-row-digest
+    // compare. At 100 TB the probe costs one map-side-combined digest
+    // pass, never a row-level diff; a stale verdict routes to the
+    // rebuild/append maintenance path.
+    "ann_stale_check" -> ((s, dir) => {
+      graft.operators.Hnsw.layout(s, dir)
+      val meta = s.read.parquet(graft.operators.Hnsw.metaPath(dir))
+        .select(col("corpus_n"), col("corpus_fp"))
+      graft.streaming.Streaming.fingerprintStream(
+          embeddings(s, dir).filter(col("vec_id") =!= 0).select(col("vec_id")),
+          col("vec_id").cast("string"))
+        .crossJoin(broadcast(meta))
+        .select(col("n_rows"), col("corpus_n"), col("fp"), col("corpus_fp"),
+          (col("n_rows") === col("corpus_n") &&
+            col("fp") === col("corpus_fp")).as("fresh"))
+    }),
+
     // FILTERED graph serving (ACORN posture): beam navigates unfiltered —
     // non-matching nodes are still routes — while the final top-k ranks
     // the predicate-passing subset of every candidate the walk scored.
@@ -1650,6 +1670,20 @@ object PipelineQueries {
          |SELECT qid, vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
          |WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
     },
+
+    // same membership-fingerprint arithmetic over the live ids + the
+    // dumped meta digest — the freshness verdict is engine-independent
+    "ann_stale_check" ->
+      """WITH live AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |    (sum(('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT)
+        |      % 2305843009213693951)::BIGINT AS fp
+        |  FROM embeddings WHERE vec_id <> 0),
+        |m AS (SELECT corpus_n, corpus_fp
+        |      FROM read_parquet('__HNSW_META__/*.parquet'))
+        |SELECT live.n_rows, m.corpus_n, live.fp, m.corpus_fp,
+        |  (live.n_rows = m.corpus_n AND live.fp = m.corpus_fp) AS fresh
+        |FROM live CROSS JOIN m""".stripMargin,
 
     // filtered replay: union the SAME hop candidate sets the beam walk
     // scored, apply the predicate, rank — the ACORN visited-pool path

@@ -110,6 +110,24 @@ class HnswSpec extends AnyFunSuite {
       s"graph recall ${hSum / qids.size} < ivf recall ${iSum / qids.size}")
   }
 
+  test("staleness probe: meta fingerprint matches at build, flips on any membership change") {
+    Hnsw.layout(spark, sf)
+    val meta = spark.read.parquet(Hnsw.metaPath(sf)).head()
+    val corpus = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") =!= 0).select(col("vec_id"))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streaming.fingerprintStream(
+        df, col("vec_id").cast("string")).head()
+    val full = fp(corpus)
+    assert(full.getLong(0) === meta.getAs[Long]("corpus_n"))
+    assert(full.getLong(1) === meta.getAs[Long]("corpus_fp"))
+    // one dropped id (a delete) or one added id (an append) flips it
+    val minus = fp(corpus.filter(col("vec_id") =!= 5))
+    assert(minus.getLong(1) !== meta.getAs[Long]("corpus_fp"))
+    val plus = fp(corpus.union(spark.range(1).select(lit(999999L).as("vec_id"))))
+    assert(plus.getLong(1) !== meta.getAs[Long]("corpus_fp"))
+  }
+
   test("filtered search: every hit matches the predicate, visited-pool beats post-filtering") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0)

@@ -88,6 +88,7 @@ class PlanLintSpec extends AnyFunSuite {
       "ann_nprobe_sweep", // the recall replay at 3 nprobe settings — same 1-row query-side broadcasts as ann_recall_kmeans
       "ann_hnsw_recall", // exact-scan half: corpus vs 1-row broadcast query (the hnsw half is checkpoint-truncated beams)
       "ann_hnsw_filtered", // 1-row entry/query broadcasts into the visited-pool walk (beams checkpoint-truncated)
+      "ann_stale_check", // two 1-row fingerprint digests compared
       "kll_quantiles", // sketch-frame × 4-percentile grid + events vs 4-row broadcast estimate audit
       "vocab_kl", // 1-row (V, N_old, N_new) and 1-row KL-total aggregates broadcast back into the digest frame
       "vocab_coverage", "q11_important_parts", "q17_avg_subquery", "q22_no_orders",
