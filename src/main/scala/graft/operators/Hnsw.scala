@@ -148,6 +148,25 @@ object Hnsw {
     */
   def search(spark: SparkSession, sfDir: String, queries: DataFrame,
              k: Int): DataFrame = {
+    val (beam, _) = walk(spark, sfDir, queries)
+    beam.withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
+  private def wBeam = Window.partitionBy(col("qid"))
+    .orderBy(col("sim").desc, col("vec_id").asc)
+
+  /** The one beam walk both serving faces share: fixed [[Schedule]],
+    * per-qid beams, each hop localCheckpointed. Returns the final beam
+    * (qid, vec_id, sim) and the VISITED candidate-id pool (qid, vec_id —
+    * every id any hop scored, entry included) so the filtered face can
+    * rank a predicate subset without a second walk. One definition: a
+    * schedule/tie-break/checkpoint change cannot desync the two oracled
+    * query families.
+    */
+  private def walk(spark: SparkSession, sfDir: String,
+                   queries: DataFrame): (DataFrame, DataFrame) = {
     layout(spark, sfDir)
     GraftFunctions.register(spark)
     val edges = spark.read.parquet(edgesPath(sfDir))
@@ -158,13 +177,13 @@ object Hnsw {
     // every query starts at the one global entry point
     var beam = queries.select(col("qid"))
       .crossJoin(broadcast(meta.select(col("entry").as("vec_id"))))
-    val wBeam = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
+    var visited = beam
     for (layer <- Schedule) {
       val nbrs = edges.filter(col("layer") === layer)
         .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
         .select(col("qid"), col("dst").as("vec_id"))
       val cands = beam.select(col("qid"), col("vec_id")).union(nbrs).distinct()
+      visited = visited.select(col("qid"), col("vec_id")).union(cands)
       beam = corpus.join(broadcast(cands), Seq("vec_id"))
         .join(broadcast(queries), Seq("qid"))
         .withColumn("sim",
@@ -174,9 +193,7 @@ object Hnsw {
         .select(col("qid"), col("vec_id"), col("sim"))
         .localCheckpoint() // pin each hop: the next hop re-joins this tiny frame twice
     }
-    beam.withColumn("rnk", row_number().over(wBeam))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+    (beam, visited)
   }
 
   /** FILTERED graph search (the ACORN posture — Patel 2024: navigate
@@ -192,33 +209,10 @@ object Hnsw {
     */
   def searchFiltered(spark: SparkSession, sfDir: String, queries: DataFrame,
                      k: Int, pred: org.apache.spark.sql.Column): DataFrame = {
-    layout(spark, sfDir)
-    GraftFunctions.register(spark)
-    val edges = spark.read.parquet(edgesPath(sfDir))
-    val meta = spark.read.parquet(metaPath(sfDir))
+    val (_, visited) = walk(spark, sfDir, queries)
     val corpus = graft.Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"))
-    var beam = queries.select(col("qid"))
-      .crossJoin(broadcast(meta.select(col("entry").as("vec_id"))))
-    var visited = beam
-    val wBeam = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    for (layer <- Schedule) {
-      val nbrs = edges.filter(col("layer") === layer)
-        .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
-        .select(col("qid"), col("dst").as("vec_id"))
-      val cands = beam.select(col("qid"), col("vec_id")).union(nbrs).distinct()
-      visited = visited.select(col("qid"), col("vec_id")).union(cands)
-      beam = corpus.join(broadcast(cands), Seq("vec_id"))
-        .join(broadcast(queries), Seq("qid"))
-        .withColumn("sim",
-          round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
-        .withColumn("__rn", row_number().over(wBeam))
-        .filter(col("__rn") <= Ef)
-        .select(col("qid"), col("vec_id"), col("sim"))
-        .localCheckpoint()
-    }
     // one scoring pass over the deduped visited pool's matching subset
     corpus.join(broadcast(visited.distinct()), Seq("vec_id"))
       .filter(pred)

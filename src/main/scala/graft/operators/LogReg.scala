@@ -249,6 +249,14 @@ object LogReg {
   /** Number of equal-width probability bins the calibration map covers. */
   val CalBins = 20
 
+  /** The calibration bin of a probability — ONE definition shared by the
+    * map build and the serving query, so the broadcast join can never
+    * desync from the dumped map (the DuckDB twin necessarily restates it
+    * as SQL).
+    */
+  def binOf(p: Column): Column =
+    least(floor(p * CalBins), lit(CalBins - 1)).cast("long")
+
   /** Pool-adjacent-violators (Ayer et al. 1955 — the isotonic-regression
     * workhorse): given per-bin (weight, rate) in score order, merge
     * adjacent bins whose rates DECREASE until the sequence is monotone;
@@ -292,8 +300,7 @@ object LogReg {
       val binned = Tables.documents(spark, sfDir)
         .select(label(col("text")).as("y"),
           sigmoid(linear(col("text"), w)).as("p"))
-        .withColumn("bin",
-          least(floor(col("p") * CalBins), lit(CalBins - 1)).cast("long"))
+        .withColumn("bin", binOf(col("p")))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
         .orderBy(col("bin"))

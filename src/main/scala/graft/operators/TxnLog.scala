@@ -376,6 +376,10 @@ object TxnLog {
     val rows = read(spark, root, Some(v))
     val b = rows.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // a fully-drained table has nothing to re-cluster: no-op at the
+    // current version (Delta's OPTIMIZE posture) instead of NPEing on
+    // the null min/max below
+    if (b.isNullAt(0)) return v
     val z = graft.sources.ZOrderSkip.interleave8(
       graft.sources.ZOrderSkip.bin8(col(colA), b.getLong(0), b.getLong(1)),
       graft.sources.ZOrderSkip.bin8(col(colB), b.getLong(2), b.getLong(3)))
@@ -423,19 +427,18 @@ object TxnLog {
   def commitTables(spark: SparkSession, root: String,
                    tables: Seq[(String, DataFrame, Boolean)],
                    expected: Option[Int] = None): Int = {
-    // refuse BEFORE staging (no orphan files on the expected-version miss;
-    // the race between this check and the manifest write is closed by the
-    // errorifexists version slot, as in the single-table commit)
+    // ONE latestVersion read feeds both the OCC check and the slot
+    // number, so a writer that lands between this read and the manifest
+    // write collides at the errorifexists slot (v+1 is already taken)
+    // and dies loudly — re-reading the version after the check would
+    // instead re-derive a FREE slot and let the stale commit clobber
+    // the interloper (the lost update OCC exists to refuse)
+    val v = latestVersion(spark, root)
     expected.foreach { e =>
-      val cur = latestVersion(spark, root)
-      if (cur != e) throw new CommitConflict(
-        s"txn: commit based on v$e but table is at v$cur — re-read and retry")
+      if (v != e) throw new CommitConflict(
+        s"txn: commit based on v$e but table is at v$v — re-read and retry")
     }
-    val (v, entries) = stagedTableEntries(spark, root, tables)
-    import spark.implicits._
-    val next = v + 1
-    entries.toDF().repartition(1)
-      .write.mode("errorifexists").parquet(s"$root/manifests/version=$next")
+    val next = stageTablesAt(spark, root, v, tables)
     flipPointer(spark, root, next)
     next
   }
@@ -446,8 +449,16 @@ object TxnLog {
     * with [[publish]]; a crash here leaves old-old visible, never mixed.
     */
   private[graft] def stageTablesNoFlip(spark: SparkSession, root: String,
-                                       tables: Seq[(String, DataFrame, Boolean)]): Int = {
-    val (v, entries) = stagedTableEntries(spark, root, tables)
+                                       tables: Seq[(String, DataFrame, Boolean)]): Int =
+    stageTablesAt(spark, root, latestVersion(spark, root), tables)
+
+  /** Stage `tables` against base version `v` and write the v+1 manifest
+    * (errorifexists — the atomic slot reservation both commit paths
+    * share). Returns v+1.
+    */
+  private def stageTablesAt(spark: SparkSession, root: String, v: Int,
+                            tables: Seq[(String, DataFrame, Boolean)]): Int = {
+    val entries = stagedTableEntries(spark, root, v, tables)
     import spark.implicits._
     val next = v + 1
     entries.toDF().repartition(1)
@@ -455,10 +466,9 @@ object TxnLog {
     next
   }
 
-  private def stagedTableEntries(spark: SparkSession, root: String,
+  private def stagedTableEntries(spark: SparkSession, root: String, v: Int,
                                  tables: Seq[(String, DataFrame, Boolean)])
-      : (Int, Seq[ManifestEntry]) = {
-    val v = latestVersion(spark, root)
+      : Seq[ManifestEntry] = {
     val touched = tables.map(_._1).toSet
     val fresh = tables.flatMap { case (t, df, replace) =>
       val prior = if (replace || v == 0) Nil
@@ -475,7 +485,7 @@ object TxnLog {
           ManifestEntry(r.getString(0), r.getString(1), opt(2), opt(3), opt(4),
             r.getBoolean(5))
         }.sortBy(e => (e.kind, e.file_name)).toSeq
-    (v, fresh ++ carried)
+    fresh ++ carried
   }
 
   /** Read table `table` of a multi-table log at `version` (default
@@ -486,6 +496,10 @@ object TxnLog {
     val v = version.getOrElse(latestVersion(spark, root))
     val files = listed(spark, root, v, s"data:$table")
       .map(n => s"$root/files/$table/$n")
+    // a diagnosable refusal beats the schema-inference error an empty
+    // path list would produce (typo'd table name, pre-first-commit read)
+    require(files.nonEmpty,
+      s"txn: table '$table' has no files in version v$v of $root")
     spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
@@ -551,12 +565,10 @@ object TxnLog {
   def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
                  version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
-    val entries = listedEntries(spark, root, v, "data")
-    val chosen = entries.filter(e => (e.min_id, e.max_id) match {
-      case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-      case _                    => true // stale-safe: no stats → keep
-    })
-    val dataFiles = chosen.map(e => s"$root/files/${e.file_name}")
+    // ONE definition of the stats-overlap rule: the spec-facing file
+    // list and the actual read can never disagree
+    val dataFiles = dataFilesOverlapping(spark, root, lo, hi, Some(v))
+      .map(n => s"$root/files/$n")
     val delFiles = listed(spark, root, v, "delete").map(n => s"$root/deletes/$n")
     val data = spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
       .withColumn("__file",

@@ -474,8 +474,7 @@ object TrainQueries {
       documents(s, dir)
         .select(LogReg.label(col("text")).as("y"),
           LogReg.sigmoid(LogReg.linear(col("text"), w)).as("p"))
-        .withColumn("bin", least(floor(col("p") * LogReg.CalBins),
-          lit(LogReg.CalBins - 1)).cast("long"))
+        .withColumn("bin", LogReg.binOf(col("p")))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), round(avg(col("y")), 6).as("raw_rate"))
         .join(broadcast(calMap), "bin")

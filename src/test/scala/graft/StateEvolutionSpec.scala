@@ -98,21 +98,29 @@ class StateEvolutionSpec extends AnyFunSuite {
         try {
           input.addData((1L, "bb"))
           q2.processAllAvailable()
-          // if the engine accepted the evolved schema it MUST have kept
-          // the state — silent blank-state resumption is the one outcome
-          // this spec exists to rule out
+          // if the engine accepted the grown struct it MUST have kept the
+          // state — silent blank-state resumption is the one outcome this
+          // spec exists to rule out (message deliberately free of the
+          // keywords the engine-error check below matches on)
           assert(rows.toSet === Set((1L, 2L, 2L)),
-            s"engine accepted evolved schema but dropped state: ${rows.toSeq}")
-          fail("SCHEMA_ACCEPTED") // reached only on resume-with-state
+            s"silent blank-state resume detected: ${rows.toSeq}")
+          fail("UPGRADE_RESUMED_WITH_STATE") // reached only on resume-with-state
         } finally q2.stop()
       }
-      // either outcome is loud: a state-schema error at/after start, or
-      // (if a future Spark learns UnsafeRow evolution) our fail-marker
-      // proving state survived. Silent wrong answers fail the assert.
       def msgs(t: Throwable): String =
         if (t == null) "" else String.valueOf(t.getMessage) + "|" + msgs(t.getCause)
+      // our own inner assertion firing means the engine resumed WITHOUT
+      // the state — the silent-data-loss outcome: fail the test with it
+      thrown match {
+        case tfe: org.scalatest.exceptions.TestFailedException
+            if !msgs(tfe).contains("UPGRADE_RESUMED_WITH_STATE") => throw tfe
+        case _ =>
+      }
+      // either surviving outcome is loud: a state-schema error at/after
+      // start, or (if a future Spark learns UnsafeRow evolution) the
+      // fail-marker proving state survived
       val msg = msgs(thrown)
-      assert(msg.contains("SCHEMA_ACCEPTED") ||
+      assert(msg.contains("UPGRADE_RESUMED_WITH_STATE") ||
         msg.toUpperCase.contains("SCHEMA") || msg.toUpperCase.contains("EVOLUT"),
         s"restart neither refused on schema grounds nor kept state: $msg")
     }

@@ -182,4 +182,20 @@ class TxnOptimizeSpec extends AnyFunSuite {
         Seq(("meta", meta(fullDocs), true)), expected = Some(0))
     }
   }
+
+  test("multi-table slot collision: a reserved version slot refuses the second writer loudly") {
+    val root = freshRoot()
+    TxnLog.commitTables(spark, root, Seq(("meta", meta(fullDocs), true))) // v1
+    // writer B reserves v2 (staged, not yet published — the WAP window)
+    TxnLog.stageTablesNoFlip(spark, root, Seq(("meta", meta(fullDocs), true)))
+    // writer A, also based on v1, must die at the occupied errorifexists
+    // slot — the collision guard commitTables' single version read relies
+    // on (re-reading the version after the OCC check would instead derive
+    // a FREE slot and clobber B)
+    intercept[Throwable] {
+      TxnLog.commitTables(spark, root, Seq(("meta", meta(fullDocs), true)))
+    }
+    // B's reservation is intact and the table still resolves v1
+    assert(TxnLog.latestVersion(spark, root) === 1)
+  }
 }
