@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.expressions.GraftFunctions
 import graft.operators.Skyline
 
 /** North-star relational operator inventory (SURVEY.md §2B) over the
@@ -1921,6 +1922,37 @@ object RelationalQueries {
           round(col("lambda"), 6).as("lambda"),
           round(col("p_av"), 6).as("p_always_valid"))
         .orderBy(col("day"))
+    }),
+
+    // Delta-method CI for a RATIO metric (Deng 2017 shape) — the A/B
+    // staple naive per-row stats get wrong: revenue-per-event's unit of
+    // analysis is the USER (numerator and denominator are correlated
+    // within a user), so r = ΣX/ΣY and var(r) ≈ (s²x − 2r·sxy + r²·s²y)
+    // / (n·ȳ²) over the per-user (X, Y) digests. One per-user partial
+    // agg, then a per-arm moment digest; CI arithmetic on 2 rows.
+    "ratio_metric_ci" -> ((s, dir) => {
+      val z = 1.959963984540054
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value")).as("x"), count(lit(1)).cast("double").as("y"))
+        .withColumn("arm",
+          when(col("user_id") % 2 === 0, "A").otherwise("B"))
+      per.groupBy(col("arm"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("x")).as("mx"), avg(col("y")).as("my"),
+          var_samp(col("x")).as("vx"), var_samp(col("y")).as("vy"),
+          covar_samp(col("x"), col("y")).as("cxy"))
+        .withColumn("r", col("mx") / col("my"))
+        .withColumn("se", sqrt(
+          (col("vx") - lit(2.0) * col("r") * col("cxy") +
+            col("r") * col("r") * col("vy")) /
+            (col("n") * col("my") * col("my"))))
+        .select(col("arm"), col("n").cast("long").as("n_users"),
+          round(col("r"), 6).as("ratio"),
+          round(col("se"), 6).as("se"),
+          round(col("r") - lit(z) * col("se"), 6).as("ci_lo"),
+          round(col("r") + lit(z) * col("se"), 6).as("ci_hi"))
+        .orderBy(col("arm"))
     }),
 
     // Power analysis / minimum detectable effect — the pre-experiment
@@ -3946,6 +3978,27 @@ object RelationalQueries {
         |  round(least(1.0, 1.0 / max(lambda) OVER
         |    (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS p_always_valid
         |FROM l2 ORDER BY day""".stripMargin,
+
+    "ratio_metric_ci" ->
+      """WITH per AS (
+        |  SELECT user_id, sum(value) AS x, count(*)::DOUBLE AS y,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT arm, count(*)::DOUBLE AS n, avg(x) AS mx, avg(y) AS my,
+        |    var_samp(x) AS vx, var_samp(y) AS vy, covar_samp(x, y) AS cxy
+        |  FROM per GROUP BY arm),
+        |d AS (
+        |  SELECT arm, n, mx / my AS r,
+        |    sqrt((vx - 2.0 * (mx / my) * cxy +
+        |          (mx / my) * (mx / my) * vy) / (n * my * my)) AS se
+        |  FROM g)
+        |SELECT arm, n::BIGINT AS n_users, round(r, 6) AS ratio,
+        |  round(se, 6) AS se,
+        |  round(r - 1.959963984540054 * se, 6) AS ci_lo,
+        |  round(r + 1.959963984540054 * se, 6) AS ci_hi
+        |FROM d ORDER BY arm""".stripMargin,
+
 
     "power_mde" ->
       """WITH g AS (
