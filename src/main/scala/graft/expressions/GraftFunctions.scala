@@ -16,10 +16,13 @@ object GraftFunctions {
   val CharHistName = "char_hist"
   val WinnowHashName = "winnow_hash"
   val NfcNormalizeName = "nfc_normalize"
+  val JaroWinklerName = "jaro_winkler"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NfcNormalizeName, exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      JaroWinklerName, exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineSimName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -66,4 +69,10 @@ object GraftFunctions {
     * have called `register` first.
     */
   def winnowHash(text: Column): Column = call_function(WinnowHashName, text)
+
+  /** Jaro-Winkler fuzzy-match similarity (see JaroWinkler). The session
+    * must have called `register` first.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JaroWinklerName, a, b)
 }

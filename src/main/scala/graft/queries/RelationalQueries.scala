@@ -1955,6 +1955,39 @@ object RelationalQueries {
         .orderBy(col("arm"))
     }),
 
+    // Fuzzy entity resolution (record linkage) over the part catalog:
+    // "same product, different vendor string" — pairs of part rows whose
+    // full descriptions (name + brand + type) agree at Jaro-Winkler ≥
+    // 0.95. The scale shape is the standard ER recipe (Winkler 1990):
+    // BLOCK first (equi-join on the name key — candidates are bounded by
+    // the largest block, never the N² cartesian), then verify candidates
+    // with the native codegen `jaro_winkler` kernel. At 100 TB the block
+    // key hashes the pairs-space down to per-key work; a skewed block
+    // splits under AQE like any hot join key. The oracle runs the SAME
+    // blocked join with DuckDB's jaro_winkler_similarity — the kernel
+    // semantics (window, integer half-transpositions, 0.7-gated prefix
+    // boost) are pinned to it, and the 0.95 filter compares the ROUNDED
+    // score on both sides so a last-bit ULP can't flip a boundary row.
+    "er_fuzzy_match" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val e = part(s, dir).select(
+        col("p_partkey").as("pk"),
+        lower(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")))
+          .as("descr"),
+        col("p_name").as("blk"))
+      val a = e.select(col("pk").as("pk_a"), col("descr").as("descr_a"),
+        col("blk"))
+      val b = e.select(col("pk").as("pk_b"), col("descr").as("descr_b"),
+        col("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("pk_a") < col("pk_b"))
+        .withColumn("sim",
+          round(GraftFunctions.jaroWinkler(col("descr_a"), col("descr_b")), 6))
+        .filter(col("sim") >= 0.95)
+        .select(col("pk_a"), col("pk_b"), col("sim"))
+        .orderBy(col("pk_a"), col("pk_b"))
+    }),
+
     // Power analysis / minimum detectable effect — the pre-experiment
     // sizing answer "what lift could this traffic even see?": MDE =
     // (z_{α/2} + z_{power})·SE at α=0.05, power 0.80 over the two arms'
@@ -3998,6 +4031,19 @@ object RelationalQueries {
         |  round(r - 1.959963984540054 * se, 6) AS ci_lo,
         |  round(r + 1.959963984540054 * se, 6) AS ci_hi
         |FROM d ORDER BY arm""".stripMargin,
+
+    "er_fuzzy_match" ->
+      """WITH e AS (
+        |  SELECT p_partkey AS pk,
+        |    lower(p_name || ' ' || p_brand || ' ' || p_type) AS descr,
+        |    p_name AS blk
+        |  FROM part),
+        |c AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b,
+        |    round(jaro_winkler_similarity(a.descr, b.descr), 6) AS sim
+        |  FROM e a JOIN e b ON a.blk = b.blk AND a.pk < b.pk)
+        |SELECT pk_a, pk_b, sim FROM c WHERE sim >= 0.95
+        |ORDER BY pk_a, pk_b""".stripMargin,
 
 
     "power_mde" ->

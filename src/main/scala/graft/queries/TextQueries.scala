@@ -919,6 +919,58 @@ object TextQueries {
       spanDedup(spread(injected), SpanW)
     }),
 
+    // EXACT set-similarity self-join via prefix filtering (AllPairs /
+    // PPJoin, Chaudhuri 2006; Xiao 2008) — the exactness-guaranteed
+    // sibling of `minhash_lsh_dedup`: same near-dup question (bigram-
+    // shingle Jaccard ≥ 0.5), but zero false negatives BY CONSTRUCTION
+    // instead of with LSH probability. The prefix-filter theorem does the
+    // pruning: under any global total order over shingles, J(a,b) ≥ t
+    // implies |a∩b| ≥ ⌈t·|a|⌉, so the pair must share a shingle within
+    // each side's first n−⌈t·n⌉+1 shingles. Order rarest-first (df asc)
+    // and the candidate join hits only low-fanout keys. Scale shape:
+    // shingle df is one corpus agg; prefixes explode ~(1−t)·Σ|set|;
+    // candidates are an equi-join on prefix shingles (never all-pairs);
+    // verification re-joins the two full shingle sets by doc id —
+    // O(candidates), arrays shuffle once per side. The oracle runs the
+    // UNPRUNED exact inverted-index join — identical output proves the
+    // prefix filter lossless.
+    "setsim_join" -> ((s, dir) => {
+      val t = 0.5
+      val sh = documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"), explode(zip_with(
+          // greatest(·, 0): a 0/1-token doc must yield [] not a slice error
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("sh"))
+        .distinct()
+      val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(freq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ss"))
+        .withColumn("n", size(col("ss")))
+      val pref = perDoc.select(col("doc_id"),
+        explode(slice(col("ss"), lit(1),
+          (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("p"))
+      val cands = pref.select(col("doc_id").as("id_a"), col("p"))
+        .join(pref.select(col("doc_id").as("id_b"), col("p")), Seq("p"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val sets = perDoc.select(col("doc_id"),
+        transform(col("ss"), x => x.getField("sh")).as("set"), col("n"))
+      cands
+        .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa"),
+          col("n").as("na")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb"),
+          col("n").as("nb")), Seq("id_b"))
+        .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac",
+          round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
+        .filter(col("jac") >= t)
+        .select(col("id_a"), col("id_b"), col("jac"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Per-group heavy hitters — "top terms per language", the stopword/
     // boilerplate discovery cut: per-group MG sketches (typed Aggregator
     // UDAF) nominate, an exact recount against each language's own token
@@ -1859,6 +1911,30 @@ object TextQueries {
          |FROM sents s JOIN freq f ON f.sfp = s.sfp
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+
+    // NOTE: deliberately UNPRUNED — the exact inverted-index join over
+    // every shared shingle. Hash-matching the Spark side's prefix-filtered
+    // plan proves AllPairs pruning lossless.
+    "setsim_join" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+         |e AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+         |  FROM tk, unnest(generate_series(1, (len(w) - 1)::INT)) AS g(i)
+         |  WHERE len(w) >= 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b, round(ix::DOUBLE / (sa.n + sb.n - ix), 6) AS jac
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "substring_dedup" ->
       s"""WITH d AS (
