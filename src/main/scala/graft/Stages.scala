@@ -49,9 +49,11 @@ object Stages {
     "txn-layout"   -> ((s, d) => { operators.TxnLog.layout(s, d); () }),
     "txn-opt-layout" -> ((s, d) => { operators.TxnLog.optimizeLayout(s, d); () }),
     "txn-multi-layout" -> ((s, d) => { operators.TxnLog.multiLayout(s, d); () }),
+    "txn-evo-layout" -> ((s, d) => { operators.TxnLog.evoLayout(s, d); () }),
     "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
     "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
     "logreg-calib" -> ((s, d) => { operators.LogReg.calibration(s, d); () }),
+    "conformal-model" -> ((s, d) => { operators.Conformal.model(s, d); () }),
     "mv-layout"    -> ((s, d) => { plans.MvDemo.ensure(s, d); () })
   )
 
@@ -83,6 +85,7 @@ object Stages {
     sources.ZOrderSkip.resetMemos()
     operators.Pca.resetMemos()
     operators.LogReg.resetMemos()
+    operators.Conformal.resetMemos()
     plans.MvDemo.resetMemos()
   }
 }

@@ -89,7 +89,11 @@ object Verify {
       "__TTO_MANIFESTS__" -> (graft.operators.TxnLog.optimizeLayoutPath(sfDir) + "/manifests"),
       "__TTM_MANIFESTS__" -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/manifests"),
       "__TTM_POST__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/postings"),
-      "__TTM_META__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/meta"))
+      "__TTM_META__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/meta"),
+      "__CONFORMAL_M__"  -> graft.operators.Conformal.modelPath(sfDir),
+      "__TTE_FILES__"    -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/files"),
+      "__TTE_DELETES__"  -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/deletes"),
+      "__TTE_MANIFESTS__" -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/manifests"))
     val json = oracleSelected
       .map { case (k, v) =>
         val resolved = pathSubs.foldLeft(v) { case (sql, (tok, path)) =>

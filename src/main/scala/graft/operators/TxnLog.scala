@@ -780,10 +780,39 @@ object TxnLog {
       root
     })
 
+  def evoLayoutPath(sfDir: String): String = layoutPath(sfDir) + "-evo"
+
+  /** Schema-evolution demo: v1 init under the ORIGINAL schema (doc_id,
+    * lang, n_chars), v2 append under an EVOLVED schema with an extra
+    * `quality` column, v3 a MOR delete spanning both generations. The
+    * contract the spec + oracle pin: the latest read unions the fields
+    * (old files surface `quality` as NULL — mergeSchema in [[read]]),
+    * while time travel to v1 sees exactly the old schema, because an old
+    * version's manifest simply never lists a new-schema file. Evolution
+    * costs a manifest entry, never a table rewrite — the only posture
+    * that survives at 100 TB, where "backfill the new column" is a
+    * separate, optional job.
+    */
+  def evoLayout(spark: SparkSession, sfDir: String): String =
+    evoMemo.computeIfAbsent(sfDir, { _ =>
+      val root = evoLayoutPath(sfDir)
+      fs(spark, root).delete(new Path(root), true)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      init(docs.filter(col("doc_id") < 250)
+        .repartitionByRange(2, col("doc_id")), root)
+      append(docs.filter(col("doc_id") >= 250)
+        .withColumn("quality", pmod(col("n_chars"), lit(5L)))
+        .repartitionByRange(2, col("doc_id")), root)
+      deleteWhere(spark, root, pmod(col("doc_id"), lit(50L)) === 0L)
+      root
+    })
+
   private val optMemo = new ConcurrentHashMap[String, String]()
   private val multiMemo = new ConcurrentHashMap[String, String]()
+  private val evoMemo = new ConcurrentHashMap[String, String]()
 
   private[graft] def resetMemos(): Unit = {
-    memo.clear(); optMemo.clear(); multiMemo.clear()
+    memo.clear(); optMemo.clear(); multiMemo.clear(); evoMemo.clear()
   }
 }

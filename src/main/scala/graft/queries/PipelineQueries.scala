@@ -713,6 +713,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Schema evolution on the log (TxnLog.evoLayout): v2 appended files
+    // carry an extra `quality` column; the latest read UNIONS the fields
+    // — pre-evolution rows surface quality as NULL — and the v3 MOR
+    // delete subtracts across both schema generations. Evolution costs a
+    // manifest entry, never a rewrite; time travel to v1 still reads the
+    // old schema (pinned in TxnLogSpec). Oracle: manifest-resolved
+    // union_by_name read of the same files.
+    "tt_evolved_read" -> ((s, dir) => {
+      val root = TxnLog.evoLayout(s, dir)
+      TxnLog.read(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The log itself as data: per-version live data/delete file counts.
     "tt_history" -> ((s, dir) => {
       val root = TxnLog.layout(s, dir)
@@ -1777,6 +1791,33 @@ object PipelineQueries {
       "(SELECT max(version) FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true))"),
 
     "tt_read_v2" -> duckTxnRead("2"),
+
+    // evolved-schema read: union_by_name fills the pre-evolution files'
+    // missing `quality` with NULL, exactly like Spark's mergeSchema
+    "tt_evolved_read" ->
+      """WITH m AS (
+        |  SELECT kind, file_name
+        |  FROM read_parquet('__TTE_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+        |  WHERE version =
+        |    (SELECT max(version)
+        |     FROM read_parquet('__TTE_MANIFESTS__/*/*.parquet', hive_partitioning=true))),
+        |data AS (
+        |  SELECT doc_id, lang, n_chars, quality,
+        |    regexp_extract(filename, '[^/]+$') AS fn, file_row_number AS pos
+        |  FROM read_parquet('__TTE_FILES__/*.parquet',
+        |         filename=true, file_row_number=true, union_by_name=true)),
+        |live AS (
+        |  SELECT d.* FROM data d
+        |  WHERE d.fn IN (SELECT file_name FROM m WHERE kind = 'data')),
+        |dels AS (
+        |  SELECT t.target_file, t.pos
+        |  FROM read_parquet('__TTE_DELETES__/*.parquet', filename=true) t
+        |  WHERE regexp_extract(t.filename, '[^/]+$')
+        |    IN (SELECT file_name FROM m WHERE kind = 'delete'))
+        |SELECT doc_id, lang, n_chars, quality FROM live d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM dels x WHERE x.target_file = d.fn AND x.pos = d.pos)
+        |ORDER BY doc_id""".stripMargin,
 
     "tt_pruned_scan" -> duckTxnRead("2", "doc_id BETWEEN 100 AND 150"),
 

@@ -1988,6 +1988,17 @@ object RelationalQueries {
         .orderBy(col("pk_a"), col("pk_b"))
     }),
 
+    // Split-conformal prediction intervals over the OLS price model —
+    // see [[graft.operators.Conformal]]: hash-pure 3-way split, moment-
+    // digest fit, q̂ as the finite-sample-corrected order statistic of
+    // the calibration scores, dumped so scoring is map-only with literal
+    // coefficients. The report is the conformal guarantee made visible:
+    // per-returnflag coverage of ŷ ± q̂ on the held-out third, ≥ 1−α
+    // marginally. Oracle replays the DUMPED (a, b, q̂) — never re-fits —
+    // so every |y−ŷ| ≤ q̂ boundary comparison is bit-identical.
+    "conformal_interval" -> ((s, dir) =>
+      graft.operators.Conformal.coverageReport(s, dir)),
+
     // Power analysis / minimum detectable effect — the pre-experiment
     // sizing answer "what lift could this traffic even see?": MDE =
     // (z_{α/2} + z_{power})·SE at α=0.05, power 0.80 over the two arms'
@@ -4045,6 +4056,18 @@ object RelationalQueries {
         |SELECT pk_a, pk_b, sim FROM c WHERE sim >= 0.95
         |ORDER BY pk_a, pk_b""".stripMargin,
 
+    "conformal_interval" ->
+      """WITH m AS (
+        |  SELECT a, b, qhat FROM read_parquet('__CONFORMAL_M__/*.parquet')),
+        |te AS (
+        |  SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem WHERE l_orderkey % 3 = 2)
+        |SELECT l_returnflag, count(*) AS n_test,
+        |  round(avg(CASE WHEN abs(y - (m.a + m.b * x)) <= m.qhat
+        |                 THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+        |  round(max(m.qhat), 6) AS qhat
+        |FROM te, m
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "power_mde" ->
       """WITH g AS (

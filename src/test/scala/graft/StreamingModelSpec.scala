@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Kll, LogReg}
+import graft.operators.{Conformal, Kll, LogReg}
 
 /** Streaming twins of the round-8 trained-state operators: the dumped
   * artifacts (logreg weights, KLL sketch) must serve on a STREAM exactly
@@ -40,6 +40,51 @@ class StreamingModelSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getDouble(2))).toMap
       assert(got.size === want.size)
       assert(got === want, "streamed scores diverge from the batch query")
+    } finally q.stop()
+  }
+
+  test("streaming conformal intervals: per-trigger coverage flags equal the batch report") {
+    // the serving face of Conformal: dumped (a, b, q̂) score an event
+    // stream map-only — every arriving (x, y) gets its interval verdict
+    // with zero state, so per-trigger output must be bit-equal to batch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = Conformal.model(spark, sf)
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 3 === 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val input = MemoryStream[(Long, Int, Double, Double)]
+    val flagged = input.toDF().toDF("k", "ln", "x", "y")
+      .select(col("k"), col("ln"),
+        (abs(col("y") - (lit(m.a) + lit(m.b) * col("x"))) <= lit(m.qhat))
+          .as("inside"))
+    val q = flagged.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_conformal").start()
+    try {
+      rows.grouped(100).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem — compare sorted MULTISETS, never keyed maps
+      val got = spark.table("stream_conformal").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sorted
+      val want = Tables.lineitem(spark, sf)
+        .filter(col("l_orderkey") % 3 === 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (abs(col("l_extendedprice") -
+            (lit(m.a) + lit(m.b) * col("l_quantity"))) <= lit(m.qhat))
+            .as("inside"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sorted
+      assert(got.length === want.length)
+      assert(got.sameElements(want), "streamed verdicts diverge from batch")
+      // and the aggregate marginal coverage matches the oracled report
+      // (report coverage is rounded to 6 per group — allow that wobble)
+      val rep = Conformal.coverageReport(spark, sf).collect()
+      val n = rep.map(_.getAs[Long]("n_test")).sum
+      val cov = rep.map(r => r.getAs[Double]("coverage") * r.getAs[Long]("n_test")).sum
+      val streamed = got.count(_._3).toDouble / got.length
+      assert(n === got.length.toLong)
+      assert(math.abs(streamed - cov / n) < 1e-5)
     } finally q.stop()
   }
 

@@ -150,6 +150,28 @@ class TxnLogSpec extends AnyFunSuite {
     assert(!TxnLog.read(spark, root, Some(4)).columns.contains("quality"))
   }
 
+  test("evo layout: the MOR delete subtracts across BOTH schema generations") {
+    // the staged demo behind tt_evolved_read: v1 old schema, v2 evolved
+    // (+quality), v3 delete doc_id % 50 == 0 — which hits rows on both
+    // sides of the evolution boundary, so the delete join must compose
+    // with the merged-schema scan, not just the new files
+    val root = TxnLog.evoLayout(spark, sf)
+    val latest = TxnLog.read(spark, root)
+    assert(latest.filter(pmod(col("doc_id"), lit(50L)) === 0L).count() === 0)
+    val n = Tables.documents(spark, sf).count()
+    val deleted = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(50L)) === 0L).count()
+    assert(latest.count() === n - deleted)
+    assert(deleted > 0, "fixture must actually delete something")
+    // nulls exactly on the pre-evolution generation, values on the new one
+    assert(latest.filter(col("quality").isNull)
+      .filter(col("doc_id") >= 250).count() === 0)
+    assert(latest.filter(col("quality").isNotNull)
+      .filter(col("doc_id") < 250).count() === 0)
+    assert(latest.filter(col("quality").isNotNull).count() > 0)
+    assert(latest.filter(col("quality").isNull).count() > 0)
+  }
+
   test("manifest stats prune the file list before any footer opens; result is exactly the plain filter") {
     val root = freshRoot()
     lifecycle(root)
