@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.expressions.{CharHist, GraftFunctions}
-import graft.functions.TextOps
+import graft.functions.{TextOps, VectorOps}
 import graft.operators.Knn
 
 /** LLM-training-data pipeline operators over the documents/embeddings
@@ -971,6 +971,42 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Late-interaction reranking (ColBERT MaxSim — Khattab & Zaharia
+    // 2020): score(q, d) = Σ_{qtok} max_{dtok} cos(E(qtok), E(dtok)) —
+    // token-level matching that survives typos and morphology where
+    // pooled single-vector retrieval blurs them ("tabel"/"querys" still
+    // land near "table"/"query"). Token embeddings here are the
+    // deterministic char-histogram vectors (the documented O7 embedder
+    // stand-in; a real checkpoint plugs in via the BatchedInference
+    // path — MaxSim semantics are unchanged). Scale shape: the kernel
+    // runs once per (VOCABULARY token × query token) — vocab-sized, not
+    // corpus-sized — then docs pick up their tokens' scores through a
+    // broadcast join and reduce with ONE max-per-query-column agg.
+    // MaxSim is multiplicity-blind, so distinct (doc, tok) pairs
+    // suffice; ranking compares the ROUNDED score (doc_id tiebreak) so
+    // an ULP can't reorder the cut.
+    "colbert_rerank" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val qToks = Seq("data", "tabel", "querys")
+      val toks = stagedDocToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok")).distinct()
+      val vocab = toks.select(col("tok")).distinct()
+        .withColumn("h", GraftFunctions.charHist(col("tok")))
+      val scored = qToks.zipWithIndex.foldLeft(vocab) { case (df, (q, i)) =>
+        df.withColumn(s"s$i",
+          VectorOps.cosine(VectorOps.toDoubleArray(col("h")),
+            VectorOps.toDoubleArray(GraftFunctions.charHist(lit(q)))))
+      }.drop("h")
+      toks.join(broadcast(scored), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("s0")).as("m0"), max(col("s1")).as("m1"),
+          max(col("s2")).as("m2"))
+        .select(col("doc_id"),
+          round(col("m0") + col("m1") + col("m2"), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Per-group heavy hitters — "top terms per language", the stopword/
     // boilerplate discovery cut: per-group MG sketches (typed Aggregator
     // UDAF) nominate, an exact recount against each language's own token
@@ -1912,6 +1948,28 @@ object TextQueries {
          |GROUP BY s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
 
+    "colbert_rerank" -> {
+      val alpha = CharHist.Alphabet
+      val hist = (e: String) =>
+        s"""list_transform(generate_series(1, ${alpha.length}),
+           |      i -> (length($e) - length(replace($e, substr('$alpha', i, 1), '')))::DOUBLE)""".stripMargin
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckToks("text")}) AS tok
+         |  FROM documents),
+         |v AS (SELECT DISTINCT tok FROM dt),
+         |vh AS (SELECT tok, ${hist("tok")} AS h FROM v),
+         |q AS (SELECT * FROM (VALUES (0, 'data'), (1, 'tabel'), (2, 'querys')) t(qidx, qt)),
+         |qh AS (SELECT qidx, ${hist("qt")} AS h FROM q),
+         |sc AS (
+         |  SELECT vh.tok, qh.qidx, ${graft.queries.VectorQueries.duckCosine("vh.h", "qh.h")} AS s
+         |  FROM vh CROSS JOIN qh),
+         |m AS (
+         |  SELECT dt.doc_id, sc.qidx, max(sc.s) AS mx
+         |  FROM dt JOIN sc ON sc.tok = dt.tok GROUP BY 1, 2),
+         |f AS (SELECT doc_id, round(sum(mx), 6) AS maxsim FROM m GROUP BY doc_id)
+         |SELECT doc_id, maxsim FROM f
+         |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // NOTE: deliberately UNPRUNED — the exact inverted-index join over
     // every shared shingle. Hash-matching the Spark side's prefix-filtered
