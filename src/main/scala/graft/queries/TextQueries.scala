@@ -1159,6 +1159,50 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR data selection (Xie et al. 2023 — the importance-resampling
+    // recipe behind LLaMA-class corpus curation): score every raw doc by
+    // how target-like its n-gram distribution is, llr(d) = Σ_f n_f(d) ·
+    // [ln p̂_t(f) − ln p̂_r(f)] with add-one smoothing over the shared
+    // feature space (no −∞ on target-unseen features), then keep the
+    // top-k. Target here = the curated sources src0–src4; features = the
+    // staged bigram digest (DSIR hashes n-grams into a BOUNDED bucket
+    // space — that bound is why the model table broadcasts at 100 TB).
+    // Scale shape: two vocab-sized count digests, one 1-row totals digest
+    // joined by literal key (BHJ, not BNLJ), per-doc reduce via a
+    // broadcast model join, TakeOrdered top-100 on the ROUNDED score.
+    "dsir_select" -> ((s, dir) => {
+      val bi = stagedBigrams(s, dir)
+      val target = documents(s, dir)
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id"))
+      val rawC = bi.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n_r"))
+      val tgtC = bi.join(broadcast(target), Seq("doc_id"))
+        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_t"))
+      val model = rawC.join(tgtC, Seq("prev", "cur"), "left")
+        .na.fill(0L, Seq("n_t"))
+      // totals are a 3-long digest — driver-side like every model scalar
+      // (a lit()-key join here constant-folds into a BNLJ cross)
+      val t = model
+        .agg(sum(col("n_r")).as("nr_tot"), sum(col("n_t")).as("nt_tot"),
+          count(lit(1)).as("v")).head()
+      val (nrTot, ntTot, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      val scored = model
+        .select(col("prev"), col("cur"),
+          (log((col("n_t") + 1).cast("double") / lit(ntTot + v)) -
+            log((col("n_r") + 1).cast("double") / lit(nrTot + v)))
+            .as("llr_f"))
+      bi.groupBy(col("doc_id"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(scored), Seq("prev", "cur"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_bigrams"),
+          round(sum(col("n") * col("llr_f")) / sum(col("n")), 6)
+            .as("llr_per_bigram"))
+        .orderBy(col("llr_per_bigram").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // PII PSEUDONYMIZATION — the other half of the privacy story beside
     // redaction (`pii_scrub`): identity columns replaced with a STABLE
     // deterministic token ('u-' + md5 prefix), so analytics and joins
@@ -2120,6 +2164,40 @@ object TextQueries {
          |FROM dc JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
          |GROUP BY dc.doc_id
          |ORDER BY dc.doc_id""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t2),
+         |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
+         |tgt AS (SELECT doc_id FROM documents
+         |        WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+         |rawc AS (SELECT prev, cur, count(*) AS n_r FROM flat GROUP BY 1, 2),
+         |tgtc AS (
+         |  SELECT prev, cur, count(*) AS n_t
+         |  FROM flat WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY 1, 2),
+         |model AS (
+         |  SELECT r.prev, r.cur, r.n_r, coalesce(tc.n_t, 0) AS n_t
+         |  FROM rawc r LEFT JOIN tgtc tc ON tc.prev = r.prev AND tc.cur = r.cur),
+         |tot AS (
+         |  SELECT sum(n_r)::BIGINT AS nr_tot, sum(n_t)::BIGINT AS nt_tot,
+         |    count(*)::BIGINT AS v
+         |  FROM model),
+         |scored AS (
+         |  SELECT m.prev, m.cur,
+         |    ln((m.n_t + 1)::DOUBLE / (t.nt_tot + t.v))
+         |      - ln((m.n_r + 1)::DOUBLE / (t.nr_tot + t.v)) AS llr_f
+         |  FROM model m CROSS JOIN tot t),
+         |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3)
+         |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_bigrams,
+         |  round(sum(dc.n * s.llr_f) / sum(dc.n), 6) AS llr_per_bigram
+         |FROM dc JOIN scored s ON s.prev = dc.prev AND s.cur = dc.cur
+         |GROUP BY dc.doc_id
+         |ORDER BY llr_per_bigram DESC, dc.doc_id LIMIT 100""".stripMargin,
 
     "pii_pseudonymize" ->
       """SELECT 'u-' || substr(md5(user_id::VARCHAR), 1, 12) AS user_pseudo,

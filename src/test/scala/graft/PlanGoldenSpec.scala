@@ -112,4 +112,30 @@ class PlanGoldenSpec extends AnyFunSuite {
         s"item_item_recs shuffled $cf bytes — anchor restriction lost?")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("er_fuzzy_match: blocked verification, no cartesian, bounded exchanges") {
+    // the ER contract: candidates come from the block equi-join; the JW
+    // kernel must never be the join condition of an unblocked product
+    val p = planOf("er_fuzzy_match")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "linkage degraded to a nested-loop scan — block key lost")
+  }
+
+  test("colbert_rerank: vocab kernel + broadcast score join + bounded top-k") {
+    val p = planOf("colbert_rerank")
+    assert(p.contains("TakeOrderedAndProject"), "rerank cut lost its heap")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "vocab score table stopped broadcasting — corpus tokens would shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dsir_select: model moves by broadcast; totals join is BHJ not BNLJ") {
+    val p = planOf("dsir_select")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "model/totals broadcast lost — scoring would shuffle the corpus digest")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "1-row totals joined as BNLJ — literal-key equi-join degraded")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 lost its heap")
+  }
 }

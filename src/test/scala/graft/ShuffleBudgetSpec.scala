@@ -70,7 +70,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       // bigram digests are (doc, prev, cur, n) STRING pairs crossing two
       // aggregations + a join — a bounded small multiple of the text,
       // never text × passes
-      "bigram_lm_bits" -> 6.0)) {
+      "bigram_lm_bits" -> 6.0,
+      // prefix-filtered exact set-similarity: bigram-shingle digests
+      // cross distinct + freq-join + per-doc collect + prefix-candidate
+      // join, and verification re-joins the full shingle-set arrays once
+      // per side — a bounded small multiple of text, never text × pairs
+      "setsim_join" -> 9.0,
+      // DSIR scoring shuffles the same bigram digest family: raw +
+      // target vocab counts and the per-doc (prev, cur, n) reduce; the
+      // scored model itself moves by broadcast, not shuffle
+      "dsir_select" -> 6.0)) {
     test(s"$name shuffle volume stays within ${budgetFraction}× of corpus text bytes") {
       StageCache.evict(spark) // charge the staged build to this query
       val b = shuffleBytes {
