@@ -1159,6 +1159,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // KNESER-NEY smoothed bigram LM (Kneser & Ney 1995; Chen & Goodman
+    // 1999 — the interpolated absolute-discount form KenLM ships and the
+    // CCNet corpus filter actually runs):
+    //   p(cur|prev) = (n(prev,cur) − D)/n(prev·)
+    //               + D·N1+(prev·)/n(prev·) · N1+(·cur)/N1+(··)
+    // with D = 0.75 (exact in binary, so both engines discount the same
+    // double). Where the MLE twin (`bigram_lm_bits`) assigns observed
+    // transitions their raw frequency, KN re-ranks by CONTINUATION
+    // diversity — "how many contexts does this word follow?" — the
+    // property that makes it the standard perplexity filter smoothing.
+    // All model inputs are integers (pair counts, distinct-continuation
+    // counts); the corpus covers its own docs so every scored bigram has
+    // n ≥ 1 and the discounted term stays positive without a max().
+    // Distributed shape, same family as the MLE twin: the staged bigram
+    // digest feeds four vocabulary-bounded aggregations (pair counts;
+    // per-prev totals + distinct-continuation counts in ONE pass; per-cur
+    // continuation counts; the 1-row type total), the model assembles via
+    // digest-keyed joins, and docs reduce through one (doc, prev, cur)
+    // partial-agg + model join — text never shuffles, and every agg
+    // map-side combines, so at 100 TB only vocab²-bounded digests move.
+    "kneser_ney_bits" -> ((s, dir) => {
+      val bi = stagedBigrams(s, dir)
+      val bgc = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
+      // n_prev = Σ_cur n(prev,cur); t_prev = N1+(prev,·) — one pass
+      val pv = bgc.groupBy(col("prev"))
+        .agg(sum(col("n_bg")).as("n_prev"), count(lit(1)).as("t_prev"))
+      val cc = bgc.groupBy(col("cur")).agg(count(lit(1)).as("t_cur"))
+      val tot = bgc.agg(count(lit(1)).as("t_all"))
+      val model = bgc.join(pv, Seq("prev")).join(cc, Seq("cur"))
+        .crossJoin(broadcast(tot))
+        .select(col("prev"), col("cur"),
+          ((col("n_bg") - lit(0.75)) / col("n_prev") +
+            lit(0.75) * col("t_prev") / col("n_prev") *
+              (col("t_cur").cast("double") / col("t_all"))).as("p"))
+      bi.groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("n"))
+        .join(model, Seq("prev", "cur"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          round(-sum(col("n") * log(col("p")) / log(lit(2.0))) / sum(col("n")), 6)
+            .as("kn_bits_per_bigram"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR data selection (Xie et al. 2023 — the importance-resampling
     // recipe behind LLaMA-class corpus curation): score every raw doc by
     // how target-like its n-gram distribution is, llr(d) = Σ_f n_f(d) ·
@@ -2161,6 +2204,33 @@ object TextQueries {
          |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3)
          |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_bigrams,
          |  round(-sum(dc.n * ln(m.p) / ln(2.0)) / sum(dc.n), 6) AS bits_per_bigram
+         |FROM dc JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
+         |GROUP BY dc.doc_id
+         |ORDER BY dc.doc_id""".stripMargin,
+
+    "kneser_ney_bits" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t2),
+         |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
+         |bgc AS (SELECT prev, cur, count(*) AS n_bg FROM flat GROUP BY 1, 2),
+         |pv AS (SELECT prev, sum(n_bg)::BIGINT AS n_prev,
+         |         count(*)::BIGINT AS t_prev FROM bgc GROUP BY 1),
+         |cc AS (SELECT cur, count(*)::BIGINT AS t_cur FROM bgc GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS t_all FROM bgc),
+         |model AS (
+         |  SELECT b.prev, b.cur,
+         |    (b.n_bg - 0.75) / p.n_prev
+         |      + 0.75 * p.t_prev / p.n_prev * (c.t_cur::DOUBLE / t.t_all) AS p
+         |  FROM bgc b JOIN pv p USING (prev) JOIN cc c USING (cur)
+         |  CROSS JOIN tot t),
+         |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3)
+         |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_bigrams,
+         |  round(-sum(dc.n * ln(m.p) / ln(2.0)) / sum(dc.n), 6) AS kn_bits_per_bigram
          |FROM dc JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
          |GROUP BY dc.doc_id
          |ORDER BY dc.doc_id""".stripMargin,

@@ -79,7 +79,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       // DSIR scoring shuffles the same bigram digest family: raw +
       // target vocab counts and the per-doc (prev, cur, n) reduce; the
       // scored model itself moves by broadcast, not shuffle
-      "dsir_select" -> 6.0)) {
+      "dsir_select" -> 6.0,
+      // Kneser-Ney adds two more VOCAB-bounded digests (continuation
+      // counts, type total) on top of the MLE family — still a bounded
+      // small multiple of text, never text × model passes
+      "kneser_ney_bits" -> 7.0)) {
     test(s"$name shuffle volume stays within ${budgetFraction}× of corpus text bytes") {
       StageCache.evict(spark) // charge the staged build to this query
       val b = shuffleBytes {
