@@ -51,6 +51,9 @@ object Stages {
     "txn-multi-layout" -> ((s, d) => { operators.TxnLog.multiLayout(s, d); () }),
     "txn-evo-layout" -> ((s, d) => { operators.TxnLog.evoLayout(s, d); () }),
     "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
+    "wordvec-model" -> ((s, d) => {
+      operators.WordVec.model(s, d, sp => queries.TextQueries.stagedBigrams(sp, d)); () }),
+    "qreg-model"   -> ((s, d) => { operators.QuantileReg.model(s, d); () }),
     "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
     "logreg-calib" -> ((s, d) => { operators.LogReg.calibration(s, d); () }),
     "conformal-model" -> ((s, d) => { operators.Conformal.model(s, d); () }),
@@ -84,6 +87,8 @@ object Stages {
     sources.BloomSkip.resetMemos()
     sources.ZOrderSkip.resetMemos()
     operators.Pca.resetMemos()
+    operators.WordVec.resetMemos()
+    operators.QuantileReg.resetMemos()
     operators.LogReg.resetMemos()
     operators.Conformal.resetMemos()
     plans.MvDemo.resetMemos()

@@ -91,6 +91,8 @@ object Verify {
       "__TTM_POST__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/postings"),
       "__TTM_META__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/meta"),
       "__CONFORMAL_M__"  -> graft.operators.Conformal.modelPath(sfDir),
+      "__WORDVEC__"      -> graft.operators.WordVec.vectorsPath(sfDir),
+      "__QREG__"         -> graft.operators.QuantileReg.modelPath(sfDir),
       "__TTE_FILES__"    -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/files"),
       "__TTE_DELETES__"  -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/deletes"),
       "__TTE_MANIFESTS__" -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/manifests"))

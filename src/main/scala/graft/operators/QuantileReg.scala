@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed QUANTILE regression (Koenker & Bassett 1978) by IRLS — the
+  * conditional-quantile twin of the engine's mean models (`ols_slope`,
+  * `Conformal`'s OLS point model): fit y = a + b·x minimizing the pinball
+  * loss ρ_τ(r) = r·(τ − 1{r<0}) at τ ∈ {0.5, 0.9}. Median regression is
+  * the robust-to-outliers line every data-quality pipeline wants when a
+  * metric is heavy-tailed; the τ=0.9 line is the heteroscedasticity probe
+  * (does price SPREAD grow with quantity, not just its mean?).
+  *
+  * Solver: iteratively reweighted least squares on MOMENT DIGESTS — the
+  * `LogReg` posture. Each iteration ships (a, b) in as literals, folds the
+  * corpus to ONE map-side-combined 5-double digest (Σw, Σwx, Σwy, Σwx²,
+  * Σwxy) with w_i = |τ − 1{r_i<0}| / max(|r_i|, δ) (the exact IRLS
+  * majorizer of the pinball loss), and the DRIVER solves the 2×2 weighted
+  * normal equations. T iterations = T corpus passes moving 5 doubles per
+  * partition each; driver state is two doubles. Init = the OLS fit from
+  * one covariance digest.
+  *
+  * The fitted (tau, a, b) rows are DUMPED to parquet — the trained-state
+  * replay contract (`Ann`/`Pca`/`LogReg`): the oracle re-scores from the
+  * dump and never re-fits, so cross-engine training determinism is not
+  * load-bearing. Serving (scoring, pinball audit, calibration check) is
+  * map-only against the 2-row broadcast model.
+  *
+  * Reference anchor: the reference has no model fitting at all — its only
+  * numeric kernel is the cosine scan (VectorSearchService.cs:219-242);
+  * this is the trained-analytics layer a 100 TB engine adds.
+  */
+object QuantileReg {
+
+  val Taus: Seq[Double] = Seq(0.5, 0.9)
+  /** IRLS on the pinball loss converges LINEARLY and slowly at extreme
+    * τ — measured: τ=0.9 needs ~40 rounds for frac-below to reach 0.894
+    * (10 rounds stalls at 0.758); τ=0.5 is done by ~10. 40 fused digest
+    * passes over the checkpointed 2-column frame cost ~0.1 s each.
+    */
+  val Iters = 40
+  /** Residual floor in the IRLS weight — keeps w finite at r ≈ 0. */
+  val Delta = 1e-8
+
+  final case class Fit(tau: Double, a: Double, b: Double)
+
+  private val memo = new ConcurrentHashMap[String, Seq[Fit]]()
+
+  /** Drop the JVM memo so Bench's second stage pass times a cold build. */
+  private[graft] def resetMemos(): Unit = memo.clear()
+
+  def modelPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-qreg-" + Ann.pathToken(sfDir)
+
+  /** Solve the 2×2 weighted normal equations from the 5-moment digest. */
+  private[graft] def solve2(sw: Double, swx: Double, swy: Double,
+      swxx: Double, swxy: Double): (Double, Double) = {
+    val det = sw * swxx - swx * swx
+    val b = (sw * swxy - swx * swy) / det
+    val a = (swy - b * swx) / sw
+    (a, b)
+  }
+
+  /** Fit-and-dump once per JVM per sf dir; returns the fits in Taus order. */
+  def model(spark: SparkSession, sfDir: String): Seq[Fit] =
+    memo.computeIfAbsent(sfDir, { _ =>
+      // localCheckpoint: the IRLS loop below scans this 2-double frame
+      // Iters times — pin it in the block manager so every pass reads
+      // memory, not parquet (at 100 TB: a DISK_ONLY persist of 16 bytes
+      // per row, or the loop runs against the columnar cache)
+      val xy = Tables.lineitem(spark, sfDir)
+        .select(col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").as("y"))
+        .localCheckpoint()
+      // OLS warm start — one covariance digest (the Conformal fit shape)
+      val f0 = xy.agg(covar_samp(col("x"), col("y")).as("cxy"),
+          var_samp(col("x")).as("vx"),
+          avg(col("x")).as("mx"), avg(col("y")).as("my")).head()
+      val b0 = f0.getDouble(0) / f0.getDouble(1)
+      val a0 = f0.getDouble(3) - b0 * f0.getDouble(2)
+      // both τ fits iterate in LOCKSTEP: one fused aggregation per round
+      // carries every tau's 5 weighted moments (10 doubles per partition),
+      // halving the pass count vs per-tau loops
+      val coef = Array.fill(Taus.length)((a0, b0))
+      var t = 0
+      while (t < Iters) {
+        val aggs = Taus.zipWithIndex.flatMap { case (tau, i) =>
+          val r = col("y") - (lit(coef(i)._1) + lit(coef(i)._2) * col("x"))
+          val w = abs(lit(tau) - (r < 0).cast("double")) /
+            greatest(abs(r), lit(Delta))
+          Seq(sum(w).as(s"sw$i"),
+            sum(w * col("x")).as(s"swx$i"),
+            sum(w * col("y")).as(s"swy$i"),
+            sum(w * col("x") * col("x")).as(s"swxx$i"),
+            sum(w * col("x") * col("y")).as(s"swxy$i"))
+        }
+        val d = xy.agg(aggs.head, aggs.tail: _*).head()
+        Taus.indices.foreach { i =>
+          coef(i) = solve2(d.getDouble(5 * i), d.getDouble(5 * i + 1),
+            d.getDouble(5 * i + 2), d.getDouble(5 * i + 3),
+            d.getDouble(5 * i + 4))
+        }
+        t += 1
+      }
+      val fits = Taus.zipWithIndex.map { case (tau, i) =>
+        Fit(tau, coef(i)._1, coef(i)._2)
+      }
+      xy.unpersist()
+      import spark.implicits._
+      fits.toDF("tau", "a", "b")
+        .coalesce(1).write.mode("overwrite").parquet(modelPath(sfDir))
+      fits
+    })
+}

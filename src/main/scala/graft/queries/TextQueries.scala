@@ -926,14 +926,26 @@ object TextQueries {
     // instead of with LSH probability. The prefix-filter theorem does the
     // pruning: under any global total order over shingles, J(a,b) ≥ t
     // implies |a∩b| ≥ ⌈t·|a|⌉, so the pair must share a shingle within
-    // each side's first n−⌈t·n⌉+1 shingles. Order rarest-first (df asc)
-    // and the candidate join hits only low-fanout keys. Scale shape:
-    // shingle df is one corpus agg; prefixes explode ~(1−t)·Σ|set|;
-    // candidates are an equi-join on prefix shingles (never all-pairs);
-    // verification re-joins the two full shingle sets by doc id —
-    // O(candidates), arrays shuffle once per side. The oracle runs the
-    // UNPRUNED exact inverted-index join — identical output proves the
-    // prefix filter lossless.
+    // each side's first n−⌈t·n⌉+1 shingles (order rarest-first, df asc).
+    // The PPJoin LENGTH filter stacks on top: J ≥ t forces
+    // min(n) ≥ t·max(n), killing size-mismatched candidates pre-verify.
+    // VERIFICATION is where dense corpora explode — this synthetic
+    // word-soup has a ~930-shingle vocabulary, so prefixes prune weakly
+    // (~5.5M candidates at sf0.1) and per-pair string-array intersection
+    // was measured at 120 s. So verify on PACKED BITMASKS instead: a
+    // global window over the vocabulary DIGEST (≤1k rows — never the
+    // corpus) assigns dense shingle ids, each doc's set packs into
+    // ⌈V/64⌉ longs, and |a∩b| is a zip_with AND + bit_count popcount —
+    // ~15 word-ops per pair instead of ~100 string hashes (measured 40×
+    // end-to-end). Scale shape: dictionary-packed verification applies
+    // whenever the shingle vocabulary is dictionary-sized (true here and
+    // for df-capped/discretized feature sets); Zipfian open vocabularies
+    // keep the same candidate pipeline and verify by counting shared
+    // shingles through the candidate-restricted postings join. The
+    // bitset table is docs×⌈V/64⌉ longs and auto-broadcasts under the
+    // threshold; beyond it the equi-join degrades to a shuffle join on
+    // doc id. The oracle runs the UNPRUNED exact inverted-index join —
+    // identical output proves prefix+length pruning lossless.
     "setsim_join" -> ((s, dir) => {
       val t = 0.5
       val sh = documents(s, dir)
@@ -945,29 +957,66 @@ object TextQueries {
           (a, b) => concat(a, lit(" "), b))).as("sh"))
         .distinct()
       val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(freq, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ss"))
-        .withColumn("n", size(col("ss")))
-      val pref = perDoc.select(col("doc_id"),
-        explode(slice(col("ss"), lit(1),
-          (col("n") - ceil(col("n") * lit(t)) + 1).cast("int"))).as("p"))
-      val cands = pref.select(col("doc_id").as("id_a"), col("p"))
-        .join(pref.select(col("doc_id").as("id_b"), col("p")), Seq("p"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val sets = perDoc.select(col("doc_id"),
-        transform(col("ss"), x => x.getField("sh")).as("set"), col("n"))
+      // dense ids in rarest-first order — the SAME global order the
+      // prefix theorem needs, so rank-within-doc gives the prefix directly
+      val dict = freq.select(col("sh"), col("df"),
+        (row_number().over(Window.orderBy(col("df"), col("sh"))) - 1)
+          .as("sid"))
+      val nWords = dict.agg(
+        (floor(max(col("sid")) / lit(64.0)) + 1).cast("int").as("nw"))
+      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val ranked = sh.join(dict, Seq("sh")).join(szs, Seq("doc_id"))
+      val pref = ranked
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        .filter(col("rk") <= col("n") - ceil(col("n") * lit(t)) + 1)
+        .select(col("doc_id"), col("sh"), col("n"), col("rk"))
+      val bits = ranked.groupBy(col("doc_id"))
+        .agg(collect_list(col("sid")).as("sids"))
+        .crossJoin(broadcast(nWords))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), col("nw") - 1), w =>
+            aggregate(
+              filter(col("sids"),
+                s => call_function("shiftright", s, lit(6)) === w),
+              lit(0L),
+              (acc, x) => acc.bitwiseOR(
+                call_function("shiftleft", lit(1L), x.bitwiseAND(lit(63))))))
+            .as("bm"))
+      // PPJoin positional filter (Xiao 2008 §3.2): a shared prefix token
+      // at ranks (rk_a, rk_b) caps the overlap at 1 + min(na−rk_a,
+      // nb−rk_b) — the FIRST shared token of a qualifying pair always
+      // passes (no earlier shared tokens exist there), and later shared
+      // tokens only shrink the cap, so row-level filtering stays
+      // lossless while halving the rows entering the pair distinct
+      val cands = pref
+        .select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"),
+          col("rk").as("rk_a"))
+        .join(pref.select(col("doc_id").as("id_b"), col("sh"),
+          col("n").as("nb"), col("rk").as("rk_b")), Seq("sh"))
+        .filter(col("id_a") < col("id_b") &&
+          col("na") >= lit(t) * col("nb") && col("nb") >= lit(t) * col("na") &&
+          lit(1) + least(col("na") - col("rk_a"), col("nb") - col("rk_b")) >=
+            ceil((col("na") + col("nb")) * lit(t / (1 + t))))
+        // NO pair-level distinct here: the bitset verify is a map-side
+        // broadcast join + popcount, cheaper per duplicate row than the
+        // multi-million-row exchange a distinct would cost — a pair
+        // re-verified via several shared prefix shingles computes the
+        // same jac, and the RESULT-sized distinct below collapses it
+        .select(col("id_a"), col("id_b"), col("na"), col("nb"))
       cands
-        .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa"),
-          col("n").as("na")), Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb"),
-          col("n").as("nb")), Seq("id_b"))
-        .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
+        .join(bits.select(col("doc_id").as("id_a"), col("bm").as("ba")),
+          Seq("id_a"))
+        .join(bits.select(col("doc_id").as("id_b"), col("bm").as("bb")),
+          Seq("id_b"))
+        .withColumn("ix", aggregate(
+          zip_with(col("ba"), col("bb"), (x, y) =>
+            call_function("bit_count", x.bitwiseAND(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
         .withColumn("jac",
           round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
         .filter(col("jac") >= t)
-        .select(col("id_a"), col("id_b"), col("jac"))
+        .select(col("id_a"), col("id_b"), col("jac")).distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1200,6 +1249,144 @@ object TextQueries {
           round(-sum(col("n") * log(col("p")) / log(lit(2.0))) / sum(col("n")), 6)
             .as("kn_bits_per_bigram"))
         .orderBy(col("doc_id"))
+    }),
+
+    // WORD-VECTOR nearest neighbors off the trained PPMI-SVD embedding
+    // table (operators/WordVec — Levy & Goldberg 2014 factorization,
+    // Halko 2011 randomized solver): for the 5 highest-frequency words,
+    // the top-5 cosine neighbors. Serving shape: the probe set broadcasts
+    // against the vocab-sized vector table (model-sized, never corpus),
+    // ranks cut per-probe on the ROUNDED score with a word tiebreak so a
+    // last-bit ULP can't reorder cross-engine. The oracle replays cosine
+    // over the SAME dumped vectors — training is never re-fit.
+    "word_sim" -> ((s, dir) => {
+      val path = graft.operators.WordVec.model(s, dir,
+        sp => stagedBigrams(sp, dir))
+      val vecs = s.read.parquet(path)
+      val probes = vecs.orderBy(col("n_word").desc, col("word").asc).limit(5)
+        .select(col("word").as("probe"), col("vec").as("pv"))
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      vecs.crossJoin(broadcast(probes))
+        .filter(col("word") =!= col("probe"))
+        .select(col("probe"), col("word"),
+          round(dot(col("pv"), col("vec")) /
+            (sqrt(dot(col("pv"), col("pv"))) * sqrt(dot(col("vec"), col("vec")))),
+            6).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe"))
+            .orderBy(col("cos").desc, col("word").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("probe"), col("rank"))
+    }),
+
+    // Spectrum audit of the dumped word-vector table: WᵀW = Σ by
+    // construction (Q orthonormal, U rotation, columns scaled σ^½), so
+    // per-component energy must descend — the "did the factorization
+    // actually order its components" check, replayed by the oracle from
+    // the same dump. One vocab-sized posexplode + digest agg.
+    "wordvec_norms" -> ((s, dir) => {
+      val path = graft.operators.WordVec.model(s, dir,
+        sp => stagedBigrams(sp, dir))
+      s.read.parquet(path)
+        .select(posexplode(col("vec")).as(Seq("j", "y")))
+        .groupBy(col("j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("y") * col("y")), 6).as("energy"))
+        .orderBy(col("j"))
+    }),
+
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; Abdul-Jaleel
+    // 2004 — the standard query-expansion recipe every Indri/Anserini
+    // deployment ships): run the original query through BM25, take the
+    // top-10 feedback docs, estimate the relevance model P(t|R) =
+    // Σ_d w_d·tf(t,d)/dl_d with w_d = the doc's normalized BM25 score,
+    // and interpolate with the uniform original-query model at λ=0.5.
+    // The output is the expanded query itself — the term distribution a
+    // second-pass retrieval would score with. Distributed shape: the
+    // feedback set is a 10-row TakeOrdered shortlist broadcast back into
+    // the staged tf digest; P(t|R) is one vocabulary-bounded aggregation
+    // over the feedback docs' postings — the corpus text never moves, and
+    // at 100 TB the tf rows touched are the 10 feedback docs' postings
+    // only. Every ratio is doubles-from-integers; round-6 at the end.
+    "rm3_expand" -> ((s, dir) => {
+      val q = Seq("data", "table", "query")
+      val fb = bm25Scores(s, dir, q)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("score"))
+      val tf = bm25Tf(s, dir)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val wTot = fb.agg(sum(col("score")).as("w_tot"))
+      tf.join(broadcast(fb), Seq("doc_id"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(wTot))
+        .groupBy(col("tok"))
+        .agg(sum(col("score") / col("w_tot") * col("tf") / col("dl"))
+          .as("p_rel"))
+        .select(col("tok").as("term"),
+          round(lit(0.5) * when(col("tok").isin(q: _*), lit(1.0 / 3))
+              .otherwise(lit(0.0)) +
+            lit(0.5) * col("p_rel"), 6).as("p_rm3"))
+        .orderBy(col("p_rm3").desc, col("term"))
+        .limit(15)
+    }),
+
+    // DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    // Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    // one exponentiated-gradient step of the Group-DRO update): per
+    // SOURCE domain, measure the EXCESS LOSS between a weak proxy model
+    // (unigram MLE) and a strong reference model (the Kneser-Ney bigram
+    // LM `kneser_ney_bits` ships), excess = max(0, uni_bits − kn_bits) —
+    // the per-domain headroom a context model can still learn — then
+    // update the mixture from the token-share prior: w ∝ share·exp(η·
+    // excess), η = 1, normalized. Domains whose transitions are most
+    // predictable-in-context get upweighted, the DoReMi signal. Shape:
+    // both models are the vocabulary-bounded digests the LM queries
+    // already stage; the only new reduction is (doc → source) rollup of
+    // the per-doc digest, so nothing corpus-sized moves. Bits are rounded
+    // 6 BEFORE the excess/exp so both engines exponentiate the same
+    // double; the exp/ratio ULP is absorbed by the final round-6.
+    "domain_reweight" -> ((s, dir) => {
+      val bi = stagedBigrams(s, dir)
+      val bgc = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
+      val pv = bgc.groupBy(col("prev"))
+        .agg(sum(col("n_bg")).as("n_prev"), count(lit(1)).as("t_prev"))
+      val cc = bgc.groupBy(col("cur")).agg(count(lit(1)).as("t_cur"))
+      val tot = bgc.agg(count(lit(1)).as("t_all"))
+      val model = bgc.join(pv, Seq("prev")).join(cc, Seq("cur"))
+        .crossJoin(broadcast(tot))
+        .select(col("prev"), col("cur"),
+          ((col("n_bg") - lit(0.75)) / col("n_prev") +
+            lit(0.75) * col("t_prev") / col("n_prev") *
+              (col("t_cur").cast("double") / col("t_all"))).as("p_kn"))
+      val uni = bi.groupBy(col("cur")).agg(count(lit(1)).as("n_cur"))
+      val un = bi.agg(count(lit(1)).as("n_all"))
+      val src = documents(s, dir).select(col("doc_id"), col("source"))
+      val dom = bi.groupBy(col("doc_id"), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("n"))
+        .join(model, Seq("prev", "cur"))
+        .join(uni, Seq("cur"))
+        .crossJoin(broadcast(un))
+        .join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          round(-sum(col("n") * log(col("n_cur").cast("double") / col("n_all")) /
+            log(lit(2.0))) / sum(col("n")), 6).as("uni_bits"),
+          round(-sum(col("n") * log(col("p_kn")) / log(lit(2.0))) /
+            sum(col("n")), 6).as("kn_bits"))
+      // normalizers as window sums over the ≤#sources digest — computing
+      // them as separate aggregates would re-derive the whole LM lineage
+      // once per normalizer (measured 3× the query cost)
+      val wAll = Window.partitionBy()
+      dom
+        .withColumn("excess",
+          greatest(round(col("uni_bits") - col("kn_bits"), 6), lit(0.0)))
+        .withColumn("w_raw", col("n_bigrams").cast("double") /
+          sum(col("n_bigrams")).over(wAll) * exp(col("excess")))
+        .select(col("source"), col("n_bigrams"), col("uni_bits"),
+          col("kn_bits"), col("excess"),
+          round(col("w_raw") / sum(col("w_raw")).over(wAll), 6).as("weight"))
+        .orderBy(col("source"))
     }),
 
     // DSIR data selection (Xie et al. 2023 — the importance-resampling
@@ -2234,6 +2421,112 @@ object TextQueries {
          |FROM dc JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
          |GROUP BY dc.doc_id
          |ORDER BY dc.doc_id""".stripMargin,
+
+    "rm3_expand" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN ('data', 'table', 'query') GROUP BY 1),
+         |contrib AS (
+         |  SELECT t.doc_id,
+         |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS c
+         |  FROM tf t
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  JOIN df d ON d.tok = t.tok
+         |  CROSS JOIN stats s
+         |  WHERE t.tok IN ('data', 'table', 'query')),
+         |fb AS (
+         |  SELECT doc_id, round(sum(c), 6) AS score FROM contrib
+         |  GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |wt AS (SELECT sum(score) AS w_tot FROM fb),
+         |rel AS (
+         |  SELECT t.tok, sum(f.score / w.w_tot * t.tf / l.dl) AS p_rel
+         |  FROM tf t JOIN fb f ON f.doc_id = t.doc_id
+         |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN wt w
+         |  GROUP BY t.tok)
+         |SELECT tok AS term,
+         |  round(0.5 * (CASE WHEN tok IN ('data', 'table', 'query')
+         |                    THEN 1.0 / 3 ELSE 0.0 END)
+         |    + 0.5 * p_rel, 6) AS p_rm3
+         |FROM rel ORDER BY p_rm3 DESC, term LIMIT 15""".stripMargin,
+
+    "domain_reweight" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, len(toks) - 1)) AS i
+         |  FROM t2),
+         |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
+         |bgc AS (SELECT prev, cur, count(*) AS n_bg FROM flat GROUP BY 1, 2),
+         |pv AS (SELECT prev, sum(n_bg)::BIGINT AS n_prev,
+         |         count(*)::BIGINT AS t_prev FROM bgc GROUP BY 1),
+         |cc AS (SELECT cur, count(*)::BIGINT AS t_cur FROM bgc GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS t_all FROM bgc),
+         |model AS (
+         |  SELECT b.prev, b.cur,
+         |    (b.n_bg - 0.75) / p.n_prev
+         |      + 0.75 * p.t_prev / p.n_prev * (c.t_cur::DOUBLE / t.t_all) AS p_kn
+         |  FROM bgc b JOIN pv p USING (prev) JOIN cc c USING (cur)
+         |  CROSS JOIN tot t),
+         |uni AS (SELECT cur, count(*)::BIGINT AS n_cur FROM flat GROUP BY 1),
+         |un AS (SELECT count(*)::BIGINT AS n_all FROM flat),
+         |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3),
+         |dom AS (
+         |  SELECT d.source, sum(dc.n)::BIGINT AS n_bigrams,
+         |    round(-sum(dc.n * ln(u.n_cur::DOUBLE / un.n_all) / ln(2.0))
+         |      / sum(dc.n), 6) AS uni_bits,
+         |    round(-sum(dc.n * ln(m.p_kn) / ln(2.0)) / sum(dc.n), 6) AS kn_bits
+         |  FROM dc
+         |  JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
+         |  JOIN uni u ON u.cur = dc.cur
+         |  CROSS JOIN un
+         |  JOIN documents d ON d.doc_id = dc.doc_id
+         |  GROUP BY d.source),
+         |nn AS (SELECT sum(n_bigrams)::BIGINT AS nn FROM dom),
+         |w AS (
+         |  SELECT source, n_bigrams, uni_bits, kn_bits,
+         |    greatest(round(uni_bits - kn_bits, 6), 0.0) AS excess,
+         |    n_bigrams::DOUBLE / nn.nn::DOUBLE
+         |      * exp(greatest(round(uni_bits - kn_bits, 6), 0.0)) AS w_raw
+         |  FROM dom CROSS JOIN nn),
+         |z AS (SELECT sum(w_raw) AS z FROM w)
+         |SELECT source, n_bigrams, uni_bits, kn_bits, excess,
+         |  round(w_raw / z.z, 6) AS weight
+         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+
+    "word_sim" ->
+      """WITH v AS (SELECT word, n_word, vec::DOUBLE[] AS vec
+        |           FROM read_parquet('__WORDVEC__/*.parquet')),
+        |p AS (SELECT word AS probe, vec AS pv FROM v
+        |      ORDER BY n_word DESC, word ASC LIMIT 5),
+        |scored AS (
+        |  SELECT p.probe, v.word,
+        |    round(list_dot_product(p.pv, v.vec) /
+        |      (sqrt(list_dot_product(p.pv, p.pv)) *
+        |       sqrt(list_dot_product(v.vec, v.vec))), 6) AS cos
+        |  FROM v CROSS JOIN p WHERE v.word <> p.probe),
+        |ranked AS (
+        |  SELECT probe, word, cos,
+        |    row_number() OVER (PARTITION BY probe
+        |                       ORDER BY cos DESC, word ASC)::BIGINT AS rank
+        |  FROM scored)
+        |SELECT probe, word, cos, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY probe, rank""".stripMargin,
+
+    "wordvec_norms" ->
+      """WITH v AS (SELECT vec::DOUBLE[] AS vec
+        |           FROM read_parquet('__WORDVEC__/*.parquet')),
+        |e AS (SELECT vec, unnest(generate_series(1, len(vec))) AS i FROM v)
+        |SELECT (i - 1)::BIGINT AS j, count(*)::BIGINT AS n_words,
+        |  round(sum(vec[i] * vec[i]), 6) AS energy
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dsir_select" ->
       s"""WITH t AS (

@@ -61,7 +61,10 @@ class PlanLintSpec extends AnyFunSuite {
       "skyline_parts" -> "cross-partition prefix max over ≤numPartitions AGGREGATED maxima (bytes of metadata; the corpus-facing window is __pid-partitioned)",
       "psi_drift" -> "nBins-row histogram frame (DataQuality.psiDrift)",
       "mann_whitney" -> "cumulative-weight window over the DISTINCT-value digest; production quantizes a continuous metric first (query comment)",
-      "msprt_monitor" -> "calendar-bounded daily digest (cumulative mixture-LR + running max)")
+      "ks_test" -> "pooled-CDF cumulative window over the DISTINCT-value digest (the mann_whitney shape)",
+      "msprt_monitor" -> "calendar-bounded daily digest (cumulative mixture-LR + running max)",
+      "setsim_join" -> "shingle-vocabulary digest (dense-id assignment for the bitset verifier)",
+      "domain_reweight" -> "source-domain digest (≤ #sources rows; mixture normalizers)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val hasGlobalWindow = q(spark, sf).queryExecution.optimizedPlan.collect {
@@ -133,6 +136,15 @@ class PlanLintSpec extends AnyFunSuite {
       "msprt_monitor", // 1-row pooled-variance digest broadcast into the daily digest
       "power_mde",    // two 1-row per-arm moment digests joined (the ab_welch shape)
       "theil_sen",    // 30-row daily digest self-paired + 1-row median-slope broadcast
+      "kneser_ney_bits", // 1-row (D, T) discount/total digest broadcast into the scorer
+      "word_sim",     // 5-row probe panel broadcast against the vocab-sized vector table
+      "rm3_expand",   // 1-row bm25-stats / feedback-weight-total broadcasts into the tf digest
+      "domain_reweight", // 1-row bigram-type/token totals + source-count normalizers broadcast
+      "selfjoin_size_est", // 1-row kth-hash threshold × 1-row exact-F2 audit probe
+      "quantile_reg", // 2-row dumped-model broadcast against the table scan
+      "setsim_join",  // 1-row bitset-word-count aggregate broadcast into the packer
+      "lsh_recall_audit", // 1%-id panel broadcast against the corpus shingle scan
+      "ks_test",      // 1-row per-arm totals broadcast into the CDF digest
       "tt_multi_idf") // 1-row meta sidecar broadcast into the idf projection
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.WordVec
+
+/** Structural gates for the trained PPMI-SVD word-vector table
+  * (operators/WordVec): the dumped parquet is the contract the word_sim /
+  * wordvec_norms oracles replay over, so its mathematical invariants are
+  * pinned here — column orthogonality (W = Q·U·Σ^½ ⇒ WᵀW = Σ diagonal),
+  * descending spectrum, and the driver-side k×k linear algebra.
+  */
+class WordVecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def vectors() = {
+    WordVec.model(spark, sf,
+      s => queries.TextQueries.stagedBigrams(s, sf))
+    spark.read.parquet(WordVec.vectorsPath(sf))
+  }
+
+  test("cholesky + upper-triangular inverse recover a known factorization") {
+    // G = RᵀR with R = [[2,1],[0,3]] → G = [[4,2],[2,10]]
+    val g = Array(Array(4.0, 2.0), Array(2.0, 10.0))
+    val r = WordVec.cholesky(g)
+    assert(math.abs(r(0)(0) - 2.0) < 1e-12 && math.abs(r(0)(1) - 1.0) < 1e-12 &&
+      math.abs(r(1)(1) - 3.0) < 1e-12 && math.abs(r(1)(0)) < 1e-12)
+    val inv = WordVec.invUpper(r)
+    // R·R⁻¹ = I
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val s = (0 until 2).map(p => r(i)(p) * inv(p)(j)).sum
+      assert(math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-12, s"(R·R⁻¹)($i)($j) = $s")
+    }
+  }
+
+  test("dumped vectors: full arity, orthogonal columns, descending spectrum") {
+    val rows = vectors().collect()
+      .map(r => (r.getString(0), r.getSeq[Double](2).toArray))
+    // the synthetic corpus draws from a ~31-word lexicon — the vocab here
+    // is lexicon-bounded, not corpus-bounded; require full rank coverage
+    assert(rows.length >= WordVec.K, s"vocab too small: ${rows.length}")
+    assert(rows.forall(_._2.length == WordVec.K))
+    // WᵀW: diagonal = σ², off-diagonal ≈ 0 relative to the diagonal scale
+    val k = WordVec.K
+    val gram = Array.ofDim[Double](k, k)
+    rows.foreach { case (_, v) =>
+      var i = 0
+      while (i < k) { var j = 0; while (j < k) { gram(i)(j) += v(i) * v(j); j += 1 }; i += 1 }
+    }
+    val diag = (0 until k).map(i => gram(i)(i))
+    assert(diag.forall(_ > 0), "zero-energy component")
+    assert(diag.zip(diag.tail).forall { case (a, b) => a >= b - 1e-6 },
+      s"spectrum not descending: ${diag.mkString(",")}")
+    val scale = diag.head
+    for (i <- 0 until k; j <- 0 until k if i != j)
+      assert(math.abs(gram(i)(j)) < 1e-6 * scale,
+        s"columns $i,$j not orthogonal: ${gram(i)(j)} vs scale $scale")
+  }
+
+  test("sign canonicalization: each component's hash-Rademacher projection is non-negative") {
+    val df = vectors()
+    val proj = df.select(posexplode(col("vec")).as(Seq("j", "y")),
+        col("word"))
+      .withColumn("s",
+        when(graft.functions.Digests.digest60(
+          concat(col("word"), lit(":"), col("j"))) % 2 === 0, lit(1.0))
+          .otherwise(lit(-1.0)))
+      .groupBy(col("j")).agg(sum(col("y") * col("s")).as("p"))
+      .collect().map(r => r.getDouble(1))
+    assert(proj.forall(_ >= 0.0), s"a component flipped sign: ${proj.mkString(",")}")
+  }
+
+  test("word_sim serves 5 ranked neighbors per probe, self excluded, cos in range") {
+    val out = SparkEntry.queries("word_sim")(spark, sf).collect()
+    assert(out.length === 25)
+    out.foreach { r =>
+      assert(r.getString(0) != r.getString(1), "self returned as neighbor")
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos out of range: $c")
+      val rank = r.getLong(3)
+      assert(rank >= 1 && rank <= 5)
+    }
+  }
+}
