@@ -56,6 +56,7 @@ object Stages {
     "qreg-model"   -> ((s, d) => { operators.QuantileReg.model(s, d); () }),
     "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
     "logreg-calib" -> ((s, d) => { operators.LogReg.calibration(s, d); () }),
+    "logreg-cv"    -> ((s, d) => { operators.LogReg.cvModel(s, d); () }),
     "conformal-model" -> ((s, d) => { operators.Conformal.model(s, d); () }),
     "mv-layout"    -> ((s, d) => { plans.MvDemo.ensure(s, d); () })
   )

@@ -93,6 +93,7 @@ object Verify {
       "__CONFORMAL_M__"  -> graft.operators.Conformal.modelPath(sfDir),
       "__WORDVEC__"      -> graft.operators.WordVec.vectorsPath(sfDir),
       "__QREG__"         -> graft.operators.QuantileReg.modelPath(sfDir),
+      "__LOGREG_CV__"    -> graft.operators.LogReg.cvPath(sfDir),
       "__TTE_FILES__"    -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/files"),
       "__TTE_DELETES__"  -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/deletes"),
       "__TTE_MANIFESTS__" -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/manifests"))

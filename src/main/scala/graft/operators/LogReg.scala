@@ -202,8 +202,14 @@ object LogReg {
     * test's trace length would vary with summation noise).
     */
   def fit(spark: SparkSession, sfDir: String)
+      : (Array[Double], Seq[(Int, Double)]) =
+    fitFrame(featureFrame(spark, sfDir).localCheckpoint())
+
+  /** The IRLS loop over an already-materialized feature frame — the
+    * shared core of the full-corpus fit and the per-fold CV fits.
+    */
+  private[graft] def fitFrame(feats: DataFrame)
       : (Array[Double], Seq[(Int, Double)]) = {
-    val feats = featureFrame(spark, sfDir).localCheckpoint()
     var w = new Array[Double](Dim)
     val trace = Seq.newBuilder[(Int, Double)]
     for (it <- 0 until Iters) {
@@ -242,6 +248,40 @@ object LogReg {
       trace.toDF("iter", "deviance").coalesce(1)
         .write.mode("overwrite").parquet(tracePath(sfDir))
       w
+    })
+
+  // ------------------------------------------------ k-fold cross-validation
+
+  /** Number of hash folds for [[cvModel]]. */
+  val CvFolds = 3
+
+  def cvPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-logreg-cv-" + Ann.pathToken(sfDir)
+
+  private val cvMemo = new ConcurrentHashMap[String, String]()
+
+  /** K-fold cross-validation of the quality classifier — the model-
+    * selection step the single held-in fit can't answer ("does this
+    * feature set generalize, or did it memorize the corpus slice?"):
+    * [[CvFolds]] hash-pure folds on doc_id, each fold's model trained by
+    * the SAME IRLS core on the other folds and dumped as (fold, j, w)
+    * rows. Scoring each held-out fold is then map-only with that fold's
+    * weights as literals (the logreg_eval posture). Cost: CvFolds fits
+    * over filters of ONE checkpointed feature frame — the corpus
+    * featurizes once, and each Newton digest is map-side-combined.
+    */
+  def cvModel(spark: SparkSession, sfDir: String): String =
+    cvMemo.computeIfAbsent(sfDir, { _ =>
+      val all = featureFrame(spark, sfDir).localCheckpoint()
+      val rows = (0 until CvFolds).flatMap { k =>
+        val (w, _) = fitFrame(all.filter(col("doc_id") % CvFolds =!= k))
+        w.toSeq.zipWithIndex.map { case (wi, j) => (k, j, wi) }
+      }
+      all.unpersist()
+      import spark.implicits._
+      rows.toDF("fold", "j", "w").coalesce(1)
+        .write.mode("overwrite").parquet(cvPath(sfDir))
+      cvPath(sfDir)
     })
 
   // ------------------------------------------------ isotonic calibration
@@ -320,5 +360,7 @@ object LogReg {
   /** Drop the JVM memo so Bench's second stage pass times an equally-cold
     * fit (the Ann.resetMemos contract).
     */
-  private[graft] def resetMemos(): Unit = { memo.clear(); calMemo.clear() }
+  private[graft] def resetMemos(): Unit = {
+    memo.clear(); calMemo.clear(); cvMemo.clear()
+  }
 }

@@ -921,74 +921,50 @@ object TextQueries {
 
     // EXACT set-similarity self-join via prefix filtering (AllPairs /
     // PPJoin, Chaudhuri 2006; Xiao 2008) — the exactness-guaranteed
-    // sibling of `minhash_lsh_dedup`: same near-dup question (bigram-
-    // shingle Jaccard ≥ 0.5), but zero false negatives BY CONSTRUCTION
-    // instead of with LSH probability. The prefix-filter theorem does the
-    // pruning: under any global total order over shingles, J(a,b) ≥ t
-    // implies |a∩b| ≥ ⌈t·|a|⌉, so the pair must share a shingle within
-    // each side's first n−⌈t·n⌉+1 shingles (order rarest-first, df asc).
-    // The PPJoin LENGTH filter stacks on top: J ≥ t forces
-    // min(n) ≥ t·max(n), killing size-mismatched candidates pre-verify.
-    // VERIFICATION is where dense corpora explode — this synthetic
-    // word-soup has a ~930-shingle vocabulary, so prefixes prune weakly
-    // (~5.5M candidates at sf0.1) and per-pair string-array intersection
-    // was measured at 120 s. So verify on PACKED BITMASKS instead: a
-    // global window over the vocabulary DIGEST (≤1k rows — never the
-    // corpus) assigns dense shingle ids, each doc's set packs into
-    // ⌈V/64⌉ longs, and |a∩b| is a zip_with AND + bit_count popcount —
-    // ~15 word-ops per pair instead of ~100 string hashes (measured 40×
-    // end-to-end). Scale shape: dictionary-packed verification applies
-    // whenever the shingle vocabulary is dictionary-sized (true here and
-    // for df-capped/discretized feature sets); Zipfian open vocabularies
-    // keep the same candidate pipeline and verify by counting shared
-    // shingles through the candidate-restricted postings join. The
-    // bitset table is docs×⌈V/64⌉ longs and auto-broadcasts under the
-    // threshold; beyond it the equi-join degrades to a shuffle join on
-    // doc id. The oracle runs the UNPRUNED exact inverted-index join —
-    // identical output proves prefix+length pruning lossless.
+    // sibling of `minhash_lsh_dedup`: the SAME near-dup question over the
+    // SAME doubled corpus and the SAME word-3-shingles the MinHash family
+    // hashes (so exact and LSH outputs are directly comparable — see
+    // `lsh_recall_audit`), Jaccard >= 0.5, but with zero false negatives
+    // BY CONSTRUCTION instead of with LSH probability. The prefix-filter
+    // theorem does the pruning: under any global total order over
+    // shingles, J(a,b) >= t implies the pair shares a shingle within each
+    // side's first n-ceil(t*n)+1 shingles (order rarest-first, df asc);
+    // the PPJoin LENGTH filter (J >= t forces min(n) >= t*max(n)) and
+    // POSITIONAL filter (a match at ranks (rk_a, rk_b) caps the overlap
+    // at 1 + min(na-rk_a, nb-rk_b); the FIRST shared shingle of a
+    // qualifying pair always passes, so row-level filtering is lossless)
+    // stack on top. Shingle WIDTH is the pruning lever on this dense
+    // synthetic lexicon (~31 words): bigram shingles span a ~930-shingle
+    // vocabulary where prefixes prune weakly (measured 5.5M candidates at
+    // sf0.1, 120 s of string-array verification); the 3-shingle space
+    // (<= 31^3) is where prefix filtering operates as designed — ~0.5M
+    // candidates, per-doc sets of ~50, so exact array-intersect
+    // verification on candidates is the cheap step. Scale shape: shingle
+    // df is one corpus agg; prefixes explode ~(1-t)*sum|set|; candidates
+    // are an equi-join on prefix shingles (never all-pairs); verification
+    // re-joins the two shingle sets by doc id — O(candidates). The
+    // oracle runs the UNPRUNED exact inverted-index join — identical
+    // output proves prefix+length+positional pruning lossless.
     "setsim_join" -> ((s, dir) => {
       val t = 0.5
-      val sh = documents(s, dir)
+      val sh = spread(doubledDocs(s, dir))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-        .select(col("doc_id"), explode(zip_with(
-          // greatest(·, 0): a 0/1-token doc must yield [] not a slice error
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("sh"))
+        .select(col("doc_id"), explode(
+          when(size(col("w")) >= 3, transform(
+            sequence(lit(1), size(col("w")) - 2),
+            i => concat(element_at(col("w"), i), lit(" "),
+              element_at(col("w"), i + 1), lit(" "),
+              element_at(col("w"), i + 2))))
+            .otherwise(array().cast("array<string>"))).as("sh"))
         .distinct()
       val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      // dense ids in rarest-first order — the SAME global order the
-      // prefix theorem needs, so rank-within-doc gives the prefix directly
-      val dict = freq.select(col("sh"), col("df"),
-        (row_number().over(Window.orderBy(col("df"), col("sh"))) - 1)
-          .as("sid"))
-      val nWords = dict.agg(
-        (floor(max(col("sid")) / lit(64.0)) + 1).cast("int").as("nw"))
       val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val ranked = sh.join(dict, Seq("sh")).join(szs, Seq("doc_id"))
+      val ranked = sh.join(freq, Seq("sh")).join(szs, Seq("doc_id"))
       val pref = ranked
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
         .filter(col("rk") <= col("n") - ceil(col("n") * lit(t)) + 1)
         .select(col("doc_id"), col("sh"), col("n"), col("rk"))
-      val bits = ranked.groupBy(col("doc_id"))
-        .agg(collect_list(col("sid")).as("sids"))
-        .crossJoin(broadcast(nWords))
-        .select(col("doc_id"),
-          transform(sequence(lit(0), col("nw") - 1), w =>
-            aggregate(
-              filter(col("sids"),
-                s => call_function("shiftright", s, lit(6)) === w),
-              lit(0L),
-              (acc, x) => acc.bitwiseOR(
-                call_function("shiftleft", lit(1L), x.bitwiseAND(lit(63))))))
-            .as("bm"))
-      // PPJoin positional filter (Xiao 2008 §3.2): a shared prefix token
-      // at ranks (rk_a, rk_b) caps the overlap at 1 + min(na−rk_a,
-      // nb−rk_b) — the FIRST shared token of a qualifying pair always
-      // passes (no earlier shared tokens exist there), and later shared
-      // tokens only shrink the cap, so row-level filtering stays
-      // lossless while halving the rows entering the pair distinct
       val cands = pref
         .select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"),
           col("rk").as("rk_a"))
@@ -998,25 +974,21 @@ object TextQueries {
           col("na") >= lit(t) * col("nb") && col("nb") >= lit(t) * col("na") &&
           lit(1) + least(col("na") - col("rk_a"), col("nb") - col("rk_b")) >=
             ceil((col("na") + col("nb")) * lit(t / (1 + t))))
-        // NO pair-level distinct here: the bitset verify is a map-side
-        // broadcast join + popcount, cheaper per duplicate row than the
-        // multi-million-row exchange a distinct would cost — a pair
-        // re-verified via several shared prefix shingles computes the
-        // same jac, and the RESULT-sized distinct below collapses it
-        .select(col("id_a"), col("id_b"), col("na"), col("nb"))
+        // pair-level distinct BEFORE verification: a pair sharing several
+        // prefix shingles would otherwise re-verify once per shared one
+        .select(col("id_a"), col("id_b")).distinct()
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
       cands
-        .join(bits.select(col("doc_id").as("id_a"), col("bm").as("ba")),
-          Seq("id_a"))
-        .join(bits.select(col("doc_id").as("id_b"), col("bm").as("bb")),
-          Seq("id_b"))
-        .withColumn("ix", aggregate(
-          zip_with(col("ba"), col("bb"), (x, y) =>
-            call_function("bit_count", x.bitwiseAND(y)).cast("long")),
-          lit(0L), (acc, v) => acc + v))
+        .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa"),
+          col("n").as("na")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb"),
+          col("n").as("nb")), Seq("id_b"))
+        .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jac",
           round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
         .filter(col("jac") >= t)
-        .select(col("id_a"), col("id_b"), col("jac")).distinct()
+        .select(col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2249,12 +2221,16 @@ object TextQueries {
     // every shared shingle. Hash-matching the Spark side's prefix-filtered
     // plan proves AllPairs pruning lossless.
     "setsim_join" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, ${duckToks("text")} AS w FROM documents),
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+         |tk AS (
+         |  SELECT doc_id, ${duckToks("text")} AS w FROM docs),
          |e AS (
-         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
-         |  FROM tk, unnest(generate_series(1, (len(w) - 1)::INT)) AS g(i)
-         |  WHERE len(w) >= 2),
+         |  SELECT DISTINCT doc_id,
+         |    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+         |  FROM tk, unnest(generate_series(1, (len(w) - 2)::INT)) AS g(i)
+         |  WHERE len(w) >= 3),
          |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix

@@ -452,6 +452,35 @@ object TrainQueries {
           round(avg((col("y") === col("pred")).cast("double")), 6).as("accuracy"))
     }),
 
+    // K-FOLD cross-validation report for the quality classifier — the
+    // generalization answer the held-in eval can't give: each fold's
+    // model (trained on the other folds, operators/LogReg.cvModel) scores
+    // ITS OWN held-out fold map-only with the dumped weights as literals;
+    // per-fold confusion counts + accuracy. Spread in per-fold accuracy
+    // is the overfitting signal. The oracle replays each fold's scoring
+    // from the same dump (per-fold pivot), never re-fitting.
+    "logreg_cv" -> ((s, dir) => {
+      LogReg.cvModel(s, dir)
+      val byFold = s.read.parquet(LogReg.cvPath(dir)).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3).toSeq }
+      byFold.map { case (k, wk) =>
+        documents(s, dir).filter(col("doc_id") % LogReg.CvFolds === k)
+          .select(lit(k).as("fold"),
+            LogReg.label(col("text")).cast("long").as("y"),
+            when(LogReg.sigmoid(LogReg.linear(col("text"), wk)) >= 0.5, 1L)
+              .otherwise(0L).as("pred"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(col("y") * col("pred")).as("tp"),
+          sum((lit(1L) - col("y")) * col("pred")).as("fp"),
+          round(avg((col("y") === col("pred")).cast("double")), 6)
+            .as("accuracy"))
+        .orderBy(col("fold"))
+    }),
+
     // Fit diagnostics: the per-iteration deviance trace the IRLS dump
     // carries (iter 0 = the w=0 start; LogRegSpec pins monotone descent).
     "logreg_trace" -> ((s, dir) => {
@@ -744,6 +773,23 @@ object TrainQueries {
         |FROM read_parquet('__LOGREG_TRACE__/*.parquet')
         |ORDER BY iter""".stripMargin,
 
+    "logreg_cv" -> {
+      val folds = (0 until LogReg.CvFolds).map { k =>
+        s"""SELECT $k AS fold, ($duckLogregY)::BIGINT AS y,
+           |  (CASE WHEN 1.0 / (1.0 + exp(-($duckLogregZ))) >= 0.5
+           |    THEN 1 ELSE 0 END)::BIGINT AS pred
+           |FROM documents CROSS JOIN (${duckLogregCvWeights(k)}) w
+           |WHERE doc_id % ${LogReg.CvFolds} = $k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |$folds)
+         |SELECT fold, count(*)::BIGINT AS n_test,
+         |  sum(y * pred)::BIGINT AS tp,
+         |  sum((1 - y) * pred)::BIGINT AS fp,
+         |  round(avg(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+         |FROM s GROUP BY fold ORDER BY fold""".stripMargin
+    },
+
     "logreg_calibrate" ->
       s"""WITH w AS ($duckLogregWeights),
          |s AS (SELECT ($duckLogregY) AS y,
@@ -766,6 +812,13 @@ object TrainQueries {
     (0 until LogReg.Dim)
       .map(j => s"max(CASE WHEN j = $j THEN w END) AS w$j")
       .mkString("SELECT ", ", ", " FROM read_parquet('__LOGREG_W__/*.parquet')")
+
+  /** Fold-k pivot of the CV dump (fold, j, w) into one w0..w5 row. */
+  private def duckLogregCvWeights(k: Int): String =
+    (0 until LogReg.Dim)
+      .map(j => s"max(CASE WHEN j = $j THEN w END) AS w$j")
+      .mkString("SELECT ", ", ",
+        s" FROM read_parquet('__LOGREG_CV__/*.parquet') WHERE fold = $k")
 
   /** The quality label LogReg.label computes: type-token ratio ≥ 0.7
     * (the Gopher-style non-repetitive-doc gate) — exact integer-ratio

@@ -119,4 +119,25 @@ class LogRegSpec extends AnyFunSuite {
         s"weights diverged across layouts: $a vs $b")
     }
   }
+
+  test("cross-validation: full dump, fold models differ, held-out accuracy sane") {
+    val rows = spark.read.parquet(LogReg.cvModel(spark, sf)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == LogReg.CvFolds * LogReg.Dim)
+    val byFold = rows.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(byFold.size == LogReg.CvFolds)
+    // different training subsets must produce at least two distinct models
+    assert(byFold.values.toSeq.distinct.size > 1,
+      "all fold models identical — folds not actually distinct")
+    val out = SparkEntry.queries("logreg_cv")(spark, sf).collect()
+    assert(out.length == LogReg.CvFolds)
+    out.foreach { r =>
+      val acc = r.getDouble(4)
+      // better than a coin flip on every held-out fold; the full-fit spec
+      // pins beats-majority — fold slices at sf0.001 are ~33 docs, so the
+      // gate here is deliberately loose
+      assert(acc >= 0.5 && acc <= 1.0, s"fold ${r.getInt(0)} accuracy $acc")
+    }
+  }
 }

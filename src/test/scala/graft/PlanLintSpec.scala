@@ -63,7 +63,6 @@ class PlanLintSpec extends AnyFunSuite {
       "mann_whitney" -> "cumulative-weight window over the DISTINCT-value digest; production quantizes a continuous metric first (query comment)",
       "ks_test" -> "pooled-CDF cumulative window over the DISTINCT-value digest (the mann_whitney shape)",
       "msprt_monitor" -> "calendar-bounded daily digest (cumulative mixture-LR + running max)",
-      "setsim_join" -> "shingle-vocabulary digest (dense-id assignment for the bitset verifier)",
       "domain_reweight" -> "source-domain digest (≤ #sources rows; mixture normalizers)")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
@@ -142,7 +141,6 @@ class PlanLintSpec extends AnyFunSuite {
       "domain_reweight", // 1-row bigram-type/token totals + source-count normalizers broadcast
       "selfjoin_size_est", // 1-row kth-hash threshold × 1-row exact-F2 audit probe
       "quantile_reg", // 2-row dumped-model broadcast against the table scan
-      "setsim_join",  // 1-row bitset-word-count aggregate broadcast into the packer
       "lsh_recall_audit", // 1%-id panel broadcast against the corpus shingle scan
       "ks_test",      // 1-row per-arm totals broadcast into the CDF digest
       "tt_multi_idf") // 1-row meta sidecar broadcast into the idf projection
