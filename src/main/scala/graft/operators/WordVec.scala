@@ -192,12 +192,16 @@ object WordVec {
       val z = matvec(ppmi, q, "w", "c").localCheckpoint()
       val (eigvals, eigvecs) = Pca.jacobiEig(gram(z, k))
       val order = eigvals.indices.sortBy(i => (-eigvals(i), i))
-      // W = Q·U·Σ^½, columns ordered by singular value desc; sign fixed so
-      // each component's hash-Rademacher projection is non-negative —
-      // eigenvector sign is arbitrary, the dump must not flip across builds
+      // W = Q·U·Σ^½, columns ordered by singular value desc. ZᵀZ's
+      // eigenvalues are σ² (Z = MᵀQ carries the squared spectrum), so the
+      // σ^½ column scale is the FOURTH root of the eigenvalue — sqrt here
+      // would dump the Σ-weighted factor and silently over-weight the top
+      // direction. Sign fixed so each component's hash-Rademacher
+      // projection is non-negative — eigenvector sign is arbitrary, the
+      // dump must not flip across builds.
       val uSigma = Array.tabulate(k, k) { (r, cIdx) =>
         val src = order(cIdx)
-        eigvecs(r)(src) * math.sqrt(math.max(eigvals(src), 0.0))
+        eigvecs(r)(src) * math.pow(math.max(eigvals(src), 0.0), 0.25)
       }
       val wRaw = timesSmall(q, uSigma)
       val signs = wRaw
@@ -213,7 +217,11 @@ object WordVec {
         .groupBy(col("id"))
         .agg(transform(array_sort(collect_list(struct(col("j"), col("y")))),
           s => s.getField("y")).as("vec"))
-        .join(wTot.select(col("w").as("id"), col("n_w")), Seq("id"))
+        // word totals come off the PERSISTED ppmi digest (it already
+        // carries n_w) — joining wTot here would re-run the co-occurrence
+        // aggregation outside the persist for values we already hold
+        .join(ppmi.groupBy(col("w")).agg(max(col("n_w")).as("n_w"))
+          .select(col("w").as("id"), col("n_w")), Seq("id"))
         .select(col("id").as("word"), col("n_w").as("n_word"), col("vec"))
         .write.mode("overwrite").parquet(path)
       ppmi.unpersist()

@@ -95,12 +95,20 @@ object PipelineQueries {
         stagedCoocEdges(s, dir), col("a"), col("b"))
     }
 
+  /** The (doc_id, shingle-hash set) table over the doubled corpus — the
+    * expensive per-row kernel, staged ONCE for computePairs (three
+    * consumers there) and `lsh_recall_audit` (panel + truth sides).
+    */
+  private[graft] def stagedLshShingles(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrStage(s, s"lsh-shingles:$dir") {
+      spread(doubledDocs(s, dir))
+        .withColumn("hs", TextOps.tokenHashes(col("text")))
+        .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
+        .localCheckpoint()
+    }
+
   private def computePairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = spread(doubledDocs(s, dir))
-    val sh = docs
-      .withColumn("hs", TextOps.tokenHashes(col("text")))
-      .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
-      .localCheckpoint()
+    val sh = stagedLshShingles(s, dir)
     val bands = sh
       .withColumn("mh", Dedup.minhashes(col("shs")))
       .select(col("doc_id"), posexplode(Dedup.bandValues(col("mh"))))
@@ -157,9 +165,7 @@ object PipelineQueries {
     // LSH pipeline in SQL; recall is exact-deterministic on both sides.
     "lsh_recall_audit" -> ((s, dir) => {
       val pairs = lshVerifiedPairs(s, dir)
-      val sh = spread(doubledDocs(s, dir))
-        .withColumn("hs", TextOps.tokenHashes(col("text")))
-        .select(col("doc_id"), Dedup.shingleHashes(col("hs")).as("shs"))
+      val sh = stagedLshShingles(s, dir)
       val panel = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("pid"), col("shs").as("pshs"))
       val truth = sh.join(broadcast(panel), col("doc_id") =!= col("pid"))

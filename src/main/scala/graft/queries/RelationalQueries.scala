@@ -2011,11 +2011,16 @@ object RelationalQueries {
       // floods the verifier when its domain is small (p_name alone blocks
       // 20k parts into 64 buckets → 3.1M kernel calls at sf0.1), so run
       // TWO narrow passes — (name, brand) and (name, type) — and union
-      // the candidate id-pairs. A true match at sim ≥ 0.95 differs in at
-      // most one of the three fields, so it agrees with at least one pass
-      // key; only both-fields-differ pairs are skipped, and those sit far
-      // below the threshold (verified: 0 lost pairs at sf0.01 AND sf0.1
-      // vs single-key blocking — 5× fewer kernel calls for free). descr
+      // the candidate id-pairs. Blocking is BY CONSTRUCTION a recall/cost
+      // trade: same-name pairs differing in BOTH brand and type match
+      // neither pass key and are never verified, even if their overall
+      // sim clears 0.95 — the standard multi-pass posture accepts that in
+      // exchange for 5× fewer kernel calls. On this catalog the trade
+      // costs nothing: measured 0 lost pairs vs single-key blocking at
+      // BOTH sf0.01 and sf0.1 (every ≥0.95 pair here differs in at most
+      // one of brand/type); rerun that diff before reusing these keys on
+      // a catalog with a different field-similarity profile — the
+      // single-key (p_name) variant is the exhaustive fallback. descr
       // strings join back AFTER the distinct so the union shuffles ids
       // only; the part dim auto-broadcasts.
       val e = part(s, dir).select(

@@ -103,6 +103,51 @@ object TextQueries {
         .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     }
 
+  /** Interpolated Kneser-Ney bigram model (prev, cur, p) off the staged
+    * bigram digest — the ONE definition of the reference LM shared by
+    * `kneser_ney_bits` and `domain_reweight` (and mirrored once in SQL by
+    * [[duckKnModelCtes]]); the discount/continuation arithmetic must not
+    * fork across its consumers or their oracles desynchronize.
+    */
+  private[graft] def knModel(s: SparkSession, dir: String): DataFrame = {
+    val bgc = stagedBigrams(s, dir)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
+    val pv = bgc.groupBy(col("prev"))
+      .agg(sum(col("n_bg")).as("n_prev"), count(lit(1)).as("t_prev"))
+    val cc = bgc.groupBy(col("cur")).agg(count(lit(1)).as("t_cur"))
+    val tot = bgc.agg(count(lit(1)).as("t_all"))
+    bgc.join(pv, Seq("prev")).join(cc, Seq("cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("cur"),
+        ((col("n_bg") - lit(0.75)) / col("n_prev") +
+          lit(0.75) * col("t_prev") / col("n_prev") *
+            (col("t_cur").cast("double") / col("t_all"))).as("p"))
+  }
+
+  /** DuckDB twin of [[knModel]]: CTE chain ending in `model(prev, cur, p)`
+    * over the flattened bigram stream CTE `flat(doc_id, prev, cur)`.
+    */
+  private[graft] def duckKnModelCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
+       |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |bi AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(1, len(toks) - 1)) AS i
+       |  FROM t2),
+       |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
+       |bgc AS (SELECT prev, cur, count(*) AS n_bg FROM flat GROUP BY 1, 2),
+       |pv AS (SELECT prev, sum(n_bg)::BIGINT AS n_prev,
+       |         count(*)::BIGINT AS t_prev FROM bgc GROUP BY 1),
+       |cc AS (SELECT cur, count(*)::BIGINT AS t_cur FROM bgc GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS t_all FROM bgc),
+       |model AS (
+       |  SELECT b.prev, b.cur,
+       |    (b.n_bg - 0.75) / p.n_prev
+       |      + 0.75 * p.t_prev / p.n_prev * (c.t_cur::DOUBLE / t.t_all) AS p
+       |  FROM bgc b JOIN pv p USING (prev) JOIN cc c USING (cur)
+       |  CROSS JOIN tot t)""".stripMargin
+
   /** Window width for exact substring-span dedup. Lee et al. 2021 use 50
     * BPE tokens; 8 word tokens keeps the fixture's injected 13-token
     * license line long enough to contain fully-shared windows.
@@ -921,46 +966,36 @@ object TextQueries {
 
     // EXACT set-similarity self-join via prefix filtering (AllPairs /
     // PPJoin, Chaudhuri 2006; Xiao 2008) — the exactness-guaranteed
-    // sibling of `minhash_lsh_dedup`: the SAME near-dup question over the
-    // SAME doubled corpus and the SAME word-3-shingles the MinHash family
-    // hashes (so exact and LSH outputs are directly comparable — see
-    // `lsh_recall_audit`), Jaccard >= 0.5, but with zero false negatives
-    // BY CONSTRUCTION instead of with LSH probability. The prefix-filter
-    // theorem does the pruning: under any global total order over
-    // shingles, J(a,b) >= t implies the pair shares a shingle within each
-    // side's first n-ceil(t*n)+1 shingles (order rarest-first, df asc);
-    // the PPJoin LENGTH filter (J >= t forces min(n) >= t*max(n)) and
-    // POSITIONAL filter (a match at ranks (rk_a, rk_b) caps the overlap
-    // at 1 + min(na-rk_a, nb-rk_b); the FIRST shared shingle of a
-    // qualifying pair always passes, so row-level filtering is lossless)
-    // stack on top. Shingle WIDTH is the pruning lever on this dense
-    // synthetic lexicon (~31 words): bigram shingles span a ~930-shingle
-    // vocabulary where prefixes prune weakly (measured 5.5M candidates at
-    // sf0.1, 120 s of string-array verification); the 3-shingle space
-    // (<= 31^3) is where prefix filtering operates as designed — ~0.5M
-    // candidates, per-doc sets of ~50, so exact array-intersect
-    // verification on candidates is the cheap step. Scale shape: shingle
-    // df is one corpus agg; prefixes explode ~(1-t)*sum|set|; candidates
-    // are an equi-join on prefix shingles (never all-pairs); verification
-    // re-joins the two shingle sets by doc id — O(candidates). The
-    // oracle runs the UNPRUNED exact inverted-index join — identical
-    // output proves prefix+length+positional pruning lossless.
+    // sibling of `minhash_lsh_dedup`: the IDENTICAL similarity definition
+    // (hashed word-3-shingle sets over the doubled corpus, Jaccard >=
+    // 0.5 — the STAGED table both pipelines and `lsh_recall_audit` share)
+    // but with zero false negatives BY CONSTRUCTION instead of with LSH
+    // probability, so its output is the exact superset the LSH run is
+    // audited against. The prefix-filter theorem does the pruning: under
+    // any global total order over shingles, J(a,b) >= t implies the pair
+    // shares a shingle within each side's first n-ceil(t*n)+1 shingles
+    // (order rarest-first, df asc); the PPJoin LENGTH filter (J >= t
+    // forces min(n) >= t*max(n)) and POSITIONAL filter (a match at ranks
+    // (rk_a, rk_b) caps the overlap at 1 + min(na-rk_a, nb-rk_b); the
+    // FIRST shared shingle of a qualifying pair always passes, so
+    // row-level filtering is lossless) stack on top. Shingle WIDTH is
+    // the pruning lever on this dense synthetic lexicon (~31 words):
+    // bigram shingles span ~930 values and prefixes prune weakly
+    // (measured 5.5M candidates / 120 s at sf0.1); the 3-shingle space
+    // prunes as designed (~0.5M candidates), and hashing shingles to
+    // 8-byte digests (the portable tokenHash fold the whole dedup family
+    // uses, replayed exactly by the oracle) keeps every shuffle
+    // digest-width — ShuffleBudgetSpec meters it. Verification is exact
+    // array-intersect on candidate pairs only, O(candidates).
     "setsim_join" -> ((s, dir) => {
       val t = 0.5
-      val sh = spread(doubledDocs(s, dir))
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-        .select(col("doc_id"), explode(
-          when(size(col("w")) >= 3, transform(
-            sequence(lit(1), size(col("w")) - 2),
-            i => concat(element_at(col("w"), i), lit(" "),
-              element_at(col("w"), i + 1), lit(" "),
-              element_at(col("w"), i + 2))))
-            .otherwise(array().cast("array<string>"))).as("sh"))
-        .distinct()
-      val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val ranked = sh.join(freq, Seq("sh")).join(szs, Seq("doc_id"))
-      val pref = ranked
+      val base = graft.queries.PipelineQueries.stagedLshShingles(s, dir)
+        .select(col("doc_id"), col("shs"),
+          size(col("shs")).cast("long").as("n"))
+      val e = base.select(col("doc_id"), col("n"),
+        explode(col("shs")).as("sh"))
+      val freq = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val pref = e.join(freq, Seq("sh"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
         .filter(col("rk") <= col("n") - ceil(col("n") * lit(t)) + 1)
@@ -977,12 +1012,10 @@ object TextQueries {
         // pair-level distinct BEFORE verification: a pair sharing several
         // prefix shingles would otherwise re-verify once per shared one
         .select(col("id_a"), col("id_b")).distinct()
-      val sets = sh.groupBy(col("doc_id"))
-        .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n"))
       cands
-        .join(sets.select(col("doc_id").as("id_a"), col("set").as("sa"),
+        .join(base.select(col("doc_id").as("id_a"), col("shs").as("sa"),
           col("n").as("na")), Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"), col("set").as("sb"),
+        .join(base.select(col("doc_id").as("id_b"), col("shs").as("sb"),
           col("n").as("nb")), Seq("id_b"))
         .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jac",
@@ -1202,20 +1235,8 @@ object TextQueries {
     // map-side combines, so at 100 TB only vocab²-bounded digests move.
     "kneser_ney_bits" -> ((s, dir) => {
       val bi = stagedBigrams(s, dir)
-      val bgc = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
-      // n_prev = Σ_cur n(prev,cur); t_prev = N1+(prev,·) — one pass
-      val pv = bgc.groupBy(col("prev"))
-        .agg(sum(col("n_bg")).as("n_prev"), count(lit(1)).as("t_prev"))
-      val cc = bgc.groupBy(col("cur")).agg(count(lit(1)).as("t_cur"))
-      val tot = bgc.agg(count(lit(1)).as("t_all"))
-      val model = bgc.join(pv, Seq("prev")).join(cc, Seq("cur"))
-        .crossJoin(broadcast(tot))
-        .select(col("prev"), col("cur"),
-          ((col("n_bg") - lit(0.75)) / col("n_prev") +
-            lit(0.75) * col("t_prev") / col("n_prev") *
-              (col("t_cur").cast("double") / col("t_all"))).as("p"))
       bi.groupBy(col("doc_id"), col("prev"), col("cur")).agg(count(lit(1)).as("n"))
-        .join(model, Seq("prev", "cur"))
+        .join(knModel(s, dir), Seq("prev", "cur"))
         .groupBy(col("doc_id"))
         .agg(sum(col("n")).as("n_bigrams"),
           round(-sum(col("n") * log(col("p")) / log(lit(2.0))) / sum(col("n")), 6)
@@ -1289,16 +1310,22 @@ object TextQueries {
       val tf = bm25Tf(s, dir)
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val wTot = fb.agg(sum(col("score")).as("w_tot"))
-      tf.join(broadcast(fb), Seq("doc_id"))
+      val rel = tf.join(broadcast(fb), Seq("doc_id"))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(wTot))
         .groupBy(col("tok"))
         .agg(sum(col("score") / col("w_tot") * col("tf") / col("dl"))
           .as("p_rel"))
+      // FULL outer with the original query model: an original term absent
+      // from every feedback doc's postings must still carry its
+      // 0.5·(1/|Q|) interpolation mass (RM3 keeps the query alive even
+      // when feedback drifts) — an inner-only shape would silently drop it
+      import s.implicits._
+      val qm = q.toDF("tok").withColumn("p_orig", lit(1.0 / 3))
+      rel.join(qm, Seq("tok"), "full_outer")
         .select(col("tok").as("term"),
-          round(lit(0.5) * when(col("tok").isin(q: _*), lit(1.0 / 3))
-              .otherwise(lit(0.0)) +
-            lit(0.5) * col("p_rel"), 6).as("p_rm3"))
+          round(lit(0.5) * coalesce(col("p_orig"), lit(0.0)) +
+            lit(0.5) * coalesce(col("p_rel"), lit(0.0)), 6).as("p_rm3"))
         .orderBy(col("p_rm3").desc, col("term"))
         .limit(15)
     }),
@@ -1320,17 +1347,7 @@ object TextQueries {
     // double; the exp/ratio ULP is absorbed by the final round-6.
     "domain_reweight" -> ((s, dir) => {
       val bi = stagedBigrams(s, dir)
-      val bgc = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_bg"))
-      val pv = bgc.groupBy(col("prev"))
-        .agg(sum(col("n_bg")).as("n_prev"), count(lit(1)).as("t_prev"))
-      val cc = bgc.groupBy(col("cur")).agg(count(lit(1)).as("t_cur"))
-      val tot = bgc.agg(count(lit(1)).as("t_all"))
-      val model = bgc.join(pv, Seq("prev")).join(cc, Seq("cur"))
-        .crossJoin(broadcast(tot))
-        .select(col("prev"), col("cur"),
-          ((col("n_bg") - lit(0.75)) / col("n_prev") +
-            lit(0.75) * col("t_prev") / col("n_prev") *
-              (col("t_cur").cast("double") / col("t_all"))).as("p_kn"))
+      val model = knModel(s, dir).withColumnRenamed("p", "p_kn")
       val uni = bi.groupBy(col("cur")).agg(count(lit(1)).as("n_cur"))
       val un = bi.agg(count(lit(1)).as("n_all"))
       val src = documents(s, dir).select(col("doc_id"), col("source"))
@@ -2218,23 +2235,16 @@ object TextQueries {
     },
 
     // NOTE: deliberately UNPRUNED — the exact inverted-index join over
-    // every shared shingle. Hash-matching the Spark side's prefix-filtered
-    // plan proves AllPairs pruning lossless.
+    // every shared hashed shingle (the SAME duckShingleCtes set
+    // definition the MinHash oracles replay). Hash-matching the Spark
+    // side's prefix-filtered plan proves AllPairs pruning lossless.
     "setsim_join" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
-         |tk AS (
-         |  SELECT doc_id, ${duckToks("text")} AS w FROM docs),
-         |e AS (
-         |  SELECT DISTINCT doc_id,
-         |    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
-         |  FROM tk, unnest(generate_series(1, (len(w) - 2)::INT)) AS g(i)
-         |  WHERE len(w) >= 3),
-         |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+      s"""WITH ${PipelineQueries.duckShingleCtes(doubledDocsSql)},
+         |e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+         |sz AS (SELECT doc_id, len(shs)::BIGINT AS n FROM sh),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
-         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |j AS (
          |  SELECT id_a, id_b, round(ix::DOUBLE / (sa.n + sb.n - ix), 6) AS jac
@@ -2372,25 +2382,7 @@ object TextQueries {
          |ORDER BY dc.doc_id""".stripMargin,
 
     "kneser_ney_bits" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
-         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-         |bi AS (
-         |  SELECT doc_id, toks,
-         |    unnest(generate_series(1, len(toks) - 1)) AS i
-         |  FROM t2),
-         |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
-         |bgc AS (SELECT prev, cur, count(*) AS n_bg FROM flat GROUP BY 1, 2),
-         |pv AS (SELECT prev, sum(n_bg)::BIGINT AS n_prev,
-         |         count(*)::BIGINT AS t_prev FROM bgc GROUP BY 1),
-         |cc AS (SELECT cur, count(*)::BIGINT AS t_cur FROM bgc GROUP BY 1),
-         |tot AS (SELECT count(*)::BIGINT AS t_all FROM bgc),
-         |model AS (
-         |  SELECT b.prev, b.cur,
-         |    (b.n_bg - 0.75) / p.n_prev
-         |      + 0.75 * p.t_prev / p.n_prev * (c.t_cur::DOUBLE / t.t_all) AS p
-         |  FROM bgc b JOIN pv p USING (prev) JOIN cc c USING (cur)
-         |  CROSS JOIN tot t),
+      s"""WITH $duckKnModelCtes,
          |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3)
          |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_bigrams,
          |  round(-sum(dc.n * ln(m.p) / ln(2.0)) / sum(dc.n), 6) AS kn_bits_per_bigram
@@ -2424,33 +2416,17 @@ object TextQueries {
          |  SELECT t.tok, sum(f.score / w.w_tot * t.tf / l.dl) AS p_rel
          |  FROM tf t JOIN fb f ON f.doc_id = t.doc_id
          |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN wt w
-         |  GROUP BY t.tok)
-         |SELECT tok AS term,
-         |  round(0.5 * (CASE WHEN tok IN ('data', 'table', 'query')
-         |                    THEN 1.0 / 3 ELSE 0.0 END)
-         |    + 0.5 * p_rel, 6) AS p_rm3
-         |FROM rel ORDER BY p_rm3 DESC, term LIMIT 15""".stripMargin,
+         |  GROUP BY t.tok),
+         |qm AS (SELECT unnest(['data', 'table', 'query']) AS tok,
+         |              1.0 / 3 AS p_orig)
+         |SELECT coalesce(r.tok, q.tok) AS term,
+         |  round(0.5 * coalesce(q.p_orig, 0.0)
+         |    + 0.5 * coalesce(r.p_rel, 0.0), 6) AS p_rm3
+         |FROM rel r FULL OUTER JOIN qm q ON q.tok = r.tok
+         |ORDER BY p_rm3 DESC, term LIMIT 15""".stripMargin,
 
     "domain_reweight" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
-         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-         |bi AS (
-         |  SELECT doc_id, toks,
-         |    unnest(generate_series(1, len(toks) - 1)) AS i
-         |  FROM t2),
-         |flat AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur FROM bi),
-         |bgc AS (SELECT prev, cur, count(*) AS n_bg FROM flat GROUP BY 1, 2),
-         |pv AS (SELECT prev, sum(n_bg)::BIGINT AS n_prev,
-         |         count(*)::BIGINT AS t_prev FROM bgc GROUP BY 1),
-         |cc AS (SELECT cur, count(*)::BIGINT AS t_cur FROM bgc GROUP BY 1),
-         |tot AS (SELECT count(*)::BIGINT AS t_all FROM bgc),
-         |model AS (
-         |  SELECT b.prev, b.cur,
-         |    (b.n_bg - 0.75) / p.n_prev
-         |      + 0.75 * p.t_prev / p.n_prev * (c.t_cur::DOUBLE / t.t_all) AS p_kn
-         |  FROM bgc b JOIN pv p USING (prev) JOIN cc c USING (cur)
-         |  CROSS JOIN tot t),
+      s"""WITH $duckKnModelCtes,
          |uni AS (SELECT cur, count(*)::BIGINT AS n_cur FROM flat GROUP BY 1),
          |un AS (SELECT count(*)::BIGINT AS n_all FROM flat),
          |dc AS (SELECT doc_id, prev, cur, count(*) AS n FROM flat GROUP BY 1, 2, 3),
@@ -2458,7 +2434,7 @@ object TextQueries {
          |  SELECT d.source, sum(dc.n)::BIGINT AS n_bigrams,
          |    round(-sum(dc.n * ln(u.n_cur::DOUBLE / un.n_all) / ln(2.0))
          |      / sum(dc.n), 6) AS uni_bits,
-         |    round(-sum(dc.n * ln(m.p_kn) / ln(2.0)) / sum(dc.n), 6) AS kn_bits
+         |    round(-sum(dc.n * ln(m.p) / ln(2.0)) / sum(dc.n), 6) AS kn_bits
          |  FROM dc
          |  JOIN model m ON m.prev = dc.prev AND m.cur = dc.cur
          |  JOIN uni u ON u.cur = dc.cur

@@ -138,4 +138,35 @@ class PlanGoldenSpec extends AnyFunSuite {
       "1-row totals joined as BNLJ — literal-key equi-join degraded")
     assert(p.contains("TakeOrderedAndProject"), "top-100 lost its heap")
   }
+
+  test("setsim_join: candidates stay a prefix equi-join — no cartesian, no nested loop") {
+    // the AllPairs contract: pair generation is the prefix-shingle
+    // equi-join; a cartesian/BNLJ here is the quadratic all-pairs scan
+    // the prefix filter exists to avoid
+    val p = planOf("setsim_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degraded to a nested-loop scan — prefix equi-join lost")
+  }
+
+  test("rm3_expand: feedback shortlist broadcasts; expansion cut is a bounded heap") {
+    val p = planOf("rm3_expand")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "10-doc feedback shortlist stopped broadcasting — tf digest would shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "expansion top-15 lost its heap")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("quantile_reg: 2-row dumped-model side never becomes a shuffle join") {
+    val p = planOf("quantile_reg")
+    assert(!p.contains("SortMergeJoin"),
+      "model×scan degraded to SMJ — the table would shuffle for 2 rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("logreg_cv: held-out scoring is join-free (fold weights ride as literals)") {
+    val p = planOf("logreg_cv")
+    assert(!p.contains("Join"),
+      s"CV scoring plans a join — weights should be inlined literals:\n${p.take(400)}")
+  }
 }
