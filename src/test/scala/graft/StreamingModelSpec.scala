@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Conformal, Kll, LogReg}
+import graft.operators.{Conformal, Kll, LogReg, QuantileReg}
 
 /** Streaming twins of the round-8 trained-state operators: the dumped
   * artifacts (logreg weights, KLL sketch) must serve on a STREAM exactly
@@ -118,6 +118,53 @@ class StreamingModelSpec extends AnyFunSuite {
       }
       // the certificate is not vacuous after streaming folds either
       assert(sk.err < n / 4, s"streaming folds inflated err to ${sk.err}")
+    } finally q.stop()
+  }
+
+  test("streaming quantile-band tagging: per-trigger interval flags equal batch") {
+    // the serving face of QuantileReg: the dumped (tau, a, b) lines tag
+    // every arriving (x, y) with its conditional-quantile band — below
+    // the median line / between median and q90 / above q90 — map-only
+    // with zero state, so per-trigger output must be bit-equal to the
+    // same expression evaluated in batch (the anomaly-band monitor a
+    // revenue stream would actually run).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fits = QuantileReg.model(spark, sf)
+    val med = fits.find(_.tau == 0.5).get
+    val hi = fits.find(_.tau == 0.9).get
+    def band(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      when(y < lit(med.a) + lit(med.b) * x, "below_median")
+        .when(y < lit(hi.a) + lit(hi.b) * x, "mid_band")
+        .otherwise("above_q90")
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val input = MemoryStream[(Long, Int, Double, Double)]
+    val tagged = input.toDF().toDF("k", "ln", "x", "y")
+      .select(col("k"), col("ln"), band(col("x"), col("y")).as("band"))
+    val q = tagged.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_qreg").start()
+    try {
+      rows.grouped(1500).foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      // (k, ln) is not unique in the synthetic lineitem — sorted multisets
+      val got = spark.table("stream_qreg").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      val want = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          band(col("l_quantity").cast("double"), col("l_extendedprice"))
+            .as("band"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      assert(got.length === want.length)
+      assert(got.sameElements(want), "streamed bands diverge from batch")
+      // the bands carry the calibration property end-to-end: ~50% below
+      // the median line, ~10% above the q90 line (finite-sample wobble)
+      val n = got.length.toDouble
+      val below = got.count(_._3 == "below_median") / n
+      val above = got.count(_._3 == "above_q90") / n
+      assert(math.abs(below - 0.5) < 0.05, s"below-median share $below")
+      assert(math.abs(above - 0.1) < 0.05, s"above-q90 share $above")
     } finally q.stop()
   }
 }
