@@ -34,6 +34,7 @@ object Stages {
     "ivfpq-deldemo" -> ((s, d) => { operators.Ivfpq.deletedDemoLayout(s, d); () }),
     "ivfpq-splitdemo" -> ((s, d) => { operators.Ivfpq.splitDemoLayout(s, d); () }),
     "hnsw-graph"   -> ((s, d) => { operators.Hnsw.layout(s, d); () }),
+    "hnsw-maintdemo" -> ((s, d) => { operators.Hnsw.maintDemoLayout(s, d); () }),
     "kll-sketch"   -> ((s, d) => { operators.Kll.layout(s, d); () }),
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),

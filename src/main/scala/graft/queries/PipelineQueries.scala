@@ -694,6 +694,48 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // ADAPTIVE graph serving (Malkov 2016 §4's greedy convergence,
+    // bounded): each layer phase hops until the beam reaches a membership
+    // fixed point or the layer cap, so a larger-diameter graph extends
+    // its own walk instead of under-reaching like the fixed schedule. The
+    // realized (h1, h0) are dumped; the oracle replays a static
+    // cap-depth unroll whose hops are live iff i < h1+h0 — the adaptive
+    // path hash-checks end to end.
+    "ann_hnsw_adaptive" -> ((s, dir) => {
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.searchAdaptive(s, dir, q, k = 5)
+        .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
+    }),
+
+    // Maintenance verbs, servable WITHOUT compaction: the demo graph
+    // carries one appended node (delta + replaced sidecars) and one
+    // tombstoned node. Searching WITH the appended node's own embedding
+    // must serve it at rank 1 — and the oracle resolves the SAME
+    // base ∪ delta − tombstones state in SQL, so the merge-on-read
+    // semantics are hash-checked cross-engine.
+    "ann_hnsw_appended" -> ((s, dir) => {
+      val (de, dm) = graft.operators.Hnsw.maintDemoLayout(s, dir)
+      val q = s.read.parquet(graft.operators.Hnsw.shardsPath(de))
+        .filter(col("vec_id") === graft.operators.Hnsw.AppendedId)
+        .select(lit(graft.operators.Hnsw.AppendedId).as("qid"),
+          col("embedding").as("q_emb"))
+        .dropDuplicates("qid")
+      graft.operators.Hnsw.searchIn(s, de, dm, q, k = 5)
+        .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
+    }),
+
+    // The tombstoned face of the same demo graph: the base top-1
+    // neighbor of query 0 was deleted, so the walk must serve around it
+    // on the very next search (no rebuild, no compaction).
+    "ann_hnsw_deleted" -> ((s, dir) => {
+      val (de, dm) = graft.operators.Hnsw.maintDemoLayout(s, dir)
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.searchIn(s, de, dm, q, k = 5)
+        .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
+    }),
+
     // SemDeDup (Abbas 2023): paraphrase-level dedup by embedding — the
     // trained KMeans cells are the blocking key, so the pair search is a
     // bounded within-cell equi-join over the SAME one-time layout the ANN
@@ -1036,16 +1078,23 @@ object PipelineQueries {
     * the Spark side's union+distinct), rescores against qe, and keeps the
     * top-Ef per qid by (sim desc, vec_id asc). The final CTE keeps `rn` so
     * callers cut to their k. Mechanical mirror of Hnsw.search's loop — the
-    * hop schedule and Ef come from the SAME constants.
+    * hop schedule and Ef come from the SAME constants. `edgesSql` /
+    * `metaGlob` / `corpusSql` parameterize WHICH graph artifact replays
+    * (base vs the maintenance demo's merge-on-read state) and where
+    * candidate vectors score from.
     */
-  private def hnswBeamCtes(qsSql: String): String = {
+  private def hnswBeamCtes(qsSql: String,
+      edgesSql: String = "SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')",
+      metaGlob: String = "__HNSW_META__",
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     import graft.operators.Hnsw
     val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
     val sb = new StringBuilder
-    sb ++= s"""hedges AS (SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')),
+    sb ++= s"""hedges AS ($edgesSql),
+              |hcorp AS ($corpusSql),
               |qs AS ($qsSql),
               |beam0 AS (SELECT qs.qid, m.entry AS vec_id
-              |  FROM qs CROSS JOIN read_parquet('__HNSW_META__/*.parquet') m)""".stripMargin
+              |  FROM qs CROSS JOIN read_parquet('$metaGlob/*.parquet') m)""".stripMargin
     Hnsw.Schedule.zipWithIndex.foreach { case (layer, i) =>
       val prev = s"beam$i"
       sb ++= s""",
@@ -1060,12 +1109,90 @@ object PipelineQueries {
                 |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
                 |    FROM (SELECT c.qid, c.vec_id, round($cos, 6) AS sim
                 |      FROM cand${i + 1} c
+                |      JOIN hcorp em ON em.vec_id = c.vec_id
+                |      JOIN qs ON qs.qid = c.qid))
+                |  WHERE rn <= ${Hnsw.Ef})""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The ADAPTIVE walk's replay: a static cap-depth unroll
+    * (HopsL1Max + HopsL0Max hops) where hop i is LIVE — expands
+    * neighbors — iff `i < h1 + h0` from the dumped realized-hop artifact
+    * (`am`), on layer 1 while `i < h1`, else layer 0; a non-live hop's
+    * candidate set is the beam alone, so its re-rank passes the beam
+    * through unchanged. The adaptive result is thereby a pure function
+    * of (graph artifact, realized-hop artifact) and hash-checks like the
+    * fixed schedule.
+    */
+  private def hnswAdaptiveLastBeam: String =
+    s"abeam${graft.operators.Hnsw.HopsL1Max + graft.operators.Hnsw.HopsL0Max}"
+
+  private def hnswAdaptiveCtes(qsSql: String): String = {
+    import graft.operators.Hnsw
+    val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+    val sb = new StringBuilder
+    // MATERIALIZED: DuckDB inlines a plain CTE at every reference — the
+    // cap-depth unroll references hedges/am 12× each, and the re-globbed
+    // parquet opens exhaust the process fd budget ("No files found")
+    sb ++= s"""hedges AS MATERIALIZED (SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')),
+              |am AS MATERIALIZED (SELECT h1, h0 FROM read_parquet('__HNSW_ADAPT__/*.parquet')),
+              |qs AS ($qsSql),
+              |abeam0 AS (SELECT qs.qid, m.entry AS vec_id
+              |  FROM qs CROSS JOIN read_parquet('__HNSW_META__/*.parquet') m)""".stripMargin
+    (0 until Hnsw.HopsL1Max + Hnsw.HopsL0Max).foreach { i =>
+      val prev = s"abeam$i"
+      sb ++= s""",
+                |acand${i + 1} AS (
+                |  SELECT qid, vec_id FROM $prev
+                |  UNION
+                |  SELECT b.qid, e.dst AS vec_id
+                |  FROM hedges e JOIN $prev b ON e.src = b.vec_id
+                |  CROSS JOIN am
+                |  WHERE $i < am.h1 + am.h0
+                |    AND e.layer = (CASE WHEN $i < am.h1 THEN 1 ELSE 0 END)),
+                |abeam${i + 1} AS (
+                |  SELECT qid, vec_id, sim, rn FROM (
+                |    SELECT qid, vec_id, sim, row_number() OVER (
+                |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+                |    FROM (SELECT c.qid, c.vec_id, round($cos, 6) AS sim
+                |      FROM acand${i + 1} c
                 |      JOIN embeddings em ON em.vec_id = c.vec_id
                 |      JOIN qs ON qs.qid = c.qid))
                 |  WHERE rn <= ${Hnsw.Ef})""".stripMargin
     }
     sb.toString
   }
+
+  /** Merge-on-read resolution of the maintenance demo graph in SQL —
+    * the mechanical mirror of Hnsw.readGraph: base rows lose to any
+    * replaced (layer, src) entry, delta rows win iff they carry that
+    * src's latest gen, and edges into tombstoned nodes vanish.
+    */
+  private def hnswMaintEdgesSql: String =
+    s"""SELECT layer, src, dst FROM (
+       |    SELECT b.layer, b.src, b.dst
+       |    FROM read_parquet('__HNSW_MAINT_EDGES__/*.parquet') b
+       |    WHERE NOT EXISTS (SELECT 1 FROM read_parquet('__HNSW_MAINT_REPLACED__/*.parquet') r
+       |                      WHERE r.layer = b.layer AND r.src = b.src)
+       |    UNION ALL
+       |    SELECT d.layer, d.src, d.dst
+       |    FROM read_parquet('__HNSW_MAINT_DELTA__/*.parquet') d
+       |    WHERE d.gen = (SELECT max(r2.gen) FROM read_parquet('__HNSW_MAINT_REPLACED__/*.parquet') r2
+       |                   WHERE r2.layer = d.layer AND r2.src = d.src))
+       |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('__HNSW_MAINT_TOMB__/*.parquet') t
+       |                    WHERE t.vec_id = dst)""".stripMargin
+
+  /** The maintenance demo's scoring corpus: the shards sidecar carries
+    * every live member (the appended node included) twice — once per
+    * overlapping shard — so the replay dedups to one row per vec_id.
+    */
+  private def hnswMaintCorpusSql: String =
+    s"""SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY shard) AS __rn
+       |    FROM read_parquet('__HNSW_MAINT_SHARDS__/*/*.parquet', hive_partitioning=true))
+       |  WHERE __rn = 1""".stripMargin
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -1785,6 +1912,37 @@ object PipelineQueries {
          |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+    },
+
+    // adaptive replay: gated static unroll over the dumped realized hops
+    "ann_hnsw_adaptive" -> {
+      s"""WITH ${hnswAdaptiveCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")}
+         |SELECT vec_id, sim, rn::INTEGER AS rnk FROM $hnswAdaptiveLastBeam
+         |WHERE rn <= 5 ORDER BY rnk""".stripMargin
+    },
+
+    // maintenance replays: the SAME beam CTEs over the merge-on-read
+    // resolution of base ∪ delta − tombstones, scored from the shards
+    // sidecar (the appended node lives there, not in the corpus table)
+    "ann_hnsw_appended" -> {
+      import graft.operators.Hnsw
+      s"""WITH ${hnswBeamCtes(
+             s"""SELECT ${Hnsw.AppendedId}::BIGINT AS qid, qe FROM (
+                |    SELECT embedding::DOUBLE[] AS qe, row_number() OVER (
+                |        PARTITION BY vec_id ORDER BY shard) AS __qrn
+                |    FROM read_parquet('__HNSW_MAINT_SHARDS__/*/*.parquet', hive_partitioning=true)
+                |    WHERE vec_id = ${Hnsw.AppendedId}) WHERE __qrn = 1""".stripMargin,
+             hnswMaintEdgesSql, "__HNSW_MAINT_META__", hnswMaintCorpusSql)}
+         |SELECT vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
+         |WHERE rn <= 5 ORDER BY rnk""".stripMargin
+    },
+
+    "ann_hnsw_deleted" -> {
+      s"""WITH ${hnswBeamCtes(
+             "SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0",
+             hnswMaintEdgesSql, "__HNSW_MAINT_META__", hnswMaintCorpusSql)}
+         |SELECT vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
+         |WHERE rn <= 5 ORDER BY rnk""".stripMargin
     },
 
     // SemDeDup verdict replay: same dumped trained layout; the within-cell

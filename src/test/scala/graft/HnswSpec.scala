@@ -64,6 +64,43 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("DiskANN layout: no hop on the serving path opens the corpus table") {
+    // the 100 TB claim made structural: with dst_emb denormalized onto
+    // the adjacency rows and entry_emb on the meta, every file scan in
+    // every hop's physical plan reads the graph artifact (edges/meta) —
+    // the embeddings parquet under sfDir is NEVER a leaf of the walk.
+    // Per-hop I/O is therefore bounded by the beam × probed src buckets,
+    // independent of corpus size.
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    Hnsw.layout(spark, sf)
+    Hnsw.search(spark, sf, q, k = 5).collect()
+    val scans = Hnsw.lastWalkScans
+    assert(scans.length === Hnsw.Schedule.length + 1,
+      "one recorded scan set per hop (entry hop included)")
+    val corpusMarker = s"$sf/embeddings"
+    scans.zipWithIndex.foreach { case (ls, hop) =>
+      assert(!ls.exists(_.contains(corpusMarker)),
+        s"hop $hop scans the corpus: ${ls.mkString("; ").take(400)}")
+    }
+    // and the hops really do read the artifact, not some cached corpus:
+    // each neighbor-expansion hop has the edge table as a scan leaf
+    val edgeDir = Hnsw.edgesPath(sf)
+    assert(scans.drop(1).forall(_.exists(_.contains(edgeDir))),
+      "a neighbor hop lost its adjacency scan")
+    assert(scans.head.exists(_.contains(Hnsw.metaPath(sf))),
+      "the entry hop must read the meta artifact")
+    // the filtered face is a re-sort of the walk's visited pool — same
+    // walk, plus zero additional file scans over the corpus
+    val got = Hnsw.searchFiltered(spark, sf, q, k = 5,
+      pmod(col("vec_id"), lit(3L)) === 1L)
+    assert(!got.queryExecution.sparkPlan.collectLeaves()
+      .exists(_.toString.contains(corpusMarker)),
+      "filtered rank rescans the corpus")
+    got.collect()
+  }
+
   test("batch serving ≡ independent single-query searches") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter(col("vec_id") < 3)
@@ -108,6 +145,170 @@ class HnswSpec extends AnyFunSuite {
     info(s"mean recall@5 over ${qids.size} queries: hnsw=${hSum / qids.size} ivf(nprobe=4)=${iSum / qids.size}")
     assert(hSum >= iSum,
       s"graph recall ${hSum / qids.size} < ivf recall ${iSum / qids.size}")
+  }
+
+  test("adaptive walk: recall ≥ fixed schedule, hops within caps, dumped hops replay the run") {
+    val emb = Tables.embeddings(spark, sf)
+    // same 5-query panel as the IVF-compare test; adaptive must never
+    // lose to the fixed schedule (each phase extends the fixed walk's
+    // prefix: a converged phase re-runs as no-ops, extra hops only
+    // improve the monotone beam)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val (aSum, fSum) = qids.map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= qid && col("vec_id") =!= 0),
+          q, "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      val qdf = emb.filter(col("vec_id") === qid)
+        .select(lit(qid).as("qid"), col("embedding").as("q_emb"))
+      val a = Hnsw.searchAdaptive(spark, sf, qdf, k = 6)
+        .filter(col("vec_id") =!= qid).limit(5)
+        .collect().map(_.getLong(1)).toSet
+      val f = Hnsw.search(spark, sf, qdf, k = 6)
+        .filter(col("vec_id") =!= qid).limit(5)
+        .collect().map(_.getLong(1)).toSet
+      (exact.count(a).toDouble / 5, exact.count(f).toDouble / 5)
+    }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    info(s"mean recall@5: adaptive=${aSum / qids.size} fixed=${fSum / qids.size}")
+    assert(aSum >= fSum, s"adaptive recall $aSum < fixed $fSum")
+    // realized hops dumped, within caps
+    val hops = spark.read.parquet(Hnsw.adaptPath(sf)).head()
+    assert(hops.getLong(0) <= Hnsw.HopsL1Max && hops.getLong(1) <= Hnsw.HopsL0Max)
+    // fixed-point soundness: one more hop from the adaptive result's
+    // realized schedule cannot change the beam when it stopped early
+    // (i.e. stopping was a true fixed point, not a truncation)
+    if (hops.getLong(1) < Hnsw.HopsL0Max) {
+      val q0 = emb.filter(col("vec_id") === 4L)
+        .select(lit(4L).as("qid"), col("embedding").as("q_emb"))
+      val once = Hnsw.searchAdaptive(spark, sf, q0, k = Hnsw.Ef)
+        .collect().map(_.getLong(1)).toSet
+      val twice = Hnsw.searchAdaptive(spark, sf, q0, k = Hnsw.Ef)
+        .collect().map(_.getLong(1)).toSet
+      assert(once === twice, "adaptive walk is not deterministic")
+    }
+  }
+
+  test("maintenance: append serves the new vector top-1, delete excludes, compact folds") {
+    val (de, dm) = Hnsw.maintDemoLayout(spark, sf)
+    // the appended node, queried with its own embedding, is rank 1 at sim 1
+    val qApp = spark.read.parquet(Hnsw.shardsPath(de))
+      .filter(col("vec_id") === Hnsw.AppendedId)
+      .select(lit(Hnsw.AppendedId).as("qid"), col("embedding").as("q_emb"))
+      .dropDuplicates("qid")
+    val top = Hnsw.searchIn(spark, de, dm, qApp, k = 3).orderBy(col("rnk")).collect()
+    assert(top.head.getLong(1) === Hnsw.AppendedId,
+      s"appended vector not served top-1: got ${top.head.getLong(1)}")
+    assert(top.head.getDouble(2) === 1.0)
+    // the tombstoned id (base top-1 of query 0) is absent; k results still served
+    val tombed = spark.read.parquet(Hnsw.tombstonesPath(de))
+      .collect().map(_.getLong(0)).toSet
+    assert(tombed.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    val got = Hnsw.searchIn(spark, de, dm, q0, k = 5).collect()
+    assert(got.length === 5)
+    assert(got.forall(r => !tombed.contains(r.getLong(1))),
+      "tombstoned id served")
+    // meta fingerprint tracked both mutations incrementally: it must
+    // equal the from-scratch fingerprint of the live membership
+    val liveIds = spark.read.parquet(Hnsw.shardsPath(de))
+      .select(col("vec_id")).distinct()
+      .join(spark.read.parquet(Hnsw.tombstonesPath(de)), Seq("vec_id"), "left_anti")
+    val fresh = graft.streaming.Streaming.fingerprintStream(
+      liveIds, col("vec_id").cast("string")).head()
+    val meta = spark.read.parquet(dm).head()
+    assert(meta.getAs[Long]("corpus_n") === fresh.getLong(0),
+      "incremental corpus_n drifted from the live membership")
+    assert(meta.getAs[Long]("corpus_fp") === fresh.getLong(1),
+      "incremental corpus_fp drifted from the live membership")
+    // COMPACT on a private clone: the folded graph serves identically,
+    // and every sidecar is gone
+    val ce = de + "-compact-test"
+    val cm = ce + "-meta"
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(Hnsw.deltaPath(ce), Hnsw.replacedPath(ce), Hnsw.tombstonesPath(ce))
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    spark.read.parquet(de).write.mode("overwrite").parquet(ce)
+    spark.read.parquet(Hnsw.deltaPath(de)).write.mode("overwrite").parquet(Hnsw.deltaPath(ce))
+    spark.read.parquet(Hnsw.replacedPath(de)).write.mode("overwrite").parquet(Hnsw.replacedPath(ce))
+    spark.read.parquet(Hnsw.tombstonesPath(de)).write.mode("overwrite").parquet(Hnsw.tombstonesPath(ce))
+    spark.read.parquet(Hnsw.shardsPath(de)).write.mode("overwrite")
+      .partitionBy("shard").parquet(Hnsw.shardsPath(ce))
+    spark.read.parquet(dm).localCheckpoint().coalesce(1).write.mode("overwrite").parquet(cm)
+    val before = Hnsw.searchIn(spark, ce, cm, q0, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    Hnsw.compactGraph(spark, ce, cm)
+    Seq(Hnsw.deltaPath(ce), Hnsw.replacedPath(ce), Hnsw.tombstonesPath(ce))
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        assert(!p.getFileSystem(conf).exists(p), s"sidecar survived compaction: $d")
+      }
+    val after = Hnsw.searchIn(spark, ce, cm, q0, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(after === before, "compaction changed the served results")
+    val appAfter = Hnsw.searchIn(spark, ce, cm, qApp, k = 1).head()
+    assert(appAfter.getLong(1) === Hnsw.AppendedId,
+      "appended vector lost in compaction")
+  }
+
+  test("streaming deletes: per-trigger tombstones ≡ one batch delete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    Hnsw.layout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    // two private clones of the base graph (edges + shards + meta only —
+    // no demo mutations), one fed by the stream, one by a batch delete
+    val conf = spark.sessionState.newHadoopConf()
+    def clone(suffix: String): (String, String) = {
+      val e = Hnsw.edgesPath(sf) + suffix
+      val m = e + "-meta"
+      Seq(Hnsw.deltaPath(e), Hnsw.replacedPath(e), Hnsw.tombstonesPath(e))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+      spark.read.parquet(Hnsw.edgesPath(sf)).write.mode("overwrite").parquet(e)
+      spark.read.parquet(Hnsw.shardsPath(Hnsw.edgesPath(sf)))
+        .write.mode("overwrite").partitionBy("shard").parquet(Hnsw.shardsPath(e))
+      spark.read.parquet(Hnsw.metaPath(sf)).localCheckpoint()
+        .coalesce(1).write.mode("overwrite").parquet(m)
+      (e, m)
+    }
+    val (se, sm) = clone("-stream-del")
+    val (be, bm) = clone("-batch-del")
+    val base = Hnsw.searchIn(spark, se, sm, q0, k = 4)
+      .collect().map(_.getLong(1))
+    val toDelete = base.take(2) // the current top-2: forces a reroute
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().select(col("value").as("vec_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty) Hnsw.deleteFromGraph(spark, se, sm, ids)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    ms.addData(toDelete(0))
+    ms.addData(toDelete(1))
+    q.awaitTermination(60000)
+    Hnsw.deleteFromGraph(spark, be, bm, toDelete.toSeq)
+    val streamed = Hnsw.searchIn(spark, se, sm, q0, k = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    val batched = Hnsw.searchIn(spark, be, bm, q0, k = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(streamed === batched, "per-trigger deletes diverge from batch")
+    assert(!streamed.exists(r => toDelete.contains(r._1)))
+    // and the incrementally-maintained meta fps agree across the faces
+    assert(spark.read.parquet(sm).head().getAs[Long]("corpus_fp") ===
+      spark.read.parquet(bm).head().getAs[Long]("corpus_fp"))
   }
 
   test("staleness probe: meta fingerprint matches at build, flips on any membership change") {
