@@ -67,9 +67,17 @@ object Conformal {
       val scores = half(li, 1)
         .select(abs(col("y") - (lit(a) + lit(b) * col("x"))).as("score"))
       val nCal = scores.count()
+      require(nCal > 0, s"conformal: empty calibration third (sfDir=$sfDir)")
       val k = math.ceil((1.0 - Alpha) * (nCal + 1)).toLong min nCal
+      val tail = nCal - k + 1
+      // the descending-tail trick needs an Int limit; at a calibration
+      // set past 2^31 the KLL sketch path is the right tool — fail loud
+      // instead of truncating the cast and silently selecting the wrong
+      // order statistic
+      require(tail <= Int.MaxValue,
+        s"conformal: α-tail $tail exceeds limit() range — use the KLL quantile path")
       val qhat = scores.orderBy(col("score").desc)
-        .limit((nCal - k + 1).toInt)
+        .limit(tail.toInt)
         .agg(min(col("score"))).head().getDouble(0)
       import spark.implicits._
       Seq((a, b, nCal, k, qhat)).toDF("a", "b", "n_cal", "k", "qhat")

@@ -60,8 +60,15 @@ object QuantileReg {
   private[graft] def solve2(sw: Double, swx: Double, swy: Double,
       swxx: Double, swxy: Double): (Double, Double) = {
     val det = sw * swxx - swx * swx
+    // mirror LogReg.solve's singular-system guard: a degenerate weighted
+    // design (all IRLS weight on one x value) must fail loud, not dump
+    // NaN/Infinity coefficients for the oracle to replay
+    require(det.isFinite && det != 0.0,
+      s"quantile-reg: singular weighted design (det=$det, sw=$sw)")
     val b = (sw * swxy - swx * swy) / det
     val a = (swy - b * swx) / sw
+    require(a.isFinite && b.isFinite,
+      s"quantile-reg: non-finite fit (a=$a, b=$b)")
     (a, b)
   }
 

@@ -658,7 +658,15 @@ object TxnLog {
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[String] = {
     val latest = latestVersion(spark, root)
     val keepFrom = math.max(1, latest - keepVersions + 1)
-    val keep = (keepFrom to latest)
+    // a WAP window may have STAGED version latest+1 (manifest written,
+    // pointer not yet flipped — stageTablesNoFlip / writeAuditPublish):
+    // its files are invisible to readers but must survive vacuum, or the
+    // eventual publish() flips to a version with missing files
+    val stagedTo =
+      if (fs(spark, root).exists(new Path(s"$root/manifests/version=${latest + 1}")))
+        latest + 1
+      else latest
+    val keep = (keepFrom to stagedTo)
       .flatMap(v => manifest(spark, root, v)
         .select("kind", "file_name").collect()
         .map(r => (r.getString(0), r.getString(1))))

@@ -93,6 +93,22 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[Exception] { TxnLog.read(spark, root, Some(3)).count() }
   }
 
+  test("vacuum during a WAP window keeps the staged (unpublished) version's files") {
+    // write-audit-publish: v3 is staged (manifest written, pointer not
+    // flipped) while vacuum runs — its data files are invisible to
+    // readers but MUST survive, or the eventual publish flips to a
+    // version with missing files
+    val root = freshRoot() + "-wap"
+    TxnLog.commitTables(spark, root, Seq(("t", docs.limit(10), true)))  // v1
+    TxnLog.commitTables(spark, root, Seq(("t", docs.limit(20), true)))  // v2
+    val staged = TxnLog.stageTablesNoFlip(spark, root,
+      Seq(("t", docs.limit(30), true)))                                 // v3 staged
+    TxnLog.vacuum(spark, root, keepVersions = 1)
+    TxnLog.publish(spark, root, staged)
+    assert(TxnLog.readTable(spark, root, "t").count() === 30,
+      "vacuum reclaimed files of the staged WAP version")
+  }
+
   test("vacuum sweeps abandoned staging dirs (a writer that died mid-stage)") {
     val root = freshRoot()
     lifecycle(root)

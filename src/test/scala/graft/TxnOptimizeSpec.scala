@@ -46,8 +46,16 @@ class TxnOptimizeSpec extends AnyFunSuite {
     optimized(root)
     val pre = TxnLog.dataFilesOverlapping(spark, root, 100, 150, Some(2))
     val post = TxnLog.dataFilesOverlapping(spark, root, 100, 150, Some(3))
-    // hash-scattered: every v2 file spans the full id range → all 8 kept
-    assert(pre.size === 8, s"expected all 8 scattered files, got ${pre.size}")
+    // hash-scattered: every pre-optimize file spans (most of) the id
+    // range, so the probe window prunes nothing before the rewrite.
+    // Don't pin the exact file count — repartition(8) may emit fewer
+    // non-empty files if the fixture or hash distribution shifts; the
+    // load-bearing claims are "no pre-optimize file is pruned" and
+    // "optimize makes the same probe prune".
+    val allPre = TxnLog.dataFilesOverlapping(spark, root, Long.MinValue,
+      Long.MaxValue, Some(2))
+    assert(pre.size === allPre.size,
+      s"probe window already pruned pre-optimize: ${pre.size} of ${allPre.size}")
     assert(post.size < pre.size,
       s"optimize did not improve pruning: ${post.size} vs ${pre.size}")
     // and the pruned read still answers exactly
