@@ -17,8 +17,24 @@ object GraftFunctions {
   val WinnowHashName = "winnow_hash"
   val NfcNormalizeName = "nfc_normalize"
   val JaroWinklerName = "jaro_winkler"
+  val TermBucketName = "term_bucket"
 
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TermBucketName, {
+        case Seq(term,
+            lit: org.apache.spark.sql.catalyst.expressions.Literal)
+            if lit.value != null && (lit.dataType match {
+              case _: org.apache.spark.sql.types.ByteType |
+                   _: org.apache.spark.sql.types.ShortType |
+                   _: org.apache.spark.sql.types.IntegerType |
+                   _: org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) =>
+          TermBucket(term, lit.value.asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"term_bucket takes (term, n-literal), got ${other.map(_.sql)}")
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NfcNormalizeName, exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -75,4 +91,10 @@ object GraftFunctions {
     */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** Posting-bucket of a term (see TermBucket). The session must have
+    * called `register` first.
+    */
+  def termBucket(term: Column, n: Int): Column =
+    call_function(TermBucketName, term, org.apache.spark.sql.functions.lit(n))
 }

@@ -32,19 +32,13 @@ object InvertedIndex {
 
   val NumBuckets = 16
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** Deterministic bucket of a term: splitmix64 fold over UTF-8 bytes. */
-  def termBucket(term: String, n: Int = NumBuckets): Int = {
-    var h = 0L
-    term.getBytes("UTF-8").foreach { b => h = mix(h ^ (b & 0xffL)) }
-    (((h >>> 1) % n)).toInt
-  }
+  /** Deterministic bucket of a term: splitmix64 fold over UTF-8 bytes.
+    * Driver-side face for query-time probes — delegates to the ONE
+    * definition in [[graft.expressions.TermBucket]], whose codegen
+    * Expression computes the same fold on the corpus-wide write path.
+    */
+  def termBucket(term: String, n: Int = NumBuckets): Int =
+    graft.expressions.TermBucket.bucket(term, n)
 
   def layoutPath(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-invidx-" + Ann.pathToken(sfDir)
@@ -59,14 +53,18 @@ object InvertedIndex {
     * 0-based over the filtered token sequence).
     */
   private def postingsOf(docs: DataFrame): DataFrame = {
-    val bucketOf = udf((t: String) => termBucket(t))
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
         posexplode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")))
       .groupBy(col("col").as("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
-      .withColumn("bucket", bucketOf(col("term")))
+      // native codegen expression, not a UDF: the bucket assignment sits
+      // on the corpus-wide write path and must not fence whole-stage
+      // codegen (InvertedIndexSpec pins the wscg span + UDF-equality)
+      .withColumn("bucket",
+        graft.expressions.GraftFunctions.termBucket(col("term"), NumBuckets))
   }
 
   def layout(spark: SparkSession, sfDir: String): String =

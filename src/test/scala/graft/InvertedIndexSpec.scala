@@ -165,7 +165,7 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("bucket function: write-side UDF and read-side driver call agree") {
+  test("bucket function: write-side expression and read-side driver call agree") {
     val rows = spark.read.parquet(InvertedIndex.layout(spark, sf))
       .select("term", "bucket").distinct().collect()
     rows.foreach { r =>
@@ -173,5 +173,57 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
     // buckets actually spread (no degenerate single-bucket vocabulary)
     assert(rows.map(_.getAs[Int]("bucket")).distinct.length > InvertedIndex.NumBuckets / 2)
+  }
+
+  test("term_bucket codegen expression ≡ the splitmix64 UDF fold it replaced") {
+    // the layout-stability pin: the native expression must hash exactly
+    // like the original per-row Scala fold, or every existing postings
+    // directory silently mismatches its probes — including multi-byte
+    // UTF-8 terms (byte-level fold, not code points)
+    graft.expressions.GraftFunctions.register(spark)
+    def oldFold(term: String, n: Int): Int = {
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      var h = 0L
+      term.getBytes("UTF-8").foreach { b => h = mix(h ^ (b & 0xffL)) }
+      ((h >>> 1) % n).toInt
+    }
+    val terms = Seq("", "a", "column", "zzqx", "0", "the",
+      "éclair", "naïve", "日本語", "a b", "Mixed-Case")
+    import spark.implicits._
+    val viaExpr = terms.toDF("t")
+      .select(col("t"),
+        graft.expressions.GraftFunctions.termBucket(col("t"),
+          InvertedIndex.NumBuckets).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(viaExpr(t) === oldFold(t, InvertedIndex.NumBuckets),
+        s"expression diverges from the legacy fold on '$t'")
+      assert(viaExpr(t) === InvertedIndex.termBucket(t),
+        s"driver face diverges on '$t'")
+    }
+    // and the build path rides whole-stage codegen: over a real file
+    // scan (a local literal frame constant-folds to LocalTableScan), the
+    // bucket projection must sit inside a WholeStageCodegen span, not
+    // under a fenced-off eval-UDF project
+    val exec = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("t"))
+      .select(graft.expressions.GraftFunctions.termBucket(col("t"),
+        InvertedIndex.NumBuckets).as("b"))
+      .queryExecution.executedPlan
+    val inSpan = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("termbucket") => w
+    }
+    assert(inSpan.nonEmpty,
+      s"term_bucket projection not inside a WholeStageCodegen span:\n$exec")
+    val planStr = exec.toString
+    assert(!planStr.contains("BatchEval") &&
+      !planStr.toLowerCase.contains("scalaudf"),
+      s"a UDF survived on the bucket path:\n$planStr")
   }
 }
