@@ -61,9 +61,26 @@ object TxnLog {
     }
   }
 
-  /** Manifest N as (kind, file_name) rows. */
-  def manifest(spark: SparkSession, root: String, version: Int): DataFrame =
-    spark.read.parquet(s"$root/manifests/version=$version")
+  /** Fold a full checkpoint every this-many versions: commit cost stays
+    * O(change) and a reader resolves ≤ CheckpointInterval delta
+    * manifests past the newest checkpoint — Delta's _last_checkpoint /
+    * Iceberg's snapshot-manifest-list discipline.
+    */
+  val CheckpointInterval = 4
+
+  /** Version N RESOLVED to its live (kind, file_name, stats) rows —
+    * newest checkpoint ≤ N plus the delta-manifest suffix folded over
+    * it. The physical `manifests/version=K` directories hold DELTAS
+    * ((action add|remove, entry) rows, O(change) per commit), not full
+    * file lists.
+    */
+  def manifest(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    resolvedEntries(spark, root, version)
+      .map(e => (e.kind, e.file_name, e.min_id, e.max_id, e.n_rows, e.data_change))
+      .toDF("kind", "file_name", "min_id", "max_id", "n_rows", "data_change")
+  }
 
   /** One manifest row: a file the version references, with per-file
     * column statistics for data files (min/max/rows over [[statsCol]]) —
@@ -100,7 +117,8 @@ object TxnLog {
     *    the loser dies at the manifest write, BEFORE any pointer flip.
     */
   private def commit(spark: SparkSession, root: String,
-                     entries: Seq[ManifestEntry],
+                     adds: Seq[ManifestEntry],
+                     removes: Seq[(String, String)] = Nil,
                      expected: Option[Int] = None): Int = {
     val cur = latestVersion(spark, root)
     expected.foreach { e =>
@@ -108,11 +126,126 @@ object TxnLog {
         s"txn: commit based on v$e but table is at v$cur — re-read and retry")
     }
     val v = cur + 1
+    writeDeltaManifest(spark, root, v, adds, removes)
+    flipPointer(spark, root, v)
+    maybeCheckpoint(spark, root, v)
+    v
+  }
+
+  /** Write version `v`'s DELTA manifest: the commit's (action, entry)
+    * rows and nothing else — O(change) I/O however many files the table
+    * holds. `errorifexists` keeps the atomic version-slot reservation.
+    */
+  private def writeDeltaManifest(spark: SparkSession, root: String, v: Int,
+                                 adds: Seq[ManifestEntry],
+                                 removes: Seq[(String, String)]): Unit = {
     import spark.implicits._
-    entries.toDF()
+    (adds.map(e => ("add", e.kind, e.file_name, e.min_id, e.max_id,
+        e.n_rows, e.data_change)) ++
+      removes.map { case (k, n) =>
+        ("remove", k, n, None: Option[Long], None: Option[Long],
+          None: Option[Long], false)
+      })
+      .toDF("action", "kind", "file_name", "min_id", "max_id", "n_rows",
+        "data_change")
       .repartition(1)
       .write.mode("errorifexists").parquet(s"$root/manifests/version=$v")
-    flipPointer(spark, root, v)
+  }
+
+  /** Raw (action, entry) rows of one manifest/checkpoint directory.
+    * Tolerant of rows without the newer columns (a checkpoint stores
+    * plain adds; pre-delta manifests and spec-forged ghosts have no
+    * `action`): absent action reads as "add", absent stats as None.
+    */
+  private def readActions(spark: SparkSession,
+                          path: String): Seq[(String, ManifestEntry)] = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.toSet
+    def optCol(n: String) =
+      if (cols(n)) col(n).cast("long") else lit(null).cast("long")
+    df.select(
+        (if (cols("action")) col("action") else lit("add")).as("action"),
+        col("kind"), col("file_name"),
+        optCol("min_id"), optCol("max_id"), optCol("n_rows"),
+        (if (cols("data_change")) col("data_change") else lit(true))
+          .as("data_change"))
+      .collect().map { r =>
+        def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getString(0), ManifestEntry(r.getString(1), r.getString(2),
+          opt(3), opt(4), opt(5), r.getBoolean(6)))
+      }.toSeq
+  }
+
+  /** Newest checkpoint version ≤ v, if any. */
+  private def checkpointAtOrBefore(spark: SparkSession, root: String,
+                                   v: Int): Option[Int] = {
+    val f = fs(spark, root)
+    val d = new Path(s"$root/checkpoints")
+    if (!f.exists(d)) None
+    else f.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toInt)
+      .filter(_ <= v) match {
+        case Array() => None
+        case cs      => Some(cs.max)
+      }
+  }
+
+  /** Resolve version `v`'s live entries: newest checkpoint ≤ v as the
+    * base, then fold the delta suffix (add upserts the key, remove drops
+    * it). Driver-side fold over metadata-sized rows; the suffix is at
+    * most [[CheckpointInterval]] manifests long once checkpoints exist.
+    */
+  private def resolvedEntries(spark: SparkSession, root: String,
+                              v: Int): Seq[ManifestEntry] = {
+    if (v <= 0) return Nil
+    val cp = checkpointAtOrBefore(spark, root, v)
+    val base = scala.collection.mutable.LinkedHashMap[(String, String), ManifestEntry]()
+    cp.foreach { c =>
+      readActions(spark, s"$root/checkpoints/version=$c")
+        .foreach { case (_, e) => base((e.kind, e.file_name)) = e }
+    }
+    ((cp.getOrElse(0) + 1) to v).foreach { u =>
+      readActions(spark, s"$root/manifests/version=$u").foreach {
+        case ("remove", e) => base.remove((e.kind, e.file_name))
+        case (_, e)        => base((e.kind, e.file_name)) = e
+      }
+    }
+    base.values.toSeq
+  }
+
+  /** Write the checkpoint for `v` (tmp + rename for atomicity; a loser
+    * of the rename race simply discards its tmp — both wrote the same
+    * resolved content).
+    */
+  private def checkpointAt(spark: SparkSession, root: String, v: Int): Unit = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val dest = new Path(s"$root/checkpoints/version=$v")
+    if (f.exists(dest)) return
+    val tmp = s"$root/.cp-${java.util.UUID.randomUUID().toString.take(8)}"
+    resolvedEntries(spark, root, v)
+      .map(e => ("add", e.kind, e.file_name, e.min_id, e.max_id, e.n_rows,
+        e.data_change))
+      .toDF("action", "kind", "file_name", "min_id", "max_id", "n_rows",
+        "data_change")
+      .repartition(1)
+      .write.mode("overwrite").parquet(tmp)
+    f.mkdirs(dest.getParent)
+    if (!f.rename(new Path(tmp), dest)) f.delete(new Path(tmp), true)
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, root: String, v: Int): Unit =
+    if (v % CheckpointInterval == 0) checkpointAt(spark, root, v)
+
+  /** Fold a checkpoint at the current version on demand (the manual
+    * maintenance verb; commits auto-checkpoint every
+    * [[CheckpointInterval]] versions).
+    */
+  def checkpoint(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root)
+    require(v > 0, "txn: nothing to checkpoint (no commits)")
+    checkpointAt(spark, root, v)
     v
   }
 
@@ -169,13 +302,8 @@ object TxnLog {
 
   private def listedEntries(spark: SparkSession, root: String, version: Int,
                             kind: String): Seq[ManifestEntry] =
-    manifest(spark, root, version).filter(col("kind") === kind)
-      .select(col("file_name"), col("min_id"), col("max_id"), col("n_rows"),
-        col("data_change"))
-      .collect().map { r =>
-        def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
-        ManifestEntry(kind, r.getString(0), opt(1), opt(2), opt(3), r.getBoolean(4))
-      }.sortBy(_.file_name).toSeq
+    resolvedEntries(spark, root, version)
+      .filter(_.kind == kind).sortBy(_.file_name)
 
   private def listed(spark: SparkSession, root: String, version: Int,
                      kind: String): Seq[String] =
@@ -187,20 +315,18 @@ object TxnLog {
     commit(spark, root, stageFiles(df, root, "files", "data"))
   }
 
-  /** Append-only commit: new files join the live set; deletes carry over.
-    * `expectedVersion` opts into optimistic concurrency: the commit fails
-    * with [[CommitConflict]] if another writer landed since that read.
+  /** Append-only commit: the delta manifest lists ONLY the new files
+    * (everything live carries over implicitly) — commit I/O is O(the
+    * appended files), not O(table), however many files the table holds
+    * (TxnLogSpec pins the manifest row count). `expectedVersion` opts
+    * into optimistic concurrency: the commit fails with
+    * [[CommitConflict]] if another writer landed since that read.
     */
   def append(df: DataFrame, root: String,
              expectedVersion: Option[Int] = None): Int = {
     val spark = df.sparkSession
-    val v = expectedVersion.getOrElse(latestVersion(spark, root))
-    commit(spark, root,
-      listedEntries(spark, root, v, "data") ++
-        stageFiles(df, root, "files", "data") ++
-        listedEntries(spark, root, v, "delete") ++
-        listedEntries(spark, root, v, "txn"),
-      expectedVersion)
+    commit(spark, root, stageFiles(df, root, "files", "data"),
+      expected = expectedVersion)
   }
 
   /** EXACTLY-ONCE append: the (appId, batchId) high-watermark rides IN
@@ -220,14 +346,16 @@ object TxnLog {
     val last = txns.find(_.file_name.startsWith(prefix))
       .map(_.file_name.stripPrefix(prefix).toLong)
     if (last.exists(_ >= batchId)) None
+    // delta: the new files + the advanced watermark marker; the appId's
+    // PREVIOUS marker is removed in the same atomic commit (one live
+    // marker per appId, exactly the full-manifest behavior)
     else Some(commit(spark, root,
-      listedEntries(spark, root, v, "data") ++
-        stageFiles(df, root, "files", "data") ++
-        listedEntries(spark, root, v, "delete") ++
-        (txns.filterNot(_.file_name.startsWith(prefix)) :+
-          ManifestEntry("txn", s"$appId:$batchId", None, None, None,
-            data_change = false)),
-      Some(v)))
+      stageFiles(df, root, "files", "data") :+
+        ManifestEntry("txn", s"$appId:$batchId", None, None, None,
+          data_change = false),
+      removes = txns.filter(_.file_name.startsWith(prefix))
+        .map(e => (e.kind, e.file_name)),
+      expected = Some(v)))
   }
 
   // ------------------------------------------------- write-audit-publish
@@ -253,13 +381,8 @@ object TxnLog {
     val spark = df.sparkSession
     val v = latestVersion(spark, root)
     val staged = v + 1
-    import spark.implicits._
-    (listedEntries(spark, root, v, "data") ++
-      stageFiles(df, root, "files", "data") ++
-      listedEntries(spark, root, v, "delete") ++
-      listedEntries(spark, root, v, "txn")).toDF()
-      .repartition(1)
-      .write.mode("errorifexists").parquet(s"$root/manifests/version=$staged")
+    writeDeltaManifest(spark, root, staged,
+      stageFiles(df, root, "files", "data"), Nil)
     staged
   }
 
@@ -281,8 +404,12 @@ object TxnLog {
   def abortStaged(spark: SparkSession, root: String, staged: Int): Unit = {
     val cur = latestVersion(spark, root)
     require(staged == cur + 1, s"txn: cannot abort published version $staged")
+    // the staged delta's own adds are exactly the candidate's new files
+    // (prior-version membership double-checked for safety)
     val prior = listed(spark, root, cur, "data").toSet
-    val orphans = listed(spark, root, staged, "data").filterNot(prior)
+    val orphans = readActions(spark, s"$root/manifests/version=$staged")
+      .collect { case ("add", e) if e.kind == "data" => e.file_name }
+      .filterNot(prior)
     val f = fs(spark, root)
     orphans.foreach { n => f.delete(new Path(s"$root/files/$n"), false) }
     f.delete(new Path(s"$root/manifests/version=$staged"), true)
@@ -320,11 +447,7 @@ object TxnLog {
     val doomed = read(spark, root, Some(v), keepMeta = true).filter(pred)
       .select(col("__file").as("target_file"), col("__pos").as("pos"))
       .repartition(1) // one delta file per delete commit (DV convention)
-    commit(spark, root,
-      listedEntries(spark, root, v, "data") ++
-        listedEntries(spark, root, v, "delete") ++
-        stageFiles(doomed, root, "deletes", "delete") ++
-        listedEntries(spark, root, v, "txn"))
+    commit(spark, root, stageFiles(doomed, root, "deletes", "delete"))
   }
 
   /** Rewrite commit: fold the current version into fresh files with the
@@ -345,11 +468,15 @@ object TxnLog {
     else rows.repartition(numFiles)
     // dataChange=false: a rewrite commits the SAME logical rows — the
     // change-data feed must not read it as delete-everything+insert-all.
-    // txn watermarks survive the rewrite: dropping them would let a
-    // redelivered batch double-apply right after every compaction.
+    // txn watermarks survive the rewrite (no remove touches kind=txn);
+    // the delta REMOVES every folded data/delete file and adds the
+    // rewritten set — O(files touched), which for a full rewrite is the
+    // table, as compaction inherently is.
     commit(spark, root,
-      stageFiles(live, root, "files", "data", dataChange = false) ++
-        listedEntries(spark, root, v, "txn"))
+      stageFiles(live, root, "files", "data", dataChange = false),
+      removes = (listedEntries(spark, root, v, "data") ++
+        listedEntries(spark, root, v, "delete"))
+        .map(e => (e.kind, e.file_name)))
   }
 
   /** OPTIMIZE: re-cluster the live rows by Z-ORDER over two columns inside
@@ -388,8 +515,10 @@ object TxnLog {
       .sortWithinPartitions("__z")
       .drop("__z")
     commit(spark, root,
-      stageFiles(clustered, root, "files", "data", dataChange = false) ++
-        listedEntries(spark, root, v, "txn"))
+      stageFiles(clustered, root, "files", "data", dataChange = false),
+      removes = (listedEntries(spark, root, v, "data") ++
+        listedEntries(spark, root, v, "delete"))
+        .map(e => (e.kind, e.file_name)))
   }
 
   /** The data files a range predicate on [[statsCol]] selects at
@@ -440,6 +569,7 @@ object TxnLog {
     }
     val next = stageTablesAt(spark, root, v, tables)
     flipPointer(spark, root, next)
+    maybeCheckpoint(spark, root, next)
     next
   }
 
@@ -458,34 +588,20 @@ object TxnLog {
     */
   private def stageTablesAt(spark: SparkSession, root: String, v: Int,
                             tables: Seq[(String, DataFrame, Boolean)]): Int = {
-    val entries = stagedTableEntries(spark, root, v, tables)
-    import spark.implicits._
-    val next = v + 1
-    entries.toDF().repartition(1)
-      .write.mode("errorifexists").parquet(s"$root/manifests/version=$next")
-    next
-  }
-
-  private def stagedTableEntries(spark: SparkSession, root: String, v: Int,
-                                 tables: Seq[(String, DataFrame, Boolean)])
-      : Seq[ManifestEntry] = {
-    val touched = tables.map(_._1).toSet
-    val fresh = tables.flatMap { case (t, df, replace) =>
-      val prior = if (replace || v == 0) Nil
-                  else listedEntries(spark, root, v, s"data:$t")
-      prior ++ stageFiles(df, root, s"files/$t", s"data:$t")
+    // delta form: untouched tables carry over implicitly — the manifest
+    // holds only the touched tables' adds (and, for replace=true, the
+    // removes of their prior live files); commit I/O is O(change)
+    val adds = tables.flatMap { case (t, df, _) =>
+      stageFiles(df, root, s"files/$t", s"data:$t")
     }
-    val carried = if (v == 0) Nil else
-      manifest(spark, root, v)
-        .filter(!col("kind").isin(touched.toSeq.map(t => s"data:$t"): _*))
-        .select(col("kind"), col("file_name"), col("min_id"), col("max_id"),
-          col("n_rows"), col("data_change"))
-        .collect().map { r =>
-          def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
-          ManifestEntry(r.getString(0), r.getString(1), opt(2), opt(3), opt(4),
-            r.getBoolean(5))
-        }.sortBy(e => (e.kind, e.file_name)).toSeq
-    fresh ++ carried
+    val removes = tables.flatMap { case (t, _, replace) =>
+      if (replace && v > 0)
+        listedEntries(spark, root, v, s"data:$t").map(e => (e.kind, e.file_name))
+      else Nil
+    }
+    val next = v + 1
+    writeDeltaManifest(spark, root, next, adds, removes)
+    next
   }
 
   /** Read table `table` of a multi-table log at `version` (default
@@ -642,13 +758,24 @@ object TxnLog {
     }
   }
 
-  /** (version, n_data_files, n_delete_files) across the whole log. */
-  def history(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/manifests")
-      .groupBy(col("version").cast("long").as("version"))
-      .agg(sum(when(col("kind") === "data", 1L).otherwise(0L)).as("n_data_files"),
-        sum(when(col("kind") === "delete", 1L).otherwise(0L)).as("n_delete_files"))
+  /** (version, n_data_files, n_delete_files) across the whole log —
+    * each version RESOLVED through the checkpoint+delta fold (the raw
+    * per-version manifests are deltas and no longer carry full counts).
+    * Driver loop over metadata-sized folds.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val versions = f.listStatus(new Path(s"$root/manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("version="))
+      .map(_.stripPrefix("version=").toInt).sorted.toSeq
+    versions.map { v =>
+      val es = resolvedEntries(spark, root, v)
+      (v.toLong, es.count(_.kind == "data").toLong,
+        es.count(_.kind == "delete").toLong)
+    }.toDF("version", "n_data_files", "n_delete_files")
       .orderBy(col("version"))
+  }
 
   /** Reclaim files referenced by NO manifest ≥ (latest − keepVersions + 1)
     * and drop the older manifests. Returns the deleted file names. The
@@ -690,6 +817,17 @@ object TxnLog {
           else if (keep.contains((kind, n))) Nil
           else { f.delete(st.getPath, false); Seq(n) }
         }.toSeq
+    }
+    if (keepFrom > 1) {
+      // materialize the oldest retained version as a checkpoint WHILE its
+      // delta prefix still exists: after the drop below, resolution for
+      // every retained version starts from this checkpoint instead of
+      // the (gone) version-1 prefix
+      checkpointAt(spark, root, keepFrom)
+      val cpd = new Path(s"$root/checkpoints")
+      if (f.exists(cpd)) f.listStatus(cpd).map(_.getPath)
+        .filter(_.getName.stripPrefix("version=").toInt < keepFrom)
+        .foreach(p => f.delete(p, true))
     }
     (1 until keepFrom).foreach { v =>
       f.delete(new Path(s"$root/manifests/version=$v"), true)

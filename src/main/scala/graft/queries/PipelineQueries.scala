@@ -2013,22 +2013,19 @@ object PipelineQueries {
     // version's files — the manifest filter IS the table), subtract its
     // listed delete deltas by (target_file, pos).
     "tt_read_latest" -> duckTxnRead(
-      "(SELECT max(version) FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true))"),
+      "SELECT max(version) FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)"),
 
     "tt_read_v2" -> duckTxnRead("2"),
 
     // evolved-schema read: union_by_name fills the pre-evolution files'
     // missing `quality` with NULL, exactly like Spark's mergeSchema
     "tt_evolved_read" ->
-      """WITH m AS (
-        |  SELECT kind, file_name
-        |  FROM read_parquet('__TTE_MANIFESTS__/*/*.parquet', hive_partitioning=true)
-        |  WHERE version =
-        |    (SELECT max(version)
-        |     FROM read_parquet('__TTE_MANIFESTS__/*/*.parquet', hive_partitioning=true))),
+      s"""WITH m AS (
+        |  ${duckManifestAt("__TTE_MANIFESTS__",
+             "SELECT max(version) FROM read_parquet('__TTE_MANIFESTS__/*/*.parquet', hive_partitioning=true)")}),
         |data AS (
         |  SELECT doc_id, lang, n_chars, quality,
-        |    regexp_extract(filename, '[^/]+$') AS fn, file_row_number AS pos
+        |    regexp_extract(filename, '[^/]+$$') AS fn, file_row_number AS pos
         |  FROM read_parquet('__TTE_FILES__/*.parquet',
         |         filename=true, file_row_number=true, union_by_name=true)),
         |live AS (
@@ -2037,7 +2034,7 @@ object PipelineQueries {
         |dels AS (
         |  SELECT t.target_file, t.pos
         |  FROM read_parquet('__TTE_DELETES__/*.parquet', filename=true) t
-        |  WHERE regexp_extract(t.filename, '[^/]+$')
+        |  WHERE regexp_extract(t.filename, '[^/]+$$')
         |    IN (SELECT file_name FROM m WHERE kind = 'delete'))
         |SELECT doc_id, lang, n_chars, quality FROM live d
         |WHERE NOT EXISTS (
@@ -2053,18 +2050,16 @@ object PipelineQueries {
     // both tables of the multi-table log resolved from ONE manifest
     // version (the atomic pair), then the same df/idf arithmetic
     "tt_multi_idf" ->
-      """WITH m AS (
-        |  SELECT kind, file_name
-        |  FROM read_parquet('__TTM_MANIFESTS__/*/*.parquet', hive_partitioning=true)
-        |  WHERE version = 2),
+      s"""WITH m AS (
+        |  ${duckManifestAt("__TTM_MANIFESTS__", "2")}),
         |p AS (
-        |  SELECT term, doc_id, regexp_extract(filename, '[^/]+$') AS fn
+        |  SELECT term, doc_id, regexp_extract(filename, '[^/]+$$') AS fn
         |  FROM read_parquet('__TTM_POST__/*.parquet', filename=true)),
         |lp AS (
         |  SELECT term, doc_id FROM p
         |  WHERE fn IN (SELECT file_name FROM m WHERE kind = 'data:postings')),
         |mt AS (
-        |  SELECT n_docs, regexp_extract(filename, '[^/]+$') AS fn
+        |  SELECT n_docs, regexp_extract(filename, '[^/]+$$') AS fn
         |  FROM read_parquet('__TTM_META__/*.parquet', filename=true)),
         |lmt AS (
         |  SELECT n_docs FROM mt
@@ -2078,21 +2073,17 @@ object PipelineQueries {
 
     // CDF replay: the same file-diff over the dumped manifests.
     "tt_changes" ->
-      """WITH m1 AS (
-        |  SELECT kind, file_name
-        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
-        |  WHERE version = 1),
+      s"""WITH m1 AS (
+        |  ${duckManifestAt("__TT_MANIFESTS__", "1")}),
         |m3 AS (
-        |  SELECT kind, file_name
-        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
-        |  WHERE version = 3),
+        |  ${duckManifestAt("__TT_MANIFESTS__", "3")}),
         |data AS (
         |  SELECT doc_id, lang, n_chars,
-        |    regexp_extract(filename, '[^/]+$') AS fn, file_row_number AS pos
+        |    regexp_extract(filename, '[^/]+$$') AS fn, file_row_number AS pos
         |  FROM read_parquet('__TT_FILES__/*.parquet',
         |         filename=true, file_row_number=true)),
         |deltas AS (
-        |  SELECT regexp_extract(filename, '[^/]+$') AS delta_file,
+        |  SELECT regexp_extract(filename, '[^/]+$$') AS delta_file,
         |    target_file, pos
         |  FROM read_parquet('__TT_DELETES__/*.parquet', filename=true)),
         |newfiles AS (
@@ -2121,12 +2112,10 @@ object PipelineQueries {
     // IVM proof: the DIRECT per-lang counts at v3 — the Spark side folds
     // CDF deltas instead; hash-match proves incremental ≡ direct.
     "tt_ivm_langs" ->
-      """WITH m AS (
-        |  SELECT kind, file_name
-        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
-        |  WHERE version = 3),
+      s"""WITH m AS (
+        |  ${duckManifestAt("__TT_MANIFESTS__", "3")}),
         |data AS (
-        |  SELECT lang, regexp_extract(filename, '[^/]+$') AS fn,
+        |  SELECT lang, regexp_extract(filename, '[^/]+$$') AS fn,
         |    file_row_number AS pos
         |  FROM read_parquet('__TT_FILES__/*.parquet',
         |         filename=true, file_row_number=true)),
@@ -2136,18 +2125,30 @@ object PipelineQueries {
         |dels AS (
         |  SELECT t.target_file, t.pos
         |  FROM read_parquet('__TT_DELETES__/*.parquet', filename=true) t
-        |  WHERE regexp_extract(t.filename, '[^/]+$')
+        |  WHERE regexp_extract(t.filename, '[^/]+$$')
         |    IN (SELECT file_name FROM m WHERE kind = 'delete'))
         |SELECT lang, count(*)::BIGINT AS n_docs FROM live d
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM dels x WHERE x.target_file = d.fn AND x.pos = d.pos)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // per-version counts over the RESOLVED live set: join every version
+    // with its delta prefix, keep each (kind, file)'s newest action ≤ v
     "tt_history" ->
-      """SELECT version::BIGINT AS version,
-        |  sum(CASE WHEN kind = 'data' THEN 1 ELSE 0 END)::BIGINT AS n_data_files,
-        |  sum(CASE WHEN kind = 'delete' THEN 1 ELSE 0 END)::BIGINT AS n_delete_files
-        |FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)
+      """WITH acts AS (
+        |  SELECT version, action, kind, file_name
+        |  FROM read_parquet('__TT_MANIFESTS__/*/*.parquet', hive_partitioning=true)),
+        |vs AS (SELECT DISTINCT version FROM acts),
+        |live AS (
+        |  SELECT vs.version, a.kind, a.file_name, a.action
+        |  FROM vs JOIN acts a ON a.version <= vs.version
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vs.version, a.kind, a.file_name
+        |    ORDER BY a.version DESC) = 1)
+        |SELECT version::BIGINT AS version,
+        |  sum(CASE WHEN kind = 'data' AND action = 'add' THEN 1 ELSE 0 END)::BIGINT AS n_data_files,
+        |  sum(CASE WHEN kind = 'delete' AND action = 'add' THEN 1 ELSE 0 END)::BIGINT AS n_delete_files
+        |FROM live
         |GROUP BY 1 ORDER BY version""".stripMargin,
 
     // The whole point of the fingerprint: a DIFFERENT engine computes the
@@ -2269,14 +2270,27 @@ object PipelineQueries {
     }
   )
 
+  /** Resolved live (kind, file_name) set of the DELTA manifest log at a
+    * version — the mechanical mirror of TxnLog.resolvedEntries: per
+    * (kind, file_name) the newest action ≤ v wins, and only adds
+    * survive. (The oracle folds the whole delta prefix; the engine
+    * starts from the newest checkpoint — same fixpoint by construction,
+    * which is exactly what the hash-match proves.)
+    */
+  private def duckManifestAt(man: String, versionExpr: String): String =
+    s"""SELECT kind, file_name FROM (
+       |    SELECT kind, file_name, action, row_number() OVER (
+       |        PARTITION BY kind, file_name ORDER BY version DESC) AS __mrn
+       |    FROM read_parquet('$man/*/*.parquet', hive_partitioning=true)
+       |    WHERE version <= ($versionExpr))
+       |  WHERE __mrn = 1 AND action = 'add'""".stripMargin
+
   private def duckTxnRead(versionExpr: String, where: String = "1 = 1",
                           man: String = "__TT_MANIFESTS__",
                           files: String = "__TT_FILES__",
                           dels: String = "__TT_DELETES__"): String =
     s"""WITH m AS (
-       |  SELECT kind, file_name
-       |  FROM read_parquet('$man/*/*.parquet', hive_partitioning=true)
-       |  WHERE version = $versionExpr),
+       |  ${duckManifestAt(man, versionExpr)}),
        |data AS (
        |  SELECT doc_id, lang, n_chars,
        |    regexp_extract(filename, '[^/]+$$') AS fn, file_row_number AS pos

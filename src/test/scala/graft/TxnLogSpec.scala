@@ -93,6 +93,51 @@ class TxnLogSpec extends AnyFunSuite {
     intercept[Exception] { TxnLog.read(spark, root, Some(3)).count() }
   }
 
+  test("delta log: a 1-file append writes an O(1)-row manifest on a many-file table") {
+    val root = freshRoot() + "-delta"
+    TxnLog.init(docs.repartition(8, col("doc_id")), root)           // v1
+    TxnLog.append(docs.limit(50).repartition(4), root)              // v2
+    val nTableFiles = TxnLog.manifest(spark, root, 2)
+      .filter(col("kind") === "data").count()
+    assert(nTableFiles >= 9, s"fixture too small: $nTableFiles files")
+    TxnLog.append(docs.limit(5).repartition(1), root)               // v3
+    // THE scaling claim: the commit's physical manifest is the delta —
+    // one add row — not a rewrite of the N-file list
+    val m3 = spark.read.parquet(s"$root/manifests/version=3")
+    assert(m3.count() === 1,
+      s"append manifest should hold exactly the 1 new file, got ${m3.count()}")
+    assert(m3.head().getAs[String]("action") === "add")
+    // and the RESOLVED view still carries every live file + its stats
+    assert(TxnLog.manifest(spark, root, 3)
+      .filter(col("kind") === "data").count() === nTableFiles + 1)
+    assert(TxnLog.read(spark, root).count() ===
+      docs.count() + 50 + 5)
+  }
+
+  test("checkpoint: auto-fold every K commits; vacuumed delta prefix stays resolvable") {
+    val root = freshRoot() + "-cp"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (1 to 6).foreach { i => TxnLog.append(docs.limit(10 * i), root) }
+    // CheckpointInterval=4 → an automatic checkpoint exists at v4
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$root/checkpoints/version=${TxnLog.CheckpointInterval}")),
+      "no auto-checkpoint at the interval boundary")
+    val wantV5 = TxnLog.read(spark, root, Some(5)).count()
+    val wantV6 = TxnLog.read(spark, root, Some(6)).count()
+    // vacuum keeps v5..v6, drops manifests 1..4 — resolution for the
+    // retained versions must re-base onto the checkpoint vacuum folds
+    // at keepFrom, not the (gone) version-1 delta prefix
+    TxnLog.vacuum(spark, root, keepVersions = 2)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/manifests/version=1")))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/checkpoints/version=5")))
+    assert(TxnLog.read(spark, root, Some(5)).count() === wantV5)
+    assert(TxnLog.read(spark, root, Some(6)).count() === wantV6)
+    // manual checkpoint verb is idempotent and current
+    assert(TxnLog.checkpoint(spark, root) === 6)
+    assert(TxnLog.read(spark, root, Some(6)).count() === wantV6)
+  }
+
   test("vacuum during a WAP window keeps the staged (unpublished) version's files") {
     // write-audit-publish: v3 is staged (manifest written, pointer not
     // flipped) while vacuum runs — its data files are invisible to
