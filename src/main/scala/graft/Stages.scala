@@ -58,6 +58,7 @@ object Stages {
     "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
     "logreg-calib" -> ((s, d) => { operators.LogReg.calibration(s, d); () }),
     "logreg-cv"    -> ((s, d) => { operators.LogReg.cvModel(s, d); () }),
+    "langid-model" -> ((s, d) => { operators.LangId.model(s, d); () }),
     "conformal-model" -> ((s, d) => { operators.Conformal.model(s, d); () }),
     "mv-layout"    -> ((s, d) => { plans.MvDemo.ensure(s, d); () })
   )
@@ -83,6 +84,7 @@ object Stages {
     operators.DeletionVectors.resetMemos()
     operators.Unigram.resetMemos()
     operators.TxnLog.resetMemos()
+    operators.LangId.resetMemos()
     operators.InvertedIndex.resetMemos()
     sources.JdbcStore.resetMemos()
     sources.SkipIndex.resetMemos()

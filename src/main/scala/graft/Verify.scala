@@ -103,6 +103,7 @@ object Verify {
       "__WORDVEC__"      -> graft.operators.WordVec.vectorsPath(sfDir),
       "__QREG__"         -> graft.operators.QuantileReg.modelPath(sfDir),
       "__LOGREG_CV__"    -> graft.operators.LogReg.cvPath(sfDir),
+      "__LANGID_W__"     -> graft.operators.LangId.modelPath(sfDir),
       "__TTE_FILES__"    -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/files"),
       "__TTE_DELETES__"  -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/deletes"),
       "__TTE_MANIFESTS__" -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/manifests"))

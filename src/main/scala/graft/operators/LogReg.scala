@@ -206,11 +206,13 @@ object LogReg {
     fitFrame(featureFrame(spark, sfDir).localCheckpoint())
 
   /** The IRLS loop over an already-materialized feature frame — the
-    * shared core of the full-corpus fit and the per-fold CV fits.
+    * shared core of the full-corpus fit, the per-fold CV fits, and the
+    * one-vs-rest [[LangId]] fits (`dim` generalizes past this object's
+    * own feature set).
     */
-  private[graft] def fitFrame(feats: DataFrame)
+  private[graft] def fitFrame(feats: DataFrame, dim: Int = Dim)
       : (Array[Double], Seq[(Int, Double)]) = {
-    var w = new Array[Double](Dim)
+    var w = new Array[Double](dim)
     val trace = Seq.newBuilder[(Int, Double)]
     for (it <- 0 until Iters) {
       // one digest per iteration: dev is AT the incoming w, so trace(it)

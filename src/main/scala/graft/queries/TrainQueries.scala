@@ -510,6 +510,49 @@ object TrainQueries {
         .select(col("bin"), col("n"), col("raw_rate"),
           round(col("cal_rate"), 6).as("cal_rate"))
         .orderBy(col("bin"))
+    }),
+
+    // Trained MULTICLASS lang-id (operators/LangId): the dumped
+    // one-vs-rest model, one (class, j) weight per row — the dumped-model
+    // replay face (the oracle reads the same parquet; the fit is
+    // engine-specific and never re-run).
+    "langid_model" -> ((s, dir) => {
+      graft.operators.LangId.model(s, dir)
+      s.read.parquet(graft.operators.LangId.modelPath(dir))
+        .select(col("class"), col("j"), col("feat"), round(col("w"), 6).as("w"))
+        .orderBy(col("class"), col("j"))
+    }),
+
+    // Lang-id confusion matrix: map-only K-score argmax (weights as
+    // literals, round-6 scores, earliest-class tiebreak) then one
+    // partial+final count aggregation — the oracle recomputes the SAME
+    // scoring from the dump, so the whole multiclass serve path
+    // hash-checks cross-engine.
+    "langid_eval" -> ((s, dir) => {
+      val m = graft.operators.LangId.model(s, dir)
+      documents(s, dir)
+        .select(col("lang"),
+          graft.operators.LangId.predict(col("text"), m).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // Headline accuracy beside the majority-class share — the "did the
+    // model learn ANYTHING" gate (LangIdSpec pins accuracy > majority).
+    "langid_accuracy" -> ((s, dir) => {
+      val m = graft.operators.LangId.model(s, dir)
+      documents(s, dir)
+        .select(col("lang"),
+          graft.operators.LangId.predict(col("text"), m).as("pred"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("lang") === col("pred")).cast("long")).as("n_correct"),
+          round(avg((col("lang") === col("pred")).cast("double")), 6)
+            .as("accuracy"))
+        .crossJoin(broadcast(
+          documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cn"))
+            .agg(round(max(col("cn")).cast("double") /
+              sum(col("cn")).cast("double"), 6).as("majority_share"))))
     })
   )
 
@@ -802,8 +845,71 @@ object TrainQueries {
          |c AS (SELECT bin, cal_rate
          |      FROM read_parquet('__LOGREG_CAL__/*.parquet'))
          |SELECT b.bin, b.n, b.raw_rate, round(c.cal_rate, 6) AS cal_rate
-         |FROM b JOIN c USING (bin) ORDER BY b.bin""".stripMargin
+         |FROM b JOIN c USING (bin) ORDER BY b.bin""".stripMargin,
+
+    "langid_model" ->
+      """SELECT class, j, feat, round(w, 6) AS w
+        |FROM read_parquet('__LANGID_W__/*.parquet')
+        |ORDER BY class, j""".stripMargin,
+
+    "langid_eval" ->
+      s"""WITH ${duckLangidScored}
+         |SELECT lang, pred, count(*)::BIGINT AS n
+         |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "langid_accuracy" ->
+      s"""WITH ${duckLangidScored},
+         |mj AS (
+         |  SELECT round(max(cn)::DOUBLE / sum(cn)::DOUBLE, 6) AS majority_share
+         |  FROM (SELECT count(*) AS cn FROM documents GROUP BY lang))
+         |SELECT count(*)::BIGINT AS n,
+         |  sum(CASE WHEN lang = pred THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+         |  round(avg(CASE WHEN lang = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+         |  any_value(majority_share) AS majority_share
+         |FROM p CROSS JOIN mj""".stripMargin
   )
+
+  /** The lang-id scoring replay: pivot the dumped (class, j, w) rows into
+    * one wide weight row, compute the 14 shared feature expressions once
+    * per doc, each class's round-6 linear score in fixed j order, then
+    * the earliest-class-tiebreak argmax as a CASE chain (branch k fires
+    * iff z_k ≥ every LATER class's score — the first true branch is the
+    * argmax with ties to the asc-earliest class, exactly
+    * LangId.predict's strict-greater fold).
+    */
+  private def duckLangidScored: String = {
+    import graft.operators.LangId
+    val t = TextQueries.duckToks("text")
+    val xs = duckLogregX ++ LangId.FeatTokens.map { tok =>
+      s"""CASE WHEN len($t) = 0 THEN 0.0
+         | ELSE len(list_filter($t, x -> x = '$tok'))::DOUBLE / len($t)::DOUBLE END""".stripMargin
+    }
+    val pivot = LangId.Classes.flatMap { k =>
+      (0 until LangId.Dim).map(j =>
+        s"max(CASE WHEN class = '$k' AND j = $j THEN w END) AS ${k}_w$j")
+    }.mkString("SELECT ", ", ", " FROM read_parquet('__LANGID_W__/*.parquet')")
+    val featCols = xs.zipWithIndex
+      .map { case (x, j) => s"($x) AS x$j" }.mkString(",\n    ")
+    val zCols = LangId.Classes.map { k =>
+      val z = (0 until LangId.Dim).map(j => s"f.x$j * w.${k}_w$j").mkString(" + ")
+      s"round($z, 6) AS z_$k"
+    }.mkString(",\n    ")
+    val branches = LangId.Classes.init.zipWithIndex.map { case (k, i) =>
+      val later = LangId.Classes.drop(i + 1).map(k2 => s"z_$k >= z_$k2")
+      s"WHEN ${later.mkString(" AND ")} THEN '$k'"
+    }.mkString("\n      ")
+    s"""w AS ($pivot),
+       |f AS (SELECT doc_id, lang,
+       |    $featCols
+       |  FROM documents),
+       |s AS (SELECT f.doc_id, f.lang,
+       |    $zCols
+       |  FROM f CROSS JOIN w),
+       |p AS (SELECT doc_id, lang,
+       |    CASE $branches
+       |      ELSE '${LangId.Classes.last}' END AS pred
+       |  FROM s)""".stripMargin
+  }
 
   /** Pivot the dumped weight rows (j, feat, w) into one row of w0..w5 —
     * the oracle's broadcast of the trained model.
@@ -836,19 +942,28 @@ object TrainQueries {
     * order as LogReg.linear — the only cross-engine divergence left in the
     * score is the exp() ULP, absorbed by round-6.
     */
-  private def duckLogregZ: String = {
+  /** The six LogReg feature expressions, model order (x0 = bias) — ONE
+    * SQL definition shared by the binary quality scorers and the
+    * multiclass [[graft.operators.LangId]] replay.
+    */
+  private[queries] def duckLogregX: Seq[String] = {
     val t = TextQueries.duckToks("text")
     val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
-    val x1 = s"len($t)::DOUBLE / 100.0"
-    val x2 = s"""CASE WHEN len($t) = 0 THEN 0.0
-                | ELSE list_sum(list_transform($t, x -> length(x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin
-    val x3 = """CASE WHEN length(text) = 0 THEN 0.0
-               | ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin
-    val x4 = """CASE WHEN length(text) = 0 THEN 0.0
-               | ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin
-    val x5 = s"""CASE WHEN len($t) = 0 THEN 0.0
-                | ELSE len(list_filter($t, x -> list_contains([$stops], x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin
-    s"""1.0 * w.w0 + ($x1) * w.w1 + ($x2) * w.w2
-       | + ($x3) * w.w3 + ($x4) * w.w4 + ($x5) * w.w5""".stripMargin
+    Seq(
+      "1.0",
+      s"len($t)::DOUBLE / 100.0",
+      s"""CASE WHEN len($t) = 0 THEN 0.0
+         | ELSE list_sum(list_transform($t, x -> length(x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin,
+      """CASE WHEN length(text) = 0 THEN 0.0
+        | ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin,
+      """CASE WHEN length(text) = 0 THEN 0.0
+        | ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END""".stripMargin,
+      s"""CASE WHEN len($t) = 0 THEN 0.0
+         | ELSE len(list_filter($t, x -> list_contains([$stops], x)))::DOUBLE / len($t)::DOUBLE END""".stripMargin)
   }
+
+  private def duckLogregZ: String =
+    duckLogregX.zipWithIndex
+      .map { case (x, j) => s"($x) * w.w$j" }
+      .mkString(" + ")
 }
