@@ -54,6 +54,8 @@ object Stages {
     "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
     "wordvec-model" -> ((s, d) => {
       operators.WordVec.model(s, d, sp => queries.TextQueries.stagedBigrams(sp, d)); () }),
+    "wordann-layout" -> ((s, d) => {
+      operators.WordVec.annLayout(s, d, sp => queries.TextQueries.stagedBigrams(sp, d)); () }),
     "qreg-model"   -> ((s, d) => { operators.QuantileReg.model(s, d); () }),
     "logreg-model" -> ((s, d) => { operators.LogReg.model(s, d); () }),
     "logreg-calib" -> ((s, d) => { operators.LogReg.calibration(s, d); () }),

@@ -101,6 +101,8 @@ object Verify {
       "__TTM_META__"     -> (graft.operators.TxnLog.multiLayoutPath(sfDir) + "/files/meta"),
       "__CONFORMAL_M__"  -> graft.operators.Conformal.modelPath(sfDir),
       "__WORDVEC__"      -> graft.operators.WordVec.vectorsPath(sfDir),
+      "__WORDANN__"      -> graft.operators.WordVec.annPath(sfDir),
+      "__WORDANN_CENTS__" -> graft.operators.WordVec.annCentsPath(sfDir),
       "__QREG__"         -> graft.operators.QuantileReg.modelPath(sfDir),
       "__LOGREG_CV__"    -> graft.operators.LogReg.cvPath(sfDir),
       "__LANGID_W__"     -> graft.operators.LangId.modelPath(sfDir),

@@ -51,9 +51,53 @@ object WordVec {
   val K = 16 // embedding dim — small enough that k×k driver math is noise
 
   private val models = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val annMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Int, Array[Double])])]()
 
   /** Drop the JVM memo so Bench's second stage pass times a cold build. */
-  private[graft] def resetMemos(): Unit = models.clear()
+  private[graft] def resetMemos(): Unit = { models.clear(); annMemo.clear() }
+
+  val AnnCells = 4 // trained cells over the vocab-sized vector table
+
+  def annPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-wordann-" + Ann.pathToken(s"$sfDir/$K/$AnnCells")
+
+  def annCentsPath(sfDir: String): String = annPath(sfDir) + "-cents"
+
+  /** Trained IVF layout OVER THE DUMPED WORD VECTORS — the serving
+    * composition: word similarity/analogy queries probe a cell-pruned
+    * index exactly like the document-embedding family (Ann.kmeansLayout's
+    * recipe applied to the model artifact instead of the corpus). At a
+    * real web vocabulary (millions of words × k floats) an exact scan per
+    * probe is a full model pass; the trained cells cut it to
+    * nprobe/cells of the table, and both halves of the index dump beside
+    * the vectors so the DuckDB oracle replays search over the SAME
+    * layout (training stays engine-specific).
+    */
+  def annLayout(spark: SparkSession, sfDir: String,
+                stage: SparkSession => DataFrame)
+      : (String, Seq[(Int, Array[Double])]) =
+    annMemo.computeIfAbsent(sfDir, { _ =>
+      val vecsPath = model(spark, sfDir, stage)
+      val dir = annPath(sfDir)
+      val vecs = spark.read.parquet(vecsPath)
+      val prepared = vecs.withColumn("__v",
+        org.apache.spark.ml.functions.array_to_vector(col("vec")))
+        .repartition(1).cache()
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(AnnCells).setSeed(42L).setMaxIter(20)
+        .setDistanceMeasure("cosine")
+        .setFeaturesCol("__v").setPredictionCol("cell")
+        .fit(prepared)
+      km.transform(prepared).drop("__v")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      prepared.unpersist()
+      val centers = km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+      Ann.centroidsDf(spark, centers).coalesce(1)
+        .write.mode("overwrite").parquet(annCentsPath(sfDir))
+      (dir, centers)
+    })
 
   /** On-disk location of the dumped vectors: rows (word, n_word, vec). */
   def vectorsPath(sfDir: String): String =

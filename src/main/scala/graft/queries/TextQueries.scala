@@ -1273,6 +1273,87 @@ object TextQueries {
         .orderBy(col("probe"), col("rank"))
     }),
 
+    // WORD ANALOGY through the trained word-vector ANN index — the
+    // serving COMPOSITION (WordVec × the IVF family): probe vectors
+    // q = (v(a) − v(b)) + v(c) over deterministic top-frequency word
+    // triples, cell-pruned against the KMeans layout trained ON the
+    // dumped vectors (WordVec.annLayout), nprobe=2, top-5 by rounded
+    // cosine with a word tiebreak, the probe's own three words excluded.
+    // At a real million-word vocabulary this is the difference between a
+    // full model pass per probe and nprobe/cells of it. Oracled by
+    // dumped-vector + dumped-index replay — training never re-runs.
+    "word_analogy" -> ((s, dir) => {
+      import graft.operators.{Ann, WordVec}
+      graft.expressions.GraftFunctions.register(s)
+      val (layout, cents) = WordVec.annLayout(s, dir, sp => stagedBigrams(sp, dir))
+      val probes = wordAnalogyProbes(s, dir)
+      val wC = Window.partitionBy(col("pid"))
+        .orderBy(col("__cs").desc, col("__cc").asc)
+      val probeCells = probes
+        .crossJoin(broadcast(Ann.centroidsDf(s, cents)
+          .select(col("cell").as("__cc"), col("centroid"))))
+        .withColumn("__cs", round(
+          graft.expressions.GraftFunctions.cosineSim(col("q"), col("centroid")), 6))
+        .withColumn("__rn", row_number().over(wC))
+        .filter(col("__rn") <= 2)
+        .select(col("pid"), col("wa"), col("wb"), col("wc"), col("q"),
+          col("__cc").as("cell"))
+      s.read.parquet(layout)
+        .join(broadcast(probeCells), Seq("cell"))
+        .filter(col("word") =!= col("wa") && col("word") =!= col("wb") &&
+          col("word") =!= col("wc"))
+        .withColumn("cos", round(
+          graft.expressions.GraftFunctions.cosineSim(col("q"), col("vec")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("cos").desc, col("word").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("pid"), col("wa"), col("wb"), col("wc"), col("word"),
+          col("cos"), col("rank"))
+        .orderBy(col("pid"), col("rank"))
+    }),
+
+    // Recall audit of the indexed analogy serve vs the exact scan over
+    // the full vector table — the same honesty check every ANN face in
+    // the repo carries (ann_hnsw_recall, lsh_recall_audit). Both paths
+    // replay from dumps, so the recall number itself is oracled.
+    "word_analogy_recall" -> ((s, dir) => {
+      import graft.operators.{Ann, WordVec}
+      graft.expressions.GraftFunctions.register(s)
+      val (layout, cents) = WordVec.annLayout(s, dir, sp => stagedBigrams(sp, dir))
+      val probes = wordAnalogyProbes(s, dir)
+      val vecs = s.read.parquet(WordVec.vectorsPath(dir))
+      def ranked(cand: DataFrame): DataFrame = cand
+        .filter(col("word") =!= col("wa") && col("word") =!= col("wb") &&
+          col("word") =!= col("wc"))
+        .withColumn("cos", round(
+          graft.expressions.GraftFunctions.cosineSim(col("q"), col("vec")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("cos").desc, col("word").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("pid"), col("word"))
+      val exact = ranked(vecs.crossJoin(broadcast(probes)))
+      val wC = Window.partitionBy(col("pid"))
+        .orderBy(col("__cs").desc, col("__cc").asc)
+      val probeCells = probes
+        .crossJoin(broadcast(Ann.centroidsDf(s, cents)
+          .select(col("cell").as("__cc"), col("centroid"))))
+        .withColumn("__cs", round(
+          graft.expressions.GraftFunctions.cosineSim(col("q"), col("centroid")), 6))
+        .withColumn("__rn", row_number().over(wC))
+        .filter(col("__rn") <= 2)
+        .select(col("pid"), col("wa"), col("wb"), col("wc"), col("q"),
+          col("__cc").as("cell"))
+      val appr = ranked(s.read.parquet(layout).join(broadcast(probeCells), Seq("cell")))
+      appr.join(exact, Seq("pid", "word"), "left_semi")
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(col("pid"), lit(5).as("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+        .orderBy(col("pid"))
+    }),
+
     // Spectrum audit of the dumped word-vector table: WᵀW = Σ by
     // construction (Q orthonormal, U rotation, columns scaled σ^½), so
     // per-component energy must descend — the "did the factorization
@@ -2480,6 +2561,36 @@ object TextQueries {
         |  round(sum(vec[i] * vec[i]), 6) AS energy
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // analogy replay: rebuild the same probes from the dumped vectors
+    // ((v(a) − v(b)) + v(c) in the same IEEE order), prune to the dumped
+    // trained cells, rank the rounded cosine — dumped-vector +
+    // dumped-index replay end to end
+    "word_analogy" ->
+      s"""WITH $duckWordAnalogyCtes
+         |SELECT pid, wa, wb, wc, word, cos, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "word_analogy_recall" ->
+      s"""WITH $duckWordAnalogyCtes,
+         |exscored AS (
+         |  SELECT p.pid, e.word,
+         |    round(${VectorQueries.duckCosine("e.vec", "p.q")}, 6) AS cos
+         |  FROM v e CROSS JOIN probes p
+         |  WHERE e.word <> p.wa AND e.word <> p.wb AND e.word <> p.wc),
+         |exact AS (
+         |  SELECT pid, word FROM (
+         |    SELECT pid, word, row_number() OVER (
+         |        PARTITION BY pid ORDER BY cos DESC, word ASC) AS rank
+         |    FROM exscored)
+         |  WHERE rank <= 5),
+         |appr AS (SELECT pid, word FROM ranked WHERE rank <= 5)
+         |SELECT a.pid, 5 AS k, count(*)::BIGINT AS n_hit,
+         |  round(count(*) / 5.0, 6) AS recall
+         |FROM appr a
+         |WHERE EXISTS (SELECT 1 FROM exact x
+         |              WHERE x.pid = a.pid AND x.word = a.word)
+         |GROUP BY a.pid ORDER BY a.pid""".stripMargin,
+
     "dsir_select" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${duckToks("text")} AS toks FROM documents),
@@ -2566,4 +2677,69 @@ object TextQueries {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin
   )
+
+  /** The 3 deterministic analogy probes over the dumped word vectors:
+    * (pid, wa, wb, wc, q) with q = (v(a) − v(b)) + v(c), triples drawn
+    * from the top-4 words by (n_word desc, word asc). Driver-side model
+    * metadata (4 vocab rows); the oracle rebuilds the SAME probes from
+    * the dump with the identical (x − y) + z IEEE order.
+    */
+  private def wordAnalogyProbes(s: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val top = s.read.parquet(graft.operators.WordVec.vectorsPath(dir))
+      .orderBy(col("n_word").desc, col("word").asc).limit(4)
+      .select(col("word"), col("vec")).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    val trips = Seq((0, 1, 2), (1, 2, 3), (2, 3, 0))
+    import s.implicits._
+    trips.zipWithIndex.map { case ((ia, ib, ic), pid) =>
+      val q = top(ia)._2.indices
+        .map(i => (top(ia)._2(i) - top(ib)._2(i)) + top(ic)._2(i)).toSeq
+      (pid.toLong, top(ia)._1, top(ib)._1, top(ic)._1, q)
+    }.toDF("pid", "wa", "wb", "wc", "q")
+  }
+
+  /** Shared CTEs of the word-analogy replays, ending in `ranked`
+    * (pid, wa, wb, wc, word, cos, rank) over the cell-pruned candidates.
+    * `v` is the full dumped vector table (the recall face's exact arm
+    * reuses it).
+    */
+  private def duckWordAnalogyCtes: String = {
+    val cosCent = VectorQueries.duckCosine("c.centroid", "p.q")
+    val cosVec = VectorQueries.duckCosine("e.vec", "p.q")
+    s"""v AS (SELECT word, n_word, vec::DOUBLE[] AS vec
+       |      FROM read_parquet('__WORDVEC__/*.parquet')),
+       |top4 AS (
+       |  SELECT word, vec, row_number() OVER (
+       |      ORDER BY n_word DESC, word ASC) AS rk
+       |  FROM v QUALIFY rk <= 4),
+       |probes AS (
+       |  SELECT t.pid::BIGINT AS pid, a.word AS wa, b.word AS wb, c.word AS wc,
+       |    list_transform(generate_series(1, len(a.vec)),
+       |      i -> (a.vec[i] - b.vec[i]) + c.vec[i]) AS q
+       |  FROM (VALUES (0, 1, 2, 3), (1, 2, 3, 4), (2, 3, 4, 1)) t(pid, ra, rb, rc)
+       |  JOIN top4 a ON a.rk = t.ra
+       |  JOIN top4 b ON b.rk = t.rb
+       |  JOIN top4 c ON c.rk = t.rc),
+       |wcents AS (SELECT cell, centroid FROM read_parquet('__WORDANN_CENTS__/*.parquet')),
+       |wivf AS (SELECT word, vec::DOUBLE[] AS vec, cell
+       |         FROM read_parquet('__WORDANN__/*/*.parquet', hive_partitioning=true)),
+       |pcell AS (
+       |  SELECT pid, cell FROM (
+       |    SELECT p.pid, c.cell, row_number() OVER (
+       |        PARTITION BY p.pid
+       |        ORDER BY round($cosCent, 6) DESC, c.cell ASC) AS crnk
+       |    FROM wcents c CROSS JOIN probes p)
+       |  WHERE crnk <= 2),
+       |ranked AS (
+       |  SELECT pid, wa, wb, wc, word, cos, row_number() OVER (
+       |      PARTITION BY pid ORDER BY cos DESC, word ASC)::BIGINT AS rank
+       |  FROM (
+       |    SELECT p.pid, p.wa, p.wb, p.wc, e.word,
+       |      round($cosVec, 6) AS cos
+       |    FROM wivf e
+       |    JOIN pcell pc ON e.cell = pc.cell
+       |    JOIN probes p ON p.pid = pc.pid
+       |    WHERE e.word <> p.wa AND e.word <> p.wb AND e.word <> p.wc))""".stripMargin
+  }
 }

@@ -143,7 +143,10 @@ class PlanLintSpec extends AnyFunSuite {
       "quantile_reg", // 2-row dumped-model broadcast against the table scan
       "lsh_recall_audit", // 1%-id panel broadcast against the corpus shingle scan
       "ks_test",      // 1-row per-arm totals broadcast into the CDF digest
-      "tt_multi_idf") // 1-row meta sidecar broadcast into the idf projection
+      "tt_multi_idf", // 1-row meta sidecar broadcast into the idf projection
+      "langid_accuracy", // 1-row majority-share digest broadcast beside the accuracy row
+      "word_analogy",    // 3-row probe panel broadcast against centroid metadata
+      "word_analogy_recall") // same probe panel, exact arm scans the vocab-sized table
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString

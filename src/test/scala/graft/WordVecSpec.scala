@@ -83,4 +83,24 @@ class WordVecSpec extends AnyFunSuite {
       assert(rank >= 1 && rank <= 5)
     }
   }
+
+  test("word-vector ANN layout: every vocab word in exactly one trained cell, cells spread") {
+    import graft.operators.WordVec
+    val (layout, cents) = WordVec.annLayout(spark, sf,
+      sp => graft.queries.TextQueries.stagedBigrams(sp, sf))
+    val vocab = spark.read.parquet(WordVec.vectorsPath(sf)).count()
+    val cells = spark.read.parquet(layout)
+      .groupBy(col("cell")).count().collect()
+    assert(cells.map(_.getLong(1)).sum === vocab,
+      "index membership drifted from the vocabulary")
+    assert(spark.read.parquet(layout).select(col("word")).distinct().count() === vocab)
+    assert(cells.length >= 2, "degenerate single-cell layout prunes nothing")
+    assert(cents.length === WordVec.AnnCells)
+    // the analogy serve through the index keeps honest recall vs the
+    // exact scan (the oracled word_analogy_recall rows at this sf)
+    val rec = SparkEntry.queries("word_analogy_recall")(spark, sf).collect()
+    assert(rec.length === 3)
+    rec.foreach(r => assert(r.getDouble(3) >= 0.4,
+      s"probe ${r.getLong(0)} recall collapsed: ${r.getDouble(3)}"))
+  }
 }
