@@ -311,6 +311,41 @@ class HnswSpec extends AnyFunSuite {
       spark.read.parquet(bm).head().getAs[Long]("corpus_fp"))
   }
 
+  test("streaming query serve: per-trigger graph search ≡ batch search") {
+    // the serving face every other index family already has (the IVF
+    // streaming serve): queries arrive on a stream, each trigger's batch
+    // walks the SAME dumped graph, results accumulate exactly as if the
+    // whole panel had been served in one batch call
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    Hnsw.layout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val panel = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = ms.toDF().select(col("value").as("qid"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val qs = batch.join(panel, Seq("qid"))
+        if (!qs.isEmpty) {
+          got ++= Hnsw.search(spark, sf, qs, k = 3)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    ms.addData(0L)
+    ms.addData(1L, 2L)
+    q.awaitTermination(120000)
+    val want = Hnsw.search(spark, sf, panel, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.toSet === want, "streaming serve diverged from the batch serve")
+  }
+
   test("staleness probe: meta fingerprint matches at build, flips on any membership change") {
     Hnsw.layout(spark, sf)
     val meta = spark.read.parquet(Hnsw.metaPath(sf)).head()
