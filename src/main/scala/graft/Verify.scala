@@ -73,12 +73,12 @@ object Verify {
       "__HNSW_ADAPT__"   -> graft.operators.Hnsw.adaptPath(sfDir),
       // the maintenance demo's caller-owned clone + its sidecars (paths
       // are pure functions of sfDir — maintDemoLayout dumps them all)
-      "__HNSW_MAINT_EDGES__"    -> (graft.operators.Hnsw.edgesPath(sfDir) + "-maint-demo"),
-      "__HNSW_MAINT_META__"     -> (graft.operators.Hnsw.edgesPath(sfDir) + "-maint-demo-meta"),
-      "__HNSW_MAINT_DELTA__"    -> graft.operators.Hnsw.deltaPath(graft.operators.Hnsw.edgesPath(sfDir) + "-maint-demo"),
-      "__HNSW_MAINT_REPLACED__" -> graft.operators.Hnsw.replacedPath(graft.operators.Hnsw.edgesPath(sfDir) + "-maint-demo"),
-      "__HNSW_MAINT_TOMB__"     -> graft.operators.Hnsw.tombstonesPath(graft.operators.Hnsw.edgesPath(sfDir) + "-maint-demo"),
-      "__HNSW_MAINT_SHARDS__"   -> graft.operators.Hnsw.shardsPath(graft.operators.Hnsw.edgesPath(sfDir) + "-maint-demo"),
+      "__HNSW_MAINT_EDGES__"    -> graft.operators.Hnsw.maintDemoEdgesPath(sfDir),
+      "__HNSW_MAINT_META__"     -> graft.operators.Hnsw.maintDemoMetaPath(sfDir),
+      "__HNSW_MAINT_DELTA__"    -> graft.operators.Hnsw.deltaPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
+      "__HNSW_MAINT_REPLACED__" -> graft.operators.Hnsw.replacedPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
+      "__HNSW_MAINT_TOMB__"     -> graft.operators.Hnsw.tombstonesPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
+      "__HNSW_MAINT_SHARDS__"   -> graft.operators.Hnsw.shardsPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
       "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
       "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir),
       "__DV_DATA__"      -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/data"),

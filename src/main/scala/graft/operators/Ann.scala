@@ -230,6 +230,28 @@ object Ann {
       .toDF("cell", "centroid")
   }
 
+  /** The n cosine-nearest cells per row — the ONE shard/probe assignment
+    * formula (round-6 sim desc, cell asc tiebreak) shared by the IVF
+    * assignment, the HNSW overlapping-shard build + append, and the
+    * word-analogy probe-cell selection. One definition: a tiebreak or
+    * rounding tweak cannot desync the build-side shards from the
+    * probe-side cells or either from the DuckDB replays (the
+    * parity-critical-formula rule). Returns the input columns + `cell`,
+    * one row per (row, matched cell).
+    */
+  def nearestCells(vecs: DataFrame, cents: DataFrame, keyCol: String,
+                   embCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__csim").desc, col("__cc").asc)
+    vecs.crossJoin(broadcast(cents.select(col("cell").as("__cc"), col("centroid"))))
+      .withColumn("__csim", round(GraftFunctions.cosineSim(col(embCol), col("centroid")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__csim", "__rn", "centroid")
+      .withColumnRenamed("__cc", "cell")
+  }
+
   /** Map-only cell assignment of vectors against an EXISTING trained
     * index (no retrain): broadcast the k centroid rows, rank per vector,
     * keep the cosine-nearest (ties broken by cell id, mirroring
@@ -238,17 +260,8 @@ object Ann {
     * decision.
     */
   def assignCells(vecs: DataFrame, cents: DataFrame, idCol: String,
-                  embCol: String): DataFrame = {
-    GraftFunctions.register(vecs.sparkSession)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col("__cc").asc)
-    vecs.crossJoin(broadcast(cents.select(col("cell").as("__cc"), col("centroid"))))
-      .withColumn("__csim", round(GraftFunctions.cosineSim(col(embCol), col("centroid")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__csim", "__rn", "centroid")
-      .withColumnRenamed("__cc", "cell")
-  }
+                  embCol: String): DataFrame =
+    nearestCells(vecs, cents, idCol, embCol, n = 1)
 
   /** Drop the JVM layout memos so the bench harness can time a SECOND,
     * equally-cold build of each index (Stages.resetAll — round-5 verdict:

@@ -87,17 +87,11 @@ object Hnsw {
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
       // overlapping shards: each node joins its 2 cosine-nearest cells
-      // (ties by cell asc) — k·1 broadcast metadata, map-only assignment
-      val wCell = Window.partitionBy(col("vec_id"))
-        .orderBy(col("__csim").desc, col("__cc").asc)
-      val sharded = corpus
-        .crossJoin(broadcast(Ann.centroidsDf(spark, cents)
-          .select(col("cell").as("__cc"), col("centroid"))))
-        .withColumn("__csim",
-          round(GraftFunctions.cosineSim(col("embedding"), col("centroid")), 6))
-        .withColumn("__rn", row_number().over(wCell))
-        .filter(col("__rn") <= 2)
-        .select(col("vec_id"), col("embedding"), col("__cc").as("shard"))
+      // (ONE assignment formula — Ann.nearestCells), map-only against
+      // the broadcast k·1 centroid metadata
+      val sharded = Ann.nearestCells(corpus,
+          Ann.centroidsDf(spark, cents), "vec_id", "embedding", n = 2)
+        .select(col("vec_id"), col("embedding"), col("cell").as("shard"))
       // the shard table feeds both sides of the pair join — stage it once
       val staged = sharded.localCheckpoint()
       def edgesOver(nodes: DataFrame, layer: Int): DataFrame = {
@@ -256,7 +250,16 @@ object Hnsw {
     // pin the query batch ONCE: each hop re-joins it for q_emb, and
     // without the checkpoint every hop would re-open the caller's source
     val qs = queries.localCheckpoint()
-    var beam = entryBeam(qs, meta)
+    // a tombstoned entry (deleted after this meta was written, before
+    // deleteFromGraph's re-election ran — or a hand-mutated clone) must
+    // never be SERVED: readGraph drops tombstoned dsts, and this drops
+    // the one id that enters the beam from meta instead of an edge
+    var beam =
+      if (dirExists(spark, tombstonesPath(edgesDir)))
+        entryBeam(qs, meta).join(
+          broadcast(spark.read.parquet(tombstonesPath(edgesDir))),
+          Seq("vec_id"), "left_anti")
+      else entryBeam(qs, meta)
     scans += leaves(beam)
     beam = beam.localCheckpoint()
     var visited = beam
@@ -444,16 +447,10 @@ object Hnsw {
                     metaDir: String, newVecs: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val cents = Ann.kmeansLayout(spark, sfDir)._2
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__csim").desc, col("__cc").asc)
-    val newShards = newVecs.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(Ann.centroidsDf(spark, cents)
-        .select(col("cell").as("__cc"), col("centroid"))))
-      .withColumn("__csim",
-        round(GraftFunctions.cosineSim(col("embedding"), col("centroid")), 6))
-      .withColumn("__rn", row_number().over(wCell))
-      .filter(col("__rn") <= 2)
-      .select(col("vec_id"), col("embedding"), col("__cc").as("shard"))
+    val newShards = Ann.nearestCells(
+        newVecs.select(col("vec_id"), col("embedding")),
+        Ann.centroidsDf(spark, cents), "vec_id", "embedding", n = 2)
+      .select(col("vec_id"), col("embedding"), col("cell").as("shard"))
       .localCheckpoint()
     val touched = newShards.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -569,26 +566,76 @@ object Hnsw {
   /** Logical DELETE: append the ids to the tombstone sidecar (KBs per
     * maintenance batch) and retire them from the meta fingerprint —
     * served as exclusions by [[readGraph]] on the very next search, made
-    * physical by [[compactGraph]]. Deleting the entry point leaves the
-    * graph un-navigable until compaction re-elects one — the same
-    * "repair verb completes the loop" contract as Ivfpq.
+    * physical by [[compactGraph]]. IDEMPOTENT and validated: duplicate
+    * ids, already-tombstoned ids, and non-member ids are dropped BEFORE
+    * the fingerprint subtraction (at-least-once delivery — the streaming
+    * face's foreachBatch — must not corrupt the meta), and deleting the
+    * current entry point re-elects one from the live membership so the
+    * very next search still navigates.
     */
   def deleteFromGraph(spark: SparkSession, edgesDir: String, metaDir: String,
                       ids: Seq[Long]): Unit = {
     import spark.implicits._
-    ids.toDF("vec_id").write.mode("append").parquet(tombstonesPath(edgesDir))
+    val already: Set[Long] =
+      if (dirExists(spark, tombstonesPath(edgesDir)))
+        spark.read.parquet(tombstonesPath(edgesDir))
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty
+    // membership check against the shards sidecar: a non-member id must
+    // not subtract from the fp (point lookup, maintenance-batch-sized)
+    val candidates = ids.distinct.filterNot(already)
+    val members: Set[Long] =
+      if (candidates.isEmpty) Set.empty
+      else spark.read.parquet(shardsPath(edgesDir))
+        .filter(col("vec_id").isin(candidates: _*))
+        .select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val fresh = candidates.filter(members)
+    if (fresh.isEmpty) return
+    fresh.toDF("vec_id").write.mode("append").parquet(tombstonesPath(edgesDir))
     val old = spark.read.parquet(metaDir).head()
     // the SAME engine digest the build's fingerprint used — additive mod
     // 2^61−1, so retiring ids is a subtraction of the batch digest
     val delFp = graft.streaming.Streaming.fingerprintStream(
-      ids.toDF("vec_id"), col("vec_id").cast("string")).head().getLong(1)
+      fresh.toDF("vec_id"), col("vec_id").cast("string")).head().getLong(1)
     val newFp = ((old.getAs[Long]("corpus_fp") - delFp) % FpMod + FpMod) % FpMod
-    val meta = spark.read.parquet(metaDir)
-      .select(col("entry"), col("entry_emb"))
-      .withColumn("corpus_n", lit(old.getAs[Long]("corpus_n") - ids.length))
-      .withColumn("corpus_fp", lit(newFp))
-      .localCheckpoint()
+    val newN = old.getAs[Long]("corpus_n") - fresh.length
+    val meta =
+      if (fresh.contains(old.getAs[Long]("entry")))
+        // the entry died: re-elect from the live membership now, not at
+        // compaction — a beam must start somewhere on the next search
+        electEntry(spark, edgesDir, already ++ fresh)
+          .withColumn("corpus_n", lit(newN)).withColumn("corpus_fp", lit(newFp))
+          .localCheckpoint()
+      else
+        spark.read.parquet(metaDir)
+          .select(col("entry"), col("entry_emb"))
+          .withColumn("corpus_n", lit(newN)).withColumn("corpus_fp", lit(newFp))
+          .localCheckpoint()
     meta.coalesce(1).write.mode("overwrite").parquet(metaDir)
+  }
+
+  /** Elect an entry point from the live (non-tombstoned) shard members:
+    * the min-id PROMOTED node (the build's rule), falling back to the
+    * min-id live node when every promoted node is gone (layer-1 hops
+    * from a non-promoted entry are no-ops; layer 0 still navigates).
+    * Refuses an empty graph loudly instead of writing a 0-row meta.
+    */
+  private def electEntry(spark: SparkSession, edgesDir: String,
+                         dead: Set[Long]): DataFrame = {
+    val promotedPred =
+      pmod(graft.functions.Digests.digest60(col("vec_id").cast("string")),
+        lit(LayerMod)) === 0
+    val live = spark.read.parquet(shardsPath(edgesDir))
+      .filter(if (dead.isEmpty) lit(true) else !col("vec_id").isin(dead.toSeq: _*))
+    val pick = live
+      .orderBy(promotedPred.cast("int").desc, col("vec_id").asc)
+      .limit(1)
+      .select(col("vec_id").as("entry"), col("embedding").as("entry_emb"))
+      .localCheckpoint()
+    require(pick.count() > 0,
+      s"hnsw: cannot elect an entry — no live nodes remain in $edgesDir")
+    pick
   }
 
   /** PHYSICAL repair: fold base + deltas − tombstones into a fresh base,
@@ -614,13 +661,11 @@ object Hnsw {
     shards.write.mode("overwrite").partitionBy("shard").parquet(shardsPath(edgesDir))
     val old = spark.read.parquet(metaDir).head()
     if (tombed.filter(col("vec_id") === old.getAs[Long]("entry")).count() > 0) {
-      val promotedPred =
-        pmod(graft.functions.Digests.digest60(col("vec_id").cast("string")),
-          lit(LayerMod)) === 0
-      val meta = spark.read.parquet(shardsPath(edgesDir))
-        .filter(promotedPred)
-        .orderBy(col("vec_id").asc).limit(1)
-        .select(col("vec_id").as("entry"), col("embedding").as("entry_emb"))
+      // shards were already rewritten minus the tombstones above, so the
+      // election pool is exactly the live membership; electEntry prefers
+      // a promoted node, falls back to any live node, and refuses an
+      // empty graph instead of clobbering the meta with a 0-row table
+      val meta = electEntry(spark, edgesDir, Set.empty)
         .withColumn("corpus_n", lit(old.getAs[Long]("corpus_n")))
         .withColumn("corpus_fp", lit(old.getAs[Long]("corpus_fp")))
         .localCheckpoint()
@@ -636,6 +681,13 @@ object Hnsw {
 
   /** The maintenance demo's appended node id — far above every corpus id. */
   val AppendedId = 900001L
+
+  /** Canonical locations of the maintenance demo clone — pure path
+    * arithmetic shared with Verify's pathSubs (a suffix rename cannot
+    * silently leave the oracle globbing stale directories).
+    */
+  def maintDemoEdgesPath(sfDir: String): String = edgesPath(sfDir) + "-maint-demo"
+  def maintDemoMetaPath(sfDir: String): String = maintDemoEdgesPath(sfDir) + "-meta"
 
   private val demoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
@@ -654,8 +706,8 @@ object Hnsw {
   def maintDemoLayout(spark: SparkSession, sfDir: String): (String, String) =
     demoMemo.computeIfAbsent(sfDir, { _ =>
       layout(spark, sfDir)
-      val de = edgesPath(sfDir) + "-maint-demo"
-      val dm = de + "-meta"
+      val de = maintDemoEdgesPath(sfDir)
+      val dm = maintDemoMetaPath(sfDir)
       val conf = spark.sessionState.newHadoopConf()
       Seq(deltaPath(de), replacedPath(de), tombstonesPath(de)).foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)

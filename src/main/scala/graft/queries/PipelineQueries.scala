@@ -1096,25 +1096,38 @@ object PipelineQueries {
               |beam0 AS (SELECT qs.qid, m.entry AS vec_id
               |  FROM qs CROSS JOIN read_parquet('$metaGlob/*.parquet') m)""".stripMargin
     Hnsw.Schedule.zipWithIndex.foreach { case (layer, i) =>
-      val prev = s"beam$i"
-      sb ++= s""",
-                |cand${i + 1} AS (
-                |  SELECT qid, vec_id FROM $prev
-                |  UNION
-                |  SELECT b.qid, e.dst AS vec_id
-                |  FROM hedges e JOIN $prev b ON e.layer = $layer AND e.src = b.vec_id),
-                |beam${i + 1} AS (
-                |  SELECT qid, vec_id, sim, rn FROM (
-                |    SELECT qid, vec_id, sim, row_number() OVER (
-                |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
-                |    FROM (SELECT c.qid, c.vec_id, round($cos, 6) AS sim
-                |      FROM cand${i + 1} c
-                |      JOIN hcorp em ON em.vec_id = c.vec_id
-                |      JOIN qs ON qs.qid = c.qid))
-                |  WHERE rn <= ${Hnsw.Ef})""".stripMargin
+      sb ++= hnswHopPair("", i, s"e.layer = $layer", "", cos)
     }
     sb.toString
   }
+
+  /** ONE hop's (candidate, re-rank) CTE pair — shared by the
+    * fixed-schedule and adaptive replays so a tiebreak/Ef/rounding tweak
+    * cannot desync the two oracled families (the Spark side's shared
+    * hopOnce, mirrored). `nbrCond` gates the neighbor expansion
+    * (`e.layer = L` for the fixed schedule; the adaptive liveness CASE
+    * for the gated unroll), `extraJoin` rides the realized-hop artifact
+    * in when needed.
+    */
+  private def hnswHopPair(prefix: String, i: Int, nbrCond: String,
+                          extraJoin: String, cos: String): String =
+    s""",
+       |${prefix}cand${i + 1} AS (
+       |  SELECT qid, vec_id FROM ${prefix}beam$i
+       |  UNION
+       |  SELECT b.qid, e.dst AS vec_id
+       |  FROM hedges e JOIN ${prefix}beam$i b ON e.src = b.vec_id
+       |  $extraJoin
+       |  WHERE $nbrCond),
+       |${prefix}beam${i + 1} AS (
+       |  SELECT qid, vec_id, sim, rn FROM (
+       |    SELECT qid, vec_id, sim, row_number() OVER (
+       |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM (SELECT c.qid, c.vec_id, round($cos, 6) AS sim
+       |      FROM ${prefix}cand${i + 1} c
+       |      JOIN hcorp em ON em.vec_id = c.vec_id
+       |      JOIN qs ON qs.qid = c.qid))
+       |  WHERE rn <= ${graft.operators.Hnsw.Ef})""".stripMargin
 
   /** The ADAPTIVE walk's replay: a static cap-depth unroll
     * (HopsL1Max + HopsL0Max hops) where hop i is LIVE — expands
@@ -1137,29 +1150,14 @@ object PipelineQueries {
     // parquet opens exhaust the process fd budget ("No files found")
     sb ++= s"""hedges AS MATERIALIZED (SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')),
               |am AS MATERIALIZED (SELECT h1, h0 FROM read_parquet('__HNSW_ADAPT__/*.parquet')),
+              |hcorp AS (SELECT vec_id, embedding FROM embeddings),
               |qs AS ($qsSql),
               |abeam0 AS (SELECT qs.qid, m.entry AS vec_id
               |  FROM qs CROSS JOIN read_parquet('__HNSW_META__/*.parquet') m)""".stripMargin
     (0 until Hnsw.HopsL1Max + Hnsw.HopsL0Max).foreach { i =>
-      val prev = s"abeam$i"
-      sb ++= s""",
-                |acand${i + 1} AS (
-                |  SELECT qid, vec_id FROM $prev
-                |  UNION
-                |  SELECT b.qid, e.dst AS vec_id
-                |  FROM hedges e JOIN $prev b ON e.src = b.vec_id
-                |  CROSS JOIN am
-                |  WHERE $i < am.h1 + am.h0
-                |    AND e.layer = (CASE WHEN $i < am.h1 THEN 1 ELSE 0 END)),
-                |abeam${i + 1} AS (
-                |  SELECT qid, vec_id, sim, rn FROM (
-                |    SELECT qid, vec_id, sim, row_number() OVER (
-                |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
-                |    FROM (SELECT c.qid, c.vec_id, round($cos, 6) AS sim
-                |      FROM acand${i + 1} c
-                |      JOIN embeddings em ON em.vec_id = c.vec_id
-                |      JOIN qs ON qs.qid = c.qid))
-                |  WHERE rn <= ${Hnsw.Ef})""".stripMargin
+      sb ++= hnswHopPair("a", i,
+        s"$i < am.h1 + am.h0 AND e.layer = (CASE WHEN $i < am.h1 THEN 1 ELSE 0 END)",
+        "CROSS JOIN am", cos)
     }
     sb.toString
   }

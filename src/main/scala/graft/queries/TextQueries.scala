@@ -1287,17 +1287,9 @@ object TextQueries {
       graft.expressions.GraftFunctions.register(s)
       val (layout, cents) = WordVec.annLayout(s, dir, sp => stagedBigrams(sp, dir))
       val probes = wordAnalogyProbes(s, dir)
-      val wC = Window.partitionBy(col("pid"))
-        .orderBy(col("__cs").desc, col("__cc").asc)
-      val probeCells = probes
-        .crossJoin(broadcast(Ann.centroidsDf(s, cents)
-          .select(col("cell").as("__cc"), col("centroid"))))
-        .withColumn("__cs", round(
-          graft.expressions.GraftFunctions.cosineSim(col("q"), col("centroid")), 6))
-        .withColumn("__rn", row_number().over(wC))
-        .filter(col("__rn") <= 2)
-        .select(col("pid"), col("wa"), col("wb"), col("wc"), col("q"),
-          col("__cc").as("cell"))
+      // probe-cell selection through the ONE assignment formula
+      val probeCells = Ann.nearestCells(probes,
+        Ann.centroidsDf(s, cents), "pid", "q", n = 2)
       s.read.parquet(layout)
         .join(broadcast(probeCells), Seq("cell"))
         .filter(col("word") =!= col("wa") && col("word") =!= col("wb") &&
@@ -1334,17 +1326,8 @@ object TextQueries {
         .filter(col("rank") <= 5)
         .select(col("pid"), col("word"))
       val exact = ranked(vecs.crossJoin(broadcast(probes)))
-      val wC = Window.partitionBy(col("pid"))
-        .orderBy(col("__cs").desc, col("__cc").asc)
-      val probeCells = probes
-        .crossJoin(broadcast(Ann.centroidsDf(s, cents)
-          .select(col("cell").as("__cc"), col("centroid"))))
-        .withColumn("__cs", round(
-          graft.expressions.GraftFunctions.cosineSim(col("q"), col("centroid")), 6))
-        .withColumn("__rn", row_number().over(wC))
-        .filter(col("__rn") <= 2)
-        .select(col("pid"), col("wa"), col("wb"), col("wc"), col("q"),
-          col("__cc").as("cell"))
+      val probeCells = Ann.nearestCells(probes,
+        Ann.centroidsDf(s, cents), "pid", "q", n = 2)
       val appr = ranked(s.read.parquet(layout).join(broadcast(probeCells), Seq("cell")))
       appr.join(exact, Seq("pid", "word"), "left_semi")
         .groupBy(col("pid"))

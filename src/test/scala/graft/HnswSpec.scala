@@ -253,6 +253,29 @@ class HnswSpec extends AnyFunSuite {
     val appAfter = Hnsw.searchIn(spark, ce, cm, qApp, k = 1).head()
     assert(appAfter.getLong(1) === Hnsw.AppendedId,
       "appended vector lost in compaction")
+    // IDEMPOTENCE: re-delivering a delete (at-least-once streaming) and
+    // deleting a non-member must both be no-ops on the meta fingerprint
+    val before2 = spark.read.parquet(cm).head()
+    Hnsw.deleteFromGraph(spark, ce, cm, Seq(5555555L)) // non-member
+    val metaNow = spark.read.parquet(cm).head()
+    assert(metaNow.getAs[Long]("corpus_fp") === before2.getAs[Long]("corpus_fp"))
+    assert(metaNow.getAs[Long]("corpus_n") === before2.getAs[Long]("corpus_n"))
+    val victim = Hnsw.searchIn(spark, ce, cm, q0, k = 1).head().getLong(1)
+    Hnsw.deleteFromGraph(spark, ce, cm, Seq(victim))
+    val fpOnce = spark.read.parquet(cm).head().getAs[Long]("corpus_fp")
+    Hnsw.deleteFromGraph(spark, ce, cm, Seq(victim, victim)) // redelivery + dup
+    assert(spark.read.parquet(cm).head().getAs[Long]("corpus_fp") === fpOnce,
+      "re-delivered delete corrupted the meta fingerprint")
+    // ENTRY deletion: re-elects immediately; the next search still
+    // navigates and never serves the deleted entry
+    val entry = spark.read.parquet(cm).head().getAs[Long]("entry")
+    Hnsw.deleteFromGraph(spark, ce, cm, Seq(entry))
+    val meta3 = spark.read.parquet(cm).head()
+    assert(meta3.getAs[Long]("entry") !== entry, "entry not re-elected")
+    val served = Hnsw.searchIn(spark, ce, cm, q0, k = 3).collect()
+    assert(served.length === 3)
+    assert(served.forall(r => r.getLong(1) != entry && r.getLong(1) != victim),
+      "a deleted id was served")
   }
 
   test("streaming deletes: per-trigger tombstones ≡ one batch delete") {
