@@ -529,10 +529,7 @@ object TrainQueries {
     // scoring from the dump, so the whole multiclass serve path
     // hash-checks cross-engine.
     "langid_eval" -> ((s, dir) => {
-      val m = graft.operators.LangId.model(s, dir)
-      documents(s, dir)
-        .select(col("lang"),
-          graft.operators.LangId.predict(col("text"), m).as("pred"))
+      graft.operators.LangId.scored(s, dir)
         .groupBy(col("lang"), col("pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred"))
@@ -541,10 +538,7 @@ object TrainQueries {
     // Headline accuracy beside the majority-class share — the "did the
     // model learn ANYTHING" gate (LangIdSpec pins accuracy > majority).
     "langid_accuracy" -> ((s, dir) => {
-      val m = graft.operators.LangId.model(s, dir)
-      documents(s, dir)
-        .select(col("lang"),
-          graft.operators.LangId.predict(col("text"), m).as("pred"))
+      graft.operators.LangId.scored(s, dir)
         .agg(count(lit(1)).as("n"),
           sum((col("lang") === col("pred")).cast("long")).as("n_correct"),
           round(avg((col("lang") === col("pred")).cast("double")), 6)

@@ -62,5 +62,13 @@ class LangIdSpec extends AnyFunSuite {
       assert(r.getString(1) === want,
         s"doc ${r.getLong(0)}: pred ${r.getString(1)} != reference $want (zs=$zs)")
     }
+    // the materialized-feature serving path (LangId.scored — what the
+    // eval queries run) agrees doc-for-doc with the raw-text predict
+    val scoredMap = LangId.scored(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { r =>
+      assert(scoredMap(r.getLong(0)) === r.getString(1),
+        s"scored() diverges from predict() on doc ${r.getLong(0)}")
+    }
   }
 }
