@@ -35,6 +35,8 @@ object Stages {
     "ivfpq-splitdemo" -> ((s, d) => { operators.Ivfpq.splitDemoLayout(s, d); () }),
     "hnsw-graph"   -> ((s, d) => { operators.Hnsw.layout(s, d); () }),
     "hnsw-maintdemo" -> ((s, d) => { operators.Hnsw.maintDemoLayout(s, d); () }),
+    "hnsw-pq"      -> ((s, d) => { operators.Hnsw.pqLayout(s, d); () }),
+    "hnsw-rwcorpus" -> ((s, d) => { operators.Hnsw.rewriteCorpusLayout(s, d); () }),
     "kll-sketch"   -> ((s, d) => { operators.Kll.layout(s, d); () }),
     "lsh-layout"   -> ((s, d) => { operators.MlAnn.lshLayout(s, d); () }),
     "tf-buckets"   -> ((s, d) => { operators.MlAnn.tfBucketsLayout(s, d); () }),

@@ -71,6 +71,9 @@ object Verify {
       "__HNSW_EDGES__"   -> graft.operators.Hnsw.edgesPath(sfDir),
       "__HNSW_META__"    -> graft.operators.Hnsw.metaPath(sfDir),
       "__HNSW_ADAPT__"   -> graft.operators.Hnsw.adaptPath(sfDir),
+      "__HNSW_PQEDGES__" -> graft.operators.Hnsw.pqEdgesPath(sfDir),
+      "__PQ_BOOKS64__"   -> graft.operators.Pq.booksPath(sfDir, k = graft.operators.Hnsw.PqCodesK),
+      "__IVFPQ_CODES64__" -> graft.operators.Ivfpq.codesPath(sfDir, k = graft.operators.Hnsw.PqCodesK),
       // the maintenance demo's caller-owned clone + its sidecars (paths
       // are pure functions of sfDir — maintDemoLayout dumps them all)
       "__HNSW_MAINT_EDGES__"    -> graft.operators.Hnsw.maintDemoEdgesPath(sfDir),

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.NfcNormalizeName),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
+    e.injectOptimizerRule(session => graft.plans.HnswTopKRewrite(session))
     e.injectOptimizerRule(session => graft.plans.MvAggRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
   }

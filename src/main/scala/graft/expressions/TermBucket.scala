@@ -28,9 +28,13 @@ case class TermBucket(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = IntegerType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"term_bucket expects a string input, got ${child.dataType.catalogString}")
+    // n = 0 would divide by zero INSIDE generated code at execution time
+    // and a negative n yields negative buckets — fail at analysis instead
+    else if (n <= 0) TypeCheckResult.TypeCheckFailure(
+      s"term_bucket bucket count must be positive, got $n")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
     TermBucket.bucket(v.asInstanceOf[UTF8String], n)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,36 +20,55 @@ import graft.expressions.GraftFunctions
   * shard — O(Σ|shard|²), never N² — and each node keeps its top-M
   * outgoing edges; reverse edges are unioned in (small-world graphs need
   * in-links to be navigable) and the degree is re-capped at 2M with the
-  * same deterministic (sim desc, id asc) order. Layer 1 repeats the
-  * construction over a deterministic ~1/LayerMod hash-sample of nodes —
-  * the express-lane layer that gives the search a short path across the
-  * corpus; the entry point is the min-id layer-1 node. The dumped
-  * artifact is two tables: edges (layer, src, dst) and meta (entry).
+  * same deterministic (sim desc, id asc) order.
+  *
+  * LAYERS: the hierarchy has n_layers = min(4, max(2, 1 +
+  * ⌊log_LayerMod(N/4)⌋)) levels — the standard ~log_LayerMod(N) growth,
+  * statically capped at [[MaxLayersStatic]] because the DuckDB oracle
+  * unrolls a fixed-depth hop chain (a hop on an absent layer expands zero
+  * edges and passes the beam through unchanged, so the static unroll and
+  * the engine's layer-skipping walk are value-identical). Layer ℓ keeps
+  * the nodes whose id digest ≡ 0 mod LayerMod^ℓ — nested by construction
+  * (8 | 64 | 512), the deterministic twin of HNSW's geometric level draw.
+  * Express layers (ℓ ≥ 2) are metadata-sized by construction (N/64,
+  * N/512 …), so they build DENSE (all-pairs over ≤ [[DenseLayerCap]]
+  * nodes) — guaranteed navigable where shard blocking would strand tiny
+  * promoted subsets; a layer outgrowing the cap falls back to the same
+  * shard-blocked recipe as layer 0/1. The entry point is the min-id
+  * top-layer node.
   *
   * SEARCH (the oracle-replayed part): beam search with a FIXED hop
-  * schedule — HopsL1 hops over layer 1, then HopsL0 over layer 0, beam
-  * width Ef, every hop = "candidates := beam ∪ neighbors(beam); beam :=
-  * top-Ef of candidates by (round(cos, 6) desc, id asc)". A fixed
-  * schedule (vs HNSW's greedy convergence loop) keeps the search a
-  * bounded, replayable dataflow: the DuckDB oracle unrolls the SAME hops
-  * as chained CTEs over the dumped edges, so a hash match proves the
-  * whole search path, not just the final set.
+  * schedule — [[HopsPerLayer]] hops per express layer top-down, then
+  * [[HopsL0]] over layer 0, beam width Ef, every hop = "candidates :=
+  * beam ∪ neighbors(beam); beam := top-Ef of candidates by
+  * (round(cos, 6) desc, id asc)". A fixed schedule (vs HNSW's greedy
+  * convergence loop) keeps the search a bounded, replayable dataflow: the
+  * DuckDB oracle unrolls the SAME hops as chained CTEs over the dumped
+  * edges, so a hash match proves the whole search path, not just the
+  * final set.
   *
   * 100 TB shape (the DiskANN disk layout — Subramanya 2019 stores each
   * node's neighbor ids AND their vectors in the node's disk block): the
   * adjacency rows carry `dst_emb`, a denormalized copy of dst's
-  * embedding, so a hop is ONE equi-join on src against the src-clustered
-  * edge table — at scale bucketed by src, a probe reads only matching
-  * buckets — and scoring happens on the join output itself. The corpus
-  * table is NEVER read on the serving path (HnswSpec pins the scan set
-  * of every hop to the graph artifact); serving cost per hop is
-  * ≤ Ef·(2M)+Ef scored rows (TakeOrdered, never a global sort),
+  * embedding, and the artifact is PHYSICALLY PARTITIONED by
+  * (layer, src_bucket) where src_bucket = splitmix64(src) mod
+  * [[SrcBuckets]] — the postings-table recipe (expressions/TermBucket,
+  * ONE fold shared by the write path and the probe). Each hop collects
+  * the beam's ≤ Ef·|batch| src ids (driver-side metadata, the documented
+  * acceptable-collect class), derives their bucket set, and probes the
+  * edge table with LITERAL partition filters — so a hop PLANS only the
+  * matching bucket directories (HnswSpec pins scanned numFiles ≤ probed
+  * buckets per hop), never the whole artifact, and the corpus table is
+  * NEVER read on the serving path (scan leaves spec-pinned). Serving
+  * cost per hop is ≤ Ef·(2M)+Ef scored rows over ≤ |beam buckets| files,
   * independent of corpus size for real. The storage price is explicit
   * and bounded: ≤ MaxDegree+1 copies of each vector live in the
   * artifact — the standard graph-ANN trade (DiskANN §3.2) of duplicated
-  * vector bytes for single-seek hops. A query batch shares each hop's
-  * pass with per-qid windows (ann_hnsw_batch). The graph build's pair
-  * stage rides the existing trained-cell layout exactly like SemDeDup.
+  * vector bytes for single-seek hops; [[searchPq]] cuts that trade ~32×
+  * by serving hops from PQ codes (DiskANN §3.3) with a final exact
+  * rescore. A query batch shares each hop's pass with per-qid windows
+  * (ann_hnsw_batch). The graph build's pair stage rides the existing
+  * trained-cell layout exactly like SemDeDup.
   */
 object Hnsw {
 
@@ -60,12 +79,66 @@ object Hnsw {
   // clears the IVF index at a smaller scored-candidate budget (HnswSpec).
   val M = 8          // outgoing edges kept per node per layer
   val MaxDegree = 16 // cap after reverse-edge union (2M)
-  val LayerMod = 8   // ~1/LayerMod of nodes promoted to layer 1
+  val LayerMod = 8   // ~1/LayerMod of nodes promoted per layer step
   val Ef = 16        // beam width
-  val HopsL1 = 2     // hops on the express layer
-  val HopsL0 = 4     // hops on the base layer
-  /** Fixed hop schedule: layer per hop, top layer first. */
-  val Schedule: Seq[Int] = Seq.fill(HopsL1)(1) ++ Seq.fill(HopsL0)(0)
+  val HopsPerLayer = 2 // fixed hops per express layer (top-down)
+  val HopsL0 = 4       // fixed hops on the base layer
+
+  /** Static depth of the layer hierarchy the ORACLE unrolls (and the
+    * engine's cap): 4 layers cover N up to ~LayerMod^4·4 ≈ 16k nodes per
+    * the n_layers formula; a bigger corpus saturates at 4 (the walk is
+    * still correct — just a longer layer-0 diameter, which the adaptive
+    * face self-extends into). Raising this regenerates the oracle unroll
+    * mechanically.
+    */
+  val MaxLayersStatic = 4
+
+  /** Express layers (ℓ ≥ 2) with at most this many nodes build DENSE
+    * (all-pairs): N/LayerMod^ℓ is metadata-sized there, and shard
+    * blocking over a handful of promoted nodes would strand most of them
+    * edge-less. Beyond the cap the shard-blocked recipe applies.
+    */
+  val DenseLayerCap = 4096
+
+  /** Physical src-bucket count of the edge artifact. At fixture scale 32
+    * buckets make the per-hop literal probe prune ≥ half the files for an
+    * Ef=16 beam; at 100 TB this is the knob you raise with the corpus
+    * (buckets ARE the unit of hop I/O).
+    */
+  val SrcBuckets = 32
+
+  /** splitmix64 bucket of a src id — delegates to the ONE fold in
+    * [[graft.expressions.TermBucket]], so the write-time layout and the
+    * query-time probe can never desynchronize (the parity-critical-
+    * formula rule; same discipline as InvertedIndex.termBucket).
+    */
+  def srcBucket(id: Long): Int =
+    graft.expressions.TermBucket.bucket(id.toString, SrcBuckets)
+
+  /** Column face of [[srcBucket]] — the registered native expression. */
+  private def srcBucketCol(c: Column): Column =
+    GraftFunctions.termBucket(c.cast("string"), SrcBuckets)
+
+  /** Engine-side layer count for an N-node corpus (see scaladoc). */
+  def nLayersFor(n: Long): Int = {
+    val grown = 1 + math.floor(
+      math.log(math.max(1.0, n / 4.0)) / math.log(LayerMod.toDouble)).toInt
+    math.min(MaxLayersStatic, math.max(2, grown))
+  }
+
+  /** The fixed hop schedule for an n-layer graph: [[HopsPerLayer]] hops
+    * per express layer, top layer first, then [[HopsL0]] base hops.
+    */
+  def scheduleFor(nLayers: Int): Seq[Int] =
+    ((nLayers - 1) to 1 by -1).flatMap(l => Seq.fill(HopsPerLayer)(l)) ++
+      Seq.fill(HopsL0)(0)
+
+  /** The STATIC schedule the oracle unrolls (engine hops on layers the
+    * graph does not have are value-preserving no-ops — zero edges match,
+    * the beam re-ranks to itself — so the engine walks
+    * [[scheduleFor]](n_layers), a subsequence, with identical results).
+    */
+  val Schedule: Seq[Int] = scheduleFor(MaxLayersStatic)
 
   def edgesPath(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-hnsw-" + Ann.pathToken(sfDir)
@@ -73,6 +146,40 @@ object Hnsw {
   def metaPath(sfDir: String): String = edgesPath(sfDir) + "-meta"
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** digest60 ≡ 0 (mod LayerMod^layer) — the nested promotion rule. */
+  private def promotedPred(layer: Int): Column = {
+    val mod = Seq.fill(layer)(LayerMod.toLong).product
+    pmod(graft.functions.Digests.digest60(col("vec_id").cast("string")),
+      lit(mod)) === 0
+  }
+
+  /** Promotion level of a node (0..nLayers-1) as a column — the nesting
+    * makes it a plain sum of the per-layer predicates. Used by entry
+    * election: prefer the highest-layer live node (layer-ℓ hops from a
+    * lower node are no-ops until the walk descends past ℓ).
+    */
+  private def levelCol(nLayers: Int): Column =
+    (1 until nLayers).map(l => promotedPred(l).cast("int"))
+      .reduceOption(_ + _).getOrElse(lit(0))
+
+  /** Top-M out-edges + reverse-edge union + MaxDegree re-cap over a
+    * scored pair set — the ONE capping discipline all layers share.
+    */
+  private def capEdges(pairs: DataFrame, layer: Int): DataFrame = {
+    val wSrc = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("dst").asc)
+    val out = pairs
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .withColumn("__rn", row_number().over(wSrc))
+      .filter(col("__rn") <= M).select(col("src"), col("dst"), col("sim"))
+    // navigability: union reverse edges, re-cap at MaxDegree
+    out.union(out.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+      .withColumn("__rn", row_number().over(wSrc))
+      .filter(col("__rn") <= MaxDegree)
+      .select(lit(layer).as("layer"), col("src"), col("dst"))
+  }
 
   /** Build + dump the layered graph for the sfDir's embeddings corpus
     * (vec_id 0 is the search fixture's query vector and stays OUT of the
@@ -94,45 +201,61 @@ object Hnsw {
         .select(col("vec_id"), col("embedding"), col("cell").as("shard"))
       // the shard table feeds both sides of the pair join — stage it once
       val staged = sharded.localCheckpoint()
-      def edgesOver(nodes: DataFrame, layer: Int): DataFrame = {
+      val n = corpus.count()
+      // engine layer count, clamped down while a top layer would be empty
+      // (a pseudorandom-digest tail case at tiny N; deterministic per
+      // corpus) — a 1-node top layer is fine (entry only, hops no-op)
+      var nLayers = nLayersFor(n)
+      def promotedCount(l: Int): Long =
+        staged.filter(promotedPred(l)).select(col("vec_id")).distinct().count()
+      while (nLayers > 2 && promotedCount(nLayers - 1) == 0) nLayers -= 1
+      // layer 0/1 (and any over-cap express layer): shard-blocked pairs —
+      // O(Σ|shard|²), never N²
+      def blockedPairs(nodes: DataFrame): DataFrame = {
         val a = nodes.select(col("shard"), col("vec_id").as("src"),
           col("embedding").as("ea"))
         val b = nodes.select(col("shard"), col("vec_id").as("dst"),
           col("embedding").as("eb"))
-        val pairs = a.join(b, Seq("shard"))
+        a.join(b, Seq("shard"))
           .filter(col("src") =!= col("dst"))
           .withColumn("sim",
             round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6))
           .select(col("src"), col("dst"), col("sim"))
-          // a pair meeting in both shared shards is one edge
-          .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
-        val wSrc = Window.partitionBy(col("src"))
-          .orderBy(col("sim").desc, col("dst").asc)
-        val out = pairs.withColumn("__rn", row_number().over(wSrc))
-          .filter(col("__rn") <= M).select(col("src"), col("dst"), col("sim"))
-        // navigability: union reverse edges, re-cap at MaxDegree
-        out.union(out.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-          .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
-          .withColumn("__rn", row_number().over(wSrc))
-          .filter(col("__rn") <= MaxDegree)
-          .select(lit(layer).as("layer"), col("src"), col("dst"))
       }
-      val l0 = edgesOver(staged, 0)
-      val promoted = staged.filter(
-        pmod(graft.functions.Digests.digest60(col("vec_id").cast("string")),
-          lit(LayerMod)) === 0)
-      val l1 = edgesOver(promoted, 1)
+      // express layers ≤ DenseLayerCap: all-pairs over the deduped
+      // promoted set (metadata-sized by construction — see scaladoc)
+      def densePairs(nodes: DataFrame): DataFrame = {
+        val uniq = nodes.select(col("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id")
+        val a = uniq.select(col("vec_id").as("src"), col("embedding").as("ea"))
+        val b = uniq.select(col("vec_id").as("dst"), col("embedding").as("eb"))
+        a.crossJoin(b)
+          .filter(col("src") =!= col("dst"))
+          .withColumn("sim",
+            round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6))
+          .select(col("src"), col("dst"), col("sim"))
+      }
+      val layerEdges = (0 until nLayers).map { l =>
+        val nodes = if (l == 0) staged else staged.filter(promotedPred(l))
+        val pairs =
+          if (l >= 2 && promotedCount(l) <= DenseLayerCap) densePairs(nodes)
+          else blockedPairs(nodes)
+        capEdges(pairs, l)
+      }
       // DiskANN layout: denormalize dst's embedding onto the adjacency
       // row (one build-time join against the staged shards), so serving
-      // hops read ONLY the src-clustered edge table and never the corpus.
-      // Clustered by src: at scale this is a bucketed-by-src table so
-      // each hop's probe touches only matching buckets.
+      // hops read ONLY the edge table and never the corpus — and
+      // partition it by (layer, src_bucket) so a hop's literal probe
+      // PLANS only the beam's bucket directories (file-level pruning,
+      // the InvertedIndex postings discipline).
       val dstEmb = staged.select(col("vec_id").as("dst"),
         col("embedding").as("dst_emb")).dropDuplicates("dst")
-      l0.union(l1).join(dstEmb, Seq("dst"))
+      layerEdges.reduce(_ union _).join(dstEmb, Seq("dst"))
         .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
-        .repartition(col("src"))
-        .write.mode("overwrite").parquet(edgesPath(sfDir))
+        .withColumn("src_bucket", srcBucketCol(col("src")))
+        .repartition(col("layer"), col("src_bucket"))
+        .write.mode("overwrite").partitionBy("layer", "src_bucket")
+        .parquet(edgesPath(sfDir))
       // shard-membership sidecar, partitioned by shard: appendToGraph
       // pairs new nodes against ONLY their touched shards (pruned read)
       staged.select(col("vec_id"), col("embedding"), col("shard"))
@@ -146,21 +269,25 @@ object Hnsw {
       // (the id canon carries no floats; float rendering isn't
       // cross-engine portable — the table_fingerprint caveat).
       // entry carries ITS embedding too — hop 0 (scoring the entry point)
-      // must not touch the corpus either
-      val entry = promoted.agg(min(col("vec_id")).as("entry"))
+      // must not touch the corpus either. n_layers rides along so every
+      // reader (walk, maintenance, oracle) sees the realized hierarchy.
+      val topPromoted = staged.filter(promotedPred(nLayers - 1))
+      val entryPool =
+        if (promotedCount(nLayers - 1) > 0) topPromoted else staged
+      val entry = entryPool.agg(min(col("vec_id")).as("entry"))
         .join(dstEmb.select(col("dst").as("entry"),
           col("dst_emb").as("entry_emb")), Seq("entry"))
       val fp = graft.streaming.Streaming.fingerprintStream(
         corpus.select(col("vec_id")), col("vec_id").cast("string"))
         .select(col("n_rows").as("corpus_n"), col("fp").as("corpus_fp"))
-      entry.crossJoin(fp)
+      entry.crossJoin(fp).withColumn("n_layers", lit(nLayers))
         .coalesce(1).write.mode("overwrite").parquet(metaPath(sfDir))
       staged.unpersist()
       edgesPath(sfDir)
     })
 
   /** Beam search over the dumped graph for a batch of queries
-    * (`queries`: (qid, q_emb)), per-qid beams, fixed Schedule, returning
+    * (`queries`: (qid, q_emb)), per-qid beams, fixed schedule, returning
     * the per-qid top-k (qid, vec_id, sim, rnk). Single-query search is
     * the 1-row batch.
     */
@@ -172,7 +299,7 @@ object Hnsw {
 
   /** Search a caller-owned graph directory (a clone mutated by the
     * maintenance verbs [[appendToGraph]]/[[deleteFromGraph]]) — resolves
-    * the base + delta + tombstone state through [[readGraph]].
+    * the base + delta + tombstone state through the per-hop pruned reads.
     */
   def searchIn(spark: SparkSession, edgesDir: String, metaDir: String,
                queries: DataFrame, k: Int): DataFrame = {
@@ -185,27 +312,88 @@ object Hnsw {
   private def wBeam = Window.partitionBy(col("qid"))
     .orderBy(col("sim").desc, col("vec_id").asc)
 
-  /** Scan leaves of each hop's physical plan from the most recent
-    * [[walk]] — HnswSpec asserts every file scan on the serving path
-    * reads the graph artifact (edges/meta), never the embeddings corpus:
-    * the structural proof that per-hop I/O is bounded by the beam × the
-    * probed src buckets, not by corpus size.
+  /** Test-only instrumentation switch: when set (HnswSpec), each walk
+    * records per-hop scan-plan leaves and per-hop (scanned files, probed
+    * buckets). OFF on the production serving path — the collection is a
+    * global last-writer-wins hook, not serving state (round-9 advisor).
+    */
+  @volatile private[graft] var collectWalkStats = false
+
+  /** Scan leaves of each hop's physical plan from the most recent walk
+    * (entry hop first) — HnswSpec asserts every file scan on the serving
+    * path reads the graph artifact (edges/meta/sidecars), never the
+    * embeddings corpus. Populated only under [[collectWalkStats]].
     */
   @volatile private[graft] var lastWalkScans: Seq[Seq[String]] = Nil
 
-  /** The one beam walk both serving faces share: fixed [[Schedule]],
-    * per-qid beams, each hop localCheckpointed. Hop 0 scores the global
-    * entry point from the meta-carried `entry_emb`; every later hop
-    * scores neighbors from the adjacency-carried `dst_emb` (the DiskANN
-    * layout) — the corpus table is never opened. Returns the final beam
-    * (qid, vec_id, sim) and the VISITED candidate pool (qid, vec_id,
-    * sim — every id any hop scored, entry included, sims attached) so
-    * the filtered face can rank a predicate subset without a second walk
-    * OR a corpus rescan. One definition: a schedule/tie-break/checkpoint
-    * change cannot desync the two oracled query families.
+  /** Per neighbor-hop (files scanned by the edge probe, distinct beam
+    * buckets probed) from the most recent walk — the numFiles ≤ buckets
+    * pin that makes the file-pruning claim structural. Populated only
+    * under [[collectWalkStats]].
     */
+  @volatile private[graft] var lastWalkFiles: Seq[(Long, Int)] = Nil
+
+  /** Resolved handles on a graph directory's sidecar state, loaded ONCE
+    * per walk (round-9 advisor: resolving them per hop re-read and
+    * re-broadcast the sidecars 6×): the replaced-latest and tombstone
+    * frames are maintenance-batch-sized and pinned with localCheckpoint.
+    */
+  private case class GraphRefs(edgesDir: String, hasDelta: Boolean,
+                               latest: Option[DataFrame],
+                               tombs: Option[DataFrame])
+
+  private def openGraph(spark: SparkSession, edgesDir: String): GraphRefs = {
+    val latest =
+      if (dirExists(spark, replacedPath(edgesDir)))
+        Some(spark.read.parquet(replacedPath(edgesDir))
+          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))
+          .localCheckpoint())
+      else None
+    val tombs =
+      if (dirExists(spark, tombstonesPath(edgesDir)))
+        Some(spark.read.parquet(tombstonesPath(edgesDir))
+          .select(col("vec_id")).distinct().localCheckpoint())
+      else None
+    GraphRefs(edgesDir, dirExists(spark, deltaPath(edgesDir)), latest, tombs)
+  }
+
+  /** ONE hop's live adjacency, physically pruned: literal (layer,
+    * src_bucket) partition filters derived from the beam's src ids (plus
+    * a src IN rowgroup filter), applied to the base AND delta scans
+    * BEFORE the merge-on-read resolution — so per-hop I/O is
+    * |beam buckets| files, never the artifact (the round-9 `weak`).
+    * Resolution itself is two broadcast joins against the walk-pinned
+    * sidecars. `embCol` names the payload column (dst_emb / dst_codes).
+    */
+  private def hopEdges(spark: SparkSession, g: GraphRefs, layer: Int,
+                       srcs: Seq[Long], embCol: String): DataFrame = {
+    val buckets = srcs.map(srcBucket).distinct.sorted
+    def pruned(df: DataFrame): DataFrame =
+      df.filter(col("layer") === layer &&
+        col("src_bucket").isin(buckets: _*) && col("src").isin(srcs: _*))
+    val base = pruned(spark.read.parquet(g.edgesDir)).withColumn("gen", lit(0L))
+    val all =
+      if (g.hasDelta)
+        base.unionByName(pruned(spark.read.parquet(deltaPath(g.edgesDir))))
+      else base
+    val resolved = g.latest match {
+      case Some(latest) =>
+        all.join(broadcast(latest), Seq("layer", "src"), "left")
+          .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
+          .drop("__latest")
+      case None => all
+    }
+    val live = g.tombs match {
+      case Some(t) =>
+        resolved.join(broadcast(t.select(col("vec_id").as("dst"))),
+          Seq("dst"), "left_anti")
+      case None => resolved
+    }
+    live.select(col("src"), col("dst"), col(embCol))
+  }
+
   /** One hop of the beam walk: neighbor expansion + scoring in ONE probe
-    * of the src-clustered adjacency — `dst_emb` rides the matched edge
+    * of the bucket-pruned adjacency — `dst_emb` rides the matched edge
     * rows, so the join output is already scorable (Ef·MaxDegree rows,
     * corpus untouched). Beam members keep their already-computed sims
     * (deterministic round-6 cosine of the same arrays — re-scoring would
@@ -213,9 +401,9 @@ object Hnsw {
     * definition shared by the fixed-schedule walk and the adaptive
     * search so the two serving faces cannot desync.
     */
-  private def hopOnce(edges: DataFrame, qs: DataFrame, beam: DataFrame,
-                      layer: Int): (DataFrame, DataFrame) = {
-    val nbrs = edges.filter(col("layer") === layer)
+  private def hopOnce(edges: DataFrame, qs: DataFrame,
+                      beam: DataFrame): (DataFrame, DataFrame) = {
+    val nbrs = edges
       .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
       .join(broadcast(qs), Seq("qid"))
       .withColumn("sim",
@@ -239,37 +427,56 @@ object Hnsw {
         round(GraftFunctions.cosineSim(col("entry_emb"), col("q_emb")), 6))
       .select(col("qid"), col("vec_id"), col("sim"))
 
+  /** Pin a hop frame and return its beam srcs (the ≤ Ef·|batch|-row
+    * driver-side collect that feeds the NEXT hop's literal bucket probe)
+    * plus the pinned frame. Records walk stats when enabled.
+    */
+  private def pinHop(hop: DataFrame): (DataFrame, Seq[Long]) = {
+    val pinned = hop.localCheckpoint()
+    val srcs = pinned.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    (pinned, srcs)
+  }
+
   private def walkGraph(spark: SparkSession, edgesDir: String, metaDir: String,
                         queries: DataFrame): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
-    val edges = readGraph(spark, edgesDir)
+    val g = openGraph(spark, edgesDir)
     val meta = spark.read.parquet(metaDir)
+    val nLayers = meta.select(col("n_layers")).head().getInt(0)
     val scans = Seq.newBuilder[Seq[String]]
+    val files = Seq.newBuilder[(Long, Int)]
     def leaves(df: DataFrame): Seq[String] =
       df.queryExecution.sparkPlan.collectLeaves().map(_.toString).toSeq
+    def scannedFiles(df: DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
     // pin the query batch ONCE: each hop re-joins it for q_emb, and
     // without the checkpoint every hop would re-open the caller's source
     val qs = queries.localCheckpoint()
     // a tombstoned entry (deleted after this meta was written, before
     // deleteFromGraph's re-election ran — or a hand-mutated clone) must
-    // never be SERVED: readGraph drops tombstoned dsts, and this drops
-    // the one id that enters the beam from meta instead of an edge
-    var beam =
-      if (dirExists(spark, tombstonesPath(edgesDir)))
-        entryBeam(qs, meta).join(
-          broadcast(spark.read.parquet(tombstonesPath(edgesDir))),
-          Seq("vec_id"), "left_anti")
-      else entryBeam(qs, meta)
-    scans += leaves(beam)
-    beam = beam.localCheckpoint()
-    var visited = beam
-    for (layer <- Schedule) {
-      val (cands, hop) = hopOnce(edges, qs, beam, layer)
-      visited = visited.union(cands)
-      scans += leaves(hop)
-      beam = hop.localCheckpoint() // pin each hop: the next hop re-joins this tiny frame twice
+    // never be SERVED: the resolution drops tombstoned dsts, and this
+    // drops the one id that enters the beam from meta instead of an edge
+    var beam = g.tombs match {
+      case Some(t) => entryBeam(qs, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => entryBeam(qs, meta)
     }
-    lastWalkScans = scans.result()
+    if (collectWalkStats) scans += leaves(beam)
+    var (pinned, srcs) = pinHop(beam)
+    beam = pinned
+    var visited = beam
+    for (layer <- scheduleFor(nLayers)) {
+      val edges = hopEdges(spark, g, layer, srcs, "dst_emb")
+      val (cands, hop) = hopOnce(edges, qs, beam)
+      visited = visited.union(cands)
+      if (collectWalkStats) scans += leaves(hop)
+      val nBuckets = srcs.map(srcBucket).distinct.length
+      val (p, s) = pinHop(hop) // pin each hop: the next hop re-joins this tiny frame twice
+      if (collectWalkStats) files += ((scannedFiles(hop), nBuckets))
+      beam = p; srcs = s
+    }
+    if (collectWalkStats) { lastWalkScans = scans.result(); lastWalkFiles = files.result() }
     (beam, visited)
   }
 
@@ -302,70 +509,225 @@ object Hnsw {
 
   // --- adaptive serving ----------------------------------------------------
 
-  /** Caps on the greedy walk — the static unroll depth of the oracle's
-    * gated CTE replay. Real HNSW's convergence loop is unbounded; a hard
-    * cap keeps serving latency bounded AND the search replayable.
+  /** Cap on the greedy BASE-layer walk — the static unroll depth of the
+    * oracle's gated CTE replay: express layers run AT MOST the fixed
+    * schedule's [[HopsPerLayer]] hops (stopping early at a fixed point is
+    * safe — the skipped hops would be no-ops — but EXTENDING an upper
+    * phase re-routes the descent into lower layers, where "a better
+    * express beam" does not imply a better final result; measured: it
+    * cost recall on this corpus), while layer 0 self-extends up to
+    * [[HopsL0Max]] — there the monotone-beam argument is airtight, since
+    * the final answer IS the base beam and every extra hop's top-Ef is
+    * taken over a superset. Real HNSW's convergence loop is unbounded; a
+    * hard cap keeps serving latency bounded AND the search replayable.
     */
-  val HopsL1Max = 4
   val HopsL0Max = 8
 
-  /** Realized-hop dump of the most recent [[searchAdaptive]] — one row
-    * (h1, h0) — so the DuckDB oracle unrolls the SAME number of live
-    * hops (the rest of its static cap-depth unroll passes the beam
-    * through unchanged).
+  /** Deterministic panel key for a query batch — the realized-hop dump is
+    * keyed by it so CONCURRENT adaptive searches over different panels
+    * (spec runs, user batches) can never clobber the oracled panel's
+    * replay artifact between the Spark execution and the DuckDB replay
+    * (round-9 advisor). Same panel ⇒ same key AND same realized hops
+    * (the walk is a pure function of graph + panel), so even a same-panel
+    * rewrite is value-identical.
     */
-  def adaptPath(sfDir: String): String = edgesPath(sfDir) + "-adapt"
+  private def panelKey(qids: Seq[Long], k: Int): String =
+    Ann.pathToken(qids.sorted.mkString(",") + s"/k=$k")
+
+  def adaptPathFor(sfDir: String, qids: Seq[Long], k: Int): String =
+    edgesPath(sfDir) + "-adapt-" + panelKey(qids, k)
+
+  /** The ORACLED adaptive panel's dump location (qid 0, k 5 — what
+    * ann_hnsw_adaptive serves); Verify resolves __HNSW_ADAPT__ here.
+    */
+  def adaptPath(sfDir: String): String = adaptPathFor(sfDir, Seq(0L), 5)
 
   /** GREEDY beam search (Malkov 2016 §4's convergence loop, bounded):
-    * instead of the fixed Schedule, each layer phase hops until the beam
-    * reaches a FIXED POINT — membership unchanged — or the layer's cap.
-    * Membership fixed-point is sound termination: the beam update is
-    * deterministic and monotone in (sim desc, id asc) per slot (the next
-    * beam is the top-Ef of a superset of the current beam), so an
-    * unchanged beam reproduces itself forever and no oscillation exists.
-    * On a 100× corpus (larger graph diameter) the walk self-extends to
-    * the cap instead of silently under-reaching like a fixed schedule;
-    * on an easy query it stops early. The per-hop convergence check
+    * each layer phase hops until the beam reaches a FIXED POINT —
+    * membership unchanged — or the phase's cap ([[HopsPerLayer]] on
+    * express layers, [[HopsL0Max]] on the base; see HopsL0Max's scaladoc
+    * for why only the base layer is allowed to outrun the fixed
+    * schedule). Membership fixed-point is sound termination: the beam
+    * update is deterministic and monotone in (sim desc, id asc) per slot
+    * (the next beam is the top-Ef of a superset of the current beam), so
+    * an unchanged beam reproduces itself forever and no oscillation
+    * exists. On a 100× corpus (larger base-layer diameter) the walk
+    * self-extends to the cap instead of silently under-reaching like the
+    * fixed schedule; on an easy query it stops early. The per-hop
+    * convergence check
     * collects the ≤ Ef·|batch|-row beam — driver-side metadata, the
-    * LogReg-digest posture. Realized (h1, h0) are dumped so the oracle
-    * replays the exact walk: hop i of the static cap-depth unroll is
-    * LIVE iff i < h1+h0 (layer 1 if i < h1 else 0) and a pass-through
-    * re-rank otherwise — making the adaptive result a pure function of
-    * (graph artifact, realized-hop artifact), hash-checkable end to end.
-    * Because adaptive hops extend the fixed schedule's prefix at every
-    * fixed point (a converged phase re-runs as no-ops), the final beam's
-    * sim multiset is ≥ the fixed schedule's — HnswSpec pins that.
+    * LogReg-digest posture (and the SAME collect now feeds the literal
+    * bucket probe). Realized per-layer hops (h0..h3) are dumped so the
+    * oracle replays the exact walk: slot i of the static cap-depth
+    * unroll is LIVE iff its in-phase index < that layer's realized hops
+    * (a pass-through re-rank otherwise) — making the adaptive result a
+    * pure function of (graph artifact, realized-hop artifact),
+    * hash-checkable end to end. Because adaptive hops extend the fixed
+    * schedule's prefix at every fixed point (a converged phase re-runs
+    * as no-ops), the final beam's sim multiset is ≥ the fixed
+    * schedule's — HnswSpec pins that.
     */
   def searchAdaptive(spark: SparkSession, sfDir: String, queries: DataFrame,
                      k: Int): DataFrame = {
     layout(spark, sfDir)
     GraftFunctions.register(spark)
-    val edges = readGraph(spark, edgesPath(sfDir))
+    val g = openGraph(spark, edgesPath(sfDir))
     val meta = spark.read.parquet(metaPath(sfDir))
+    val nLayers = meta.select(col("n_layers")).head().getInt(0)
     val qs = queries.localCheckpoint()
-    var beam = entryBeam(qs, meta).localCheckpoint()
+    val qids = qs.select(col("qid")).distinct().collect().map(_.getLong(0)).toSeq
+    var (beam, srcs) = pinHop(entryBeam(qs, meta))
     def members(b: DataFrame): Set[(Long, Long)] =
       b.select(col("qid"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     var cur = members(beam)
-    var h1 = 0
-    var h0 = 0
-    var fixed = false
-    while (h1 < HopsL1Max && !fixed) {
-      beam = hopOnce(edges, qs, beam, 1)._2.localCheckpoint()
-      h1 += 1
-      val s = members(beam); fixed = s == cur; cur = s
-    }
-    fixed = false
-    while (h0 < HopsL0Max && !fixed) {
-      beam = hopOnce(edges, qs, beam, 0)._2.localCheckpoint()
-      h0 += 1
-      val s = members(beam); fixed = s == cur; cur = s
+    val realized = Array.fill(MaxLayersStatic)(0L)
+    for (layer <- (nLayers - 1) to 0 by -1) {
+      val cap = if (layer == 0) HopsL0Max else HopsPerLayer
+      var fixed = false
+      var h = 0
+      while (h < cap && !fixed) {
+        val (p, s) = pinHop(
+          hopOnce(hopEdges(spark, g, layer, srcs, "dst_emb"), qs, beam)._2)
+        beam = p; srcs = s
+        h += 1
+        val m = members(beam); fixed = m == cur; cur = m
+      }
+      realized(layer) = h.toLong
     }
     import spark.implicits._
-    Seq((h1.toLong, h0.toLong)).toDF("h1", "h0")
-      .coalesce(1).write.mode("overwrite").parquet(adaptPath(sfDir))
+    Seq((realized(0), realized(1), realized(2), realized(3)))
+      .toDF("h0", "h1", "h2", "h3")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(adaptPathFor(sfDir, qids, k))
     beam.withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
+  // --- PQ-compressed serving (DiskANN §3.3) ----------------------------------
+
+  /** PQ edge artifact: the SAME adjacency as the base graph, carrying
+    * `dst_codes` (m=8 PQ codes — Pq.train's raw codebooks) instead of the
+    * 64-float `dst_emb`, same (layer, src_bucket) physical partitioning.
+    * This is the actual DiskANN §3.3 trade: the (MaxDegree+1)×
+    * duplicated vector bytes become duplicated CODE bytes (~32× less),
+    * hops ADC-score from codes, and only the FINAL beam touches full
+    * precision (a bounded id fetch against the shards sidecar — still
+    * artifact-owned, the corpus stays unopened).
+    */
+  def pqEdgesPath(sfDir: String): String = edgesPath(sfDir) + "-pq"
+  def pqMetaPath(sfDir: String): String = edgesPath(sfDir) + "-pqmeta"
+
+  /** The PQ face's own hyperparameters, both DiskANN compensation knobs:
+    * hops rank by an APPROXIMATION, so the graph walk runs a wider beam
+    * (recall is recovered at the final exact rescore — measured: ADC
+    * shortlists on this near-isotropic corpus need ~2Ef width to carry
+    * the true top-5) and finer codebooks (k=64 codes/subspace vs the
+    * rerank demo's 16 — still one code byte, 4× less quantization error
+    * per hop, so routing decisions misfire less).
+    */
+  val EfPq = 32
+  val PqCodesK = 64
+
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def pqLayout(spark: SparkSession, sfDir: String): String =
+    pqMemo.computeIfAbsent(sfDir, { _ =>
+      layout(spark, sfDir)
+      GraftFunctions.register(spark)
+      // the k-64 codes table (dumped like every trained index half)
+      val codes = spark.read.parquet(Ivfpq.codesLayout(spark, sfDir, k = PqCodesK))
+        .select(col("vec_id").as("dst"), col("codes").as("dst_codes"))
+      spark.read.parquet(edgesPath(sfDir))
+        .select(col("layer"), col("src"), col("dst"))
+        .join(codes, Seq("dst"))
+        .withColumn("src_bucket", srcBucketCol(col("src")))
+        .repartition(col("layer"), col("src_bucket"))
+        .write.mode("overwrite").partitionBy("layer", "src_bucket")
+        .parquet(pqEdgesPath(sfDir))
+      // pq meta: the base entry + ITS codes (hop 0 must ADC-score from
+      // the artifact like every later hop), n_layers carried through
+      spark.read.parquet(metaPath(sfDir))
+        .join(codes.select(col("dst").as("entry"),
+          col("dst_codes").as("entry_codes")), Seq("entry"))
+        .select(col("entry"), col("entry_codes"), col("n_layers"))
+        .coalesce(1).write.mode("overwrite").parquet(pqMetaPath(sfDir))
+      pqEdgesPath(sfDir)
+    })
+
+  /** PQ-compressed beam search (DiskANN §3.3): the SAME schedule and
+    * per-hop bucket-pruned probe as [[search]], but hops rank by the ADC
+    * approximation `Σ_s table[qid][s][code_s]` (per-qid m×k tables from
+    * driver arithmetic over the broadcast codebooks, injected as one
+    * literal map — the Ivfpq.searchBatchResidual shape) and ONLY the
+    * final beam is exact-rescored, from the shards sidecar (artifact-
+    * owned full vectors; ≤ Ef·|batch| rows). Output (qid, vec_id, sim,
+    * rnk) with sim = the exact rounded cosine. HnswSpec pins recall
+    * within ε of the full-precision graph at equal beam; the DuckDB
+    * oracle replays the hops from the dumped codes + books and the
+    * rescore from the corpus (ann_hnsw_pq).
+    */
+  def searchPq(spark: SparkSession, sfDir: String, queries: DataFrame,
+               k: Int): DataFrame = {
+    pqLayout(spark, sfDir)
+    GraftFunctions.register(spark)
+    val cb = Pq.train(spark, sfDir, k = PqCodesK)
+    val kCodes = cb.books(0).length
+    val g = openGraph(spark, pqEdgesPath(sfDir))
+    val meta = spark.read.parquet(pqMetaPath(sfDir))
+    val nLayers = meta.select(col("n_layers")).head().getInt(0)
+    val qs = queries.localCheckpoint()
+    // per-qid ADC tables from the API-sized query batch (collect is the
+    // batch itself — the searchBatchResidual posture); queries are
+    // L2-normalized first so ADC dot products rank like cosine
+    val qRows = qs.select(col("qid"),
+        graft.functions.VectorOps.l2Normalize(
+          graft.functions.VectorOps.toDoubleArray(col("q_emb"))).as("qn"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val adcEntries: Map[Long, Double] = qRows.flatMap { case (qid, qn) =>
+      val t = Pq.adcTable(qn, cb)
+      for { s <- 0 until cb.m; c <- 0 until kCodes }
+        yield ((qid * cb.m + s) * kCodes + c) -> t(s)(c)
+    }.toMap
+    val adcLit = typedLit(adcEntries)
+    def adcOf(codesCol: Column): Column =
+      round(aggregate(sequence(lit(0), lit(cb.m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(adcLit,
+          (col("qid") * cb.m + s).cast("long") * kCodes +
+            element_at(codesCol, s + 1))), 6)
+    var beam = qs.select(col("qid"))
+      .crossJoin(broadcast(meta.select(col("entry").as("vec_id"),
+        col("entry_codes"))))
+      .withColumn("sim", adcOf(col("entry_codes")))
+      .select(col("qid"), col("vec_id"), col("sim"))
+    var (pinned, srcs) = pinHop(beam)
+    beam = pinned
+    for (layer <- scheduleFor(nLayers)) {
+      val edges = hopEdges(spark, g, layer, srcs, "dst_codes")
+      val nbrs = edges
+        .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
+        .withColumn("sim", adcOf(col("dst_codes")))
+        .select(col("qid"), col("dst").as("vec_id"), col("sim"))
+      val next = beam.select(col("qid"), col("vec_id"), col("sim"))
+        .union(nbrs).distinct()
+        .withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= EfPq)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      val (p, s) = pinHop(next)
+      beam = p; srcs = s
+    }
+    // exact rescore of the final beam only — full-precision vectors come
+    // from the shards sidecar (the artifact's id→vector map), bounded by
+    // Ef·|batch| ids; the corpus table stays unopened
+    val full = spark.read.parquet(shardsPath(edgesPath(sfDir)))
+      .select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    beam.select(col("qid"), col("vec_id"))
+      .join(full, Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
   }
@@ -376,8 +738,17 @@ object Hnsw {
   // base). Readers resolve base ∪ delta with last-writer-wins per
   // (layer, src) and subtract the tombstone sidecar — both sidecars are
   // maintenance-batch-sized, so the resolution is two broadcast joins.
+  //
+  // Crash-consistency: every meta rewrite goes through [[commitMeta]]'s
+  // write-tmp-then-swap, so the multi-file Spark write can never leave a
+  // torn meta. The remaining (documented) window is BETWEEN a sidecar
+  // append and its meta swap — a crash there leaves the fingerprint one
+  // batch behind the sidecars, which the staleness probe reports as
+  // stale (loud, not silent) and the next compaction repairs.
 
-  /** Per-append delta edge rows (carry an explicit `gen`). */
+  /** Per-append delta edge rows (carry an explicit `gen`), partitioned
+    * like the base so per-hop probes prune delta files too.
+    */
   def deltaPath(edgesDir: String): String = edgesDir + "-delta"
 
   /** (layer, src, gen) rows: srcs whose base/older-gen edge lists were
@@ -392,7 +763,8 @@ object Hnsw {
     * shard — dumped at build so [[appendToGraph]] pairs new nodes against
     * ONLY their touched shards' members (partition-pruned read, cost
     * scales with the change, never the corpus). The second denormalized
-    * vector copy the graph trades for change-scaled maintenance.
+    * vector copy the graph trades for change-scaled maintenance — and
+    * the id→vector map [[searchPq]]'s final rescore reads.
     */
   def shardsPath(edgesDir: String): String = edgesDir + "-shards"
 
@@ -401,10 +773,31 @@ object Hnsw {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Near-atomic meta swap: the new 1-row meta is fully written to a tmp
+    * dir first, then swapped in with two filesystem metadata ops (delete
+    * + rename) — a crash can no longer leave a HALF-WRITTEN meta visible
+    * (round-9 advisor). The delete→rename gap itself is two fs ops wide;
+    * a crash inside it loses the meta dir loudly (readers fail fast on a
+    * missing path) rather than serving a torn one.
+    */
+  private def commitMeta(spark: SparkSession, metaDir: String,
+                         meta: DataFrame): Unit = {
+    val tmp = metaDir + ".tmp"
+    meta.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val dst = new org.apache.hadoop.fs.Path(metaDir)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    require(fs.rename(src, dst), s"hnsw: meta swap failed for $metaDir")
+  }
+
   /** Resolve a graph directory to its LIVE adjacency: base ∪ deltas with
     * last-writer-wins per (layer, src) (the `replaced` sidecar names the
     * winning gen), minus edges into tombstoned nodes. With no sidecars
-    * (the common, just-built case) this is exactly the base scan.
+    * (the common, just-built case) this is exactly the base scan. The
+    * WHOLE-graph face ([[compactGraph]], stats); the serving walk reads
+    * through the bucket-pruned [[hopEdges]] instead.
     */
   def readGraph(spark: SparkSession, edgesDir: String): DataFrame = {
     val base = spark.read.parquet(edgesDir).withColumn("gen", lit(0L))
@@ -437,16 +830,19 @@ object Hnsw {
     * recipe against the sfDir's dumped KMeans geometry), pair it only
     * against those shards' members (partition-pruned via the shards
     * sidecar — O(|change| · |shard|) work), keep its top-M out-edges per
-    * layer, and re-cap the edge lists of the touched in-link targets at
-    * MaxDegree. Writes ONE delta file set + O(touched)-row sidecar
-    * entries; the meta fingerprint updates ADDITIVELY (the fp is a sum
-    * mod 2^61−1, so an append needs only the delta digest — no corpus
-    * pass). Entry re-election if a promoted new id undercuts it.
+    * layer of the graph's hierarchy, and re-cap the edge lists of the
+    * touched in-link targets at MaxDegree. Writes ONE delta file set +
+    * O(touched)-row sidecar entries; the meta fingerprint updates
+    * ADDITIVELY (the fp is a sum mod 2^61−1, so an append needs only the
+    * delta digest — no corpus pass). Entry re-election if a new node
+    * promoted to the top layer undercuts it.
     */
   def appendToGraph(spark: SparkSession, sfDir: String, edgesDir: String,
                     metaDir: String, newVecs: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val cents = Ann.kmeansLayout(spark, sfDir)._2
+    val oldMeta = spark.read.parquet(metaDir).head()
+    val nLayers = oldMeta.getAs[Int]("n_layers")
     val newShards = Ann.nearestCells(
         newVecs.select(col("vec_id"), col("embedding")),
         Ann.centroidsDf(spark, cents), "vec_id", "embedding", n = 2)
@@ -463,12 +859,9 @@ object Hnsw {
       spark.read.parquet(replacedPath(edgesDir))
         .agg(max(col("gen"))).head().getLong(0)
     else 0L) + 1L
-    val promotedPred =
-      pmod(graft.functions.Digests.digest60(col("vec_id").cast("string")),
-        lit(LayerMod)) === 0
     def layerDelta(layer: Int): DataFrame = {
-      val news = if (layer == 1) newShards.filter(promotedPred) else newShards
-      val mems = if (layer == 1) members.filter(promotedPred) else members
+      val news = if (layer >= 1) newShards.filter(promotedPred(layer)) else newShards
+      val mems = if (layer >= 1) members.filter(promotedPred(layer)) else members
       // new-node out-edges: top-M within the touched shards
       val pairs = news
         .select(col("shard"), col("vec_id").as("src"), col("embedding").as("ea"))
@@ -531,22 +924,26 @@ object Hnsw {
         .select(lit(layer).as("layer"), col("src"), col("dst"),
           col("dst_emb"), lit(gen).as("gen"))
     }
-    val delta = layerDelta(0).unionByName(layerDelta(1)).localCheckpoint()
-    delta.write.mode("append").parquet(deltaPath(edgesDir))
+    val delta = (0 until nLayers).map(layerDelta)
+      .reduce(_ unionByName _).localCheckpoint()
+    delta
+      .withColumn("src_bucket", srcBucketCol(col("src")))
+      .write.mode("append").partitionBy("layer", "src_bucket")
+      .parquet(deltaPath(edgesDir))
     delta.select(col("layer"), col("src")).distinct()
       .withColumn("gen", lit(gen))
       .write.mode("append").parquet(replacedPath(edgesDir))
     newShards.write.mode("append").partitionBy("shard")
       .parquet(shardsPath(edgesDir))
-    // incremental meta: additive fp, count, entry re-election
-    val old = spark.read.parquet(metaDir).head()
+    // incremental meta: additive fp, count, entry re-election — committed
+    // LAST via the tmp+rename swap (see the maintenance-verbs comment)
     val deltaFp = graft.streaming.Streaming.fingerprintStream(
       newIds, col("vec_id").cast("string")).head()
-    val newFp = ((old.getAs[Long]("corpus_fp") + deltaFp.getLong(1)) % FpMod + FpMod) % FpMod
-    val newN = old.getAs[Long]("corpus_n") + deltaFp.getLong(0)
-    val promotedNew = newShards.filter(promotedPred)
+    val newFp = ((oldMeta.getAs[Long]("corpus_fp") + deltaFp.getLong(1)) % FpMod + FpMod) % FpMod
+    val newN = oldMeta.getAs[Long]("corpus_n") + deltaFp.getLong(0)
+    val promotedNew = newShards.filter(promotedPred(nLayers - 1))
       .agg(min(col("vec_id"))).head()
-    val oldEntry = old.getAs[Long]("entry")
+    val oldEntry = oldMeta.getAs[Long]("entry")
     val meta =
       if (!promotedNew.isNullAt(0) && promotedNew.getLong(0) < oldEntry) {
         val e = promotedNew.getLong(0)
@@ -554,24 +951,27 @@ object Hnsw {
           .select(col("vec_id").as("entry"), col("embedding").as("entry_emb"))
           .limit(1)
           .withColumn("corpus_n", lit(newN)).withColumn("corpus_fp", lit(newFp))
+          .withColumn("n_layers", lit(nLayers))
       } else {
         spark.read.parquet(metaDir)
           .select(col("entry"), col("entry_emb"))
           .withColumn("corpus_n", lit(newN)).withColumn("corpus_fp", lit(newFp))
+          .withColumn("n_layers", lit(nLayers))
       }
-    val pinned = meta.localCheckpoint()
-    pinned.coalesce(1).write.mode("overwrite").parquet(metaDir)
+    commitMeta(spark, metaDir, meta.localCheckpoint())
   }
 
   /** Logical DELETE: append the ids to the tombstone sidecar (KBs per
     * maintenance batch) and retire them from the meta fingerprint —
-    * served as exclusions by [[readGraph]] on the very next search, made
-    * physical by [[compactGraph]]. IDEMPOTENT and validated: duplicate
-    * ids, already-tombstoned ids, and non-member ids are dropped BEFORE
-    * the fingerprint subtraction (at-least-once delivery — the streaming
-    * face's foreachBatch — must not corrupt the meta), and deleting the
-    * current entry point re-elects one from the live membership so the
-    * very next search still navigates.
+    * served as exclusions by the walk's resolution on the very next
+    * search, made physical by [[compactGraph]]. IDEMPOTENT and
+    * validated: duplicate ids, already-tombstoned ids, and non-member
+    * ids are dropped BEFORE the fingerprint subtraction (at-least-once
+    * delivery — the streaming face's foreachBatch — must not corrupt the
+    * meta), and deleting the current entry point re-elects one from the
+    * live membership so the very next search still navigates. The meta
+    * swap is tmp+rename (torn-write-safe); the sidecar→meta gap is the
+    * documented one-batch staleness window.
     */
   def deleteFromGraph(spark: SparkSession, edgesDir: String, metaDir: String,
                       ids: Seq[Long]): Unit = {
@@ -594,6 +994,7 @@ object Hnsw {
     if (fresh.isEmpty) return
     fresh.toDF("vec_id").write.mode("append").parquet(tombstonesPath(edgesDir))
     val old = spark.read.parquet(metaDir).head()
+    val nLayers = old.getAs[Int]("n_layers")
     // the SAME engine digest the build's fingerprint used — additive mod
     // 2^61−1, so retiring ids is a subtraction of the batch digest
     val delFp = graft.streaming.Streaming.fingerprintStream(
@@ -604,32 +1005,32 @@ object Hnsw {
       if (fresh.contains(old.getAs[Long]("entry")))
         // the entry died: re-elect from the live membership now, not at
         // compaction — a beam must start somewhere on the next search
-        electEntry(spark, edgesDir, already ++ fresh)
+        electEntry(spark, edgesDir, already ++ fresh, nLayers)
           .withColumn("corpus_n", lit(newN)).withColumn("corpus_fp", lit(newFp))
+          .withColumn("n_layers", lit(nLayers))
           .localCheckpoint()
       else
         spark.read.parquet(metaDir)
           .select(col("entry"), col("entry_emb"))
           .withColumn("corpus_n", lit(newN)).withColumn("corpus_fp", lit(newFp))
+          .withColumn("n_layers", lit(nLayers))
           .localCheckpoint()
-    meta.coalesce(1).write.mode("overwrite").parquet(metaDir)
+    commitMeta(spark, metaDir, meta)
   }
 
   /** Elect an entry point from the live (non-tombstoned) shard members:
-    * the min-id PROMOTED node (the build's rule), falling back to the
-    * min-id live node when every promoted node is gone (layer-1 hops
-    * from a non-promoted entry are no-ops; layer 0 still navigates).
+    * the min-id node of the HIGHEST promotion level present (the build's
+    * rule generalized to the hierarchy), falling down level by level
+    * when a whole layer's membership is gone (layer-ℓ hops from a
+    * lower-level entry are no-ops; lower layers still navigate).
     * Refuses an empty graph loudly instead of writing a 0-row meta.
     */
   private def electEntry(spark: SparkSession, edgesDir: String,
-                         dead: Set[Long]): DataFrame = {
-    val promotedPred =
-      pmod(graft.functions.Digests.digest60(col("vec_id").cast("string")),
-        lit(LayerMod)) === 0
+                         dead: Set[Long], nLayers: Int): DataFrame = {
     val live = spark.read.parquet(shardsPath(edgesDir))
       .filter(if (dead.isEmpty) lit(true) else !col("vec_id").isin(dead.toSeq: _*))
     val pick = live
-      .orderBy(promotedPred.cast("int").desc, col("vec_id").asc)
+      .orderBy(levelCol(nLayers).desc, col("vec_id").asc)
       .limit(1)
       .select(col("vec_id").as("entry"), col("embedding").as("entry_emb"))
       .localCheckpoint()
@@ -638,38 +1039,46 @@ object Hnsw {
     pick
   }
 
-  /** PHYSICAL repair: fold base + deltas − tombstones into a fresh base,
-    * drop tombstoned members from the shards sidecar, re-elect the entry
-    * if it was deleted, clear every sidecar. After compaction the graph
+  /** PHYSICAL repair: fold base + deltas − tombstones into a fresh base
+    * (re-partitioned by (layer, src_bucket) like a fresh build), drop
+    * tombstoned members from the shards sidecar, re-elect the entry if
+    * it was deleted, clear every sidecar. After compaction the graph
     * reads exactly like a fresh build.
     */
   def compactGraph(spark: SparkSession, edgesDir: String, metaDir: String): Unit = {
+    GraftFunctions.register(spark)
     val tombed =
       if (dirExists(spark, tombstonesPath(edgesDir)))
         spark.read.parquet(tombstonesPath(edgesDir)).distinct().localCheckpoint()
       else spark.range(0).select(col("id").as("vec_id"))
     val live = readGraph(spark, edgesDir)
-      // tombstoned SRCs vanish too (readGraph only subtracts dsts — a
-      // deleted node must stop routing once its rows are rewritten)
+      // tombstoned SRCs vanish too (the read resolution only subtracts
+      // dsts — a deleted node must stop routing once its rows are
+      // rewritten)
       .join(broadcast(tombed.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
       .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
       .localCheckpoint()
-    live.repartition(col("src")).write.mode("overwrite").parquet(edgesDir)
+    live.withColumn("src_bucket", srcBucketCol(col("src")))
+      .repartition(col("layer"), col("src_bucket"))
+      .write.mode("overwrite").partitionBy("layer", "src_bucket")
+      .parquet(edgesDir)
     val shards = spark.read.parquet(shardsPath(edgesDir))
       .join(broadcast(tombed), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     shards.write.mode("overwrite").partitionBy("shard").parquet(shardsPath(edgesDir))
     val old = spark.read.parquet(metaDir).head()
+    val nLayers = old.getAs[Int]("n_layers")
     if (tombed.filter(col("vec_id") === old.getAs[Long]("entry")).count() > 0) {
       // shards were already rewritten minus the tombstones above, so the
       // election pool is exactly the live membership; electEntry prefers
-      // a promoted node, falls back to any live node, and refuses an
-      // empty graph instead of clobbering the meta with a 0-row table
-      val meta = electEntry(spark, edgesDir, Set.empty)
+      // the highest promoted level, falls back level by level, and
+      // refuses an empty graph instead of clobbering the meta
+      val meta = electEntry(spark, edgesDir, Set.empty, nLayers)
         .withColumn("corpus_n", lit(old.getAs[Long]("corpus_n")))
         .withColumn("corpus_fp", lit(old.getAs[Long]("corpus_fp")))
+        .withColumn("n_layers", lit(nLayers))
         .localCheckpoint()
-      meta.coalesce(1).write.mode("overwrite").parquet(metaDir)
+      commitMeta(spark, metaDir, meta)
     }
     val conf = spark.sessionState.newHadoopConf()
     Seq(deltaPath(edgesDir), replacedPath(edgesDir), tombstonesPath(edgesDir))
@@ -678,6 +1087,71 @@ object Hnsw {
         p.getFileSystem(conf).delete(p, true)
       }
   }
+
+  // --- operability stats -----------------------------------------------------
+
+  /** The graph twin of `ivf_index_stats` — what an operator reads to
+    * decide compactGraph vs rebuild: per layer of the LIVE (merge-on-
+    * read-resolved) graph, the src/edge population and degree shape,
+    * beside the sidecar debt (delta rows carrying that layer, replaced
+    * srcs, global tombstones). Digest-sized aggregations over the
+    * artifact; the corpus never enters. Oracled (ann_graph_stats) by the
+    * same merge-on-read SQL the maintenance replays use; HnswSpec
+    * asserts the debt columns flip after append/delete and reset to zero
+    * after compaction.
+    */
+  def graphStats(spark: SparkSession, edgesDir: String): DataFrame = {
+    val degs = readGraph(spark, edgesDir)
+      .groupBy(col("layer"), col("src")).agg(count(lit(1)).as("deg"))
+    val liveStats = degs.groupBy(col("layer")).agg(
+      count(lit(1)).as("n_srcs"),
+      sum(col("deg")).as("n_edges"),
+      max(col("deg")).as("max_deg"),
+      round(avg(col("deg")), 6).as("avg_deg"))
+    val deltaStats =
+      if (dirExists(spark, deltaPath(edgesDir)))
+        spark.read.parquet(deltaPath(edgesDir))
+          .groupBy(col("layer")).agg(count(lit(1)).as("delta_rows"))
+      else spark.range(0).select(col("id").cast("int").as("layer"),
+        col("id").as("delta_rows"))
+    val replacedStats =
+      if (dirExists(spark, replacedPath(edgesDir)))
+        spark.read.parquet(replacedPath(edgesDir))
+          .groupBy(col("layer")).agg(countDistinct(col("src")).as("replaced_srcs"))
+      else spark.range(0).select(col("id").cast("int").as("layer"),
+        col("id").as("replaced_srcs"))
+    val nTombs =
+      if (dirExists(spark, tombstonesPath(edgesDir)))
+        spark.read.parquet(tombstonesPath(edgesDir))
+          .select(col("vec_id")).distinct().count()
+      else 0L
+    liveStats
+      .join(deltaStats, Seq("layer"), "left")
+      .join(replacedStats, Seq("layer"), "left")
+      .select(col("layer").cast("int").as("layer"), col("n_srcs"),
+        col("n_edges"), col("max_deg"), col("avg_deg"),
+        coalesce(col("delta_rows"), lit(0L)).as("delta_rows"),
+        coalesce(col("replaced_srcs"), lit(0L)).as("replaced_srcs"),
+        lit(nTombs).as("tombstones"))
+      .orderBy(col("layer"))
+  }
+
+  /** The registered-table demo corpus for the transparent graph rewrite
+    * (plans/HnswTopKRewrite): a staged byte-copy of the embeddings table
+    * at its own path, so registering IT as graph-indexed cannot hijack
+    * the exact-scan queries (knn_topk's oracle is the exact result over
+    * the REAL table — a registry keyed on that path would silently make
+    * them approximate).
+    */
+  def rewriteCorpusPath(sfDir: String): String = edgesPath(sfDir) + "-corpus"
+
+  private val corpusMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def rewriteCorpusLayout(spark: SparkSession, sfDir: String): String =
+    corpusMemo.computeIfAbsent(sfDir, { _ =>
+      fsCopy(spark, s"$sfDir/embeddings.parquet", rewriteCorpusPath(sfDir))
+      rewriteCorpusPath(sfDir)
+    })
 
   /** The maintenance demo's appended node id — far above every corpus id. */
   val AppendedId = 900001L
@@ -692,9 +1166,25 @@ object Hnsw {
   private val demoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Recursive filesystem copy of a layout directory — cloning an
+    * artifact is a byte copy, not a Spark read→write round-trip (the
+    * round-9 bench's slowest stage was exactly that); partitioned
+    * directory trees copy verbatim, preserving the physical layout.
+    */
+  private[graft] def fsCopy(spark: SparkSession, from: String, to: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(from)
+    val dst = new org.apache.hadoop.fs.Path(to)
+    val fs = src.getFileSystem(conf)
+    fs.delete(dst, true)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+      false, true, conf), s"hnsw: copy $from -> $to failed")
+  }
+
   /** One-time staged maintenance demo (the Ivfpq deletedDemoLayout
     * posture — the MUTATION is the stage, queries measure the SEARCH):
-    * clone the sfDir base graph, APPEND one synthetic node — id
+    * clone the sfDir base graph (filesystem copy — edges, shards, meta,
+    * layouts preserved verbatim), APPEND one synthetic node — id
     * [[AppendedId]], the re-normalized mean of corpus vectors 5 and 9,
     * deterministic and distinct from every corpus vector — then DELETE
     * the base graph's top-1 neighbor of query 0. The oracled
@@ -713,12 +1203,9 @@ object Hnsw {
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(conf).delete(p, true)
       }
-      spark.read.parquet(edgesPath(sfDir))
-        .write.mode("overwrite").parquet(de)
-      spark.read.parquet(shardsPath(edgesPath(sfDir)))
-        .write.mode("overwrite").partitionBy("shard").parquet(shardsPath(de))
-      val m0 = spark.read.parquet(metaPath(sfDir)).localCheckpoint()
-      m0.coalesce(1).write.mode("overwrite").parquet(dm)
+      fsCopy(spark, edgesPath(sfDir), de)
+      fsCopy(spark, shardsPath(edgesPath(sfDir)), shardsPath(de))
+      fsCopy(spark, metaPath(sfDir), dm)
       val emb = graft.Tables.embeddings(spark, sfDir)
       val nv = emb.filter(col("vec_id") === 5).select(col("embedding").as("__ea"))
         .crossJoin(emb.filter(col("vec_id") === 9).select(col("embedding").as("__eb")))
@@ -736,5 +1223,8 @@ object Hnsw {
       (de, dm)
     })
 
-  private[graft] def resetMemos(): Unit = { memo.clear(); demoMemo.clear() }
+  private[graft] def resetMemos(): Unit = {
+    memo.clear(); demoMemo.clear(); pqMemo.clear(); corpusMemo.clear()
+    graft.plans.HnswGraphRegistry.clear()
+  }
 }

@@ -736,6 +736,54 @@ object PipelineQueries {
         .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
     }),
 
+    // PQ-compressed graph serving (DiskANN §3.3 proper): the hops walk
+    // the SAME adjacency but rank by ADC over the per-edge PQ codes —
+    // ~32× fewer duplicated vector bytes in the artifact — and only the
+    // final beam is exact-rescored (bounded id fetch from the shards
+    // sidecar; corpus still never opened). Oracled by dumped-codebook +
+    // dumped-codes replay (the pq_rerank_recall posture); HnswSpec pins
+    // recall within ε of the full-precision graph at equal beam.
+    "ann_hnsw_pq" -> ((s, dir) => {
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.searchPq(s, dir, q, k = 5)
+        .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
+    }),
+
+    // TRANSPARENT graph rewrite: the user writes the exact declarative
+    // top-k (ORDER BY cosine_sim DESC LIMIT k) over a graph-registered
+    // table; plans/HnswTopKRewrite serves the candidate set from the
+    // graph index (bounded walk at rewrite time) and injects a k-id
+    // filter, so the user's own sort exact-rescores k rows instead of
+    // scanning the corpus. Result ≡ the graph top-k re-ranked by true
+    // cosine — replayed by the same beam CTEs.
+    "ann_hnsw_rewrite" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val qv = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      s.read.parquet(corpus).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    // Graph-index operability stats (the ivf_index_stats twin): per
+    // layer of the merge-on-read-resolved maintenance-demo graph, the
+    // live src/edge population and degree shape beside the sidecar debt
+    // (delta rows, replaced srcs, tombstones) — what an operator reads
+    // to decide compactGraph vs rebuild. Digest-sized aggs over the
+    // artifact only; oracled by the same merge-on-read SQL the
+    // maintenance replays use.
+    "ann_graph_stats" -> ((s, dir) => {
+      val (de, _) = graft.operators.Hnsw.maintDemoLayout(s, dir)
+      graft.operators.Hnsw.graphStats(s, de)
+    }),
+
     // SemDeDup (Abbas 2023): paraphrase-level dedup by embedding — the
     // trained KMeans cells are the blocking key, so the pair search is a
     // bounded within-cell equi-join over the SAME one-time layout the ANN
@@ -1068,7 +1116,10 @@ object PipelineQueries {
   private val semTau = 0.5
 
   /** Name of the final beam CTE emitted by [[hnswBeamCtes]] — one per hop
-    * in Hnsw.Schedule, beam0 being the entry point.
+    * in Hnsw.Schedule (the STATIC MaxLayersStatic-deep schedule), beam0
+    * being the entry point. Hops on layers the graph does not have expand
+    * zero edges and pass the beam through — value-identical to the
+    * engine's layer-skipping walk.
     */
   private def hnswLastBeam: String = s"beam${graft.operators.Hnsw.Schedule.length}"
 
@@ -1081,22 +1132,28 @@ object PipelineQueries {
     * hop schedule and Ef come from the SAME constants. `edgesSql` /
     * `metaGlob` / `corpusSql` parameterize WHICH graph artifact replays
     * (base vs the maintenance demo's merge-on-read state) and where
-    * candidate vectors score from.
+    * candidate scores come from; `cosSql` lets the PQ face rank hops by a
+    * precomputed ADC score column instead of the exact cosine. hedges and
+    * hcorp are MATERIALIZED: the 10-hop unroll references each ~10×, and
+    * DuckDB inlines plain CTEs at every reference (the fd-budget rule).
     */
   private def hnswBeamCtes(qsSql: String,
-      edgesSql: String = "SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')",
+      edgesSql: String = "SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*/*/*.parquet', hive_partitioning=true)",
       metaGlob: String = "__HNSW_META__",
-      corpusSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      cosSql: String = "",
+      ef: Int = graft.operators.Hnsw.Ef): String = {
     import graft.operators.Hnsw
-    val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+    val cos = if (cosSql.nonEmpty) cosSql
+      else VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
     val sb = new StringBuilder
-    sb ++= s"""hedges AS ($edgesSql),
-              |hcorp AS ($corpusSql),
-              |qs AS ($qsSql),
-              |beam0 AS (SELECT qs.qid, m.entry AS vec_id
+    sb ++= s"""hedges AS MATERIALIZED ($edgesSql),
+              |hcorp AS MATERIALIZED ($corpusSql),
+              |qs AS MATERIALIZED ($qsSql),
+              |beam0 AS MATERIALIZED (SELECT qs.qid, m.entry AS vec_id
               |  FROM qs CROSS JOIN read_parquet('$metaGlob/*.parquet') m)""".stripMargin
     Hnsw.Schedule.zipWithIndex.foreach { case (layer, i) =>
-      sb ++= hnswHopPair("", i, s"e.layer = $layer", "", cos)
+      sb ++= hnswHopPair("", i, s"e.layer = $layer", "", cos, ef)
     }
     sb.toString
   }
@@ -1110,7 +1167,8 @@ object PipelineQueries {
     * in when needed.
     */
   private def hnswHopPair(prefix: String, i: Int, nbrCond: String,
-                          extraJoin: String, cos: String): String =
+                          extraJoin: String, cos: String,
+                          ef: Int = graft.operators.Hnsw.Ef): String =
     s""",
        |${prefix}cand${i + 1} AS (
        |  SELECT qid, vec_id FROM ${prefix}beam$i
@@ -1119,7 +1177,7 @@ object PipelineQueries {
        |  FROM hedges e JOIN ${prefix}beam$i b ON e.src = b.vec_id
        |  $extraJoin
        |  WHERE $nbrCond),
-       |${prefix}beam${i + 1} AS (
+       |${prefix}beam${i + 1} AS MATERIALIZED (
        |  SELECT qid, vec_id, sim, rn FROM (
        |    SELECT qid, vec_id, sim, row_number() OVER (
        |        PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
@@ -1127,36 +1185,45 @@ object PipelineQueries {
        |      FROM ${prefix}cand${i + 1} c
        |      JOIN hcorp em ON em.vec_id = c.vec_id
        |      JOIN qs ON qs.qid = c.qid))
-       |  WHERE rn <= ${graft.operators.Hnsw.Ef})""".stripMargin
+       |  WHERE rn <= $ef)""".stripMargin
 
-  /** The ADAPTIVE walk's replay: a static cap-depth unroll
-    * (HopsL1Max + HopsL0Max hops) where hop i is LIVE — expands
-    * neighbors — iff `i < h1 + h0` from the dumped realized-hop artifact
-    * (`am`), on layer 1 while `i < h1`, else layer 0; a non-live hop's
-    * candidate set is the beam alone, so its re-rank passes the beam
-    * through unchanged. The adaptive result is thereby a pure function
-    * of (graph artifact, realized-hop artifact) and hash-checks like the
-    * fixed schedule.
+  /** The ADAPTIVE walk's replay: a static cap-depth unroll —
+    * HopsPerLayerMax hops per express layer (MaxLayersStatic−1 phases,
+    * top layer first) then HopsL0Max base hops — where slot i is LIVE
+    * (expands neighbors) iff its in-phase index is below that layer's
+    * realized hop count from the dumped (h0..h3) artifact (`am`); a
+    * non-live slot's candidate set is the beam alone, so its re-rank
+    * passes the beam through unchanged. The adaptive result is thereby a
+    * pure function of (graph artifact, realized-hop artifact) and
+    * hash-checks like the fixed schedule.
     */
-  private def hnswAdaptiveLastBeam: String =
-    s"abeam${graft.operators.Hnsw.HopsL1Max + graft.operators.Hnsw.HopsL0Max}"
+  private def hnswAdaptiveLastBeam: String = {
+    import graft.operators.Hnsw
+    s"abeam${Hnsw.HopsPerLayer * (Hnsw.MaxLayersStatic - 1) + Hnsw.HopsL0Max}"
+  }
 
   private def hnswAdaptiveCtes(qsSql: String): String = {
     import graft.operators.Hnsw
     val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
     val sb = new StringBuilder
     // MATERIALIZED: DuckDB inlines a plain CTE at every reference — the
-    // cap-depth unroll references hedges/am 12× each, and the re-globbed
+    // cap-depth unroll references hedges/am 20× each, and the re-globbed
     // parquet opens exhaust the process fd budget ("No files found")
-    sb ++= s"""hedges AS MATERIALIZED (SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*.parquet')),
-              |am AS MATERIALIZED (SELECT h1, h0 FROM read_parquet('__HNSW_ADAPT__/*.parquet')),
-              |hcorp AS (SELECT vec_id, embedding FROM embeddings),
-              |qs AS ($qsSql),
-              |abeam0 AS (SELECT qs.qid, m.entry AS vec_id
+    sb ++= s"""hedges AS MATERIALIZED (SELECT layer, src, dst FROM read_parquet('__HNSW_EDGES__/*/*/*.parquet', hive_partitioning=true)),
+              |am AS MATERIALIZED (SELECT h0, h1, h2, h3 FROM read_parquet('__HNSW_ADAPT__/*.parquet')),
+              |hcorp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+              |qs AS MATERIALIZED ($qsSql),
+              |abeam0 AS MATERIALIZED (SELECT qs.qid, m.entry AS vec_id
               |  FROM qs CROSS JOIN read_parquet('__HNSW_META__/*.parquet') m)""".stripMargin
-    (0 until Hnsw.HopsL1Max + Hnsw.HopsL0Max).foreach { i =>
+    val expressSlots = Hnsw.HopsPerLayer * (Hnsw.MaxLayersStatic - 1)
+    (0 until expressSlots + Hnsw.HopsL0Max).foreach { i =>
+      val (layer, inPhase) =
+        if (i < expressSlots)
+          (Hnsw.MaxLayersStatic - 1 - i / Hnsw.HopsPerLayer,
+            i % Hnsw.HopsPerLayer)
+        else (0, i - expressSlots)
       sb ++= hnswHopPair("a", i,
-        s"$i < am.h1 + am.h0 AND e.layer = (CASE WHEN $i < am.h1 THEN 1 ELSE 0 END)",
+        s"$inPhase < am.h$layer AND e.layer = $layer",
         "CROSS JOIN am", cos)
     }
     sb.toString
@@ -1170,12 +1237,12 @@ object PipelineQueries {
   private def hnswMaintEdgesSql: String =
     s"""SELECT layer, src, dst FROM (
        |    SELECT b.layer, b.src, b.dst
-       |    FROM read_parquet('__HNSW_MAINT_EDGES__/*.parquet') b
+       |    FROM read_parquet('__HNSW_MAINT_EDGES__/*/*/*.parquet', hive_partitioning=true) b
        |    WHERE NOT EXISTS (SELECT 1 FROM read_parquet('__HNSW_MAINT_REPLACED__/*.parquet') r
        |                      WHERE r.layer = b.layer AND r.src = b.src)
        |    UNION ALL
        |    SELECT d.layer, d.src, d.dst
-       |    FROM read_parquet('__HNSW_MAINT_DELTA__/*.parquet') d
+       |    FROM read_parquet('__HNSW_MAINT_DELTA__/*/*/*.parquet', hive_partitioning=true) d
        |    WHERE d.gen = (SELECT max(r2.gen) FROM read_parquet('__HNSW_MAINT_REPLACED__/*.parquet') r2
        |                   WHERE r2.layer = d.layer AND r2.src = d.src))
        |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('__HNSW_MAINT_TOMB__/*.parquet') t
@@ -1941,6 +2008,75 @@ object PipelineQueries {
              hnswMaintEdgesSql, "__HNSW_MAINT_META__", hnswMaintCorpusSql)}
          |SELECT vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
          |WHERE rn <= 5 ORDER BY rnk""".stripMargin
+    },
+
+    // PQ graph replay: the SAME beam CTEs, but the scoring "corpus" is
+    // every vector's ADC score rebuilt from the dumped codebooks + codes
+    // (the duckPqShortCtes fold, verbatim), the edges are the dumped PQ
+    // adjacency, and the final beam is exact-rescored from the corpus —
+    // mirroring Hnsw.searchPq hop for hop.
+    "ann_hnsw_pq" -> {
+      val adcCorpus =
+        s"""SELECT c.vec_id,
+           |    round(list_reduce(list_prepend(0.0::DOUBLE, list(a.dot ORDER BY a.s)),
+           |      (acc, x) -> acc + x), 6) AS sim
+           |  FROM (SELECT vec_id, codes
+           |        FROM read_parquet('__IVFPQ_CODES64__/*/*.parquet', hive_partitioning=true)) c
+           |  CROSS JOIN generate_series(0, 7) g(s)
+           |  JOIN (SELECT b.s, b.code,
+           |          list_dot_product(b.cent::DOUBLE[], list_slice(n.qn, b.s*8+1, b.s*8+8)) AS dot
+           |        FROM read_parquet('__PQ_BOOKS64__/*.parquet') b
+           |        CROSS JOIN (SELECT list_transform(embedding::DOUBLE[],
+           |            x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS qn
+           |          FROM embeddings WHERE vec_id = 0) n) a
+           |    ON a.s = g.s AND a.code = c.codes[g.s + 1]
+           |  GROUP BY c.vec_id""".stripMargin
+      val eCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH ${hnswBeamCtes(
+             "SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0",
+             "SELECT layer, src, dst FROM read_parquet('__HNSW_PQEDGES__/*/*/*.parquet', hive_partitioning=true)",
+             "__HNSW_META__", adcCorpus, "em.sim", graft.operators.Hnsw.EfPq)},
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, sim, rnk FROM (
+         |  SELECT b.vec_id, round($eCos, 6) AS sim,
+         |    row_number() OVER (ORDER BY round($eCos, 6) DESC, b.vec_id ASC) AS rnk
+         |  FROM $hnswLastBeam b JOIN embeddings e ON e.vec_id = b.vec_id CROSS JOIN q)
+         |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+    },
+
+    // rewrite replay: the injected k-id filter serves the graph top-5,
+    // and the user's own sort exact-rescores them — which is exactly the
+    // final beam's top-5 re-ranked by (sim DESC, vec_id) since the walk
+    // already scores exact cosine
+    "ann_hnsw_rewrite" -> {
+      s"""WITH ${hnswBeamCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")}
+         |SELECT vec_id, sim FROM $hnswLastBeam
+         |WHERE rn <= 5 ORDER BY sim DESC, vec_id ASC""".stripMargin
+    },
+
+    // stats replay: the SAME merge-on-read resolution the maintenance
+    // replays use, aggregated per layer, beside the sidecar counts
+    "ann_graph_stats" -> {
+      s"""WITH live AS MATERIALIZED ($hnswMaintEdgesSql),
+         |degs AS (SELECT layer, src, count(*) AS deg FROM live GROUP BY layer, src),
+         |ls AS (SELECT layer, count(*) AS n_srcs, sum(deg) AS n_edges,
+         |         max(deg) AS max_deg, round(avg(deg), 6) AS avg_deg
+         |       FROM degs GROUP BY layer),
+         |ds AS (SELECT layer, count(*) AS delta_rows
+         |       FROM read_parquet('__HNSW_MAINT_DELTA__/*/*/*.parquet', hive_partitioning=true)
+         |       GROUP BY layer),
+         |rs AS (SELECT layer, count(DISTINCT src) AS replaced_srcs
+         |       FROM read_parquet('__HNSW_MAINT_REPLACED__/*.parquet') GROUP BY layer),
+         |ts AS (SELECT count(DISTINCT vec_id)::BIGINT AS tombstones
+         |       FROM read_parquet('__HNSW_MAINT_TOMB__/*.parquet'))
+         |SELECT ls.layer::INTEGER AS layer, ls.n_srcs::BIGINT AS n_srcs,
+         |  ls.n_edges::BIGINT AS n_edges, ls.max_deg::BIGINT AS max_deg,
+         |  ls.avg_deg AS avg_deg,
+         |  coalesce(ds.delta_rows, 0)::BIGINT AS delta_rows,
+         |  coalesce(rs.replaced_srcs, 0)::BIGINT AS replaced_srcs,
+         |  ts.tombstones AS tombstones
+         |FROM ls LEFT JOIN ds USING (layer) LEFT JOIN rs USING (layer) CROSS JOIN ts
+         |ORDER BY layer""".stripMargin
     },
 
     // SemDeDup verdict replay: same dumped trained layout; the within-cell

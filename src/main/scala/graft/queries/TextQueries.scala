@@ -1290,7 +1290,16 @@ object TextQueries {
       // probe-cell selection through the ONE assignment formula
       val probeCells = Ann.nearestCells(probes,
         Ann.centroidsDf(s, cents), "pid", "q", n = 2)
+      // LITERAL cell filter (the Ivfpq.search pattern): the ≤ 2·|triples|
+      // probed cells are driver-known index metadata, and the isin makes
+      // the cell-partitioned layout PLAN only those directories — the
+      // broadcast join alone row-prunes after a full-table scan, which at
+      // a million-word vocabulary is the whole model per probe batch
+      // (round-9 verdict). WordVecSpec pins the scanned file count.
+      val cellIds = probeCells.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
       s.read.parquet(layout)
+        .filter(col("cell").isin(cellIds: _*))
         .join(broadcast(probeCells), Seq("cell"))
         .filter(col("word") =!= col("wa") && col("word") =!= col("wb") &&
           col("word") =!= col("wc"))
@@ -1328,7 +1337,13 @@ object TextQueries {
       val exact = ranked(vecs.crossJoin(broadcast(probes)))
       val probeCells = Ann.nearestCells(probes,
         Ann.centroidsDf(s, cents), "pid", "q", n = 2)
-      val appr = ranked(s.read.parquet(layout).join(broadcast(probeCells), Seq("cell")))
+      // same literal cell pruning as word_analogy — the recall audit must
+      // measure the SAME physically-pruned serve it audits
+      val cellIds = probeCells.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val appr = ranked(s.read.parquet(layout)
+        .filter(col("cell").isin(cellIds: _*))
+        .join(broadcast(probeCells), Seq("cell")))
       appr.join(exact, Seq("pid", "word"), "left_semi")
         .groupBy(col("pid"))
         .agg(count(lit(1)).as("n_hit"))

@@ -8,16 +8,24 @@ import graft.operators.{Ann, Hnsw, Knn}
 /** Quality + structural invariants for the layered small-world graph ANN
   * (operators/Hnsw.scala). The correctness gate replays the beam search
   * in DuckDB (ann_hnsw*); this spec pins the properties the replay can't
-  * see: graph invariants (degree cap, layer nesting, entry membership),
-  * the beam bound that makes each hop's cost O(Ef·MaxDegree), batch ≡
-  * single-query serving, and recall vs the IVF index the graph is meant
-  * to beat.
+  * see: graph invariants (degree cap, layer nesting across the whole
+  * hierarchy, entry membership), the beam bound that makes each hop's
+  * cost O(Ef·MaxDegree), the PHYSICAL I/O bound (per-hop scanned files ≤
+  * the beam's bucket set — file pruning, not just row pruning), batch ≡
+  * single-query serving, PQ-serving recall within ε of full precision,
+  * the transparent rewrite, and recall vs the IVF index the graph is
+  * meant to beat.
   */
 class HnswSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("dumped graph: degree cap, layer nesting, entry point membership") {
+  private def nLayers: Int = {
+    Hnsw.layout(spark, sf)
+    spark.read.parquet(Hnsw.metaPath(sf)).head().getAs[Int]("n_layers")
+  }
+
+  test("dumped graph: degree cap, hierarchy nesting, entry point membership") {
     Hnsw.layout(spark, sf)
     val edges = spark.read.parquet(Hnsw.edgesPath(sf))
     val maxDeg = edges.groupBy(col("layer"), col("src"))
@@ -25,16 +33,27 @@ class HnswSpec extends AnyFunSuite {
       .agg(max(col("d"))).head().getLong(0)
     assert(maxDeg <= Hnsw.MaxDegree,
       s"degree cap violated: $maxDeg > ${Hnsw.MaxDegree}")
-    // layer-1 nodes are a subset of layer-0 nodes (the express lane is a
-    // sample of the base graph, HNSW's nesting invariant)
-    val l1NotInL0 = edges.filter(col("layer") === 1).select(col("src"))
-      .except(edges.filter(col("layer") === 0).select(col("src"))).count()
-    assert(l1NotInL0 === 0, s"$l1NotInL0 layer-1 nodes missing from layer 0")
-    // the entry point is a layer-1 node; the query vector (0) is nowhere
+    // the hierarchy really is multi-layer at this corpus size, and each
+    // layer's nodes are a subset of the layer below (HNSW's nesting
+    // invariant, generalized): digest % 8^(l+1) = 0 implies % 8^l = 0
+    val nl = nLayers
+    assert(nl >= 3, s"500-node corpus should promote ≥3 layers, got $nl")
+    (1 until nl).foreach { l =>
+      val upNotDown = edges.filter(col("layer") === l).select(col("src"))
+        .except(edges.filter(col("layer") === l - 1).select(col("src"))).count()
+      assert(upNotDown === 0, s"$upNotDown layer-$l nodes missing from layer ${l - 1}")
+    }
+    // the entry point is a TOP-layer node; the query vector (0) is nowhere
     val entry = spark.read.parquet(Hnsw.metaPath(sf)).head().getLong(0)
-    assert(edges.filter(col("layer") === 1 && col("src") === entry).count() > 0)
+    assert(edges.filter(col("layer") === (nl - 1) && col("src") === entry).count() > 0,
+      s"entry $entry is not a layer-${nl - 1} node")
     assert(edges.filter(col("src") === 0 || col("dst") === 0).count() === 0,
       "query fixture vector 0 leaked into the graph")
+    // physical layout: the bucket column in the directory tree matches
+    // the ONE splitmix64 fold (write path and probe share TermBucket)
+    val mism = edges.select(col("src"), col("src_bucket")).distinct()
+      .collect().count(r => Hnsw.srcBucket(r.getLong(0)) != r.getInt(1))
+    assert(mism === 0, s"$mism srcs landed in a bucket the probe would not derive")
   }
 
   test("beam bound: every hop scores ≤ Ef·(MaxDegree+1) candidates per query") {
@@ -48,7 +67,7 @@ class HnswSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
-    for (layer <- Hnsw.Schedule) {
+    for (layer <- Hnsw.scheduleFor(nLayers)) {
       val nbrs = edges.filter(col("layer") === layer)
         .join(beam.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst").as("vec_id"))
@@ -64,39 +83,67 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
-  test("DiskANN layout: no hop on the serving path opens the corpus table") {
-    // the 100 TB claim made structural: with dst_emb denormalized onto
-    // the adjacency rows and entry_emb on the meta, every file scan in
-    // every hop's physical plan reads the graph artifact (edges/meta) —
-    // the embeddings parquet under sfDir is NEVER a leaf of the walk.
-    // Per-hop I/O is therefore bounded by the beam × probed src buckets,
-    // independent of corpus size.
+  test("DiskANN layout: no hop opens the corpus, and per-hop I/O is file-pruned to the beam's buckets") {
+    // the 100 TB claim made structural, both halves: (identity) with
+    // dst_emb denormalized onto the adjacency rows and entry_emb on the
+    // meta, every file scan in every hop's physical plan reads the graph
+    // artifact — the embeddings parquet under sfDir is NEVER a leaf of
+    // the walk; (volume) the (layer, src_bucket) partitioning + the
+    // per-hop literal bucket filter mean each hop PLANS at most
+    // |distinct beam buckets| files — the round-9 `weak` (row-pruned but
+    // not file-pruned) closed.
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0)
       .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
     Hnsw.layout(spark, sf)
-    Hnsw.search(spark, sf, q, k = 5).collect()
-    val scans = Hnsw.lastWalkScans
-    assert(scans.length === Hnsw.Schedule.length + 1,
-      "one recorded scan set per hop (entry hop included)")
-    val corpusMarker = s"$sf/embeddings"
-    scans.zipWithIndex.foreach { case (ls, hop) =>
-      assert(!ls.exists(_.contains(corpusMarker)),
-        s"hop $hop scans the corpus: ${ls.mkString("; ").take(400)}")
-    }
-    // and the hops really do read the artifact, not some cached corpus:
-    // each neighbor-expansion hop has the edge table as a scan leaf
-    val edgeDir = Hnsw.edgesPath(sf)
-    assert(scans.drop(1).forall(_.exists(_.contains(edgeDir))),
-      "a neighbor hop lost its adjacency scan")
-    assert(scans.head.exists(_.contains(Hnsw.metaPath(sf))),
-      "the entry hop must read the meta artifact")
+    Hnsw.collectWalkStats = true
+    try {
+      Hnsw.search(spark, sf, q, k = 5).collect()
+      val scans = Hnsw.lastWalkScans
+      val live = Hnsw.scheduleFor(nLayers)
+      assert(scans.length === live.length + 1,
+        "one recorded scan set per hop (entry hop included)")
+      val corpusMarker = s"$sf/embeddings"
+      scans.zipWithIndex.foreach { case (ls, hop) =>
+        assert(!ls.exists(_.contains(corpusMarker)),
+          s"hop $hop scans the corpus: ${ls.mkString("; ").take(400)}")
+      }
+      // and the hops really do read the artifact, not some cached corpus:
+      // each neighbor-expansion hop has the edge table as a scan leaf
+      val edgeDir = Hnsw.edgesPath(sf)
+      assert(scans.drop(1).forall(_.exists(_.contains(edgeDir))),
+        "a neighbor hop lost its adjacency scan")
+      assert(scans.head.exists(_.contains(Hnsw.metaPath(sf))),
+        "the entry hop must read the meta artifact")
+      // VOLUME pin (the InvertedIndexSpec numFiles pattern): each hop's
+      // edge scan plans ≤ |distinct beam buckets| files — never the
+      // whole artifact
+      val files = Hnsw.lastWalkFiles
+      assert(files.length === live.length)
+      files.zipWithIndex.foreach { case ((nFiles, nBuckets), hop) =>
+        assert(nFiles <= nBuckets,
+          s"hop $hop scanned $nFiles files for a $nBuckets-bucket beam")
+      }
+      // the first hop probes the entry node alone — exactly one bucket,
+      // at most one file: the sharpest witness that pruning is physical
+      assert(files.head._2 === 1 && files.head._1 <= 1,
+        s"entry-beam hop should plan ≤1 file, planned ${files.head._1}")
+      // and the artifact itself holds far more files than any hop reads
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(edgeDir)
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      var total = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) total += 1 }
+      assert(files.forall(_._1 < total),
+        s"a hop read the entire $total-file artifact — no pruning happened")
+    } finally Hnsw.collectWalkStats = false
     // the filtered face is a re-sort of the walk's visited pool — same
     // walk, plus zero additional file scans over the corpus
     val got = Hnsw.searchFiltered(spark, sf, q, k = 5,
       pmod(col("vec_id"), lit(3L)) === 1L)
     assert(!got.queryExecution.sparkPlan.collectLeaves()
-      .exists(_.toString.contains(corpusMarker)),
+      .exists(_.toString.contains(s"$sf/embeddings")),
       "filtered rank rescans the corpus")
     got.collect()
   }
@@ -147,6 +194,111 @@ class HnswSpec extends AnyFunSuite {
       s"graph recall ${hSum / qids.size} < ivf recall ${iSum / qids.size}")
   }
 
+  test("PQ serving: recall within ε of the full-precision graph at equal beam") {
+    // DiskANN §3.3 — hops rank by ADC over per-edge codes, final beam
+    // exact-rescored. The compression trades bytes for a bounded recall
+    // hit; ε = one hit of five over the panel mean.
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val (pSum, fSum) = qids.map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= qid && col("vec_id") =!= 0),
+          q, "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      val qdf = emb.filter(col("vec_id") === qid)
+        .select(lit(qid).as("qid"), col("embedding").as("q_emb"))
+      val p = Hnsw.searchPq(spark, sf, qdf, k = 6)
+        .filter(col("vec_id") =!= qid).limit(5)
+        .collect().map(_.getLong(1)).toSet
+      val f = Hnsw.search(spark, sf, qdf, k = 6)
+        .filter(col("vec_id") =!= qid).limit(5)
+        .collect().map(_.getLong(1)).toSet
+      (exact.count(p).toDouble / 5, exact.count(f).toDouble / 5)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    info(s"mean recall@5: pq-graph=${pSum / qids.size} full-graph=${fSum / qids.size}")
+    assert(pSum >= fSum - 1.0, // ε = 0.2 mean recall over a 5-query panel
+      s"PQ recall ${pSum / qids.size} fell >0.2 below full precision ${fSum / qids.size}")
+    // PQ results are exact-rescored: every served sim must equal the true
+    // rounded cosine (the ADC approximation never leaks into the output)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    val served = Hnsw.searchPq(spark, sf, q0, k = 5).collect()
+    assert(served.length === 5)
+    val trueSims = Knn.topK(emb.filter(col("vec_id") =!= 0),
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb")),
+        "vec_id", "embedding", k = 499, keep = Seq("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    served.foreach { r =>
+      assert(math.abs(r.getDouble(2) - trueSims(r.getLong(1))) < 1e-9,
+        s"served sim for ${r.getLong(1)} is not the exact rescore")
+    }
+    // and the PQ artifact really is smaller: code payload vs float payload
+    val conf = spark.sessionState.newHadoopConf()
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      var b = 0L
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getLen }
+      b
+    }
+    val full = dirBytes(Hnsw.edgesPath(sf))
+    val pq = dirBytes(Hnsw.pqEdgesPath(sf))
+    info(s"edge artifact bytes: full=$full pq=$pq (${full.toDouble / pq}× smaller)")
+    assert(pq < full / 2, s"PQ artifact $pq not meaningfully smaller than $full")
+  }
+
+  test("transparent rewrite: declarative top-k over a registered table is served by the graph") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    graft.plans.HnswGraphRegistry.register(corpus, "vec_id",
+      Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+    try {
+      val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      def declarative = spark.read.parquet(corpus).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+      val df = declarative
+      val fired = df.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition
+      }.exists(_.exists {
+        case In(a: AttributeReference, vs) => a.name == "vec_id" && vs.length <= 5
+        case _ => false
+      })
+      assert(fired, "HnswTopKRewrite did not inject the k-id filter")
+      // the served set is exactly the graph's top-5 (exact-rescored by
+      // the user's own sort — walk sims ARE the exact rounded cosine)
+      val emb = Tables.embeddings(spark, sf)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      val want = Hnsw.search(spark, sf, q0, k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === want, "rewrite served a different set than the graph walk")
+      // fall-through: unregister and the SAME query is the exact scan
+      graft.plans.HnswGraphRegistry.clear()
+      val clean = declarative
+      val firedClean = clean.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition
+      }.exists(_.exists {
+        case In(a: AttributeReference, _) => a.name == "vec_id"
+        case _ => false
+      })
+      assert(!firedClean, "rewrite fired on an unregistered table")
+      val exact = Knn.topK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb")),
+          "vec_id", "embedding", k = 5, keep = Seq("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(clean.collect().map(_.getLong(0)).toSet === exact,
+        "fall-through result is not the exact top-k")
+    } finally graft.plans.HnswGraphRegistry.clear()
+  }
+
   test("adaptive walk: recall ≥ fixed schedule, hops within caps, dumped hops replay the run") {
     val emb = Tables.embeddings(spark, sf)
     // same 5-query panel as the IVF-compare test; adaptive must never
@@ -171,21 +323,23 @@ class HnswSpec extends AnyFunSuite {
     }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
     info(s"mean recall@5: adaptive=${aSum / qids.size} fixed=${fSum / qids.size}")
     assert(aSum >= fSum, s"adaptive recall $aSum < fixed $fSum")
-    // realized hops dumped, within caps
-    val hops = spark.read.parquet(Hnsw.adaptPath(sf)).head()
-    assert(hops.getLong(0) <= Hnsw.HopsL1Max && hops.getLong(1) <= Hnsw.HopsL0Max)
-    // fixed-point soundness: one more hop from the adaptive result's
-    // realized schedule cannot change the beam when it stopped early
-    // (i.e. stopping was a true fixed point, not a truncation)
-    if (hops.getLong(1) < Hnsw.HopsL0Max) {
-      val q0 = emb.filter(col("vec_id") === 4L)
-        .select(lit(4L).as("qid"), col("embedding").as("q_emb"))
-      val once = Hnsw.searchAdaptive(spark, sf, q0, k = Hnsw.Ef)
-        .collect().map(_.getLong(1)).toSet
-      val twice = Hnsw.searchAdaptive(spark, sf, q0, k = Hnsw.Ef)
-        .collect().map(_.getLong(1)).toSet
-      assert(once === twice, "adaptive walk is not deterministic")
+    // realized hops dumped PER PANEL (concurrent panels cannot clobber
+    // the oracled dump — round-9 advisor), within the per-layer caps
+    val hops = spark.read.parquet(Hnsw.adaptPathFor(sf, Seq(4L), 6)).head()
+    assert(hops.getAs[Long]("h0") <= Hnsw.HopsL0Max)
+    (1 until Hnsw.MaxLayersStatic).foreach { l =>
+      assert(hops.getAs[Long](s"h$l") <= Hnsw.HopsPerLayer,
+        s"layer $l realized ${hops.getAs[Long](s"h$l")} hops > the fixed-schedule cap")
     }
+    // fixed-point soundness: a re-run of the same panel is bit-stable
+    // (i.e. stopping was a true fixed point, not a truncation)
+    val q0 = emb.filter(col("vec_id") === 4L)
+      .select(lit(4L).as("qid"), col("embedding").as("q_emb"))
+    val once = Hnsw.searchAdaptive(spark, sf, q0, k = Hnsw.Ef)
+      .collect().map(_.getLong(1)).toSet
+    val twice = Hnsw.searchAdaptive(spark, sf, q0, k = Hnsw.Ef)
+      .collect().map(_.getLong(1)).toSet
+    assert(once === twice, "adaptive walk is not deterministic")
   }
 
   test("maintenance: append serves the new vector top-1, delete excludes, compact folds") {
@@ -222,8 +376,15 @@ class HnswSpec extends AnyFunSuite {
       "incremental corpus_n drifted from the live membership")
     assert(meta.getAs[Long]("corpus_fp") === fresh.getLong(1),
       "incremental corpus_fp drifted from the live membership")
+    // OPERABILITY stats see the uncompacted debt: delta rows + the
+    // tombstone, per layer of the live resolution
+    val statsBefore = Hnsw.graphStats(spark, de).collect()
+    assert(statsBefore.map(_.getAs[Long]("delta_rows")).sum > 0,
+      "stats missed the append's delta debt")
+    assert(statsBefore.forall(_.getAs[Long]("tombstones") === 1L),
+      "stats missed the tombstone")
     // COMPACT on a private clone: the folded graph serves identically,
-    // and every sidecar is gone
+    // every sidecar is gone, and the stats debt resets
     val ce = de + "-compact-test"
     val cm = ce + "-meta"
     val conf = spark.sessionState.newHadoopConf()
@@ -232,13 +393,11 @@ class HnswSpec extends AnyFunSuite {
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(conf).delete(p, true)
       }
-    spark.read.parquet(de).write.mode("overwrite").parquet(ce)
-    spark.read.parquet(Hnsw.deltaPath(de)).write.mode("overwrite").parquet(Hnsw.deltaPath(ce))
-    spark.read.parquet(Hnsw.replacedPath(de)).write.mode("overwrite").parquet(Hnsw.replacedPath(ce))
-    spark.read.parquet(Hnsw.tombstonesPath(de)).write.mode("overwrite").parquet(Hnsw.tombstonesPath(ce))
-    spark.read.parquet(Hnsw.shardsPath(de)).write.mode("overwrite")
-      .partitionBy("shard").parquet(Hnsw.shardsPath(ce))
-    spark.read.parquet(dm).localCheckpoint().coalesce(1).write.mode("overwrite").parquet(cm)
+    Seq(de -> ce, Hnsw.deltaPath(de) -> Hnsw.deltaPath(ce),
+      Hnsw.replacedPath(de) -> Hnsw.replacedPath(ce),
+      Hnsw.tombstonesPath(de) -> Hnsw.tombstonesPath(ce),
+      Hnsw.shardsPath(de) -> Hnsw.shardsPath(ce), dm -> cm)
+      .foreach { case (from, to) => Hnsw.fsCopy(spark, from, to) }
     val before = Hnsw.searchIn(spark, ce, cm, q0, k = 5)
       .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
     Hnsw.compactGraph(spark, ce, cm)
@@ -253,6 +412,10 @@ class HnswSpec extends AnyFunSuite {
     val appAfter = Hnsw.searchIn(spark, ce, cm, qApp, k = 1).head()
     assert(appAfter.getLong(1) === Hnsw.AppendedId,
       "appended vector lost in compaction")
+    val statsAfter = Hnsw.graphStats(spark, ce).collect()
+    assert(statsAfter.forall(r => r.getAs[Long]("delta_rows") === 0L &&
+      r.getAs[Long]("replaced_srcs") === 0L && r.getAs[Long]("tombstones") === 0L),
+      "stats debt did not reset after compaction")
     // IDEMPOTENCE: re-delivering a delete (at-least-once streaming) and
     // deleting a non-member must both be no-ops on the meta fingerprint
     val before2 = spark.read.parquet(cm).head()
@@ -296,11 +459,9 @@ class HnswSpec extends AnyFunSuite {
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(conf).delete(p, true)
         }
-      spark.read.parquet(Hnsw.edgesPath(sf)).write.mode("overwrite").parquet(e)
-      spark.read.parquet(Hnsw.shardsPath(Hnsw.edgesPath(sf)))
-        .write.mode("overwrite").partitionBy("shard").parquet(Hnsw.shardsPath(e))
-      spark.read.parquet(Hnsw.metaPath(sf)).localCheckpoint()
-        .coalesce(1).write.mode("overwrite").parquet(m)
+      Hnsw.fsCopy(spark, Hnsw.edgesPath(sf), e)
+      Hnsw.fsCopy(spark, Hnsw.shardsPath(Hnsw.edgesPath(sf)), Hnsw.shardsPath(e))
+      Hnsw.fsCopy(spark, Hnsw.metaPath(sf), m)
       (e, m)
     }
     val (se, sm) = clone("-stream-del")
