@@ -202,12 +202,20 @@ object Hnsw {
       // the shard table feeds both sides of the pair join — stage it once
       val staged = sharded.localCheckpoint()
       val n = corpus.count()
+      // per-level node counts in ONE aggregation (level = how high the
+      // nested digest rule promotes a node); every sizing decision below
+      // (top-layer clamp, dense-vs-blocked, entry pool) reads this map
+      // instead of re-counting the staged table per question
+      val levelHist: Map[Int, Long] = staged
+        .select(col("vec_id")).distinct()
+        .groupBy(levelCol(MaxLayersStatic).as("lvl")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def promotedCount(l: Int): Long =
+        levelHist.collect { case (lvl, c) if lvl >= l => c }.sum
       // engine layer count, clamped down while a top layer would be empty
       // (a pseudorandom-digest tail case at tiny N; deterministic per
       // corpus) — a 1-node top layer is fine (entry only, hops no-op)
       var nLayers = nLayersFor(n)
-      def promotedCount(l: Int): Long =
-        staged.filter(promotedPred(l)).select(col("vec_id")).distinct().count()
       while (nLayers > 2 && promotedCount(nLayers - 1) == 0) nLayers -= 1
       // layer 0/1 (and any over-cap express layer): shard-blocked pairs —
       // O(Σ|shard|²), never N²
@@ -357,13 +365,40 @@ object Hnsw {
     GraphRefs(edgesDir, dirExists(spark, deltaPath(edgesDir)), latest, tombs)
   }
 
+  /** THE merge-on-read resolution — the one in-engine definition (the
+    * parity-critical-formula rule; the DuckDB twin is
+    * PipelineQueries.hnswMaintEdgesSql): base ∪ deltas with
+    * last-writer-wins per (layer, src) — the `replaced` sidecar names
+    * the winning gen, base rows carry gen 0 — minus edges into
+    * tombstoned nodes. Shared by the serving hops ([[hopEdges]], over
+    * bucket-pruned scans) and the whole-graph face ([[readGraph]] —
+    * compaction, stats), so the two read paths can never silently
+    * diverge. `all` must carry a `gen` column.
+    */
+  private def morResolve(all: DataFrame, latest: Option[DataFrame],
+                         tombs: Option[DataFrame]): DataFrame = {
+    val resolved = latest match {
+      case Some(l) =>
+        all.join(broadcast(l), Seq("layer", "src"), "left")
+          .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
+          .drop("__latest")
+      case None => all
+    }
+    tombs match {
+      case Some(t) =>
+        resolved.join(broadcast(t.select(col("vec_id").as("dst"))),
+          Seq("dst"), "left_anti")
+      case None => resolved
+    }
+  }
+
   /** ONE hop's live adjacency, physically pruned: literal (layer,
     * src_bucket) partition filters derived from the beam's src ids (plus
     * a src IN rowgroup filter), applied to the base AND delta scans
     * BEFORE the merge-on-read resolution — so per-hop I/O is
     * |beam buckets| files, never the artifact (the round-9 `weak`).
-    * Resolution itself is two broadcast joins against the walk-pinned
-    * sidecars. `embCol` names the payload column (dst_emb / dst_codes).
+    * Resolution itself is [[morResolve]] over the walk-pinned sidecars.
+    * `embCol` names the payload column (dst_emb / dst_codes).
     */
   private def hopEdges(spark: SparkSession, g: GraphRefs, layer: Int,
                        srcs: Seq[Long], embCol: String): DataFrame = {
@@ -376,20 +411,7 @@ object Hnsw {
       if (g.hasDelta)
         base.unionByName(pruned(spark.read.parquet(deltaPath(g.edgesDir))))
       else base
-    val resolved = g.latest match {
-      case Some(latest) =>
-        all.join(broadcast(latest), Seq("layer", "src"), "left")
-          .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
-          .drop("__latest")
-      case None => all
-    }
-    val live = g.tombs match {
-      case Some(t) =>
-        resolved.join(broadcast(t.select(col("vec_id").as("dst"))),
-          Seq("dst"), "left_anti")
-      case None => resolved
-    }
-    live.select(col("src"), col("dst"), col(embCol))
+    morResolve(all, g.latest, g.tombs).select(col("src"), col("dst"), col(embCol))
   }
 
   /** One hop of the beam walk: neighbor expansion + scoring in ONE probe
@@ -576,7 +598,14 @@ object Hnsw {
     val nLayers = meta.select(col("n_layers")).head().getInt(0)
     val qs = queries.localCheckpoint()
     val qids = qs.select(col("qid")).distinct().collect().map(_.getLong(0)).toSeq
-    var (beam, srcs) = pinHop(entryBeam(qs, meta))
+    // same tombstoned-entry guard as the fixed walk: in the documented
+    // sidecar→meta crash window the entry can be tombstoned while the
+    // meta still names it — the adaptive face must not serve it either
+    val entry0 = g.tombs match {
+      case Some(t) => entryBeam(qs, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => entryBeam(qs, meta)
+    }
+    var (beam, srcs) = pinHop(entry0)
     def members(b: DataFrame): Set[(Long, Long)] =
       b.select(col("qid"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -792,34 +821,22 @@ object Hnsw {
     require(fs.rename(src, dst), s"hnsw: meta swap failed for $metaDir")
   }
 
-  /** Resolve a graph directory to its LIVE adjacency: base ∪ deltas with
-    * last-writer-wins per (layer, src) (the `replaced` sidecar names the
-    * winning gen), minus edges into tombstoned nodes. With no sidecars
-    * (the common, just-built case) this is exactly the base scan. The
-    * WHOLE-graph face ([[compactGraph]], stats); the serving walk reads
-    * through the bucket-pruned [[hopEdges]] instead.
+  /** Resolve a graph directory to its LIVE adjacency — [[morResolve]]
+    * over the UNPRUNED scans (sidecars resolved through the same
+    * [[openGraph]] the serving walk uses). With no sidecars (the common,
+    * just-built case) this is exactly the base scan. The WHOLE-graph
+    * face ([[compactGraph]], stats); the serving walk reads through the
+    * bucket-pruned [[hopEdges]] instead.
     */
   def readGraph(spark: SparkSession, edgesDir: String): DataFrame = {
+    val g = openGraph(spark, edgesDir)
     val base = spark.read.parquet(edgesDir).withColumn("gen", lit(0L))
     val all =
-      if (dirExists(spark, deltaPath(edgesDir)))
+      if (g.hasDelta)
         base.unionByName(spark.read.parquet(deltaPath(edgesDir)))
       else base
-    val resolved =
-      if (dirExists(spark, replacedPath(edgesDir))) {
-        val latest = spark.read.parquet(replacedPath(edgesDir))
-          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))
-        all.join(broadcast(latest), Seq("layer", "src"), "left")
-          .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
-          .drop("__latest")
-      } else all
-    val live =
-      if (dirExists(spark, tombstonesPath(edgesDir)))
-        resolved.join(
-          broadcast(spark.read.parquet(tombstonesPath(edgesDir))
-            .select(col("vec_id").as("dst"))), Seq("dst"), "left_anti")
-      else resolved
-    live.select(col("layer"), col("src"), col("dst"), col("dst_emb"))
+    morResolve(all, g.latest, g.tombs)
+      .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
   }
 
   private val FpMod = 2305843009213693951L // 2^61 − 1, the membership-fp modulus
@@ -959,6 +976,8 @@ object Hnsw {
           .withColumn("n_layers", lit(nLayers))
       }
     commitMeta(spark, metaDir, meta.localCheckpoint())
+    // a mutated graph must not serve memoized rewrite probes
+    graft.plans.HnswGraphRegistry.invalidate(edgesDir)
   }
 
   /** Logical DELETE: append the ids to the tombstone sidecar (KBs per
@@ -1016,6 +1035,8 @@ object Hnsw {
           .withColumn("n_layers", lit(nLayers))
           .localCheckpoint()
     commitMeta(spark, metaDir, meta)
+    // a mutated graph must not serve memoized rewrite probes
+    graft.plans.HnswGraphRegistry.invalidate(edgesDir)
   }
 
   /** Elect an entry point from the live (non-tombstoned) shard members:
@@ -1086,6 +1107,8 @@ object Hnsw {
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(conf).delete(p, true)
       }
+    // a rewritten graph must not serve memoized rewrite probes
+    graft.plans.HnswGraphRegistry.invalidate(edgesDir)
   }
 
   // --- operability stats -----------------------------------------------------

@@ -761,7 +761,7 @@ object PipelineQueries {
       graft.expressions.GraftFunctions.register(s)
       graft.operators.Hnsw.layout(s, dir)
       val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
-      graft.plans.HnswGraphRegistry.register(corpus, "vec_id",
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
         graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
       val qv = embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)

@@ -249,28 +249,45 @@ class HnswSpec extends AnyFunSuite {
   }
 
   test("transparent rewrite: declarative top-k over a registered table is served by the graph") {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, InSet}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     Hnsw.layout(spark, sf)
     val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
-    graft.plans.HnswGraphRegistry.register(corpus, "vec_id",
+    graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
       Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
     try {
       val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
-      def declarative = spark.read.parquet(corpus).filter(col("vec_id") =!= 0)
+      def declarativeK(k: Int) = spark.read.parquet(corpus).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), round(graft.expressions.GraftFunctions
           .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(5)
+        .limit(k)
+      def declarative = declarativeK(5)
+      def hasInFilter(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: Filter => f.condition
+        }.exists(_.exists {
+          // the optimizer converts the injected In(≥10 ids) to InSet
+          case In(a: AttributeReference, vs) => a.name == "vec_id" && vs.length <= Hnsw.Ef
+          case InSet(a: AttributeReference, vs) => a.name == "vec_id" && vs.size <= Hnsw.Ef
+          case _ => false
+        })
       val df = declarative
-      val fired = df.queryExecution.optimizedPlan.collect {
-        case f: Filter => f.condition
-      }.exists(_.exists {
-        case In(a: AttributeReference, vs) => a.name == "vec_id" && vs.length <= 5
-        case _ => false
-      })
-      assert(fired, "HnswTopKRewrite did not inject the k-id filter")
+      assert(hasInFilter(df), "HnswTopKRewrite did not inject the beam-id filter")
+      // GUARDS: a LIMIT beyond the beam width must fall through (one walk
+      // cannot serve it — firing would silently truncate), and so must a
+      // predicate on a non-id column (the injected id set cannot account
+      // for it; that is the explicit filtered face's job)
+      assert(!hasInFilter(declarativeK(Hnsw.Ef + 1)),
+        "rewrite fired for k > Ef — would truncate the result")
+      val nonIdFiltered = spark.read.parquet(corpus)
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      assert(!hasInFilter(nonIdFiltered),
+        "rewrite fired under a non-id predicate")
       // the served set is exactly the graph's top-5 (exact-rescored by
       // the user's own sort — walk sims ARE the exact rounded cosine)
       val emb = Tables.embeddings(spark, sf)
@@ -296,6 +313,26 @@ class HnswSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet
       assert(clean.collect().map(_.getLong(0)).toSet === exact,
         "fall-through result is not the exact top-k")
+      // maintenance invalidates memoized probes: after a delete on the
+      // graph, a repeated (qVec, k) must re-walk — never serve the
+      // deleted id from the cache
+      val re = Hnsw.edgesPath(sf) + "-rewrite-inval"
+      val rm = re + "-meta"
+      val conf = spark.sessionState.newHadoopConf()
+      Seq(Hnsw.deltaPath(re), Hnsw.replacedPath(re), Hnsw.tombstonesPath(re))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+      Hnsw.fsCopy(spark, Hnsw.edgesPath(sf), re)
+      Hnsw.fsCopy(spark, Hnsw.shardsPath(Hnsw.edgesPath(sf)), Hnsw.shardsPath(re))
+      Hnsw.fsCopy(spark, Hnsw.metaPath(sf), rm)
+      val entry2 = graft.plans.HnswGraphRegistry.Entry("vec_id", "embedding", re, rm)
+      val qArr = qv.map(_.toDouble).toArray
+      val ids1 = graft.plans.HnswGraphRegistry.beamIds(spark, entry2, qArr)
+      Hnsw.deleteFromGraph(spark, re, rm, Seq(ids1.head))
+      val ids2 = graft.plans.HnswGraphRegistry.beamIds(spark, entry2, qArr)
+      assert(!ids2.contains(ids1.head), "memoized probe served a deleted id")
     } finally graft.plans.HnswGraphRegistry.clear()
   }
 
