@@ -1159,6 +1159,81 @@ object Hnsw {
       .orderBy(col("layer"))
   }
 
+  // Maintenance-policy thresholds (fractions of the live graph). Crossing
+  // ANY of them flips the plan to `compact`: tombstones force dead-node
+  // detours on every walk, replaced srcs stack an extra broadcast-join
+  // resolution row per hop, and delta rows are unsorted small files the
+  // hop probe must union. The values are operational folklore (Lucene's
+  // ~2% deletes-trigger-merge, LSM compaction-debt ~10%), pinned here as
+  // named constants so the oracle CASE and the spec share them.
+  val MaintTombRatio = 0.02
+  val MaintReplacedRatio = 0.10
+  val MaintDeltaRatio = 0.10
+
+  /** One-row maintenance DECISION over [[graphStats]]: the sidecar debt
+    * of the merge-on-read state, expressed as ratios of the live graph
+    * (tombstones and replaced srcs per live node, delta rows per live
+    * edge), folded through the pinned thresholds into `compact` vs
+    * `serve`. Pure function of the artifact — the DuckDB oracle
+    * (ann_maintenance_plan) replays the same aggregate + CASE over the
+    * dumped sidecars, so the DECISION itself is cross-engine-checked,
+    * not just the counters feeding it. Ratios round to 6dp BEFORE the
+    * threshold compare (engine-portable boundary, the semantic_dedup
+    * discipline).
+    */
+  def maintenancePlan(spark: SparkSession, edgesDir: String): DataFrame = {
+    // ONE distributed pass over the merge-on-read-resolved graph for the
+    // live denominators; the sidecar numerators are their own digest-sized
+    // counts (global distincts, NOT per-layer sums — a src replaced on two
+    // layers is one src of resolution debt).
+    val liveAgg = readGraph(spark, edgesDir).agg(
+      countDistinct(when(col("layer") === 0, col("src"))).as("live_nodes"),
+      count(lit(1)).as("live_edges"))
+    val deltaRows =
+      if (dirExists(spark, deltaPath(edgesDir)))
+        spark.read.parquet(deltaPath(edgesDir)).count()
+      else 0L
+    val replacedSrcs =
+      if (dirExists(spark, replacedPath(edgesDir)))
+        spark.read.parquet(replacedPath(edgesDir))
+          .select(col("src")).distinct().count()
+      else 0L
+    val tombs =
+      if (dirExists(spark, tombstonesPath(edgesDir)))
+        spark.read.parquet(tombstonesPath(edgesDir))
+          .select(col("vec_id")).distinct().count()
+      else 0L
+    liveAgg
+      .select(col("live_nodes"), col("live_edges"),
+        lit(deltaRows).as("delta_rows"),
+        lit(replacedSrcs).as("replaced_srcs"),
+        lit(tombs).as("tombstones"),
+        round(lit(deltaRows).cast("double") / col("live_edges"), 6).as("delta_ratio"),
+        round(lit(replacedSrcs).cast("double") / col("live_nodes"), 6).as("replaced_ratio"),
+        round(lit(tombs).cast("double") / col("live_nodes"), 6).as("tomb_ratio"))
+      .withColumn("decision",
+        when(col("tomb_ratio") > MaintTombRatio ||
+             col("replaced_ratio") > MaintReplacedRatio ||
+             col("delta_ratio") > MaintDeltaRatio, lit("compact"))
+          .otherwise(lit("serve")))
+  }
+
+  /** The operability verb that closes the stats→action loop: read the
+    * [[maintenancePlan]] decision and [[compactGraph]] iff it says so
+    * (a fresh or lightly-mutated graph is a no-op — compaction rewrites
+    * the whole artifact and should not run on every maintenance tick).
+    * Returns whether a compaction ran. HnswSpec pins: below-threshold
+    * debt leaves the sidecars untouched, above-threshold debt compacts
+    * (sidecars cleared, served results preserved), and the call is
+    * idempotent — the post-compaction plan is `serve`.
+    */
+  def maintainGraph(spark: SparkSession, edgesDir: String, metaDir: String): Boolean = {
+    val decision = maintenancePlan(spark, edgesDir)
+      .select(col("decision")).head().getString(0)
+    if (decision == "compact") { compactGraph(spark, edgesDir, metaDir); true }
+    else false
+  }
+
   /** The registered-table demo corpus for the transparent graph rewrite
     * (plans/HnswTopKRewrite): a staged byte-copy of the embeddings table
     * at its own path, so registering IT as graph-indexed cannot hijack

@@ -143,6 +143,14 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       entry <- IvfIndexRegistry.lookup(
         rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
+      // index precedence: when the SAME table also carries a registered
+      // graph index, defer to HnswTopKRewrite — the graph serves strictly
+      // better recall at a smaller candidate budget (HnswSpec pins it),
+      // and letting both rules fire would STACK the cell filter onto the
+      // graph's id-In filter, intersecting two different approximations
+      // into fewer than k rows.
+      if HnswGraphRegistry.lookup(
+        rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString)).isEmpty
       cellAttr <- rel.output.find(_.name == entry.cellCol)
       // idempotence under the fixed-point optimizer batch: fire once
       if !child.exists {

@@ -784,6 +784,16 @@ object PipelineQueries {
       graft.operators.Hnsw.graphStats(s, de)
     }),
 
+    // The stats→action fold: ann_graph_stats' counters expressed as
+    // debt ratios of the live graph and CASE'd through the pinned
+    // thresholds into the compact-vs-serve DECISION maintainGraph acts
+    // on. The decision itself is oracled — DuckDB replays the same
+    // merge-on-read aggregate and the same rounded-ratio compare.
+    "ann_maintenance_plan" -> ((s, dir) => {
+      val (de, _) = graft.operators.Hnsw.maintDemoLayout(s, dir)
+      graft.operators.Hnsw.maintenancePlan(s, de)
+    }),
+
     // SemDeDup (Abbas 2023): paraphrase-level dedup by embedding — the
     // trained KMeans cells are the blocking key, so the pair search is a
     // bounded within-cell equi-join over the SAME one-time layout the ANN
@@ -2077,6 +2087,42 @@ object PipelineQueries {
          |  ts.tombstones AS tombstones
          |FROM ls LEFT JOIN ds USING (layer) LEFT JOIN rs USING (layer) CROSS JOIN ts
          |ORDER BY layer""".stripMargin
+    },
+
+    // maintenance-plan replay: the same per-layer stats aggregated to
+    // the one-row debt summary, ratios rounded to 6dp BEFORE the
+    // threshold CASE — the decision string must match the engine's
+    "ann_maintenance_plan" -> {
+      s"""WITH live AS MATERIALIZED ($hnswMaintEdgesSql),
+         |degs AS (SELECT layer, src, count(*) AS deg FROM live GROUP BY layer, src),
+         |ls AS (SELECT layer, count(*) AS n_srcs, sum(deg) AS n_edges
+         |       FROM degs GROUP BY layer),
+         |ds AS (SELECT count(*) AS delta_rows
+         |       FROM read_parquet('__HNSW_MAINT_DELTA__/*/*/*.parquet', hive_partitioning=true)),
+         |rs AS (SELECT count(DISTINCT src) AS replaced_srcs
+         |       FROM read_parquet('__HNSW_MAINT_REPLACED__/*.parquet')),
+         |ts AS (SELECT count(DISTINCT vec_id) AS tombstones
+         |       FROM read_parquet('__HNSW_MAINT_TOMB__/*.parquet')),
+         |summary AS (
+         |  SELECT (SELECT n_srcs FROM ls WHERE layer = 0)::BIGINT AS live_nodes,
+         |    (SELECT sum(n_edges) FROM ls)::BIGINT AS live_edges,
+         |    ds.delta_rows::BIGINT AS delta_rows,
+         |    rs.replaced_srcs::BIGINT AS replaced_srcs,
+         |    ts.tombstones::BIGINT AS tombstones
+         |  FROM ds CROSS JOIN rs CROSS JOIN ts),
+         |ratios AS (
+         |  SELECT *,
+         |    round(delta_rows::DOUBLE / live_edges, 6) AS delta_ratio,
+         |    round(replaced_srcs::DOUBLE / live_nodes, 6) AS replaced_ratio,
+         |    round(tombstones::DOUBLE / live_nodes, 6) AS tomb_ratio
+         |  FROM summary)
+         |SELECT live_nodes, live_edges, delta_rows, replaced_srcs, tombstones,
+         |  delta_ratio, replaced_ratio, tomb_ratio,
+         |  CASE WHEN tomb_ratio > ${graft.operators.Hnsw.MaintTombRatio}
+         |         OR replaced_ratio > ${graft.operators.Hnsw.MaintReplacedRatio}
+         |         OR delta_ratio > ${graft.operators.Hnsw.MaintDeltaRatio}
+         |       THEN 'compact' ELSE 'serve' END AS decision
+         |FROM ratios""".stripMargin
     },
 
     // SemDeDup verdict replay: same dumped trained layout; the within-cell

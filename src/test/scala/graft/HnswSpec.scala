@@ -613,4 +613,198 @@ class HnswSpec extends AnyFunSuite {
     info(s"filtered recall@5 vs exact filtered scan: $recall")
     assert(recall >= 0.4, s"filtered recall collapsed: $recall")
   }
+
+  test("index precedence: the graph rewrite outranks IVF when both are registered") {
+    // one table, two registered indexes: letting both rules fire would
+    // STACK the cell filter onto the graph's id-In filter — intersecting
+    // two different approximations into fewer than k rows. The IVF rule
+    // defers (the graph serves strictly better recall at a smaller
+    // candidate budget); unregistering the graph re-enables the cell prune.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import graft.expressions.GraftFunctions
+    Hnsw.layout(spark, sf)
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.registerCentroids(path, "cell", cents)
+      graft.plans.HnswGraphRegistry.register(path, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      GraftFunctions.register(spark)
+      val ivf = spark.read.parquet(path)
+      val qVec = ivf.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      def declarative = ivf.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(GraftFunctions
+          .cosineSim(col("embedding"), lit(qVec)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+      val both = declarative
+      val hasIdIn = both.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition
+      }.exists(_.exists {
+        case In(a: AttributeReference, vs) => a.name == "vec_id" && vs.length <= Hnsw.Ef
+        case InSet(a: AttributeReference, vs) => a.name == "vec_id" && vs.size <= Hnsw.Ef
+        case _ => false
+      })
+      assert(hasIdIn, "graph rewrite did not win with both indexes registered")
+      val cellPruned = both.queryExecution.executedPlan.toString
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*=.*")
+      assert(!cellPruned, "IVF cell filter stacked onto the graph rewrite")
+      // the served set is the graph walk's top-5, not the IVF cell's
+      val emb = Tables.embeddings(spark, sf)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      val want = Hnsw.search(spark, sf, q0, k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(both.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === want)
+      // drop the graph registration: the IVF rule fires again
+      graft.plans.HnswGraphRegistry.clear()
+      val ivfOnly = declarative
+      assert(ivfOnly.queryExecution.executedPlan.toString
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*=.*"),
+        "IVF rewrite did not resume after the graph unregistered")
+    } finally {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+    }
+  }
+
+  test("streaming appends: per-trigger graph growth ≡ one batch append") {
+    // the missing quadrant of the streaming maintenance matrix (deletes
+    // and query-serve already have twins): new vectors arrive on a
+    // stream, each trigger appends its batch; the end state must serve
+    // exactly like ONE batch append of the same vectors, and the
+    // additively-maintained membership fingerprints must agree
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    Hnsw.layout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val conf = spark.sessionState.newHadoopConf()
+    def clone(suffix: String): (String, String) = {
+      val e = Hnsw.edgesPath(sf) + suffix
+      val m = e + "-meta"
+      Seq(Hnsw.deltaPath(e), Hnsw.replacedPath(e), Hnsw.tombstonesPath(e))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+      Hnsw.fsCopy(spark, Hnsw.edgesPath(sf), e)
+      Hnsw.fsCopy(spark, Hnsw.shardsPath(Hnsw.edgesPath(sf)), Hnsw.shardsPath(e))
+      Hnsw.fsCopy(spark, Hnsw.metaPath(sf), m)
+      (e, m)
+    }
+    def blend(id: Long, a: Long, b: Long): org.apache.spark.sql.DataFrame =
+      emb.filter(col("vec_id") === a).select(col("embedding").as("__ea"))
+        .crossJoin(emb.filter(col("vec_id") === b).select(col("embedding").as("__eb")))
+        .select(lit(id).as("vec_id"),
+          graft.functions.VectorOps.l2Normalize(
+            zip_with(col("__ea"), col("__eb"),
+              (x, y) => (x + y) / lit(2.0))).cast("array<float>").as("embedding"))
+    // pick two new nodes whose 2-nearest-cell shard sets are DISJOINT so
+    // the two appends never pair against each other — only then is
+    // one-at-a-time provably edge-identical to both-at-once (two nodes
+    // sharing a shard may link each other in the batch face but cannot
+    // in the sequential one; that divergence is inherent to ANY
+    // incremental graph index, not a bug in ours)
+    val cents = Ann.centroidsDf(spark, Ann.kmeansLayout(spark, sf)._2)
+    val candidates = Seq((910001L, 5L, 9L), (910002L, 101L, 202L),
+      (910003L, 303L, 404L), (910004L, 57L, 311L))
+    def cellsOf(nv: org.apache.spark.sql.DataFrame): Set[Int] =
+      Ann.nearestCells(nv.select(col("vec_id"), col("embedding")), cents,
+        "vec_id", "embedding", n = 2)
+        .select(col("cell")).collect().map(_.getInt(0)).toSet
+    val picked = candidates.map { case (id, a, b) => (blend(id, a, b), cellsOf(blend(id, a, b))) }
+    val pair = picked.combinations(2)
+      .find { case Seq((_, c1), (_, c2)) => (c1 & c2).isEmpty }
+      .getOrElse(fail("no candidate pair with disjoint shard sets — extend the candidate list"))
+    val Seq((nv1, _), (nv2, _)) = pair
+    val (se, sm) = clone("-stream-app")
+    val (be, bm) = clone("-batch-app")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Int]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().map(_.getInt(0)).sorted.foreach { i =>
+          Hnsw.appendToGraph(spark, sf, se, sm, if (i == 1) nv1 else nv2)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    ms.addData(1)
+    ms.addData(2)
+    q.awaitTermination(120000)
+    Hnsw.appendToGraph(spark, sf, be, bm, nv1.unionByName(nv2))
+    // both appended nodes serve top-1 at their own embedding on BOTH faces
+    Seq(nv1, nv2).foreach { nv =>
+      val probe = nv.select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      val id = nv.head().getLong(0)
+      assert(Hnsw.searchIn(spark, se, sm, probe, k = 1).head().getLong(1) === id)
+      assert(Hnsw.searchIn(spark, be, bm, probe, k = 1).head().getLong(1) === id)
+    }
+    // end state equivalence: a mid-corpus query panel serves identically
+    val panel = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val streamed = Hnsw.searchIn(spark, se, sm, panel, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val batched = Hnsw.searchIn(spark, be, bm, panel, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(streamed === batched, "per-trigger appends diverge from batch")
+    val smMeta = spark.read.parquet(sm).head()
+    val bmMeta = spark.read.parquet(bm).head()
+    assert(smMeta.getAs[Long]("corpus_fp") === bmMeta.getAs[Long]("corpus_fp"),
+      "membership fingerprints diverge across the faces")
+    assert(smMeta.getAs[Long]("corpus_n") === bmMeta.getAs[Long]("corpus_n"))
+  }
+
+  test("maintenance policy: maintainGraph compacts only above the debt thresholds") {
+    Hnsw.layout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val conf = spark.sessionState.newHadoopConf()
+    val e = Hnsw.edgesPath(sf) + "-maint-policy"
+    val m = e + "-meta"
+    Seq(Hnsw.deltaPath(e), Hnsw.replacedPath(e), Hnsw.tombstonesPath(e))
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    Hnsw.fsCopy(spark, Hnsw.edgesPath(sf), e)
+    Hnsw.fsCopy(spark, Hnsw.shardsPath(Hnsw.edgesPath(sf)), Hnsw.shardsPath(e))
+    Hnsw.fsCopy(spark, Hnsw.metaPath(sf), m)
+    // a pristine graph plans `serve` and maintainGraph is a no-op
+    val plan0 = Hnsw.maintenancePlan(spark, e).head()
+    assert(plan0.getAs[String]("decision") === "serve",
+      s"fresh graph planned ${plan0.getAs[String]("decision")}")
+    assert(plan0.getAs[Double]("tomb_ratio") === 0.0)
+    assert(!Hnsw.maintainGraph(spark, e, m), "maintainGraph compacted a fresh graph")
+    val tombP = new org.apache.hadoop.fs.Path(Hnsw.tombstonesPath(e))
+    assert(!tombP.getFileSystem(conf).exists(tombP))
+    // push tombstone debt over MaintTombRatio (2%): delete ~2.7% of nodes
+    val liveNodes = plan0.getAs[Long]("live_nodes")
+    val nDel = (liveNodes * 0.027).ceil.toInt
+    val victims = spark.read.parquet(e).select(col("src")).distinct()
+      .orderBy(col("src")).limit(nDel).collect().map(_.getLong(0)).toSeq
+    Hnsw.deleteFromGraph(spark, e, m, victims)
+    val plan1 = Hnsw.maintenancePlan(spark, e).head()
+    assert(plan1.getAs[String]("decision") === "compact",
+      s"tomb_ratio ${plan1.getAs[Double]("tomb_ratio")} did not trip the policy")
+    assert(plan1.getAs[Double]("tomb_ratio") > Hnsw.MaintTombRatio)
+    // the verb acts on the plan: compaction runs, sidecars clear, the
+    // served results are preserved, and the NEXT tick is a no-op again
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    val before = Hnsw.searchIn(spark, e, m, q0, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(Hnsw.maintainGraph(spark, e, m), "over-threshold debt not compacted")
+    assert(!tombP.getFileSystem(conf).exists(tombP), "tombstones survived")
+    val after = Hnsw.searchIn(spark, e, m, q0, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(after === before, "policy compaction changed the served results")
+    assert(before.forall(r => !victims.contains(r._1)))
+    val plan2 = Hnsw.maintenancePlan(spark, e).head()
+    assert(plan2.getAs[String]("decision") === "serve")
+    assert(!Hnsw.maintainGraph(spark, e, m), "maintainGraph not idempotent")
+  }
 }
