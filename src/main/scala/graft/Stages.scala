@@ -44,6 +44,7 @@ object Stages {
     "skip-layout"  -> ((s, d) => { sources.SkipIndex.layout(s, d); () }),
     "bloom-layout" -> ((s, d) => { sources.BloomSkip.layout(s, d); () }),
     "invidx-layout" -> ((s, d) => { operators.InvertedIndex.layout(s, d); () }),
+    "invidx-maintdemo" -> ((s, d) => { operators.InvertedIndex.maintDemoLayout(s, d); () }),
     "zorder-layout" -> ((s, d) => { sources.ZOrderSkip.layout(s, d); () }),
     "dv-layout"    -> ((s, d) => { operators.DeletionVectors.layout(s, d); () }),
     "dvc-layout"   -> ((s, d) => { operators.DeletionVectors.compactedLayout(s, d); () }),

@@ -347,6 +347,7 @@ object Hnsw {
     * frames are maintenance-batch-sized and pinned with localCheckpoint.
     */
   private case class GraphRefs(edgesDir: String, hasDelta: Boolean,
+                               base: DataFrame, delta: Option[DataFrame],
                                latest: Option[DataFrame],
                                tombs: Option[DataFrame])
 
@@ -362,7 +363,16 @@ object Hnsw {
         Some(spark.read.parquet(tombstonesPath(edgesDir))
           .select(col("vec_id")).distinct().localCheckpoint())
       else None
-    GraphRefs(edgesDir, dirExists(spark, deltaPath(edgesDir)), latest, tombs)
+    val hasDelta = dirExists(spark, deltaPath(edgesDir))
+    // open the edge artifacts ONCE per walk: a fresh read.parquet per hop
+    // rebuilds the partitioned-dir FileIndex every hop (nLayers × 32
+    // directories listed up to 12 times per walk — measured ~0.2 s/hop of
+    // pure planning at sf0.1); filtering ONE DataFrame still partition-
+    // prunes per action, so the per-hop numFiles pins are unchanged
+    GraphRefs(edgesDir, hasDelta,
+      spark.read.parquet(edgesDir),
+      if (hasDelta) Some(spark.read.parquet(deltaPath(edgesDir))) else None,
+      latest, tombs)
   }
 
   /** THE merge-on-read resolution — the one in-engine definition (the
@@ -406,11 +416,11 @@ object Hnsw {
     def pruned(df: DataFrame): DataFrame =
       df.filter(col("layer") === layer &&
         col("src_bucket").isin(buckets: _*) && col("src").isin(srcs: _*))
-    val base = pruned(spark.read.parquet(g.edgesDir)).withColumn("gen", lit(0L))
-    val all =
-      if (g.hasDelta)
-        base.unionByName(pruned(spark.read.parquet(deltaPath(g.edgesDir))))
-      else base
+    val base = pruned(g.base).withColumn("gen", lit(0L))
+    val all = g.delta match {
+      case Some(d) => base.unionByName(pruned(d))
+      case None    => base
+    }
     morResolve(all, g.latest, g.tombs).select(col("src"), col("dst"), col(embCol))
   }
 
@@ -454,9 +464,19 @@ object Hnsw {
     * plus the pinned frame. Records walk stats when enabled.
     */
   private def pinHop(hop: DataFrame): (DataFrame, Seq[Long]) = {
-    val pinned = hop.localCheckpoint()
-    val srcs = pinned.select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // ONE driver job per hop, not two: the beam is ≤ Ef·|batch| rows of
+    // driver metadata, so collect it once and rebuild it as a local
+    // relation (the next hop broadcast-joins it; a LocalRelation
+    // broadcasts without any extra job) — the src ids for the literal
+    // bucket filter fall out of the same collected rows. localCheckpoint
+    // + a separate distinct-collect was a measured ~0.2 s/hop of pure
+    // scheduling at sf0.1 across the up-to-12-hop walk.
+    val spark = hop.sparkSession
+    val rows = hop.collect()
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), hop.schema)
+    val idIdx = hop.schema.fieldIndex("vec_id")
+    val srcs = rows.map(_.getLong(idIdx)).distinct.sorted.toSeq
     (pinned, srcs)
   }
 
@@ -830,11 +850,11 @@ object Hnsw {
     */
   def readGraph(spark: SparkSession, edgesDir: String): DataFrame = {
     val g = openGraph(spark, edgesDir)
-    val base = spark.read.parquet(edgesDir).withColumn("gen", lit(0L))
-    val all =
-      if (g.hasDelta)
-        base.unionByName(spark.read.parquet(deltaPath(edgesDir)))
-      else base
+    val base = g.base.withColumn("gen", lit(0L))
+    val all = g.delta match {
+      case Some(d) => base.unionByName(d)
+      case None    => base
+    }
     morResolve(all, g.latest, g.tombs)
       .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
   }

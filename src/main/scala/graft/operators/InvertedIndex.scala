@@ -43,6 +43,32 @@ object InvertedIndex {
   def layoutPath(sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-invidx-" + Ann.pathToken(sfDir)
 
+  /** Document-tombstone sidecar beside a postings dir — the delete face's
+    * merge-on-read state (the Ivfpq/Hnsw tombstone pattern on the text
+    * index): readers subtract it with one broadcast anti-join BEFORE the
+    * df aggregate, so df/idf stay exact through uncompacted deletes.
+    */
+  def tombstonesPath(dir: String): String = dir + "-tombstones"
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Merge-on-read resolution for postings reads: subtract tombstoned
+    * docs (broadcast — the sidecar is maintenance-batch-sized) when the
+    * sidecar exists; the un-mutated layout keeps its exact original plan
+    * (no join node at all).
+    */
+  private def minusTombs(spark: SparkSession, dir: String,
+                         postings: DataFrame): DataFrame =
+    if (dirExists(spark, tombstonesPath(dir)))
+      postings.join(
+        broadcast(spark.read.parquet(tombstonesPath(dir))
+          .select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    else postings
+
   private val memos = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Tokenize → (term, doc_id, tf, bucket) postings rows for any doc
@@ -124,12 +150,20 @@ object InvertedIndex {
     * ordering is engine-portable; top-k with id tiebreak.
     */
   def sparseSearch(spark: SparkSession, sfDir: String, terms: Seq[String],
-                   k: Int = 10): DataFrame = {
-    val dir = layout(spark, sfDir)
+                   k: Int = 10): DataFrame =
+    sparseSearchIn(spark, layout(spark, sfDir), terms, k)
+
+  /** Dir-addressed face of [[sparseSearch]] — serves caller-owned clones
+    * (maintenance demos, A/B layouts) and resolves the tombstone sidecar
+    * when present: the anti-join lands BEFORE the df aggregate, so df and
+    * the ranking stay exact through uncompacted deletes.
+    */
+  def sparseSearchIn(spark: SparkSession, dir: String, terms: Seq[String],
+                     k: Int = 10): DataFrame = {
     val buckets = terms.map(termBucket(_)).distinct
-    val postings = spark.read.parquet(dir)
+    val postings = minusTombs(spark, dir, spark.read.parquet(dir)
       .filter(col("bucket").isInCollection(buckets) &&
-        col("term").isInCollection(terms))
+        col("term").isInCollection(terms)))
     val n = spark.read.parquet(s"$dir-meta").head().getLong(0)
     val df = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
@@ -145,12 +179,13 @@ object InvertedIndex {
     * LITERAL computed driver-side, so it reaches the scan as a partition
     * filter (spec-pinned) — the directory seek IS the index lookup.
     */
-  def lookup(spark: SparkSession, sfDir: String, term: String): DataFrame = {
-    val dir = layout(spark, sfDir)
-    spark.read.parquet(dir)
-      .filter(col("bucket") === lit(termBucket(term)) && col("term") === lit(term))
+  def lookup(spark: SparkSession, sfDir: String, term: String): DataFrame =
+    lookupIn(spark, layout(spark, sfDir), term)
+
+  def lookupIn(spark: SparkSession, dir: String, term: String): DataFrame =
+    minusTombs(spark, dir, spark.read.parquet(dir)
+      .filter(col("bucket") === lit(termBucket(term)) && col("term") === lit(term)))
       .select(col("doc_id"), col("tf"))
-  }
 
   /** PHRASE search over the positional postings — "these words, adjacent,
     * in order", the query BM25's bag-of-words provably cannot answer:
@@ -161,13 +196,16 @@ object InvertedIndex {
     * missing any term drop out at the first join.
     */
   def phraseSearch(spark: SparkSession, sfDir: String,
-                   terms: Seq[String]): DataFrame = {
+                   terms: Seq[String]): DataFrame =
+    phraseSearchIn(spark, layout(spark, sfDir), terms)
+
+  def phraseSearchIn(spark: SparkSession, dir: String,
+                     terms: Seq[String]): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
-    val dir = layout(spark, sfDir)
     val buckets = terms.map(termBucket(_)).distinct
-    val posts = spark.read.parquet(dir)
+    val posts = minusTombs(spark, dir, spark.read.parquet(dir)
       .filter(col("bucket").isInCollection(buckets) &&
-        col("term").isInCollection(terms))
+        col("term").isInCollection(terms)))
       .select(col("term"), col("doc_id"), col("positions"))
     val first = posts.filter(col("term") === terms.head)
       .select(col("doc_id"), col("positions").as("starts"))
@@ -191,11 +229,16 @@ object InvertedIndex {
     * layout.
     */
   def compactPostings(spark: SparkSession, sfDir: String,
-                      targetRowsPerFile: Long = 1L << 20): Unit = {
-    val dir = layout(spark, sfDir)
+                      targetRowsPerFile: Long = 1L << 20): Unit =
+    compactPostingsIn(spark, layout(spark, sfDir), targetRowsPerFile)
+
+  def compactPostingsIn(spark: SparkSession, dir: String,
+                        targetRowsPerFile: Long = 1L << 20): Unit = {
     val tmp = dir + "-compact-tmp"
     val old = dir + "-compact-old"
-    spark.read.parquet(dir)
+    // the fold also RETIRES tombstones: the rewrite subtracts them, so the
+    // compacted layout needs no sidecar at all
+    minusTombs(spark, dir, spark.read.parquet(dir))
       .repartition(col("bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite")
@@ -213,7 +256,72 @@ object InvertedIndex {
       throw new java.io.IOException(s"postings compaction: could not promote $tmp")
     }
     fs.delete(pOld, true)
+    // sidecar GC AFTER the swap: a crash between the two leaves retired
+    // tombstones subtracting already-absent rows — a harmless, idempotent
+    // no-op on the next read, not a correctness window
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(dir)), true)
   }
+
+  /** DELETE documents from the postings index — the takedown/dedup-purge
+    * verb completing the maintenance loop [[appendDocs]] opened (every
+    * index family in the repo now has append + delete + compact):
+    * validated ids land in the tombstone sidecar, every read face
+    * subtracts them BEFORE its df aggregate (df/idf exact through
+    * uncompacted deletes), and [[compactPostingsIn]] retires them.
+    *
+    * Validation (one postings-artifact scan per maintenance batch — the
+    * documented maintenance-cost class, never on the serve path): only
+    * ids LIVE in the index count against meta N, so re-delivered deletes
+    * (at-least-once streams) and non-member ids are no-ops — N stays the
+    * true live-doc count the idf reads.
+    */
+  def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (docIds.isEmpty) return
+    val req = docIds.distinct.toDF("doc_id")
+    val newlyDead = minusTombs(spark, dir,
+        spark.read.parquet(dir).select(col("doc_id")).distinct())
+      .join(broadcast(req), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // maintenance-batch-sized
+    val nNew = newlyDead.count()
+    if (nNew > 0) {
+      newlyDead.coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
+      // same meta discipline as appendDocs: the crash window between the
+      // sidecar append and the meta write costs idf nuance (N one batch
+      // high), never which docs match — see the appendDocs scaladoc
+      val n = spark.read.parquet(s"$dir-meta").head().getLong(0) - nNew
+      spark.range(1).select(lit(n).as("n_docs"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir-meta")
+    }
+  }
+
+  /** Memoized delete-demo layout for the oracled query face: a clone of
+    * the base postings with the exact sparse-search top-1 doc tombstoned
+    * — chosen BY the search itself, so the DuckDB oracle re-derives the
+    * same victim from `documents` with its own top-1 subquery and the
+    * whole merge-on-read state replays without dumping the sidecar.
+    */
+  def maintDemoLayout(spark: SparkSession, sfDir: String): String =
+    demoMemos.computeIfAbsent(sfDir, { _ =>
+      val src = layout(spark, sfDir)
+      val dir = src + "-maint-demo"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(dir)), true)
+      Hnsw.fsCopy(spark, src, dir)
+      Hnsw.fsCopy(spark, s"$src-meta", s"$dir-meta")
+      val top1 = sparseSearchIn(spark, dir, DemoTerms, k = 1)
+        .head().getLong(0)
+      deleteDocs(spark, dir, Seq(top1))
+      dir
+    })
+
+  /** The sparse-search demo query panel, shared by the live query and the
+    * delete demo so the tombstoned victim is the served top-1.
+    */
+  val DemoTerms = Seq("data", "table", "query")
+
+  private val demoMemos = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** BULK sparse serving — Q queries against the postings layout in ONE
     * job (the batch face of [[sparseSearch]], mirroring the IVF family's
@@ -225,16 +333,19 @@ object InvertedIndex {
     * cross the exchange, however common a term is.
     */
   def sparseSearchBatch(spark: SparkSession, sfDir: String,
-                        queries: Seq[(Long, Seq[String])], k: Int = 5): DataFrame = {
+                        queries: Seq[(Long, Seq[String])], k: Int = 5): DataFrame =
+    sparseSearchBatchIn(spark, layout(spark, sfDir), queries, k)
+
+  def sparseSearchBatchIn(spark: SparkSession, dir: String,
+                          queries: Seq[(Long, Seq[String])], k: Int = 5): DataFrame = {
     import spark.implicits._
-    val dir = layout(spark, sfDir)
     val allTerms = queries.flatMap(_._2).distinct
     val buckets = allTerms.map(termBucket(_)).distinct
     val qTerms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("qid", "term")
-    val postings = spark.read.parquet(dir)
+    val postings = minusTombs(spark, dir, spark.read.parquet(dir)
       .filter(col("bucket").isInCollection(buckets) &&
-        col("term").isInCollection(allTerms))
+        col("term").isInCollection(allTerms)))
     val n = spark.read.parquet(s"$dir-meta").head().getLong(0)
     val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = postings
@@ -246,5 +357,5 @@ object InvertedIndex {
       .orderBy(col("qid"), col("score").desc, col("doc_id"))
   }
 
-  private[graft] def resetMemos(): Unit = memos.clear()
+  private[graft] def resetMemos(): Unit = { memos.clear(); demoMemos.clear() }
 }

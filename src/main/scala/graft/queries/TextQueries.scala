@@ -698,6 +698,20 @@ object TextQueries {
       graft.operators.InvertedIndex.sparseSearch(s, dir,
         Seq("data", "table", "query"))),
 
+    // The same sparse serve through an UNCOMPACTED delete (the takedown/
+    // dedup-purge verb — every index family now has append + delete +
+    // compact): the panel's exact top-1 doc is tombstoned on a demo clone
+    // and the read face subtracts the sidecar BEFORE its df aggregate, so
+    // df, N (meta decremented), and the re-ranked scores are all exact.
+    // The victim is chosen BY the search itself, so the oracle re-derives
+    // it from `documents` with its own top-1 subquery — the whole
+    // merge-on-read state replays with no sidecar dump.
+    "sparse_search_deleted" -> ((s, dir) => {
+      val demo = graft.operators.InvertedIndex.maintDemoLayout(s, dir)
+      graft.operators.InvertedIndex.sparseSearchIn(s, demo,
+        graft.operators.InvertedIndex.DemoTerms)
+    }),
+
     // BOOLEAN retrieval — the third index query class beside ranked
     // (sparse_search) and positional (phrase_search): AND = successive
     // left-semi joins of posting doc-sets, NOT = one anti join. Set
@@ -2015,6 +2029,30 @@ object TextQueries {
          |       WHERE term IN ('data', 'table', 'query') GROUP BY doc_id, term),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+         |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
+         |FROM tf JOIN df USING (term) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // delete replay: re-derive the engine's victim (the full-corpus
+    // top-1 of the same panel), then rerun the search with that doc
+    // subtracted and N decremented — exactly the merge-on-read state the
+    // engine serves through the tombstone sidecar
+    "sparse_search_deleted" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${duckToks("text")}) AS term FROM documents),
+         |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |        WHERE term IN ('data', 'table', 'query') GROUP BY doc_id, term),
+         |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+         |n0 AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+         |victim AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
+         |    FROM tf0 JOIN df0 USING (term) CROSS JOIN n0
+         |    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 1)),
+         |tf AS (SELECT * FROM tf0
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM victim)),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT (count(*) - 1)::DOUBLE AS nd FROM documents)
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,

@@ -165,6 +165,53 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("document deletes: merge-on-read exclusion, meta N exact, idempotent, compaction folds") {
+    // the takedown/dedup-purge verb: tombstoned docs vanish from every
+    // read face BEFORE the df aggregate (df/idf exact through the
+    // uncompacted state), re-delivered and non-member deletes are no-ops
+    // on N, and compaction retires the sidecar with results preserved
+    val src = InvertedIndex.layout(spark, sf)
+    val dir = src + "-del-spec"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(InvertedIndex.tombstonesPath(dir)), true)
+    graft.operators.Hnsw.fsCopy(spark, src, dir)
+    graft.operators.Hnsw.fsCopy(spark, s"$src-meta", s"$dir-meta")
+    val terms = InvertedIndex.DemoTerms
+    val before = InvertedIndex.sparseSearchIn(spark, dir, terms, k = 5).collect()
+    val victim = before.head.getLong(0)
+    val nBefore = spark.read.parquet(s"$dir-meta").head().getLong(0)
+    InvertedIndex.deleteDocs(spark, dir, Seq(victim))
+    val after = InvertedIndex.sparseSearchIn(spark, dir, terms, k = 5).collect()
+    assert(!after.map(_.getLong(0)).contains(victim), "tombstoned doc still served")
+    assert(after.length === 5, "delete shrank the served page")
+    assert(spark.read.parquet(s"$dir-meta").head().getLong(0) === nBefore - 1,
+      "meta N did not track the delete")
+    // the single-term lookup and the batch face honor the sidecar too
+    val vterm = spark.read.parquet(dir).filter(col("doc_id") === victim)
+      .select("term").head().getString(0)
+    assert(!InvertedIndex.lookupIn(spark, dir, vterm)
+      .collect().map(_.getLong(0)).contains(victim))
+    val batch = InvertedIndex.sparseSearchBatchIn(spark, dir, Seq(1L -> terms), k = 5)
+      .collect()
+    assert(!batch.map(_.getLong(1)).contains(victim))
+    // idempotence: a re-delivered delete and a non-member id change nothing
+    InvertedIndex.deleteDocs(spark, dir, Seq(victim, 123456789L))
+    assert(spark.read.parquet(s"$dir-meta").head().getLong(0) === nBefore - 1,
+      "re-delivered delete double-counted against N")
+    // compaction folds the tombstones: sidecar gone, victim physically
+    // gone, the served ranking bit-identical to the merge-on-read state
+    InvertedIndex.compactPostingsIn(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(InvertedIndex.tombstonesPath(dir))),
+      "tombstone sidecar survived compaction")
+    assert(spark.read.parquet(dir).filter(col("doc_id") === victim).count() === 0,
+      "victim's postings survived the fold")
+    val afterC = InvertedIndex.sparseSearchIn(spark, dir, terms, k = 5).collect()
+    assert(afterC.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      after.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "compaction changed the served results")
+  }
+
   test("bucket function: write-side expression and read-side driver call agree") {
     val rows = spark.read.parquet(InvertedIndex.layout(spark, sf))
       .select("term", "bucket").distinct().collect()
