@@ -24,8 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName,
         GraftFunctions.NfcNormalizeName),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
-    e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
+    // order matters: the graph rewrite runs FIRST so its id-In filter is
+    // already in the plan when the IVF rule's precedence guard looks for
+    // it — on a table carrying both indexes the graph (better recall at a
+    // smaller candidate budget) wins, and the IVF rule still serves the
+    // queries the graph rule's own guards make it decline (k > beam,
+    // non-id predicates, a different ranked column)
     e.injectOptimizerRule(session => graft.plans.HnswTopKRewrite(session))
+    e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
     e.injectOptimizerRule(session => graft.plans.MvAggRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
   }

@@ -35,6 +35,14 @@ object Ann {
     java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** THE Hadoop-FS existence check, shared by every index family's
+    * sidecar probe (one definition — a viewfs/conf fix lands once).
+    */
+  private[graft] def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** Materialize the sf dir's embeddings as a cell-partitioned parquet
     * table (the IVF physical layout), once per JVM per sf dir. At real
     * scale this is the one-time index build; queries then partition-prune.

@@ -346,8 +346,7 @@ object Hnsw {
     * re-broadcast the sidecars 6×): the replaced-latest and tombstone
     * frames are maintenance-batch-sized and pinned with localCheckpoint.
     */
-  private case class GraphRefs(edgesDir: String, hasDelta: Boolean,
-                               base: DataFrame, delta: Option[DataFrame],
+  private case class GraphRefs(base: DataFrame, delta: Option[DataFrame],
                                latest: Option[DataFrame],
                                tombs: Option[DataFrame])
 
@@ -363,15 +362,15 @@ object Hnsw {
         Some(spark.read.parquet(tombstonesPath(edgesDir))
           .select(col("vec_id")).distinct().localCheckpoint())
       else None
-    val hasDelta = dirExists(spark, deltaPath(edgesDir))
     // open the edge artifacts ONCE per walk: a fresh read.parquet per hop
     // rebuilds the partitioned-dir FileIndex every hop (nLayers × 32
     // directories listed up to 12 times per walk — measured ~0.2 s/hop of
     // pure planning at sf0.1); filtering ONE DataFrame still partition-
     // prunes per action, so the per-hop numFiles pins are unchanged
-    GraphRefs(edgesDir, hasDelta,
+    GraphRefs(
       spark.read.parquet(edgesDir),
-      if (hasDelta) Some(spark.read.parquet(deltaPath(edgesDir))) else None,
+      if (dirExists(spark, deltaPath(edgesDir)))
+        Some(spark.read.parquet(deltaPath(edgesDir))) else None,
       latest, tombs)
   }
 
@@ -817,10 +816,8 @@ object Hnsw {
     */
   def shardsPath(edgesDir: String): String = edgesDir + "-shards"
 
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  private def dirExists(spark: SparkSession, dir: String): Boolean =
+    Ann.dirExists(spark, dir)
 
   /** Near-atomic meta swap: the new 1-row meta is fully written to a tmp
     * dir first, then swapped in with two filesystem metadata ops (delete
@@ -829,8 +826,8 @@ object Hnsw {
     * a crash inside it loses the meta dir loudly (readers fail fast on a
     * missing path) rather than serving a torn one.
     */
-  private def commitMeta(spark: SparkSession, metaDir: String,
-                         meta: DataFrame): Unit = {
+  private[graft] def commitMeta(spark: SparkSession, metaDir: String,
+                                meta: DataFrame): Unit = {
     val tmp = metaDir + ".tmp"
     meta.coalesce(1).write.mode("overwrite").parquet(tmp)
     val conf = spark.sessionState.newHadoopConf()
@@ -848,8 +845,10 @@ object Hnsw {
     * face ([[compactGraph]], stats); the serving walk reads through the
     * bucket-pruned [[hopEdges]] instead.
     */
-  def readGraph(spark: SparkSession, edgesDir: String): DataFrame = {
-    val g = openGraph(spark, edgesDir)
+  def readGraph(spark: SparkSession, edgesDir: String): DataFrame =
+    readGraphFrom(openGraph(spark, edgesDir))
+
+  private def readGraphFrom(g: GraphRefs): DataFrame = {
     val base = g.base.withColumn("gen", lit(0L))
     val all = g.delta match {
       case Some(d) => base.unionByName(d)
@@ -1190,7 +1189,8 @@ object Hnsw {
   val MaintReplacedRatio = 0.10
   val MaintDeltaRatio = 0.10
 
-  /** One-row maintenance DECISION over [[graphStats]]: the sidecar debt
+  /** One-row maintenance DECISION over the same merge-on-read state
+    * [[graphStats]] reports: the sidecar debt
     * of the merge-on-read state, expressed as ratios of the live graph
     * (tombstones and replaced srcs per live node, delta rows per live
     * edge), folded through the pinned thresholds into `compact` vs
@@ -1202,27 +1202,22 @@ object Hnsw {
     * discipline).
     */
   def maintenancePlan(spark: SparkSession, edgesDir: String): DataFrame = {
-    // ONE distributed pass over the merge-on-read-resolved graph for the
-    // live denominators; the sidecar numerators are their own digest-sized
-    // counts (global distincts, NOT per-layer sums — a src replaced on two
-    // layers is one src of resolution debt).
-    val liveAgg = readGraph(spark, edgesDir).agg(
+    // ONE graph open: the live denominators come from one distributed
+    // pass over the merge-on-read resolution, and the sidecar numerators
+    // count the SAME pinned frames openGraph already loaded for that
+    // resolution (global distincts, NOT per-layer sums — a src replaced
+    // on two layers is one src of resolution debt) — no second read of
+    // any sidecar per maintenance tick.
+    val g = openGraph(spark, edgesDir)
+    val liveAgg = readGraphFrom(g).agg(
       countDistinct(when(col("layer") === 0, col("src"))).as("live_nodes"),
       count(lit(1)).as("live_edges"))
-    val deltaRows =
-      if (dirExists(spark, deltaPath(edgesDir)))
-        spark.read.parquet(deltaPath(edgesDir)).count()
-      else 0L
+    val deltaRows = g.delta.map(_.count()).getOrElse(0L)
+    // g.latest is the replaced sidecar grouped by (layer, src) — its
+    // distinct srcs ARE the sidecar's distinct srcs
     val replacedSrcs =
-      if (dirExists(spark, replacedPath(edgesDir)))
-        spark.read.parquet(replacedPath(edgesDir))
-          .select(col("src")).distinct().count()
-      else 0L
-    val tombs =
-      if (dirExists(spark, tombstonesPath(edgesDir)))
-        spark.read.parquet(tombstonesPath(edgesDir))
-          .select(col("vec_id")).distinct().count()
-      else 0L
+      g.latest.map(_.select(col("src")).distinct().count()).getOrElse(0L)
+    val tombs = g.tombs.map(_.count()).getOrElse(0L) // already distinct ids
     liveAgg
       .select(col("live_nodes"), col("live_edges"),
         lit(deltaRows).as("delta_rows"),

@@ -50,11 +50,6 @@ object InvertedIndex {
     */
   def tombstonesPath(dir: String): String = dir + "-tombstones"
 
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
-
   /** Merge-on-read resolution for postings reads: subtract tombstoned
     * docs (broadcast — the sidecar is maintenance-batch-sized) when the
     * sidecar exists; the un-mutated layout keeps its exact original plan
@@ -62,7 +57,7 @@ object InvertedIndex {
     */
   private def minusTombs(spark: SparkSession, dir: String,
                          postings: DataFrame): DataFrame =
-    if (dirExists(spark, tombstonesPath(dir)))
+    if (Ann.dirExists(spark, tombstonesPath(dir)))
       postings.join(
         broadcast(spark.read.parquet(tombstonesPath(dir))
           .select(col("doc_id")).distinct()),
@@ -137,8 +132,11 @@ object InvertedIndex {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("append").partitionBy("bucket").parquet(dir)
     val n = spark.read.parquet(s"$dir-meta").head().getLong(0) + docs.count()
-    spark.range(1).select(lit(n).as("n_docs"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir-meta")
+    // write-tmp-then-swap (Hnsw.commitMeta): a plain overwrite deletes the
+    // live meta before the new write commits, so a crash mid-write would
+    // leave every read face unreadable, not just idf-stale
+    Hnsw.commitMeta(spark, s"$dir-meta",
+      spark.range(1).select(lit(n).as("n_docs")))
   }
 
   /** Sparse TF-IDF retrieval SERVED FROM THE INDEX — the lexical search
@@ -286,12 +284,13 @@ object InvertedIndex {
     val nNew = newlyDead.count()
     if (nNew > 0) {
       newlyDead.coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
-      // same meta discipline as appendDocs: the crash window between the
-      // sidecar append and the meta write costs idf nuance (N one batch
-      // high), never which docs match — see the appendDocs scaladoc
+      // meta commits via write-tmp-then-swap (Hnsw.commitMeta) — the
+      // remaining crash window is BETWEEN the sidecar append and the meta
+      // swap, and that one only costs idf nuance (N one batch high while
+      // the tombstones already exclude the docs), never which docs match
       val n = spark.read.parquet(s"$dir-meta").head().getLong(0) - nNew
-      spark.range(1).select(lit(n).as("n_docs"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir-meta")
+      Hnsw.commitMeta(spark, s"$dir-meta",
+        spark.range(1).select(lit(n).as("n_docs")))
     }
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, Literal, Round, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, In, InSet, Literal, Round, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -143,14 +143,29 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       entry <- IvfIndexRegistry.lookup(
         rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
-      // index precedence: when the SAME table also carries a registered
-      // graph index, defer to HnswTopKRewrite — the graph serves strictly
-      // better recall at a smaller candidate budget (HnswSpec pins it),
-      // and letting both rules fire would STACK the cell filter onto the
-      // graph's id-In filter, intersecting two different approximations
-      // into fewer than k rows.
-      if HnswGraphRegistry.lookup(
-        rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString)).isEmpty
+      // index precedence: the graph rewrite (injected FIRST — see
+      // GraftExtensions) outranks this rule on a table carrying both
+      // indexes, but only when it actually FIRED: its In/InSet filter on
+      // the graph's registered id column is in the plan. When the graph
+      // rule fell through (k > its beam, a non-id predicate, a different
+      // ranked column), this rule still serves the query — a cell prune
+      // beats the silent full exact scan that deferring on bare registry
+      // membership would force. Stacking is impossible both ways: this
+      // guard detects the graph's filter, and the graph rule's own
+      // id-only-filter guard rejects a plan carrying this rule's cell
+      // equality.
+      if !HnswGraphRegistry.lookup(
+        rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
+        .exists { ge =>
+          child.exists {
+            case f: Filter => f.condition.exists {
+              case In(a: AttributeReference, _) => a.name == ge.idCol
+              case InSet(a: AttributeReference, _) => a.name == ge.idCol
+              case _ => false
+            }
+            case _ => false
+          }
+        }
       cellAttr <- rel.output.find(_.name == entry.cellCol)
       // idempotence under the fixed-point optimizer batch: fire once
       if !child.exists {

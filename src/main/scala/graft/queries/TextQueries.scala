@@ -694,9 +694,11 @@ object TextQueries {
     // is never touched at serve time (the bm25_search family reads a
     // staged digest; this serves from the persisted index layout). The
     // oracle recomputes from documents directly.
+    // panel = InvertedIndex.DemoTerms, the ONE definition the delete demo
+    // shares so its tombstoned victim is exactly this query's top-1
     "sparse_search" -> ((s, dir) =>
       graft.operators.InvertedIndex.sparseSearch(s, dir,
-        Seq("data", "table", "query"))),
+        graft.operators.InvertedIndex.DemoTerms)),
 
     // The same sparse serve through an UNCOMPACTED delete (the takedown/
     // dedup-purge verb — every index family now has append + delete +

@@ -509,6 +509,11 @@ class HnswSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[Long]
+    // data lands BEFORE start(): AvailableNow latches the source's end
+    // offset when the first trigger plans, so post-start addData races
+    // the latch and can be silently skipped
+    ms.addData(toDelete(0))
+    ms.addData(toDelete(1))
     val q = ms.toDF().select(col("value").as("vec_id"))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -517,9 +522,7 @@ class HnswSpec extends AnyFunSuite {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    ms.addData(toDelete(0))
-    ms.addData(toDelete(1))
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "streaming delete did not terminate")
     Hnsw.deleteFromGraph(spark, be, bm, toDelete.toSeq)
     val streamed = Hnsw.searchIn(spark, se, sm, q0, k = 4)
       .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
@@ -659,6 +662,25 @@ class HnswSpec extends AnyFunSuite {
       val want = Hnsw.search(spark, sf, q0, k = 5)
         .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
       assert(both.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === want)
+      // a query the graph rule DECLINES (k > its beam width) must fall
+      // through to the IVF cell prune, not to a silent full exact scan —
+      // the precedence guard defers only when the graph rewrite FIRED
+      val wideK = ivf.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(GraftFunctions
+          .cosineSim(col("embedding"), lit(qVec)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(Hnsw.Ef + 1)
+      val wideHasIdIn = wideK.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition
+      }.exists(_.exists {
+        case In(a: AttributeReference, _) => a.name == "vec_id"
+        case InSet(a: AttributeReference, _) => a.name == "vec_id"
+        case _ => false
+      })
+      assert(!wideHasIdIn, "graph rewrite fired beyond its beam width")
+      assert(wideK.queryExecution.executedPlan.toString
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*=.*"),
+        "IVF did not serve the k > beam query the graph rule declined")
       // drop the graph registration: the IVF rule fires again
       graft.plans.HnswGraphRegistry.clear()
       val ivfOnly = declarative
@@ -725,6 +747,11 @@ class HnswSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[Int]
+    // data lands BEFORE start(): AvailableNow latches the source's end
+    // offset when the first trigger plans, so post-start addData races
+    // the latch and can be silently skipped
+    ms.addData(1)
+    ms.addData(2)
     val q = ms.toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.collect().map(_.getInt(0)).sorted.foreach { i =>
@@ -733,9 +760,7 @@ class HnswSpec extends AnyFunSuite {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    ms.addData(1)
-    ms.addData(2)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming append did not terminate")
     Hnsw.appendToGraph(spark, sf, be, bm, nv1.unionByName(nv2))
     // both appended nodes serve top-1 at their own embedding on BOTH faces
     Seq(nv1, nv2).foreach { nv =>
