@@ -82,6 +82,9 @@ object Verify {
       "__HNSW_MAINT_REPLACED__" -> graft.operators.Hnsw.replacedPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
       "__HNSW_MAINT_TOMB__"     -> graft.operators.Hnsw.tombstonesPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
       "__HNSW_MAINT_SHARDS__"   -> graft.operators.Hnsw.shardsPath(graft.operators.Hnsw.maintDemoEdgesPath(sfDir)),
+      "__INVIDX_MAINT__"      -> graft.operators.InvertedIndex.maintDemoPath(sfDir),
+      "__INVIDX_MAINT_TOMB__" -> graft.operators.InvertedIndex.tombstonesPath(
+        graft.operators.InvertedIndex.maintDemoPath(sfDir)),
       "__LSH_LAYOUT__"   -> graft.operators.MlAnn.lshLayoutPath(sfDir),
       "__TF_BUCKETS__"   -> graft.operators.MlAnn.tfBucketsPath(sfDir),
       "__DV_DATA__"      -> (graft.operators.DeletionVectors.layoutPath(sfDir) + "/data"),

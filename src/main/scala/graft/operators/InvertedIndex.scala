@@ -300,10 +300,15 @@ object InvertedIndex {
     * same victim from `documents` with its own top-1 subquery and the
     * whole merge-on-read state replays without dumping the sidecar.
     */
+  /** Pure-function demo path (Verify's oracle placeholders resolve it
+    * without forcing the build).
+    */
+  def maintDemoPath(sfDir: String): String = layoutPath(sfDir) + "-maint-demo"
+
   def maintDemoLayout(spark: SparkSession, sfDir: String): String =
     demoMemos.computeIfAbsent(sfDir, { _ =>
       val src = layout(spark, sfDir)
-      val dir = src + "-maint-demo"
+      val dir = maintDemoPath(sfDir)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(dir)), true)
@@ -321,6 +326,62 @@ object InvertedIndex {
   val DemoTerms = Seq("data", "table", "query")
 
   private val demoMemos = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // Maintenance-policy thresholds, the postings twin of the graph's
+  // (Hnsw.MaintTombRatio family): dead postings force a broadcast
+  // anti-join resolution on every read, and per-bucket file counts are
+  // the small-files spiral the streaming ingest already bounds. Named
+  // constants shared with the oracle CASE and the spec.
+  val MaintDeadRatio = 0.02
+  val MaintFilesPerBucket = 4
+
+  /** Per-bucket operability stats + DECISION over the live postings —
+    * the `ann_maintenance_plan` twin for the text index: postings/term
+    * population, the PHYSICAL file count (what a bucket-pruned lookup
+    * actually opens), the tombstoned share, and the compact-vs-serve
+    * CASE over the pinned thresholds. Oracled (postings_stats): DuckDB
+    * reads the same artifact with `filename=true`, so even the file
+    * count — physical layout state — is cross-engine-checked.
+    */
+  def postingsStats(spark: SparkSession, dir: String): DataFrame = {
+    val tombs =
+      if (Ann.dirExists(spark, tombstonesPath(dir)))
+        spark.read.parquet(tombstonesPath(dir)).select(col("doc_id")).distinct()
+      else spark.range(0).select(col("id").as("doc_id"))
+    spark.read.parquet(dir)
+      .select(col("bucket"), col("term"), col("doc_id"),
+        col("_metadata.file_path").as("__file"))
+      .join(broadcast(tombs.withColumn("__dead", lit(1))), Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(coalesce(col("__dead"), lit(0))).cast("long").as("dead_postings"),
+        countDistinct(col("__file")).as("n_files"))
+      .withColumn("dead_ratio",
+        round(col("dead_postings").cast("double") / col("n_postings"), 6))
+      .withColumn("decision",
+        when(col("dead_ratio") > MaintDeadRatio ||
+             col("n_files") > MaintFilesPerBucket, lit("compact"))
+          .otherwise(lit("serve")))
+      .select(col("bucket").cast("int").as("bucket"), col("n_terms"),
+        col("n_postings"), col("dead_postings"), col("n_files"),
+        col("dead_ratio"), col("decision"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The stats→action verb ([[Hnsw.maintainGraph]]'s postings twin):
+    * compact iff ANY bucket's plan says so — the fold rewrites every
+    * bucket and retires the tombstones, so one over-threshold bucket
+    * pays for the whole pass (the same all-bucket rewrite the streaming
+    * ingest's threshold compaction already performs). Returns whether a
+    * compaction ran; idempotent — the post-fold plan is all `serve`.
+    */
+  def maintainPostings(spark: SparkSession, dir: String): Boolean = {
+    val any = postingsStats(spark, dir)
+      .filter(col("decision") === "compact").limit(1).count() > 0
+    if (any) compactPostingsIn(spark, dir)
+    any
+  }
 
   /** BULK sparse serving — Q queries against the postings layout in ONE
     * job (the batch face of [[sparseSearch]], mirroring the IVF family's

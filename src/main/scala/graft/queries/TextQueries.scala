@@ -714,6 +714,16 @@ object TextQueries {
         graft.operators.InvertedIndex.DemoTerms)
     }),
 
+    // Per-bucket postings operability stats + the compact-vs-serve
+    // DECISION (the ann_maintenance_plan twin for the text index) over
+    // the delete-demo's merge-on-read state. The file count is PHYSICAL
+    // layout state and still oracle-checked: DuckDB reads the same
+    // artifact with filename=true and counts the same distinct files.
+    "postings_stats" -> ((s, dir) => {
+      val demo = graft.operators.InvertedIndex.maintDemoLayout(s, dir)
+      graft.operators.InvertedIndex.postingsStats(s, demo)
+    }),
+
     // BOOLEAN retrieval — the third index query class beside ranked
     // (sparse_search) and positional (phrase_search): AND = successive
     // left-semi joins of posting doc-sets, NOT = one anti join. Set
@@ -2058,6 +2068,32 @@ object TextQueries {
          |SELECT doc_id, round(sum(tf * ln(nd / df)), 6) AS score
          |FROM tf JOIN df USING (term) CROSS JOIN n
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // stats replay over the dumped artifact itself (not recomputed from
+    // documents — the file count is physical layout state): same
+    // per-bucket aggregates, same rounded dead-ratio, same CASE
+    "postings_stats" ->
+      s"""WITH posts AS (
+         |  SELECT bucket::INTEGER AS bucket, term, doc_id, filename
+         |  FROM read_parquet('__INVIDX_MAINT__/*/*.parquet',
+         |         filename=true, hive_partitioning=true)),
+         |tombs AS (SELECT DISTINCT doc_id
+         |          FROM read_parquet('__INVIDX_MAINT_TOMB__/*.parquet')),
+         |agg AS (
+         |  SELECT bucket, count(DISTINCT term) AS n_terms, count(*) AS n_postings,
+         |    sum(CASE WHEN doc_id IN (SELECT doc_id FROM tombs)
+         |             THEN 1 ELSE 0 END) AS dead_postings,
+         |    count(DISTINCT filename) AS n_files
+         |  FROM posts GROUP BY bucket),
+         |r AS (SELECT *, round(dead_postings::DOUBLE / n_postings, 6) AS dead_ratio
+         |      FROM agg)
+         |SELECT bucket, n_terms::BIGINT AS n_terms, n_postings::BIGINT AS n_postings,
+         |  dead_postings::BIGINT AS dead_postings, n_files::BIGINT AS n_files,
+         |  dead_ratio,
+         |  CASE WHEN dead_ratio > ${graft.operators.InvertedIndex.MaintDeadRatio}
+         |         OR n_files > ${graft.operators.InvertedIndex.MaintFilesPerBucket}
+         |       THEN 'compact' ELSE 'serve' END AS decision
+         |FROM r ORDER BY bucket""".stripMargin,
 
     "chunk_overlap" ->
       s"""WITH t AS (

@@ -212,6 +212,43 @@ class InvertedIndexSpec extends AnyFunSuite {
       "compaction changed the served results")
   }
 
+  test("postings maintenance policy: compacts only above the dead-ratio/file thresholds") {
+    val src = InvertedIndex.layout(spark, sf)
+    val dir = src + "-policy-spec"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(InvertedIndex.tombstonesPath(dir)), true)
+    graft.operators.Hnsw.fsCopy(spark, src, dir)
+    graft.operators.Hnsw.fsCopy(spark, s"$src-meta", s"$dir-meta")
+    // a pristine layout (1 file/bucket, no tombstones) plans all-serve
+    val stats0 = InvertedIndex.postingsStats(spark, dir).collect()
+    assert(stats0.forall(_.getAs[String]("decision") === "serve"),
+      "fresh layout planned a compaction")
+    assert(stats0.forall(_.getAs[Long]("dead_postings") === 0L))
+    assert(!InvertedIndex.maintainPostings(spark, dir),
+      "maintainPostings compacted a fresh layout")
+    // delete ~5% of docs: dead share crosses MaintDeadRatio somewhere
+    val victims = spark.read.parquet(dir).select(col("doc_id")).distinct()
+      .orderBy(col("doc_id")).limit(25).collect().map(_.getLong(0)).toSeq
+    InvertedIndex.deleteDocs(spark, dir, victims)
+    val stats1 = InvertedIndex.postingsStats(spark, dir).collect()
+    assert(stats1.exists(_.getAs[String]("decision") === "compact"),
+      s"5% deletes tripped no bucket: max dead_ratio ${
+        stats1.map(_.getAs[Double]("dead_ratio")).max}")
+    // the verb acts: fold runs, sidecar retires, served results identical,
+    // next tick all-serve and a no-op
+    val before = InvertedIndex.sparseSearchIn(spark, dir, InvertedIndex.DemoTerms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(InvertedIndex.maintainPostings(spark, dir), "over-threshold debt not compacted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(InvertedIndex.tombstonesPath(dir))))
+    val after = InvertedIndex.sparseSearchIn(spark, dir, InvertedIndex.DemoTerms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after === before, "policy compaction changed the served results")
+    assert(InvertedIndex.postingsStats(spark, dir).collect()
+      .forall(_.getAs[String]("decision") === "serve"))
+    assert(!InvertedIndex.maintainPostings(spark, dir), "maintainPostings not idempotent")
+  }
+
   test("bucket function: write-side expression and read-side driver call agree") {
     val rows = spark.read.parquet(InvertedIndex.layout(spark, sf))
       .select("term", "bucket").distinct().collect()
