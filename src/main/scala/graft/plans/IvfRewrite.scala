@@ -60,8 +60,7 @@ object IvfIndexRegistry {
 
   private val registry = new ConcurrentHashMap[String, Entry]()
 
-  private def canon(path: String): String =
-    path.stripPrefix("file:").replaceAll("/+$", "")
+  private def canon(path: String): String = RewriteSupport.canon(path)
 
   /** Build + register the index for a cell-partitioned parquet table: one
     * medoid (min-id member) per cell, collected to the driver. At real
@@ -121,14 +120,8 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def simQueryVector(e: Expression): Option[Array[Double]] = e match {
     case r: Round => simQueryVector(r.child)
-    case CosineSimilarity(_: AttributeReference, l: Literal) => literalVec(l)
-    case CosineSimilarity(l: Literal, _: AttributeReference) => literalVec(l)
-    case _ => None
-  }
-
-  private def literalVec(l: Literal): Option[Array[Double]] = (l.value, l.dataType) match {
-    case (v: ArrayData, ArrayType(FloatType, _))  => Some(v.toFloatArray().map(_.toDouble))
-    case (v: ArrayData, ArrayType(DoubleType, _)) => Some(v.toDoubleArray())
+    case CosineSimilarity(_: AttributeReference, l: Literal) => RewriteSupport.literalVec(l)
+    case CosineSimilarity(l: Literal, _: AttributeReference) => RewriteSupport.literalVec(l)
     case _ => None
   }
 

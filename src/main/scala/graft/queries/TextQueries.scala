@@ -1313,9 +1313,10 @@ object TextQueries {
       graft.expressions.GraftFunctions.register(s)
       val (layout, cents) = WordVec.annLayout(s, dir, sp => stagedBigrams(sp, dir))
       val probes = wordAnalogyProbes(s, dir)
-      // probe-cell selection through the ONE assignment formula
+      // probe-cell selection through the ONE assignment formula — pinned,
+      // or the collect below and the broadcast join would each re-run it
       val probeCells = Ann.nearestCells(probes,
-        Ann.centroidsDf(s, cents), "pid", "q", n = 2)
+        Ann.centroidsDf(s, cents), "pid", "q", n = 2).localCheckpoint()
       // LITERAL cell filter (the Ivfpq.search pattern): the ≤ 2·|triples|
       // probed cells are driver-known index metadata, and the isin makes
       // the cell-partitioned layout PLAN only those directories — the
@@ -1362,7 +1363,7 @@ object TextQueries {
         .select(col("pid"), col("word"))
       val exact = ranked(vecs.crossJoin(broadcast(probes)))
       val probeCells = Ann.nearestCells(probes,
-        Ann.centroidsDf(s, cents), "pid", "q", n = 2)
+        Ann.centroidsDf(s, cents), "pid", "q", n = 2).localCheckpoint()
       // same literal cell pruning as word_analogy — the recall audit must
       // measure the SAME physically-pruned serve it audits
       val cellIds = probeCells.select(col("cell")).distinct()

@@ -617,6 +617,74 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"filtered recall collapsed: $recall")
   }
 
+  test("rewrite guards: joins, ranges, foreign rounding/sort keys, bad registrations fall through") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    graft.plans.HnswGraphRegistry.clear()
+    graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+      Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+    try {
+      val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      def hasIdIn(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: Filter => f.condition
+        }.exists(_.exists {
+          case In(a: AttributeReference, _) => a.name == "vec_id"
+          case InSet(a: AttributeReference, _) => a.name == "vec_id"
+          case _ => false
+        })
+      def rank(base: org.apache.spark.sql.DataFrame, k: Int = 5) = base
+        .select(col("vec_id"), round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(k)
+      // a JOIN on the spine shapes the row set — the injected id set
+      // cannot account for it; must fall through (and stay correct)
+      val allowed = spark.range(0, 250).select(col("id").as("vec_id"))
+      val joined = rank(spark.read.parquet(corpus).join(allowed, Seq("vec_id")))
+      assert(!hasIdIn(joined), "rewrite fired through a join")
+      assert(joined.collect().length === 5)
+      // an id RANGE is not a benign exclusion: the unfiltered beam need
+      // not intersect it — fall through and serve the exact filtered top-k
+      val ranged = rank(spark.read.parquet(corpus).filter(col("vec_id") >= 400))
+      assert(!hasIdIn(ranged), "rewrite fired under an id range")
+      assert(ranged.collect().forall(_.getLong(0) >= 400))
+      // a different rounding scale resolves ties differently — fall through
+      val coarse = spark.read.parquet(corpus)
+        .select(col("vec_id"), round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 2).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      assert(!hasIdIn(coarse), "rewrite fired on a round-2 ranking")
+      // a secondary sort key other than the id tiebreak — fall through
+      val second = spark.read.parquet(corpus)
+        .select(col("vec_id"), round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"),
+          pmod(col("vec_id"), lit(7L)).as("pop"))
+        .orderBy(col("sim").desc, col("pop").asc).limit(5)
+      assert(!hasIdIn(second), "rewrite fired under a foreign sort key")
+      // benign exclusions WITHIN the beam headroom still fire...
+      val excl = rank(spark.read.parquet(corpus)
+        .filter(col("vec_id") =!= 1L && col("vec_id") =!= 2L))
+      assert(hasIdIn(excl), "benign id exclusions wrongly blocked the rewrite")
+      // ...but k + exclusions beyond the beam width must fall through
+      val tight = rank(spark.read.parquet(corpus)
+        .filter(col("vec_id") =!= 1L), k = Hnsw.Ef)
+      assert(!hasIdIn(tight), "rewrite fired without beam headroom")
+      // a mis-registered graph (dead artifact paths) must fail the
+      // REWRITE, not the query: the exact scan serves
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        "/nonexistent-graft-edges", "/nonexistent-graft-meta")
+      val broke = rank(spark.read.parquet(corpus).filter(col("vec_id") =!= 0L))
+      val got = broke.collect() // must not throw at planning or execution
+      assert(!hasIdIn(broke), "rewrite fired against a dead artifact")
+      assert(got.length === 5)
+    } finally graft.plans.HnswGraphRegistry.clear()
+  }
+
   test("index precedence: the graph rewrite outranks IVF when both are registered") {
     // one table, two registered indexes: letting both rules fire would
     // STACK the cell filter onto the graph's id-In filter — intersecting
