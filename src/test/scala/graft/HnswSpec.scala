@@ -850,6 +850,15 @@ class HnswSpec extends AnyFunSuite {
     assert(smMeta.getAs[Long]("corpus_fp") === bmMeta.getAs[Long]("corpus_fp"),
       "membership fingerprints diverge across the faces")
     assert(smMeta.getAs[Long]("corpus_n") === bmMeta.getAs[Long]("corpus_n"))
+    // the maintenance policy composes with the streaming loop: two
+    // appends on a 500-node graph are well under every debt threshold,
+    // so the post-ingest policy tick must be a no-op (the streamed clone
+    // keeps serving through merge-on-read, uncompacted)
+    assert(!Hnsw.maintainGraph(spark, se, sm),
+      "policy tick compacted a lightly-appended streamed graph")
+    assert(Hnsw.searchIn(spark, se, sm, panel, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet === streamed,
+      "the no-op policy tick changed the served results")
   }
 
   test("maintenance policy: maintainGraph compacts only above the debt thresholds") {
