@@ -458,11 +458,31 @@ object Hnsw {
         round(GraftFunctions.cosineSim(col("entry_emb"), col("q_emb")), 6))
       .select(col("qid"), col("vec_id"), col("sim"))
 
-  /** Pin a hop frame and return its beam srcs (the ≤ Ef·|batch|-row
-    * driver-side collect that feeds the NEXT hop's literal bucket probe)
-    * plus the pinned frame. Records walk stats when enabled.
+  /** Above this many beam rows (Ef · |query batch|), hop pinning falls
+    * back from the collect-and-rebuild fast path to localCheckpoint —
+    * the full beam frames stay on executors and only the src IDS (8
+    * bytes each, required regardless: they ARE the next hop's literal
+    * bucket filter) come to the driver (round-10 advisor: the fast
+    * path's driver memory scales with Ef × |batch|, fine for API-sized
+    * panels, a regression risk for bulk query panels). At Ef = 16 the
+    * default bound flips at |batch| > 4096 queries.
     */
-  private def pinHop(hop: DataFrame): (DataFrame, Seq[Long]) = {
+  val PinHopMaxRows: Long = 1L << 16
+
+  /** Pin a hop frame and return its beam srcs (what feeds the NEXT hop's
+    * literal bucket probe) plus the pinned frame. Records walk stats when
+    * enabled.
+    */
+  private def pinHop(hop: DataFrame, large: Boolean = false): (DataFrame, Seq[Long]) = {
+    if (large) {
+      // bulk-panel path: beam rows stay on executors; only the ids land
+      // driver-side (two bounded jobs per hop — the price of not holding
+      // Ef·|batch| full rows in driver memory)
+      val pinned = hop.localCheckpoint()
+      val srcs = pinned.select(col("vec_id")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      return (pinned, srcs)
+    }
     // ONE driver job per hop, not two: the beam is ≤ Ef·|batch| rows of
     // driver metadata, so collect it once and rebuild it as a local
     // relation (the next hop broadcast-joins it; a LocalRelation
@@ -477,6 +497,23 @@ object Hnsw {
     val idIdx = hop.schema.fieldIndex("vec_id")
     val srcs = rows.map(_.getLong(idIdx)).distinct.sorted.toSeq
     (pinned, srcs)
+  }
+
+  /** Pin the ENTRY beam (exactly one row per qid) and derive whether the
+    * rest of the walk must take the bulk-panel pin path — from the entry's
+    * own row count, so no extra counting job runs on the common API-sized
+    * path. The entry collect itself is |batch| rows (Ef× smaller than a
+    * hop beam) — the one driver-side panel copy every serving face already
+    * makes when it builds the query frame.
+    */
+  private def pinEntry(hop: DataFrame): (DataFrame, Seq[Long], Boolean) = {
+    val spark = hop.sparkSession
+    val rows = hop.collect()
+    val pinned = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), hop.schema)
+    val idIdx = hop.schema.fieldIndex("vec_id")
+    val srcs = rows.map(_.getLong(idIdx)).distinct.sorted.toSeq
+    (pinned, srcs, rows.length.toLong * Ef > PinHopMaxRows)
   }
 
   private def walkGraph(spark: SparkSession, edgesDir: String, metaDir: String,
@@ -504,7 +541,7 @@ object Hnsw {
       case None    => entryBeam(qs, meta)
     }
     if (collectWalkStats) scans += leaves(beam)
-    var (pinned, srcs) = pinHop(beam)
+    var (pinned, srcs, large) = pinEntry(beam)
     beam = pinned
     var visited = beam
     for (layer <- scheduleFor(nLayers)) {
@@ -513,7 +550,7 @@ object Hnsw {
       visited = visited.union(cands)
       if (collectWalkStats) scans += leaves(hop)
       val nBuckets = srcs.map(srcBucket).distinct.length
-      val (p, s) = pinHop(hop) // pin each hop: the next hop re-joins this tiny frame twice
+      val (p, s) = pinHop(hop, large) // pin each hop: the next hop re-joins this tiny frame twice
       if (collectWalkStats) files += ((scannedFiles(hop), nBuckets))
       beam = p; srcs = s
     }
@@ -624,7 +661,7 @@ object Hnsw {
       case Some(t) => entryBeam(qs, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
       case None    => entryBeam(qs, meta)
     }
-    var (beam, srcs) = pinHop(entry0)
+    var (beam, srcs, large) = pinEntry(entry0)
     def members(b: DataFrame): Set[(Long, Long)] =
       b.select(col("qid"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -636,7 +673,7 @@ object Hnsw {
       var h = 0
       while (h < cap && !fixed) {
         val (p, s) = pinHop(
-          hopOnce(hopEdges(spark, g, layer, srcs, "dst_emb"), qs, beam)._2)
+          hopOnce(hopEdges(spark, g, layer, srcs, "dst_emb"), qs, beam)._2, large)
         beam = p; srcs = s
         h += 1
         val m = members(beam); fixed = m == cur; cur = m
@@ -749,7 +786,7 @@ object Hnsw {
         col("entry_codes"))))
       .withColumn("sim", adcOf(col("entry_codes")))
       .select(col("qid"), col("vec_id"), col("sim"))
-    var (pinned, srcs) = pinHop(beam)
+    var (pinned, srcs, large) = pinEntry(beam)
     beam = pinned
     for (layer <- scheduleFor(nLayers)) {
       val edges = hopEdges(spark, g, layer, srcs, "dst_codes")
@@ -762,7 +799,7 @@ object Hnsw {
         .withColumn("__rn", row_number().over(wBeam))
         .filter(col("__rn") <= EfPq)
         .select(col("qid"), col("vec_id"), col("sim"))
-      val (p, s) = pinHop(next)
+      val (p, s) = pinHop(next, large)
       beam = p; srcs = s
     }
     // exact rescore of the final beam only — full-precision vectors come
@@ -1218,14 +1255,23 @@ object Hnsw {
     val replacedSrcs =
       g.latest.map(_.select(col("src")).distinct().count()).getOrElse(0L)
     val tombs = g.tombs.map(_.count()).getOrElse(0L) // already distinct ids
+    // zero-denominator guard (round-10 advisor): a fully-tombstoned graph
+    // resolves to ZERO live nodes/edges, and a raw division would yield
+    // null ratios whose threshold compares all read false — the plan would
+    // say `serve` on a graph that is pure debt. A zero denominator with
+    // nonzero debt reads as ratio 1.0 (maximal debt); with zero debt as
+    // 0.0. The DuckDB oracle CASE mirrors this exactly.
+    def debtRatio(num: Long, den: Column): Column =
+      when(den === 0, if (num > 0) lit(1.0) else lit(0.0))
+        .otherwise(round(lit(num).cast("double") / den, 6))
     liveAgg
       .select(col("live_nodes"), col("live_edges"),
         lit(deltaRows).as("delta_rows"),
         lit(replacedSrcs).as("replaced_srcs"),
         lit(tombs).as("tombstones"),
-        round(lit(deltaRows).cast("double") / col("live_edges"), 6).as("delta_ratio"),
-        round(lit(replacedSrcs).cast("double") / col("live_nodes"), 6).as("replaced_ratio"),
-        round(lit(tombs).cast("double") / col("live_nodes"), 6).as("tomb_ratio"))
+        debtRatio(deltaRows, col("live_edges")).as("delta_ratio"),
+        debtRatio(replacedSrcs, col("live_nodes")).as("replaced_ratio"),
+        debtRatio(tombs, col("live_nodes")).as("tomb_ratio"))
       .withColumn("decision",
         when(col("tomb_ratio") > MaintTombRatio ||
              col("replaced_ratio") > MaintReplacedRatio ||

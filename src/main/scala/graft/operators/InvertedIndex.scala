@@ -97,8 +97,14 @@ object InvertedIndex {
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").partitionBy("bucket").parquet(dir)
       // the index carries its own corpus stats: N (for idf) as a 1-row
-      // meta table beside the postings — serving never touches the corpus
-      val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      // meta table beside the postings — serving never touches the corpus.
+      // N counts the docs the INDEX knows (distinct postings doc_ids), not
+      // the raw corpus rows (round-10 advisor): a zero-token doc (empty /
+      // punctuation-only text) has no postings, so deleteDocs — which
+      // validates membership against the postings — could never retire it
+      // from a corpus-row count and N would drift permanently high. On a
+      // corpus with no such docs the two counts are identical.
+      val n = spark.read.parquet(dir).select(col("doc_id")).distinct().count()
       spark.range(1).select(lit(n).as("n_docs"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir-meta")
       dir
@@ -127,11 +133,15 @@ object InvertedIndex {
     */
   def appendDocs(spark: SparkSession, sfDir: String, docs: DataFrame): Unit = {
     val dir = layout(spark, sfDir)
-    postingsOf(docs)
-      .repartition(col("bucket"))
+    // staged once: the write and the N advance must count the SAME rows,
+    // and N advances by the docs that actually produced postings (the
+    // layout-time rule — a zero-token arrival must not inflate N)
+    val p = postingsOf(docs).localCheckpoint()
+    p.repartition(col("bucket"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("append").partitionBy("bucket").parquet(dir)
-    val n = spark.read.parquet(s"$dir-meta").head().getLong(0) + docs.count()
+    val n = spark.read.parquet(s"$dir-meta").head().getLong(0) +
+      p.select(col("doc_id")).distinct().count()
     // write-tmp-then-swap (Hnsw.commitMeta): a plain overwrite deletes the
     // live meta before the new write commits, so a crash mid-write would
     // leave every read face unreadable, not just idf-stale

@@ -146,14 +146,26 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // membership would force. Stacking is impossible both ways: this
       // guard detects the graph's filter, and the graph rule's own
       // id-only-filter guard rejects a plan carrying this rule's cell
-      // equality.
+      // equality. The detection is exprId-hardened (round-10 advisor): the
+      // id attribute must be THE registered relation's resolved column —
+      // not a same-named column from elsewhere on the spine — and the In
+      // list must fit the graph's beam width, since the injected filter is
+      // always the ≤ Ef-id final beam. A USER-written `vec_id IN (<many>)`
+      // predicate (which makes the graph rule decline — In is not a benign
+      // exclusion) therefore no longer reads as "the graph fired", and the
+      // cell prune still serves instead of a silent full exact scan.
       if !HnswGraphRegistry.lookup(
         rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
         .exists { ge =>
+          val gIdAttr = rel.output.find(_.name == ge.idCol)
           child.exists {
             case f: Filter => f.condition.exists {
-              case In(a: AttributeReference, _) => a.name == ge.idCol
-              case InSet(a: AttributeReference, _) => a.name == ge.idCol
+              case In(a: AttributeReference, vs) =>
+                gIdAttr.exists(_.exprId == a.exprId) &&
+                  vs.length <= graft.operators.Hnsw.Ef
+              case InSet(a: AttributeReference, vs) =>
+                gIdAttr.exists(_.exprId == a.exprId) &&
+                  vs.size <= graft.operators.Hnsw.Ef
               case _ => false
             }
             case _ => false

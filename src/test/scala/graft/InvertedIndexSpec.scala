@@ -310,4 +310,35 @@ class InvertedIndexSpec extends AnyFunSuite {
       !planStr.toLowerCase.contains("scalaudf"),
       s"a UDF survived on the bucket path:\n$planStr")
   }
+
+  test("meta N counts indexed docs, not corpus rows — a zero-token doc cannot drift it") {
+    // round-10 advisor: with N initialized from raw corpus rows, a
+    // punctuation-only doc is counted at layout time yet has no postings,
+    // so deleteDocs (which validates membership against the postings)
+    // treats its delete as a non-member no-op and N drifts permanently
+    // high. N now counts distinct postings doc_ids — the docs the index
+    // can actually serve and retire.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-empty")
+      .toString
+    Seq((1L, "alpha beta gamma"), (2L, "beta delta"), (3L, "!!! ... ---"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dir = InvertedIndex.layout(spark, tmp)
+    def n: Long = spark.read.parquet(s"$dir-meta").head().getLong(0)
+    assert(n === 2L, "zero-token doc was counted into meta N")
+    // deleting the zero-token doc is a no-op on N (it was never in it)
+    InvertedIndex.deleteDocs(spark, dir, Seq(3L))
+    assert(n === 2L)
+    // deleting a real indexed doc decrements N exactly once (idempotent)
+    InvertedIndex.deleteDocs(spark, dir, Seq(2L))
+    assert(n === 1L)
+    InvertedIndex.deleteDocs(spark, dir, Seq(2L))
+    assert(n === 1L)
+    // and the append face follows the same rule: a batch with one real
+    // and one zero-token arrival advances N by exactly one
+    InvertedIndex.appendDocs(spark, tmp,
+      Seq((4L, "epsilon zeta"), (5L, "??? !!!")).toDF("doc_id", "text"))
+    assert(n === 2L, "zero-token arrival inflated meta N")
+  }
 }
