@@ -54,6 +54,7 @@ object Stages {
     "txn-opt-layout" -> ((s, d) => { operators.TxnLog.optimizeLayout(s, d); () }),
     "txn-multi-layout" -> ((s, d) => { operators.TxnLog.multiLayout(s, d); () }),
     "txn-evo-layout" -> ((s, d) => { operators.TxnLog.evoLayout(s, d); () }),
+    "txn-maint-layout" -> ((s, d) => { operators.TxnLog.maintLayout(s, d); () }),
     "pca-model"    -> ((s, d) => { operators.Pca.model(s, d); () }),
     "wordvec-model" -> ((s, d) => {
       operators.WordVec.model(s, d, sp => queries.TextQueries.stagedBigrams(sp, d)); () }),

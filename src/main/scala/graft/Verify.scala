@@ -112,6 +112,10 @@ object Verify {
       "__QREG__"         -> graft.operators.QuantileReg.modelPath(sfDir),
       "__LOGREG_CV__"    -> graft.operators.LogReg.cvPath(sfDir),
       "__LANGID_W__"     -> graft.operators.LangId.modelPath(sfDir),
+      "__TTX_FILES__"     -> (graft.operators.TxnLog.maintLayoutPath(sfDir) + "/files"),
+      "__TTX_DELETES__"   -> (graft.operators.TxnLog.maintLayoutPath(sfDir) + "/deletes"),
+      "__TTX_MANIFESTS__" -> (graft.operators.TxnLog.maintLayoutPath(sfDir) + "/manifests"),
+      "__TTX_CHECKPOINTS__" -> (graft.operators.TxnLog.maintLayoutPath(sfDir) + "/checkpoints"),
       "__TTE_FILES__"    -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/files"),
       "__TTE_DELETES__"  -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/deletes"),
       "__TTE_MANIFESTS__" -> (graft.operators.TxnLog.evoLayoutPath(sfDir) + "/manifests"))

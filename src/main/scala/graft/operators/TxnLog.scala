@@ -841,6 +841,135 @@ object TxnLog {
     dropped.sorted
   }
 
+  // --- maintenance policy ------------------------------------------------
+  // The lakehouse twin of Hnsw.maintenancePlan / InvertedIndex
+  // .postingsStats (round-10 verdict: the txn-log table was the ONLY
+  // artifact family whose OPTIMIZE/checkpoint/vacuum verbs had no
+  // stats→decision loop reading manifest debt). Thresholds are named
+  // constants shared with the oracle CASE and the spec.
+
+  /** Delete-delta debt: live delete files per live data file. Every MOR
+    * read pays one broadcast anti-join per delta generation's rows — past
+    * ~1 delete file per 5 data files the fold is due.
+    */
+  val MaintDeleteRatio = 0.2
+
+  /** Small-file debt: a live version listing more data files than this is
+    * due a re-clustering rewrite regardless of delete debt (the
+    * files-per-commit spiral every append-heavy table degrades into).
+    */
+  val MaintMaxDataFiles = 16
+
+  /** Reclaim debt: physically-present files unreachable from ANY retained
+    * version ([[MaintKeepVersions]] horizon — exactly what [[vacuum]]
+    * could delete), per reachable physical file.
+    */
+  val MaintReclaimRatio = 0.5
+
+  /** The retention horizon the policy measures against AND the verb
+    * vacuums with — keeping them one constant means the plan's
+    * `reclaimable_files` is precisely the verb's harvest.
+    */
+  val MaintKeepVersions = 2
+
+  /** Physical (kind, file_name) inventory under files/ and deletes/ —
+    * the denominator reality the manifests describe. One level of
+    * subdirectories under files/ is the multi-table layout
+    * ([[commitTables]]); its kinds read `data:<table>`, mirroring
+    * [[vacuum]]'s walk so the two faces can never disagree about what a
+    * file is called.
+    */
+  private def physicalFiles(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val f = fs(spark, root)
+    Seq("data" -> "files", "delete" -> "deletes").flatMap { case (kind, dir) =>
+      val d = new Path(s"$root/$dir")
+      if (!f.exists(d)) Nil
+      else f.listStatus(d).flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && kind == "data")
+          f.listStatus(st.getPath).map(p => (s"data:$n", p.getPath.getName)).toSeq
+        else Seq((kind, n))
+      }.toSeq
+    }
+  }
+
+  /** One-row operability stats + DECISION over the log: live file counts
+    * at the latest version, checkpoint lag, the physical-vs-reachable
+    * file inventory, the debt ratios (rounded to 6dp BEFORE the threshold
+    * compare — the engine-portable boundary), and the CASE'd decision ∈
+    * {optimize, checkpoint, vacuum, serve} that [[maintainTable]] acts
+    * on. Priority order: a rewrite (optimize) both folds deletes and
+    * re-clusters, so it outranks the cheaper verbs; checkpoint lag only
+    * trips on a log whose auto-checkpoint was lost (forged/crashed —
+    * commits checkpoint every [[CheckpointInterval]]); vacuum last, since
+    * a just-optimized table is exactly the state that spikes reclaim
+    * debt. Driver-side folds over metadata-sized manifests (the
+    * [[history]] cost class); the DuckDB oracle (tt_maintenance_plan)
+    * replays the same folds over the dumped manifests + a
+    * filename-listing of the physical dirs, so the DECISION itself is
+    * cross-engine-checked.
+    */
+  def maintenancePlan(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, round, when}
+    val v = latestVersion(spark, root)
+    val live = resolvedEntries(spark, root, v)
+    val liveData = live.count(e => e.kind == "data" || e.kind.startsWith("data:")).toLong
+    val liveDel = live.count(_.kind == "delete").toLong
+    val cp = checkpointAtOrBefore(spark, root, v).getOrElse(0)
+    val lag = (v - cp).toLong
+    // reachable = referenced by ANY retained version; reclaimable = the
+    // physical complement (vacuum's exact harvest at this horizon)
+    val keepFrom = math.max(1, v - MaintKeepVersions + 1)
+    val reach: Set[(String, String)] = (keepFrom to v)
+      .flatMap(u => resolvedEntries(spark, root, u).map(e => (e.kind, e.file_name)))
+      .toSet
+    val phys = physicalFiles(spark, root)
+    val reclaimable = phys.count(p => !reach.contains(p)).toLong
+    // zero-denominator guard (the Hnsw.maintenancePlan discipline): debt
+    // over an empty denominator reads as maximal, never as null-serve
+    def ratio(num: Long, den: Long): Column =
+      if (den == 0) { if (num > 0) lit(1.0) else lit(0.0) }
+      else round(lit(num.toDouble) / den, 6)
+    spark.range(1)
+      .select(lit(v.toLong).as("version"),
+        lit(cp.toLong).as("checkpoint_v"),
+        lit(lag).as("checkpoint_lag"),
+        lit(liveData).as("live_data_files"),
+        lit(liveDel).as("live_delete_files"),
+        lit(phys.size.toLong).as("physical_files"),
+        lit(reclaimable).as("reclaimable_files"),
+        ratio(liveDel, liveData).as("delete_ratio"),
+        ratio(reclaimable, phys.size - reclaimable).as("reclaim_ratio"))
+      .withColumn("decision",
+        when(col("delete_ratio") > MaintDeleteRatio ||
+             col("live_data_files") > MaintMaxDataFiles, lit("optimize"))
+          .when(col("checkpoint_lag") >= CheckpointInterval, lit("checkpoint"))
+          .when(col("reclaim_ratio") > MaintReclaimRatio, lit("vacuum"))
+          .otherwise(lit("serve")))
+  }
+
+  /** The stats→action verb closing the loop ([[graft.operators.Hnsw
+    * .maintainGraph]]'s lakehouse twin): read the plan, act on its
+    * decision — `optimize` folds deletes + re-clusters ([[compact]]),
+    * `checkpoint` folds the manifest chain, `vacuum` reclaims at the
+    * policy's own horizon, `serve` is the healthy-table no-op. Returns
+    * the decision it acted on. TxnLogSpec pins the cascade (delete debt →
+    * optimize → reclaim debt → vacuum → serve), the forged-checkpoint
+    * repair, idempotence at `serve`, and that every acted verb preserves
+    * the served rows.
+    */
+  def maintainTable(spark: SparkSession, root: String): String = {
+    val d = maintenancePlan(spark, root)
+      .select(org.apache.spark.sql.functions.col("decision")).head().getString(0)
+    d match {
+      case "optimize"   => compact(spark, root)
+      case "checkpoint" => checkpoint(spark, root)
+      case "vacuum"     => vacuum(spark, root, MaintKeepVersions)
+      case _            => ()
+    }
+    d
+  }
+
   // --- staged demo lifecycle (memoized once per JVM per sf dir) ----------
 
   def layoutPath(sfDir: String): String =
@@ -926,6 +1055,35 @@ object TxnLog {
       root
     })
 
+  def maintLayoutPath(sfDir: String): String = layoutPath(sfDir) + "-maint"
+
+  /** Maintenance-policy demo: a log carrying real delete debt and an
+    * intact auto-checkpoint — v1 init + v2/v3 appends (3 range-clustered
+    * files each), v4 + v5 MOR deletes (one delta file each; v4 writes the
+    * interval checkpoint). At v5 the plan reads 9 live data files, 2
+    * delete files (ratio 0.222222 > [[MaintDeleteRatio]]), lag 1,
+    * reclaimable 0 → decision `optimize`. Deliberately left UNMAINTAINED:
+    * the oracled query (tt_maintenance_plan) replays the decision over
+    * this exact manifest state; the acted cascade (optimize → vacuum →
+    * serve) runs on TxnLogSpec's own clone.
+    */
+  def maintLayout(spark: SparkSession, sfDir: String): String =
+    maintMemo.computeIfAbsent(sfDir, { _ =>
+      val root = maintLayoutPath(sfDir)
+      fs(spark, root).delete(new Path(root), true)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      init(docs.filter(col("doc_id") < 200)
+        .repartitionByRange(3, col("doc_id")), root)
+      append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+        .repartitionByRange(3, col("doc_id")), root)
+      append(docs.filter(col("doc_id") >= 350)
+        .repartitionByRange(3, col("doc_id")), root)
+      deleteWhere(spark, root, pmod(col("doc_id"), lit(9L)) === 1L)
+      deleteWhere(spark, root, pmod(col("doc_id"), lit(9L)) === 2L)
+      root
+    })
+
   def evoLayoutPath(sfDir: String): String = layoutPath(sfDir) + "-evo"
 
   /** Schema-evolution demo: v1 init under the ORIGINAL schema (doc_id,
@@ -957,8 +1115,10 @@ object TxnLog {
   private val optMemo = new ConcurrentHashMap[String, String]()
   private val multiMemo = new ConcurrentHashMap[String, String]()
   private val evoMemo = new ConcurrentHashMap[String, String]()
+  private val maintMemo = new ConcurrentHashMap[String, String]()
 
   private[graft] def resetMemos(): Unit = {
     memo.clear(); optMemo.clear(); multiMemo.clear(); evoMemo.clear()
+    maintMemo.clear()
   }
 }

@@ -461,4 +461,81 @@ class TxnLogSpec extends AnyFunSuite {
     val onDisk = new java.io.File(s"$root/files").list().count(_.startsWith("part-"))
     assert(onDisk === 6)
   }
+
+  test("maintenance policy: healthy log serves; the verb is a no-op") {
+    val root = freshRoot()
+    TxnLog.init(docs.repartitionByRange(2, col("doc_id")), root)
+    val plan = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan.getAs[String]("decision") === "serve")
+    assert(plan.getAs[Long]("reclaimable_files") === 0L)
+    val v = TxnLog.latestVersion(spark, root)
+    assert(TxnLog.maintainTable(spark, root) === "serve")
+    assert(TxnLog.latestVersion(spark, root) === v,
+      "a healthy-table maintenance tick committed something")
+  }
+
+  test("maintenance policy cascade: delete debt → optimize → reclaim debt → vacuum → serve") {
+    // the maintLayout recipe rebuilt on a spec-owned root (the staged demo
+    // stays unmaintained for the oracle replay)
+    val root = freshRoot()
+    TxnLog.init(docs.filter(col("doc_id") < 200)
+      .repartitionByRange(3, col("doc_id")), root)
+    TxnLog.append(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      .repartitionByRange(3, col("doc_id")), root)
+    TxnLog.append(docs.filter(col("doc_id") >= 350)
+      .repartitionByRange(3, col("doc_id")), root)
+    TxnLog.deleteWhere(spark, root, pmod(col("doc_id"), lit(9L)) === 1L)
+    TxnLog.deleteWhere(spark, root, pmod(col("doc_id"), lit(9L)) === 2L)
+    val plan1 = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan1.getAs[Long]("live_data_files") === 9L)
+    assert(plan1.getAs[Long]("live_delete_files") === 2L)
+    assert(plan1.getAs[Double]("delete_ratio") > TxnLog.MaintDeleteRatio)
+    assert(plan1.getAs[String]("decision") === "optimize")
+    val before = TxnLog.read(spark, root).orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // tick 1: the rewrite folds deletes + re-clusters; rows preserved
+    assert(TxnLog.maintainTable(spark, root) === "optimize")
+    assert(TxnLog.read(spark, root).orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq === before,
+      "the optimize tick changed the served rows")
+    // the just-folded files are still reachable from the retained
+    // horizon (the pre-rewrite version), so the very next plan is serve —
+    // vacuum debt only spikes once the horizon moves past the rewrite
+    assert(TxnLog.maintenancePlan(spark, root).head()
+      .getAs[String]("decision") === "serve")
+    TxnLog.append(docs.filter(col("doc_id") < 10), root)
+    val plan2 = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan2.getAs[Long]("reclaimable_files") === 11L,
+      s"want the 9 folded data + 2 delete files reclaimable, got $plan2")
+    assert(plan2.getAs[String]("decision") === "vacuum")
+    val before2 = TxnLog.read(spark, root).count()
+    // tick 2: vacuum harvests exactly the plan's reclaimable files
+    assert(TxnLog.maintainTable(spark, root) === "vacuum")
+    val plan3 = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan3.getAs[Long]("reclaimable_files") === 0L)
+    assert(plan3.getAs[String]("decision") === "serve")
+    assert(TxnLog.read(spark, root).count() === before2,
+      "vacuum touched reachable rows")
+    assert(TxnLog.maintainTable(spark, root) === "serve")
+  }
+
+  test("maintenance policy: a lost checkpoint is detected and repaired") {
+    val root = freshRoot()
+    // five appends: the interval checkpoint lands at v4
+    (0 until 5).foreach { i =>
+      if (i == 0) TxnLog.init(docs.filter(col("doc_id") < 100), root)
+      else TxnLog.append(
+        docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100), root)
+    }
+    // forge the failure the lag guard exists for: the checkpoint dir dies
+    val cpd = new org.apache.hadoop.fs.Path(s"$root/checkpoints")
+    cpd.getFileSystem(spark.sessionState.newHadoopConf()).delete(cpd, true)
+    val plan = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan.getAs[Long]("checkpoint_lag") >= TxnLog.CheckpointInterval)
+    assert(plan.getAs[String]("decision") === "checkpoint")
+    assert(TxnLog.maintainTable(spark, root) === "checkpoint")
+    val plan2 = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan2.getAs[Long]("checkpoint_lag") === 0L)
+    assert(plan2.getAs[String]("decision") === "serve")
+  }
 }
