@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // queries the graph rule's own guards make it decline (k > beam,
     // non-id predicates, a different ranked column)
     e.injectOptimizerRule(session => graft.plans.HnswTopKRewrite(session))
+    e.injectOptimizerRule(session => graft.plans.HnswBatchTopKRewrite(session))
     e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
     e.injectOptimizerRule(session => graft.plans.MvAggRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())

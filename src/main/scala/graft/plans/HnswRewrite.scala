@@ -3,10 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, Descending, EqualTo, Expression, In, InSet, IsNotNull, Literal, Not, Round, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Sort, Project}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, Not, Round, RowNumber, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Limit, LocalRelation, LogicalPlan, Project, Sort, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.expressions.CosineSimilarity
 
@@ -74,6 +76,8 @@ object HnswGraphRegistry {
   private val registry = new ConcurrentHashMap[String, Entry]()
   private val probeMemo =
     new ConcurrentHashMap[(String, Long, Seq[Double], Int), Seq[Long]]()
+  private val batchMemo =
+    new ConcurrentHashMap[(String, Long, Seq[(Long, Seq[Double])], Int), Seq[(Long, Long)]]()
   private val generation = new ConcurrentHashMap[String, java.lang.Long]()
 
   private def canon(path: String): String = RewriteSupport.canon(path)
@@ -90,7 +94,7 @@ object HnswGraphRegistry {
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = {
-    registry.clear(); probeMemo.clear(); generation.clear()
+    registry.clear(); probeMemo.clear(); batchMemo.clear(); generation.clear()
   }
 
   /** Invalidate memoized probes for a graph whose artifact just mutated —
@@ -106,6 +110,8 @@ object HnswGraphRegistry {
     generation.merge(dir, 1L, (a, b) => a + b)
     val it = probeMemo.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    val bit = batchMemo.keySet().iterator()
+    while (bit.hasNext) if (bit.next()._1 == dir) bit.remove()
   }
 
   private def generationOf(edgesDir: String): Long =
@@ -133,6 +139,31 @@ object HnswGraphRegistry {
           qdf, k = graft.operators.Hnsw.Ef)
         .orderBy(col("rnk")).collect().map(_.getLong(1)).toSeq
       probeMemo.putIfAbsent(key, walked)
+      walked
+    }
+  }
+
+  /** The BATCH graph probe ([[beamIds]] at N queries): ONE bounded walk
+    * for the whole panel — every hop's pass is shared, per-qid beams —
+    * returning every (qid, beam id) pair (≤ Ef per qid). Memoized per
+    * (graph, generation, panel, Ef) with the panel canonicalized to
+    * sorted (qid, doubles); `qdf` carries the panel in its ORIGINAL
+    * element type so the walk's round-6 cosine scores the exact arrays
+    * the user's query ranks. Same locking posture as [[beamIds]]: the
+    * walk runs outside any map lock, a racing duplicate is idempotent.
+    */
+  def beamIdsBatch(spark: SparkSession, e: Entry,
+                   panel: Seq[(Long, Seq[Double])],
+                   qdf: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+    val key = (e.edgesDir, generationOf(e.edgesDir), panel,
+      graft.operators.Hnsw.Ef)
+    Option(batchMemo.get(key)).getOrElse {
+      import org.apache.spark.sql.functions.col
+      val walked = graft.operators.Hnsw.searchIn(spark, e.edgesDir, e.metaDir,
+          qdf, k = graft.operators.Hnsw.Ef)
+        .orderBy(col("qid"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      batchMemo.putIfAbsent(key, walked)
       walked
     }
   }
@@ -192,31 +223,13 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Some(#distinct excluded ids) iff EVERY conjunct of every Filter on
-    * the spine is a provably benign id exclusion: `NOT (id = <literal>)`
-    * or `IS NOT NULL(id)` (matched by exprId against the registered
-    * relation's id attribute, so an identically-named column from
-    * elsewhere can never pass). Anything else — ranges, IN lists,
-    * non-id references — returns None and the rewrite falls through.
+  /** Benign-id-exclusion audit of the spine's Filter conditions — the
+    * ONE definition in [[RewriteSupport.benignExclusions]], shared with
+    * the batch face.
     */
   private def benignExclusions(conds: Seq[Expression],
-                               idAttr: AttributeReference): Option[Int] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    val excluded = scala.collection.mutable.Set[Any]()
-    val ok = conds.flatMap(conjuncts).forall {
-      case Not(EqualTo(a: AttributeReference, l: Literal))
-        if a.exprId == idAttr.exprId => excluded += l.value; true
-      case Not(EqualTo(l: Literal, a: AttributeReference))
-        if a.exprId == idAttr.exprId => excluded += l.value; true
-      case IsNotNull(a: AttributeReference)
-        if a.exprId == idAttr.exprId => true
-      case _ => false
-    }
-    if (ok) Some(excluded.size) else None
-  }
+                               idAttr: AttributeReference): Option[Int] =
+    RewriteSupport.benignExclusions(conds, idAttr)
 
   private def tryRewrite(ref: AttributeReference, sortTail: Seq[SortOrder],
                          k: Int, child: LogicalPlan): Option[LogicalPlan] = {
@@ -280,4 +293,230 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
   }
+}
+
+/** Batch-face transparent graph rewrite — [[HnswTopKRewrite]] at N queries
+  * (the production retrieval shape the reference's flagship search loop,
+  * `VectorSearchService.cs:173-217`, generalizes to): the user writes the
+  * exact per-qid window top-k —
+  *
+  *   `row_number() OVER (PARTITION BY qid
+  *      ORDER BY round(cosine_sim(emb, q_emb), 6) DESC [, id ASC]) ≤ k`
+  *
+  * over a registered corpus cross-joined to a query table — and this rule
+  * serves each qid's candidate set from ONE batch graph walk (every hop's
+  * pass shared across the panel) instead of |panel| full corpus scans.
+  * The probe result is injected as a LEFT SEMI join against a
+  * (qid, vec_id) literal table — the single face's `Filter(id IN beam)`
+  * generalized to per-qid id sets — so the user's own window
+  * exact-rescored the ≤ Ef beam rows per qid, and since the walk already
+  * ranks by the same round-6 cosine + id tiebreak, the window's top-k IS
+  * the graph's top-k.
+  *
+  * Firing guards, each the single face's rule generalized (fall through
+  * to the untouched exact plan): k ≤ Ef; the window function is
+  * row_number (rank's tie semantics differ) partitioned by exactly the
+  * query-side id attribute; the ranking is the walk's own
+  * `round(cosine_sim(<registered emb col>, <query-side attr>), 6)`
+  * descending with no further key or the registered id ascending; the
+  * spine window→join and join→corpus-relation is pure Project/Filter
+  * whose every conjunct is a provably benign id exclusion with
+  * k + e ≤ Ef; the join is an unconditioned Inner/Cross (a join
+  * condition shapes the per-qid row set in ways per-qid id sets cannot
+  * account for); the query side must not contain the registered relation
+  * (a self-join's "panel" is corpus-sized, not API-sized) and must yield
+  * distinct qids (duplicate qids make the per-qid ranking ill-defined).
+  * Executing the query-side subplan at rewrite time is the same
+  * documented probe class as the single face's walk: an API-sized panel
+  * read, memoized per (graph, generation, panel).
+  */
+case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (HnswGraphRegistry.isEmpty) return plan
+    plan.transformDown {
+      case f @ Filter(cond, w: Window) =>
+        tryRewrite(cond, w) match {
+          case Some(nw) => Filter(cond, nw)
+          case None     => f
+        }
+    }
+  }
+
+  /** k from the filter's rank bound — the WHOLE condition must be the
+    * bound (any extra conjunct shapes the per-qid row count).
+    */
+  private def rankBound(cond: Expression, rnk: AttributeReference): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+        if a.exprId == rnk.exprId => Some(k)
+      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+        if a.exprId == rnk.exprId => Some(k - 1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
+        if a.exprId == rnk.exprId => Some(k)
+      case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
+        if a.exprId == rnk.exprId => Some(k - 1)
+      case _ => None
+    }
+
+  /** The window→join spine: Project/Filter only, conditions accumulated
+    * for the benign-exclusion audit.
+    */
+  private def spineJoin(p: LogicalPlan): Option[(Join, Seq[Expression])] = p match {
+    case j: Join => Some((j, Nil))
+    case pr: Project => spineJoin(pr.child)
+    case fl: Filter => spineJoin(fl.child).map { case (j, cs) => (j, fl.condition +: cs) }
+    case _ => None
+  }
+
+  /** The join→relation spine on the corpus side, same accumulation. */
+  private def corpusSpine(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] = p match {
+    case r: LogicalRelation => Some((r, Nil))
+    case pr: Project => corpusSpine(pr.child)
+    case fl: Filter => corpusSpine(fl.child).map { case (r, cs) => (r, fl.condition +: cs) }
+    case _ => None
+  }
+
+  private def registered(r: LogicalRelation): Option[HnswGraphRegistry.Entry] =
+    r.relation match {
+      case fs: HadoopFsRelation =>
+        HnswGraphRegistry.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  private def tryRewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    val child = w.child
+    for {
+      // the one window expression: row_number, aliased; the filter bound
+      // references it
+      rnkAlias <- w.windowExpressions match {
+        case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some(a)
+        case _ => None
+      }
+      k <- rankBound(cond, rnkAlias.toAttribute.asInstanceOf[AttributeReference])
+      if k >= 1 && k <= graft.operators.Hnsw.Ef
+      qidAttr <- w.partitionSpec match {
+        case Seq(a: AttributeReference) => Some(a)
+        case _ => None
+      }
+      simRef <- w.orderSpec.headOption.collect {
+        case SortOrder(a: AttributeReference, Descending, _, _) => a
+      }
+      // idempotence under the fixed-point optimizer batch: our own
+      // injected semi-join is structural and cheap to detect
+      if !child.exists {
+        case j: Join if j.joinType == LeftSemi => j.right match {
+          case lr: LocalRelation => lr.output.exists(_.name == "__graft_qid")
+          case _ => false
+        }
+        case _ => false
+      }
+      (join, spineConds) <- spineJoin(child)
+      if (join.joinType == Inner || join.joinType == Cross) && join.condition.isEmpty
+      // orient the join: the registered corpus side vs the query side
+      (corpus, querySide) <- (corpusSpine(join.left), corpusSpine(join.right)) match {
+        case (Some((r, cs)), _) if registered(r).isDefined => Some(((r, cs), join.right))
+        case (_, Some((r, cs))) if registered(r).isDefined => Some(((r, cs), join.left))
+        case _ => None
+      }
+      (rel, corpusConds) = corpus
+      entry <- registered(rel)
+      idAttr <- rel.output.find(_.name == entry.idCol)
+      // the ranked expression: the walk's own round-6 cosine between the
+      // REGISTERED embedding column and a query-side attribute
+      simExpr <- child.collect { case p: Project => p.projectList }.flatten
+        .collectFirst { case a: Alias if a.exprId == simRef.exprId => a.child }
+      qEmbAttr <- simExpr match {
+        case r: Round => (r.scale, r.child) match {
+          case (Literal(6, IntegerType), CosineSimilarity(a: AttributeReference, b: AttributeReference)) =>
+            val aIsCorpus = rel.output.exists(o => o.exprId == a.exprId && o.name == entry.embCol)
+            val bIsCorpus = rel.output.exists(o => o.exprId == b.exprId && o.name == entry.embCol)
+            if (aIsCorpus && querySide.outputSet.contains(b)) Some(b)
+            else if (bIsCorpus && querySide.outputSet.contains(a)) Some(a)
+            else None
+          case _ => None
+        }
+        case _ => None
+      }
+      // the partition key is the query side's, and both join keys of the
+      // injected semi-join must be visible at the injection point
+      if querySide.outputSet.contains(qidAttr)
+      if child.outputSet.contains(idAttr) && child.outputSet.contains(qidAttr)
+      if qidAttr.dataType == LongType && idAttr.dataType == LongType
+      // tiebreak: none, or the registered id ascending (the walk's own)
+      if w.orderSpec.tail.isEmpty || (w.orderSpec.tail match {
+        case Seq(SortOrder(a: AttributeReference, Ascending, _, _)) =>
+          a.exprId == idAttr.exprId
+        case _ => false
+      })
+      // every predicate on the window→join and join→corpus spines must be
+      // a provably benign id exclusion within the beam headroom; the
+      // QUERY side's own filters are untouched panel selection (the probe
+      // executes them verbatim)
+      exCount <- RewriteSupport.benignExclusions(spineConds ++ corpusConds, idAttr)
+      if k + exCount <= graft.operators.Hnsw.Ef
+      // a query side containing the registered relation is a self-join —
+      // its "panel" is the corpus, not an API batch
+      if !querySide.exists { case r: LogicalRelation => r eq rel; case _ => false }
+      pairs <- probe(querySide, qidAttr, qEmbAttr, entry)
+    } yield {
+      logInfo(s"HnswBatchTopKRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${pairs.length} graph-served (qid, ${entry.idCol}) pairs")
+      // two-stage prune: a SUPERSET id filter above the corpus relation
+      // (the union of every qid's beam — ≤ Ef·|panel| ids) pushes into
+      // the parquet scan as row-group/file pruning, exactly like the
+      // single face's Filter(In); the per-qid LEFT SEMI against the
+      // (qid, id) literal table then refines each qid to ITS beam. The
+      // scan reads beam-sized I/O instead of |panel| full corpus passes.
+      val allIds = pairs.map(_._2).distinct.sorted
+      val pruned = child.transformUp {
+        case r: LogicalRelation if r eq rel =>
+          Filter(In(idAttr, allIds.map(Literal(_))), r)
+      }
+      val qRef = AttributeReference("__graft_qid", LongType, nullable = false)()
+      val vRef = AttributeReference("__graft_vid", LongType, nullable = false)()
+      val local = LocalRelation(Seq(qRef, vRef),
+        pairs.map { case (q, v) => InternalRow(q, v) })
+      val semi = Join(pruned, local, LeftSemi,
+        Some(And(EqualTo(qidAttr, qRef), EqualTo(idAttr, vRef))), JoinHint.NONE)
+      w.copy(child = semi)
+    }
+  }
+
+  /** Execute the query-side subplan (API-sized panel — the documented
+    * rewrite-time probe class), canonicalize it, and run the batch walk.
+    * Any failure — unexecutable subplan, null vectors, duplicate qids,
+    * dead graph artifacts, empty beam — falls through to the exact plan.
+    */
+  private def probe(querySide: LogicalPlan, qidAttr: AttributeReference,
+                    qEmbAttr: AttributeReference,
+                    entry: HnswGraphRegistry.Entry): Option[Seq[(Long, Long)]] =
+    try {
+      val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
+        querySide)
+      val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+      val rows = qdf.collect()
+      if (rows.isEmpty || rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return None
+      val qids = rows.map(_.getLong(0))
+      if (qids.distinct.length != qids.length) return None
+      val panel = rows.map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toSeq)
+      }.sortBy(_._1).toSeq
+      val pinned = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), qdf.schema)
+      val pairs = HnswGraphRegistry.beamIdsBatch(spark, entry, panel, pinned)
+      if (pairs.nonEmpty) Some(pairs) else None
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        logWarning(s"HnswBatchTopKRewrite: batch probe failed for " +
+          s"${entry.edgesDir} — serving the exact scan", ex)
+        None
+    }
 }

@@ -772,6 +772,36 @@ object PipelineQueries {
         .limit(5)
     }),
 
+    // BATCH face of the transparent graph rewrite (round-10 verdict #1):
+    // the user writes the exact per-qid window top-k — row_number over
+    // (PARTITION BY qid ORDER BY round-6 cosine DESC, id ASC) ≤ k — over
+    // the registered corpus cross-joined to a query table, and
+    // plans/HnswBatchTopKRewrite serves every qid's candidate set from
+    // ONE batch graph walk, injected as a (qid, id) semi-join. The user's
+    // own window exact-rescored the per-qid beams, so the result is the
+    // batch walk's top-k — replayed by the same multi-qid beam CTEs.
+    // The `vec_id <> 0` filter exercises the generalized benign-exclusion
+    // guard (k + 1 ≤ Ef).
+    "ann_hnsw_rewrite_batch" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      s.read.parquet(corpus).filter(col("vec_id") =!= 0)
+        .crossJoin(qs)
+        .withColumn("sim", round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Graph-index operability stats (the ivf_index_stats twin): per
     // layer of the merge-on-read-resolved maintenance-demo graph, the
     // live src/edge population and degree shape beside the sidecar debt
@@ -865,6 +895,20 @@ object PipelineQueries {
     // manifest entry, never a rewrite; time travel to v1 still reads the
     // old schema (pinned in TxnLogSpec). Oracle: manifest-resolved
     // union_by_name read of the same files.
+    // Lakehouse maintenance policy (the ann_maintenance_plan twin for the
+    // txn-log table): manifest debt — live delete files per data file,
+    // small-file count, checkpoint lag, physically-present files
+    // unreachable from the retained versions — folded through pinned
+    // thresholds into the optimize/checkpoint/vacuum/serve DECISION
+    // maintainTable acts on. Oracled end to end: DuckDB replays the same
+    // manifest fold over the dumped log and lists the same physical dirs
+    // (filename=true), so the decision string itself is cross-engine-
+    // checked, not just the counters feeding it.
+    "tt_maintenance_plan" -> ((s, dir) => {
+      val root = TxnLog.maintLayout(s, dir)
+      TxnLog.maintenancePlan(s, root)
+    }),
+
     "tt_evolved_read" -> ((s, dir) => {
       val root = TxnLog.evoLayout(s, dir)
       TxnLog.read(s, root)
@@ -2064,6 +2108,18 @@ object PipelineQueries {
          |WHERE rn <= 5 ORDER BY sim DESC, vec_id ASC""".stripMargin
     },
 
+    // batch-rewrite replay: the SAME multi-qid beam CTEs as
+    // ann_hnsw_batch — the injected per-qid semi-join serves each beam,
+    // the user's window exact-rescored it, and since the walk already
+    // ranks by round-6 cosine + id, the top-3 per qid IS the walk's
+    // (vec_id 0 never enters a beam — it is not a graph node — so the
+    // query's benign exclusion is a replay no-op, mirrored here anyway)
+    "ann_hnsw_rewrite_batch" -> {
+      s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")}
+         |SELECT qid, vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
+         |WHERE rn <= 3 AND vec_id <> 0 ORDER BY qid, rnk""".stripMargin
+    },
+
     // stats replay: the SAME merge-on-read resolution the maintenance
     // replays use, aggregated per layer, beside the sidecar counts
     "ann_graph_stats" -> {
@@ -2112,9 +2168,12 @@ object PipelineQueries {
          |  FROM ds CROSS JOIN rs CROSS JOIN ts),
          |ratios AS (
          |  SELECT *,
-         |    round(delta_rows::DOUBLE / live_edges, 6) AS delta_ratio,
-         |    round(replaced_srcs::DOUBLE / live_nodes, 6) AS replaced_ratio,
-         |    round(tombstones::DOUBLE / live_nodes, 6) AS tomb_ratio
+         |    CASE WHEN live_edges = 0 THEN CASE WHEN delta_rows > 0 THEN 1.0 ELSE 0.0 END
+         |         ELSE round(delta_rows::DOUBLE / live_edges, 6) END AS delta_ratio,
+         |    CASE WHEN live_nodes = 0 THEN CASE WHEN replaced_srcs > 0 THEN 1.0 ELSE 0.0 END
+         |         ELSE round(replaced_srcs::DOUBLE / live_nodes, 6) END AS replaced_ratio,
+         |    CASE WHEN live_nodes = 0 THEN CASE WHEN tombstones > 0 THEN 1.0 ELSE 0.0 END
+         |         ELSE round(tombstones::DOUBLE / live_nodes, 6) END AS tomb_ratio
          |  FROM summary)
          |SELECT live_nodes, live_edges, delta_rows, replaced_srcs, tombstones,
          |  delta_ratio, replaced_ratio, tomb_ratio,
@@ -2330,6 +2389,71 @@ object PipelineQueries {
         |  sum(CASE WHEN kind = 'delete' AND action = 'add' THEN 1 ELSE 0 END)::BIGINT AS n_delete_files
         |FROM live
         |GROUP BY 1 ORDER BY version""".stripMargin,
+
+    // maintenance-plan replay: the same manifest fold (newest action per
+    // (kind, file) wins — the demo log retains every delta manifest, so
+    // the fold runs from version 1; checkpoints are pure materializations
+    // of this same fold), the same physical-dir listings via
+    // filename=true, ratios rounded to 6dp BEFORE the threshold CASE —
+    // the decision string must match the engine's.
+    "tt_maintenance_plan" -> {
+      import graft.operators.TxnLog
+      s"""WITH deltas AS (
+         |  SELECT version, coalesce(action, 'add') AS act, kind, file_name
+         |  FROM read_parquet('__TTX_MANIFESTS__/*/*.parquet', hive_partitioning=true)),
+         |latest AS (SELECT max(version)::BIGINT AS v FROM deltas),
+         |cp AS (SELECT coalesce(max(version), 0)::BIGINT AS cpv
+         |       FROM read_parquet('__TTX_CHECKPOINTS__/*/*.parquet', hive_partitioning=true)),
+         |lives AS (
+         |  SELECT rv, kind, file_name FROM (
+         |    SELECT r.rv, a.kind, a.file_name, arg_max(a.act, a.version) AS act
+         |    FROM deltas a
+         |    JOIN (SELECT DISTINCT d.version AS rv FROM deltas d CROSS JOIN latest
+         |          WHERE d.version > latest.v - ${TxnLog.MaintKeepVersions}) r
+         |      ON a.version <= r.rv
+         |    GROUP BY r.rv, a.kind, a.file_name)
+         |  WHERE act = 'add'),
+         |livenow AS (SELECT kind, file_name FROM lives CROSS JOIN latest
+         |            WHERE rv = latest.v),
+         |reach AS (SELECT DISTINCT kind, file_name FROM lives),
+         |phys AS (
+         |  SELECT 'data' AS kind, regexp_extract(filename, '[^/]+$$') AS file_name
+         |  FROM read_parquet('__TTX_FILES__/*.parquet', filename=true) GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'delete', regexp_extract(filename, '[^/]+$$')
+         |  FROM read_parquet('__TTX_DELETES__/*.parquet', filename=true) GROUP BY 2),
+         |counts AS (SELECT
+         |  latest.v AS version, cp.cpv AS checkpoint_v,
+         |  latest.v - cp.cpv AS checkpoint_lag,
+         |  (SELECT count(*) FROM livenow WHERE kind = 'data')::BIGINT AS live_data_files,
+         |  (SELECT count(*) FROM livenow WHERE kind = 'delete')::BIGINT AS live_delete_files,
+         |  (SELECT count(*) FROM phys)::BIGINT AS physical_files,
+         |  (SELECT count(*) FROM phys p WHERE NOT EXISTS (
+         |     SELECT 1 FROM reach r
+         |     WHERE r.kind = p.kind AND r.file_name = p.file_name))::BIGINT
+         |    AS reclaimable_files
+         |  FROM latest CROSS JOIN cp),
+         |ratios AS (SELECT *,
+         |  CASE WHEN live_data_files = 0
+         |       THEN CASE WHEN live_delete_files > 0 THEN 1.0 ELSE 0.0 END
+         |       ELSE round(live_delete_files::DOUBLE / live_data_files, 6) END
+         |    AS delete_ratio,
+         |  CASE WHEN physical_files - reclaimable_files = 0
+         |       THEN CASE WHEN reclaimable_files > 0 THEN 1.0 ELSE 0.0 END
+         |       ELSE round(reclaimable_files::DOUBLE
+         |              / (physical_files - reclaimable_files), 6) END
+         |    AS reclaim_ratio
+         |  FROM counts)
+         |SELECT version, checkpoint_v, checkpoint_lag, live_data_files,
+         |  live_delete_files, physical_files, reclaimable_files,
+         |  delete_ratio, reclaim_ratio,
+         |  CASE WHEN delete_ratio > ${TxnLog.MaintDeleteRatio}
+         |         OR live_data_files > ${TxnLog.MaintMaxDataFiles} THEN 'optimize'
+         |       WHEN checkpoint_lag >= ${TxnLog.CheckpointInterval} THEN 'checkpoint'
+         |       WHEN reclaim_ratio > ${TxnLog.MaintReclaimRatio} THEN 'vacuum'
+         |       ELSE 'serve' END AS decision
+         |FROM ratios""".stripMargin
+    },
 
     // The whole point of the fingerprint: a DIFFERENT engine computes the
     // identical (n_rows, fp) from the same rows — this oracle IS the

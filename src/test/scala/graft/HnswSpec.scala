@@ -909,4 +909,209 @@ class HnswSpec extends AnyFunSuite {
     assert(plan2.getAs[String]("decision") === "serve")
     assert(!Hnsw.maintainGraph(spark, e, m), "maintainGraph not idempotent")
   }
+
+  test("hot-shard guard: over-cap shards split deterministically, pair work bounded, fixtures untouched") {
+    import spark.implicits._
+    // a deliberately skewed assignment: 3000 nodes in ONE hot shard (the
+    // 100×-scale hot-cell shape), 100 in a cold one
+    def emb(id: Long): Seq[Float] = {
+      val r = new scala.util.Random(id)
+      Seq.fill(8)(r.nextFloat())
+    }
+    val rows = (1L to 3000L).map(i => (i, emb(i), 0)) ++
+      (100001L to 100100L).map(i => (i, emb(i), 7))
+    val staged = rows.toDF("vec_id", "embedding", "shard")
+    val capped = Hnsw.capShards(staged).localCheckpoint()
+    val sizes = capped.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // membership preserved exactly; the cold shard untouched, id and all
+    assert(capped.count() === 3100L)
+    assert(capped.select("vec_id").except(staged.select("vec_id")).count() === 0L)
+    assert(sizes(7) === 100L)
+    // every shard under the cap (non-degenerate vectors split cleanly)
+    assert(sizes.values.forall(_ <= Hnsw.ShardCap),
+      s"an over-cap shard survived the guard: $sizes")
+    // the pair-work budget the guard exists for: Σ|s|² shrank ≥ 4×
+    val before = 3000.0 * 3000 + 100.0 * 100
+    val after = sizes.values.map(c => c.toDouble * c).sum
+    assert(after < before / 4, s"split bought too little: $after vs $before")
+    // pure function of the input: a second run reproduces the exact
+    // (vec_id → shard) assignment
+    val a1 = capped.select("vec_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Hnsw.capShards(staged).select("vec_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2, "split assignment is not deterministic")
+    // fixture scale: the guard is idle — every dumped shard sits under
+    // the cap, so existing graphs build byte-identically
+    Hnsw.layout(spark, sf)
+    val fixtureMax = spark.read.parquet(Hnsw.shardsPath(Hnsw.edgesPath(sf)))
+      .groupBy("shard").count().agg(max("count")).head().getLong(0)
+    assert(fixtureMax <= Hnsw.ShardCap,
+      s"fixture shard $fixtureMax exceeds the cap — graphs would change")
+  }
+
+  test("maintenance plan on a pure-debt graph decides compact, never serve") {
+    // round-10 advisor: a fully-tombstoned graph resolves to ZERO live
+    // nodes/edges; raw ratio divisions then yield nulls, every threshold
+    // compare reads false, and the plan would say `serve` on a graph
+    // that is pure debt. Forge exactly that state — a clone whose
+    // tombstone sidecar names EVERY member (the hand-mutated-clone class
+    // the walk already defends against) — and pin the guarded ratios.
+    import spark.implicits._
+    Hnsw.layout(spark, sf)
+    val conf = spark.sessionState.newHadoopConf()
+    val e = Hnsw.edgesPath(sf) + "-alldebt"
+    Seq(Hnsw.deltaPath(e), Hnsw.replacedPath(e), Hnsw.tombstonesPath(e))
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    Hnsw.fsCopy(spark, Hnsw.edgesPath(sf), e)
+    Hnsw.fsCopy(spark, Hnsw.shardsPath(Hnsw.edgesPath(sf)), Hnsw.shardsPath(e))
+    spark.read.parquet(Hnsw.shardsPath(e)).select(col("vec_id")).distinct()
+      .write.mode("overwrite").parquet(Hnsw.tombstonesPath(e))
+    val plan = Hnsw.maintenancePlan(spark, e).head()
+    assert(plan.getAs[Long]("live_edges") === 0L,
+      "forged state unexpectedly kept live edges")
+    assert(plan.getAs[Double]("tomb_ratio") === 1.0,
+      "zero live nodes with nonzero tombstones must read as maximal debt")
+    assert(plan.getAs[String]("decision") === "compact",
+      "a pure-debt graph read as healthy")
+  }
+
+  test("batch-face transparent rewrite: per-qid window top-k probes ONE batch walk") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}
+    import graft.expressions.GraftFunctions
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    try {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, sf)
+      def qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      def batch(corpusDf: DataFrame, queries: DataFrame = qs, k: Int = 3) = corpusDf
+        .crossJoin(queries)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+      def fired(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.exists {
+        case j: LJoin => j.right match {
+          case lr: LLocal => lr.output.exists(_.name === "__graft_qid")
+          case _ => false
+        }
+        case _ => false
+      }
+      // the flagship shape fires and serves EXACTLY the explicit batch walk
+      val served = batch(spark.read.parquet(corpus).filter(col("vec_id") =!= 0))
+      assert(fired(served), "batch rewrite did not fire")
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val want = Hnsw.search(spark, sf, qs, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got === want, "batch rewrite diverged from the explicit batch walk")
+      // the superset In pushes into the corpus scan: beam-sized I/O, not
+      // a full scan refiltered post-hoc (the 100 TB shape)
+      assert(served.queryExecution.executedPlan.toString
+        .matches("(?s).*PushedFilters: \\[[^\\]]*In\\(vec_id[^\\]]*\\].*"),
+        "union-of-beams In filter did not reach the corpus scan")
+      // guards, each falling through to the exact plan:
+      // k beyond the beam width
+      assert(!fired(batch(spark.read.parquet(corpus), k = Hnsw.Ef + 1)),
+        "fired beyond the beam width")
+      // a non-benign corpus predicate (id range)
+      assert(!fired(batch(spark.read.parquet(corpus).filter(col("vec_id") >= 100))),
+        "fired under an id range")
+      // a coarser rounding ranks differently
+      val coarse = spark.read.parquet(corpus).crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 2))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      assert(!fired(coarse), "fired on a round-2 ranking")
+      // rank() has different tie semantics than the walk's row_number
+      val rankFn = spark.read.parquet(corpus).crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+      assert(!fired(rankFn), "fired on rank() tie semantics")
+      // duplicate qids make the per-qid ranking ill-defined
+      assert(!fired(batch(spark.read.parquet(corpus),
+        queries = qs.union(qs.limit(1)))), "fired on duplicate qids")
+      // a self-join (query side IS the registered corpus) is corpus-sized
+      val selfQ = spark.read.parquet(corpus).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val self = spark.read.parquet(corpus).crossJoin(selfQ)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      // (the two scans are separate LogicalRelation instances, so this MAY
+      // legitimately fire — what must hold either way is correctness)
+      assert(self.collect().length === 9)
+      // a join CONDITION shapes the per-qid row set — fall through
+      val conditioned = spark.read.parquet(corpus)
+        .join(qs, col("vec_id") =!= col("qid"), "inner")
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      assert(!fired(conditioned), "fired through a conditioned join")
+      // an unregistered corpus never fires
+      graft.plans.HnswGraphRegistry.clear()
+      assert(!fired(batch(spark.read.parquet(corpus))),
+        "fired without a registration")
+    } finally graft.plans.HnswGraphRegistry.clear()
+  }
+
+  test("a user-written id IN list is not mistaken for the graph's beam filter") {
+    // round-10 advisor: the IVF precedence guard matched the graph's
+    // injected In by column NAME alone, so a USER predicate
+    // `vec_id IN (<many ids>)` — which makes the graph rule decline (In
+    // is not a benign exclusion) — still read as "the graph fired" and
+    // IVF deferred into a silent full exact scan. The hardened guard
+    // requires the relation's resolved id attribute AND an In list that
+    // fits the beam width; a >Ef user list now falls through to the
+    // cell prune.
+    import graft.expressions.GraftFunctions
+    Hnsw.layout(spark, sf)
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.registerCentroids(path, "cell", cents)
+      graft.plans.HnswGraphRegistry.register(path, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      GraftFunctions.register(spark)
+      val ivf = spark.read.parquet(path)
+      val qVec = ivf.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val manyIds = (1L to 100L).map(java.lang.Long.valueOf)
+      val q = ivf.filter(col("vec_id").isin(manyIds: _*))
+        .select(col("vec_id"), round(GraftFunctions
+          .cosineSim(col("embedding"), lit(qVec)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+      assert(q.queryExecution.executedPlan.toString
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*=.*"),
+        "IVF deferred on a user In list the graph rule had declined")
+      // and the result is still the exact top-5 within the user's list
+      // restricted to the probed cell's members that carry it — i.e. the
+      // query EXECUTES correctly through both filters
+      val got = q.collect()
+      assert(got.forall(r => r.getLong(0) >= 1L && r.getLong(0) <= 100L))
+    } finally {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+    }
+  }
 }
