@@ -163,6 +163,79 @@ object Hnsw {
     (1 until nLayers).map(l => promotedPred(l).cast("int"))
       .reduceOption(_ + _).getOrElse(lit(0))
 
+  /** Pair-stage shard-size cap (the round-10 verdict's hot-shard guard):
+    * [[layout]]'s blocked pairing is O(Σ|shard|²), so ONE hot trained
+    * cell in a skewed corpus at 100× scale makes one shard's pair join
+    * quadratic in the hot cell. Any shard over this bound is recursively
+    * halved by [[capShards]] BEFORE pairing, keeping build work
+    * O(Σ min(|shard|, cap)²). Sized above every fixture's max shard
+    * (419 at sf0.1), so fixture graphs build byte-identically; at real
+    * scale the guard engages. Splits touch ONLY the pairing stage — the
+    * shards sidecar keeps the trained cell ids [[appendToGraph]] probes
+    * by, and serving never sees shard ids at all.
+    */
+  val ShardCap = 1024
+
+  /** Bounded split recursion: 2^6 × cap covers a 64× hot cell; a
+    * pathological shard that stops shrinking (all-identical vectors —
+    * both split seeds coincide and every member joins side A) gives up
+    * at this depth and pays the quadratic join the cap normally
+    * prevents — loud in build time, never wrong.
+    */
+  val ShardSplitMaxDepth = 6
+
+  /** Recursively halve every over-cap shard with a deterministic 2-seed
+    * split (one k-means step, vectorized across ALL hot shards at once):
+    * seed A = the shard's min-id member, seed B = its cosine-farthest
+    * member (round-6, min-id tiebreak), each member joins the nearer
+    * seed (ties to A). New shard ids allocate deterministically above
+    * the current max, so the result is a pure function of the input
+    * frame — rebuilds stay reproducible. Cost per depth: one size
+    * aggregate; the split joins run only over the hot shards' members.
+    */
+  private[graft] def capShards(staged0: DataFrame): DataFrame = {
+    var cur = staged0.select(col("vec_id"), col("embedding"), col("shard"))
+    var depth = 0
+    while (depth < ShardSplitMaxDepth) {
+      val hotIds = cur.groupBy(col("shard")).count()
+        .filter(col("count") > ShardCap)
+        .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+      if (hotIds.isEmpty) return cur
+      val maxShard = cur.agg(max(col("shard"))).head().getInt(0)
+      val hot = cur.filter(col("shard").isin(hotIds.map(Integer.valueOf): _*))
+        .localCheckpoint()
+      val rest = cur.filter(!col("shard").isin(hotIds.map(Integer.valueOf): _*))
+      val aSeeds = hot.groupBy(col("shard")).agg(min(col("vec_id")).as("__aid"))
+      val aEmb = hot.join(broadcast(aSeeds), Seq("shard"))
+        .filter(col("vec_id") === col("__aid"))
+        .select(col("shard"), col("embedding").as("__aemb"))
+      val scored = hot.join(broadcast(aEmb), Seq("shard"))
+        .withColumn("__ca",
+          round(GraftFunctions.cosineSim(col("embedding"), col("__aemb")), 6))
+      val wS = Window.partitionBy(col("shard"))
+        .orderBy(col("__ca").asc, col("vec_id").asc)
+      val bEmb = scored.withColumn("__rn", row_number().over(wS))
+        .filter(col("__rn") === 1)
+        .select(col("shard"), col("embedding").as("__bemb"))
+      // side-A id per hot shard, allocated above the current max; side B
+      // is its successor — disjoint from every live shard id by
+      // construction
+      val baseIds = typedLit(hotIds.zipWithIndex
+        .map { case (s, i) => s -> (maxShard + 1 + 2 * i) }.toMap)
+      val assigned = scored.join(broadcast(bEmb), Seq("shard"))
+        .withColumn("__cb",
+          round(GraftFunctions.cosineSim(col("embedding"), col("__bemb")), 6))
+        .withColumn("shard",
+          when(col("__ca") >= col("__cb"), element_at(baseIds, col("shard")))
+            .otherwise(element_at(baseIds, col("shard")) + 1))
+        .select(col("vec_id"), col("embedding"), col("shard"))
+      cur = rest.select(col("vec_id"), col("embedding"), col("shard"))
+        .unionByName(assigned).localCheckpoint()
+      depth += 1
+    }
+    cur
+  }
+
   /** Top-M out-edges + reverse-edge union + MaxDegree re-cap over a
     * scored pair set — the ONE capping discipline all layers share.
     */
@@ -243,8 +316,12 @@ object Hnsw {
             round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6))
           .select(col("src"), col("dst"), col("sim"))
       }
+      // hot-shard guard: over-cap shards split for the PAIRING stage only
+      // (fixture shards all sit under the cap, so this is the staged
+      // frame itself there); the sidecar below keeps trained cell ids
+      val pairNodes = capShards(staged)
       val layerEdges = (0 until nLayers).map { l =>
-        val nodes = if (l == 0) staged else staged.filter(promotedPred(l))
+        val nodes = if (l == 0) pairNodes else pairNodes.filter(promotedPred(l))
         val pairs =
           if (l >= 2 && promotedCount(l) <= DenseLayerCap) densePairs(nodes)
           else blockedPairs(nodes)
@@ -351,16 +428,19 @@ object Hnsw {
                                tombs: Option[DataFrame])
 
   private def openGraph(spark: SparkSession, edgesDir: String): GraphRefs = {
+    // sidecar state pins as driver-LOCAL relations (maintenance-batch-
+    // sized): every hop's merge-on-read resolution broadcast-joins them,
+    // and a LocalRelation broadcast launches no job where the previous
+    // localCheckpoint pin paid one per hop (see pinLocal)
     val latest =
       if (dirExists(spark, replacedPath(edgesDir)))
-        Some(spark.read.parquet(replacedPath(edgesDir))
-          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))
-          .localCheckpoint())
+        Some(pinLocal(spark.read.parquet(replacedPath(edgesDir))
+          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))))
       else None
     val tombs =
       if (dirExists(spark, tombstonesPath(edgesDir)))
-        Some(spark.read.parquet(tombstonesPath(edgesDir))
-          .select(col("vec_id")).distinct().localCheckpoint())
+        Some(pinLocal(spark.read.parquet(tombstonesPath(edgesDir))
+          .select(col("vec_id")).distinct()))
       else None
     // open the edge artifacts ONCE per walk: a fresh read.parquet per hop
     // rebuilds the partitioned-dir FileIndex every hop (nLayers × 32
@@ -467,54 +547,163 @@ object Hnsw {
     * panels, a regression risk for bulk query panels). At Ef = 16 the
     * default bound flips at |batch| > 4096 queries.
     */
-  val PinHopMaxRows: Long = 1L << 16
+  @volatile var PinHopMaxRows: Long = 1L << 16 // var: HnswSpec forces the bulk path to pin small ≡ large
 
-  /** Pin a hop frame and return its beam srcs (what feeds the NEXT hop's
-    * literal bucket probe) plus the pinned frame. Records walk stats when
-    * enabled.
+  /** One pinned hop: the replayable frame, its src ids (the next hop's
+    * literal bucket filter), the per-qid beam MEMBERSHIP (None on the
+    * bulk-panel path, where rows stay on executors), and the pinned row
+    * count.
     */
-  private def pinHop(hop: DataFrame, large: Boolean = false): (DataFrame, Seq[Long]) = {
+  private case class Pinned(frame: DataFrame, srcs: Seq[Long],
+                            members: Option[Set[(Long, Long)]], nRows: Int)
+
+  /** Pin a hop frame. Small path: ONE driver job — the beam is
+    * ≤ Ef·|batch| rows of driver metadata, collected once and rebuilt as
+    * a local relation (the next hop broadcast-joins it; a LocalRelation
+    * broadcasts without any extra job); the src ids AND the membership
+    * set (the fixed-point detector's input — free, the rows are already
+    * here) fall out of the same collected rows. localCheckpoint + a
+    * separate distinct-collect was a measured ~0.2 s/hop of pure
+    * scheduling at sf0.1 across the up-to-12-hop walk. Large (bulk-panel)
+    * path: beam rows stay on executors; only the ids — required
+    * regardless, they ARE the bucket filter — come to the driver, and no
+    * membership is tracked (no fixed-point skipping there).
+    */
+  private def pinHop(hop: DataFrame, large: Boolean = false): Pinned = {
     if (large) {
-      // bulk-panel path: beam rows stay on executors; only the ids land
-      // driver-side (two bounded jobs per hop — the price of not holding
-      // Ef·|batch| full rows in driver memory)
       val pinned = hop.localCheckpoint()
       val srcs = pinned.select(col("vec_id")).distinct()
         .collect().map(_.getLong(0)).sorted.toSeq
-      return (pinned, srcs)
+      return Pinned(pinned, srcs, None, -1)
     }
-    // ONE driver job per hop, not two: the beam is ≤ Ef·|batch| rows of
-    // driver metadata, so collect it once and rebuild it as a local
-    // relation (the next hop broadcast-joins it; a LocalRelation
-    // broadcasts without any extra job) — the src ids for the literal
-    // bucket filter fall out of the same collected rows. localCheckpoint
-    // + a separate distinct-collect was a measured ~0.2 s/hop of pure
-    // scheduling at sf0.1 across the up-to-12-hop walk.
     val spark = hop.sparkSession
     val rows = hop.collect()
     val pinned = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), hop.schema)
     val idIdx = hop.schema.fieldIndex("vec_id")
+    val qIdx = hop.schema.fieldIndex("qid")
     val srcs = rows.map(_.getLong(idIdx)).distinct.sorted.toSeq
-    (pinned, srcs)
+    val members = rows.map(r => (r.getLong(qIdx), r.getLong(idIdx))).toSet
+    Pinned(pinned, srcs, Some(members), rows.length)
   }
 
-  /** Pin the ENTRY beam (exactly one row per qid) and derive whether the
-    * rest of the walk must take the bulk-panel pin path — from the entry's
-    * own row count, so no extra counting job runs on the common API-sized
-    * path. The entry collect itself is |batch| rows (Ef× smaller than a
-    * hop beam) — the one driver-side panel copy every serving face already
-    * makes when it builds the query frame.
+  /** Whether a walk whose ENTRY beam pinned `p` rows (exactly one per
+    * qid) must take the bulk-panel pin path — derived from the entry's
+    * own count, so no extra job runs on the common API-sized path.
     */
-  private def pinEntry(hop: DataFrame): (DataFrame, Seq[Long], Boolean) = {
-    val spark = hop.sparkSession
-    val rows = hop.collect()
-    val pinned = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), hop.schema)
-    val idIdx = hop.schema.fieldIndex("vec_id")
-    val srcs = rows.map(_.getLong(idIdx)).distinct.sorted.toSeq
-    (pinned, srcs, rows.length.toLong * Ef > PinHopMaxRows)
+  private def largePanel(entry: Pinned): Boolean =
+    entry.nRows.toLong * Ef > PinHopMaxRows
+
+  /** Pin a small frame as a driver-local relation: a LocalRelation-backed
+    * frame BROADCASTS without launching a job (LocalTableScan's
+    * executeCollect returns rows in-process), where a localCheckpointed
+    * frame pays one broadcast-build job PER HOP that re-joins it — the
+    * walk joins the query panel (and any sidecar frames) on every hop,
+    * so across an up-to-12-hop schedule this shaves ~1-2 jobs/hop of
+    * pure driver scheduling (the round-10 verdict's fixed-overhead
+    * item). Only for frames in the documented driver-metadata classes:
+    * the API-sized query panel, the maintenance-batch-sized sidecars.
+    */
+  private def pinLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
+
+  /** The schedule's layers grouped into consecutive same-layer PHASES —
+    * the unit the fixed-point skip operates on: once a hop's beam
+    * membership is unchanged, every remaining hop of the SAME layer is a
+    * provably identical no-op (the hop is a deterministic function of
+    * beam membership: same beam + same layer ⇒ same candidates ⇒ same
+    * top-Ef — and its candidate set was already unioned into the visited
+    * pool by the hop that established the fixed point), so the walk
+    * skips them. The next layer's hops expand DIFFERENT edges and always
+    * run. The oracle's static unroll replays skipped hops as
+    * pass-through re-ranks — value-identical by the same argument — so
+    * every hash-checked ann_* query pins this optimization's soundness.
+    */
+  private def phasesOf(schedule: Seq[Int]): Seq[Seq[Int]] =
+    schedule.foldRight(List.empty[List[Int]]) {
+      case (l, (h @ (l2 :: _)) :: t) if l2 == l => (l :: h) :: t
+      case (l, acc) => List(l) :: acc
+    }
+
+  /** A beam row held driver-side on the small-panel walk path. */
+  private type Triple = (Long, Long, Double)
+
+  /** (qid, vec_id, sim) triples of a collected hop frame — resolved BY
+    * NAME, never positionally: a using-join on the spine (the
+    * tombstoned-entry guard's anti-join) reorders columns.
+    */
+  private def triplesOf(rows: Array[org.apache.spark.sql.Row]): Seq[Triple] =
+    rows.headOption match {
+      case None => Nil
+      case Some(h) =>
+        val q = h.fieldIndex("qid")
+        val v = h.fieldIndex("vec_id")
+        val s = h.fieldIndex("sim")
+        rows.map(r => (r.getLong(q), r.getLong(v), r.getDouble(s))).toSeq
+    }
+
+  private def beamFrame(spark: SparkSession, ts: Seq[Triple]): DataFrame = {
+    import spark.implicits._
+    ts.toDF("qid", "vec_id", "sim")
+  }
+
+  /** Per-qid top-ef of a candidate multiset — the DRIVER twin of
+    * [[hopOnce]]'s union+distinct+window: identical dedup (duplicates of
+    * a (qid, id) always carry the identical rounded sim), identical
+    * (sim desc, id asc) total order over the identical doubles Spark
+    * computed, identical per-qid cut. The sims are NEVER re-derived
+    * here — every similarity is computed by the Spark plan (the round-6
+    * cosine projection inside the probe) and only SORTED on the driver,
+    * so there is no cross-engine arithmetic to drift; the 322-query
+    * oracle gate hash-pins the equivalence on every ann_* face.
+    */
+  private def topEfLocal(cands: Seq[Triple], ef: Int): Seq[Triple] =
+    cands.distinct.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(t => (-t._3, t._2)).take(ef)
+    }
+
+  /** One small-panel hop: the bucket-pruned edge probe with the scoring
+    * IN the plan — scan + broadcast joins + the round-6 cosine
+    * projection, a single MAP-ONLY job (every broadcast side is a
+    * LocalRelation) — collected to the driver. This is the round-10
+    * verdict's fixed-overhead shave made structural: the previous
+    * distributed hop (union + distinct + window per hop) ran ~5 AQE
+    * jobs / ~38 tasks; this runs ONE job of ≤ |beam buckets| tasks, and
+    * the ≤ |srcs|·MaxDegree-row fold happens where the beam already
+    * lives. Returns the scored neighbor triples; `embCol`/`simOf`
+    * parameterize the payload (exact dst_emb cosine vs PQ ADC codes).
+    */
+  private def probeHop(spark: SparkSession, g: GraphRefs, layer: Int,
+                       beam: Seq[Triple], qs: DataFrame, embCol: String,
+                       simOf: Column => Column,
+                       scans: scala.collection.mutable.Builder[Seq[String], Seq[Seq[String]]],
+                       files: scala.collection.mutable.Builder[(Long, Int), Seq[(Long, Int)]]): Seq[Triple] = {
+    val srcs = beam.map(_._2).distinct.sorted
+    val srcF = beamFrame(spark, beam)
+      .select(col("qid"), col("vec_id").as("src"))
+    val nbrsF = hopEdges(spark, g, layer, srcs, embCol)
+      .join(broadcast(srcF), Seq("src"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("sim", simOf(col(embCol)))
+      .select(col("qid"), col("dst").as("vec_id"), col("sim"))
+    val nbrs = triplesOf(nbrsF.collect())
+    if (collectWalkStats) {
+      scans += nbrsF.queryExecution.sparkPlan.collectLeaves().map(_.toString).toSeq
+      files += ((nbrsF.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum,
+        srcs.map(srcBucket).distinct.length))
+    }
+    nbrs
+  }
+
+  /** The exact face's hop scoring — round-6 cosine of the denormalized
+    * dst embedding against the joined q_emb (hopOnce's formula verbatim).
+    */
+  private def exactSim: Column => Column =
+    embC => round(GraftFunctions.cosineSim(embC, col("q_emb")), 6)
 
   private def walkGraph(spark: SparkSession, edgesDir: String, metaDir: String,
                         queries: DataFrame): (DataFrame, DataFrame) = {
@@ -531,31 +720,61 @@ object Hnsw {
         .flatMap(_.metrics.get("numFiles").map(_.value)).sum
     // pin the query batch ONCE: each hop re-joins it for q_emb, and
     // without the checkpoint every hop would re-open the caller's source
-    val qs = queries.localCheckpoint()
+    val qsCk = queries.localCheckpoint()
     // a tombstoned entry (deleted after this meta was written, before
     // deleteFromGraph's re-election ran — or a hand-mutated clone) must
     // never be SERVED: the resolution drops tombstoned dsts, and this
     // drops the one id that enters the beam from meta instead of an edge
-    var beam = g.tombs match {
-      case Some(t) => entryBeam(qs, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None    => entryBeam(qs, meta)
+    val entryF = g.tombs match {
+      case Some(t) => entryBeam(qsCk, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => entryBeam(qsCk, meta)
     }
-    if (collectWalkStats) scans += leaves(beam)
-    var (pinned, srcs, large) = pinEntry(beam)
-    beam = pinned
-    var visited = beam
-    for (layer <- scheduleFor(nLayers)) {
-      val edges = hopEdges(spark, g, layer, srcs, "dst_emb")
-      val (cands, hop) = hopOnce(edges, qs, beam)
-      visited = visited.union(cands)
-      if (collectWalkStats) scans += leaves(hop)
-      val nBuckets = srcs.map(srcBucket).distinct.length
-      val (p, s) = pinHop(hop, large) // pin each hop: the next hop re-joins this tiny frame twice
-      if (collectWalkStats) files += ((scannedFiles(hop), nBuckets))
-      beam = p; srcs = s
+    if (collectWalkStats) scans += leaves(entryF)
+    val entry = pinHop(entryF)
+    if (largePanel(entry)) {
+      // bulk-panel path: beams stay on executors — hopOnce's distributed
+      // union+distinct+window, full schedule, no membership tracking.
+      // HnswSpec pins small ≡ large on a fixture batch.
+      var beamL = entry.frame
+      var srcsL = entry.srcs
+      var visitedL = beamL
+      for (layer <- scheduleFor(nLayers)) {
+        val edges = hopEdges(spark, g, layer, srcsL, "dst_emb")
+        val (cands, hop) = hopOnce(edges, qsCk, beamL)
+        visitedL = visitedL.union(cands)
+        if (collectWalkStats) scans += leaves(hop)
+        val nBuckets = srcsL.map(srcBucket).distinct.length
+        val p = pinHop(hop, large = true)
+        if (collectWalkStats) files += ((scannedFiles(hop), nBuckets))
+        beamL = p.frame; srcsL = p.srcs
+      }
+      if (collectWalkStats) { lastWalkScans = scans.result(); lastWalkFiles = files.result() }
+      return (beamL, visitedL)
+    }
+    // small-panel path: ONE map-only job per hop (probeHop), the beam
+    // fold on the driver, fixed-point skipping per phase (see phasesOf)
+    val qs = pinLocal(qsCk)
+    var beam: Seq[Triple] = triplesOf(entry.frame.collect())
+    val visited = scala.collection.mutable.LinkedHashSet.empty[Triple]
+    visited ++= beam
+    for (phase <- phasesOf(scheduleFor(nLayers))) {
+      val layer = phase.head
+      var h = 0
+      var fixed = false
+      while (h < phase.length && !fixed) {
+        val nbrs = probeHop(spark, g, layer, beam, qs, "dst_emb",
+          exactSim, scans, files)
+        val cands = beam ++ nbrs
+        visited ++= cands
+        val next = topEfLocal(cands, Ef)
+        fixed = next.map(t => (t._1, t._2)).toSet ==
+          beam.map(t => (t._1, t._2)).toSet
+        beam = next
+        h += 1
+      }
     }
     if (collectWalkStats) { lastWalkScans = scans.result(); lastWalkFiles = files.result() }
-    (beam, visited)
+    (beamFrame(spark, beam), beamFrame(spark, visited.toSeq))
   }
 
   /** FILTERED graph search (the ACORN posture — Patel 2024: navigate
@@ -583,6 +802,99 @@ object Hnsw {
       .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
+  // --- threshold (range) serving --------------------------------------------
+
+  /** Fixed count of RANGE hops appended after the schedule walk, and the
+    * per-qid frontier width each expands. A fixed expansion (vs an
+    * unbounded flood) keeps the range search a bounded, replayable
+    * dataflow — the DuckDB oracle unrolls the SAME hops — and caps the
+    * work at schedule + RangeHops probes of ≤ RangeBeamCap·|batch| srcs.
+    */
+  val RangeHops = 4
+  val RangeBeamCap = 64
+
+  /** INDEX-SERVED threshold search — the graph face of the reference's
+    * documented-but-vapor `threshold` param (`README.md:138`), i.e. the
+    * dedup-serving shape "ALL neighbors with sim ≥ t", not top-k: run
+    * the fixed-schedule walk, then up to [[RangeHops]] range hops on the
+    * base layer — the frontier is the per-qid top-[[RangeBeamCap]]
+    * VISITED nodes by (sim desc, id), each hop expands their neighbors
+    * through the same bucket-pruned probe and unions the scored
+    * candidates into the visited pool — and return every visited node
+    * with sim ≥ t. The frontier is deliberately NOT t-filtered (the
+    * ACORN lesson searchFiltered already encodes): a ≥ t node's only
+    * graph path from the pool may route through sub-t nodes, and a
+    * t-filtered frontier measurably strands qualifying nodes on the
+    * fixture. Stops early at a visited fixed point (the remaining hops
+    * are provably no-ops: same frontier ⇒ same expansion ⇒ same pool —
+    * the oracle's static unroll replays them as pass-throughs).
+    * HnswSpec pins equality with the exact threshold scan on the
+    * fixture at the served t, and that an unreachable t returns empty
+    * without error.
+    */
+  def searchRange(spark: SparkSession, sfDir: String, queries: DataFrame,
+                  t: Double): DataFrame = {
+    layout(spark, sfDir)
+    val (_, visited0) = walkGraph(spark, edgesPath(sfDir), metaPath(sfDir), queries)
+    val g = openGraph(spark, edgesPath(sfDir))
+    val qRows = queries.collect()
+    if (qRows.length.toLong * RangeBeamCap > PinHopMaxRows) {
+      // bulk-panel path: the distributed range loop (beams on executors)
+      val qs = queries.localCheckpoint()
+      var visited = visited0.distinct().localCheckpoint()
+      var size = visited.count()
+      var hop = 0
+      var done = false
+      while (hop < RangeHops && !done) {
+        val frontier = visited
+          .withColumn("__rn", row_number().over(wBeam))
+          .filter(col("__rn") <= RangeBeamCap)
+          .select(col("qid"), col("vec_id"), col("sim"))
+        val pinned = pinHop(frontier, large = true)
+        if (pinned.srcs.isEmpty) done = true
+        else {
+          val edges = hopEdges(spark, g, 0, pinned.srcs, "dst_emb")
+          val nbrs = edges
+            .join(broadcast(pinned.frame.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
+            .join(broadcast(qs), Seq("qid"))
+            .withColumn("sim",
+              round(GraftFunctions.cosineSim(col("dst_emb"), col("q_emb")), 6))
+            .select(col("qid"), col("dst").as("vec_id"), col("sim"))
+          visited = visited.union(nbrs).distinct().localCheckpoint()
+          val newSize = visited.count()
+          done = newSize == size
+          size = newSize
+        }
+        hop += 1
+      }
+      return visited.filter(col("sim") >= t)
+        .select(col("qid"), col("vec_id"), col("sim"))
+    }
+    // small-panel path: ONE map-only probe per range hop, the pool on
+    // the driver (walkGraph's small path already returned a LocalRelation
+    // — collecting it is job-free)
+    val qs = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), queries.schema)
+    val scans = Seq.newBuilder[Seq[String]]
+    val files = Seq.newBuilder[(Long, Int)]
+    val visited = scala.collection.mutable.LinkedHashSet.empty[Triple]
+    visited ++= triplesOf(visited0.collect())
+    var hop = 0
+    var done = false
+    while (hop < RangeHops && !done) {
+      val frontier = topEfLocal(visited.toSeq, RangeBeamCap)
+      if (frontier.isEmpty) done = true
+      else {
+        val before = visited.size
+        visited ++= probeHop(spark, g, 0, frontier, qs, "dst_emb",
+          exactSim, scans, files)
+        done = visited.size == before
+      }
+      hop += 1
+    }
+    beamFrame(spark, visited.toSeq.filter(_._3 >= t))
   }
 
   // --- adaptive serving ----------------------------------------------------
@@ -652,40 +964,73 @@ object Hnsw {
     val g = openGraph(spark, edgesPath(sfDir))
     val meta = spark.read.parquet(metaPath(sfDir))
     val nLayers = meta.select(col("n_layers")).head().getInt(0)
-    val qs = queries.localCheckpoint()
-    val qids = qs.select(col("qid")).distinct().collect().map(_.getLong(0)).toSeq
+    val qsCk = queries.localCheckpoint()
+    val qids = qsCk.select(col("qid")).distinct().collect().map(_.getLong(0)).toSeq
     // same tombstoned-entry guard as the fixed walk: in the documented
     // sidecar→meta crash window the entry can be tombstoned while the
     // meta still names it — the adaptive face must not serve it either
     val entry0 = g.tombs match {
-      case Some(t) => entryBeam(qs, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None    => entryBeam(qs, meta)
+      case Some(t) => entryBeam(qsCk, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => entryBeam(qsCk, meta)
     }
-    var (beam, srcs, large) = pinEntry(entry0)
-    def members(b: DataFrame): Set[(Long, Long)] =
-      b.select(col("qid"), col("vec_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-    var cur = members(beam)
+    val entry = pinHop(entry0)
     val realized = Array.fill(MaxLayersStatic)(0L)
-    for (layer <- (nLayers - 1) to 0 by -1) {
-      val cap = if (layer == 0) HopsL0Max else HopsPerLayer
-      var fixed = false
-      var h = 0
-      while (h < cap && !fixed) {
-        val (p, s) = pinHop(
-          hopOnce(hopEdges(spark, g, layer, srcs, "dst_emb"), qs, beam)._2, large)
-        beam = p; srcs = s
-        h += 1
-        val m = members(beam); fixed = m == cur; cur = m
+    var beamOut: DataFrame = null
+    if (largePanel(entry)) {
+      // bulk-panel path: distributed hops, membership collected per hop
+      // (the algorithm's convergence check needs it regardless)
+      var beam = entry.frame
+      var srcs = entry.srcs
+      def membersOf(b: DataFrame): Set[(Long, Long)] =
+        b.select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      var cur = membersOf(beam)
+      for (layer <- (nLayers - 1) to 0 by -1) {
+        val cap = if (layer == 0) HopsL0Max else HopsPerLayer
+        var fixed = false
+        var h = 0
+        while (h < cap && !fixed) {
+          val p = pinHop(
+            hopOnce(hopEdges(spark, g, layer, srcs, "dst_emb"), qsCk, beam)._2,
+            large = true)
+          beam = p.frame; srcs = p.srcs
+          h += 1
+          val m = membersOf(beam)
+          fixed = m == cur; cur = m
+        }
+        realized(layer) = h.toLong
       }
-      realized(layer) = h.toLong
+      beamOut = beam
+    } else {
+      // small-panel path: one map-only probe per hop, fold + convergence
+      // check on the driver (zero extra jobs — see probeHop)
+      val qs = pinLocal(qsCk)
+      val scans = Seq.newBuilder[Seq[String]]
+      val files = Seq.newBuilder[(Long, Int)]
+      var beam: Seq[Triple] = triplesOf(entry.frame.collect())
+      var cur = beam.map(t => (t._1, t._2)).toSet
+      for (layer <- (nLayers - 1) to 0 by -1) {
+        val cap = if (layer == 0) HopsL0Max else HopsPerLayer
+        var fixed = false
+        var h = 0
+        while (h < cap && !fixed) {
+          val nbrs = probeHop(spark, g, layer, beam, qs, "dst_emb",
+            exactSim, scans, files)
+          beam = topEfLocal(beam ++ nbrs, Ef)
+          h += 1
+          val m = beam.map(t => (t._1, t._2)).toSet
+          fixed = m == cur; cur = m
+        }
+        realized(layer) = h.toLong
+      }
+      beamOut = beamFrame(spark, beam)
     }
     import spark.implicits._
     Seq((realized(0), realized(1), realized(2), realized(3)))
       .toDF("h0", "h1", "h2", "h3")
       .coalesce(1).write.mode("overwrite")
       .parquet(adaptPathFor(sfDir, qids, k))
-    beam.withColumn("rnk", row_number().over(wBeam))
+    beamOut.withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
   }
@@ -762,7 +1107,10 @@ object Hnsw {
     val g = openGraph(spark, pqEdgesPath(sfDir))
     val meta = spark.read.parquet(pqMetaPath(sfDir))
     val nLayers = meta.select(col("n_layers")).head().getInt(0)
-    val qs = queries.localCheckpoint()
+    // the ADC face already collects the panel for its literal tables, so
+    // the panel is driver-sized by construction — pin it local (job-free
+    // broadcasts at the entry select and the final exact rescore)
+    val qs = pinLocal(queries)
     // per-qid ADC tables from the API-sized query batch (collect is the
     // batch itself — the searchBatchResidual posture); queries are
     // L2-normalized first so ADC dot products rank like cosine
@@ -786,21 +1134,47 @@ object Hnsw {
         col("entry_codes"))))
       .withColumn("sim", adcOf(col("entry_codes")))
       .select(col("qid"), col("vec_id"), col("sim"))
-    var (pinned, srcs, large) = pinEntry(beam)
-    beam = pinned
-    for (layer <- scheduleFor(nLayers)) {
-      val edges = hopEdges(spark, g, layer, srcs, "dst_codes")
-      val nbrs = edges
-        .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
-        .withColumn("sim", adcOf(col("dst_codes")))
-        .select(col("qid"), col("dst").as("vec_id"), col("sim"))
-      val next = beam.select(col("qid"), col("vec_id"), col("sim"))
-        .union(nbrs).distinct()
-        .withColumn("__rn", row_number().over(wBeam))
-        .filter(col("__rn") <= EfPq)
-        .select(col("qid"), col("vec_id"), col("sim"))
-      val (p, s) = pinHop(next, large)
-      beam = p; srcs = s
+    val entry = pinHop(beam)
+    if (largePanel(entry)) {
+      // bulk-panel path: distributed ADC hops on the full schedule
+      beam = entry.frame
+      var srcs = entry.srcs
+      for (layer <- scheduleFor(nLayers)) {
+        val edges = hopEdges(spark, g, layer, srcs, "dst_codes")
+        val nbrs = edges
+          .join(broadcast(beam.select(col("qid"), col("vec_id").as("src"))), Seq("src"))
+          .withColumn("sim", adcOf(col("dst_codes")))
+          .select(col("qid"), col("dst").as("vec_id"), col("sim"))
+        val next = beam.select(col("qid"), col("vec_id"), col("sim"))
+          .union(nbrs).distinct()
+          .withColumn("__rn", row_number().over(wBeam))
+          .filter(col("__rn") <= EfPq)
+          .select(col("qid"), col("vec_id"), col("sim"))
+        val p = pinHop(next, large = true)
+        beam = p.frame; srcs = p.srcs
+      }
+    } else {
+      // small-panel path: one map-only ADC probe per hop, fold on the
+      // driver, phase-level fixed-point skipping (probeHop/topEfLocal —
+      // the same fold the exact face uses, at the PQ beam width)
+      val scans = Seq.newBuilder[Seq[String]]
+      val files = Seq.newBuilder[(Long, Int)]
+      var beamT: Seq[Triple] = triplesOf(entry.frame.collect())
+      for (phase <- phasesOf(scheduleFor(nLayers))) {
+        val layer = phase.head
+        var h = 0
+        var fixed = false
+        while (h < phase.length && !fixed) {
+          val nbrs = probeHop(spark, g, layer, beamT, qs, "dst_codes",
+            _ => adcOf(col("dst_codes")), scans, files)
+          val next = topEfLocal(beamT ++ nbrs, EfPq)
+          fixed = next.map(t => (t._1, t._2)).toSet ==
+            beamT.map(t => (t._1, t._2)).toSet
+          beamT = next
+          h += 1
+        }
+      }
+      beam = beamFrame(spark, beamT)
     }
     // exact rescore of the final beam only — full-precision vectors come
     // from the shards sidecar (the artifact's id→vector map), bounded by
