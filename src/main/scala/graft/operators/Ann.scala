@@ -229,6 +229,83 @@ object Ann {
       (dir, centers)
     })
 
+  /** Per-cell angular-radius sidecar of the trained layout: (cell,
+    * min_cos) — the minimum cosine between a member and its own
+    * centroid, i.e. the cosine of the cell's widest member angle. The
+    * ≤ k-row metadata a threshold (range) probe prunes by. Dumped once
+    * beside the layout, memoized like every trained index half.
+    */
+  def kmRadiiPath(sfDir: String, k: Int = 10, seed: Long = 42L): String =
+    kmeansLayoutPath(sfDir, k, seed) + "-radii"
+
+  private val radiiMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def kmRadiiLayout(spark: SparkSession, sfDir: String): String =
+    radiiMemo.computeIfAbsent(sfDir, { _ =>
+      val (dir, cents) = kmeansLayout(spark, sfDir)
+      GraftFunctions.register(spark)
+      val out = kmRadiiPath(sfDir)
+      spark.read.parquet(dir)
+        .join(broadcast(centroidsDf(spark, cents)), Seq("cell"))
+        // UNROUNDED double cosine: the radius is bound metadata, not a
+        // ranked value — rounding here would only loosen the bound
+        .withColumn("__cs", GraftFunctions.cosineSim(col("embedding"), col("centroid")))
+        .groupBy(col("cell")).agg(min(col("__cs")).as("min_cos"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Float-vs-double noise allowance on the cell-admission bound: slack
+    * can only ADD probed cells (extra I/O), never drop a qualifying one
+    * (lost answers) — the refilter keeps the result exact regardless.
+    */
+  val RangeBoundSlack = 1e-5
+
+  /** INDEX-SERVED threshold (range) search — the IVF face of the
+    * reference's documented-but-vapor `threshold` param
+    * (`/root/reference/README.md:138`): return EVERY corpus vector with
+    * round-6 cosine ≥ t, reading only the cells that can possibly hold
+    * one. Superset-then-refilter, so the result provably EQUALS the
+    * exact full-scan threshold search (the DuckDB oracle IS that exact
+    * twin): on the unit sphere, any member x of cell c satisfies
+    * θ(q,x) ≥ θ(q,c) − θmax(c), so cos(max(0, θ(q,c) − θmax(c))) is an
+    * upper bound on any member's similarity — a cell failing
+    * bound ≥ t − slack is safe to skip. Admission is driver arithmetic
+    * over the broadcast centroid + radius metadata (2k doubles); the
+    * scan carries a literal cell filter (partition pruning) and the
+    * exact predicate re-applies on the scanned rows. The query vector
+    * (vec_id 0, the search fixture) stays excluded as everywhere.
+    */
+  def ivfRangeSearch(spark: SparkSession, sfDir: String, qVec: Array[Double],
+                     t: Double): DataFrame = {
+    val (dir, cents) = kmeansLayout(spark, sfDir)
+    GraftFunctions.register(spark)
+    val radii: Map[Int, Double] = spark.read.parquet(kmRadiiLayout(spark, sfDir))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val admitted = cents.filter { case (cell, c) =>
+      val thetaQC = math.acos(clamp(cosD(qVec, c)))
+      val thetaMax = math.acos(clamp(radii.getOrElse(cell, -1.0)))
+      math.cos(math.max(0.0, thetaQC - thetaMax)) >= t - RangeBoundSlack
+    }.map(_._1).sorted
+    import spark.implicits._
+    val qdf = Seq(qVec.toSeq).toDF("q_emb")
+    spark.read.parquet(dir)
+      .filter(col("cell").isin(admitted.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= 0)
+      .crossJoin(broadcast(qdf))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      .filter(col("sim") >= t)
+      .select(col("vec_id"), col("sim"))
+  }
+
   /** The learned centers as a (cell, centroid) DataFrame (k rows —
     * broadcast-sized index metadata).
     */
@@ -277,7 +354,9 @@ object Ann {
     * On-disk dirs are rewritten in place: the paths are deterministic and
     * every build writes mode=overwrite.
     */
-  private[graft] def resetMemos(): Unit = { layouts.clear(); kmLayouts.clear() }
+  private[graft] def resetMemos(): Unit = {
+    layouts.clear(); kmLayouts.clear(); radiiMemo.clear()
+  }
 
   /** Append NEW vectors to an existing cell-partitioned layout: assign
     * (map-only) + partitioned append — each new row lands in its cell

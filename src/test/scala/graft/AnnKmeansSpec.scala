@@ -173,4 +173,41 @@ class AnnKmeansSpec extends AnyFunSuite {
         explicit.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
     } finally graft.plans.IvfIndexRegistry.clear()
   }
+
+  test("ivf range search: exact at every t, and the angle bound actually prunes cells") {
+    import graft.expressions.GraftFunctions
+    val emb = Tables.embeddings(spark, sf)
+    GraftFunctions.register(spark)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def exactAt(t: Double): Set[(Long, Double)] = emb
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      .filter(col("sim") >= t)
+      .select(col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // exactness is t-independent (superset-then-refilter): spot-check a
+    // permissive t, a selective one just under the fixture's top sim,
+    // and an unreachable one (empty without error)
+    Seq(0.2, 0.33, 0.99).foreach { t =>
+      val got = Ann.ivfRangeSearch(spark, sf, qv, t)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === exactAt(t), s"range search diverged from exact at t=$t")
+    }
+    assert(Ann.ivfRangeSearch(spark, sf, qv, 0.99).collect().isEmpty)
+    // the bound must PRUNE at a selective t: the scan plans fewer files
+    // than the full layout holds (file-level, not just row filtering)
+    val selective = Ann.ivfRangeSearch(spark, sf, qv, 0.33)
+    selective.collect()
+    val scanned = selective.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val total = spark.read.parquet(Ann.kmeansLayout(spark, sf)._1)
+      .inputFiles.length
+    assert(scanned < total,
+      s"no cell pruning at t=0.33: scanned $scanned of $total files")
+    assert(exactAt(0.33).nonEmpty, "t=0.33 no longer selects anything — refit t")
+  }
 }
