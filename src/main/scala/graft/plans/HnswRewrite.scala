@@ -91,6 +91,17 @@ object HnswGraphRegistry {
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
       .collectFirst { case Some(e) => e }
 
+  /** Registered (canon table path, entry) rows — the catalog face. */
+  def entries: Seq[(String, Entry)] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.sortBy(_._1)
+  }
+
+  /** Current generation of a graph dir (0 = never mutated) — exposed for
+    * the catalog; bumped by [[invalidate]].
+    */
+  def generationOfDir(edgesDir: String): Long = generationOf(canon(edgesDir))
+
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = {

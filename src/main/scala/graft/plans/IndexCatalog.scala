@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, InSet, Literal}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+
+/** Unified INDEX CATALOG over the three transparent-rewrite registries
+  * (round-10 verdict #6) — the `SHOW INDEXES` every engine with opt-in
+  * acceleration owes its operators: one row per registered index listing
+  * what table it covers, where its artifact lives, its mutation
+  * generation, the staleness fingerprint it was built at, and the
+  * CURRENT maintenance decision (composed from the same stats the
+  * per-family policies act on). Plus [[servedBy]], the plan-provenance
+  * probe: given an executed query, name the index(es) that actually
+  * served it — the audit an operator runs when "is this query
+  * accelerated?" must have an answer better than reading EXPLAIN output
+  * by eye.
+  *
+  * Metadata-only cost: the graph row reads its 1-row meta + the sidecar
+  * debt counters (the maintenancePlan aggregate), the MV row counts its
+  * groups-sized summary and recomputes the source fingerprint (the
+  * refresh probe's own check), the IVF row is pure registry metadata.
+  * Oracled (index_catalog): DuckDB recomputes every replayable column
+  * from the dumped artifacts — the graph's n_layers/fingerprint from its
+  * meta, the IVF cell count from the dumped centroids, the MV group
+  * count AND fingerprint from the source table itself (the
+  * table_fingerprint md5 discipline), so even the staleness fingerprint
+  * is cross-engine-checked.
+  */
+object IndexCatalog {
+
+  def indexes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hnswRows = HnswGraphRegistry.entries.map { case (path, e) =>
+      val meta = spark.read.parquet(e.metaDir).head()
+      val plan = graft.operators.Hnsw.maintenancePlan(spark, e.edgesDir)
+        .select(col("decision")).head().getString(0)
+      ("hnsw", path, e.edgesDir, s"id=${e.idCol},emb=${e.embCol}",
+        meta.getAs[Int]("n_layers").toLong,
+        HnswGraphRegistry.generationOfDir(e.edgesDir),
+        meta.getAs[Long]("corpus_fp").toString, plan)
+    }
+    val ivfRows = IvfIndexRegistry.entries.map { case (path, e) =>
+      // a cell-partitioned table IS its own index artifact; the medoids
+      // are registry metadata with no staleness fingerprint recorded
+      ("ivf", path, path, s"cell=${e.cellCol}", e.medoids.size.toLong, 0L,
+        "", "serve")
+    }
+    val mvRows = MvRegistry.entries.map { case (path, e) =>
+      val base = e.mvPath.replaceAll("-v-?\\d+$", "")
+      val groups = spark.read.parquet(e.mvPath).count()
+      // the refresh probe's own staleness check, surfaced as a decision
+      val fresh = MvRegistry.fingerprintOf(spark, path) == e.fingerprint
+      ("mv", path, base, s"group=${e.groupCol},sums=${e.sumCols.mkString("+")}",
+        groups, 0L, e.fingerprint.toString,
+        if (fresh) "serve" else "refresh")
+    }
+    (hnswRows ++ ivfRows ++ mvRows)
+      .toDF("kind", "table_path", "artifact_dir", "detail", "n_parts",
+        "generation", "fingerprint", "decision")
+      .orderBy(col("kind"), col("table_path"))
+  }
+
+  private def rootPaths(p: LogicalPlan): Seq[String] = p.collect {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.map(_.toString)
+  }.flatten
+
+  /** Plan-provenance audit: the indexes whose injected markers are
+    * present in the query's OPTIMIZED plan — `hnsw:<edges>` for the
+    * single-face id-In filter, `hnsw-batch:<edges>` for the per-qid
+    * semi-join, `ivf:<table>` for the cell-equality prune, `mv:<mv>`
+    * for a summary-table scan standing in for its source. Empty = the
+    * query ran exact/unaccelerated.
+    */
+  def servedBy(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val tags = scala.collection.mutable.LinkedHashSet.empty[String]
+    plan.foreach {
+      case j: Join if j.joinType == LeftSemi &&
+          j.right.isInstanceOf[LocalRelation] &&
+          j.right.output.exists(_.name == "__graft_qid") =>
+        HnswGraphRegistry.lookup(rootPaths(j.left))
+          .foreach(e => tags += s"hnsw-batch:${e.edgesDir}")
+      case f: Filter =>
+        val rels = rootPaths(f.child)
+        f.condition.foreach {
+          case In(a: AttributeReference, vs)
+            if vs.length <= graft.operators.Hnsw.Ef &&
+              HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) =>
+            tags += s"hnsw:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
+          case InSet(a: AttributeReference, vs)
+            if vs.size <= graft.operators.Hnsw.Ef &&
+              HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) =>
+            tags += s"hnsw:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
+          case EqualTo(a: AttributeReference, _: Literal)
+            if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) =>
+            tags += s"ivf:${RewriteSupport.canon(rels.head)}"
+          case _ => ()
+        }
+      case lr: LogicalRelation =>
+        val paths = rootPaths(lr).map(RewriteSupport.canon)
+        MvRegistry.entries.foreach { case (src, e) =>
+          if (paths.contains(RewriteSupport.canon(e.mvPath)))
+            tags += s"mv:$src"
+        }
+      case _ => ()
+    }
+    tags.toSeq
+  }
+}

@@ -90,6 +90,12 @@ object IvfIndexRegistry {
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
       .collectFirst { case Some(e) => e }
 
+  /** Registered (canon table path, entry) rows — the catalog face. */
+  def entries: Seq[(String, Entry)] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.sortBy(_._1)
+  }
+
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = registry.clear()

@@ -161,6 +161,12 @@ object MvRegistry {
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
       .collectFirst { case Some(e) => e }
 
+  /** Registered (canon source path, entry) rows — the catalog face. */
+  def entries: Seq[(String, Entry)] = {
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.sortBy(_._1)
+  }
+
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = registry.clear()
@@ -179,10 +185,16 @@ object MvDemo {
 
   private val demos = new ConcurrentHashMap[String, String]()
 
+  /** Pure path function of the demo's source table (Verify's oracle
+    * placeholders resolve it without forcing the build).
+    */
+  def srcPath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-mvdemo-" +
+      graft.operators.Ann.pathToken(sfDir)
+
   def ensure(spark: SparkSession, sfDir: String): String =
     demos.computeIfAbsent(sfDir, { _ =>
-      val src = s"${sys.props("java.io.tmpdir")}/graft-mvdemo-" +
-        graft.operators.Ann.pathToken(sfDir)
+      val src = srcPath(sfDir)
       graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").parquet(src)

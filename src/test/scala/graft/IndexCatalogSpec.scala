@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Hnsw}
+import graft.plans.{HnswGraphRegistry, IndexCatalog, IvfIndexRegistry, MvDemo, MvRegistry}
+
+/** The unified index catalog + plan-provenance audit: one row per
+  * registered index with live maintenance state, and servedBy() naming
+  * the index that actually accelerated a query.
+  */
+class IndexCatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def registerAll(): (String, String, String) = {
+    graft.expressions.GraftFunctions.register(spark)
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+      Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+    val (kmPath, cents) = Ann.kmeansLayout(spark, sf)
+    IvfIndexRegistry.registerCentroids(kmPath, "cell", cents)
+    val mvSrc = MvDemo.ensure(spark, sf)
+    // ensure() registers only on first build — re-register explicitly so
+    // this suite is self-sufficient whatever ran before it in the JVM
+    MvRegistry.register(spark, mvSrc, mvSrc + "-mv", "lang", Seq("n_chars"))
+    (corpus, kmPath, mvSrc)
+  }
+
+  test("catalog: one live row per registration; generation and unregistration visible") {
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      assert(IndexCatalog.indexes(spark).count() === 0L)
+      val (corpus, kmPath, mvSrc) = registerAll()
+      val rows = IndexCatalog.indexes(spark).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(rows.keySet === Set("hnsw", "ivf", "mv"))
+      val h = rows("hnsw")
+      assert(h.getAs[String]("table_path").endsWith("-corpus"))
+      assert(h.getAs[Long]("generation") === 0L)
+      assert(h.getAs[String]("decision") === "serve")
+      assert(h.getAs[String]("fingerprint").nonEmpty)
+      assert(h.getAs[Long]("n_parts") >= 2L) // the realized layer count
+      assert(rows("ivf").getAs[Long]("n_parts") === 10L)
+      assert(rows("mv").getAs[String]("decision") === "serve")
+      // a maintenance mutation bumps the graph generation in the catalog
+      HnswGraphRegistry.invalidate(Hnsw.edgesPath(sf))
+      assert(IndexCatalog.indexes(spark).filter(col("kind") === "hnsw")
+        .head().getAs[Long]("generation") === 1L)
+      // unregistration removes the row, the others stay
+      MvRegistry.unregister(mvSrc)
+      assert(IndexCatalog.indexes(spark).collect().map(_.getString(0)).toSet
+        === Set("hnsw", "ivf"))
+    } finally {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+    }
+  }
+
+  test("catalog: a drifted MV source reads `refresh`; refreshIfStale repairs it") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cat-mv").toString + "/t"
+    try {
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(src)
+      MvRegistry.register(spark, src, src + "-mv", "lang", Seq("n_chars"))
+      def decision: String = IndexCatalog.indexes(spark)
+        .filter(col("kind") === "mv" && col("table_path") === src)
+        .head().getAs[String]("decision")
+      assert(decision === "serve")
+      Seq((3L, "fr", 30L)).toDF("doc_id", "lang", "n_chars")
+        .write.mode("append").parquet(src)
+      assert(decision === "refresh", "source drift not surfaced")
+      assert(MvRegistry.refreshIfStale(spark, src))
+      assert(decision === "serve")
+    } finally MvRegistry.unregister(src)
+  }
+
+  test("servedBy: names the serving index per face; exact queries report none") {
+    import graft.expressions.GraftFunctions
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      val (corpus, kmPath, mvSrc) = registerAll()
+      val emb = Tables.embeddings(spark, sf)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      // single-face graph rewrite
+      val single = spark.read.parquet(corpus).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      assert(IndexCatalog.servedBy(single) === Seq(s"hnsw:${Hnsw.edgesPath(sf)}"))
+      // batch face
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val batch = spark.read.parquet(corpus).crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      assert(IndexCatalog.servedBy(batch)
+        === Seq(s"hnsw-batch:${Hnsw.edgesPath(sf)}"))
+      // IVF cell prune (on its own registered table — no graph there)
+      val qvd = qv.map(_.toDouble).toArray
+      val ivfQ = spark.read.parquet(kmPath).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(GraftFunctions
+          .cosineSim(col("embedding"), lit(qvd)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      assert(IndexCatalog.servedBy(ivfQ).exists(_.startsWith("ivf:")))
+      // MV rollup
+      val mvQ = spark.read.parquet(mvSrc).groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_n_chars"))
+      assert(IndexCatalog.servedBy(mvQ) === Seq(s"mv:$mvSrc"))
+      // an exact query over an unregistered table names nothing
+      val exact = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+      assert(IndexCatalog.servedBy(exact).isEmpty)
+    } finally {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+    }
+  }
+}
