@@ -28,6 +28,7 @@ object Stages {
     "bigrams"      -> ((s, d) => { queries.TextQueries.stagedBigrams(s, d); () }),
     "ivf-layout"   -> ((s, d) => { operators.Ann.ivfLayout(s, d); () }),
     "ivfkm-layout" -> ((s, d) => { operators.Ann.kmeansLayout(s, d); () }),
+    "ivfkm-radii"  -> ((s, d) => { operators.Ann.kmRadiiLayout(s, d); () }),
     "pq-codebooks" -> ((s, d) => { operators.Pq.train(s, d); () }),
     "ivfpq-codes"  -> ((s, d) => { operators.Ivfpq.codesLayout(s, d); () }),
     "ivfpqres-codes" -> ((s, d) => { operators.Ivfpq.resCodesLayout(s, d); () }),

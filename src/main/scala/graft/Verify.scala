@@ -68,6 +68,9 @@ object Verify {
       "__SPLIT_ANCHORS__" -> (graft.operators.Ivfpq.resCodesPath(sfDir) + "-split-demo-anchors"),
       "__KLL_ITEMS__"    -> graft.operators.Kll.itemsPath(sfDir),
       "__KLL_META__"     -> graft.operators.Kll.metaPath(sfDir),
+      "__HNSW_RWCORPUS__" -> graft.operators.Hnsw.rewriteCorpusPath(sfDir),
+      "__MV_SRC__"       -> graft.plans.MvDemo.srcPath(sfDir),
+      "__IVFKM_RADII__"  -> graft.operators.Ann.kmRadiiPath(sfDir),
       "__HNSW_EDGES__"   -> graft.operators.Hnsw.edgesPath(sfDir),
       "__HNSW_META__"    -> graft.operators.Hnsw.metaPath(sfDir),
       "__HNSW_ADAPT__"   -> graft.operators.Hnsw.adaptPath(sfDir),

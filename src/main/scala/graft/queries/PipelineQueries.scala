@@ -802,6 +802,58 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Unified index catalog (round-10 verdict #6): one row per registered
+    // index across the three rewrite registries — covered table, artifact
+    // dir, mutation generation, staleness fingerprint, and the CURRENT
+    // composed maintenance decision. The query registers the three
+    // canonical demos itself (idempotent puts, the same calls the rewrite
+    // queries make), then lists exactly them — execution-order-proof.
+    // Oracled column by column from the dumped artifacts: the graph's
+    // n_layers + fingerprint from its meta, the IVF cell count from the
+    // dumped centroids, the MV group count AND fingerprint recomputed
+    // from the source table with the table_fingerprint md5 discipline.
+    "index_catalog" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val (kmPath, cents) = Ann.kmeansLayout(s, dir)
+      graft.plans.IvfIndexRegistry.registerCentroids(kmPath, "cell", cents)
+      val mvSrc = graft.plans.MvDemo.ensure(s, dir)
+      val keep = Seq(corpus, kmPath, mvSrc)
+        .map(p => p.stripPrefix("file:").replaceAll("/+$", ""))
+      graft.plans.IndexCatalog.indexes(s)
+        .filter(col("table_path").isin(keep: _*))
+        .orderBy(col("kind"))
+    }),
+
+    // INDEX-SERVED threshold search, IVF face (round-10 verdict #5): all
+    // vectors with sim ≥ t, reading only the cells whose angular bound
+    // (centroid + per-cell radius metadata, driver arithmetic) can admit
+    // one. Superset-then-refilter, so the oracle is the EXACT full-scan
+    // threshold twin — the strongest possible check: a hash match proves
+    // the bound never dropped a qualifying cell. t mirrors the exact
+    // search_threshold query's 0.2.
+    "ivf_range_search" -> ((s, dir) => {
+      val qv = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Ann.ivfRangeSearch(s, dir, qv, t = 0.2).orderBy(col("vec_id"))
+    }),
+
+    // INDEX-SERVED threshold search, graph face: the fixed-schedule walk
+    // plus bounded RANGE hops (frontier = visited sim-≥-t nodes, capped)
+    // returning every visited node ≥ t — "all neighbors above t", the
+    // dedup-serving shape. Oracled by unrolling the SAME range hops as
+    // CTEs over the dumped graph (the walk-replay discipline); HnswSpec
+    // additionally pins equality with the exact threshold scan at this t.
+    "ann_range_search" -> ((s, dir) => {
+      val q = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.searchRange(s, dir, q, t = 0.2)
+        .select(col("vec_id"), col("sim")).orderBy(col("vec_id"))
+    }),
+
     // Graph-index operability stats (the ivf_index_stats twin): per
     // layer of the merge-on-read-resolved maintenance-demo graph, the
     // live src/edge population and degree shape beside the sidecar debt
@@ -2118,6 +2170,88 @@ object PipelineQueries {
       s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")}
          |SELECT qid, vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
          |WHERE rn <= 3 AND vec_id <> 0 ORDER BY qid, rnk""".stripMargin
+    },
+
+    // catalog replay: every artifact-derivable column recomputed by
+    // DuckDB — graph meta, dumped centroid count, MV groups + md5-sum
+    // fingerprint over the source table; registration-only values
+    // (paths, detail strings, generation 0, fresh-index decisions) pin
+    // as literals resolved through the same path arithmetic
+    "index_catalog" -> {
+      s"""WITH hm AS (SELECT corpus_fp, n_layers
+         |            FROM read_parquet('__HNSW_META__/*.parquet')),
+         |kc AS (SELECT count(*) AS k FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |mv AS (SELECT count(DISTINCT lang) AS g,
+         |  (sum(('0x' || substr(md5(concat_ws('|', doc_id, lang, n_chars)), 1, 15))::BIGINT)
+         |    % 2305843009213693951)::BIGINT AS fp
+         |  FROM read_parquet('__MV_SRC__/*.parquet'))
+         |SELECT * FROM (
+         |  SELECT 'hnsw' AS kind, '__HNSW_RWCORPUS__' AS table_path,
+         |    '__HNSW_EDGES__' AS artifact_dir,
+         |    'id=vec_id,emb=embedding' AS detail,
+         |    hm.n_layers::BIGINT AS n_parts, 0::BIGINT AS generation,
+         |    hm.corpus_fp::VARCHAR AS fingerprint, 'serve' AS decision FROM hm
+         |  UNION ALL
+         |  SELECT 'ivf', '__IVFKM_LAYOUT__', '__IVFKM_LAYOUT__', 'cell=cell',
+         |    kc.k::BIGINT, 0::BIGINT, '', 'serve' FROM kc
+         |  UNION ALL
+         |  SELECT 'mv', '__MV_SRC__', '__MV_SRC__-mv', 'group=lang,sums=n_chars',
+         |    mv.g::BIGINT, 0::BIGINT, mv.fp::VARCHAR, 'serve' FROM mv)
+         |ORDER BY kind""".stripMargin
+    },
+
+    // range-search exact twin: the IVF face's result must equal the
+    // full-scan threshold search bit for bit — the angle bound is
+    // superset-then-refilter, so any divergence is a pruning bug
+    "ivf_range_search" -> {
+      val eCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round($eCos, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0 AND round($eCos, 6) >= 0.2
+         |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // graph range replay: the walk's visited pool (beam0 ∪ every hop's
+    // candidates) plus the SAME bounded range hops — frontier = per-qid
+    // top-cap VISITED by (sim desc, id), deliberately un-t-filtered (a
+    // sub-t node can be the only route to a ≥ t one), expand layer-0
+    // neighbors, union scored — then the ≥ t cut. The engine's early
+    // fixed-point stop replays as no-op hops (same frontier ⇒ same
+    // expansion ⇒ same pool).
+    "ann_range_search" -> {
+      import graft.operators.Hnsw
+      val t = 0.2
+      val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+      val unions = (1 to Hnsw.Schedule.length)
+        .map(i => s"SELECT qid, vec_id FROM cand$i").mkString(" UNION ")
+      val sb = new StringBuilder
+      sb ++= s"WITH ${hnswBeamCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")},\n"
+      sb ++= s"""rv0 AS MATERIALIZED (
+                |  SELECT DISTINCT v.qid, v.vec_id, round($cos, 6) AS sim
+                |  FROM (SELECT qid, vec_id FROM beam0 UNION $unions) v
+                |  JOIN hcorp em ON em.vec_id = v.vec_id
+                |  JOIN qs ON qs.qid = v.qid)""".stripMargin
+      (0 until Hnsw.RangeHops).foreach { i =>
+        sb ++= s""",
+                  |rf$i AS (SELECT qid, vec_id FROM (
+                  |  SELECT qid, vec_id, row_number() OVER (
+                  |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+                  |  FROM rv$i) WHERE rn <= ${Hnsw.RangeBeamCap}),
+                  |rc${i + 1} AS (SELECT b.qid, e.dst AS vec_id
+                  |  FROM hedges e JOIN rf$i b ON e.src = b.vec_id WHERE e.layer = 0),
+                  |rv${i + 1} AS MATERIALIZED (
+                  |  SELECT qid, vec_id, sim FROM rv$i
+                  |  UNION
+                  |  SELECT DISTINCT c.qid, c.vec_id, round($cos, 6) AS sim
+                  |  FROM rc${i + 1} c
+                  |  JOIN hcorp em ON em.vec_id = c.vec_id
+                  |  JOIN qs ON qs.qid = c.qid)""".stripMargin
+      }
+      sb ++= s"""
+                |SELECT vec_id, sim FROM rv${Hnsw.RangeHops}
+                |WHERE sim >= $t ORDER BY vec_id""".stripMargin
+      sb.toString
     },
 
     // stats replay: the SAME merge-on-read resolution the maintenance
