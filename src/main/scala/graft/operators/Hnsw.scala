@@ -420,27 +420,31 @@ object Hnsw {
 
   /** Resolved handles on a graph directory's sidecar state, loaded ONCE
     * per walk (round-9 advisor: resolving them per hop re-read and
-    * re-broadcast the sidecars 6×): the replaced-latest and tombstone
-    * frames are maintenance-batch-sized and pinned with localCheckpoint.
+    * re-broadcast the sidecars 6×). The replaced-latest and tombstone
+    * sidecars are maintenance-batch-sized, so they collect to DRIVER
+    * VALUES: the merge-on-read resolution then applies them as literal
+    * FILTER expressions instead of broadcast joins — a broadcast (even
+    * of a LocalRelation) materializes as its own 1-task job per hop
+    * under the scheduler, where a literal predicate rides the scan's
+    * one map-only stage for free.
     */
   private case class GraphRefs(base: DataFrame, delta: Option[DataFrame],
-                               latest: Option[DataFrame],
-                               tombs: Option[DataFrame])
+                               latest: Option[Map[(Int, Long), Long]],
+                               tombs: Option[Seq[Long]])
 
   private def openGraph(spark: SparkSession, edgesDir: String): GraphRefs = {
-    // sidecar state pins as driver-LOCAL relations (maintenance-batch-
-    // sized): every hop's merge-on-read resolution broadcast-joins them,
-    // and a LocalRelation broadcast launches no job where the previous
-    // localCheckpoint pin paid one per hop (see pinLocal)
     val latest =
       if (dirExists(spark, replacedPath(edgesDir)))
-        Some(pinLocal(spark.read.parquet(replacedPath(edgesDir))
-          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))))
+        Some(spark.read.parquet(replacedPath(edgesDir))
+          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
       else None
     val tombs =
       if (dirExists(spark, tombstonesPath(edgesDir)))
-        Some(pinLocal(spark.read.parquet(tombstonesPath(edgesDir))
-          .select(col("vec_id")).distinct()))
+        Some(spark.read.parquet(tombstonesPath(edgesDir))
+          .select(col("vec_id")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq)
       else None
     // open the edge artifacts ONCE per walk: a fresh read.parquet per hop
     // rebuilds the partitioned-dir FileIndex every hop (nLayers × 32
@@ -459,25 +463,30 @@ object Hnsw {
     * PipelineQueries.hnswMaintEdgesSql): base ∪ deltas with
     * last-writer-wins per (layer, src) — the `replaced` sidecar names
     * the winning gen, base rows carry gen 0 — minus edges into
-    * tombstoned nodes. Shared by the serving hops ([[hopEdges]], over
-    * bucket-pruned scans) and the whole-graph face ([[readGraph]] —
-    * compaction, stats), so the two read paths can never silently
-    * diverge. `all` must carry a `gen` column.
+    * tombstoned nodes. Both halves apply as LITERAL predicates (the
+    * sidecars are driver values — see [[GraphRefs]]): the latest-gen
+    * lookup is a map literal keyed by "layer:src", value-identical to
+    * the previous left-join + coalesce-0 filter; the tombstone
+    * subtraction a NOT-isin, value-identical to the anti-join. Shared
+    * by the serving hops ([[hopEdges]], over bucket-pruned scans) and
+    * the whole-graph face ([[readGraph]] — compaction, stats), so the
+    * two read paths can never silently diverge. `all` must carry a
+    * `gen` column.
     */
-  private def morResolve(all: DataFrame, latest: Option[DataFrame],
-                         tombs: Option[DataFrame]): DataFrame = {
+  private def morResolve(all: DataFrame, latest: Option[Map[(Int, Long), Long]],
+                         tombs: Option[Seq[Long]]): DataFrame = {
     val resolved = latest match {
-      case Some(l) =>
-        all.join(broadcast(l), Seq("layer", "src"), "left")
-          .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
-          .drop("__latest")
-      case None => all
+      case Some(l) if l.nonEmpty =>
+        val m: Map[String, Long] = l.map { case ((lay, s2), g) => s"$lay:$s2" -> g }
+        all.filter(col("gen") === coalesce(
+          element_at(typedLit(m), concat_ws(":", col("layer"), col("src"))),
+          lit(0L)))
+      case _ => all
     }
     tombs match {
-      case Some(t) =>
-        resolved.join(broadcast(t.select(col("vec_id").as("dst"))),
-          Seq("dst"), "left_anti")
-      case None => resolved
+      case Some(t) if t.nonEmpty =>
+        resolved.filter(!col("dst").isInCollection(t))
+      case _ => resolved
     }
   }
 
@@ -665,28 +674,30 @@ object Hnsw {
       g.sortBy(t => (-t._3, t._2)).take(ef)
     }
 
-  /** One small-panel hop: the bucket-pruned edge probe with the scoring
-    * IN the plan — scan + broadcast joins + the round-6 cosine
-    * projection, a single MAP-ONLY job (every broadcast side is a
-    * LocalRelation) — collected to the driver. This is the round-10
-    * verdict's fixed-overhead shave made structural: the previous
-    * distributed hop (union + distinct + window per hop) ran ~5 AQE
-    * jobs / ~38 tasks; this runs ONE job of ≤ |beam buckets| tasks, and
-    * the ≤ |srcs|·MaxDegree-row fold happens where the beam already
-    * lives. Returns the scored neighbor triples; `embCol`/`simOf`
-    * parameterize the payload (exact dst_emb cosine vs PQ ADC codes).
+  /** One small-panel hop: the bucket-pruned edge probe with EVERYTHING
+    * in one map-only stage — no joins, no broadcasts, no exchanges. The
+    * src→qids fan-out and the per-qid scoring both ride as LITERAL map
+    * expressions (the beam and the query panel are driver data): each
+    * matched edge row explodes to its beam qids and scores in place.
+    * This is the round-10 verdict's fixed-overhead shave made
+    * structural: the previous distributed hop (union + distinct +
+    * window) ran ~5 jobs / ~38 tasks, and even a broadcast-join variant
+    * pays 1-task broadcast-materialization jobs per side per hop; this
+    * runs ONE job of ≤ |beam buckets| tasks, and the
+    * ≤ |srcs|·MaxDegree-row fold happens where the beam already lives.
+    * `embCol`/`simOf` parameterize the payload (exact dst_emb cosine vs
+    * PQ ADC codes); `simOf` sees rows carrying (qid, src, dst, embCol).
     */
   private def probeHop(spark: SparkSession, g: GraphRefs, layer: Int,
-                       beam: Seq[Triple], qs: DataFrame, embCol: String,
+                       beam: Seq[Triple], embCol: String,
                        simOf: Column => Column,
                        scans: scala.collection.mutable.Builder[Seq[String], Seq[Seq[String]]],
                        files: scala.collection.mutable.Builder[(Long, Int), Seq[(Long, Int)]]): Seq[Triple] = {
     val srcs = beam.map(_._2).distinct.sorted
-    val srcF = beamFrame(spark, beam)
-      .select(col("qid"), col("vec_id").as("src"))
+    val srcQids: Map[Long, Seq[Long]] =
+      beam.groupBy(_._2).map { case (src, ts) => src -> ts.map(_._1).sorted }
     val nbrsF = hopEdges(spark, g, layer, srcs, embCol)
-      .join(broadcast(srcF), Seq("src"))
-      .join(broadcast(qs), Seq("qid"))
+      .withColumn("qid", explode(element_at(typedLit(srcQids), col("src"))))
       .withColumn("sim", simOf(col(embCol)))
       .select(col("qid"), col("dst").as("vec_id"), col("sim"))
     val nbrs = triplesOf(nbrsF.collect())
@@ -699,11 +710,34 @@ object Hnsw {
     nbrs
   }
 
-  /** The exact face's hop scoring — round-6 cosine of the denormalized
-    * dst embedding against the joined q_emb (hopOnce's formula verbatim).
+  /** The exact face's hop scoring as a literal-map lookup: round-6
+    * cosine of the denormalized dst embedding against THE ROW'S QID's
+    * query vector ([[hopOnce]]'s formula with the panel inlined — the
+    * identical expression over the identical values, so parity with the
+    * distributed face and the oracle replay is by construction). The
+    * map is built from the panel's own rows in their ORIGINAL element
+    * type, so no precision boundary moves.
     */
-  private def exactSim: Column => Column =
-    embC => round(GraftFunctions.cosineSim(embC, col("q_emb")), 6)
+  private def exactSimLit(qRows: Array[org.apache.spark.sql.Row]): Column => Column = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val qIdx = qRows.head.fieldIndex("qid")
+    val eIdx = qRows.head.fieldIndex("q_emb")
+    // branch on the SCHEMA, not runtime boxing (erasure makes getSeq's
+    // element type a fiction — a mistyped literal map fails Catalyst's
+    // literal validation at plan build)
+    qRows.head.schema(eIdx).dataType match {
+      case ArrayType(FloatType, _) =>
+        val m: Map[Long, Seq[Float]] = qRows.map(r =>
+          r.getLong(qIdx) -> r.getSeq[Float](eIdx).toSeq).toMap
+        embC => round(GraftFunctions.cosineSim(embC,
+          element_at(typedLit(m), col("qid"))), 6)
+      case _ =>
+        val m: Map[Long, Seq[Double]] = qRows.map(r =>
+          r.getLong(qIdx) -> r.getSeq[Double](eIdx).toSeq).toMap
+        embC => round(GraftFunctions.cosineSim(embC,
+          element_at(typedLit(m), col("qid"))), 6)
+    }
+  }
 
   private def walkGraph(spark: SparkSession, edgesDir: String, metaDir: String,
                         queries: DataFrame): (DataFrame, DataFrame) = {
@@ -726,8 +760,9 @@ object Hnsw {
     // never be SERVED: the resolution drops tombstoned dsts, and this
     // drops the one id that enters the beam from meta instead of an edge
     val entryF = g.tombs match {
-      case Some(t) => entryBeam(qsCk, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None    => entryBeam(qsCk, meta)
+      case Some(t) if t.nonEmpty =>
+        entryBeam(qsCk, meta).filter(!col("vec_id").isInCollection(t))
+      case _ => entryBeam(qsCk, meta)
     }
     if (collectWalkStats) scans += leaves(entryF)
     val entry = pinHop(entryF)
@@ -753,24 +788,26 @@ object Hnsw {
     }
     // small-panel path: ONE map-only job per hop (probeHop), the beam
     // fold on the driver, fixed-point skipping per phase (see phasesOf)
-    val qs = pinLocal(qsCk)
     var beam: Seq[Triple] = triplesOf(entry.frame.collect())
     val visited = scala.collection.mutable.LinkedHashSet.empty[Triple]
     visited ++= beam
-    for (phase <- phasesOf(scheduleFor(nLayers))) {
-      val layer = phase.head
-      var h = 0
-      var fixed = false
-      while (h < phase.length && !fixed) {
-        val nbrs = probeHop(spark, g, layer, beam, qs, "dst_emb",
-          exactSim, scans, files)
-        val cands = beam ++ nbrs
-        visited ++= cands
-        val next = topEfLocal(cands, Ef)
-        fixed = next.map(t => (t._1, t._2)).toSet ==
-          beam.map(t => (t._1, t._2)).toSet
-        beam = next
-        h += 1
+    if (beam.nonEmpty) {
+      val simOf = exactSimLit(qsCk.collect())
+      for (phase <- phasesOf(scheduleFor(nLayers))) {
+        val layer = phase.head
+        var h = 0
+        var fixed = false
+        while (h < phase.length && !fixed) {
+          val nbrs = probeHop(spark, g, layer, beam, "dst_emb",
+            simOf, scans, files)
+          val cands = beam ++ nbrs
+          visited ++= cands
+          val next = topEfLocal(cands, Ef)
+          fixed = next.map(t => (t._1, t._2)).toSet ==
+            beam.map(t => (t._1, t._2)).toSet
+          beam = next
+          h += 1
+        }
       }
     }
     if (collectWalkStats) { lastWalkScans = scans.result(); lastWalkFiles = files.result() }
@@ -875,24 +912,25 @@ object Hnsw {
     // small-panel path: ONE map-only probe per range hop, the pool on
     // the driver (walkGraph's small path already returned a LocalRelation
     // — collecting it is job-free)
-    val qs = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), queries.schema)
     val scans = Seq.newBuilder[Seq[String]]
     val files = Seq.newBuilder[(Long, Int)]
     val visited = scala.collection.mutable.LinkedHashSet.empty[Triple]
     visited ++= triplesOf(visited0.collect())
-    var hop = 0
-    var done = false
-    while (hop < RangeHops && !done) {
-      val frontier = topEfLocal(visited.toSeq, RangeBeamCap)
-      if (frontier.isEmpty) done = true
-      else {
-        val before = visited.size
-        visited ++= probeHop(spark, g, 0, frontier, qs, "dst_emb",
-          exactSim, scans, files)
-        done = visited.size == before
+    if (qRows.nonEmpty) {
+      val simOf = exactSimLit(qRows)
+      var hop = 0
+      var done = false
+      while (hop < RangeHops && !done) {
+        val frontier = topEfLocal(visited.toSeq, RangeBeamCap)
+        if (frontier.isEmpty) done = true
+        else {
+          val before = visited.size
+          visited ++= probeHop(spark, g, 0, frontier, "dst_emb",
+            simOf, scans, files)
+          done = visited.size == before
+        }
+        hop += 1
       }
-      hop += 1
     }
     beamFrame(spark, visited.toSeq.filter(_._3 >= t))
   }
@@ -970,8 +1008,9 @@ object Hnsw {
     // sidecar→meta crash window the entry can be tombstoned while the
     // meta still names it — the adaptive face must not serve it either
     val entry0 = g.tombs match {
-      case Some(t) => entryBeam(qsCk, meta).join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None    => entryBeam(qsCk, meta)
+      case Some(t) if t.nonEmpty =>
+        entryBeam(qsCk, meta).filter(!col("vec_id").isInCollection(t))
+      case _ => entryBeam(qsCk, meta)
     }
     val entry = pinHop(entry0)
     val realized = Array.fill(MaxLayersStatic)(0L)
@@ -1004,18 +1043,18 @@ object Hnsw {
     } else {
       // small-panel path: one map-only probe per hop, fold + convergence
       // check on the driver (zero extra jobs — see probeHop)
-      val qs = pinLocal(qsCk)
       val scans = Seq.newBuilder[Seq[String]]
       val files = Seq.newBuilder[(Long, Int)]
       var beam: Seq[Triple] = triplesOf(entry.frame.collect())
+      val simOf = exactSimLit(qsCk.collect())
       var cur = beam.map(t => (t._1, t._2)).toSet
       for (layer <- (nLayers - 1) to 0 by -1) {
         val cap = if (layer == 0) HopsL0Max else HopsPerLayer
         var fixed = false
         var h = 0
         while (h < cap && !fixed) {
-          val nbrs = probeHop(spark, g, layer, beam, qs, "dst_emb",
-            exactSim, scans, files)
+          val nbrs = probeHop(spark, g, layer, beam, "dst_emb",
+            simOf, scans, files)
           beam = topEfLocal(beam ++ nbrs, Ef)
           h += 1
           val m = beam.map(t => (t._1, t._2)).toSet
@@ -1165,7 +1204,7 @@ object Hnsw {
         var h = 0
         var fixed = false
         while (h < phase.length && !fixed) {
-          val nbrs = probeHop(spark, g, layer, beamT, qs, "dst_codes",
+          val nbrs = probeHop(spark, g, layer, beamT, "dst_codes",
             _ => adcOf(col("dst_codes")), scans, files)
           val next = topEfLocal(beamT ++ nbrs, EfPq)
           fixed = next.map(t => (t._1, t._2)).toSet ==
@@ -1627,8 +1666,8 @@ object Hnsw {
     // g.latest is the replaced sidecar grouped by (layer, src) — its
     // distinct srcs ARE the sidecar's distinct srcs
     val replacedSrcs =
-      g.latest.map(_.select(col("src")).distinct().count()).getOrElse(0L)
-    val tombs = g.tombs.map(_.count()).getOrElse(0L) // already distinct ids
+      g.latest.map(_.keys.map(_._2).toSet.size.toLong).getOrElse(0L)
+    val tombs = g.tombs.map(_.size.toLong).getOrElse(0L) // already distinct ids
     // zero-denominator guard (round-10 advisor): a fully-tombstoned graph
     // resolves to ZERO live nodes/edges, and a raw division would yield
     // null ratios whose threshold compares all read false — the plan would

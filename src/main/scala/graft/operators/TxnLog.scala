@@ -913,7 +913,13 @@ object TxnLog {
     import org.apache.spark.sql.functions.{col, lit, round, when}
     val v = latestVersion(spark, root)
     val live = resolvedEntries(spark, root, v)
-    val liveData = live.count(e => e.kind == "data" || e.kind.startsWith("data:")).toLong
+    // single-table data files ONLY (the oracle's formula): multi-table
+    // logs (kind data:<t>) have no whole-log rewrite verb — compact()
+    // folds ONE table — so their file debt must not trip `optimize` into
+    // a verb that cannot serve it; their reclaim debt still counts below
+    // (vacuum handles both layouts), and a per-table OPTIMIZE remains
+    // the operator's explicit call
+    val liveData = live.count(_.kind == "data").toLong
     val liveDel = live.count(_.kind == "delete").toLong
     val cp = checkpointAtOrBefore(spark, root, v).getOrElse(0)
     val lag = (v - cp).toLong

@@ -519,6 +519,25 @@ class TxnLogSpec extends AnyFunSuite {
     assert(TxnLog.maintainTable(spark, root) === "serve")
   }
 
+  test("maintenance policy: a multi-table log never trips the single-table rewrite verb") {
+    // commitTables logs have no whole-log compact; their data:<t> files
+    // must not count into the optimize trigger (vacuum still covers
+    // their reclaim debt). Nine per-table files would trip
+    // MaintMaxDataFiles if miscounted.
+    val root = freshRoot()
+    (0 until 3).foreach { i =>
+      TxnLog.commitTables(spark, root, Seq(
+        ("a", docs.filter(col("doc_id") % 3 === i).repartition(2), false),
+        ("b", docs.filter(col("doc_id") % 3 === i).limit(10), false)))
+    }
+    val plan = TxnLog.maintenancePlan(spark, root).head()
+    assert(plan.getAs[Long]("live_data_files") === 0L,
+      "multi-table files counted into the single-table rewrite trigger")
+    assert(plan.getAs[String]("decision") === "serve")
+    assert(TxnLog.maintainTable(spark, root) === "serve")
+    assert(TxnLog.readTable(spark, root, "a").count() > 0)
+  }
+
   test("maintenance policy: a lost checkpoint is detected and repaired") {
     val root = freshRoot()
     // five appends: the interval checkpoint lands at v4
