@@ -420,32 +420,53 @@ object Hnsw {
 
   /** Resolved handles on a graph directory's sidecar state, loaded ONCE
     * per walk (round-9 advisor: resolving them per hop re-read and
-    * re-broadcast the sidecars 6×). The replaced-latest and tombstone
-    * sidecars are maintenance-batch-sized, so they collect to DRIVER
-    * VALUES: the merge-on-read resolution then applies them as literal
-    * FILTER expressions instead of broadcast joins — a broadcast (even
-    * of a LocalRelation) materializes as its own 1-task job per hop
-    * under the scheduler, where a literal predicate rides the scan's
-    * one map-only stage for free.
+    * re-broadcast the sidecars 6×). Typically maintenance-batch-sized,
+    * the sidecars collect to DRIVER VALUES and apply as literal FILTER
+    * expressions — a broadcast (even of a LocalRelation) materializes
+    * as its own 1-task job per hop under the scheduler, where a literal
+    * predicate rides the scan's one map-only stage for free; a sidecar
+    * that outgrew the batch class keeps the broadcast-join resolution
+    * (see [[SidecarState]]/[[MorLiteralMaxRows]]).
     */
   private case class GraphRefs(base: DataFrame, delta: Option[DataFrame],
-                               latest: Option[Map[(Int, Long), Long]],
-                               tombs: Option[Seq[Long]])
+                               latest: Option[SidecarState[Map[(Int, Long), Long]]],
+                               tombs: Option[SidecarState[Seq[Long]]])
+
+  /** One sidecar's resolution state: collected driver VALUES when the
+    * sidecar is maintenance-batch-sized (literal predicates — zero jobs
+    * per hop), or the executor-pinned frame above [[MorLiteralMaxRows]]
+    * (broadcast-join resolution — one build job per hop, but no driver
+    * copy of a sidecar that outgrew the batch class; the maintenance
+    * policy bounds debt as a RATIO of the graph, so at 100 TB the
+    * absolute sidecar size can be large long before the policy trips).
+    */
+  private case class SidecarState[T](lit: Option[T], frame: Option[DataFrame])
+
+  /** Above this many sidecar rows, merge-on-read resolution falls back
+    * from literal predicates to broadcast joins (see [[SidecarState]]).
+    */
+  @volatile var MorLiteralMaxRows = 1L << 17 // var: HnswSpec forces the join fallback to pin literal ≡ join
 
   private def openGraph(spark: SparkSession, edgesDir: String): GraphRefs = {
-    val latest =
-      if (dirExists(spark, replacedPath(edgesDir)))
-        Some(spark.read.parquet(replacedPath(edgesDir))
-          .groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest"))
-          .collect()
-          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
-      else None
-    val tombs =
-      if (dirExists(spark, tombstonesPath(edgesDir)))
-        Some(spark.read.parquet(tombstonesPath(edgesDir))
-          .select(col("vec_id")).distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq)
-      else None
+    def state[T](dir: String, shape: DataFrame => DataFrame,
+                 toLit: Array[org.apache.spark.sql.Row] => T): Option[SidecarState[T]] =
+      if (!dirExists(spark, dir)) None
+      else {
+        val shaped = shape(spark.read.parquet(dir))
+        // ONE probing job, not count-then-collect: a limit of cap+1 rows
+        // that comes back ≤ cap IS the complete sidecar (literal mode);
+        // cap+1 rows prove it outgrew the batch class (join mode)
+        val probe = shaped.limit(MorLiteralMaxRows.toInt + 1).collect()
+        if (probe.length <= MorLiteralMaxRows)
+          Some(SidecarState(Some(toLit(probe)), None))
+        else Some(SidecarState(None, Some(shaped.localCheckpoint())))
+      }
+    val latest = state[Map[(Int, Long), Long]](replacedPath(edgesDir),
+      _.groupBy(col("layer"), col("src")).agg(max(col("gen")).as("__latest")),
+      _.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    val tombs = state[Seq[Long]](tombstonesPath(edgesDir),
+      _.select(col("vec_id")).distinct(),
+      _.map(_.getLong(0)).sorted.toSeq)
     // open the edge artifacts ONCE per walk: a fresh read.parquet per hop
     // rebuilds the partitioned-dir FileIndex every hop (nLayers × 32
     // directories listed up to 12 times per walk — measured ~0.2 s/hop of
@@ -463,29 +484,37 @@ object Hnsw {
     * PipelineQueries.hnswMaintEdgesSql): base ∪ deltas with
     * last-writer-wins per (layer, src) — the `replaced` sidecar names
     * the winning gen, base rows carry gen 0 — minus edges into
-    * tombstoned nodes. Both halves apply as LITERAL predicates (the
-    * sidecars are driver values — see [[GraphRefs]]): the latest-gen
-    * lookup is a map literal keyed by "layer:src", value-identical to
-    * the previous left-join + coalesce-0 filter; the tombstone
-    * subtraction a NOT-isin, value-identical to the anti-join. Shared
-    * by the serving hops ([[hopEdges]], over bucket-pruned scans) and
-    * the whole-graph face ([[readGraph]] — compaction, stats), so the
-    * two read paths can never silently diverge. `all` must carry a
-    * `gen` column.
+    * tombstoned nodes. Batch-sized sidecars apply as LITERAL predicates
+    * (the latest-gen lookup a "layer:src" map-literal coalesce,
+    * value-identical to the left-join + coalesce-0 it replaces; the
+    * tombstone subtraction a NOT-isin, value-identical to the
+    * anti-join); over-cap sidecars keep the broadcast-join forms (see
+    * [[SidecarState]]). Shared by the serving hops ([[hopEdges]], over
+    * bucket-pruned scans) and the whole-graph face ([[readGraph]] —
+    * compaction, stats), so the read paths can never silently diverge.
+    * `all` must carry a `gen` column.
     */
-  private def morResolve(all: DataFrame, latest: Option[Map[(Int, Long), Long]],
-                         tombs: Option[Seq[Long]]): DataFrame = {
+  private def morResolve(all: DataFrame,
+                         latest: Option[SidecarState[Map[(Int, Long), Long]]],
+                         tombs: Option[SidecarState[Seq[Long]]]): DataFrame = {
     val resolved = latest match {
-      case Some(l) if l.nonEmpty =>
+      case Some(SidecarState(Some(l), _)) if l.nonEmpty =>
         val m: Map[String, Long] = l.map { case ((lay, s2), g) => s"$lay:$s2" -> g }
         all.filter(col("gen") === coalesce(
           element_at(typedLit(m), concat_ws(":", col("layer"), col("src"))),
           lit(0L)))
+      case Some(SidecarState(_, Some(f))) =>
+        all.join(broadcast(f), Seq("layer", "src"), "left")
+          .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
+          .drop("__latest")
       case _ => all
     }
     tombs match {
-      case Some(t) if t.nonEmpty =>
+      case Some(SidecarState(Some(t), _)) if t.nonEmpty =>
         resolved.filter(!col("dst").isInCollection(t))
+      case Some(SidecarState(_, Some(f))) =>
+        resolved.join(broadcast(f.select(col("vec_id").as("dst"))),
+          Seq("dst"), "left_anti")
       case _ => resolved
     }
   }
@@ -760,8 +789,11 @@ object Hnsw {
     // never be SERVED: the resolution drops tombstoned dsts, and this
     // drops the one id that enters the beam from meta instead of an edge
     val entryF = g.tombs match {
-      case Some(t) if t.nonEmpty =>
+      case Some(SidecarState(Some(t), _)) if t.nonEmpty =>
         entryBeam(qsCk, meta).filter(!col("vec_id").isInCollection(t))
+      case Some(SidecarState(_, Some(f))) =>
+        entryBeam(qsCk, meta)
+          .join(broadcast(f), Seq("vec_id"), "left_anti")
       case _ => entryBeam(qsCk, meta)
     }
     if (collectWalkStats) scans += leaves(entryF)
@@ -1008,8 +1040,11 @@ object Hnsw {
     // sidecar→meta crash window the entry can be tombstoned while the
     // meta still names it — the adaptive face must not serve it either
     val entry0 = g.tombs match {
-      case Some(t) if t.nonEmpty =>
+      case Some(SidecarState(Some(t), _)) if t.nonEmpty =>
         entryBeam(qsCk, meta).filter(!col("vec_id").isInCollection(t))
+      case Some(SidecarState(_, Some(f))) =>
+        entryBeam(qsCk, meta)
+          .join(broadcast(f), Seq("vec_id"), "left_anti")
       case _ => entryBeam(qsCk, meta)
     }
     val entry = pinHop(entry0)
@@ -1665,9 +1700,16 @@ object Hnsw {
     val deltaRows = g.delta.map(_.count()).getOrElse(0L)
     // g.latest is the replaced sidecar grouped by (layer, src) — its
     // distinct srcs ARE the sidecar's distinct srcs
-    val replacedSrcs =
-      g.latest.map(_.keys.map(_._2).toSet.size.toLong).getOrElse(0L)
-    val tombs = g.tombs.map(_.size.toLong).getOrElse(0L) // already distinct ids
+    val replacedSrcs = g.latest.map {
+      case SidecarState(Some(l), _) => l.keys.map(_._2).toSet.size.toLong
+      case SidecarState(_, Some(f)) => f.select(col("src")).distinct().count()
+      case _ => 0L
+    }.getOrElse(0L)
+    val tombs = g.tombs.map { // already distinct ids
+      case SidecarState(Some(t), _) => t.size.toLong
+      case SidecarState(_, Some(f)) => f.count()
+      case _ => 0L
+    }.getOrElse(0L)
     // zero-denominator guard (round-10 advisor): a fully-tombstoned graph
     // resolves to ZERO live nodes/edges, and a raw division would yield
     // null ratios whose threshold compares all read false — the plan would

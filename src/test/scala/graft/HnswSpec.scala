@@ -988,6 +988,38 @@ class HnswSpec extends AnyFunSuite {
     assert(s4 === l4, "adaptive walk: small ≠ large")
   }
 
+  test("merge-on-read resolution: literal predicates ≡ broadcast joins on a mutated graph") {
+    // the sidecar state serves as literal filters when batch-sized and
+    // as broadcast joins above MorLiteralMaxRows (a 100 TB graph's
+    // replaced sidecar can be large long before the debt RATIO trips the
+    // policy); both paths must serve identical results through the same
+    // base ∪ delta − tombstones state
+    val (de, dm) = Hnsw.maintDemoLayout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+    def serve(): Seq[(Long, Long, Double, Int)] =
+      Hnsw.searchIn(spark, de, dm, q, k = 5).orderBy(col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val viaLiterals = serve()
+    val saved = Hnsw.MorLiteralMaxRows
+    Hnsw.MorLiteralMaxRows = 0
+    try {
+      assert(serve() === viaLiterals,
+        "join-fallback resolution diverged from the literal path")
+      // the whole-graph face resolves identically too
+      Hnsw.MorLiteralMaxRows = saved
+      val litGraph = Hnsw.readGraph(spark, de)
+        .select("layer", "src", "dst").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      Hnsw.MorLiteralMaxRows = 0
+      val joinGraph = Hnsw.readGraph(spark, de)
+        .select("layer", "src", "dst").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(litGraph === joinGraph)
+    } finally Hnsw.MorLiteralMaxRows = saved
+  }
+
   test("graph range search: full recall vs the exact threshold scan at the served t; bounded and safe on an unreachable t") {
     import graft.expressions.GraftFunctions
     GraftFunctions.register(spark)
