@@ -597,8 +597,8 @@ object Hnsw {
 
   /** Pin a hop frame. Small path: ONE driver job — the beam is
     * ≤ Ef·|batch| rows of driver metadata, collected once and rebuilt as
-    * a local relation (the next hop broadcast-joins it; a LocalRelation
-    * broadcasts without any extra job); the src ids AND the membership
+    * a local relation (the bulk path's next hop re-joins it); the src
+    * ids AND the membership
     * set (the fixed-point detector's input — free, the rows are already
     * here) fall out of the same collected rows. localCheckpoint + a
     * separate distinct-collect was a measured ~0.2 s/hop of pure
@@ -632,15 +632,13 @@ object Hnsw {
   private def largePanel(entry: Pinned): Boolean =
     entry.nRows.toLong * Ef > PinHopMaxRows
 
-  /** Pin a small frame as a driver-local relation: a LocalRelation-backed
-    * frame BROADCASTS without launching a job (LocalTableScan's
-    * executeCollect returns rows in-process), where a localCheckpointed
-    * frame pays one broadcast-build job PER HOP that re-joins it — the
-    * walk joins the query panel (and any sidecar frames) on every hop,
-    * so across an up-to-12-hop schedule this shaves ~1-2 jobs/hop of
-    * pure driver scheduling (the round-10 verdict's fixed-overhead
-    * item). Only for frames in the documented driver-metadata classes:
-    * the API-sized query panel, the maintenance-batch-sized sidecars.
+  /** Pin a small frame as a driver-local relation. NOTE (measured): even
+    * a LocalRelation-backed broadcast materializes as a 1-task job under
+    * the scheduler — which is why the hop path avoids joins entirely
+    * (probeHop's literal expressions) — but a local pin is still cheaper
+    * than a localCheckpoint where a frame IS re-joined a bounded number
+    * of times (searchPq's entry select and final rescore). Only for
+    * frames in the documented driver-metadata classes.
     */
   private def pinLocal(df: DataFrame): DataFrame = {
     val rows = df.collect()
