@@ -32,7 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // non-id predicates, a different ranked column)
     e.injectOptimizerRule(session => graft.plans.HnswTopKRewrite(session))
     e.injectOptimizerRule(session => graft.plans.HnswBatchTopKRewrite(session))
+    // range precedence mirrors top-k: the graph rule runs first, but the
+    // EXACT IVF range rule (below) outranks it semantically — the graph
+    // rule itself declines when an IVF cell prune is already in the plan,
+    // and the IVF rule stacking above a graph id-IN is harmless (an exact
+    // superset-refilter never drops a qualifying row)
+    e.injectOptimizerRule(session => graft.plans.HnswRangeRewrite(session))
     e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
+    // the range rewrite matches a different shape (Filter threshold, not
+    // Sort+Limit) — no precedence interaction with any rule above; it is
+    // EXACT (superset-then-refilter), so firing order could not change
+    // results even if shapes overlapped
+    e.injectOptimizerRule(session => graft.plans.IvfRangeRewrite(session))
     e.injectOptimizerRule(session => graft.plans.MvAggRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
   }

@@ -283,17 +283,7 @@ object Ann {
     GraftFunctions.register(spark)
     val radii: Map[Int, Double] = spark.read.parquet(kmRadiiLayout(spark, sfDir))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
-    def cosD(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val admitted = cents.filter { case (cell, c) =>
-      val thetaQC = math.acos(clamp(cosD(qVec, c)))
-      val thetaMax = math.acos(clamp(radii.getOrElse(cell, -1.0)))
-      math.cos(math.max(0.0, thetaQC - thetaMax)) >= t - RangeBoundSlack
-    }.map(_._1).sorted
+    val admitted = admittedCells(cents, radii, qVec, t)
     import spark.implicits._
     val qdf = Seq(qVec.toSeq).toDF("q_emb")
     spark.read.parquet(dir)
@@ -304,6 +294,72 @@ object Ann {
         round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
       .filter(col("sim") >= t)
       .select(col("vec_id"), col("sim"))
+  }
+
+  /** BATCH threshold (range) search — [[ivfRangeSearch]] at N queries,
+    * completing the single/batch matrix the top-k faces already have:
+    * per-qid admission is the same driver arithmetic (|panel| × |cells|
+    * bound evaluations over broadcast-sized metadata), the scan carries
+    * ONE literal cell filter for the UNION of every qid's admissible
+    * cells (partition pruning — per-query I/O stays bounded by its own
+    * admitted cells regardless of batch size), and a broadcast
+    * (qid, cell) admission table refines each corpus row to the qids
+    * whose bound admitted its cell BEFORE the exact refilter — so no
+    * qid ever scores a row outside its own admissible set, and the
+    * result provably equals the per-qid exact threshold scan (the
+    * DuckDB oracle). Self-matches (vec_id = qid, the panel convention)
+    * are excluded like every batch search face.
+    */
+  def ivfRangeSearchBatch(spark: SparkSession, sfDir: String,
+                          queries: DataFrame, t: Double): DataFrame = {
+    val (dir, cents) = kmeansLayout(spark, sfDir)
+    GraftFunctions.register(spark)
+    val radii: Map[Int, Double] = spark.read.parquet(kmRadiiLayout(spark, sfDir))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the panel is API-sized (the documented acceptable-collect class);
+    // per-qid admission shares the ONE bound definition
+    val panel = queries.select(col("qid"),
+        graft.functions.VectorOps.toDoubleArray(col("q_emb")).as("__qd"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val admitted: Seq[(Long, Int)] = panel.toSeq.flatMap { case (qid, qv) =>
+      admittedCells(cents, radii, qv, t).map(qid -> _)
+    }
+    import spark.implicits._
+    val admitDf = admitted.toDF("qid", "cell")
+    val allCells = admitted.map(_._2).distinct.sorted
+    spark.read.parquet(dir)
+      .filter(col("cell").isin(allCells.map(Integer.valueOf): _*))
+      .join(broadcast(admitDf), Seq("cell"))
+      .join(broadcast(queries.select(col("qid"), col("q_emb"))), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      .filter(col("sim") >= t)
+      .select(col("qid"), col("vec_id"), col("sim"))
+  }
+
+  /** THE cell-admission bound for threshold (range) search — the ONE
+    * definition shared by [[ivfRangeSearch]] and the transparent
+    * `IvfRangeRewrite` (a drift between the explicit face and the rewrite
+    * would make one of two provably-exact paths silently wrong): a cell c
+    * can hold a member with sim ≥ t only if
+    * cos(max(0, θ(q,c) − θmax(c))) ≥ t − slack, where θmax comes from the
+    * per-cell radius sidecar (missing radius ⇒ θmax = π ⇒ always admit —
+    * the safe default). Driver arithmetic over ≤ |cells| doubles.
+    */
+  def admittedCells(cents: Seq[(Int, Array[Double])], radii: Map[Int, Double],
+                    qVec: Array[Double], t: Double): Seq[Int] = {
+    def clamp(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cents.filter { case (cell, c) =>
+      val thetaQC = math.acos(clamp(cosD(qVec, c)))
+      val thetaMax = math.acos(clamp(radii.getOrElse(cell, -1.0)))
+      math.cos(math.max(0.0, thetaQC - thetaMax)) >= t - RangeBoundSlack
+    }.map(_._1).sorted
   }
 
   /** The learned centers as a (cell, centroid) DataFrame (k rows —

@@ -904,8 +904,16 @@ object Hnsw {
   def searchRange(spark: SparkSession, sfDir: String, queries: DataFrame,
                   t: Double): DataFrame = {
     layout(spark, sfDir)
-    val (_, visited0) = walkGraph(spark, edgesPath(sfDir), metaPath(sfDir), queries)
-    val g = openGraph(spark, edgesPath(sfDir))
+    searchRangeIn(spark, edgesPath(sfDir), metaPath(sfDir), queries, t)
+  }
+
+  /** [[searchRange]] against explicit graph dirs — the face the
+    * transparent range rewrite probes (the searchIn twin).
+    */
+  def searchRangeIn(spark: SparkSession, edgesDir: String, metaDir: String,
+                    queries: DataFrame, t: Double): DataFrame = {
+    val (_, visited0) = walkGraph(spark, edgesDir, metaDir, queries)
+    val g = openGraph(spark, edgesDir)
     val qRows = queries.collect()
     if (qRows.length.toLong * RangeBeamCap > PinHopMaxRows) {
       // bulk-panel path: the distributed range loop (beams on executors)

@@ -78,6 +78,8 @@ object HnswGraphRegistry {
     new ConcurrentHashMap[(String, Long, Seq[Double], Int), Seq[Long]]()
   private val batchMemo =
     new ConcurrentHashMap[(String, Long, Seq[(Long, Seq[Double])], Int), Seq[(Long, Long)]]()
+  private val rangeMemo =
+    new ConcurrentHashMap[(String, Long, Seq[Double], Double), Seq[Long]]()
   private val generation = new ConcurrentHashMap[String, java.lang.Long]()
 
   private def canon(path: String): String = RewriteSupport.canon(path)
@@ -105,7 +107,8 @@ object HnswGraphRegistry {
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = {
-    registry.clear(); probeMemo.clear(); batchMemo.clear(); generation.clear()
+    registry.clear(); probeMemo.clear(); batchMemo.clear(); rangeMemo.clear()
+    generation.clear()
   }
 
   /** Invalidate memoized probes for a graph whose artifact just mutated —
@@ -123,6 +126,8 @@ object HnswGraphRegistry {
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
     val bit = batchMemo.keySet().iterator()
     while (bit.hasNext) if (bit.next()._1 == dir) bit.remove()
+    val rit = rangeMemo.keySet().iterator()
+    while (rit.hasNext) if (rit.next()._1 == dir) rit.remove()
   }
 
   private def generationOf(edgesDir: String): Long =
@@ -150,6 +155,29 @@ object HnswGraphRegistry {
           qdf, k = graft.operators.Hnsw.Ef)
         .orderBy(col("rnk")).collect().map(_.getLong(1)).toSeq
       probeMemo.putIfAbsent(key, walked)
+      walked
+    }
+  }
+
+  /** The RANGE graph probe: run the bounded range walk (schedule +
+    * bounded range hops, Hnsw.searchRangeIn) for the literal query
+    * vector, return every visited id with round-6 sim ≥ t. Same
+    * memoization/locking posture as [[beamIds]]; the result is bounded
+    * by the walk's own caps (≤ Ef + RangeHops·RangeBeamCap·MaxDegree
+    * driver-metadata ids), independent of corpus size.
+    */
+  def rangeIds(spark: SparkSession, e: Entry, qVec: Array[Double],
+               t: Double): Seq[Long] = {
+    val key = (e.edgesDir, generationOf(e.edgesDir), qVec.toSeq, t)
+    Option(rangeMemo.get(key)).getOrElse {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val qdf = Seq((0L, qVec.toSeq)).toDF("qid", "q_emb")
+        .select(col("qid"), col("q_emb").cast("array<float>").as("q_emb"))
+      val walked = graft.operators.Hnsw.searchRangeIn(spark, e.edgesDir,
+          e.metaDir, qdf, t)
+        .orderBy(col("vec_id")).collect().map(_.getLong(1)).toSeq
+      rangeMemo.putIfAbsent(key, walked)
       walked
     }
   }
@@ -530,4 +558,138 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           s"${entry.edgesDir} — serving the exact scan", ex)
         None
     }
+}
+
+/** Transparent GRAPH range (threshold) search — the rewrite face of
+  * Hnsw.searchRange, the third face of the graph rewrite family
+  * (single top-k, batch top-k, range). A user writes the exact range
+  * shape —
+  *
+  *   `WHERE round(cosine_sim(<registered emb col>, <literal vector>), 6) >= t`
+  *
+  * over a graph-registered corpus, and this rule serves the candidate set
+  * from the bounded range walk (schedule descent + capped range hops,
+  * executed AT REWRITE TIME — the same documented probe class as the
+  * top-k faces: the walk reads only index artifacts and returns bounded
+  * driver metadata) by injecting `Filter(id IN <visited ≥ t>)` above the
+  * scan. The user's own predicate re-scores those rows exactly, so the
+  * result IS the explicit face's output (`ann_range_rewrite` shares
+  * `ann_range_search`'s oracle verbatim).
+  *
+  * Approximate by construction (the walk can miss a qualifying node no
+  * graph path reaches) — strictly opt-in via registration, like the
+  * top-k rules and unlike the PROVABLY-EXACT IvfRangeRewrite. Guards
+  * (each falls through to the untouched exact plan):
+  *  - the threshold is a top-level AND-conjunct in the walk's OWN ranking
+  *    form — `round(cs, 6)` ONLY: the walk's ≥ t cut is on round-6 sims,
+  *    so a raw-cosine or coarser-rounded predicate draws the boundary
+  *    differently than the served pool (the IVF range rule can accept the
+  *    raw form because its superset-refilter is exact; this one cannot);
+  *  - the cosine's attr IS the registered embedding column (exprId);
+  *  - pure Project/Filter spine whose other conjuncts are provably benign
+  *    id exclusions (no count bound — there is no LIMIT to starve; an
+  *    excluded id simply leaves the served set);
+  *  - no IVF cell filter already injected below (on a doubly-registered
+  *    table the EXACT IVF range rule outranks this approximate one —
+  *    stacking an id-IN above a cell prune could drop walk results whose
+  *    cells the bound excluded);
+  *  - a probe failure or an empty visited-≥ t pool falls through to the
+  *    exact scan (recall-preserving: an empty pool must not masquerade as
+  *    a served empty result).
+  * With several threshold conjuncts the TIGHTEST t probes (the walk's
+  * visited pool at max(t) re-filtered by all conjuncts is the same set
+  * the user's own predicates leave).
+  */
+case class HnswRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (HnswGraphRegistry.isEmpty) return plan
+    plan.transformDown {
+      case f @ Filter(cond, child) =>
+        tryRewrite(cond, child) match {
+          case Some(newChild) => Filter(cond, newChild)
+          case None => f
+        }
+    }
+  }
+
+  private def spine(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] = p match {
+    case r: LogicalRelation => Some((r, Nil))
+    case pr: Project => spine(pr.child)
+    case fl: Filter => spine(fl.child).map { case (r, cs) => (r, fl.condition +: cs) }
+    case _ => None
+  }
+
+  private def tryRewrite(cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      (rel, spineConds) <- spine(child)
+      entry <- rel.relation match {
+        case fs: HadoopFsRelation =>
+          HnswGraphRegistry.lookup(fs.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+      embAttr <- rel.output.find(_.name == entry.embCol)
+      idAttr <- rel.output.find(_.name == entry.idCol)
+      // idempotence: our own injected id-IN (or the top-k rules')
+      if !child.exists {
+        case f: Filter => f.condition.exists {
+          case In(a: AttributeReference, _) => a.exprId == idAttr.exprId
+          case InSet(a: AttributeReference, _) => a.exprId == idAttr.exprId
+          case _ => false
+        }
+        case _ => false
+      }
+      // exact-rule precedence: an IVF cell prune below means the exact
+      // range rule already served this scan — stacking would be lossy
+      if !IvfIndexRegistry.lookup(rel.relation
+          .asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
+        .exists { ie =>
+          rel.output.find(_.name == ie.cellCol).exists { cellAttr =>
+            child.exists {
+              case f: Filter => f.condition.exists {
+                case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+                case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+                case _ => false
+              }
+              case _ => false
+            }
+          }
+        }
+      // the walk's own ranking form only — round-6 (allowRaw = false)
+      matches = RewriteSupport.thresholdMatches(cond, child, embAttr,
+        allowRaw = false)
+      if matches.nonEmpty
+      (qVec, t) = matches.maxBy(_._2)
+      // every OTHER predicate — the matched Filter's non-threshold
+      // conjuncts AND the spine's — must be a provably benign id
+      // exclusion: an arbitrary row filter (lang = 'en') under walk-served
+      // candidates compounds recall loss invisibly; that is the explicit
+      // ACORN face's job (Hnsw.searchFiltered), not a rewrite's
+      others = RewriteSupport.conjuncts(cond).filter { c =>
+        val m = RewriteSupport.thresholdConjunct(c, allowRaw = false)
+          .orElse(RewriteSupport.thresholdConjunct(
+            RewriteSupport.resolveThresholdAlias(c, child), allowRaw = false))
+        !m.exists(_._1.exprId == embAttr.exprId)
+      }
+      _ <- RewriteSupport.benignExclusions(others ++ spineConds, idAttr)
+      ids <- try {
+        val r = HnswGraphRegistry.rangeIds(spark, entry, qVec, t)
+        if (r.nonEmpty) Some(r) else None
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          logWarning(s"HnswRangeRewrite: range probe failed for " +
+            s"${entry.edgesDir} — serving the exact scan", ex)
+          None
+      }
+    } yield {
+      logInfo(s"HnswRangeRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${entry.idCol} IN (${ids.length} range-walked ids) at t=$t")
+      child.transformUp {
+        case r: LogicalRelation if r eq rel =>
+          Filter(In(idAttr, ids.map(Literal(_))), r)
+      }
+    }
+  }
 }

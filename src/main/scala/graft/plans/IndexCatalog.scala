@@ -96,9 +96,37 @@ object IndexCatalog {
             if vs.size <= graft.operators.Hnsw.Ef &&
               HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) =>
             tags += s"hnsw:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
+          // a LARGER id-IN on a registered table is the range rewrite's
+          // injected visited-≥ t pool (the top-k faces' beams never
+          // exceed Ef) — UNLESS this plan already carries the batch
+          // face's semi-join marker, whose union-of-beams superset
+          // prune is also an over-Ef id-IN on the same graph; carries
+          // the same user-IN ambiguity class as the markers above
+          case In(a: AttributeReference, _)
+            if HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) &&
+              !HnswGraphRegistry.lookup(rels)
+                .exists(e => tags.contains(s"hnsw-batch:${e.edgesDir}")) =>
+            tags += s"hnsw-range:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
+          case InSet(a: AttributeReference, _)
+            if HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) &&
+              !HnswGraphRegistry.lookup(rels)
+                .exists(e => tags.contains(s"hnsw-batch:${e.edgesDir}")) =>
+            tags += s"hnsw-range:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
           case EqualTo(a: AttributeReference, _: Literal)
             if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) =>
             tags += s"ivf:${RewriteSupport.canon(rels.head)}"
+          // the range rewrite's marker: an IN over the registered cell
+          // column (the admissible-cell prune) — only on a radii-armed
+          // registration, so a user-written cell IN list on a top-k-only
+          // index can't read as acceleration
+          case In(a: AttributeReference, _)
+            if IvfIndexRegistry.lookup(rels).exists(e =>
+              e.cellCol == a.name && e.radii.nonEmpty) =>
+            tags += s"ivf-range:${RewriteSupport.canon(rels.head)}"
+          case InSet(a: AttributeReference, _)
+            if IvfIndexRegistry.lookup(rels).exists(e =>
+              e.cellCol == a.name && e.radii.nonEmpty) =>
+            tags += s"ivf-range:${RewriteSupport.canon(rels.head)}"
           case _ => ()
         }
       case lr: LogicalRelation =>

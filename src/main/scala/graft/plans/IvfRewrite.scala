@@ -3,12 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, In, InSet, Literal, Round, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Round, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, IntegerType}
 
 import graft.expressions.CosineSimilarity
 
@@ -34,9 +34,17 @@ import graft.expressions.CosineSimilarity
 object IvfIndexRegistry {
 
   /** One registered IVF index: partition (cell) column name + per-cell
-    * medoid vectors, held driver-side.
+    * medoid vectors, held driver-side. `embCol` (when known) lets the
+    * rules verify the ranked/filtered column IS the indexed one — a second
+    * vector column on the same table ranks by different geometry and must
+    * keep its exact scan. `radii` (the per-cell angular-radius sidecar,
+    * Ann.kmRadiiLayout) arms the PROVABLY-EXACT threshold rewrite
+    * ([[IvfRangeRewrite]]); without it only the approximate top-k rule
+    * fires.
     */
-  final case class Entry(cellCol: String, medoids: Seq[(Int, Array[Double])]) {
+  final case class Entry(cellCol: String, medoids: Seq[(Int, Array[Double])],
+                         embCol: Option[String] = None,
+                         radii: Map[Int, Double] = Map.empty) {
 
     /** Nearest cell by cosine-to-medoid; sim rounded to 6dp and ties broken
       * by cell id, mirroring Ann.ivfSearch's probe so both paths (and the
@@ -76,7 +84,7 @@ object IvfIndexRegistry {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    registry.put(canon(path), Entry(cellCol, medoids))
+    registry.put(canon(path), Entry(cellCol, medoids, Some(embCol)))
   }
 
   /** Register an index from EXPLICIT cell representatives — trained
@@ -85,6 +93,18 @@ object IvfIndexRegistry {
   def registerCentroids(path: String, cellCol: String,
                         centroids: Seq[(Int, Array[Double])]): Unit =
     registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1)))
+
+  /** Register trained centers PLUS the per-cell angular-radius sidecar —
+    * the full index metadata that arms [[IvfRangeRewrite]] (transparent,
+    * provably-exact threshold search) alongside the top-k rule. `embCol`
+    * is required here: an exactness-preserving rewrite must never fire on
+    * a cosine over some other vector column of the same table.
+    */
+  def registerCentroidsWithRadii(path: String, cellCol: String, embCol: String,
+                                 centroids: Seq[(Int, Array[Double])],
+                                 radii: Map[Int, Double]): Unit =
+    registry.put(canon(path),
+      Entry(cellCol, centroids.sortBy(_._1), Some(embCol), radii))
 
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
@@ -122,20 +142,43 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** sim expression behind the sort attribute: unwrap round() and require
-    * cosine_sim(<column>, <literal vector>) (either argument order).
+    * cosine_sim(<column>, <literal vector>) (either argument order). The
+    * ranked column attribute comes back with the vector so the caller can
+    * verify it IS the registered embedding column (wrong-index hijack
+    * guard — a second vector column on the same table ranks by different
+    * geometry and must keep its exact scan).
     */
-  private def simQueryVector(e: Expression): Option[Array[Double]] = e match {
+  private def simQueryVector(e: Expression): Option[(AttributeReference, Array[Double])] = e match {
     case r: Round => simQueryVector(r.child)
-    case CosineSimilarity(_: AttributeReference, l: Literal) => RewriteSupport.literalVec(l)
-    case CosineSimilarity(l: Literal, _: AttributeReference) => RewriteSupport.literalVec(l)
+    case CosineSimilarity(a: AttributeReference, l: Literal) =>
+      RewriteSupport.literalVec(l).map((a, _))
+    case CosineSimilarity(l: Literal, a: AttributeReference) =>
+      RewriteSupport.literalVec(l).map((a, _))
     case _ => None
+  }
+
+  /** Pure Project/Filter spine from the sort down to the scan — a join,
+    * aggregate, sample, or distinct shapes the candidate row set in ways
+    * a single-cell prune cannot account for (the HnswTopKRewrite guard,
+    * generalized to this rule in round 11; unlike that rule, row-level
+    * FILTERS stay admissible with no benign-exclusion audit — the prune
+    * keeps a whole cell, so user predicates act within the full candidate
+    * cell rather than starving a k-id beam: the standard filtered-search
+    * composition of a vector database).
+    */
+  private def pureSpine(p: LogicalPlan): Boolean = p match {
+    case _: LogicalRelation => true
+    case pr: Project => pureSpine(pr.child)
+    case f: Filter => pureSpine(f.child)
+    case _ => false
   }
 
   private def tryRewrite(ref: AttributeReference, child: LogicalPlan): Option[LogicalPlan] = {
     val simExpr = child.collect { case p: Project => p.projectList }.flatten
       .collectFirst { case a: Alias if a.exprId == ref.exprId => a.child }
     for {
-      qVec <- simExpr.flatMap(simQueryVector)
+      (simAttr, qVec) <- simExpr.flatMap(simQueryVector)
+      if pureSpine(child)
       rel <- child.collectFirst {
         case r @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
           if IvfIndexRegistry.lookup(fs.location.rootPaths.map(_.toString)).isDefined => r
@@ -177,12 +220,20 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case _ => false
           }
         }
+      // ranked-column guard (when the registration recorded the indexed
+      // embedding column): the cosine's attribute must BE that column of
+      // the registered relation, matched by exprId — a same-named column
+      // from elsewhere on the plan can never pass
+      if entry.embCol.forall(n =>
+        rel.output.exists(o => o.exprId == simAttr.exprId && o.name == n))
       cellAttr <- rel.output.find(_.name == entry.cellCol)
-      // idempotence under the fixed-point optimizer batch: fire once
+      // idempotence under the fixed-point optimizer batch: fire once —
+      // exprId-matched against the registered relation's resolved cell
+      // column (a same-named column from elsewhere can never mask it)
       if !child.exists {
         case f: Filter => f.condition.exists {
-          case EqualTo(a: AttributeReference, _: Literal) => a.name == entry.cellCol
-          case EqualTo(_: Literal, a: AttributeReference) => a.name == entry.cellCol
+          case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
+          case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
           case _ => false
         }
         case _ => false
@@ -196,4 +247,114 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
   }
+}
+
+/** Transparent, PROVABLY-EXACT threshold (range) search — the rewrite face
+  * of Ann.ivfRangeSearch, serving the reference's documented-but-vapor
+  * `threshold` param (`/root/reference/README.md:138`) straight from the
+  * SQL shape. A user writes the exact range query —
+  *
+  *   `WHERE round(cosine_sim(embedding, <literal query vector>), 6) >= t`
+  *   (or the bare unrounded cosine; > as well as >=)
+  *
+  * against a cell-partitioned table registered WITH its per-cell
+  * angular-radius sidecar, and this rule injects
+  * `Filter(cell IN <admissible cells>)` above the scan — partition
+  * pruning — where admissibility is the ONE shared bound
+  * (Ann.admittedCells): on the unit sphere any member x of cell c has
+  * θ(q,x) ≥ θ(q,c) − θmax(c), so a cell whose bound falls below t − slack
+  * provably holds no qualifying row. Unlike the top-k rules this rewrite
+  * is EXACT — superset-then-refilter: the user's own predicate still runs
+  * on every surviving row, so the result equals the unrewritten scan bit
+  * for bit (AnnKmeansSpec pins it at three thresholds) — which is why it
+  * may fire alongside arbitrary other conjuncts: dropping rows that
+  * provably fail one conjunct can never change a conjunction's row set.
+  *
+  * Firing guards (each falls through to the untouched exact plan):
+  *  - the threshold predicate is a TOP-LEVEL CONJUNCT of the Filter —
+  *    inside an OR/NOT a failing sim no longer implies a failing row;
+  *  - the sim is the engine's canonical ranking form — `round(cs, 6)` or
+  *    the raw cosine. Any other rounding scale widens the pass band
+  *    beyond the bound's slack (round(cs, 2) ≥ t admits raw sims down to
+  *    t − 0.005, far outside RangeBoundSlack = 1e-5) and falls through;
+  *  - the cosine's column IS the registered embedding column of the
+  *    registered relation (exprId-matched) — exactness is only proven for
+  *    the geometry the radii were measured on;
+  *  - the registration carries radii (registerCentroidsWithRadii) — a
+  *    top-k-only registration must not arm a bound it has no sidecar for;
+  *  - the Filter sits on a pure Project/Filter spine over the relation —
+  *    through those, removing provably-failing corpus rows is airtight;
+  *    under arbitrary operators (outer joins' null-padding, anti-join
+  *    row resurrection) the argument needs per-shape proofs, so fall
+  *    through;
+  *  - at least one cell is actually pruned — injecting an all-cells IN
+  *    list is plan noise for zero I/O saved.
+  *
+  * With several threshold conjuncts the TIGHTEST bound prunes (a row must
+  * satisfy all of them, so admission at max(t) is still a superset).
+  */
+case class IvfRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (IvfIndexRegistry.isEmpty) return plan
+    plan.transformDown {
+      case f @ Filter(cond, child) =>
+        tryRewrite(cond, child) match {
+          case Some(newChild) => Filter(cond, newChild)
+          case None => f
+        }
+    }
+  }
+
+  /** Pure Project/Filter spine down to the registered relation. */
+  private def spineRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case r: LogicalRelation => Some(r)
+    case pr: Project => spineRelation(pr.child)
+    case f: Filter => spineRelation(f.child)
+    case _ => None
+  }
+
+  private def tryRewrite(cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      rel <- spineRelation(child)
+      entry <- registeredOf(rel)
+      if entry.radii.nonEmpty
+      embColName <- entry.embCol
+      embAttr <- rel.output.find(_.name == embColName)
+      cellAttr <- rel.output.find(_.name == entry.cellCol)
+      // idempotence under the fixed-point batch: our own injected In
+      if !child.exists {
+        case f: Filter => f.condition.exists {
+          case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+          case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+          case _ => false
+        }
+        case _ => false
+      }
+      // the raw (unrounded) cosine is admissible here: the bound's slack
+      // covers float noise directly, no rounding band to account for
+      matches = RewriteSupport.thresholdMatches(cond, child, embAttr,
+        allowRaw = true)
+      if matches.nonEmpty
+      (qVec, t) = matches.maxBy(_._2)
+      admitted = graft.operators.Ann.admittedCells(
+        entry.medoids, entry.radii, qVec, t)
+      // an all-cells IN list is plan noise for zero I/O saved
+      if admitted.size < entry.medoids.size
+    } yield {
+      logInfo(s"IvfRangeRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${entry.cellCol} IN (${admitted.size}/${entry.medoids.size} cells) at t=$t")
+      child.transformUp {
+        case r: LogicalRelation if r eq rel =>
+          Filter(In(cellAttr, admitted.map(Literal(_))), r)
+      }
+    }
+  }
+
+  private def registeredOf(r: LogicalRelation): Option[IvfIndexRegistry.Entry] =
+    r.relation match {
+      case fs: HadoopFsRelation =>
+        IvfIndexRegistry.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
 }

@@ -1,8 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, IsNotNull, Literal, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, Not, Round}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, IntegerType}
+
+import graft.expressions.CosineSimilarity
 
 /** Shared helpers for the transparent-index rewrite rules (IvfTopKRewrite,
   * HnswTopKRewrite): ONE path canonicalization (registry keys and
@@ -23,6 +26,97 @@ private[plans] object RewriteSupport {
     case (v: ArrayData, ArrayType(DoubleType, _)) => Some(v.toDoubleArray())
     case _ => None
   }
+
+  /** Top-level AND-conjuncts of a condition — the granularity at which a
+    * threshold predicate may be served (inside an OR/NOT a failing sim no
+    * longer implies a failing row).
+    */
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The threshold literal as a double — the comparison side Spark typed
+    * for the user (plain `0.2` is a double in DataFrame code, a decimal
+    * in SQL).
+    */
+  def thresholdOf(l: Literal): Option[Double] = (l.value, l.dataType) match {
+    case (v: java.lang.Double, DoubleType) => Some(v.doubleValue)
+    case (v: java.lang.Float, FloatType) => Some(v.doubleValue)
+    case (v: org.apache.spark.sql.types.Decimal, _: DecimalType) => Some(v.toDouble)
+    case _ => None
+  }
+
+  /** `sim ≥ t` / `sim > t` (either literal side) with sim in the engine's
+    * canonical ranking form — `round(cosine_sim(attr, <literal vec>), 6)`,
+    * or the bare cosine when `allowRaw` (sound for the IVF bound, whose
+    * slack covers raw floats; the GRAPH walk's own ≥ t cut is on round-6
+    * sims, so its rewrite requires the round form). ONE definition shared
+    * by both range rewrites. Returns (ranked attr, query vector, t).
+    */
+  def thresholdConjunct(e: Expression, allowRaw: Boolean): Option[(AttributeReference, Array[Double], Double)] = {
+    def sim(x: Expression): Option[(AttributeReference, Array[Double])] = x match {
+      case r: Round => r.scale match {
+        case Literal(6, IntegerType) => bare(r.child)
+        case _ => None
+      }
+      case _ if allowRaw => bare(x)
+      case _ => None
+    }
+    def bare(x: Expression): Option[(AttributeReference, Array[Double])] = x match {
+      case CosineSimilarity(a: AttributeReference, l: Literal) =>
+        literalVec(l).map((a, _))
+      case CosineSimilarity(l: Literal, a: AttributeReference) =>
+        literalVec(l).map((a, _))
+      case _ => None
+    }
+    e match {
+      case GreaterThanOrEqual(s, t: Literal) =>
+        for { (a, q) <- sim(s); tv <- thresholdOf(t) } yield (a, q, tv)
+      case GreaterThan(s, t: Literal) =>
+        for { (a, q) <- sim(s); tv <- thresholdOf(t) } yield (a, q, tv)
+      case LessThanOrEqual(t: Literal, s) =>
+        for { (a, q) <- sim(s); tv <- thresholdOf(t) } yield (a, q, tv)
+      case LessThan(t: Literal, s) =>
+        for { (a, q) <- sim(s); tv <- thresholdOf(t) } yield (a, q, tv)
+      case _ => None
+    }
+  }
+
+  /** Resolve an attribute-valued comparison side through the spine's
+    * Projects (the pre-pushdown shape `withColumn("sim", …).filter(…)`,
+    * where the Filter still references the alias).
+    */
+  def resolveThresholdAlias(e: Expression, child: LogicalPlan): Expression = {
+    def resolve(x: Expression): Expression = x match {
+      case a: AttributeReference =>
+        child.collect { case p: Project => p.projectList }.flatten
+          .collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+          .getOrElse(x)
+      case other => other
+    }
+    e match {
+      case GreaterThanOrEqual(s, t: Literal) => GreaterThanOrEqual(resolve(s), t)
+      case GreaterThan(s, t: Literal) => GreaterThan(resolve(s), t)
+      case LessThanOrEqual(t: Literal, s) => LessThanOrEqual(t, resolve(s))
+      case LessThan(t: Literal, s) => LessThan(t, resolve(s))
+      case other => other
+    }
+  }
+
+  /** All threshold conjuncts of a Filter condition that rank the given
+    * embedding attribute, alias-resolved through the spine — the shared
+    * front half of both range rewrites. Returns (query vector, t) pairs.
+    */
+  def thresholdMatches(cond: Expression, child: LogicalPlan,
+                       embAttr: AttributeReference,
+                       allowRaw: Boolean): Seq[(Array[Double], Double)] =
+    conjuncts(cond)
+      .map { c => thresholdConjunct(c, allowRaw) match {
+        case None => thresholdConjunct(resolveThresholdAlias(c, child), allowRaw)
+        case some => some
+      }}
+      .collect { case Some((a, q, t)) if a.exprId == embAttr.exprId => (q, t) }
 
   /** Some(#distinct excluded ids) iff EVERY conjunct of every condition is
     * a provably benign id exclusion: `NOT (id = <literal>)` or

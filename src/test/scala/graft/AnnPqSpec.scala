@@ -274,12 +274,13 @@ class AnnPqSpec extends AnyFunSuite
       .filter(col("cell").isin(probes: _*))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
-    val numFiles = pruned.queryExecution.executedPlan.collectLeaves().head
-      .metrics.get("numFiles")
     pruned.count() // materialize metrics
-    // ≤ nprobe of the 10 cell dirs read (allow a straggler split per dir)
-    numFiles.foreach(m => assert(m.value <= 6,
-      s"read ${m.value} files for a 3-cell probe — pruning failed"))
+    // ≤ nprobe of the 10 cell dirs read (allow a straggler split per dir);
+    // .get — a plan with no measurable file scan must FAIL, not skip
+    // (round-11: Option.foreach pins silently pass on AQE-opaque plans)
+    val numFiles = PlanTestUtil.scannedFiles(pruned).get
+    assert(numFiles <= 6,
+      s"read $numFiles files for a 3-cell probe — pruning failed")
     // the codes table carries NO float vectors: everything before the
     // rescore is (vec_id, codes, cell) — ADC is pure table lookups
     assert(spark.read.parquet(codesDir).columns.toSet === Set("vec_id", "codes", "cell"))

@@ -126,10 +126,10 @@ class CdcSnapshotSpec extends AnyFunSuite {
       .toSeq === Seq((37L, 37.0)))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
-    val files = q.queryExecution.executedPlan.collectLeaves().head
-      .metrics.get("numFiles")
-    files.foreach(m => assert(m.value <= 1,
-      s"read ${m.value} files for a point lookup — bucket pruning failed"))
+    // .get — a plan with no measurable file scan must FAIL, not skip
+    val files = PlanTestUtil.scannedFiles(q).get
+    assert(files <= 1,
+      s"read $files files for a point lookup — bucket pruning failed")
   }
 
   test("streaming loop: per-trigger changesets keep the snapshot queryable and right") {

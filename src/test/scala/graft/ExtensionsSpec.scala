@@ -50,9 +50,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(plan.contains("TakeOrderedAndProject"),
         s"rewritten plan lost per-partition top-k:\n$plan")
       val rows = pruned.collect()
-      pruned.queryExecution.executedPlan.collectLeaves().head
-        .metrics.get("numFiles").foreach(m =>
-          assert(m.value <= 2, s"read ${m.value} files — pruning failed"))
+      // .get — a plan with no measurable file scan must FAIL, not skip
+      val nf = PlanTestUtil.scannedFiles(pruned).get
+      assert(nf <= 2, s"read $nf files — pruning failed")
       // identical output to the explicit probe-and-prune operator
       val explicit = SparkEntry.queries("ann_ivf")(spark, dir).collect()
       assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ===

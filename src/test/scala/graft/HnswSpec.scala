@@ -1046,6 +1046,80 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.searchRange(spark, sf, q, t = 0.999).collect().isEmpty)
   }
 
+  test("transparent range rewrite (graph): SQL threshold shape served by the walk; guards fall through") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference => CAttr, In => CIn, InSet => CInSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def fired(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.exists {
+      case f: LFilter => f.condition.exists {
+        case CIn(a: CAttr, _) => a.name == "vec_id"
+        case CInSet(a: CAttr, _) => a.name == "vec_id"
+        case _ => false
+      }
+      case _ => false
+    }
+    def rangeQ(t: Double) = spark.read.parquet(corpus)
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), typedLit(qv)), 6))
+      .filter(col("sim") >= t)
+      .select(col("vec_id"), col("sim"))
+    try {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      // served result ≡ the explicit range face (the user's own predicate
+      // exact-rescored the injected visited-≥ t pool)
+      val served = rangeQ(0.2)
+      assert(fired(served), "graph range rewrite did not fire")
+      val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("q_emb"))
+      val explicit = Hnsw.searchRange(spark, sf, q, t = 0.2)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        === explicit, "transparent range face diverged from the explicit walk")
+      // a benign id exclusion composes (result = walk set minus the id)...
+      val excl = spark.read.parquet(corpus).filter(col("vec_id") =!= 0L)
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), typedLit(qv)), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("vec_id"), col("sim"))
+      assert(fired(excl), "benign id exclusion blocked the range rewrite")
+      assert(excl.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        === explicit.filterNot(_._1 == 0L))
+      // fall-throughs, each leaving the exact plan:
+      // (a) the raw (unrounded) cosine draws the ≥ t boundary differently
+      //     than the walk's round-6 cut
+      val raw = spark.read.parquet(corpus)
+        .withColumn("sim", GraftFunctions.cosineSim(col("embedding"), typedLit(qv)))
+        .filter(col("sim") >= 0.2).select(col("vec_id"), col("sim"))
+      assert(!fired(raw), "range rewrite fired on a raw-cosine threshold")
+      // (b) a non-benign predicate (id range) compounds recall loss —
+      //     the explicit ACORN face's job
+      val rangePred = spark.read.parquet(corpus)
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), typedLit(qv)), 6))
+        .filter(col("sim") >= 0.2 && col("vec_id") >= 100L)
+        .select(col("vec_id"), col("sim"))
+      assert(!fired(rangePred), "range rewrite fired under an id-range predicate")
+      // (c) inside an OR a failing sim no longer implies a failing row
+      val orQ = spark.read.parquet(corpus)
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), typedLit(qv)), 6))
+        .filter(col("sim") >= 0.2 || col("vec_id") === 3L)
+        .select(col("vec_id"), col("sim"))
+      assert(!fired(orQ), "range rewrite fired on an OR condition")
+      // (d) unregistered → exact scan, same rows
+      graft.plans.HnswGraphRegistry.clear()
+      assert(!fired(rangeQ(0.2)), "range rewrite fired unregistered")
+    } finally graft.plans.HnswGraphRegistry.clear()
+  }
+
   test("maintenance plan on a pure-debt graph decides compact, never serve") {
     // round-10 advisor: a fully-tombstoned graph resolves to ZERO live
     // nodes/edges; raw ratio divisions then yield nulls, every threshold

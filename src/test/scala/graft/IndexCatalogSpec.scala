@@ -109,6 +109,29 @@ class IndexCatalogSpec extends AnyFunSuite {
           .cosineSim(col("embedding"), lit(qvd)), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
       assert(IndexCatalog.servedBy(ivfQ).exists(_.startsWith("ivf:")))
+      // IVF range prune (the radii-armed threshold rewrite's IN marker)
+      val radii = spark.read.parquet(Ann.kmRadiiLayout(spark, sf))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      IvfIndexRegistry.registerCentroidsWithRadii(kmPath, "cell", "embedding",
+        Ann.kmeansLayout(spark, sf)._2, radii)
+      // t=0.99: the self-match regime, the one place this near-uniform
+      // fixture's angular bound can skip a cell (see AnnKmeansSpec)
+      val rangeQ = spark.read.parquet(kmPath)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), lit(qvd)), 6))
+        .filter(col("sim") >= 0.99)
+        .select(col("vec_id"), col("sim"))
+      assert(IndexCatalog.servedBy(rangeQ).exists(_.startsWith("ivf-range:")),
+        s"range marker missing: ${IndexCatalog.servedBy(rangeQ)}")
+      // graph range face: the injected visited-≥ t id pool tags the graph
+      // (hnsw-range: above the top-k beam width, hnsw: at or under it)
+      val grQ = spark.read.parquet(corpus)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), typedLit(qv)), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("vec_id"), col("sim"))
+      assert(IndexCatalog.servedBy(grQ).exists(_.startsWith("hnsw")),
+        s"graph range marker missing: ${IndexCatalog.servedBy(grQ)}")
       // MV rollup
       val mvQ = spark.read.parquet(mvSrc).groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_n_chars"))

@@ -21,10 +21,10 @@ class ScaleLayoutSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
     // only 1 of the 10 label directories is read
-    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head
-      .metrics.get("numFiles")
     pruned.count() // materialize metrics
-    scanned.foreach(m => assert(m.value <= 2, s"read ${m.value} files — pruning failed"))
+    // .get — a plan with no measurable file scan must FAIL, not skip
+    val scanned = PlanTestUtil.scannedFiles(pruned).get
+    assert(scanned <= 2, s"read $scanned files — pruning failed")
     assert(pruned.count() === Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("label") === 3).count())
   }

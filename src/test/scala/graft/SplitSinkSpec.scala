@@ -37,11 +37,11 @@ class SplitSinkSpec extends AnyFunSuite {
     val plan = train.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
     train.count() // materialize scan metrics
-    val trainFiles = train.queryExecution.executedPlan.collectLeaves().head
-      .metrics.get("numFiles").map(_.value)
+    // .get — a plan with no measurable file scan must FAIL, not skip
+    val trainFiles = PlanTestUtil.scannedFiles(train).get
     val allFiles = back.inputFiles.length.toLong
-    trainFiles.foreach(n => assert(n < allFiles,
-      s"train read $n of $allFiles files — pruning failed"))
+    assert(trainFiles < allFiles,
+      s"train read $trainFiles of $allFiles files — pruning failed")
 
     // split assignment in the files matches the hash rule (pure doc_id fn)
     val wrong = back.withColumn("bucket",
