@@ -64,6 +64,46 @@ object IndexCatalog {
       .orderBy(col("kind"), col("table_path"))
   }
 
+  /** Catalog-wide maintenance tick — ONE verb acting on every registered
+    * index's current decision (the per-family loops composed: `compact` →
+    * Hnsw.maintainGraph, `refresh` → MvRegistry.refreshIfStale; IVF rows
+    * are registry metadata whose layouts carry their own threshold
+    * auto-compaction, so `serve` is their only decision here). Returns
+    * the catalog rows with an `action` column recording what the tick
+    * did — a healthy catalog ticks to all-noop (compaction rewrites whole
+    * artifacts and must not run on every tick), and a second tick after
+    * any action reads all-serve (IndexCatalogSpec pins both plus the
+    * repair itself). Mutating, so a spec-pinned operability verb rather
+    * than a registered snapshot query — the same posture as the
+    * per-family verbs it composes.
+    */
+  def maintainAll(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = indexes(spark).collect().map { r =>
+      val (kind, tablePath, decision) =
+        (r.getString(0), r.getString(1), r.getString(7))
+      val action = (kind, decision) match {
+        case ("hnsw", "compact") =>
+          // a registration unregistered between the listing and this tick
+          // is a no-op, not an NPE
+          HnswGraphRegistry.entries
+            .collectFirst { case (p, e) if p == tablePath => e } match {
+            case Some(e) =>
+              graft.operators.Hnsw.maintainGraph(spark, e.edgesDir, e.metaDir)
+              "compacted"
+            case None => "noop"
+          }
+        case ("mv", "refresh") =>
+          if (MvRegistry.refreshIfStale(spark, tablePath)) "refreshed"
+          else "noop"
+        case _ => "noop"
+      }
+      (kind, tablePath, decision, action)
+    }
+    rows.toSeq.toDF("kind", "table_path", "decision", "action")
+      .orderBy(col("kind"), col("table_path"))
+  }
+
   private def rootPaths(p: LogicalPlan): Seq[String] = p.collect {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location.rootPaths.map(_.toString)

@@ -77,6 +77,59 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(src)
   }
 
+  test("maintainAll: one tick repairs every drifted index; the next tick is all-noop") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cat-ma").toString + "/t"
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      // a graph clone carrying real tombstone debt (> 2% of live nodes —
+      // the pinned compact threshold; ids away from the entry so the
+      // compaction's re-election is not load-bearing here)
+      Hnsw.layout(spark, sf)
+      val conf = spark.sessionState.newHadoopConf()
+      val e = Hnsw.edgesPath(sf) + "-maintall"
+      val m = Hnsw.metaPath(sf) + "-maintall"
+      Seq(e, m, Hnsw.deltaPath(e), Hnsw.replacedPath(e), Hnsw.tombstonesPath(e))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+      Hnsw.fsCopy(spark, Hnsw.edgesPath(sf), e)
+      Hnsw.fsCopy(spark, Hnsw.shardsPath(Hnsw.edgesPath(sf)), Hnsw.shardsPath(e))
+      Hnsw.fsCopy(spark, Hnsw.metaPath(sf), m)
+      spark.read.parquet(Hnsw.shardsPath(e)).select(col("vec_id")).distinct()
+        .filter(col("vec_id").between(100L, 129L))
+        .write.mode("overwrite").parquet(Hnsw.tombstonesPath(e))
+      HnswGraphRegistry.register(e + "-corpus", "vec_id", "embedding", e, m)
+      // a drifted MV
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(src)
+      MvRegistry.register(spark, src, src + "-mv", "lang", Seq("n_chars"))
+      Seq((3L, "fr", 30L)).toDF("doc_id", "lang", "n_chars")
+        .write.mode("append").parquet(src)
+      // a healthy IVF registration (serve is its only decision here)
+      val (kmPath, cents) = Ann.kmeansLayout(spark, sf)
+      IvfIndexRegistry.registerCentroids(kmPath, "cell", cents)
+      // pre-tick decisions: graph compact, mv refresh, ivf serve
+      val before = IndexCatalog.indexes(spark).collect()
+        .map(r => r.getString(0) -> r.getString(7)).toMap
+      assert(before === Map("hnsw" -> "compact", "mv" -> "refresh", "ivf" -> "serve"))
+      // ONE tick repairs both drifted indexes
+      val t1 = IndexCatalog.maintainAll(spark).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(t1 === Map("hnsw" -> "compacted", "mv" -> "refreshed", "ivf" -> "noop"))
+      // the catalog now reads all-serve and the next tick is all-noop
+      // (compaction rewrites whole artifacts — it must not run per tick)
+      assert(IndexCatalog.indexes(spark).collect()
+        .map(_.getString(7)).toSet === Set("serve"))
+      assert(IndexCatalog.maintainAll(spark).collect()
+        .map(_.getString(3)).toSet === Set("noop"))
+    } finally {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      MvRegistry.unregister(src)
+    }
+  }
+
   test("servedBy: names the serving index per face; exact queries report none") {
     import graft.expressions.GraftFunctions
     try {
