@@ -256,6 +256,14 @@ object Ann {
       out
     })
 
+  /** The radii sidecar as the (cell → min_cos) map the bound consumes —
+    * ONE loader for the search faces, the rewrite registration, and the
+    * specs (a sidecar schema change lands once).
+    */
+  def loadRadii(spark: SparkSession, sfDir: String): Map[Int, Double] =
+    spark.read.parquet(kmRadiiLayout(spark, sfDir))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
   /** Float-vs-double noise allowance on the cell-admission bound: slack
     * can only ADD probed cells (extra I/O), never drop a qualifying one
     * (lost answers) — the refilter keeps the result exact regardless.
@@ -281,8 +289,7 @@ object Ann {
                      t: Double): DataFrame = {
     val (dir, cents) = kmeansLayout(spark, sfDir)
     GraftFunctions.register(spark)
-    val radii: Map[Int, Double] = spark.read.parquet(kmRadiiLayout(spark, sfDir))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii = loadRadii(spark, sfDir)
     val admitted = admittedCells(cents, radii, qVec, t)
     import spark.implicits._
     val qdf = Seq(qVec.toSeq).toDF("q_emb")
@@ -314,8 +321,7 @@ object Ann {
                           queries: DataFrame, t: Double): DataFrame = {
     val (dir, cents) = kmeansLayout(spark, sfDir)
     GraftFunctions.register(spark)
-    val radii: Map[Int, Double] = spark.read.parquet(kmRadiiLayout(spark, sfDir))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii = loadRadii(spark, sfDir)
     // the panel is API-sized (the documented acceptable-collect class);
     // per-qid admission shares the ONE bound definition
     val panel = queries.select(col("qid"),

@@ -641,16 +641,27 @@ case class HnswRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         case _ => false
       }
-      // exact-rule precedence: an IVF cell prune below means the exact
-      // range rule already served this scan — stacking would be lossy
+      // exact-rule precedence — by REGISTRY state, not plan state: a
+      // radii-armed IVF registration on this relation means its owner
+      // chose PROVABLY-EXACT threshold serving, so this approximate rule
+      // must decline outright (a plan-state check alone inverts the
+      // precedence: this rule is injected first, so on the first
+      // optimizer pass no cell filter can exist yet and the walk's id-IN
+      // would constrain a query the exact rule's contract promises full
+      // results for — caught by an in-round review probe). The
+      // plan-state check stays as a second line for a scan pre-pruned by
+      // any other path, matching the EqualTo form OptimizeIn folds a
+      // single-cell IN into.
       if !IvfIndexRegistry.lookup(rel.relation
           .asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
         .exists { ie =>
-          rel.output.find(_.name == ie.cellCol).exists { cellAttr =>
+          ie.radii.nonEmpty || rel.output.find(_.name == ie.cellCol).exists { cellAttr =>
             child.exists {
               case f: Filter => f.condition.exists {
                 case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
                 case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+                case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
+                case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
                 case _ => false
               }
               case _ => false

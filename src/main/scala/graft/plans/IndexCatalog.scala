@@ -85,13 +85,15 @@ object IndexCatalog {
       val action = (kind, decision) match {
         case ("hnsw", "compact") =>
           // a registration unregistered between the listing and this tick
-          // is a no-op, not an NPE
+          // is a no-op, not an NPE; and the action records what the verb
+          // ACTUALLY did — maintainGraph re-reads the plan itself, so a
+          // decision that drifted between listing and tick (a concurrent
+          // maintenance call already compacted) reports noop, not a lie
           HnswGraphRegistry.entries
             .collectFirst { case (p, e) if p == tablePath => e } match {
-            case Some(e) =>
-              graft.operators.Hnsw.maintainGraph(spark, e.edgesDir, e.metaDir)
-              "compacted"
-            case None => "noop"
+            case Some(e) if graft.operators.Hnsw
+              .maintainGraph(spark, e.edgesDir, e.metaDir) => "compacted"
+            case _ => "noop"
           }
         case ("mv", "refresh") =>
           if (MvRegistry.refreshIfStale(spark, tablePath)) "refreshed"
@@ -117,7 +119,16 @@ object IndexCatalog {
     * query ran exact/unaccelerated.
     */
   def servedBy(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
     val plan = df.queryExecution.optimizedPlan
+    // the top-k rules only fire under a Limit; a cell EqualTo WITHOUT one
+    // is the range rewrite's single-admitted-cell IN after OptimizeIn
+    // folded it (missing this misattributed the range face as top-k)
+    val hasLimit = plan.exists {
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case _ => false
+    }
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
     plan.foreach {
       case j: Join if j.joinType == LeftSemi &&
@@ -154,7 +165,10 @@ object IndexCatalog {
             tags += s"hnsw-range:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
           case EqualTo(a: AttributeReference, _: Literal)
             if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) =>
-            tags += s"ivf:${RewriteSupport.canon(rels.head)}"
+            val armed = IvfIndexRegistry.lookup(rels).exists(_.radii.nonEmpty)
+            tags += (if (armed && !hasLimit)
+              s"ivf-range:${RewriteSupport.canon(rels.head)}"
+            else s"ivf:${RewriteSupport.canon(rels.head)}")
           // the range rewrite's marker: an IN over the registered cell
           // column (the admissible-cell prune) — only on a radii-armed
           // registration, so a user-written cell IN list on a top-k-only

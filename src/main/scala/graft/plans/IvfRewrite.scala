@@ -322,13 +322,22 @@ case class IvfRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       embColName <- entry.embCol
       embAttr <- rel.output.find(_.name == embColName)
       cellAttr <- rel.output.find(_.name == entry.cellCol)
-      // idempotence under the fixed-point batch: our own injected In
+      // idempotence under the fixed-point batch: our own injected In —
+      // INCLUDING the EqualTo form OptimizeIn folds a single-admitted-cell
+      // IN into, and INCLUDING the matched Filter's OWN condition, where
+      // CombineFilters merges the injected filter before the next batch
+      // iteration (missing either re-fired the rule and stacked a
+      // duplicate prune; caught by an in-round review probe)
+      cellPred = (e: Expression) => e.exists {
+        case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+        case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+        case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
+        case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
+        case _ => false
+      }
+      if !cellPred(cond)
       if !child.exists {
-        case f: Filter => f.condition.exists {
-          case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-          case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-          case _ => false
-        }
+        case f: Filter => cellPred(f.condition)
         case _ => false
       }
       // the raw (unrounded) cosine is admissible here: the bound's slack

@@ -895,8 +895,7 @@ object PipelineQueries {
     "ivf_range_rewrite" -> ((s, dir) => {
       import graft.expressions.GraftFunctions
       val (path, cents) = Ann.kmeansLayout(s, dir)
-      val radii = s.read.parquet(Ann.kmRadiiLayout(s, dir))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val radii = Ann.loadRadii(s, dir)
       graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(
         path, "cell", "embedding", cents, radii)
       GraftFunctions.register(s)

@@ -224,8 +224,7 @@ class AnnKmeansSpec extends AnyFunSuite {
     // collectLeaves sum is empty on this joined plan and would pass
     // vacuously).
     val (_, cents) = Ann.kmeansLayout(spark, sf)
-    val radii = spark.read.parquet(Ann.kmRadiiLayout(spark, sf))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii = Ann.loadRadii(spark, sf)
     val t = 0.99
     val panel = qs.collect().map(r =>
       (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -245,8 +244,7 @@ class AnnKmeansSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.{In => CIn}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val (path, cents) = Ann.kmeansLayout(spark, sf)
-    val radii = spark.read.parquet(Ann.kmRadiiLayout(spark, sf))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii = Ann.loadRadii(spark, sf)
     GraftFunctions.register(spark)
     val ivf = spark.read.parquet(path)
     val qVec = ivf.filter(col("vec_id") === 0)
@@ -317,6 +315,38 @@ class AnnKmeansSpec extends AnyFunSuite {
         s"rewrite scanned $scanned files for ${admitted99.length} admitted cells")
       assert(scanned < ivf.inputFiles.length,
         s"transparent range rewrite did not file-prune: $scanned of ${ivf.inputFiles.length}")
+      // doubly-registered table (an in-round review probe): arming the
+      // SAME relation with a graph registration must NOT let the
+      // approximate walk's id-IN constrain this provably-exact query —
+      // the graph range rule declines on REGISTRY state (radii-armed
+      // IVF present), and the exact cell prune keeps serving
+      graft.operators.Hnsw.layout(spark, sf)
+      graft.plans.HnswGraphRegistry.register(path, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(sf), graft.operators.Hnsw.metaPath(sf))
+      try {
+        val doubly = ivf
+          .withColumn("sim",
+            round(GraftFunctions.cosineSim(col("embedding"), lit(qVec)), 6))
+          .filter(col("sim") >= 0.99)
+          .select(col("vec_id"), col("sim"))
+        val idIn = doubly.queryExecution.optimizedPlan.exists {
+          case f: LFilter => f.condition.exists {
+            case CIn(a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) =>
+              a.name == "vec_id"
+            case org.apache.spark.sql.catalyst.expressions.InSet(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) =>
+              a.name == "vec_id"
+            case _ => false
+          }
+          case _ => false
+        }
+        assert(!idIn,
+          "the approximate graph id-IN constrained an exactness-armed table")
+        assert(fired(doubly),
+          "the exact cell prune stopped serving under double registration")
+        assert(doubly.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          === rows.map(r => (r.getLong(0), r.getDouble(1))).toSet)
+      } finally graft.plans.HnswGraphRegistry.clear()
       // guard fall-throughs, each at the t=0.99 regime where the rule
       // WOULD otherwise fire (at lower t it declines on all-cells
       // admission, which would make these checks vacuous):
@@ -348,6 +378,62 @@ class AnnKmeansSpec extends AnyFunSuite {
       // (e) unregistered: no fire
       graft.plans.IvfIndexRegistry.clear()
       assert(!fired(rangeQuery(0.99)), "rewrite fired on an unregistered table")
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
+
+  test("range rewrite: a single-admitted-cell IN survives OptimizeIn folding without re-firing") {
+    import graft.expressions.GraftFunctions
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference => CAttr, EqualTo => CEq, In => CIn, InSet => CInSet, Literal => CLit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // FORGED θmax = 0 radii (min_cos = 1.0) make admission equal
+    // sim(q, centroid) ≥ t — a plan-shape scenario, NOT an exactness one
+    // (a zero radius under-admits; never register forged radii outside a
+    // test): at this t exactly ONE cell is admitted, OptimizeIn folds the
+    // injected In(cell, [c]) to cell = c and CombineFilters merges it
+    // into the threshold Filter's own condition — the idempotence check
+    // must still see both forms or the rule re-fires and stacks a
+    // duplicate prune (an in-round review probe caught exactly that)
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val forged = cents.map(_._1 -> 1.0).toMap
+    GraftFunctions.register(spark)
+    val ivf = spark.read.parquet(path)
+    val qVec = ivf.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val admitted = Ann.admittedCells(cents, forged,
+      qVec.map(_.toDouble), 0.15)
+    assert(admitted.length === 1,
+      s"fixture drift: expected exactly one admitted cell, got $admitted")
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(
+        path, "cell", "embedding", cents, forged)
+      val q = ivf
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), lit(qVec)), 6))
+        .filter(col("sim") >= 0.15)
+        .select(col("vec_id"), col("sim"))
+      q.collect()
+      // exactly ONE cell predicate conjunct across the optimized plan
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val cellConjuncts = q.queryExecution.optimizedPlan.collect {
+        case f: LFilter => conjuncts(f.condition).count(_.exists {
+          case CIn(a: CAttr, _) => a.name == "cell"
+          case CInSet(a: CAttr, _) => a.name == "cell"
+          case CEq(a: CAttr, _: CLit) => a.name == "cell"
+          case CEq(_: CLit, a: CAttr) => a.name == "cell"
+          case _ => false
+        })
+      }.sum
+      assert(cellConjuncts === 1,
+        s"expected exactly one cell prune conjunct, found $cellConjuncts (duplicate stack)")
+      // provenance: the folded EqualTo on a radii-armed registration with
+      // no Limit is the RANGE face, not the top-k rewrite
+      assert(graft.plans.IndexCatalog.servedBy(q)
+        .exists(_.startsWith("ivf-range:")),
+        s"folded range prune misattributed: ${graft.plans.IndexCatalog.servedBy(q)}")
     } finally graft.plans.IvfIndexRegistry.clear()
   }
 
@@ -386,8 +472,7 @@ class AnnKmeansSpec extends AnyFunSuite {
     // the self-match regime do some cells' bounds fall below t; pin the
     // real file count there through PlanTestUtil.
     val (path, cents) = Ann.kmeansLayout(spark, sf)
-    val radii = spark.read.parquet(Ann.kmRadiiLayout(spark, sf))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii = Ann.loadRadii(spark, sf)
     val admitted = Ann.admittedCells(cents, radii, qv, 0.99)
     val total = spark.read.parquet(path).inputFiles.length
     assert(admitted.length < total,

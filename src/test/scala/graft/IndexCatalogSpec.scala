@@ -163,8 +163,7 @@ class IndexCatalogSpec extends AnyFunSuite {
         .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
       assert(IndexCatalog.servedBy(ivfQ).exists(_.startsWith("ivf:")))
       // IVF range prune (the radii-armed threshold rewrite's IN marker)
-      val radii = spark.read.parquet(Ann.kmRadiiLayout(spark, sf))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val radii = Ann.loadRadii(spark, sf)
       IvfIndexRegistry.registerCentroidsWithRadii(kmPath, "cell", "embedding",
         Ann.kmeansLayout(spark, sf)._2, radii)
       // t=0.99: the self-match regime, the one place this near-uniform
