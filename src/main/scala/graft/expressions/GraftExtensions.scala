@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // EXACT (superset-then-refilter), so firing order could not change
     // results even if shapes overlapped
     e.injectOptimizerRule(session => graft.plans.IvfRangeRewrite(session))
+    e.injectOptimizerRule(session => graft.plans.IvfRangeBatchRewrite(session))
     e.injectOptimizerRule(session => graft.plans.MvAggRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
   }

@@ -367,3 +367,208 @@ case class IvfRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 }
+
+/** BATCH face of the transparent threshold rewrite — [[IvfRangeRewrite]]
+  * at N queries (the rewrite twin of Ann.ivfRangeSearchBatch): the user
+  * writes the exact batch range shape —
+  *
+  *   corpus JOIN <query table>
+  *   WHERE round(cosine_sim(<registered emb col>, <query-side attr>), 6) >= t
+  *
+  * — and this rule executes the query side (an API-sized panel read, the
+  * same documented rewrite-time probe class as the batch top-k walk),
+  * computes each panel row's admissible cells with the ONE shared bound,
+  * and injects `Filter(cell IN <union of admissions>)` above the corpus
+  * scan. STILL provably exact: every output row pairs a corpus row with
+  * some panel row and must pass sim ≥ t for that pair, so the corpus
+  * row's cell is admitted by that panel row's bound and sits in the
+  * union — removing union-rejected rows from one side of an Inner/Cross
+  * join can only remove output rows that the threshold conjunct filters
+  * anyway (which is also why an arbitrary INNER join condition is
+  * admissible; outer joins' null-padding flips rows instead of removing
+  * them, so they fall through).
+  *
+  * Guards beyond the single face's (radii-armed registration, canonical
+  * sim form, top-level conjunct, idempotence incl. folded/merged forms):
+  * Inner/Cross join only; pure Project/Filter spines filter→join and
+  * join→relation; the query side must not contain the registered
+  * relation (a self-join's "panel" is corpus-sized, not API-sized); at
+  * least one cell pruned. A probe failure falls through to the exact
+  * plan — which here is merely the unpruned scan, never a wrong answer.
+  */
+case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (IvfIndexRegistry.isEmpty) return plan
+    plan.transformDown {
+      // pre-pushdown shape: the threshold still sits in a Filter above
+      // the join
+      case f @ Filter(cond, child) if spineJoin(child).isDefined =>
+        tryRewrite(cond, spineJoin(child).get, child) match {
+          case Some(newChild) => Filter(cond, newChild)
+          case None => f
+        }
+      // post-pushdown shape: PushPredicateThroughJoin moved the
+      // both-sides threshold INTO the join condition, leaving no Filter
+      // node to match (the shape the fixture query actually optimizes to)
+      case j: Join if j.condition.isDefined =>
+        tryRewrite(j.condition.get, j, j) match {
+          case Some(newJoin) => newJoin
+          case None => j
+        }
+    }
+  }
+
+  private def spineJoin(p: LogicalPlan): Option[Join] = p match {
+    case j: Join => Some(j)
+    case pr: Project => spineJoin(pr.child)
+    case fl: Filter => spineJoin(fl.child)
+    case _ => None
+  }
+
+  private def corpusSpine(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case r: LogicalRelation => Some(r)
+    case pr: Project => corpusSpine(pr.child)
+    case fl: Filter => corpusSpine(fl.child)
+    case _ => None
+  }
+
+  private def registeredOf(r: LogicalRelation): Option[IvfIndexRegistry.Entry] =
+    r.relation match {
+      case fs: HadoopFsRelation =>
+        IvfIndexRegistry.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** `sim ≥ t` where sim is the canonical cosine between the registered
+    * embedding attr and a QUERY-SIDE attribute (either order) — the
+    * batch shape's two-attribute form of the single face's literal form.
+    */
+  private def thresholdPair(e: Expression, child: LogicalPlan): Option[(AttributeReference, AttributeReference, Double)] = {
+    def sim(x: Expression): Option[(AttributeReference, AttributeReference)] = x match {
+      case r: Round => r.scale match {
+        case Literal(6, IntegerType) => bare(r.child)
+        case _ => None
+      }
+      case other => bare(other)
+    }
+    def bare(x: Expression): Option[(AttributeReference, AttributeReference)] = x match {
+      case CosineSimilarity(a: AttributeReference, b: AttributeReference) => Some((a, b))
+      case _ => None
+    }
+    def resolved(x: Expression): Expression = x match {
+      case a: AttributeReference =>
+        child.collect { case p: Project => p.projectList }.flatten
+          .collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+          .getOrElse(x)
+      case other => other
+    }
+    e match {
+      case GreaterThanOrEqual(s, t: Literal) =>
+        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
+      case GreaterThan(s, t: Literal) =>
+        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
+      case LessThanOrEqual(t: Literal, s) =>
+        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
+      case LessThan(t: Literal, s) =>
+        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
+      case _ => None
+    }
+  }
+
+  /** `searchRoot` is the subtree returned with the cell prune injected:
+    * the Filter's child for the pre-pushdown shape, the Join itself for
+    * the post-pushdown (condition-carried) shape; it also scopes the
+    * alias resolution and the idempotence scan.
+    */
+  private def tryRewrite(cond: Expression, join: Join,
+                         searchRoot: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      _ <- Some(())
+      if join.joinType == Inner || join.joinType == Cross
+      // orient: the registered radii-armed corpus side vs the query side
+      (rel, querySide) <- (corpusSpine(join.left), corpusSpine(join.right)) match {
+        case (Some(r), _) if registeredOf(r).exists(_.radii.nonEmpty) => Some((r, join.right))
+        case (_, Some(r)) if registeredOf(r).exists(_.radii.nonEmpty) => Some((r, join.left))
+        case _ => None
+      }
+      entry <- registeredOf(rel)
+      embColName <- entry.embCol
+      embAttr <- rel.output.find(_.name == embColName)
+      cellAttr <- rel.output.find(_.name == entry.cellCol)
+      // idempotence incl. the OptimizeIn-folded EqualTo and the
+      // CombineFilters-merged condition (the single face's lesson)
+      cellPred = (e: Expression) => e.exists {
+        case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+        case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
+        case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
+        case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
+        case _ => false
+      }
+      if !cellPred(cond)
+      if !searchRoot.exists {
+        case f: Filter => cellPred(f.condition)
+        case _ => false
+      }
+      // the threshold conjuncts ranking the registered column against a
+      // query-side attribute; with several, the TIGHTEST t still admits
+      // a union that is a superset for the conjunction
+      matches = RewriteSupport.conjuncts(cond)
+        .flatMap(c => thresholdPair(c, searchRoot))
+        .collect {
+          case (a, b, t) if a.exprId == embAttr.exprId &&
+            querySide.outputSet.contains(b) => (b, t)
+          case (b, a, t) if a.exprId == embAttr.exprId &&
+            querySide.outputSet.contains(b) => (b, t)
+        }
+      if matches.nonEmpty
+      (qAttr, t) = matches.maxBy(_._2)
+      // a query side containing the registered relation is a self-join —
+      // its "panel" is the corpus, not an API batch
+      if !querySide.exists { case r: LogicalRelation => r eq rel; case _ => false }
+      union <- probe(querySide, qAttr, entry, t)
+      if union.size < entry.medoids.size
+    } yield {
+      logInfo(s"IvfRangeBatchRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${entry.cellCol} IN (${union.size}/${entry.medoids.size} cells) at t=$t")
+      searchRoot.transformUp {
+        case r: LogicalRelation if r eq rel =>
+          Filter(In(cellAttr, union.map(Literal(_))), r)
+      }
+    }
+  }
+
+  /** Execute the query side projecting the panel vectors (API-sized, the
+    * documented rewrite-time probe class) and fold the union of per-row
+    * admissions. Any failure falls through to the exact plan.
+    */
+  private def probe(querySide: LogicalPlan, qAttr: AttributeReference,
+                    entry: IvfIndexRegistry.Entry, t: Double): Option[Seq[Int]] =
+    try {
+      val proj = Project(Seq(Alias(qAttr, "q_emb")()), querySide)
+      val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+      val rows = qdf.collect()
+      // an API-sized panel only: beyond the cap this is not a query batch
+      // (e.g. a self-join whose "panel" is the corpus) — fall through
+      // rather than hold a corpus on the driver
+      if (rows.isEmpty || rows.length > 4096 || rows.exists(_.isNullAt(0)))
+        return None
+      val union = rows.flatMap { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray
+        graft.operators.Ann.admittedCells(entry.medoids, entry.radii, v, t)
+      }.distinct.sorted.toSeq
+      Some(union)
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        logWarning(s"IvfRangeBatchRewrite: panel probe failed — serving " +
+          s"the exact scan", ex)
+        None
+    }
+}

@@ -910,6 +910,30 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // BATCH face of the transparent threshold rewrite: the exact batch
+    // range shape — corpus CROSS JOIN query table, WHERE round-6 sim ≥ t
+    // — gets the UNION of every panel row's admissible cells injected as
+    // one partition prune. Provably exact per qid (every output row's
+    // corpus cell is admitted by ITS panel row's bound, so it sits in
+    // the union), hence the same full-scan oracle discipline. t in the
+    // self-match regime for the same fixture-geometry reason as
+    // ivf_range_rewrite.
+    "ivf_range_rewrite_batch" -> ((s, dir) => {
+      import graft.expressions.GraftFunctions
+      val (path, cents) = Ann.kmeansLayout(s, dir)
+      graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(
+        path, "cell", "embedding", cents, Ann.loadRadii(s, dir))
+      GraftFunctions.register(s)
+      val qs = embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      s.read.parquet(path).crossJoin(qs)
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.99)
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
+
     // INDEX-SERVED threshold search, graph face: the fixed-schedule walk
     // plus bounded RANGE hops (frontier = visited sim-≥-t nodes, capped)
     // returning every visited node ≥ t — "all neighbors above t", the
@@ -2347,6 +2371,18 @@ object PipelineQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE round($eCos, 6) >= 0.99
          |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // batch transparent-range twin: exact per qid, so the oracle is the
+    // per-qid full-scan threshold SQL (self-inclusive at 0.99)
+    "ivf_range_rewrite_batch" -> {
+      val eCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+         |           FROM embeddings WHERE vec_id = 0)
+         |SELECT q.qid, e.vec_id, round($eCos, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE round($eCos, 6) >= 0.99
+         |ORDER BY q.qid, e.vec_id""".stripMargin
     },
 
     // graph range replay: the walk's visited pool (beam0 ∪ every hop's

@@ -381,6 +381,65 @@ class AnnKmeansSpec extends AnyFunSuite {
     } finally graft.plans.IvfIndexRegistry.clear()
   }
 
+  test("batch range rewrite: union-of-admissions prune over a corpus × panel join, exact; guards fall through") {
+    import graft.expressions.GraftFunctions
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference => CAttr, In => CIn, InSet => CInSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val (path, cents) = Ann.kmeansLayout(spark, sf)
+    val radii = Ann.loadRadii(spark, sf)
+    GraftFunctions.register(spark)
+    val ivf = spark.read.parquet(path)
+    val qs = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    def fired(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case f: LFilter => f.condition.exists {
+          case CIn(a: CAttr, _) => a.name == "cell"
+          case CInSet(a: CAttr, _) => a.name == "cell"
+          case _ => false
+        }
+        case _ => false
+      }
+    def batchQ(join: org.apache.spark.sql.DataFrame) = join
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+      .filter(col("sim") >= 0.99)
+      .select(col("qid"), col("vec_id"), col("sim"))
+    try {
+      // unregistered baseline (the exact answer)
+      graft.plans.IvfIndexRegistry.clear()
+      val exact = batchQ(ivf.crossJoin(qs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty) // the self-match row at sim 1.0
+      // armed: the rewrite fires and the result is bit-identical
+      graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(
+        path, "cell", "embedding", cents, radii)
+      val served = batchQ(ivf.crossJoin(qs))
+      assert(fired(served), "batch range rewrite did not fire")
+      assert(served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === exact,
+        "batch range rewrite diverged from the exact join scan")
+      // file prune ≤ union of admissions (+1 for the panel source)
+      served.collect()
+      val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      val union = Ann.admittedCells(cents, radii, qv, 0.99)
+      val scanned = PlanTestUtil.scannedFiles(served).get
+      assert(scanned <= union.length + 1,
+        s"batch rewrite scanned $scanned files for ${union.length} admitted cells")
+      // guards: an OUTER join's null-padding flips rows instead of
+      // removing them — fall through
+      val outer = batchQ(ivf.join(qs, col("vec_id") === col("qid"), "left"))
+      assert(!fired(outer), "batch range rewrite fired on an outer join")
+      // a non-canonical rounding falls through
+      val round2 = ivf.crossJoin(qs)
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 2))
+        .filter(col("sim") >= 0.99)
+      assert(!fired(round2), "batch range rewrite fired on a round-2 threshold")
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
+
   test("range rewrite: a single-admitted-cell IN survives OptimizeIn folding without re-firing") {
     import graft.expressions.GraftFunctions
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference => CAttr, EqualTo => CEq, In => CIn, InSet => CInSet, Literal => CLit}
