@@ -496,9 +496,21 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // executes them verbatim)
       exCount <- RewriteSupport.benignExclusions(spineConds ++ corpusConds, idAttr)
       if k + exCount <= graft.operators.Hnsw.Ef
-      // a query side containing the registered relation is a self-join —
-      // its "panel" is the corpus, not an API batch
-      if !querySide.exists { case r: LogicalRelation => r eq rel; case _ => false }
+      // a query side containing the registered TABLE is a self-join —
+      // its "panel" is the corpus, not an API batch. Compared by
+      // registered root path, not reference equality: DeduplicateRelations
+      // gives a self-join's duplicate side a fresh LogicalRelation
+      // instance, so an `eq` check can never fire (review finding)
+      relPaths = rel.relation.asInstanceOf[HadoopFsRelation].location
+        .rootPaths.map(p => RewriteSupport.canon(p.toString)).toSet
+      if !querySide.exists {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths
+            .map(p => RewriteSupport.canon(p.toString)).exists(relPaths)
+          case _ => false
+        }
+        case _ => false
+      }
       pairs <- probe(querySide, qidAttr, qEmbAttr, entry)
     } yield {
       logInfo(s"HnswBatchTopKRewrite: pruning ${rel.simpleString(50)} to " +
@@ -656,14 +668,9 @@ case class HnswRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
         .exists { ie =>
           ie.radii.nonEmpty || rel.output.find(_.name == ie.cellCol).exists { cellAttr =>
+            val cellPred = RewriteSupport.cellPrunePredicate(cellAttr)
             child.exists {
-              case f: Filter => f.condition.exists {
-                case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-                case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-                case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
-                case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
-                case _ => false
-              }
+              case f: Filter => cellPred(f.condition)
               case _ => false
             }
           }

@@ -119,16 +119,28 @@ object IndexCatalog {
     * query ran exact/unaccelerated.
     */
   def servedBy(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    import org.apache.spark.sql.catalyst.expressions.Descending
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sort}
     val plan = df.queryExecution.optimizedPlan
-    // the top-k rules only fire under a Limit; a cell EqualTo WITHOUT one
-    // is the range rewrite's single-admitted-cell IN after OptimizeIn
-    // folded it (missing this misattributed the range face as top-k)
-    val hasLimit = plan.exists {
-      case _: GlobalLimit => true
-      case _: LocalLimit => true
-      case _ => false
-    }
+    // the top-k rules only fire under Limit(Sort(<ranked desc>)); a cell
+    // EqualTo OUTSIDE that shape is the range rewrite's
+    // single-admitted-cell IN after OptimizeIn folded it. SCOPED to the
+    // candidate filter — a plan-wide "has any Limit" misattributed a
+    // range-served query the moment a display .limit() wrapped it
+    // (review finding). Residual ambiguity: a range query re-sorted
+    // descending AND limited is structurally a served top-k and reads as
+    // one — the marker classes share that user-shape ambiguity by
+    // construction.
+    def topKShapeOver(f: Filter): Boolean =
+      plan.exists {
+        case l: GlobalLimit => l.exists(_ eq f)
+        case l: LocalLimit => l.exists(_ eq f)
+        case _ => false
+      } && plan.exists {
+        case s: Sort => s.order.headOption.exists(_.direction == Descending) &&
+          s.exists(_ eq f)
+        case _ => false
+      }
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
     plan.foreach {
       case j: Join if j.joinType == LeftSemi &&
@@ -166,7 +178,7 @@ object IndexCatalog {
           case EqualTo(a: AttributeReference, _: Literal)
             if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) =>
             val armed = IvfIndexRegistry.lookup(rels).exists(_.radii.nonEmpty)
-            tags += (if (armed && !hasLimit)
+            tags += (if (armed && !topKShapeOver(f))
               s"ivf-range:${RewriteSupport.canon(rels.head)}"
             else s"ivf:${RewriteSupport.canon(rels.head)}")
           // the range rewrite's marker: an IN over the registered cell

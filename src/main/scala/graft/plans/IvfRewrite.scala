@@ -328,13 +328,7 @@ case class IvfRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // CombineFilters merges the injected filter before the next batch
       // iteration (missing either re-fired the rule and stacked a
       // duplicate prune; caught by an in-round review probe)
-      cellPred = (e: Expression) => e.exists {
-        case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-        case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-        case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
-        case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
-        case _ => false
-      }
+      cellPred = RewriteSupport.cellPrunePredicate(cellAttr)
       if !cellPred(cond)
       if !child.exists {
         case f: Filter => cellPred(f.condition)
@@ -443,42 +437,6 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** `sim ≥ t` where sim is the canonical cosine between the registered
-    * embedding attr and a QUERY-SIDE attribute (either order) — the
-    * batch shape's two-attribute form of the single face's literal form.
-    */
-  private def thresholdPair(e: Expression, child: LogicalPlan): Option[(AttributeReference, AttributeReference, Double)] = {
-    def sim(x: Expression): Option[(AttributeReference, AttributeReference)] = x match {
-      case r: Round => r.scale match {
-        case Literal(6, IntegerType) => bare(r.child)
-        case _ => None
-      }
-      case other => bare(other)
-    }
-    def bare(x: Expression): Option[(AttributeReference, AttributeReference)] = x match {
-      case CosineSimilarity(a: AttributeReference, b: AttributeReference) => Some((a, b))
-      case _ => None
-    }
-    def resolved(x: Expression): Expression = x match {
-      case a: AttributeReference =>
-        child.collect { case p: Project => p.projectList }.flatten
-          .collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
-          .getOrElse(x)
-      case other => other
-    }
-    e match {
-      case GreaterThanOrEqual(s, t: Literal) =>
-        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
-      case GreaterThan(s, t: Literal) =>
-        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
-      case LessThanOrEqual(t: Literal, s) =>
-        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
-      case LessThan(t: Literal, s) =>
-        for { (a, b) <- sim(resolved(s)); tv <- RewriteSupport.thresholdOf(t) } yield (a, b, tv)
-      case _ => None
-    }
-  }
-
   /** `searchRoot` is the subtree returned with the cell prune injected:
     * the Filter's child for the pre-pushdown shape, the Join itself for
     * the post-pushdown (condition-carried) shape; it also scopes the
@@ -500,14 +458,9 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       embAttr <- rel.output.find(_.name == embColName)
       cellAttr <- rel.output.find(_.name == entry.cellCol)
       // idempotence incl. the OptimizeIn-folded EqualTo and the
-      // CombineFilters-merged condition (the single face's lesson)
-      cellPred = (e: Expression) => e.exists {
-        case In(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-        case InSet(a: AttributeReference, _) => a.exprId == cellAttr.exprId
-        case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
-        case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
-        case _ => false
-      }
+      // CombineFilters-merged condition — the ONE shared matcher (this
+      // drift class already bit once)
+      cellPred = RewriteSupport.cellPrunePredicate(cellAttr)
       if !cellPred(cond)
       if !searchRoot.exists {
         case f: Filter => cellPred(f.condition)
@@ -517,7 +470,8 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // query-side attribute; with several, the TIGHTEST t still admits
       // a union that is a superset for the conjunction
       matches = RewriteSupport.conjuncts(cond)
-        .flatMap(c => thresholdPair(c, searchRoot))
+        .flatMap(c => RewriteSupport.thresholdPairConjunct(c, searchRoot,
+          allowRaw = true))
         .collect {
           case (a, b, t) if a.exprId == embAttr.exprId &&
             querySide.outputSet.contains(b) => (b, t)
@@ -526,9 +480,22 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       if matches.nonEmpty
       (qAttr, t) = matches.maxBy(_._2)
-      // a query side containing the registered relation is a self-join —
-      // its "panel" is the corpus, not an API batch
-      if !querySide.exists { case r: LogicalRelation => r eq rel; case _ => false }
+      // a query side containing the registered TABLE is a self-join —
+      // its "panel" is the corpus, not an API batch. Compared by
+      // registered root path, NOT reference equality: the analyzer's
+      // DeduplicateRelations gives a self-join's duplicate side a fresh
+      // LogicalRelation instance, so an `eq` check never fires (review
+      // finding)
+      relPaths = rel.relation.asInstanceOf[HadoopFsRelation].location
+        .rootPaths.map(p => RewriteSupport.canon(p.toString)).toSet
+      if !querySide.exists {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths
+            .map(p => RewriteSupport.canon(p.toString)).exists(relPaths)
+          case _ => false
+        }
+        case _ => false
+      }
       union <- probe(querySide, qAttr, entry, t)
       if union.size < entry.medoids.size
     } yield {
@@ -543,32 +510,53 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Execute the query side projecting the panel vectors (API-sized, the
     * documented rewrite-time probe class) and fold the union of per-row
-    * admissions. Any failure falls through to the exact plan.
+    * admissions. Any failure falls through to the exact plan. MEMOIZED
+    * per (registration instance, canonical panel plan, t) — declines
+    * included: the optimizer revisits the same shape on every
+    * fixed-point iteration and in BOTH matched shapes, and without the
+    * memo each visit re-ran the panel-collect Spark job inside
+    * optimization (review finding). A fresh registration is a fresh
+    * Entry instance, so stale memo slots are simply never read again.
     */
   private def probe(querySide: LogicalPlan, qAttr: AttributeReference,
-                    entry: IvfIndexRegistry.Entry, t: Double): Option[Seq[Int]] =
-    try {
-      val proj = Project(Seq(Alias(qAttr, "q_emb")()), querySide)
-      val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
-      val rows = qdf.collect()
-      // an API-sized panel only: beyond the cap this is not a query batch
-      // (e.g. a self-join whose "panel" is the corpus) — fall through
-      // rather than hold a corpus on the driver
-      if (rows.isEmpty || rows.length > 4096 || rows.exists(_.isNullAt(0)))
-        return None
-      val union = rows.flatMap { r =>
-        val v = r.getSeq[Any](0).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case n: Number => n.doubleValue()
-        }.toArray
-        graft.operators.Ann.admittedCells(entry.medoids, entry.radii, v, t)
-      }.distinct.sorted.toSeq
-      Some(union)
-    } catch {
-      case scala.util.control.NonFatal(ex) =>
-        logWarning(s"IvfRangeBatchRewrite: panel probe failed — serving " +
-          s"the exact scan", ex)
-        None
+                    entry: IvfIndexRegistry.Entry, t: Double): Option[Seq[Int]] = {
+    val key = (System.identityHashCode(entry), querySide.semanticHash(),
+      qAttr.exprId.id, t)
+    // the beamIds locking posture: the panel job runs OUTSIDE the map (a
+    // Spark job must not hold a ConcurrentHashMap bin lock against
+    // concurrent planning threads); a racing duplicate is idempotent
+    Option(IvfRangeBatchRewrite.probeMemo.get(key)).getOrElse {
+      val computed = try {
+        val proj = Project(Seq(Alias(qAttr, "q_emb")()), querySide)
+        val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+        // cap BEFORE the collect: limit(cap+1) bounds what ever lands on
+        // the driver, then over-cap falls through — collecting first and
+        // checking after would be the very blowup the cap documents
+        // (an OutOfMemoryError is not NonFatal; review finding)
+        val rows = qdf.limit(4097).collect()
+        if (rows.isEmpty || rows.length > 4096 || rows.exists(_.isNullAt(0)))
+          None
+        else Some(rows.flatMap { r =>
+          val v = r.getSeq[Any](0).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case n: Number => n.doubleValue()
+          }.toArray
+          graft.operators.Ann.admittedCells(entry.medoids, entry.radii, v, t)
+        }.distinct.sorted.toSeq)
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          logWarning(s"IvfRangeBatchRewrite: panel probe failed — serving " +
+            s"the exact scan", ex)
+          None
+      }
+      IvfRangeBatchRewrite.probeMemo.putIfAbsent(key, computed)
+      computed
     }
+  }
+}
+
+object IvfRangeBatchRewrite {
+  private[plans] val probeMemo =
+    new ConcurrentHashMap[(Int, Int, Long, Double), Option[Seq[Int]]]()
 }

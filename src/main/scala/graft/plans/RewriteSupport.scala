@@ -104,6 +104,57 @@ private[plans] object RewriteSupport {
     }
   }
 
+  /** [[thresholdConjunct]]'s two-attribute (batch) form: `sim ≥ t` where
+    * sim is the canonical cosine between TWO attributes — the corpus
+    * embedding and a query-side vector. ONE definition beside the
+    * literal form so the single and batch faces can never accept
+    * different shapes. Returns (attrA, attrB, t) with the caller
+    * responsible for orienting corpus vs query side.
+    */
+  def thresholdPairConjunct(e: Expression, aliasScope: LogicalPlan,
+                            allowRaw: Boolean): Option[(AttributeReference, AttributeReference, Double)] = {
+    def sim(x: Expression): Option[(AttributeReference, AttributeReference)] = x match {
+      case r: Round => r.scale match {
+        case Literal(6, IntegerType) => bare(r.child)
+        case _ => None
+      }
+      case other if allowRaw => bare(other)
+      case _ => None
+    }
+    def bare(x: Expression): Option[(AttributeReference, AttributeReference)] = x match {
+      case CosineSimilarity(a: AttributeReference, b: AttributeReference) => Some((a, b))
+      case _ => None
+    }
+    resolveThresholdAlias(e, aliasScope) match {
+      case GreaterThanOrEqual(s, t: Literal) =>
+        for { (a, b) <- sim(s); tv <- thresholdOf(t) } yield (a, b, tv)
+      case GreaterThan(s, t: Literal) =>
+        for { (a, b) <- sim(s); tv <- thresholdOf(t) } yield (a, b, tv)
+      case LessThanOrEqual(t: Literal, s) =>
+        for { (a, b) <- sim(s); tv <- thresholdOf(t) } yield (a, b, tv)
+      case LessThan(t: Literal, s) =>
+        for { (a, b) <- sim(s); tv <- thresholdOf(t) } yield (a, b, tv)
+      case _ => None
+    }
+  }
+
+  /** THE cell-prune predicate matcher — In/InSet and the EqualTo form
+    * OptimizeIn folds a single-element IN into, both literal orders. ONE
+    * definition for every idempotence/precedence guard that must detect
+    * an injected cell prune (this exact drift class — one copy missing
+    * the folded form — already caused a duplicate-prune re-fire once).
+    */
+  def cellPrunePredicate(cellAttr: AttributeReference): Expression => Boolean =
+    (e: Expression) => e.exists {
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, _) =>
+        a.exprId == cellAttr.exprId
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, _) =>
+        a.exprId == cellAttr.exprId
+      case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
+      case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
+      case _ => false
+    }
+
   /** All threshold conjuncts of a Filter condition that rank the given
     * embedding attribute, alias-resolved through the spine — the shared
     * front half of both range rewrites. Returns (query vector, t) pairs.

@@ -493,6 +493,13 @@ class AnnKmeansSpec extends AnyFunSuite {
       assert(graft.plans.IndexCatalog.servedBy(q)
         .exists(_.startsWith("ivf-range:")),
         s"folded range prune misattributed: ${graft.plans.IndexCatalog.servedBy(q)}")
+      // ...and a DISPLAY limit (asc sort + limit — not the top-k shape,
+      // which requires a descending ranked sort) must not flip it
+      val limited = q.orderBy(col("vec_id")).limit(10)
+      assert(graft.plans.IndexCatalog.servedBy(limited)
+        .exists(_.startsWith("ivf-range:")),
+        s"display limit flipped the range attribution: " +
+          s"${graft.plans.IndexCatalog.servedBy(limited)}")
     } finally graft.plans.IvfIndexRegistry.clear()
   }
 
