@@ -38,7 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // and the IVF rule stacking above a graph id-IN is harmless (an exact
     // superset-refilter never drops a qualifying row)
     e.injectOptimizerRule(session => graft.plans.HnswRangeRewrite(session))
+    // batch range: same registry-state precedence as the single face —
+    // the rule declines outright on a radii-armed IVF registration, so
+    // the EXACT IvfRangeBatchRewrite below owns the shape whenever its
+    // sidecar is armed
+    e.injectOptimizerRule(session => graft.plans.HnswRangeBatchRewrite(session))
     e.injectOptimizerRule(session => graft.plans.IvfTopKRewrite(session))
+    // batch top-k precedence mirrors the single face: the graph batch
+    // rule above runs first, and this rule defers only when that rule's
+    // tagged semi-join marker proves it actually FIRED — every batch
+    // shape the graph rule declines (k > Ef, non-benign filters,
+    // conditioned joins) still gets the per-qid cell prune
+    e.injectOptimizerRule(session => graft.plans.IvfBatchTopKRewrite(session))
     // the range rewrite matches a different shape (Filter threshold, not
     // Sort+Limit) — no precedence interaction with any rule above; it is
     // EXACT (superset-then-refilter), so firing order could not change

@@ -323,20 +323,32 @@ object Ann {
     GraftFunctions.register(spark)
     val radii = loadRadii(spark, sfDir)
     // the panel is API-sized (the documented acceptable-collect class);
-    // per-qid admission shares the ONE bound definition
-    val panel = queries.select(col("qid"),
-        graft.functions.VectorOps.toDoubleArray(col("q_emb")).as("__qd"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // collected ONCE — both the admission table and the scoring join side
+    // rebuild from the same collected rows (round-11 advisor: evaluating
+    // the queries plan twice let a non-deterministic panel desync the
+    // (qid, cell) admissions from the joined rows, breaking per-qid
+    // exactness); per-qid admission shares the ONE bound definition
+    val qSel = queries.select(col("qid"), col("q_emb"))
+    val qRows = qSel.collect()
+    val panel = qRows.map { r =>
+      (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    }
     val admitted: Seq[(Long, Int)] = panel.toSeq.flatMap { case (qid, qv) =>
       admittedCells(cents, radii, qv, t).map(qid -> _)
     }
     import spark.implicits._
     val admitDf = admitted.toDF("qid", "cell")
     val allCells = admitted.map(_._2).distinct.sorted
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSel.schema)
     spark.read.parquet(dir)
       .filter(col("cell").isin(allCells.map(Integer.valueOf): _*))
       .join(broadcast(admitDf), Seq("cell"))
-      .join(broadcast(queries.select(col("qid"), col("q_emb"))), Seq("qid"))
+      .join(broadcast(qdf), Seq("qid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim",
         round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
@@ -426,9 +438,12 @@ object Ann {
     * this is the daily index-update job.
     */
   def appendToLayout(newVecs: DataFrame, cents: DataFrame, layoutPath: String,
-                     idCol: String, embCol: String): Unit =
+                     idCol: String, embCol: String): Unit = {
     assignCells(newVecs, cents, idCol, embCol)
       .write.mode("append").partitionBy("cell").parquet(layoutPath)
+    // a registered index over this layout is now a generation behind
+    graft.plans.IvfIndexRegistry.invalidate(layoutPath)
+  }
 
   /** Compact an append-maintained cell-partitioned layout back into
     * target-sized files. [[appendToLayout]] lands one file per writing
@@ -455,14 +470,15 @@ object Ann {
                     targetRowsPerFile: Long = 1L << 20,
                     // rewrite-time row transform (e.g. dropping tombstoned
                     // rows — Ivfpq.compactResLayout); identity by default
-                    transform: DataFrame => DataFrame = identity): Unit = {
+                    transform: DataFrame => DataFrame = identity,
+                    cellCol: String = "cell"): Unit = {
     val tmp = layoutPath + "-compact-tmp"
     val old = layoutPath + "-compact-old"
     transform(spark.read.parquet(layoutPath))
-      .repartition(col("cell"))
+      .repartition(col(cellCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRowsPerFile)
-      .partitionBy("cell").parquet(tmp)
+      .partitionBy(cellCol).parquet(tmp)
     val live = new org.apache.hadoop.fs.Path(layoutPath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val pTmp = new org.apache.hadoop.fs.Path(tmp)
@@ -475,5 +491,50 @@ object Ann {
       throw new java.io.IOException(s"compaction: could not promote $tmp")
     }
     fs.delete(pOld, true)
+    // a registered index over this layout is now a generation behind
+    graft.plans.IvfIndexRegistry.invalidate(layoutPath)
+  }
+
+  /** Split ONE hot cell of a plain cell-partitioned layout into two —
+    * the targeted POPULATION-skew repair for the coarse IVF layout, the
+    * Ivfpq.splitCell posture without the PQ re-encode (codes layouts
+    * keep their own split): deterministic seeded 2-means (cosine) over
+    * just the hot cell's vectors, half 0 keeps the old cell id, half 1
+    * becomes max(cell)+1, the layout rewritten through
+    * [[compactLayout]]'s two-rename atomic swap (searches observe the
+    * old or new layout, never partial). Returns the two sub-cells'
+    * representatives under the min-id MEDOID discipline
+    * ([[cellMedoids]]) for the caller's index-metadata update — at
+    * 100 TB the job touches one cell directory, never the corpus.
+    */
+  def splitLayoutCell(spark: SparkSession, layoutPath: String, cellCol: String,
+                      idCol: String, embCol: String, cell: Int,
+                      seed: Long = 42L): Seq[(Int, Array[Double])] = {
+    val df = spark.read.parquet(layoutPath)
+    val newId = df.agg(max(col(cellCol)).cast("int")).head().getInt(0) + 1
+    // sample-scale fit input, like every cell-local 2-means in the repo
+    val prepared = df.filter(col(cellCol) === cell)
+      .withColumn("__v", array_to_vector(
+        graft.functions.VectorOps.toDoubleArray(col(embCol))))
+      .repartition(1).cache()
+    val km = new KMeans()
+      .setK(2).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
+      .setFeaturesCol("__v").setPredictionCol("__half")
+      .fit(prepared)
+    val reassigned = km.transform(prepared)
+      .withColumn(cellCol,
+        when(col("__half") === 0, lit(cell)).otherwise(lit(newId)))
+      .drop("__half", "__v")
+    compactLayout(spark, layoutPath,
+      transform = d => d.filter(col(cellCol) =!= cell).unionByName(reassigned),
+      cellCol = cellCol)
+    val subs = cellMedoids(reassigned, cellCol, idCol, embCol)
+      .select(col("cell"),
+        graft.functions.VectorOps.toDoubleArray(col("centroid")).as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    prepared.unpersist() // reassigned's lineage reads the cache until here
+    subs
   }
 }

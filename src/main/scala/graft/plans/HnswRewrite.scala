@@ -80,6 +80,8 @@ object HnswGraphRegistry {
     new ConcurrentHashMap[(String, Long, Seq[(Long, Seq[Double])], Int), Seq[(Long, Long)]]()
   private val rangeMemo =
     new ConcurrentHashMap[(String, Long, Seq[Double], Double), Seq[Long]]()
+  private val rangeBatchMemo =
+    new ConcurrentHashMap[(String, Long, Seq[(Long, Seq[Double])], Double), Seq[(Long, Long)]]()
   private val generation = new ConcurrentHashMap[String, java.lang.Long]()
 
   private def canon(path: String): String = RewriteSupport.canon(path)
@@ -108,7 +110,7 @@ object HnswGraphRegistry {
 
   def clear(): Unit = {
     registry.clear(); probeMemo.clear(); batchMemo.clear(); rangeMemo.clear()
-    generation.clear()
+    rangeBatchMemo.clear(); generation.clear()
   }
 
   /** Invalidate memoized probes for a graph whose artifact just mutated —
@@ -128,6 +130,8 @@ object HnswGraphRegistry {
     while (bit.hasNext) if (bit.next()._1 == dir) bit.remove()
     val rit = rangeMemo.keySet().iterator()
     while (rit.hasNext) if (rit.next()._1 == dir) rit.remove()
+    val rbit = rangeBatchMemo.keySet().iterator()
+    while (rbit.hasNext) if (rbit.next()._1 == dir) rbit.remove()
   }
 
   private def generationOf(edgesDir: String): Long =
@@ -178,6 +182,31 @@ object HnswGraphRegistry {
           e.metaDir, qdf, t)
         .orderBy(col("vec_id")).collect().map(_.getLong(1)).toSeq
       rangeMemo.putIfAbsent(key, walked)
+      walked
+    }
+  }
+
+  /** The BATCH RANGE graph probe ([[rangeIds]] at N queries): ONE
+    * bounded range walk for the whole panel (schedule descent + capped
+    * range hops, per-qid frontiers — Hnsw.searchRangeIn already takes a
+    * panel), returning every (qid, visited id with round-6 sim ≥ t)
+    * pair. Memoized per (graph, generation, canonical panel, t); `qdf`
+    * carries the panel in its ORIGINAL element type so the walk scores
+    * the exact arrays the user's predicate re-scores. Same locking
+    * posture as every probe: the walk runs outside any map lock.
+    */
+  def rangeIdsBatch(spark: SparkSession, e: Entry,
+                    panel: Seq[(Long, Seq[Double])],
+                    qdf: org.apache.spark.sql.DataFrame,
+                    t: Double): Seq[(Long, Long)] = {
+    val key = (e.edgesDir, generationOf(e.edgesDir), panel, t)
+    Option(rangeBatchMemo.get(key)).getOrElse {
+      import org.apache.spark.sql.functions.col
+      val walked = graft.operators.Hnsw.searchRangeIn(spark, e.edgesDir,
+          e.metaDir, qdf, t)
+        .orderBy(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      rangeBatchMemo.putIfAbsent(key, walked)
       walked
     }
   }
@@ -297,13 +326,12 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // vector column on the same table ranks differently (wrong-index
       // hijack) and must keep its exact scan
       if rel.output.exists(o => o.exprId == simAttr.exprId && o.name == entry.embCol)
-      // idempotence under the fixed-point optimizer batch: fire once
+      // idempotence under the fixed-point optimizer batch: fire once —
+      // the ONE shared matcher, conjunct-granular (a benign `id <> 5`
+      // exclusion must not read as the injected prune) and covering the
+      // EqualTo form OptimizeIn folds a 1-element In into
       if !child.exists {
-        case f: Filter => f.condition.exists {
-          case In(a: AttributeReference, _) => a.exprId == idAttr.exprId
-          case InSet(a: AttributeReference, _) => a.exprId == idAttr.exprId
-          case _ => false
-        }
+        case f: Filter => RewriteSupport.idPrunePredicate(idAttr)(f.condition)
         case _ => false
       }
       // user predicates: provably benign id exclusions only, with enough
@@ -384,22 +412,6 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** k from the filter's rank bound — the WHOLE condition must be the
-    * bound (any extra conjunct shapes the per-qid row count).
-    */
-  private def rankBound(cond: Expression, rnk: AttributeReference): Option[Int] =
-    cond match {
-      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
-        if a.exprId == rnk.exprId => Some(k)
-      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
-        if a.exprId == rnk.exprId => Some(k - 1)
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
-        if a.exprId == rnk.exprId => Some(k)
-      case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
-        if a.exprId == rnk.exprId => Some(k - 1)
-      case _ => None
-    }
-
   /** The window→join spine: Project/Filter only, conditions accumulated
     * for the benign-exclusion audit.
     */
@@ -434,7 +446,8 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some(a)
         case _ => None
       }
-      k <- rankBound(cond, rnkAlias.toAttribute.asInstanceOf[AttributeReference])
+      k <- RewriteSupport.rankBound(cond,
+        rnkAlias.toAttribute.asInstanceOf[AttributeReference])
       if k >= 1 && k <= graft.operators.Hnsw.Ef
       qidAttr <- w.partitionSpec match {
         case Seq(a: AttributeReference) => Some(a)
@@ -444,10 +457,15 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case SortOrder(a: AttributeReference, Descending, _, _) => a
       }
       // idempotence under the fixed-point optimizer batch: our own
-      // injected semi-join is structural and cheap to detect
+      // injected semi-join carries the InjectedMarker tag (round-11
+      // verdict #7 — a user column happening to be NAMED __graft_qid
+      // must not silence the rule); the name check stays as the second
+      // line for a LocalRelation some rule rebuilt without copying tags
       if !child.exists {
         case j: Join if j.joinType == LeftSemi => j.right match {
-          case lr: LocalRelation => lr.output.exists(_.name == "__graft_qid")
+          case lr: LocalRelation =>
+            lr.getTagValue(RewriteSupport.InjectedMarker).isDefined ||
+              lr.output.exists(_.name == "__graft_qid")
           case _ => false
         }
         case _ => false
@@ -530,6 +548,7 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val vRef = AttributeReference("__graft_vid", LongType, nullable = false)()
       val local = LocalRelation(Seq(qRef, vRef),
         pairs.map { case (q, v) => InternalRow(q, v) })
+      local.setTagValue(RewriteSupport.InjectedMarker, "hnsw-batch")
       val semi = Join(pruned, local, LeftSemi,
         Some(And(EqualTo(qidAttr, qRef), EqualTo(idAttr, vRef))), JoinHint.NONE)
       w.copy(child = semi)
@@ -644,13 +663,17 @@ case class HnswRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       embAttr <- rel.output.find(_.name == entry.embCol)
       idAttr <- rel.output.find(_.name == entry.idCol)
-      // idempotence: our own injected id-IN (or the top-k rules')
+      // idempotence: our own injected id-IN (or the top-k rules') — the
+      // ONE shared matcher (RewriteSupport.idPrunePredicate), covering
+      // the OptimizeIn-folded EqualTo and checked against BOTH the
+      // matched condition (CombineFilters merges the injected filter up
+      // into it before the next fixed-point iteration) and the child
+      // spine — the exact drift class the IVF rules' cellPrunePredicate
+      // already closed once (round-11 advisor)
+      idPred = RewriteSupport.idPrunePredicate(idAttr)
+      if !idPred(cond)
       if !child.exists {
-        case f: Filter => f.condition.exists {
-          case In(a: AttributeReference, _) => a.exprId == idAttr.exprId
-          case InSet(a: AttributeReference, _) => a.exprId == idAttr.exprId
-          case _ => false
-        }
+        case f: Filter => idPred(f.condition)
         case _ => false
       }
       // exact-rule precedence — by REGISTRY state, not plan state: a
@@ -710,4 +733,243 @@ case class HnswRangeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
   }
+}
+
+/** BATCH face of the transparent graph range rewrite — [[HnswRangeRewrite]]
+  * at N queries, completing the range side of the rewrite matrix
+  * (round-11 verdict #2): the user writes the exact batch threshold
+  * shape —
+  *
+  *   corpus JOIN <query table>
+  *   WHERE round(cosine_sim(<registered emb col>, <query-side attr>), 6) >= t
+  *
+  * over a graph-registered corpus, and this rule serves every qid's
+  * candidate pool from ONE batch range walk (Hnsw.searchRangeIn — the
+  * schedule descent + capped range hops with per-qid frontiers, every
+  * hop's probe shared across the panel), injected exactly like the batch
+  * top-k face: a SUPERSET `id IN <union of visited ≥ t>` filter above
+  * the corpus relation (file/row-group pruning at the scan) plus a
+  * per-qid LEFT SEMI against the (qid, id) literal pool, so no qid keeps
+  * a row outside ITS walk's pool. The user's own threshold predicate
+  * re-scores every surviving row with the identical round-6 cosine the
+  * walk ranked by, so the served result IS the explicit batch face's
+  * output verbatim (they share one oracle replay).
+  *
+  * Matches BOTH optimizer shapes, like the exact IVF batch range rule:
+  * the Filter-above-join form and the condition-carried form
+  * PushPredicateThroughJoin rewrites it into. Approximate by
+  * construction — strictly opt-in via registration, with the same
+  * precedence as the single face: a radii-armed IVF registration on the
+  * table means its owner chose PROVABLY-EXACT threshold serving
+  * ([[IvfRangeBatchRewrite]]), so this rule declines outright by
+  * REGISTRY state (never by plan state alone — first-pass inversion),
+  * and also under any cell prune already in the plan. Other guards, each
+  * a fall-through to the untouched exact plan: Inner/Cross join; the
+  * walk's OWN ranking form only (round-6 — allowRaw=false: the walk's
+  * ≥ t cut is on round-6 sims); every non-threshold conjunct above the
+  * join and on the corpus spine a provably benign id exclusion; panel ≤
+  * 4096 distinct non-null Long qids (collected at rewrite time — the
+  * documented API-panel probe class, memoized per (graph, generation,
+  * panel, t)); no self-join (canonical root paths); empty pool falls
+  * through (an empty pool must not masquerade as a served empty result).
+  */
+case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (HnswGraphRegistry.isEmpty) return plan
+    plan.transformDown {
+      // pre-pushdown shape: the threshold still sits in a Filter above
+      // the join
+      case f @ Filter(cond, child) if spineJoin(child).isDefined =>
+        tryRewrite(cond, spineJoin(child).get, child) match {
+          case Some(newChild) => Filter(cond, newChild)
+          case None => f
+        }
+      // post-pushdown shape: PushPredicateThroughJoin moved the
+      // both-sides threshold INTO the join condition
+      case j: Join if j.condition.isDefined =>
+        tryRewrite(j.condition.get, j, j) match {
+          case Some(newJoin) => newJoin
+          case None => j
+        }
+    }
+  }
+
+  private def spineJoin(p: LogicalPlan): Option[Join] = p match {
+    case j: Join => Some(j)
+    case pr: Project => spineJoin(pr.child)
+    case fl: Filter => spineJoin(fl.child)
+    case _ => None
+  }
+
+  private def corpusSpine(p: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] = p match {
+    case r: LogicalRelation => Some((r, Nil))
+    case pr: Project => corpusSpine(pr.child)
+    case fl: Filter => corpusSpine(fl.child).map { case (r, cs) => (r, fl.condition +: cs) }
+    case _ => None
+  }
+
+  private def registered(r: LogicalRelation): Option[HnswGraphRegistry.Entry] =
+    r.relation match {
+      case fs: HadoopFsRelation =>
+        HnswGraphRegistry.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** `searchRoot` scopes alias resolution, the idempotence scan, and the
+    * injection: the Filter's child for the pre-pushdown shape, the Join
+    * itself for the condition-carried shape.
+    */
+  private def tryRewrite(cond: Expression, join: Join,
+                         searchRoot: LogicalPlan): Option[LogicalPlan] = {
+    for {
+      _ <- Some(())
+      if join.joinType == Inner || join.joinType == Cross
+      // orient: the graph-registered corpus side vs the query side
+      (corpus, querySide) <- (corpusSpine(join.left), corpusSpine(join.right)) match {
+        case (Some((r, cs)), _) if registered(r).isDefined => Some(((r, cs), join.right))
+        case (_, Some((r, cs))) if registered(r).isDefined => Some(((r, cs), join.left))
+        case _ => None
+      }
+      (rel, corpusConds) = corpus
+      entry <- registered(rel)
+      embAttr <- rel.output.find(_.name == entry.embCol)
+      idAttr <- rel.output.find(_.name == entry.idCol)
+      // idempotence: our own injected semi-join marker, plus the
+      // superset id-IN through the ONE shared matcher (cond AND spine —
+      // CombineFilters/pushdown can carry it either place)
+      if !searchRoot.exists {
+        case j: Join if j.joinType == LeftSemi => j.right match {
+          case lr: LocalRelation =>
+            lr.getTagValue(RewriteSupport.InjectedMarker).contains("hnsw-range-batch") ||
+              lr.output.exists(_.name == "__graft_rqid")
+          case _ => false
+        }
+        case _ => false
+      }
+      idPred = RewriteSupport.idPrunePredicate(idAttr)
+      if !idPred(cond)
+      if !searchRoot.exists {
+        case f: Filter => idPred(f.condition)
+        case _ => false
+      }
+      // exact-rule precedence by REGISTRY state (see HnswRangeRewrite):
+      // a radii-armed IVF registration owns threshold serving on this
+      // table; a cell prune already in the plan is the second line
+      if !IvfIndexRegistry.lookup(rel.relation
+          .asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
+        .exists { ie =>
+          ie.radii.nonEmpty || rel.output.find(_.name == ie.cellCol).exists { cellAttr =>
+            val cellPred = RewriteSupport.cellPrunePredicate(cellAttr)
+            searchRoot.exists {
+              case f: Filter => cellPred(f.condition)
+              case _ => false
+            }
+          }
+        }
+      // the threshold conjuncts ranking the registered column against a
+      // query-side attribute — round-6 ONLY (the walk's own cut); with
+      // several, the TIGHTEST t probes (the conjunction keeps only rows
+      // ≥ max(t) either way)
+      matches = RewriteSupport.conjuncts(cond)
+        .flatMap(c => RewriteSupport.thresholdPairConjunct(c, searchRoot,
+          allowRaw = false))
+        .collect {
+          case (a, b, t) if a.exprId == embAttr.exprId &&
+            querySide.outputSet.contains(b) => (b, t)
+          case (b, a, t) if a.exprId == embAttr.exprId &&
+            querySide.outputSet.contains(b) => (b, t)
+        }
+      if matches.nonEmpty
+      (qAttr, t) = matches.maxBy(_._2)
+      // every NON-threshold conjunct — above the join and on the corpus
+      // spine — must be a provably benign id exclusion (no count bound:
+      // there is no LIMIT to starve; an excluded id just leaves the pool)
+      others = RewriteSupport.conjuncts(cond).filter { c =>
+        !RewriteSupport.thresholdPairConjunct(c, searchRoot, allowRaw = false)
+          .exists { case (a, b, _) =>
+            a.exprId == embAttr.exprId || b.exprId == embAttr.exprId }
+      }
+      _ <- RewriteSupport.benignExclusions(others ++ corpusConds, idAttr)
+      // the panel-side qid: the query side's single non-vector output of
+      // Long type visible at the injection point — the semi-join key
+      qidAttr <- {
+        val cands = querySide.output.collect {
+          case a: AttributeReference
+            if a.dataType == org.apache.spark.sql.types.LongType &&
+              a.exprId != qAttr.exprId && searchRoot.outputSet.contains(a) => a
+        }
+        if (cands.length == 1) Some(cands.head) else None
+      }
+      if searchRoot.outputSet.contains(idAttr)
+      // a query side containing the registered TABLE is a self-join —
+      // canonical root paths (DeduplicateRelations clones one side)
+      relPaths = rel.relation.asInstanceOf[HadoopFsRelation].location
+        .rootPaths.map(p => RewriteSupport.canon(p.toString)).toSet
+      if !querySide.exists {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths
+            .map(p => RewriteSupport.canon(p.toString)).exists(relPaths)
+          case _ => false
+        }
+        case _ => false
+      }
+      pairs <- probe(querySide, qidAttr, qAttr, entry, t)
+    } yield {
+      logInfo(s"HnswRangeBatchRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${pairs.length} range-walked (qid, ${entry.idCol}) pairs at t=$t")
+      val allIds = pairs.map(_._2).distinct.sorted
+      val pruned = searchRoot.transformUp {
+        case r: LogicalRelation if r eq rel =>
+          Filter(In(idAttr, allIds.map(Literal(_))), r)
+      }
+      val qRef = AttributeReference("__graft_rqid", LongType, nullable = false)()
+      val vRef = AttributeReference("__graft_rvid", LongType, nullable = false)()
+      val local = LocalRelation(Seq(qRef, vRef),
+        pairs.map { case (q, v) => InternalRow(q, v) })
+      local.setTagValue(RewriteSupport.InjectedMarker, "hnsw-range-batch")
+      Join(pruned, local, LeftSemi,
+        Some(And(EqualTo(qidAttr, qRef), EqualTo(idAttr, vRef))), JoinHint.NONE)
+    }
+  }
+
+  /** Execute the query side projecting (qid, panel vector) — API-sized,
+    * capped INTO the collect — then ONE batch range walk through the
+    * memoized registry probe. Any failure (over-cap/empty panel, nulls,
+    * duplicate qids, dead artifacts, empty pool) falls through to the
+    * exact plan.
+    */
+  private def probe(querySide: LogicalPlan, qidAttr: AttributeReference,
+                    qEmbAttr: AttributeReference,
+                    entry: HnswGraphRegistry.Entry,
+                    t: Double): Option[Seq[(Long, Long)]] =
+    try {
+      val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
+        querySide)
+      val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+      val rows = qdf.limit(4097).collect()
+      if (rows.isEmpty || rows.length > 4096 ||
+          rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return None
+      val qids = rows.map(_.getLong(0))
+      if (qids.distinct.length != qids.length) return None
+      val panel = rows.map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toSeq)
+      }.sortBy(_._1).toSeq
+      val pinned = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), qdf.schema)
+      val pairs = HnswGraphRegistry.rangeIdsBatch(spark, entry, panel, pinned, t)
+      if (pairs.nonEmpty) Some(pairs) else None
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        logWarning(s"HnswRangeBatchRewrite: batch range probe failed for " +
+          s"${entry.edgesDir} — serving the exact scan", ex)
+        None
+    }
 }

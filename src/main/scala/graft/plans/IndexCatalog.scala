@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions.col
   * Metadata-only cost: the graph row reads its 1-row meta + the sidecar
   * debt counters (the maintenancePlan aggregate), the MV row counts its
   * groups-sized summary and recomputes the source fingerprint (the
-  * refresh probe's own check), the IVF row is pure registry metadata.
+  * refresh probe's own check), and a staleness-armed IVF row recomputes
+  * the (id, cell) membership digest — one map-side-combined pass, plus a
+  * cells-sized count aggregate when a splitCap is armed.
   * Oracled (index_catalog): DuckDB recomputes every replayable column
   * from the dumped artifacts — the graph's n_layers/fingerprint from its
   * meta, the IVF cell count from the dumped centroids, the MV group
@@ -44,13 +46,31 @@ object IndexCatalog {
         meta.getAs[Long]("corpus_fp").toString, plan)
     }
     val ivfRows = IvfIndexRegistry.entries.map { case (path, e) =>
-      // a cell-partitioned table IS its own index artifact; the medoids
-      // are registry metadata with no staleness fingerprint recorded
-      ("ivf", path, path, s"cell=${e.cellCol}", e.medoids.size.toLong, 0L,
-        "", "serve")
+      // a cell-partitioned table IS its own index artifact; the CURRENT
+      // decision (round-11 verdict #3): fingerprint drift since
+      // registration → rebuild (medoid-backed registrations heal via
+      // maintainAll; trained ones route the operator to the retrain
+      // path); else an armed splitCap with an over-cap hottest cell →
+      // split; else serve. A registration without captured staleness
+      // metadata (fingerprint "") reads serve, as before.
+      val decision =
+        if (e.fingerprint.isEmpty || e.idCol.isEmpty) "serve"
+        else if (IvfIndexRegistry.tableFingerprint(spark, path,
+            Seq(e.idCol.get, e.cellCol)) != e.fingerprint) "rebuild"
+        else e.splitCap match {
+          case Some(cap) =>
+            import org.apache.spark.sql.functions.{count, lit, max}
+            val hottest = spark.read.parquet(path)
+              .groupBy(col(e.cellCol)).agg(count(lit(1)).as("n"))
+              .agg(max(col("n"))).head().getLong(0)
+            if (hottest > cap) "split" else "serve"
+          case None => "serve"
+        }
+      ("ivf", path, path, s"cell=${e.cellCol}", e.medoids.size.toLong,
+        IvfIndexRegistry.generationOfPath(path), e.fingerprint, decision)
     }
     val mvRows = MvRegistry.entries.map { case (path, e) =>
-      val base = e.mvPath.replaceAll("-v-?\\d+$", "")
+      val base = e.basePath
       val groups = spark.read.parquet(e.mvPath).count()
       // the refresh probe's own staleness check, surfaced as a decision
       val fresh = MvRegistry.fingerprintOf(spark, path) == e.fingerprint
@@ -66,9 +86,9 @@ object IndexCatalog {
 
   /** Catalog-wide maintenance tick — ONE verb acting on every registered
     * index's current decision (the per-family loops composed: `compact` →
-    * Hnsw.maintainGraph, `refresh` → MvRegistry.refreshIfStale; IVF rows
-    * are registry metadata whose layouts carry their own threshold
-    * auto-compaction, so `serve` is their only decision here). Returns
+    * Hnsw.maintainGraph, `refresh` → MvRegistry.refreshIfStale,
+    * `rebuild` → IvfIndexRegistry.rebuild on medoid-backed
+    * registrations, `split` → IvfIndexRegistry.splitHottest). Returns
     * the catalog rows with an `action` column recording what the tick
     * did — a healthy catalog ticks to all-noop (compaction rewrites whole
     * artifacts and must not run on every tick), and a second tick after
@@ -98,6 +118,13 @@ object IndexCatalog {
         case ("mv", "refresh") =>
           if (MvRegistry.refreshIfStale(spark, tablePath)) "refreshed"
           else "noop"
+        case ("ivf", "rebuild") =>
+          // medoid-backed registrations heal in place; trained-centroid
+          // ones report noop — their rebuild is an offline retrain the
+          // tick must never improvise (the decision stays surfaced)
+          if (IvfIndexRegistry.rebuild(spark, tablePath)) "rebuilt" else "noop"
+        case ("ivf", "split") =>
+          if (IvfIndexRegistry.splitHottest(spark, tablePath)) "split" else "noop"
         case _ => "noop"
       }
       (kind, tablePath, decision, action)
@@ -131,7 +158,7 @@ object IndexCatalog {
     // descending AND limited is structurally a served top-k and reads as
     // one — the marker classes share that user-shape ambiguity by
     // construction.
-    def topKShapeOver(f: Filter): Boolean =
+    def topKShapeOver(plan: LogicalPlan, f: Filter): Boolean =
       plan.exists {
         case l: GlobalLimit => l.exists(_ eq f)
         case l: LocalLimit => l.exists(_ eq f)
@@ -142,43 +169,52 @@ object IndexCatalog {
         case _ => false
       }
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
+    // PASS 1 — batch-face semi-join markers, collected BEFORE any id-IN
+    // classification: the batch rewrite's union-of-beams superset prune
+    // is also an id-IN on the same graph, and suppressing it must not
+    // depend on plan.foreach having happened to visit the semi-join
+    // first (round-11 advisor)
+    val batchServed = scala.collection.mutable.Set.empty[String]
     plan.foreach {
       case j: Join if j.joinType == LeftSemi &&
           j.right.isInstanceOf[LocalRelation] &&
-          j.right.output.exists(_.name == "__graft_qid") =>
+          (j.right.getTagValue(RewriteSupport.InjectedMarker).isDefined ||
+            j.right.output.exists(_.name == "__graft_qid")) =>
         HnswGraphRegistry.lookup(rootPaths(j.left))
-          .foreach(e => tags += s"hnsw-batch:${e.edgesDir}")
+          .foreach { e => tags += s"hnsw-batch:${e.edgesDir}"; batchServed += e.edgesDir }
+      case _ => ()
+    }
+    plan.foreach {
       case f: Filter =>
         val rels = rootPaths(f.child)
         f.condition.foreach {
-          case In(a: AttributeReference, vs)
-            if vs.length <= graft.operators.Hnsw.Ef &&
-              HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) =>
-            tags += s"hnsw:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
-          case InSet(a: AttributeReference, vs)
-            if vs.size <= graft.operators.Hnsw.Ef &&
-              HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) =>
-            tags += s"hnsw:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
-          // a LARGER id-IN on a registered table is the range rewrite's
-          // injected visited-≥ t pool (the top-k faces' beams never
-          // exceed Ef) — UNLESS this plan already carries the batch
-          // face's semi-join marker, whose union-of-beams superset
-          // prune is also an over-Ef id-IN on the same graph; carries
-          // the same user-IN ambiguity class as the markers above
+          // an id-IN on a graph-registered table, with the batch face's
+          // own superset prune already attributed above: top-k vs range
+          // is decided by PLAN SHAPE, not IN size (round-11 advisor: a
+          // range pool of ≤ Ef ids is structurally possible) — a served
+          // top-k sits under Limit + Sort-desc over this very filter, a
+          // range pool sits under the threshold Filter with neither.
+          // Residual ambiguity (documented, shared by every marker
+          // class): a user-written id IN list reads as served, and a
+          // range query re-sorted descending AND limited reads as top-k.
           case In(a: AttributeReference, _)
             if HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) &&
               !HnswGraphRegistry.lookup(rels)
-                .exists(e => tags.contains(s"hnsw-batch:${e.edgesDir}")) =>
-            tags += s"hnsw-range:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
+                .exists(e => batchServed.contains(e.edgesDir)) =>
+            val e = HnswGraphRegistry.lookup(rels).get
+            tags += (if (topKShapeOver(plan, f)) s"hnsw:${e.edgesDir}"
+                     else s"hnsw-range:${e.edgesDir}")
           case InSet(a: AttributeReference, _)
             if HnswGraphRegistry.lookup(rels).exists(_.idCol == a.name) &&
               !HnswGraphRegistry.lookup(rels)
-                .exists(e => tags.contains(s"hnsw-batch:${e.edgesDir}")) =>
-            tags += s"hnsw-range:${HnswGraphRegistry.lookup(rels).get.edgesDir}"
+                .exists(e => batchServed.contains(e.edgesDir)) =>
+            val e = HnswGraphRegistry.lookup(rels).get
+            tags += (if (topKShapeOver(plan, f)) s"hnsw:${e.edgesDir}"
+                     else s"hnsw-range:${e.edgesDir}")
           case EqualTo(a: AttributeReference, _: Literal)
             if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) =>
             val armed = IvfIndexRegistry.lookup(rels).exists(_.radii.nonEmpty)
-            tags += (if (armed && !topKShapeOver(f))
+            tags += (if (armed && !topKShapeOver(plan, f))
               s"ivf-range:${RewriteSupport.canon(rels.head)}"
             else s"ivf:${RewriteSupport.canon(rels.head)}")
           // the range rewrite's marker: an IN over the registered cell

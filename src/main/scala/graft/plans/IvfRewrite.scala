@@ -44,7 +44,21 @@ object IvfIndexRegistry {
     */
   final case class Entry(cellCol: String, medoids: Seq[(Int, Array[Double])],
                          embCol: Option[String] = None,
-                         radii: Map[Int, Double] = Map.empty) {
+                         radii: Map[Int, Double] = Map.empty,
+                         // staleness metadata (round-11 verdict #3): the
+                         // id column + the (id, cell) membership
+                         // fingerprint captured at registration ("" =
+                         // not captured → the catalog reports no drift),
+                         // an optional per-cell row cap arming the SPLIT
+                         // decision, and whether maintainAll may REBUILD
+                         // the metadata from the live table (true only
+                         // for the medoid-backed registration — trained
+                         // centers are offline state a catalog tick must
+                         // never silently replace with medoids)
+                         idCol: Option[String] = None,
+                         fingerprint: String = "",
+                         splitCap: Option[Long] = None,
+                         rebuildable: Boolean = false) {
 
     /** Nearest cell by cosine-to-medoid; sim rounded to 6dp and ties broken
       * by cell id, mirroring Ann.ivfSearch's probe so both paths (and the
@@ -75,7 +89,8 @@ object IvfIndexRegistry {
     * scale this collect is #cells rows — the index metadata, not the data.
     */
   def register(spark: SparkSession, path: String, cellCol: String,
-               idCol: String, embCol: String): Unit = {
+               idCol: String, embCol: String,
+               splitCap: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(path)
     val medoids = graft.operators.Ann.cellMedoids(df, cellCol, idCol, embCol)
@@ -84,7 +99,29 @@ object IvfIndexRegistry {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    registry.put(canon(path), Entry(cellCol, medoids, Some(embCol)))
+    registry.put(canon(path), Entry(cellCol, medoids, Some(embCol),
+      idCol = Some(idCol),
+      fingerprint = tableFingerprint(spark, path, Seq(idCol, cellCol)),
+      splitCap = splitCap, rebuildable = true))
+  }
+
+  /** The (id, cell) MEMBERSHIP fingerprint of a cell-partitioned layout —
+    * the same order-independent md5-sum digest discipline the MV registry
+    * uses (Streaming.fingerprintStream), restricted to the two columns
+    * that define what an IVF index indexes: which rows, in which cells.
+    * Scalar columns only, so the DuckDB oracle recomputes it exactly
+    * (float-array formatting never crosses engines). One map-side-
+    * combined digest pass — the staleness probe cost class, never a
+    * row-level diff.
+    */
+  def tableFingerprint(spark: SparkSession, path: String,
+                       cols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    spark.catalog.refreshByPath(path)
+    val df = spark.read.parquet(path).select(cols.map(col): _*)
+    val canonCol = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    graft.streaming.Streaming.fingerprintStream(df, canonCol)
+      .head().getLong(1).toString
   }
 
   /** Register an index from EXPLICIT cell representatives — trained
@@ -93,6 +130,22 @@ object IvfIndexRegistry {
   def registerCentroids(path: String, cellCol: String,
                         centroids: Seq[(Int, Array[Double])]): Unit =
     registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1)))
+
+  /** [[registerCentroids]] WITH staleness capture (round-11 verdict #3):
+    * records the (id, cell) membership fingerprint at registration so
+    * the catalog can surface drift as a `rebuild` decision. NOT
+    * rebuildable by maintainAll — the centers are trained offline state
+    * a catalog tick must never silently replace with medoids; the
+    * decision routes the operator to the retrain path instead.
+    */
+  def registerCentroids(spark: SparkSession, path: String, cellCol: String,
+                        idCol: String,
+                        centroids: Seq[(Int, Array[Double])],
+                        splitCap: Option[Long] = None): Unit =
+    registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1),
+      idCol = Some(idCol),
+      fingerprint = tableFingerprint(spark, path, Seq(idCol, cellCol)),
+      splitCap = splitCap))
 
   /** Register trained centers PLUS the per-cell angular-radius sidecar —
     * the full index metadata that arms [[IvfRangeRewrite]] (transparent,
@@ -118,7 +171,115 @@ object IvfIndexRegistry {
 
   def isEmpty: Boolean = registry.isEmpty
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = {
+    registry.clear()
+    generation.clear()
+    // the batch rules' probe memos hold admissions computed against
+    // entries this clear just dropped — purge with them (round-11 advisor:
+    // stale slots keyed by dead entries accumulated unboundedly across a
+    // long session)
+    IvfRangeBatchRewrite.probeMemo.clear()
+    IvfBatchTopKRewrite.probeMemo.clear()
+  }
+
+  // --- staleness / maintenance (round-11 verdict #3) ------------------------
+
+  private val generation = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Mutation generation of a layout path (0 = never mutated in this
+    * JVM) — bumped by [[invalidate]], surfaced by the catalog.
+    */
+  def generationOfPath(path: String): Long =
+    Option(generation.get(canon(path))).map(_.longValue).getOrElse(0L)
+
+  /** Record a layout mutation (append/compaction/split) — called by the
+    * layout maintenance verbs, a cheap no-op for unregistered paths. The
+    * probe memos need no purge: they are keyed on the entry's metadata
+    * VALUES, which a layout mutation without re-registration does not
+    * change (that unchanged-metadata-over-drifted-data gap is exactly
+    * what the catalog's fingerprint decision surfaces).
+    */
+  def invalidate(path: String): Unit =
+    generation.merge(canon(path), 1L, (a, b) => a + b)
+
+  /** Maintenance verb: refresh a MEDOID-BACKED registration from the
+    * live table — recompute the per-cell medoids and re-snapshot the
+    * fingerprint, healing a `rebuild` decision. Returns true iff it
+    * rebuilt; trained-centroid registrations return false (their rebuild
+    * is an offline retrain — the decision stays surfaced, the tick never
+    * silently swaps trained centers for medoids).
+    */
+  def rebuild(spark: SparkSession, path: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    Option(registry.get(canon(path))) match {
+      case Some(e) if e.rebuildable && e.idCol.isDefined && e.embCol.isDefined =>
+        val fp = tableFingerprint(spark, path, Seq(e.idCol.get, e.cellCol))
+        if (fp == e.fingerprint) false // healed concurrently — report noop
+        else {
+          val df = spark.read.parquet(path)
+          val medoids = graft.operators.Ann.cellMedoids(df, e.cellCol,
+              e.idCol.get, e.embCol.get)
+            .select(col("cell"),
+              graft.functions.VectorOps.toDoubleArray(col("centroid")).as("centroid"))
+            .collect()
+            .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+            .sortBy(_._1).toSeq
+          // radii (if any) were measured against the OLD geometry — a
+          // rebuild drops them rather than serve a stale exactness bound
+          registry.put(canon(path),
+            e.copy(medoids = medoids, fingerprint = fp, radii = Map.empty))
+          true
+        }
+      case _ => false
+    }
+  }
+
+  /** Maintenance verb: split the hottest over-cap cell of a
+    * splitCap-armed registration — the targeted rebalance for POPULATION
+    * skew (the Ivfpq.splitCell posture on the plain layout):
+    * deterministic 2-means over just that cell, layout rewritten through
+    * the two-rename atomic swap, the entry's metadata re-derived for the
+    * two sub-cells, fingerprint re-snapshotted. Returns true iff it
+    * split; under-cap (or unarmed / non-medoid) registrations noop.
+    */
+  def splitHottest(spark: SparkSession, path: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    Option(registry.get(canon(path))) match {
+      case Some(e) if e.splitCap.isDefined && e.idCol.isDefined && e.embCol.isDefined =>
+        val hot = spark.read.parquet(path)
+          .groupBy(col(e.cellCol)).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col(e.cellCol).asc).head()
+        if (hot.getLong(1) <= e.splitCap.get) false
+        else {
+          // touches only the hot cell — the 100 TB shape: the split
+          // returns the two sub-cells' representatives, merged into the
+          // entry in place of the old cell's (other cells' metadata
+          // untouched, trained or medoid alike)
+          val subs = graft.operators.Ann.splitLayoutCell(spark, path,
+            e.cellCol, e.idCol.get, e.embCol.get, hot.getInt(0))
+          val medoids = (e.medoids.filterNot(_._1 == hot.getInt(0)) ++ subs)
+            .sortBy(_._1)
+          registry.put(canon(path), e.copy(medoids = medoids,
+            fingerprint = tableFingerprint(spark, path, Seq(e.idCol.get, e.cellCol)),
+            radii = Map.empty))
+          true
+        }
+      case _ => false
+    }
+  }
+
+  /** VALUE-equality key of an entry's index metadata — the memo-key
+    * discipline HnswGraphRegistry's memos already follow (dir +
+    * generation there; the medoid/radius values themselves here, arrays
+    * unwrapped to Seqs because Array equality is reference equality).
+    * Two registrations with identical metadata may share memo slots —
+    * that sharing is CORRECT, since admission is a pure function of
+    * (metadata, panel, t); a re-registration with retrained metadata gets
+    * fresh slots by construction. Driver-side cost is |cells|·dim boxed
+    * doubles per rewrite probe — index metadata, KBs.
+    */
+  private[plans] def entryKey(e: Entry): (String, Seq[(Int, Seq[Double])], Map[Int, Double]) =
+    (e.cellCol, e.medoids.map { case (c, a) => (c, a.toSeq) }, e.radii)
 }
 
 /** The rewrite rule (injected via GraftExtensions.injectOptimizerRule). */
@@ -515,19 +676,23 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * included: the optimizer revisits the same shape on every
     * fixed-point iteration and in BOTH matched shapes, and without the
     * memo each visit re-ran the panel-collect Spark job inside
-    * optimization (review finding). A fresh registration is a fresh
-    * Entry instance, so stale memo slots are simply never read again.
+    * optimization (review finding). Keyed on VALUE equality (round-11
+    * advisor — the prior (identityHashCode, semanticHash) key could
+    * collide two different panels into one admitted-cell union, silently
+    * dropping qualifying rows from a rewrite documented as provably
+    * exact): the entry's metadata values + the CANONICALIZED projected
+    * panel plan (true structural equality, exprIds normalized — not a
+    * 32-bit hash) + t. IvfIndexRegistry.clear() purges the memo.
     */
   private def probe(querySide: LogicalPlan, qAttr: AttributeReference,
                     entry: IvfIndexRegistry.Entry, t: Double): Option[Seq[Int]] = {
-    val key = (System.identityHashCode(entry), querySide.semanticHash(),
-      qAttr.exprId.id, t)
+    val proj = Project(Seq(Alias(qAttr, "q_emb")()), querySide)
+    val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized, t)
     // the beamIds locking posture: the panel job runs OUTSIDE the map (a
     // Spark job must not hold a ConcurrentHashMap bin lock against
     // concurrent planning threads); a racing duplicate is idempotent
     Option(IvfRangeBatchRewrite.probeMemo.get(key)).getOrElse {
       val computed = try {
-        val proj = Project(Seq(Alias(qAttr, "q_emb")()), querySide)
         val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
         // cap BEFORE the collect: limit(cap+1) bounds what ever lands on
         // the driver, then over-cap falls through — collecting first and
@@ -558,5 +723,268 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IvfRangeBatchRewrite {
   private[plans] val probeMemo =
-    new ConcurrentHashMap[(Int, Int, Long, Double), Option[Seq[Int]]]()
+    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan, Double), Option[Seq[Int]]]()
+}
+
+/** BATCH face of the transparent IVF top-k rewrite — [[IvfTopKRewrite]]
+  * at N queries, closing the last hole in the 3 × 3 rewrite matrix
+  * ({IVF, graph} × {single top-k, batch top-k, single/batch range}): the
+  * user writes the exact per-qid window top-k — the production
+  * batch-retrieval shape, the reference's flagship search loop
+  * (`VectorSearchService.cs:189-196`) at N queries —
+  *
+  *   `row_number() OVER (PARTITION BY qid
+  *      ORDER BY cosine_sim(emb, q_emb) DESC [, ...]) ≤ k`
+  *
+  * over a corpus × panel join where the corpus is IVF-registered, and
+  * this rule serves each qid's candidate set from ITS probed cell
+  * (`Ann.ivfSearchBatchTopK`'s admission math at nprobe = 1: the same
+  * round-6 cosine-to-medoid probe as [[IvfTopKRewrite]], per panel row).
+  * The injection is the graph batch face's two-stage prune with cells in
+  * place of beams: `Filter(cell IN <union of probed cells>)` above the
+  * corpus relation (partition pruning — the scan reads the probed cell
+  * directories, ≤ |panel|/cells of the corpus however large the batch)
+  * plus a per-qid LEFT SEMI against a (qid, cell) literal admission
+  * table, so no qid ever ranks a row outside its own probed cell. The
+  * user's own window then ranks each qid's full admitted cell — the
+  * standard whole-cell composition, which is also why this rule is
+  * LOOSER than the graph batch face on three guards:
+  *
+  *  - any k ≥ 1 (a cell is not a beam — there is no Ef width to starve);
+  *  - arbitrary row FILTERS on the window→join and join→corpus spines
+  *    (they act within each full admitted cell, exactly like the single
+  *    face — no benign-exclusion audit needed);
+  *  - a conditioned Inner join, provided every conjunct is an
+  *    attribute-equality (`corpus.lang = panel.lang`, the
+  *    metadata-filtered retrieval shape — round-11 verdict #4): the
+  *    condition evaluates identically on the admitted subset, so the
+  *    served result is still exactly "the user's query over each qid's
+  *    probed cell". Non-equi conditions fall through (conservative,
+  *    spec-pinned) — not because the composition breaks, but to keep
+  *    the admitted surface small and provable.
+  *
+  * Still guarded like every batch face: single row_number window
+  * partitioned by exactly the panel-side qid; the ranked expression is
+  * the cosine between the REGISTERED embedding column and a panel-side
+  * attribute (any rounding or raw — the prune is set-level, so the
+  * user's own ranking semantics apply verbatim to the admitted set);
+  * qid/cell visible at the injection point; distinct non-null qids;
+  * panel ≤ 4096 rows (collected at rewrite time — the documented
+  * API-panel probe class, memoized on value equality incl. declines);
+  * no self-join (canonical root paths); precedence: on a table carrying
+  * BOTH indexes the graph batch rule (injected first, better recall at
+  * a smaller scored budget) wins whenever it actually FIRED — its
+  * tagged semi-join marker is in the plan — while this rule still
+  * serves every batch shape the graph rule's own guards decline
+  * (k > Ef, non-benign filters, conditioned joins).
+  */
+case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
+  import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LocalRelation, Window}
+  import org.apache.spark.sql.types.LongType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (IvfIndexRegistry.isEmpty) return plan
+    plan.transformDown {
+      case f @ Filter(cond, w: Window) =>
+        tryRewrite(cond, w) match {
+          case Some(nw) => Filter(cond, nw)
+          case None     => f
+        }
+    }
+  }
+
+  private def spineJoin(p: LogicalPlan): Option[Join] = p match {
+    case j: Join => Some(j)
+    case pr: Project => spineJoin(pr.child)
+    case fl: Filter => spineJoin(fl.child)
+    case _ => None
+  }
+
+  private def corpusSpine(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case r: LogicalRelation => Some(r)
+    case pr: Project => corpusSpine(pr.child)
+    case fl: Filter => corpusSpine(fl.child)
+    case _ => None
+  }
+
+  private def registered(r: LogicalRelation): Option[IvfIndexRegistry.Entry] =
+    r.relation match {
+      case fs: HadoopFsRelation =>
+        IvfIndexRegistry.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** Our own (or the graph batch rule's) injected semi-join marker. */
+  private def batchMarker(p: LogicalPlan, value: String, name: String): Boolean =
+    p.exists {
+      case j: Join if j.joinType == LeftSemi => j.right match {
+        case lr: LocalRelation =>
+          lr.getTagValue(RewriteSupport.InjectedMarker).contains(value) ||
+            lr.output.exists(_.name == name)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def tryRewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    val child = w.child
+    for {
+      rnkAlias <- w.windowExpressions match {
+        case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) => Some(a)
+        case _ => None
+      }
+      k <- RewriteSupport.rankBound(cond,
+        rnkAlias.toAttribute.asInstanceOf[AttributeReference])
+      if k >= 1
+      qidAttr <- w.partitionSpec match {
+        case Seq(a: AttributeReference) => Some(a)
+        case _ => None
+      }
+      simRef <- w.orderSpec.headOption.collect {
+        case SortOrder(a: AttributeReference, Descending, _, _) => a
+      }
+      // idempotence: our own injected admission semi-join
+      if !batchMarker(child, "ivf-batch", "__graft_cell")
+      join <- spineJoin(child)
+      if join.joinType == Inner || join.joinType == Cross
+      // a join condition is admissible when every conjunct is an
+      // attribute equality (the whole-cell composition); anything else
+      // falls through
+      if join.condition.forall(c => RewriteSupport.conjuncts(c).forall {
+        case EqualTo(_: AttributeReference, _: AttributeReference) => true
+        case _ => false
+      })
+      // orient: the registered corpus side vs the query side
+      (rel, querySide) <- (corpusSpine(join.left), corpusSpine(join.right)) match {
+        case (Some(r), _) if registered(r).isDefined => Some((r, join.right))
+        case (_, Some(r)) if registered(r).isDefined => Some((r, join.left))
+        case _ => None
+      }
+      entry <- registered(rel)
+      embColName <- entry.embCol
+      cellAttr <- rel.output.find(_.name == entry.cellCol)
+      // the ranked expression: a cosine between the REGISTERED embedding
+      // column and a panel-side attribute, under any rounding or raw —
+      // the single face's admissibility, since the whole-cell prune
+      // re-ranks with the user's own expression
+      simExpr <- child.collect { case p: Project => p.projectList }.flatten
+        .collectFirst { case a: Alias if a.exprId == simRef.exprId => a.child }
+      qEmbAttr <- {
+        def bare(x: Expression): Option[AttributeReference] = x match {
+          case CosineSimilarity(a: AttributeReference, b: AttributeReference) =>
+            val aIsCorpus = rel.output.exists(o => o.exprId == a.exprId && o.name == embColName)
+            val bIsCorpus = rel.output.exists(o => o.exprId == b.exprId && o.name == embColName)
+            if (aIsCorpus && querySide.outputSet.contains(b)) Some(b)
+            else if (bIsCorpus && querySide.outputSet.contains(a)) Some(a)
+            else None
+          case r: Round => bare(r.child)
+          case _ => None
+        }
+        bare(simExpr)
+      }
+      // both semi-join keys must be visible at the injection point (a
+      // column-pruned spine that dropped the cell column cannot host the
+      // per-qid refinement — fall through to the exact plan)
+      if querySide.outputSet.contains(qidAttr)
+      if child.outputSet.contains(qidAttr) && child.outputSet.contains(cellAttr)
+      if qidAttr.dataType == LongType && cellAttr.dataType == IntegerType
+      // no cell prune already on the corpus spine (ours from a prior
+      // iteration, the single face's, or a user's own — declining on the
+      // latter is conservative-safe: the exact plan still runs)
+      cellPred = RewriteSupport.cellPrunePredicate(cellAttr)
+      if !child.exists {
+        case f: Filter => cellPred(f.condition)
+        case _ => false
+      }
+      // index precedence: the graph batch rule (injected first) outranks
+      // this rule when it actually FIRED on this table's graph — detected
+      // by its tagged marker, never by bare registry membership, so every
+      // shape the graph rule declines still gets the cell prune
+      if !HnswGraphRegistry.lookup(rel.relation
+          .asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.toString))
+        .exists(_ => batchMarker(child, "hnsw-batch", "__graft_qid"))
+      // a query side containing the registered TABLE is a self-join —
+      // compared by canonical root path (DeduplicateRelations clones one
+      // side, so `eq` never fires)
+      relPaths = rel.relation.asInstanceOf[HadoopFsRelation].location
+        .rootPaths.map(p => RewriteSupport.canon(p.toString)).toSet
+      if !querySide.exists {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths
+            .map(p => RewriteSupport.canon(p.toString)).exists(relPaths)
+          case _ => false
+        }
+        case _ => false
+      }
+      pairs <- probe(querySide, qidAttr, qEmbAttr, entry)
+    } yield {
+      logInfo(s"IvfBatchTopKRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${pairs.length} probed (qid, ${entry.cellCol}) cells")
+      val allCells = pairs.map(_._2).distinct.sorted
+      val pruned = child.transformUp {
+        case r: LogicalRelation if r eq rel =>
+          Filter(In(cellAttr, allCells.map(Literal(_))), r)
+      }
+      val qRef = AttributeReference("__graft_cqid", LongType, nullable = false)()
+      val cRef = AttributeReference("__graft_cell", IntegerType, nullable = false)()
+      val local = LocalRelation(Seq(qRef, cRef),
+        pairs.map { case (q, c) => InternalRow(q, c) })
+      local.setTagValue(RewriteSupport.InjectedMarker, "ivf-batch")
+      val semi = Join(pruned, local, LeftSemi,
+        Some(And(EqualTo(qidAttr, qRef), EqualTo(cellAttr, cRef))), JoinHint.NONE)
+      w.copy(child = semi)
+    }
+  }
+
+  /** Execute the query side projecting (qid, panel vector) — API-sized,
+    * capped INTO the collect, the documented rewrite-time probe class —
+    * then per-qid admission is pure driver arithmetic over the entry's
+    * medoids ([[IvfIndexRegistry.Entry.bestCell]], the identical probe
+    * as the single face and the DuckDB oracle). Declines (empty/over-cap
+    * panel, null rows, duplicate qids, execution failure) fall through
+    * to the exact plan and are memoized like every rewrite probe.
+    */
+  private def probe(querySide: LogicalPlan, qidAttr: AttributeReference,
+                    qEmbAttr: AttributeReference,
+                    entry: IvfIndexRegistry.Entry): Option[Seq[(Long, Int)]] = {
+    val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
+      querySide)
+    val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized)
+    Option(IvfBatchTopKRewrite.probeMemo.get(key)).getOrElse {
+      val computed = try {
+        val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+        val rows = qdf.limit(4097).collect()
+        if (rows.isEmpty || rows.length > 4096 ||
+            rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val qids = rows.map(_.getLong(0))
+          if (qids.distinct.length != qids.length) None
+          else Some(rows.map { r =>
+            val v = r.getSeq[Any](1).map {
+              case f: Float => f.toDouble
+              case d: Double => d
+              case n: Number => n.doubleValue()
+            }.toArray
+            (r.getLong(0), entry.bestCell(v))
+          }.sortBy(_._1).toSeq)
+        }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          logWarning(s"IvfBatchTopKRewrite: panel probe failed — serving " +
+            s"the exact scan", ex)
+          None
+      }
+      IvfBatchTopKRewrite.probeMemo.putIfAbsent(key, computed)
+      computed
+    }
+  }
+}
+
+object IvfBatchTopKRewrite {
+  private[plans] val probeMemo =
+    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan), Option[Seq[(Long, Int)]]]()
 }

@@ -41,7 +41,13 @@ object MvRegistry {
     */
   final case class Entry(mvPath: String, groupCol: String,
                          sumCols: Seq[String], fingerprint: Long,
-                         mvRelation: LogicalRelation)
+                         mvRelation: LogicalRelation,
+                         // the UNVERSIONED summary path registration was
+                         // called with — carried so refresh/catalog never
+                         // parse it back out of the versioned dir name
+                         // (round-11 verdict #7: the `-v<fp>` regex broke
+                         // on any user path that itself ends in -v<digits>)
+                         basePath: String)
 
   private val registry = new ConcurrentHashMap[String, Entry]()
 
@@ -89,7 +95,8 @@ object MvRegistry {
     val versioned = s"$mvPath-v$fp"
     buildSuspended(spark, sourcePath, versioned, groupCol, sumCols)
     val prev = Option(registry.put(canon(sourcePath),
-      Entry(versioned, groupCol, sumCols, fp, analyzedScan(spark, versioned))))
+      Entry(versioned, groupCol, sumCols, fp, analyzedScan(spark, versioned),
+        mvPath)))
     // GC a superseded summary dir: once the pointer swaps, nothing holds a
     // listing of the old version (the cached Entry scan references only the
     // new dir), so the delete can't race a reader
@@ -142,8 +149,7 @@ object MvRegistry {
         val fp = fingerprintOf(spark, sourcePath)
         if (fp == e.fingerprint) false
         else {
-          val base = e.mvPath.replaceAll("-v-?\\d+$", "")
-          val versioned = s"$base-v$fp"
+          val versioned = s"${e.basePath}-v$fp"
           buildSuspended(spark, sourcePath, versioned, e.groupCol, e.sumCols)
           registry.put(key, e.copy(mvPath = versioned, fingerprint = fp,
             mvRelation = analyzedScan(spark, versioned)))

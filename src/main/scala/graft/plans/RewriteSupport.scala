@@ -155,6 +155,55 @@ private[plans] object RewriteSupport {
       case _ => false
     }
 
+  /** [[cellPrunePredicate]]'s ID-side twin — the matcher every graph
+    * rule's idempotence guard shares: an injected `id IN (<beam/pool>)`,
+    * the InSet form OptimizeIn converts large lists into, and the
+    * EqualTo form a 1-element In folds into (both literal orders).
+    * Matched at TOP-LEVEL-CONJUNCT granularity, not `exists` — a benign
+    * user exclusion `NOT (id = 5)` CONTAINS an EqualTo(id, lit) node, and
+    * an exists-descent would misread it as an injected prune, silencing
+    * the rule on exactly the queries the benign-exclusion audit admits.
+    */
+  def idPrunePredicate(idAttr: AttributeReference): Expression => Boolean =
+    (e: Expression) => conjuncts(e).exists {
+      case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, _) =>
+        a.exprId == idAttr.exprId
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, _) =>
+        a.exprId == idAttr.exprId
+      case EqualTo(a: AttributeReference, _: Literal) => a.exprId == idAttr.exprId
+      case EqualTo(_: Literal, a: AttributeReference) => a.exprId == idAttr.exprId
+      case _ => false
+    }
+
+  /** k from a batch top-k filter's rank bound — the WHOLE condition must
+    * be the bound (any extra conjunct shapes the per-qid row count). ONE
+    * definition shared by the graph and IVF batch top-k rewrites.
+    */
+  def rankBound(cond: Expression, rnk: AttributeReference): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rnk.exprId => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+      if a.exprId == rnk.exprId => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
+      if a.exprId == rnk.exprId => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)
+      if a.exprId == rnk.exprId => Some(k - 1)
+    case _ => None
+  }
+
+  /** Tag stamped on the LocalRelation a batch rewrite injects as its
+    * per-qid semi-join table — the idempotence/provenance marker the
+    * house discipline prefers over name matching (round-11 verdict #7:
+    * a user column literally named `__graft_qid` must not read as "the
+    * rewrite fired"). The value names the rule family ("hnsw-batch",
+    * "ivf-batch"). Name checks stay as a second line where noted: tags
+    * survive transform copies (TreeNode.transformDown copies tags onto
+    * rewritten nodes) but a rule REBUILDING the LocalRelation from its
+    * fields would drop them.
+    */
+  val InjectedMarker: org.apache.spark.sql.catalyst.trees.TreeNodeTag[String] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String]("graft.injectedBatchMarker")
+
   /** All threshold conjuncts of a Filter condition that rank the given
     * embedding attribute, alias-resolved through the spine — the shared
     * front half of both range rewrites. Returns (query vector, t) pairs.

@@ -618,6 +618,64 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // TRANSPARENT BATCH IVF (round-11 verdict #1, the last hole in the
+    // rewrite matrix): the user writes the exact per-qid window top-k —
+    // the production batch-retrieval shape — over the cell-partitioned
+    // corpus crossed with a query panel, and plans/IvfBatchTopKRewrite
+    // serves each qid from ITS probed cell (same medoid probe as the
+    // single face, per panel row) via a union-of-cells partition prune +
+    // a (qid, cell) admission semi-join. Same oracle as ann_ivf_batch —
+    // proof the rewrite reaches the identical probe-and-prune result.
+    // The panel reads the UNREGISTERED embeddings table (the corpus side
+    // is the registered layout) so the self-join guard stays out of the
+    // way — the same staged-clone discipline as the graph rewrites.
+    "ann_ivf_rewrite_batch" -> ((s, dir) => {
+      import graft.expressions.GraftFunctions
+      val path = Ann.ivfLayout(s, dir)
+      graft.plans.IvfIndexRegistry.register(s, path, "label", "vec_id", "embedding")
+      GraftFunctions.register(s)
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      s.read.parquet(path).filter(col("vec_id") >= 3)
+        .crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // FILTERED batch retrieval (round-11 verdict #4): the standard
+    // metadata-filtered shape — corpus JOIN panel ON corpus.label =
+    // panel.label, per-qid window top-k — served transparently by the
+    // same batch cell prune: the equi-condition evaluates inside each
+    // qid's admitted cell (the whole-cell filtered-search composition),
+    // so the served result is exactly the explicit probe-and-prune with
+    // the condition applied. Non-equi conditions are spec-pinned
+    // fall-throughs (ExtensionsSpec); the graph batch face declines any
+    // conditioned join, so on a doubly-indexed table this shape lands
+    // here by the documented precedence.
+    "knn_batch_filtered" -> ((s, dir) => {
+      import graft.expressions.GraftFunctions
+      val path = Ann.ivfLayout(s, dir)
+      graft.plans.IvfIndexRegistry.register(s, path, "label", "vec_id", "embedding")
+      GraftFunctions.register(s)
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      s.read.parquet(path).filter(col("vec_id") >= 3)
+        .join(qs, col("label") === col("q_label"), "inner")
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // GRAPH ANN (HNSW family): beam search over the dumped layered
     // small-world graph — entry point → 2 hops on the express layer →
     // 3 hops on the base layer, beam width 8, then top-5. The search is a
@@ -691,6 +749,23 @@ object PipelineQueries {
       val qs = embeddings(s, dir).filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       graft.operators.Hnsw.search(s, dir, qs, k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // REGISTRY-RESOLVED serving (round-11 verdict #6): the batch face of
+    // the streaming indexServe loop — ONE serve call resolving whatever
+    // index covers the corpus table (graph wins over IVF, the rewrites'
+    // precedence). Registered on the graph here, so the result IS the
+    // batch walk — ann_hnsw_batch's replay verbatim; StreamingSpec pins
+    // the per-trigger streaming twin against this same face.
+    "index_serve_batch" -> ((s, dir) => {
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      graft.streaming.Streaming.indexServeBatch(qs, corpus, k = 3)
         .orderBy(col("qid"), col("rnk"))
     }),
 
@@ -796,6 +871,30 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // BATCH face of the transparent graph-range rewrite (round-11
+    // verdict #2, the last range cell of the rewrite matrix): the exact
+    // batch threshold shape — corpus × panel, WHERE round-6 sim ≥ t —
+    // over the graph-registered corpus, served by ONE batch range walk
+    // (plans/HnswRangeBatchRewrite): union-of-visited id-IN at the scan
+    // plus a per-qid (qid, id) semi-join. The user's predicate
+    // exact-rescored each qid's pool, so the result IS the explicit
+    // batch walk's — the multi-qid range replay oracles both.
+    "ann_range_rewrite_batch" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      s.read.parquet(corpus).crossJoin(qs)
+        .withColumn("sim", round(graft.expressions.GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
+
     // BATCH face of the transparent graph rewrite (round-10 verdict #1):
     // the user writes the exact per-qid window top-k — row_number over
     // (PARTITION BY qid ORDER BY round-6 cosine DESC, id ASC) ≤ k — over
@@ -843,7 +942,12 @@ object PipelineQueries {
       graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
         graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
       val (kmPath, cents) = Ann.kmeansLayout(s, dir)
-      graft.plans.IvfIndexRegistry.registerCentroids(kmPath, "cell", cents)
+      // the staleness-armed registration (round-11 verdict #3): captures
+      // the (vec_id, cell) membership fingerprint so the IVF row carries
+      // a DuckDB-recomputable digest and a real drift decision, like the
+      // other two families
+      graft.plans.IvfIndexRegistry.registerCentroids(s, kmPath, "cell",
+        "vec_id", cents)
       val mvSrc = graft.plans.MvDemo.ensure(s, dir)
       val keep = Seq(corpus, kmPath, mvSrc)
         .map(p => p.stripPrefix("file:").replaceAll("/+$", ""))
@@ -1442,13 +1546,16 @@ object PipelineQueries {
     * (ann_range_rewrite) — the rewrite injects exactly the walk's ids, so
     * both faces must replay identically.
     */
-  private def rangeWalkOracleSql(t: Double): String = {
+  private def rangeWalkOracleSql(t: Double,
+      qsSql: String = "SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0",
+      selectSql: String = "SELECT vec_id, sim",
+      orderSql: String = "ORDER BY vec_id"): String = {
     import graft.operators.Hnsw
     val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
     val unions = (1 to Hnsw.Schedule.length)
       .map(i => s"SELECT qid, vec_id FROM cand$i").mkString(" UNION ")
     val sb = new StringBuilder
-    sb ++= s"WITH ${hnswBeamCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")},\n"
+    sb ++= s"WITH ${hnswBeamCtes(qsSql)},\n"
     sb ++= s"""rv0 AS MATERIALIZED (
               |  SELECT DISTINCT v.qid, v.vec_id, round($cos, 6) AS sim
               |  FROM (SELECT qid, vec_id FROM beam0 UNION $unions) v
@@ -1471,9 +1578,49 @@ object PipelineQueries {
                 |  JOIN qs ON qs.qid = c.qid)""".stripMargin
     }
     sb ++= s"""
-              |SELECT vec_id, sim FROM rv${Hnsw.RangeHops}
-              |WHERE sim >= $t ORDER BY vec_id""".stripMargin
+              |$selectSql FROM rv${Hnsw.RangeHops}
+              |WHERE sim >= $t $orderSql""".stripMargin
     sb.toString
+  }
+
+  /** The batch IVF probe-and-prune replay — per-qid medoid probe (crnk
+    * = 1), corpus restricted to each qid's probed cell, per-qid window
+    * top-3 — the ONE definition behind the explicit face
+    * (ann_ivf_batch), the transparent batch rewrite
+    * (ann_ivf_rewrite_batch, which must reach the identical result from
+    * the bare window shape), and the filtered batch face
+    * (knn_batch_filtered, which adds the corpus.label = panel.label
+    * equi-condition INSIDE the admitted cells — the whole-cell
+    * composition, round-11 verdict #4).
+    */
+  private def ivfBatchProbeOracleSql(labelFiltered: Boolean = false): String = {
+    val qCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
+    val qlCol = if (labelFiltered) ", label AS q_label" else ""
+    val qlJoin = if (labelFiltered) " AND e.label = q.q_label" else ""
+    s"""WITH qs AS (
+       |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe$qlCol
+       |  FROM embeddings WHERE vec_id < 3),
+       |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
+       |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
+       |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
+       |probe AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell, row_number() OVER (
+       |        PARTITION BY q.qid
+       |        ORDER BY round(${VectorQueries.duckCosine("c.ce", "q.qe")}, 6) DESC,
+       |          c.cell ASC) AS crnk
+       |    FROM cents c CROSS JOIN qs q)
+       |  WHERE crnk <= 1),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, e.label, round($qCos, 6) AS sim,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round($qCos, 6) DESC, e.vec_id ASC) AS rnk
+       |  FROM embeddings e
+       |  JOIN probe p ON e.label = p.cell
+       |  JOIN qs q ON q.qid = p.qid$qlJoin
+       |  WHERE e.vec_id >= 3)
+       |SELECT qid, vec_id, label, sim, rnk FROM scored
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
   private def hnswMaintEdgesSql: String =
@@ -1982,34 +2129,13 @@ object PipelineQueries {
          |LIMIT 5""".stripMargin,
 
     // Per-qid medoid probe → top-k within the probed cell only — the
-    // batch generalization of the ann_ivf oracle.
-    "ann_ivf_batch" -> {
-      val qCos = VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")
-      s"""WITH qs AS (
-         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-         |  FROM embeddings WHERE vec_id < 3),
-         |m AS (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label),
-         |cents AS (SELECT e.label AS cell, e.embedding::DOUBLE[] AS ce
-         |          FROM embeddings e JOIN m ON e.vec_id = m.mv),
-         |probe AS (
-         |  SELECT qid, cell FROM (
-         |    SELECT q.qid, c.cell, row_number() OVER (
-         |        PARTITION BY q.qid
-         |        ORDER BY round(${VectorQueries.duckCosine("c.ce", "q.qe")}, 6) DESC,
-         |          c.cell ASC) AS crnk
-         |    FROM cents c CROSS JOIN qs q)
-         |  WHERE crnk <= 1),
-         |scored AS (
-         |  SELECT q.qid, e.vec_id, e.label, round($qCos, 6) AS sim,
-         |    row_number() OVER (PARTITION BY q.qid
-         |      ORDER BY round($qCos, 6) DESC, e.vec_id ASC) AS rnk
-         |  FROM embeddings e
-         |  JOIN probe p ON e.label = p.cell
-         |  JOIN qs q ON q.qid = p.qid
-         |  WHERE e.vec_id >= 3)
-         |SELECT qid, vec_id, label, sim, rnk FROM scored
-         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-    },
+    // batch generalization of the ann_ivf oracle; shared verbatim with
+    // the transparent batch face (the rewrite must reach the identical
+    // probe-and-prune result) and, with the label equi-condition, with
+    // the filtered batch face.
+    "ann_ivf_batch" -> ivfBatchProbeOracleSql(),
+    "ann_ivf_rewrite_batch" -> ivfBatchProbeOracleSql(),
+    "knn_batch_filtered" -> ivfBatchProbeOracleSql(labelFiltered = true),
 
     // Identical to ann_ivf: the transparent rewrite must reach the same
     // probe-and-prune result the explicit operator computes.
@@ -2186,6 +2312,14 @@ object PipelineQueries {
          |WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
     },
 
+    // registry-resolved serve on a graph-registered corpus IS the batch
+    // walk — ann_hnsw_batch's replay verbatim
+    "index_serve_batch" -> {
+      s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")}
+         |SELECT qid, vec_id, sim, rn::INTEGER AS rnk FROM $hnswLastBeam
+         |WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
+    },
+
     // same membership-fingerprint arithmetic over the live ids + the
     // dumped meta digest — the freshness verdict is engine-independent
     "ann_stale_check" ->
@@ -2317,6 +2451,10 @@ object PipelineQueries {
       s"""WITH hm AS (SELECT corpus_fp, n_layers
          |            FROM read_parquet('__HNSW_META__/*.parquet')),
          |kc AS (SELECT count(*) AS k FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |kfp AS (SELECT
+         |  (sum(('0x' || substr(md5(concat_ws('|', vec_id, cell)), 1, 15))::BIGINT)
+         |    % 2305843009213693951)::BIGINT AS fp
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
          |mv AS (SELECT count(DISTINCT lang) AS g,
          |  (sum(('0x' || substr(md5(concat_ws('|', doc_id, lang, n_chars)), 1, 15))::BIGINT)
          |    % 2305843009213693951)::BIGINT AS fp
@@ -2329,7 +2467,7 @@ object PipelineQueries {
          |    hm.corpus_fp::VARCHAR AS fingerprint, 'serve' AS decision FROM hm
          |  UNION ALL
          |  SELECT 'ivf', '__IVFKM_LAYOUT__', '__IVFKM_LAYOUT__', 'cell=cell',
-         |    kc.k::BIGINT, 0::BIGINT, '', 'serve' FROM kc
+         |    kc.k::BIGINT, 0::BIGINT, kfp.fp::VARCHAR, 'serve' FROM kc, kfp
          |  UNION ALL
          |  SELECT 'mv', '__MV_SRC__', '__MV_SRC__-mv', 'group=lang,sums=n_chars',
          |    mv.g::BIGINT, 0::BIGINT, mv.fp::VARCHAR, 'serve' FROM mv)
@@ -2399,6 +2537,16 @@ object PipelineQueries {
     // the oracle is ann_range_search's replay VERBATIM — transparent
     // face ≡ explicit face, both hash-checked independently
     "ann_range_rewrite" -> rangeWalkOracleSql(t = 0.2),
+
+    // batch transparent graph-range twin: the multi-qid range walk
+    // replay (the same CTEs — beam0 ∪ hop candidates ∪ bounded range
+    // hops, all per-qid via PARTITION BY qid — over a 3-row panel), ≥ t
+    // cut, per-qid output: the rewrite injects exactly the batch walk's
+    // (qid, id) pool and the user's predicate rescored it
+    "ann_range_rewrite_batch" -> rangeWalkOracleSql(t = 0.2,
+      qsSql = "SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3",
+      selectSql = "SELECT qid, vec_id, sim",
+      orderSql = "ORDER BY qid, vec_id"),
 
     // stats replay: the SAME merge-on-read resolution the maintenance
     // replays use, aggregated per layer, beside the sidecar counts

@@ -59,6 +59,146 @@ class ExtensionsSpec extends AnyFunSuite {
         explicit.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
     } finally graft.plans.IvfIndexRegistry.clear()
   }
+
+  test("IvfBatchTopKRewrite: per-qid window top-k served from probed cells; guards fall through") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}
+    import graft.expressions.GraftFunctions
+    val dir = "/root/testdata/sf0.001"
+    val path = graft.operators.Ann.ivfLayout(spark, dir)
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      def qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      def batch(corpusDf: DataFrame, queries: DataFrame = qs,
+                keep: Seq[String] = Seq("qid", "vec_id", "label", "sim", "rnk")) = corpusDf
+        .crossJoin(queries.drop("q_label"))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(keep.map(col): _*)
+      def fired(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.exists {
+        case j: LJoin => j.right match {
+          case lr: LLocal => lr.output.exists(_.name === "__graft_cell")
+          case _ => false
+        }
+        case _ => false
+      }
+      // unregistered: never fires
+      assert(!fired(batch(spark.read.parquet(path))), "fired without a registration")
+      graft.plans.IvfIndexRegistry.register(spark, path, "label", "vec_id", "embedding")
+      // the flagship batch shape fires and serves EXACTLY the explicit
+      // probe-and-prune face (ann_ivf_batch over the same data)
+      val served = batch(spark.read.parquet(path).filter(col("vec_id") >= 3))
+      assert(fired(served), "batch cell rewrite did not fire")
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("sim"), r.getAs[Int]("rnk"))).toSet
+      assert(rows(served) === rows(SparkEntry.queries("ann_ivf_batch")(spark, dir)),
+        "batch rewrite diverged from the explicit probe-and-prune")
+      // the union-of-cells prune reaches the scan as PARTITION pruning:
+      // 3 panel rows probe ≤ 3 of the 10 cell directories
+      val nf = PlanTestUtil.scannedFiles(served).get
+      val base = spark.read.parquet(path).filter(col("vec_id") >= 0)
+      base.collect() // numFiles is populated at execution, not planning
+      val total = PlanTestUtil.scannedFiles(base).get
+      assert(nf < total, s"read $nf of $total files — cell pruning failed")
+      // equi-conditioned join (the metadata-filtered shape) fires too,
+      // and the condition acts inside each admitted cell
+      def filtered(corpusDf: DataFrame) = corpusDf
+        .join(qs, col("label") === col("q_label"), "inner")
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+      val servedF = filtered(spark.read.parquet(path).filter(col("vec_id") >= 3))
+      assert(fired(servedF), "equi-conditioned batch shape did not fire")
+      assert(rows(servedF) === rows(SparkEntry.queries("knn_batch_filtered")(spark, dir)),
+        "filtered batch rewrite diverged from its registered twin")
+      // a NON-equi condition falls through (conservative, documented)
+      val nonEqui = spark.read.parquet(path)
+        .join(qs, col("vec_id") =!= col("qid"), "inner")
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      assert(!fired(nonEqui), "fired through a non-equi condition")
+      // duplicate qids make the per-qid ranking ill-defined
+      assert(!fired(batch(spark.read.parquet(path),
+        queries = qs.union(qs.limit(1)))), "fired on duplicate qids")
+      // a panel reading the REGISTERED table is a self-join — corpus-sized
+      val selfQ = spark.read.parquet(path).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      assert(!fired(batch(spark.read.parquet(path), queries = selfQ)),
+        "fired on a self-join panel")
+      // a projection that drops the cell column starves the refinement
+      // join — visibility guard falls through to the exact plan
+      assert(!fired(batch(spark.read.parquet(path).filter(col("vec_id") >= 3),
+        keep = Seq("qid", "vec_id", "sim", "rnk"))),
+        "fired with the cell column pruned away")
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
+
+  test("batch precedence: graph batch rewrite outranks IVF when it fires; IVF serves what it declines") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}
+    import graft.expressions.GraftFunctions
+    val dir = "/root/testdata/sf0.001"
+    graft.operators.Hnsw.layout(spark, dir)
+    val corpus = graft.operators.Hnsw.rewriteCorpusLayout(spark, dir)
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      // IVF-register the SAME corpus table (label cells exist on the
+      // rewrite corpus clone — it is the embeddings table staged)
+      graft.plans.IvfIndexRegistry.register(spark, corpus, "label", "vec_id", "embedding")
+      GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      def marker(df: DataFrame, name: String): Boolean =
+        df.queryExecution.optimizedPlan.exists {
+          case j: LJoin => j.right match {
+            case lr: LLocal => lr.output.exists(_.name === name)
+            case _ => false
+          }
+          case _ => false
+        }
+      // graph-admissible shape: the graph batch rule fires, IVF defers
+      val graphShape = spark.read.parquet(corpus)
+        .crossJoin(qs.drop("q_label"))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+      assert(marker(graphShape, "__graft_qid"), "graph batch rule did not fire")
+      assert(!marker(graphShape, "__graft_cell"),
+        "IVF batch rule stacked on a graph-served plan")
+      // a conditioned join: the graph rule declines, the IVF rule serves
+      val condShape = spark.read.parquet(corpus)
+        .join(qs, col("label") === col("q_label"), "inner")
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+      assert(!marker(condShape, "__graft_qid"), "graph batch rule fired on a conditioned join")
+      assert(marker(condShape, "__graft_cell"),
+        "IVF batch rule did not serve the shape the graph rule declined")
+    } finally {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+    }
+  }
 }
 
 class StreamingDedupSpec extends AnyFunSuite {

@@ -579,6 +579,70 @@ class HnswSpec extends AnyFunSuite {
     assert(got.toSet === want, "streaming serve diverged from the batch serve")
   }
 
+  test("registry-resolved serve: graph precedence, IVF fallback, streaming twin ≡ one batch serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.Streaming
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val panel = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+      // an unregistered corpus refuses loudly — never a silent exact scan
+      // masquerading as index serving
+      intercept[RuntimeException] {
+        Streaming.indexServeBatch(panel, corpus, k = 3).collect()
+      }
+      // IVF-only registration: served through the explicit skew-hardened
+      // batch face over the entry's own medoids, output normalized
+      graft.plans.IvfIndexRegistry.register(spark, corpus, "label",
+        "vec_id", "embedding")
+      val e = graft.plans.IvfIndexRegistry.lookup(Seq(corpus)).get
+      val wantIvf = rows(Ann.ivfSearchBatchTopK(spark.read.parquet(corpus),
+          panel, e.cellCol, Ann.centroidsDf(spark, e.medoids),
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk")))
+      assert(rows(Streaming.indexServeBatch(panel, corpus, k = 3)) === wantIvf,
+        "IVF route diverged from the explicit batch face")
+      // a graph registration on the same table takes precedence (the
+      // rewrites' documented index ordering)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      val wantGraph = rows(Hnsw.search(spark, sf, panel, k = 3))
+      assert(rows(Streaming.indexServeBatch(panel, corpus, k = 3)) === wantGraph,
+        "graph registration did not take precedence")
+      // streaming twin: queries arriving across TWO triggers accumulate
+      // exactly the one-batch serve's output (per-trigger ≡ batch)
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+      val q = Streaming.indexServe(
+          ms.toDF().select(col("value").as("qid")).join(panel, Seq("qid")),
+          corpus, k = 3) { (df, _) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        ()
+      }
+      try {
+        ms.addData(0L)
+        q.processAllAvailable()
+        ms.addData(1L, 2L)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(got.toSet === wantGraph,
+        "streaming registry-resolved serve diverged from the batch serve")
+      assert(got.size === wantGraph.size, "streaming serve duplicated output")
+    } finally {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+    }
+  }
+
   test("staleness probe: meta fingerprint matches at build, flips on any membership change") {
     Hnsw.layout(spark, sf)
     val meta = spark.read.parquet(Hnsw.metaPath(sf)).head()
@@ -1281,6 +1345,86 @@ class HnswSpec extends AnyFunSuite {
     } finally {
       graft.plans.IvfIndexRegistry.clear()
       graft.plans.HnswGraphRegistry.clear()
+    }
+  }
+
+  test("batch range rewrite: corpus × panel threshold shape served by ONE batch walk; guards fall through") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    def fired(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.exists {
+      case j: LJoin => j.right match {
+        case lr: LLocal => lr.output.exists(_.name === "__graft_rqid")
+        case _ => false
+      }
+      case _ => false
+    }
+    def rangeQ(corpusDf: DataFrame, queries: DataFrame = qs, rounded: Boolean = true) = {
+      val cs = GraftFunctions.cosineSim(col("embedding"), col("q_emb"))
+      corpusDf.crossJoin(queries)
+        .withColumn("sim", if (rounded) round(cs, 6) else cs)
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("vec_id"), col("sim"))
+    }
+    try {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      // the batch threshold shape fires and serves EXACTLY the explicit
+      // batch range walk, per qid
+      val served = rangeQ(spark.read.parquet(corpus))
+      assert(fired(served), "batch range rewrite did not fire")
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = Hnsw.searchRange(spark, sf, qs, t = 0.2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, "batch range rewrite diverged from the explicit batch walk")
+      // the union-of-pools In pushes into the corpus scan
+      assert(served.queryExecution.executedPlan.toString
+        .matches("(?s).*PushedFilters: \\[[^\\]]*In\\(vec_id[^\\]]*\\].*"),
+        "union-of-pools In filter did not reach the corpus scan")
+      // a benign id exclusion composes (result = pool minus the id)
+      val excl = rangeQ(spark.read.parquet(corpus).filter(col("vec_id") =!= 0L))
+      assert(fired(excl), "benign id exclusion blocked the batch range rewrite")
+      assert(excl.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        === want.filterNot(_._2 == 0L))
+      // fall-throughs, each leaving the exact plan:
+      // (a) raw cosine draws the boundary differently than the walk's cut
+      assert(!fired(rangeQ(spark.read.parquet(corpus), rounded = false)),
+        "batch range rewrite fired on a raw-cosine threshold")
+      // (b) a non-benign corpus predicate (id range)
+      assert(!fired(rangeQ(spark.read.parquet(corpus).filter(col("vec_id") >= 100L))),
+        "batch range rewrite fired under an id-range predicate")
+      // (c) duplicate qids
+      assert(!fired(rangeQ(spark.read.parquet(corpus),
+        queries = qs.union(qs.limit(1)))), "fired on duplicate qids")
+      // (d) a self-join panel (query side IS the registered corpus)
+      val selfQ = spark.read.parquet(corpus).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      assert(!fired(rangeQ(spark.read.parquet(corpus), queries = selfQ)),
+        "fired on a self-join panel")
+      // (e) registry-state precedence: a radii-armed IVF registration on
+      //     the same table owns threshold serving — the approximate graph
+      //     rule must decline OUTRIGHT, first pass included
+      graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(corpus, "label",
+        "embedding", Ann.kmeansLayout(spark, sf)._2, Ann.loadRadii(spark, sf))
+      assert(!fired(rangeQ(spark.read.parquet(corpus))),
+        "graph batch range rewrite fired over a radii-armed IVF registration")
+      graft.plans.IvfIndexRegistry.clear()
+      // (f) unregistered → exact scan
+      graft.plans.HnswGraphRegistry.clear()
+      assert(!fired(rangeQ(spark.read.parquet(corpus))),
+        "batch range rewrite fired unregistered")
+    } finally {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
     }
   }
 }
