@@ -525,15 +525,19 @@ object Ann {
       .withColumn(cellCol,
         when(col("__half") === 0, lit(cell)).otherwise(lit(newId)))
       .drop("__half", "__v")
-    compactLayout(spark, layoutPath,
-      transform = d => d.filter(col(cellCol) =!= cell).unionByName(reassigned),
-      cellCol = cellCol)
+    // medoids BEFORE the swap: reassigned's lineage re-reads the OLD
+    // layout through the cache on a lost block, and after the swap that
+    // recompute would see only half-0's rows — silently-wrong sub-cell
+    // representatives (review finding)
     val subs = cellMedoids(reassigned, cellCol, idCol, embCol)
       .select(col("cell"),
         graft.functions.VectorOps.toDoubleArray(col("centroid")).as("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
+    compactLayout(spark, layoutPath,
+      transform = d => d.filter(col(cellCol) =!= cell).unionByName(reassigned),
+      cellCol = cellCol)
     prepared.unpersist() // reassigned's lineage reads the cache until here
     subs
   }

@@ -869,11 +869,19 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
             }
           }
         }
+      // every conjunct to audit: the matched condition PLUS — in the
+      // Filter-above-join shape — the inner join's OWN ON condition (the
+      // condition-carried shape folds it into `cond` already; skipping
+      // it here let an equi-join fire unaudited and silently compound
+      // recall loss — review finding)
+      allConds = RewriteSupport.conjuncts(cond) ++
+        (if (searchRoot eq join) Nil
+         else join.condition.map(RewriteSupport.conjuncts).getOrElse(Nil))
       // the threshold conjuncts ranking the registered column against a
       // query-side attribute — round-6 ONLY (the walk's own cut); with
       // several, the TIGHTEST t probes (the conjunction keeps only rows
       // ≥ max(t) either way)
-      matches = RewriteSupport.conjuncts(cond)
+      matches = allConds
         .flatMap(c => RewriteSupport.thresholdPairConjunct(c, searchRoot,
           allowRaw = false))
         .collect {
@@ -884,15 +892,17 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
         }
       if matches.nonEmpty
       (qAttr, t) = matches.maxBy(_._2)
-      // every NON-threshold conjunct — above the join and on the corpus
-      // spine — must be a provably benign id exclusion (no count bound:
-      // there is no LIMIT to starve; an excluded id just leaves the pool)
-      others = RewriteSupport.conjuncts(cond).filter { c =>
+      // every NON-threshold conjunct — matched condition, join condition,
+      // and the corpus spine — must be a provably benign id exclusion
+      // (no count bound: there is no LIMIT to starve; an excluded id
+      // just leaves the pool)
+      others = allConds.filter { c =>
         !RewriteSupport.thresholdPairConjunct(c, searchRoot, allowRaw = false)
           .exists { case (a, b, _) =>
             a.exprId == embAttr.exprId || b.exprId == embAttr.exprId }
       }
-      _ <- RewriteSupport.benignExclusions(others ++ corpusConds, idAttr)
+      _ <- RewriteSupport.benignExclusions(others, idAttr)
+      _ <- RewriteSupport.benignExclusions(corpusConds, idAttr)
       // the panel-side qid: the query side's single non-vector output of
       // Long type visible at the injection point — the semi-join key
       qidAttr <- {

@@ -140,10 +140,12 @@ object IndexCatalog {
 
   /** Plan-provenance audit: the indexes whose injected markers are
     * present in the query's OPTIMIZED plan — `hnsw:<edges>` for the
-    * single-face id-In filter, `hnsw-batch:<edges>` for the per-qid
-    * semi-join, `ivf:<table>` for the cell-equality prune, `mv:<mv>`
-    * for a summary-table scan standing in for its source. Empty = the
-    * query ran exact/unaccelerated.
+    * single-face id-In filter, `hnsw-batch:` / `hnsw-range-batch:` /
+    * `ivf-batch:` for the three batch faces' tagged per-qid semi-joins,
+    * `hnsw-range:` for the single range face's id pool, `ivf:<table>`
+    * for the cell-equality prune, `ivf-range:` for the admissible-cell
+    * IN, `mv:<mv>` for a summary-table scan standing in for its source.
+    * Empty = the query ran exact/unaccelerated.
     */
   def servedBy(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.Descending
@@ -169,19 +171,36 @@ object IndexCatalog {
         case _ => false
       }
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
-    // PASS 1 — batch-face semi-join markers, collected BEFORE any id-IN
-    // classification: the batch rewrite's union-of-beams superset prune
-    // is also an id-IN on the same graph, and suppressing it must not
+    // PASS 1 — batch-face semi-join markers, collected BEFORE any id-IN /
+    // cell-IN classification: every batch rewrite injects a superset IN
+    // beside its semi-join, and suppressing/attributing those must not
     // depend on plan.foreach having happened to visit the semi-join
-    // first (round-11 advisor)
+    // first (round-11 advisor). Dispatch is on the marker tag's VALUE —
+    // three distinct batch faces inject tagged LocalRelations, and
+    // reading any of them as "hnsw-batch" misattributed the range-batch
+    // and IVF-batch serves (review finding); the output-name checks stay
+    // as the second line for a rebuilt-without-tags relation.
     val batchServed = scala.collection.mutable.Set.empty[String]
+    val ivfBatchServed = scala.collection.mutable.Set.empty[String]
     plan.foreach {
       case j: Join if j.joinType == LeftSemi &&
-          j.right.isInstanceOf[LocalRelation] &&
-          (j.right.getTagValue(RewriteSupport.InjectedMarker).isDefined ||
-            j.right.output.exists(_.name == "__graft_qid")) =>
-        HnswGraphRegistry.lookup(rootPaths(j.left))
-          .foreach { e => tags += s"hnsw-batch:${e.edgesDir}"; batchServed += e.edgesDir }
+          j.right.isInstanceOf[LocalRelation] =>
+        val tag = j.right.getTagValue(RewriteSupport.InjectedMarker)
+        def named(n: String) = j.right.output.exists(_.name == n)
+        if (tag.contains("hnsw-batch") || (tag.isEmpty && named("__graft_qid")))
+          HnswGraphRegistry.lookup(rootPaths(j.left))
+            .foreach { e => tags += s"hnsw-batch:${e.edgesDir}"; batchServed += e.edgesDir }
+        else if (tag.contains("hnsw-range-batch") || (tag.isEmpty && named("__graft_rqid")))
+          HnswGraphRegistry.lookup(rootPaths(j.left))
+            .foreach { e => tags += s"hnsw-range-batch:${e.edgesDir}"; batchServed += e.edgesDir }
+        else if (tag.contains("ivf-batch") || (tag.isEmpty && named("__graft_cell"))) {
+          // attribute to the REGISTERED table under the semi-join's left
+          // side (rootPaths also lists the panel table — picking head
+          // would misname the serve)
+          val ps = rootPaths(j.left).map(RewriteSupport.canon)
+          IvfIndexRegistry.entries.collectFirst { case (p, _) if ps.contains(p) => p }
+            .foreach { p => tags += s"ivf-batch:$p"; ivfBatchServed += p }
+        }
       case _ => ()
     }
     plan.foreach {
@@ -212,7 +231,8 @@ object IndexCatalog {
             tags += (if (topKShapeOver(plan, f)) s"hnsw:${e.edgesDir}"
                      else s"hnsw-range:${e.edgesDir}")
           case EqualTo(a: AttributeReference, _: Literal)
-            if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) =>
+            if IvfIndexRegistry.lookup(rels).exists(_.cellCol == a.name) &&
+              !rels.map(RewriteSupport.canon).exists(ivfBatchServed) =>
             val armed = IvfIndexRegistry.lookup(rels).exists(_.radii.nonEmpty)
             tags += (if (armed && !topKShapeOver(plan, f))
               s"ivf-range:${RewriteSupport.canon(rels.head)}"
@@ -220,14 +240,18 @@ object IndexCatalog {
           // the range rewrite's marker: an IN over the registered cell
           // column (the admissible-cell prune) — only on a radii-armed
           // registration, so a user-written cell IN list on a top-k-only
-          // index can't read as acceleration
+          // index can't read as acceleration; suppressed when the batch
+          // top-k face already attributed this table (its union-of-cells
+          // superset prune is also a cell IN)
           case In(a: AttributeReference, _)
             if IvfIndexRegistry.lookup(rels).exists(e =>
-              e.cellCol == a.name && e.radii.nonEmpty) =>
+              e.cellCol == a.name && e.radii.nonEmpty) &&
+              !rels.map(RewriteSupport.canon).exists(ivfBatchServed) =>
             tags += s"ivf-range:${RewriteSupport.canon(rels.head)}"
           case InSet(a: AttributeReference, _)
             if IvfIndexRegistry.lookup(rels).exists(e =>
-              e.cellCol == a.name && e.radii.nonEmpty) =>
+              e.cellCol == a.name && e.radii.nonEmpty) &&
+              !rels.map(RewriteSupport.canon).exists(ivfBatchServed) =>
             tags += s"ivf-range:${RewriteSupport.canon(rels.head)}"
           case _ => ()
         }

@@ -139,10 +139,11 @@ object IvfIndexRegistry {
     * decision routes the operator to the retrain path instead.
     */
   def registerCentroids(spark: SparkSession, path: String, cellCol: String,
-                        idCol: String,
+                        idCol: String, embCol: String,
                         centroids: Seq[(Int, Array[Double])],
                         splitCap: Option[Long] = None): Unit =
     registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1),
+      embCol = Some(embCol),
       idCol = Some(idCol),
       fingerprint = tableFingerprint(spark, path, Seq(idCol, cellCol)),
       splitCap = splitCap))
@@ -155,9 +156,17 @@ object IvfIndexRegistry {
     */
   def registerCentroidsWithRadii(path: String, cellCol: String, embCol: String,
                                  centroids: Seq[(Int, Array[Double])],
-                                 radii: Map[Int, Double]): Unit =
+                                 radii: Map[Int, Double],
+                                 // optional id column so the registry-
+                                 // resolved serving face (Streaming
+                                 // .indexServeBatch) can rank this
+                                 // registration too (review finding: a
+                                 // range-armed index could only be
+                                 // refused, never served)
+                                 idCol: Option[String] = None): Unit =
     registry.put(canon(path),
-      Entry(cellCol, centroids.sortBy(_._1), Some(embCol), radii))
+      Entry(cellCol, centroids.sortBy(_._1), Some(embCol), radii,
+        idCol = idCol))
 
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
@@ -682,12 +691,17 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * dropping qualifying rows from a rewrite documented as provably
     * exact): the entry's metadata values + the CANONICALIZED projected
     * panel plan (true structural equality, exprIds normalized — not a
-    * 32-bit hash) + t. IvfIndexRegistry.clear() purges the memo.
+    * 32-bit hash) + the panel's input-files digest (a canonicalized
+    * plan alone reads EQUAL across a data change to the same table —
+    * rootPaths-only relation equality — and would serve stale
+    * admissions; review finding) + t. Bounded (RewriteSupport
+    * .ProbeMemoCap) and purged by IvfIndexRegistry.clear().
     */
   private def probe(querySide: LogicalPlan, qAttr: AttributeReference,
                     entry: IvfIndexRegistry.Entry, t: Double): Option[Seq[Int]] = {
     val proj = Project(Seq(Alias(qAttr, "q_emb")()), querySide)
-    val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized, t)
+    val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized,
+      RewriteSupport.inputFilesDigest(querySide), t)
     // the beamIds locking posture: the panel job runs OUTSIDE the map (a
     // Spark job must not hold a ConcurrentHashMap bin lock against
     // concurrent planning threads); a racing duplicate is idempotent
@@ -715,7 +729,7 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             s"the exact scan", ex)
           None
       }
-      IvfRangeBatchRewrite.probeMemo.putIfAbsent(key, computed)
+      RewriteSupport.boundedPut(IvfRangeBatchRewrite.probeMemo, key, computed)
       computed
     }
   }
@@ -723,7 +737,7 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IvfRangeBatchRewrite {
   private[plans] val probeMemo =
-    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan, Double), Option[Seq[Int]]]()
+    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan, Long, Double), Option[Seq[Int]]]()
 }
 
 /** BATCH face of the transparent IVF top-k rewrite — [[IvfTopKRewrite]]
@@ -953,7 +967,8 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                     entry: IvfIndexRegistry.Entry): Option[Seq[(Long, Int)]] = {
     val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
       querySide)
-    val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized)
+    val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized,
+      RewriteSupport.inputFilesDigest(querySide))
     Option(IvfBatchTopKRewrite.probeMemo.get(key)).getOrElse {
       val computed = try {
         val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
@@ -978,7 +993,7 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             s"the exact scan", ex)
           None
       }
-      IvfBatchTopKRewrite.probeMemo.putIfAbsent(key, computed)
+      RewriteSupport.boundedPut(IvfBatchTopKRewrite.probeMemo, key, computed)
       computed
     }
   }
@@ -986,5 +1001,5 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IvfBatchTopKRewrite {
   private[plans] val probeMemo =
-    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan), Option[Seq[(Long, Int)]]]()
+    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan, Long), Option[Seq[(Long, Int)]]]()
 }

@@ -191,6 +191,48 @@ private[plans] object RewriteSupport {
     case _ => None
   }
 
+  /** Freshness component for rewrite-probe memo keys: a digest of every
+    * file-backed relation's input file paths under the panel subplan. A
+    * CANONICALIZED plan alone is NOT a sound memo key across separately
+    * built queries — HadoopFsRelation equality is rootPaths-only, so a
+    * panel table whose DATA changed between two queries canonicalizes
+    * equal and would serve stale admissions (review finding: the prior
+    * exprId-bearing key never hit cross-query, so the canonicalized
+    * re-key silently introduced this class). Parquet writes mint fresh
+    * part-file names, so any append/overwrite changes this digest; a
+    * listing Spark itself serves stale (no refreshByPath) is stale for
+    * the unrewritten plan too and is not the memo's bug. Uses the file
+    * index's cached listing — no I/O at rewrite time.
+    */
+  def inputFilesDigest(p: LogicalPlan): Long = {
+    var h = 1125899906842597L // FNV-ish fold, order-independent via sort
+    p.foreach {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.sorted.foreach { f =>
+              h = h * 31 + f.hashCode
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    h
+  }
+
+  /** Crude-but-safe bound for the probe memos: past the cap the whole
+    * map clears (it is a cache — a re-probe is one API-panel job). The
+    * keys retain canonicalized plan trees, so unbounded growth across a
+    * long session of distinct panel shapes would pin file listings on
+    * the driver (review finding).
+    */
+  val ProbeMemoCap = 256
+  def boundedPut[K, V](memo: java.util.concurrent.ConcurrentHashMap[K, V],
+                       k: K, v: V): Unit = {
+    if (memo.size >= ProbeMemoCap) memo.clear()
+    memo.putIfAbsent(k, v)
+  }
+
   /** Tag stamped on the LocalRelation a batch rewrite injects as its
     * per-qid semi-join table — the idempotence/provenance marker the
     * house discipline prefers over name matching (round-11 verdict #7:

@@ -947,7 +947,7 @@ object PipelineQueries {
       // a DuckDB-recomputable digest and a real drift decision, like the
       // other two families
       graft.plans.IvfIndexRegistry.registerCentroids(s, kmPath, "cell",
-        "vec_id", cents)
+        "vec_id", "embedding", cents)
       val mvSrc = graft.plans.MvDemo.ensure(s, dir)
       val keep = Seq(corpus, kmPath, mvSrc)
         .map(p => p.stripPrefix("file:").replaceAll("/+$", ""))

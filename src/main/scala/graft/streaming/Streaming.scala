@@ -350,7 +350,8 @@ object Streaming {
             .select(col("qid"), col(e.idCol.get).as("vec_id"),
               col("sim"), col("rnk"))
         case Some(_) => sys.error(s"IVF registration for $corpusPath " +
-          "carries no id/emb columns — register with the staleness-armed face")
+          "carries no id/emb columns — register via register() or an " +
+          "overload that captures idCol and embCol")
         case None => sys.error(s"no index registered for $corpusPath")
       }
     }

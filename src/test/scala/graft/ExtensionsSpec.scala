@@ -144,6 +144,55 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.IvfIndexRegistry.clear()
   }
 
+  test("batch probe memo is freshness-keyed: a panel-table data change re-probes instead of serving stale admissions") {
+    // review finding: a canonicalized-plan memo key reads EQUAL across a
+    // data change to the same panel table (relation equality is
+    // rootPaths-only), so a rebuilt query after an append would serve
+    // the stale admission set — the appended qid would silently vanish
+    // from a rewrite's per-qid output. The key now carries the panel's
+    // input-files digest.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}
+    import graft.expressions.GraftFunctions
+    val dir = "/root/testdata/sf0.001"
+    val path = graft.operators.Ann.ivfLayout(spark, dir)
+    val panelDir = java.nio.file.Files.createTempDirectory("graft-panel").toString + "/p"
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      def panelRows(ids: Long*) = emb.filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      panelRows(1L, 2L).write.mode("overwrite").parquet(panelDir)
+      graft.plans.IvfIndexRegistry.register(spark, path, "label", "vec_id", "embedding")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      // rebuilt FRESH per call — fresh exprIds, the cross-query memo-hit case
+      def q(): DataFrame = spark.read.parquet(path).filter(col("vec_id") >= 3)
+        .crossJoin(spark.read.parquet(panelDir))
+        .withColumn("sim", round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("label"), col("sim"), col("rnk"))
+      def fired(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.exists {
+        case j: LJoin => j.right match {
+          case lr: LLocal => lr.output.exists(_.name === "__graft_cell")
+          case _ => false
+        }
+        case _ => false
+      }
+      val r1 = q()
+      assert(fired(r1), "batch rewrite did not fire on the file panel")
+      assert(r1.collect().map(_.getLong(0)).distinct.sorted === Array(1L, 2L))
+      // append a new panel row behind the registration's back
+      panelRows(5L).write.mode("append").parquet(panelDir)
+      val r2 = q()
+      assert(fired(r2), "batch rewrite did not fire after the panel append")
+      assert(r2.collect().map(_.getLong(0)).distinct.sorted === Array(1L, 2L, 5L),
+        "stale probe memo dropped the appended panel row's qid")
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
+
   test("batch precedence: graph batch rewrite outranks IVF when it fires; IVF serves what it declines") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}

@@ -1405,6 +1405,20 @@ class HnswSpec extends AnyFunSuite {
       // (c) duplicate qids
       assert(!fired(rangeQ(spark.read.parquet(corpus),
         queries = qs.union(qs.limit(1)))), "fired on duplicate qids")
+      // (c2) an equi-join CONDITION under walk-served candidates
+      //      compounds recall loss — audited in BOTH optimizer shapes
+      //      (the Filter-above-join form previously skipped the ON
+      //      condition entirely; review finding)
+      val qsLab = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val condJoin = spark.read.parquet(corpus)
+        .join(qsLab, col("label") === col("q_label"), "inner")
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      assert(!fired(condJoin), "batch range rewrite fired through an equi-join condition")
       // (d) a self-join panel (query side IS the registered corpus)
       val selfQ = spark.read.parquet(corpus).filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))

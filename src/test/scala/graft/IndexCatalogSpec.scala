@@ -201,6 +201,32 @@ class IndexCatalogSpec extends AnyFunSuite {
       val tightTags = IndexCatalog.servedBy(grTight)
       assert(tightTags.forall(!_.startsWith("hnsw:")),
         s"a small range pool still reads as a served top-k: $tightTags")
+      // batch RANGE face: its tagged semi-join reads hnsw-range-batch —
+      // never hnsw-batch (review finding: tag-VALUE dispatch), and the
+      // union id-IN is suppressed, so exactly one tag names the serve
+      val brQ = spark.read.parquet(corpus).crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      assert(IndexCatalog.servedBy(brQ)
+        === Seq(s"hnsw-range-batch:${Hnsw.edgesPath(sf)}"),
+        s"batch range attribution wrong: ${IndexCatalog.servedBy(brQ)}")
+      // IVF batch face on an IVF-only registration: the ivf-batch marker
+      // names the registered table (review finding: previously reported
+      // unserved), with no spurious ivf-range tag for its cell-IN
+      graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(kmPath, "cell",
+        "embedding", Ann.kmeansLayout(spark, sf)._2, Ann.loadRadii(spark, sf))
+      val ibQ = spark.read.parquet(kmPath).filter(col("vec_id") >= 3)
+        .crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("cell"), col("sim"), col("rnk"))
+      val ibTags = IndexCatalog.servedBy(ibQ)
+      assert(ibTags.exists(_.startsWith("ivf-batch:")) &&
+        !ibTags.exists(_.startsWith("ivf-range:")),
+        s"IVF batch attribution wrong: $ibTags")
       // MV rollup
       val mvQ = spark.read.parquet(mvSrc).groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_n_chars"))

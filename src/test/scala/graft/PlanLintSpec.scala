@@ -149,7 +149,9 @@ class PlanLintSpec extends AnyFunSuite {
       "word_analogy_recall", // same probe panel, exact arm scans the vocab-sized table
       "ivf_range_search", // 1-row query vector broadcast against the cell-pruned scan
       "ann_hnsw_rewrite_batch", // 3-row query panel crossed with the ≤Ef·|panel|-id In-pruned scan
-      "ivf_range_rewrite_batch") // 1-row query panel crossed with the union-of-admissions-pruned scan
+      "ivf_range_rewrite_batch", // 1-row query panel crossed with the union-of-admissions-pruned scan
+      "ann_ivf_rewrite_batch", // 3-row query panel crossed with the union-of-probed-cells-pruned scan
+      "ann_range_rewrite_batch") // 3-row query panel crossed with the union-of-visited-ids-pruned scan
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>
         val plan = q(spark, sf).queryExecution.executedPlan.toString
