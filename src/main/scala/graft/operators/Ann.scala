@@ -320,8 +320,24 @@ object Ann {
   def ivfRangeSearchBatch(spark: SparkSession, sfDir: String,
                           queries: DataFrame, t: Double): DataFrame = {
     val (dir, cents) = kmeansLayout(spark, sfDir)
+    ivfRangeSearchBatchIn(spark, dir, "cell", "vec_id", "embedding",
+      cents, loadRadii(spark, sfDir), queries, t, excludeSelf = true)
+  }
+
+  /** [[ivfRangeSearchBatch]] against an EXPLICIT (layout, metadata)
+    * pair — the face the registry-resolved serving path
+    * (Streaming.indexServeRangeBatch) calls with a registration's own
+    * medoids/radii. `excludeSelf` keeps the search-fixture convention
+    * (panel qids are corpus ids) on the sfDir face and is OFF for
+    * serving (a request panel's qids are request ids).
+    */
+  def ivfRangeSearchBatchIn(spark: SparkSession, layoutPath: String,
+                            cellCol: String, idCol: String, embCol: String,
+                            cents: Seq[(Int, Array[Double])],
+                            radii: Map[Int, Double],
+                            queries: DataFrame, t: Double,
+                            excludeSelf: Boolean): DataFrame = {
     GraftFunctions.register(spark)
-    val radii = loadRadii(spark, sfDir)
     // the panel is API-sized (the documented acceptable-collect class);
     // collected ONCE — both the admission table and the scoring join side
     // rebuild from the same collected rows (round-11 advisor: evaluating
@@ -341,19 +357,19 @@ object Ann {
       admittedCells(cents, radii, qv, t).map(qid -> _)
     }
     import spark.implicits._
-    val admitDf = admitted.toDF("qid", "cell")
+    val admitDf = admitted.toDF("qid", cellCol)
     val allCells = admitted.map(_._2).distinct.sorted
     val qdf = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qSel.schema)
-    spark.read.parquet(dir)
-      .filter(col("cell").isin(allCells.map(Integer.valueOf): _*))
-      .join(broadcast(admitDf), Seq("cell"))
+    val base = spark.read.parquet(layoutPath)
+      .filter(col(cellCol).isin(allCells.map(Integer.valueOf): _*))
+      .join(broadcast(admitDf), Seq(cellCol))
       .join(broadcast(qdf), Seq("qid"))
-      .filter(col("vec_id") =!= col("qid"))
+    (if (excludeSelf) base.filter(col(idCol) =!= col("qid")) else base)
       .withColumn("sim",
-        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6))
+        round(GraftFunctions.cosineSim(col(embCol), col("q_emb")), 6))
       .filter(col("sim") >= t)
-      .select(col("qid"), col("vec_id"), col("sim"))
+      .select(col("qid"), col(idCol).as("vec_id"), col("sim"))
   }
 
   /** THE cell-admission bound for threshold (range) search — the ONE

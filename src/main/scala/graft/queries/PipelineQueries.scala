@@ -741,6 +741,22 @@ object PipelineQueries {
         .orderBy(col("rnk")).select(col("vec_id"), col("sim"), col("rnk"))
     }),
 
+    // BATCH filtered graph serving — the ACORN face at N queries
+    // (searchFiltered already walks per-qid beams; this face completes
+    // the filtered column of the explicit serving matrix): ONE walk for
+    // the whole panel, each qid's visited pool re-ranked over the
+    // predicate-passing subset. The production shape for metadata-
+    // filtered batch retrieval where the rewrites' guard discipline
+    // (deliberately) declines to serve transparently.
+    "ann_hnsw_filtered_batch" -> ((s, dir) => {
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      graft.operators.Hnsw.searchFiltered(s, dir, qs, k = 3,
+        pmod(col("vec_id"), lit(3L)) === 1L)
+        .orderBy(col("qid"), col("rnk"))
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
+    }),
+
     // Batch graph serving: one pass per hop shared by the whole query
     // batch, per-qid beams (the window partitions by qid). In-corpus
     // queries legitimately retrieve themselves at sim 1.0 — the oracle
@@ -767,6 +783,22 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       graft.streaming.Streaming.indexServeBatch(qs, corpus, k = 3)
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Threshold twin of the registry-resolved serve: the batch range
+    // face against whatever index covers the table (graph wins — ONE
+    // batch range walk; a radii-armed IVF registration serves provably
+    // exactly). Graph-registered here, so the result IS the batch range
+    // walk — ann_range_rewrite_batch's replay verbatim.
+    "index_serve_range_batch" -> ((s, dir) => {
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      graft.streaming.Streaming.indexServeRangeBatch(qs, corpus, t = 0.2)
+        .orderBy(col("qid"), col("vec_id"))
     }),
 
     // ADAPTIVE graph serving (Malkov 2016 §4's greedy convergence,
@@ -2355,6 +2387,27 @@ object PipelineQueries {
          |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
     },
 
+    // batch filtered replay: the SAME visited-pool CTEs over a 3-row
+    // panel (already per-qid by construction), per-qid output
+    "ann_hnsw_filtered_batch" -> {
+      val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+      val unions = (1 to graft.operators.Hnsw.Schedule.length)
+        .map(i => s"SELECT qid, vec_id FROM cand$i").mkString(" UNION ")
+      s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")},
+         |visited AS (SELECT qid, vec_id FROM beam0 UNION $unions),
+         |scored AS (
+         |  SELECT v.qid, v.vec_id, round($cos, 6) AS sim
+         |  FROM visited v
+         |  JOIN embeddings em ON em.vec_id = v.vec_id
+         |  JOIN qs ON qs.qid = v.qid
+         |  WHERE v.vec_id % 3 = 1)
+         |SELECT qid, vec_id, sim, rnk FROM (
+         |  SELECT qid, vec_id, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
+
     // adaptive replay: gated static unroll over the dumped realized hops
     "ann_hnsw_adaptive" -> {
       s"""WITH ${hnswAdaptiveCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")}
@@ -2544,6 +2597,13 @@ object PipelineQueries {
     // cut, per-qid output: the rewrite injects exactly the batch walk's
     // (qid, id) pool and the user's predicate rescored it
     "ann_range_rewrite_batch" -> rangeWalkOracleSql(t = 0.2,
+      qsSql = "SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3",
+      selectSql = "SELECT qid, vec_id, sim",
+      orderSql = "ORDER BY qid, vec_id"),
+
+    // registry-resolved range serve on a graph-registered corpus IS the
+    // batch range walk — the same multi-qid replay verbatim
+    "index_serve_range_batch" -> rangeWalkOracleSql(t = 0.2,
       qsSql = "SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3",
       selectSql = "SELECT qid, vec_id, sim",
       orderSql = "ORDER BY qid, vec_id"),

@@ -357,21 +357,55 @@ object Streaming {
     }
   }
 
+  /** [[indexServeBatch]]'s THRESHOLD twin — registry-resolved batch
+    * range serving: every corpus row with round-6 sim ≥ t per qid,
+    * served by whatever index covers the table. Graph registrations win
+    * (ONE batch range walk — Hnsw.searchRangeIn, the approximate
+    * bounded-frontier face); else a radii-armed IVF registration with
+    * id/emb columns serves PROVABLY EXACTLY through the entry-based
+    * admission face (Ann.ivfRangeSearchBatchIn — union-of-admitted-cells
+    * partition prune + per-qid refinement + exact refilter); else the
+    * call refuses loudly. Output (qid, vec_id, sim) across both routes.
+    */
+  def indexServeRangeBatch(panel: DataFrame, corpusPath: String,
+                           t: Double): DataFrame = {
+    val spark = panel.sparkSession
+    graft.plans.HnswGraphRegistry.lookup(Seq(corpusPath)) match {
+      case Some(e) =>
+        graft.operators.Hnsw.searchRangeIn(spark, e.edgesDir, e.metaDir, panel, t)
+          .select(col("qid"), col("vec_id"), col("sim"))
+      case None => graft.plans.IvfIndexRegistry.lookup(Seq(corpusPath)) match {
+        case Some(e) if e.radii.nonEmpty && e.idCol.isDefined && e.embCol.isDefined =>
+          graft.operators.Ann.ivfRangeSearchBatchIn(spark, corpusPath,
+            e.cellCol, e.idCol.get, e.embCol.get, e.medoids, e.radii,
+            panel, t, excludeSelf = false)
+        case Some(_) => sys.error(s"IVF registration for $corpusPath is not " +
+          "range-armed — register with radii plus id/emb columns " +
+          "(registerCentroidsWithRadii with idCol)")
+        case None => sys.error(s"no index registered for $corpusPath")
+      }
+    }
+  }
+
   /** Continuous serving against a REGISTERED index: each micro-batch of
     * query vectors (qid, q_emb) resolves the registry and runs ONE batch
-    * serve ([[indexServeBatch]]) — the retrieval symmetry of the
-    * streaming index MAINTENANCE faces (per-trigger graph appends/
-    * deletes) that already exist. foreachBatch for the same reason as
-    * [[ivfServe]]: the per-trigger ranking is a batch-shaped job against
-    * static index artifacts, re-reading only beam buckets / probed cells
-    * per trigger. Empty triggers are skipped (the isEmpty probe is a
-    * limit-1 job).
+    * serve ([[indexServeBatch]] — or its threshold twin when `threshold`
+    * is set) — the retrieval symmetry of the streaming index MAINTENANCE
+    * faces (per-trigger graph appends/deletes) that already exist.
+    * foreachBatch for the same reason as [[ivfServe]]: the per-trigger
+    * ranking is a batch-shaped job against static index artifacts,
+    * re-reading only beam buckets / probed cells per trigger. Empty
+    * triggers are skipped (the isEmpty probe is a limit-1 job).
     */
-  def indexServe(queries: DataFrame, corpusPath: String, k: Int)(
+  def indexServe(queries: DataFrame, corpusPath: String, k: Int,
+                 threshold: Option[Double] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) sink(indexServeBatch(batch, corpusPath, k), batchId)
+        if (!batch.isEmpty) sink(threshold match {
+          case Some(t) => indexServeRangeBatch(batch, corpusPath, t)
+          case None => indexServeBatch(batch, corpusPath, k)
+        }, batchId)
       }
       .start()
 

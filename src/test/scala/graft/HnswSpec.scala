@@ -637,6 +637,37 @@ class HnswSpec extends AnyFunSuite {
       assert(got.toSet === wantGraph,
         "streaming registry-resolved serve diverged from the batch serve")
       assert(got.size === wantGraph.size, "streaming serve duplicated output")
+      // THRESHOLD twin, graph route: ≡ the explicit batch range walk
+      val rGraph = Streaming.indexServeRangeBatch(panel, corpus, t = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val rWant = Hnsw.searchRange(spark, sf, panel, t = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rGraph === rWant, "range serve graph route diverged from the batch walk")
+      // THRESHOLD twin, IVF route on a radii-armed registration: provably
+      // EXACT — compare against the inline exact threshold scan (not the
+      // serving face itself)
+      graft.plans.HnswGraphRegistry.clear()
+      val (kmPath, cents) = Ann.kmeansLayout(spark, sf)
+      graft.plans.IvfIndexRegistry.registerCentroidsWithRadii(kmPath, "cell",
+        "embedding", cents, Ann.loadRadii(spark, sf), idCol = Some("vec_id"))
+      val rIvf = Streaming.indexServeRangeBatch(panel, kmPath, t = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      import graft.expressions.GraftFunctions
+      GraftFunctions.register(spark)
+      val rExact = spark.read.parquet(kmPath).crossJoin(panel)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rIvf === rExact,
+        "range serve IVF route diverged from the exact threshold scan")
+      // a top-k-only IVF registration refuses the range serve loudly
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.IvfIndexRegistry.registerCentroids(kmPath, "cell", cents)
+      intercept[RuntimeException] {
+        Streaming.indexServeRangeBatch(panel, kmPath, t = 0.2).collect()
+      }
     } finally {
       graft.plans.HnswGraphRegistry.clear()
       graft.plans.IvfIndexRegistry.clear()

@@ -95,6 +95,29 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("bitext_margin shuffles pair digests, never vectors (the registry's largest exchange, pinned)") {
+    // round-11 verdict's plan audit: bitext margin mining needs
+    // both-direction k-NN denominators, so its exchange is the largest in
+    // the registry — acceptable BECAUSE it carries (id_a, id_b, sim)
+    // digests over the staged cross-score table, never the 64-d float
+    // vectors (the panel side broadcasts). This pin makes that claim a
+    // metric: the budget is a small multiple of the raw pair-digest
+    // volume; a regression that lets the vectors into the exchange
+    // (~21× a digest row at this dim) blows it immediately.
+    val emb = Tables.embeddings(spark, sf)
+    val nA = emb.filter(col("vec_id") % 2 === 0).count()
+    val nB = emb.filter(col("vec_id") % 2 === 1).count()
+    val pairDigestBytes = nA * nB * 24 // (long, long, double) per cross pair
+    val b = shuffleBytes {
+      SparkEntry.queries("bitext_margin")(spark, sf).collect()
+    }
+    info(f"bitext_margin shuffled ${b / 1024.0}%.1f KiB vs pair digests ${pairDigestBytes / 1024.0}%.1f KiB")
+    // two window rankings + two joins + the output sort over the pair
+    // table — a bounded small multiple of the digest volume (LZ4'd)
+    assert(b <= pairDigestBytes * 6 + 64 * 1024,
+      s"bitext_margin shuffled $b bytes — budget is 6× pair digests ($pairDigestBytes)")
+  }
+
   test("a text-shuffling formulation DOES blow the same budget (the lint can fail)") {
     // the anti-pattern: a keeper WINDOW over the fingerprint instead of an
     // aggregate — windows have no partial/map-side combine, so the
