@@ -783,24 +783,31 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       // pre-pushdown shape: the threshold still sits in a Filter above
       // the join
       case f @ Filter(cond, child) if spineJoin(child).isDefined =>
-        tryRewrite(cond, spineJoin(child).get, child) match {
+        val (join, spineConds) = spineJoin(child).get
+        tryRewrite(cond, join, spineConds, child) match {
           case Some(newChild) => Filter(cond, newChild)
           case None => f
         }
       // post-pushdown shape: PushPredicateThroughJoin moved the
       // both-sides threshold INTO the join condition
       case j: Join if j.condition.isDefined =>
-        tryRewrite(j.condition.get, j, j) match {
+        tryRewrite(j.condition.get, j, Nil, j) match {
           case Some(newJoin) => newJoin
           case None => j
         }
     }
   }
 
-  private def spineJoin(p: LogicalPlan): Option[Join] = p match {
-    case j: Join => Some(j)
+  /** Filter→join spine, CONDITIONS ACCUMULATED for the benign-exclusion
+    * audit — an intermediate Filter the optimizer could not combine (a
+    * non-deterministic predicate) would otherwise ride between the
+    * threshold and the join unaudited (review finding; the batch top-k
+    * rule's spineJoin already accumulates).
+    */
+  private def spineJoin(p: LogicalPlan): Option[(Join, Seq[Expression])] = p match {
+    case j: Join => Some((j, Nil))
     case pr: Project => spineJoin(pr.child)
-    case fl: Filter => spineJoin(fl.child)
+    case fl: Filter => spineJoin(fl.child).map { case (j, cs) => (j, fl.condition +: cs) }
     case _ => None
   }
 
@@ -823,6 +830,7 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     * itself for the condition-carried shape.
     */
   private def tryRewrite(cond: Expression, join: Join,
+                         spineConds: Seq[Expression],
                          searchRoot: LogicalPlan): Option[LogicalPlan] = {
     for {
       _ <- Some(())
@@ -901,8 +909,8 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
           .exists { case (a, b, _) =>
             a.exprId == embAttr.exprId || b.exprId == embAttr.exprId }
       }
-      _ <- RewriteSupport.benignExclusions(others, idAttr)
-      _ <- RewriteSupport.benignExclusions(corpusConds, idAttr)
+      _ <- RewriteSupport.benignExclusions(others ++ spineConds ++ corpusConds,
+        idAttr)
       // the panel-side qid: the query side's single non-vector output of
       // Long type visible at the injection point — the semi-join key
       qidAttr <- {

@@ -182,25 +182,48 @@ object IndexCatalog {
     // as the second line for a rebuilt-without-tags relation.
     val batchServed = scala.collection.mutable.Set.empty[String]
     val ivfBatchServed = scala.collection.mutable.Set.empty[String]
+    // The served CORPUS relation, resolved from the semi-join CONDITION:
+    // the rules inject EqualTo(<relation-owned id/cell attr>, <marker
+    // attr>) with the corpus attr taken from rel.output directly (same
+    // exprId), while the panel's qid is an alias — so exprId containment
+    // plus the registration's own column name pins the corpus even when
+    // the PANEL's source table is also registered (review finding: a
+    // first-registered-path pick could credit the serve to the panel).
+    def servedRel(j: Join, colNameOf: Seq[String] => Option[String]): Option[LogicalRelation] = {
+      val markerOut = j.right.outputSet
+      val condAttrs = j.condition.toSeq.flatMap(_.collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if markerOut.contains(b) => a
+        case EqualTo(b: AttributeReference, a: AttributeReference)
+          if markerOut.contains(b) => a
+      })
+      j.left.collectFirst {
+        case r: LogicalRelation if r.relation.isInstanceOf[HadoopFsRelation] &&
+          colNameOf(r.relation.asInstanceOf[HadoopFsRelation]
+            .location.rootPaths.map(_.toString))
+            .exists(n => condAttrs.exists(a =>
+              r.outputSet.contains(a) && a.name == n)) => r
+      }
+    }
     plan.foreach {
       case j: Join if j.joinType == LeftSemi &&
           j.right.isInstanceOf[LocalRelation] =>
         val tag = j.right.getTagValue(RewriteSupport.InjectedMarker)
         def named(n: String) = j.right.output.exists(_.name == n)
+        def graphServed(mk: String): Unit =
+          servedRel(j, ps => HnswGraphRegistry.lookup(ps).map(_.idCol))
+            .flatMap(r => HnswGraphRegistry.lookup(rootPaths(r)))
+            .foreach { e => tags += s"$mk:${e.edgesDir}"; batchServed += e.edgesDir }
         if (tag.contains("hnsw-batch") || (tag.isEmpty && named("__graft_qid")))
-          HnswGraphRegistry.lookup(rootPaths(j.left))
-            .foreach { e => tags += s"hnsw-batch:${e.edgesDir}"; batchServed += e.edgesDir }
+          graphServed("hnsw-batch")
         else if (tag.contains("hnsw-range-batch") || (tag.isEmpty && named("__graft_rqid")))
-          HnswGraphRegistry.lookup(rootPaths(j.left))
-            .foreach { e => tags += s"hnsw-range-batch:${e.edgesDir}"; batchServed += e.edgesDir }
-        else if (tag.contains("ivf-batch") || (tag.isEmpty && named("__graft_cell"))) {
-          // attribute to the REGISTERED table under the semi-join's left
-          // side (rootPaths also lists the panel table — picking head
-          // would misname the serve)
-          val ps = rootPaths(j.left).map(RewriteSupport.canon)
-          IvfIndexRegistry.entries.collectFirst { case (p, _) if ps.contains(p) => p }
-            .foreach { p => tags += s"ivf-batch:$p"; ivfBatchServed += p }
-        }
+          graphServed("hnsw-range-batch")
+        else if (tag.contains("ivf-batch") || (tag.isEmpty && named("__graft_cell")))
+          servedRel(j, ps => IvfIndexRegistry.lookup(ps).map(_.cellCol))
+            .foreach { r =>
+              val p = RewriteSupport.canon(rootPaths(r).head)
+              tags += s"ivf-batch:$p"; ivfBatchServed += p
+            }
       case _ => ()
     }
     plan.foreach {

@@ -204,8 +204,11 @@ private[plans] object RewriteSupport {
     * the unrewritten plan too and is not the memo's bug. Uses the file
     * index's cached listing — no I/O at rewrite time.
     */
+  private val digestNonce = new java.util.concurrent.atomic.AtomicLong(1L)
+
   def inputFilesDigest(p: LogicalPlan): Long = {
     var h = 1125899906842597L // FNV-ish fold, order-independent via sort
+    var opaque = false
     p.foreach {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
@@ -213,11 +216,22 @@ private[plans] object RewriteSupport {
             fs.location.inputFiles.sorted.foreach { f =>
               h = h * 31 + f.hashCode
             }
-          case _ => ()
+          // a non-file V1 relation (JDBC, …) has no listing to digest —
+          // treat as opaque below
+          case _ => opaque = true
         }
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+        if !lr.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] &&
+          !lr.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation] =>
+        // any other leaf (DSv2 relation, stream source, view stub) backs
+        // data this digest cannot see — FAIL SAFE: a fresh nonce makes
+        // the memo never hit for such panels, trading memoization for
+        // correctness (review finding: a constant here re-opened the
+        // stale-admissions class for non-V1 sources)
+        opaque = true
       case _ => ()
     }
-    h
+    if (opaque) digestNonce.incrementAndGet() else h
   }
 
   /** Crude-but-safe bound for the probe memos: past the cap the whole

@@ -389,23 +389,33 @@ object Streaming {
 
   /** Continuous serving against a REGISTERED index: each micro-batch of
     * query vectors (qid, q_emb) resolves the registry and runs ONE batch
-    * serve ([[indexServeBatch]] — or its threshold twin when `threshold`
-    * is set) — the retrieval symmetry of the streaming index MAINTENANCE
-    * faces (per-trigger graph appends/deletes) that already exist.
-    * foreachBatch for the same reason as [[ivfServe]]: the per-trigger
-    * ranking is a batch-shaped job against static index artifacts,
-    * re-reading only beam buckets / probed cells per trigger. Empty
-    * triggers are skipped (the isEmpty probe is a limit-1 job).
+    * serve ([[indexServeBatch]]) — the retrieval symmetry of the
+    * streaming index MAINTENANCE faces (per-trigger graph appends/
+    * deletes) that already exist. foreachBatch for the same reason as
+    * [[ivfServe]]: the per-trigger ranking is a batch-shaped job against
+    * static index artifacts, re-reading only beam buckets / probed cells
+    * per trigger. Empty triggers are skipped (the isEmpty probe is a
+    * limit-1 job). The threshold twin is [[indexServeRange]] — a
+    * separate entry point rather than a mode flag, so a range serve can
+    * never be called with a dead k that reads like a cap (review
+    * finding).
     */
-  def indexServe(queries: DataFrame, corpusPath: String, k: Int,
-                 threshold: Option[Double] = None)(
+  def indexServe(queries: DataFrame, corpusPath: String, k: Int)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) sink(threshold match {
-          case Some(t) => indexServeRangeBatch(batch, corpusPath, t)
-          case None => indexServeBatch(batch, corpusPath, k)
-        }, batchId)
+        if (!batch.isEmpty) sink(indexServeBatch(batch, corpusPath, k), batchId)
+      }
+      .start()
+
+  /** [[indexServe]]'s threshold twin: per-trigger registry-resolved
+    * RANGE serving via [[indexServeRangeBatch]].
+    */
+  def indexServeRange(queries: DataFrame, corpusPath: String, t: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) sink(indexServeRangeBatch(batch, corpusPath, t), batchId)
       }
       .start()
 

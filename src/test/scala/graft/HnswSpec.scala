@@ -1436,6 +1436,20 @@ class HnswSpec extends AnyFunSuite {
       // (c) duplicate qids
       assert(!fired(rangeQ(spark.read.parquet(corpus),
         queries = qs.union(qs.limit(1)))), "fired on duplicate qids")
+      // (c1b) a NON-DETERMINISTIC filter the optimizer cannot combine
+      //       rides the spine between threshold and join — audited now
+      //       (review finding: spineJoin previously discarded it)
+      // (rand >= 0.5, not >= 0.0 — the optimizer deletes the trivially
+      //  true comparison outright and the spine is then legitimately
+      //  clean, which is what the first draft of this pin measured)
+      val sampled = spark.read.parquet(corpus).crossJoin(qs)
+        .filter(rand(7) >= 0.5)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .filter(col("sim") >= 0.2)
+        .select(col("qid"), col("vec_id"), col("sim"))
+      assert(!fired(sampled),
+        "batch range rewrite fired under a non-deterministic spine filter")
       // (c2) an equi-join CONDITION under walk-served candidates
       //      compounds recall loss — audited in BOTH optimizer shapes
       //      (the Filter-above-join form previously skipped the ON
