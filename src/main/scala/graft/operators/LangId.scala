@@ -143,13 +143,29 @@ object LangId {
         .orderBy(col("lang")).collect().map(_.getString(0)).toSeq
       require(classes == Classes,
         s"langid: corpus classes $classes drifted from the pinned $Classes")
-      val fitted = classes.map { k =>
-        val (w, _) = LogReg.fitFrame(
-          feats.select(
-            when(col("lang") === k, 1.0).otherwise(0.0).as("y"), col("x")),
-          Dim)
-        k -> w
-      }
+      // the K one-vs-rest fits are independent reads of the ONE
+      // checkpointed frame — run them on concurrent threads so the
+      // per-iteration digest jobs overlap instead of serializing
+      // (K×(Iters+1) small jobs were pure scheduler latency back to
+      // back; each class's fit is unchanged, so the weights are
+      // bit-identical to the sequential build). Spark sessions are
+      // thread-safe for concurrent read-only jobs.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(classes.size)
+      val fitted = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(classes.map { k =>
+            scala.concurrent.Future {
+              val (w, _) = LogReg.fitFrame(
+                feats.select(
+                  when(col("lang") === k, 1.0).otherwise(0.0).as("y"), col("x")),
+                Dim)
+              k -> w
+            }
+          }),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       feats.unpersist()
       import spark.implicits._
       fitted.flatMap { case (k, w) =>

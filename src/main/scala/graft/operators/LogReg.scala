@@ -275,10 +275,23 @@ object LogReg {
   def cvModel(spark: SparkSession, sfDir: String): String =
     cvMemo.computeIfAbsent(sfDir, { _ =>
       val all = featureFrame(spark, sfDir).localCheckpoint()
-      val rows = (0 until CvFolds).flatMap { k =>
-        val (w, _) = fitFrame(all.filter(col("doc_id") % CvFolds =!= k))
-        w.toSeq.zipWithIndex.map { case (wi, j) => (k, j, wi) }
-      }
+      // the folds' fits are independent reads of the one checkpointed
+      // frame — overlap their digest jobs on concurrent threads (the
+      // LangId.model posture: each fold's fit is unchanged, weights
+      // bit-identical to the sequential build)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(CvFolds)
+      val rows = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((0 until CvFolds).map { k =>
+            scala.concurrent.Future {
+              val (w, _) = fitFrame(all.filter(col("doc_id") % CvFolds =!= k))
+              w.toSeq.zipWithIndex.map { case (wi, j) => (k, j, wi) }
+            }
+          }),
+          scala.concurrent.duration.Duration.Inf).flatten
+      } finally pool.shutdown()
       all.unpersist()
       import spark.implicits._
       rows.toDF("fold", "j", "w").coalesce(1)

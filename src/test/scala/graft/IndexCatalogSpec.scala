@@ -242,6 +242,47 @@ class IndexCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("servedBy batch attribution: a registered PANEL source table is never credited with the serve") {
+    // review finding: the ivf-batch marker resolved its table as the
+    // first registered path under the semi-join's left subtree — which
+    // includes the panel table. With the panel's own source registered
+    // and sorting before the corpus, the serve was credited to the
+    // panel and the corpus's superset cell-IN leaked an ivf-range tag.
+    // The fix anchors on the semi-join CONDITION's relation-owned cell
+    // attribute. Both layouts here are sandboxed tmp tables (never the
+    // real fixture paths — registrations are JVM-global).
+    import graft.expressions.GraftFunctions
+    val tmp = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    val corpusPath = tmp + "/z-corpus" // sorts AFTER the panel path
+    val panelPath = tmp + "/a-panel"
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, sf)
+      emb.filter(col("vec_id") >= 3).withColumnRenamed("label", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(corpusPath)
+      emb.filter(col("vec_id") < 3).withColumnRenamed("label", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(panelPath)
+      IvfIndexRegistry.register(spark, corpusPath, "cell", "vec_id", "embedding")
+      IvfIndexRegistry.register(spark, panelPath, "cell", "vec_id", "embedding")
+      val qs = spark.read.parquet(panelPath)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val served = spark.read.parquet(corpusPath).crossJoin(qs)
+        .withColumn("sim", round(GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("vec_id"), col("cell"), col("sim"), col("rnk"))
+      val tags = IndexCatalog.servedBy(served)
+      val canonCorpus = corpusPath.stripPrefix("file:").replaceAll("/+$", "")
+      assert(tags.contains(s"ivf-batch:$canonCorpus"),
+        s"serve not credited to the corpus: $tags")
+      assert(!tags.exists(_.contains("a-panel")),
+        s"serve credited to the registered panel table: $tags")
+    } finally { IvfIndexRegistry.clear() }
+  }
+
   test("IVF staleness loop: drift reads `rebuild`, maintainAll heals a medoid-backed index, then serves") {
     // round-11 verdict #3: the IVF catalog row must carry a REAL current
     // decision, not a hardcoded serve — fingerprint drift → rebuild →
