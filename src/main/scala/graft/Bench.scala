@@ -60,11 +60,20 @@ object Bench {
     var launchLoad = loadNow
     val loadWaitMs = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT_MS")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(60000L)
-    if (launchLoad > LoadThreshold && loadWaitMs > 0) {
+    // up to THREE waits, not one (round-12 verdict #1: the driver's r12
+    // run launched at load 2.13 — 0.13 over threshold — and a single
+    // 60 s sleep missed the idle window it would have found on the next
+    // try; capped total backoff ≈ 3 min keeps the gate's wall-clock sane)
+    val maxLoadWaits = 3
+    var loadWaits = 0
+    while (launchLoad > LoadThreshold && loadWaitMs > 0 &&
+        loadWaits < maxLoadWaits) {
       System.err.println(f"bench: launch load $launchLoad%.2f > " +
-        f"$LoadThreshold — sleeping ${loadWaitMs}ms for an idle window")
+        f"$LoadThreshold — sleeping ${loadWaitMs}ms for an idle window " +
+        f"(wait ${loadWaits + 1}/$maxLoadWaits)")
       Thread.sleep(loadWaitMs)
       launchLoad = loadNow
+      loadWaits += 1
     }
     val degraded = launchLoad > LoadThreshold
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -230,6 +239,7 @@ object Bench {
         s""""master":"local[$cpus]","runs_per_query":$runs,""" +
         s""""load_avg":${os.getSystemLoadAverage},""" +
         s""""load_avg_launch":$launchLoad,""" +
+        s""""load_waits":$loadWaits,""" +
         s""""jvm":"${System.getProperty("java.version")}"}"""
     }
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -69,6 +69,10 @@ object Verify {
       "__KLL_ITEMS__"    -> graft.operators.Kll.itemsPath(sfDir),
       "__KLL_META__"     -> graft.operators.Kll.metaPath(sfDir),
       "__HNSW_RWCORPUS__" -> graft.operators.Hnsw.rewriteCorpusPath(sfDir),
+      // the durable catalog's CURRENT manifest version — resolved here,
+      // after the queries ran (index_catalog_reload published it)
+      "__IDXCAT_MANIFEST__" -> graft.plans.IndexCatalog.latestManifestDir(
+        spark, graft.plans.IndexCatalog.manifestRoot(sfDir)),
       "__MV_SRC__"       -> graft.plans.MvDemo.srcPath(sfDir),
       "__IVFKM_RADII__"  -> graft.operators.Ann.kmRadiiPath(sfDir),
       "__HNSW_EDGES__"   -> graft.operators.Hnsw.edgesPath(sfDir),

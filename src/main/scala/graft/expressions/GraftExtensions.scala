@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(session => graft.plans.IvfRangeBatchRewrite(session))
     e.injectOptimizerRule(session => graft.plans.MvAggRewrite(session))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy())
+    // SQL DDL for index management (round-12 verdict #3): CREATE/DROP
+    // INDEX + SHOW INDEXES front-end the existing register faces, so a
+    // SQL-only user can reach the rewrite matrix and the catalog
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }

@@ -238,6 +238,32 @@ object Ann {
   def kmRadiiPath(sfDir: String, k: Int = 10, seed: Long = 42L): String =
     kmeansLayoutPath(sfDir, k, seed) + "-radii"
 
+  /** The trained-IVF layout BUILD generalized to any table (the SQL DDL's
+    * `CREATE INDEX ... USING IVF ... OPTIONS (layout_dir ...)` face —
+    * [[kmeansLayout]]'s inner body without the sfDir memo/paths): fit
+    * seeded cosine k-means on `df`, write it cell-partitioned to
+    * `layoutDir`, return the trained centers for registration. Same
+    * 100 TB posture as kmeansLayout: the fit input is sample-scale
+    * (one cached partition), assignment is map-only, the centers are
+    * k·dim doubles of index metadata.
+    */
+  def trainLayoutFor(spark: SparkSession, df: DataFrame, idCol: String,
+                     embCol: String, layoutDir: String, cellCol: String,
+                     k: Int, seed: Long): Seq[(Int, Array[Double])] = {
+    val prepared = df.withColumn("__v",
+      array_to_vector(graft.functions.VectorOps.toDoubleArray(col(embCol))))
+      .repartition(1).cache()
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
+      .setFeaturesCol("__v").setPredictionCol(cellCol)
+      .fit(prepared)
+    model.transform(prepared).drop("__v")
+      .write.mode("overwrite").partitionBy(cellCol).parquet(layoutDir)
+    prepared.unpersist()
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+  }
+
   private val radiiMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -551,6 +577,18 @@ object Ann {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
+    // DEGENERATE split guard (round-12 advisor): on a pathological hot
+    // cell (e.g. all-duplicate vectors) 2-means can place every row in
+    // ONE half — the rewrite would change nothing (or merely rename the
+    // cell) while the caller's decision logic keeps reading `split`,
+    // turning every maintenance tick into a full-layout compaction
+    // forever. Detect it BEFORE the swap (one sub-cell medoid instead of
+    // two) and return without rewriting; the caller records the cell as
+    // unsplittable so the tick converges.
+    if (subs.size < 2) {
+      prepared.unpersist()
+      return Seq.empty
+    }
     compactLayout(spark, layoutPath,
       transform = d => d.filter(col(cellCol) =!= cell).unionByName(reassigned),
       cellCol = cellCol)

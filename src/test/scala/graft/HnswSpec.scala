@@ -674,6 +674,69 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered + single-query serving symmetry: registry routes ≡ explicit faces; refusal unchanged") {
+    // round-12 verdict, next-round #2 and #7: the registry-resolved serve
+    // takes an optional metadata filter — graph route through the ACORN
+    // pool, IVF route through the whole-cell composition with the
+    // predicate applied before the per-cell rank — and a single-query
+    // convenience face that must be the 1-row-panel batch serve verbatim.
+    import graft.streaming.Streaming
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val panel = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val pred = pmod(col("vec_id"), lit(3L)) === 1L
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+      // unregistered: the filtered route refuses exactly like the plain one
+      intercept[RuntimeException] {
+        Streaming.indexServeBatch(panel, corpus, k = 3, Some(pred)).collect()
+      }
+      // graph route ≡ the explicit ACORN face on the registered dirs
+      graft.plans.HnswGraphRegistry.register(corpus, "vec_id", "embedding",
+        Hnsw.edgesPath(sf), Hnsw.metaPath(sf))
+      val wantAcorn = rows(Hnsw.searchFilteredIn(spark, Hnsw.edgesPath(sf),
+        Hnsw.metaPath(sf), panel, 3, pred))
+      assert(wantAcorn.nonEmpty, "fixture predicate filtered everything — vacuous pin")
+      assert(rows(Streaming.indexServeBatch(panel, corpus, k = 3, Some(pred)))
+        === wantAcorn, "filtered graph route diverged from the explicit ACORN face")
+      // single-query face ≡ the 1-row-panel batch serve (plain and filtered)
+      val qVec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      val onePanel = panel.filter(col("qid") === 0L)
+      def dropQid(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(r.fieldIndex("vec_id")),
+          r.getDouble(r.fieldIndex("sim")), r.getInt(r.fieldIndex("rnk")))).toSet
+      assert(dropQid(Streaming.indexServeOne(spark, corpus, qVec, 3))
+        === dropQid(Streaming.indexServeBatch(onePanel, corpus, 3)),
+        "indexServeOne diverged from the 1-row-panel batch serve")
+      assert(dropQid(Streaming.indexServeOne(spark, corpus, qVec, 3, Some(pred)))
+        === dropQid(Streaming.indexServeBatch(onePanel, corpus, 3, Some(pred))),
+        "filtered indexServeOne diverged from the 1-row-panel batch serve")
+      // IVF route: whole-cell composition — predicate applied BEFORE the
+      // per-cell rank, so it equals the explicit batch face over the
+      // pre-filtered corpus (exact within each probed cell)
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.register(spark, corpus, "label",
+        "vec_id", "embedding")
+      val e = graft.plans.IvfIndexRegistry.lookup(Seq(corpus)).get
+      val wantIvf = rows(Ann.ivfSearchBatchTopK(
+          spark.read.parquet(corpus).filter(pred), panel, e.cellCol,
+          Ann.centroidsDf(spark, e.medoids), "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rnk")))
+      assert(wantIvf.nonEmpty)
+      assert(rows(Streaming.indexServeBatch(panel, corpus, k = 3, Some(pred)))
+        === wantIvf, "filtered IVF route diverged from the explicit whole-cell face")
+    } finally {
+      graft.plans.HnswGraphRegistry.clear()
+      graft.plans.IvfIndexRegistry.clear()
+    }
+  }
+
   test("staleness probe: meta fingerprint matches at build, flips on any membership change") {
     Hnsw.layout(spark, sf)
     val meta = spark.read.parquet(Hnsw.metaPath(sf)).head()

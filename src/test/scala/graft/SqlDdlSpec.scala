@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Hnsw}
+import graft.plans.{HnswGraphRegistry, IndexCatalog, IvfIndexRegistry, MvRegistry, SqlIndexRegistry}
+
+/** The SQL DDL index surface (round-12 verdict, next-round #3): a
+  * SQL-only user creates, lists, uses (transparently — the whole point of
+  * the rewrite matrix), and drops indexes without touching the Scala API.
+  */
+class SqlDdlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def servedBy(df: org.apache.spark.sql.DataFrame) =
+    IndexCatalog.servedBy(df)
+
+  test("SQL-only lifecycle: CREATE INDEX → bare SQL top-k is index-served → SHOW lists it → DROP stops serving") {
+    Hnsw.layout(spark, sf)
+    val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      SqlIndexRegistry.clear()
+      spark.sql(s"CREATE INDEX sql_hnsw ON '$corpus' USING HNSW (embedding) " +
+        s"OPTIONS (id_col 'vec_id', edges_dir '${Hnsw.edgesPath(sf)}', " +
+        s"meta_dir '${Hnsw.metaPath(sf)}')").collect()
+      assert(HnswGraphRegistry.lookup(Seq(corpus)).isDefined,
+        "CREATE INDEX did not register the graph")
+      // the bare SQL top-k — the HnswTopKRewrite shape, no Scala column
+      // API anywhere: literal query vector as a folded SQL array cast
+      val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val arrLit = s"CAST(array(${qv.mkString(", ")}) AS ARRAY<FLOAT>)"
+      def topk = spark.sql(
+        s"""SELECT vec_id, round(cosine_sim(embedding, $arrLit), 6) AS sim
+           |FROM parquet.`$corpus` WHERE vec_id <> 0
+           |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin)
+      val df = topk
+      val tags = servedBy(df)
+      assert(tags.exists(_.startsWith("hnsw:")),
+        s"bare SQL top-k was not graph-served: $tags")
+      // served result ≡ the explicit graph walk's exact-rescored top-5
+      val want = Hnsw.search(spark, sf,
+          Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+            .select(lit(0L).as("qid"), col("embedding").as("q_emb")), k = 5)
+        .orderBy(col("rnk")).collect().map(_.getLong(1)).toSeq
+      assert(df.collect().map(_.getLong(0)).toSeq === want,
+        "SQL-created index served a different top-k than the explicit walk")
+      // SHOW INDEXES lists it under its DDL name, with the catalog columns
+      val shown = spark.sql("SHOW INDEXES")
+        .filter(col("index_name") === "sql_hnsw").collect()
+      assert(shown.length === 1)
+      assert(shown.head.getAs[String]("kind") === "hnsw")
+      assert(shown.head.getAs[String]("decision") === "serve")
+      // DROP stops the serving — the same query runs exact afterwards
+      spark.sql("DROP INDEX sql_hnsw").collect()
+      assert(HnswGraphRegistry.lookup(Seq(corpus)).isEmpty)
+      assert(servedBy(topk).isEmpty, "dropped index still served")
+      // dropping an unknown name refuses loudly
+      intercept[RuntimeException] { spark.sql("DROP INDEX sql_hnsw").collect() }
+    } finally {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      SqlIndexRegistry.clear()
+    }
+  }
+
+  test("CREATE INDEX USING IVF: registers a cell layout (medoid build), or TRAINS one via layout_dir") {
+    val layoutDir = java.nio.file.Files
+      .createTempDirectory("graft-ddl-ivf").toString + "/layout"
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); SqlIndexRegistry.clear()
+      // (a) the metadata build over an existing cell-partitioned table
+      val labelPath = Ann.ivfLayout(spark, sf)
+      spark.sql(s"CREATE INDEX lbl_ivf ON '$labelPath' USING IVF (embedding) " +
+        "OPTIONS (id_col 'vec_id', cell_col 'label')").collect()
+      val e1 = IvfIndexRegistry.lookup(Seq(labelPath))
+      assert(e1.isDefined && e1.get.fingerprint.nonEmpty && e1.get.rebuildable,
+        "DDL register did not build staleness-armed medoid metadata")
+      // (b) the ARTIFACT build: train k-means on a plain table and write
+      // the cell-partitioned layout to layout_dir, registered trained
+      spark.sql(s"CREATE INDEX trn_ivf ON '$sf/embeddings.parquet' " +
+        "USING IVF (embedding) OPTIONS (id_col 'vec_id', " +
+        s"layout_dir '$layoutDir', k '10')").collect()
+      val e2 = IvfIndexRegistry.lookup(Seq(layoutDir))
+      assert(e2.isDefined && e2.get.medoids.size === 10 &&
+        e2.get.fingerprint.nonEmpty && !e2.get.rebuildable,
+        "DDL train did not register trained centers staleness-armed")
+      val built = spark.read.parquet(layoutDir)
+      assert(built.count() === Tables.embeddings(spark, sf).count(),
+        "trained layout dropped rows")
+      assert(built.select(col("cell")).distinct().count() === 10L)
+      // the trained layout serves the transparent top-k with a REAL
+      // partition prune (one cell directory of the ten)
+      graft.expressions.GraftFunctions.register(spark)
+      val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val arrLit = s"CAST(array(${qv.mkString(", ")}) AS ARRAY<FLOAT>)"
+      val df = spark.sql(
+        s"""SELECT vec_id, round(cosine_sim(embedding, $arrLit), 6) AS sim
+           |FROM parquet.`$layoutDir`
+           |ORDER BY sim DESC, vec_id ASC LIMIT 5""".stripMargin)
+      df.collect()
+      assert(servedBy(df).exists(_.startsWith("ivf:")),
+        "trained DDL index did not serve the SQL top-k")
+      val nf = PlanTestUtil.scannedFiles(df).get
+      val base = spark.read.parquet(layoutDir).filter(col("vec_id") >= 0)
+      base.collect()
+      assert(nf < PlanTestUtil.scannedFiles(base).get,
+        s"no partition pruning: read $nf files")
+      spark.sql("DROP INDEX trn_ivf").collect()
+      spark.sql("DROP INDEX lbl_ivf").collect()
+      assert(IvfIndexRegistry.isEmpty)
+    } finally {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); SqlIndexRegistry.clear()
+    }
+  }
+
+  test("non-DDL SQL is untouched by the injected parser") {
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+    // and a syntax error in ordinary SQL still surfaces as a parse error
+    intercept[Exception] { spark.sql("SELEKT 1") }
+  }
+}
