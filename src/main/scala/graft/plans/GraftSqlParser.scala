@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     OPTIONS (id_col 'vec_id' [, cell_col 'cell'] [, split_cap 'N'])
   *   CREATE INDEX <name> ON '<table path>' USING IVF (<embCol>)
   *     OPTIONS (id_col 'vec_id', layout_dir '<dir>' [, k 'N'])
+  *   CREATE INDEX <name> ON '<source path>' USING MV (<groupCol>)
+  *     OPTIONS (mv_path '<dir>', sum_cols 'a+b')
   *   DROP INDEX <name>
   *   SHOW INDEXES
+  *   SAVE INDEXES TO '<root>'      -- IndexCatalog.save (durable manifest)
+  *   LOAD INDEXES FROM '<root>'    -- IndexCatalog.load (re-arm a restart)
   *
   * Build semantics, per family:
   *  - HNSW registers EXISTING graph artifacts (edges/meta dirs — the
@@ -55,6 +59,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CreateIndexCommand(name, path, using.toLowerCase, embCol, opts)
     case DropIndexRe(name) => DropIndexCommand(name)
     case ShowIndexesRe() => ShowIndexesCommand()
+    case SaveIndexesRe(root) => SaveIndexesCommand(root)
+    case LoadIndexesRe(root) => LoadIndexesCommand(root)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -80,10 +86,12 @@ object GraftSqlParser {
 
   private val CreateIndexRe =
     ("(?is)^\\s*CREATE\\s+INDEX\\s+(\\w+)\\s+ON\\s+'([^']+)'\\s+" +
-      "USING\\s+(HNSW|IVF)\\s*\\(\\s*(\\w+)\\s*\\)" +
+      "USING\\s+(HNSW|IVF|MV)\\s*\\(\\s*(\\w+)\\s*\\)" +
       "(?:\\s*OPTIONS\\s*\\((.*)\\))?\\s*;?\\s*$").r
   private val DropIndexRe = "(?is)^\\s*DROP\\s+INDEX\\s+(\\w+)\\s*;?\\s*$".r
   private val ShowIndexesRe = "(?is)^\\s*SHOW\\s+INDEXES\\s*;?\\s*$".r
+  private val SaveIndexesRe = "(?is)^\\s*SAVE\\s+INDEXES\\s+TO\\s+'([^']+)'\\s*;?\\s*$".r
+  private val LoadIndexesRe = "(?is)^\\s*LOAD\\s+INDEXES\\s+FROM\\s+'([^']+)'\\s*;?\\s*$".r
   private val OptRe = "(\\w+)\\s+'([^']*)'".r
 
   private def parseOpts(s: String): Map[String, String] =
@@ -150,6 +158,15 @@ case class CreateIndexCommand(name: String, path: String, using: String,
             splitCap = opt("split_cap").map(_.toLong))
           path
       }
+      case "mv" =>
+        // the MV family through the same front door (the catalog already
+        // lists all three as kinds of one thing): the "embCol" slot names
+        // the GROUP column; sum_cols is a '+'-joined list; the summary
+        // builds under mv_path (versioned, pointer-swapped — the
+        // MvRegistry.register build discipline)
+        MvRegistry.register(spark, path, req("mv_path"), embCol,
+          req("sum_cols").split('+').toSeq.filter(_.nonEmpty))
+        path
       case other => sys.error(s"CREATE INDEX: unknown USING '$other'")
     }
     SqlIndexRegistry.put(name, using, registeredPath)
@@ -168,6 +185,7 @@ case class DropIndexCommand(name: String) extends LeafRunnableCommand {
     kind match {
       case "hnsw" => HnswGraphRegistry.unregister(path)
       case "ivf"  => IvfIndexRegistry.unregister(path)
+      case "mv"   => MvRegistry.unregister(path)
       case other  => sys.error(s"DROP INDEX: unknown kind '$other'")
     }
     SqlIndexRegistry.remove(name)
@@ -199,4 +217,18 @@ case class ShowIndexesCommand() extends LeafRunnableCommand {
         r.getString(7))
     }
   }
+}
+
+case class SaveIndexesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("manifest_dir", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(IndexCatalog.save(spark, root)))
+}
+
+case class LoadIndexesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("restored", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(IndexCatalog.load(spark, root).toLong))
 }

@@ -261,6 +261,10 @@ object HnswGraphRegistry {
 case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // conf-driven durable-catalog bring-up (one conf read + map hit per
+    // pass; the family-head rule runs on every optimization, so a session
+    // with spark.graft.catalog.root set re-arms before any isEmpty check)
+    IndexCatalog.autoLoadIfConfigured(spark)
     if (HnswGraphRegistry.isEmpty) return plan
     plan.transformDown {
       case limit @ Limit(le @ Literal(k: Int, IntegerType),

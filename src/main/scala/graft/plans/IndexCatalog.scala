@@ -262,8 +262,13 @@ object IndexCatalog {
     f.delete(ptr, false)
     if (!f.rename(tmp, ptr))
       throw new java.io.IOException(s"catalog: pointer flip failed for v$v")
-    // GC superseded versions — once the pointer landed nothing reads them
-    (1 until v).foreach { old =>
+    // GC superseded versions, RETAINING the last three: a reader that
+    // resolved the pointer just before this save (the Verify → DuckDB
+    // oracle window: the manifest path is baked into oracle_sql.json at
+    // dump time and read later) must still find its version on disk —
+    // the TxnLog lesson that a commit must never delete what a published
+    // manifest can still reference
+    (1 until v - 2).foreach { old =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/v$old"), true)
     }
     dir
@@ -320,6 +325,35 @@ object IndexCatalog {
     }
     rows.length
   }
+
+  private val autoLoaded =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Conf-driven bring-up: a session configured with
+    * `spark.graft.catalog.root=<root>` re-arms the registries from the
+    * durable manifest on FIRST optimizer use — zero code beyond the
+    * extensions line, the production posture (set two confs, indexes
+    * serve). Called by the family-head rewrite rules (cost per
+    * optimization pass: one conf read + one map hit); memoized per root;
+    * a load failure logs to stderr and leaves the session un-accelerated
+    * rather than failing the user's query.
+    */
+  def autoLoadIfConfigured(spark: SparkSession): Unit = {
+    val root = spark.sessionState.conf
+      .getConfString("spark.graft.catalog.root", "")
+    if (root.nonEmpty &&
+        autoLoaded.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
+      try load(spark, root)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"graft: auto-load of index catalog at $root failed — serving " +
+            s"unaccelerated: $e")
+      }
+    }
+  }
+
+  /** Test seam: forget which roots auto-loaded (a re-set conf re-loads). */
+  private[graft] def resetAutoLoad(): Unit = autoLoaded.clear()
 
   private def rootPaths(p: LogicalPlan): Seq[String] = p.collect {
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>

@@ -381,6 +381,8 @@ object IvfIndexRegistry {
 case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // conf-driven durable-catalog bring-up (see HnswTopKRewrite)
+    IndexCatalog.autoLoadIfConfigured(spark)
     if (IvfIndexRegistry.isEmpty) return plan
     plan.transformDown {
       case limit @ Limit(le,

@@ -238,6 +238,8 @@ object MvDemo {
 case class MvAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // conf-driven durable-catalog bring-up (see HnswTopKRewrite)
+    IndexCatalog.autoLoadIfConfigured(spark)
     if (MvRegistry.isEmpty) return plan
     plan.transformDown {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>

@@ -117,6 +117,65 @@ class SqlDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("MV through the DDL front door; SAVE/LOAD INDEXES round-trip in bare SQL; conf-driven auto-load") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ddl-save").toString + "/manifest"
+    val mvSrc = java.nio.file.Files
+      .createTempDirectory("graft-ddl-mv").toString + "/src"
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      SqlIndexRegistry.clear()
+      Tables.documents(spark, sf).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(mvSrc)
+      spark.sql(s"CREATE INDEX docs_mv ON '$mvSrc' USING MV (lang) " +
+        s"OPTIONS (mv_path '$mvSrc-mv', sum_cols 'n_chars')").collect()
+      // def, not val: a DataFrame caches its QueryExecution, and every
+      // serving check here must RE-OPTIMIZE (the auto-load hook lives in
+      // the optimizer pass)
+      def agg = spark.read.parquet(mvSrc).groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(servedBy(agg).exists(_.startsWith("mv:")),
+        "SQL-created MV did not serve the covered aggregate")
+      val aggRows = agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // also register a graph index, then persist EVERYTHING in bare SQL
+      Hnsw.layout(spark, sf)
+      val corpus = Hnsw.rewriteCorpusLayout(spark, sf)
+      spark.sql(s"CREATE INDEX sql_h2 ON '$corpus' USING HNSW (embedding) " +
+        s"OPTIONS (id_col 'vec_id', edges_dir '${Hnsw.edgesPath(sf)}', " +
+        s"meta_dir '${Hnsw.metaPath(sf)}')").collect()
+      val saved = spark.sql(s"SAVE INDEXES TO '$root'").head().getString(0)
+      assert(saved.startsWith(root), s"unexpected manifest dir $saved")
+      // the "restart"
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      assert(servedBy(agg).isEmpty)
+      val restored = spark.sql(s"LOAD INDEXES FROM '$root'").head().getLong(0)
+      assert(restored === 2L, s"expected 2 restored registrations, got $restored")
+      assert(servedBy(agg).exists(_.startsWith("mv:")),
+        "SQL LOAD did not re-arm the MV registration")
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        === aggRows)
+      assert(HnswGraphRegistry.lookup(Seq(corpus)).isDefined)
+      // conf-driven auto-load: a cleared session with ONLY the conf set
+      // re-arms on first optimizer use — zero code
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      graft.plans.IndexCatalog.resetAutoLoad()
+      spark.conf.set("spark.graft.catalog.root", root)
+      try {
+        assert(servedBy(agg).exists(_.startsWith("mv:")),
+          "conf-only session did not auto-load the durable catalog")
+        assert(HnswGraphRegistry.lookup(Seq(corpus)).isDefined,
+          "auto-load missed the graph registration")
+      } finally spark.conf.unset("spark.graft.catalog.root")
+      // DROP the MV through the DDL layer
+      spark.sql("DROP INDEX docs_mv").collect()
+      assert(MvRegistry.lookup(Seq(mvSrc)).isEmpty)
+      assert(servedBy(agg).isEmpty, "dropped MV still served")
+    } finally {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      SqlIndexRegistry.clear(); graft.plans.IndexCatalog.resetAutoLoad()
+    }
+  }
+
   test("non-DDL SQL is untouched by the injected parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
     // and a syntax error in ordinary SQL still surfaces as a parse error
