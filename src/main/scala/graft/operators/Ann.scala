@@ -204,22 +204,11 @@ object Ann {
     // different (k, seed) must train its own layout, not reuse the first
     kmLayouts.computeIfAbsent(s"$sfDir/$k/$seed", { _ =>
       val dir = kmeansLayoutPath(sfDir, k, seed)
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      // the fit input is sample-scale (at 100 TB you train on a sample and
-      // assign the corpus map-only) — one cached partition, or Lloyd's
-      // many tiny jobs pay 32-empty-task scheduler overhead per iteration
-      val prepared = emb.withColumn("__v",
-        array_to_vector(graft.functions.VectorOps.toDoubleArray(col("embedding"))))
-        .repartition(1).cache()
-      val model = new KMeans()
-        .setK(k).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
-        .setFeaturesCol("__v").setPredictionCol("cell")
-        .fit(prepared)
-      model.transform(prepared).drop("__v")
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      prepared.unpersist()
-      val centers = model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }.toSeq
+      // ONE train-fit-write body for every trained layout (the SQL DDL's
+      // layout_dir build shares it — round-13 review dedup)
+      val centers = trainLayoutFor(spark,
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "embedding", dir, "cell", k, seed)
       // dump the trained centers beside the layout: with BOTH halves of the
       // index on disk, search-over-a-given-layout is deterministic and the
       // DuckDB oracle can replay it (the training itself stays
@@ -247,7 +236,7 @@ object Ann {
     * (one cached partition), assignment is map-only, the centers are
     * k·dim doubles of index metadata.
     */
-  def trainLayoutFor(spark: SparkSession, df: DataFrame, idCol: String,
+  def trainLayoutFor(spark: SparkSession, df: DataFrame,
                      embCol: String, layoutDir: String, cellCol: String,
                      k: Int, seed: Long): Seq[(Int, Array[Double])] = {
     val prepared = df.withColumn("__v",

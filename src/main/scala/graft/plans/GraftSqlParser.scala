@@ -106,8 +106,18 @@ object GraftSqlParser {
 object SqlIndexRegistry {
   private val names = new ConcurrentHashMap[String, (String, String)]()
 
-  def put(name: String, kind: String, path: String): Unit =
-    names.put(name, (kind, RewriteSupport.canon(path)))
+  /** Bind a name — REFUSES a rebind to a different target (round-13
+    * review finding: a silent replace orphaned the old registration,
+    * leaving it armed with no SQL verb able to drop it); re-binding the
+    * SAME (kind, path) is the idempotent re-CREATE.
+    */
+  def put(name: String, kind: String, path: String): Unit = {
+    val target = (kind, RewriteSupport.canon(path))
+    val prev = names.putIfAbsent(name, target)
+    if (prev != null && prev != target)
+      sys.error(s"CREATE INDEX: name '$name' is already bound to a " +
+        s"${prev._1} index on '${prev._2}' — DROP INDEX $name first")
+  }
   def get(name: String): Option[(String, String)] = Option(names.get(name))
   def remove(name: String): Unit = names.remove(name)
   def nameOf(kind: String, canonPath: String): Option[String] = {
@@ -132,7 +142,26 @@ case class CreateIndexCommand(name: String, path: String, using: String,
     def req(k: String): String = opt(k).getOrElse(
       sys.error(s"CREATE INDEX $name USING ${using.toUpperCase} requires " +
         s"OPTIONS ($k '...')"))
-    val registeredPath = using match {
+    // bind the name BEFORE building (put refuses a conflicting rebind, so
+    // a name clash must fail before any registration is armed); the
+    // target path is known up front for every variant. A build failure
+    // unbinds — the name never points at a registration that was never
+    // armed.
+    val targetPath = using match {
+      case "ivf" => opt("layout_dir").getOrElse(path)
+      case _ => path
+    }
+    SqlIndexRegistry.put(name, using, targetPath)
+    val registeredPath = try buildAndRegister(spark, opt, req) catch {
+      case e: Throwable => SqlIndexRegistry.remove(name); throw e
+    }
+    Seq(Row(name, RewriteSupport.canon(registeredPath)))
+  }
+
+  private def buildAndRegister(spark: SparkSession,
+                               opt: String => Option[String],
+                               req: String => String): String = {
+    using match {
       case "hnsw" =>
         HnswGraphRegistry.register(path, req("id_col"), embCol,
           req("edges_dir"), req("meta_dir"))
@@ -144,7 +173,7 @@ case class CreateIndexCommand(name: String, path: String, using: String,
           val k = opt("k").map(_.toInt).getOrElse(10)
           val cellCol = opt("cell_col").getOrElse("cell")
           val centers = graft.operators.Ann.trainLayoutFor(spark,
-            spark.read.parquet(path), req("id_col"), embCol,
+            spark.read.parquet(path), embCol,
             layoutDir, cellCol, k, opt("seed").map(_.toLong).getOrElse(42L))
           IvfIndexRegistry.registerCentroids(spark, layoutDir, cellCol,
             req("id_col"), embCol, centers,
@@ -169,8 +198,6 @@ case class CreateIndexCommand(name: String, path: String, using: String,
         path
       case other => sys.error(s"CREATE INDEX: unknown USING '$other'")
     }
-    SqlIndexRegistry.put(name, using, registeredPath)
-    Seq(Row(name, RewriteSupport.canon(registeredPath)))
   }
 }
 

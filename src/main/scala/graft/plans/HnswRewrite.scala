@@ -600,6 +600,7 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val key = (entry.edgesDir, HnswGraphRegistry.generationOfDir(entry.edgesDir),
       proj.canonicalized: LogicalPlan, RewriteSupport.inputFilesDigest(querySide))
     Option(HnswBatchTopKRewrite.probeMemo.get(key)).getOrElse {
+      var transient = false
       val computed = try {
         val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
         val rows = qdf.limit(4097).collect()
@@ -626,9 +627,14 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"HnswBatchTopKRewrite: batch probe failed for " +
             s"${entry.edgesDir} — serving the exact scan", ex)
+          transient = true
           None
       }
-      RewriteSupport.boundedPut(HnswBatchTopKRewrite.probeMemo, key, computed)
+      // decline-by-SHAPE memoizes; decline-by-EXCEPTION does not — a
+      // transient failure (executor loss, FS blip) must not pin the
+      // exact scan for the rest of the generation (round-13 review)
+      if (!transient)
+        RewriteSupport.boundedPut(HnswBatchTopKRewrite.probeMemo, key, computed)
       computed
     }
   }
@@ -1023,6 +1029,7 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
     val key = (entry.edgesDir, HnswGraphRegistry.generationOfDir(entry.edgesDir),
       proj.canonicalized: LogicalPlan, RewriteSupport.inputFilesDigest(querySide), t)
     Option(HnswRangeBatchRewrite.probeMemo.get(key)).getOrElse {
+      var transient = false
       val computed = try {
         val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
         val rows = qdf.limit(4097).collect()
@@ -1049,9 +1056,13 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"HnswRangeBatchRewrite: batch range probe failed for " +
             s"${entry.edgesDir} — serving the exact scan", ex)
+          transient = true
           None
       }
-      RewriteSupport.boundedPut(HnswRangeBatchRewrite.probeMemo, key, computed)
+      // decline-by-shape memoizes; decline-by-exception does not (see
+      // HnswBatchTopKRewrite.probe)
+      if (!transient)
+        RewriteSupport.boundedPut(HnswRangeBatchRewrite.probeMemo, key, computed)
       computed
     }
   }

@@ -67,15 +67,13 @@ object IndexCatalog {
       // metadata-only, honoring the class doc's cost contract.
       val decision =
         if (e.fingerprint.isEmpty || e.idCol.isEmpty) "serve"
-        else {
-          val (fp, hottest) = IvfIndexRegistry.currentStats(spark, path, e)
-          if (fp != e.fingerprint) "rebuild"
-          else (e.splitCap, hottest) match {
-            case (Some(cap), Some((cell, n)))
-              if n > cap && !e.splitBlocked(cell) => "split"
-            case _ => "serve"
-          }
-        }
+        else if (IvfIndexRegistry.currentStats(spark, path, e)._1
+            != e.fingerprint) "rebuild"
+        // the hottest over-cap NON-blocked cell — the ONE pick splitHottest
+        // acts on (a blocked hottest must not shadow another over-cap cell)
+        else if (IvfIndexRegistry.splitCandidate(spark, path, e).isDefined)
+          "split"
+        else "serve"
       ("ivf", path, path, s"cell=${e.cellCol}", e.medoids.size.toLong,
         IvfIndexRegistry.generationOfPath(path), e.fingerprint, decision)
     }
@@ -176,16 +174,38 @@ object IndexCatalog {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Current manifest version at `root` (0 = nothing published). */
+  /** Current manifest version at `root` (0 = nothing published). The
+    * pointer is primary; when it is absent or vanishes mid-read (the
+    * delete-then-rename flip window, or a crash between the two — HDFS
+    * rename refuses to clobber, so the flip cannot be a single atomic
+    * replace), the version is DERIVED from the completed version dirs
+    * (`_SUCCESS`-marked — a mid-write slot is invisible): a reader never
+    * observes an empty catalog just because a save was in flight, and a
+    * crash in the window loses nothing (round-13 review finding).
+    */
   def latestVersion(spark: SparkSession, root: String): Int = {
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_latest")
     val f = fs(spark, root)
-    if (!f.exists(ptr)) 0
-    else {
-      val in = f.open(ptr)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        "UTF-8").trim.toInt
-      finally in.close()
+    def fromDirs: Int = {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (!f.exists(rp)) 0
+      else f.listStatus(rp).map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+") &&
+          f.exists(new org.apache.hadoop.fs.Path(s"$root/$n/_SUCCESS")) =>
+          n.drop(1).toInt }
+        .foldLeft(0)(math.max)
+    }
+    try {
+      if (!f.exists(ptr)) fromDirs
+      else {
+        val in = f.open(ptr)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toInt
+        finally in.close()
+      }
+    } catch {
+      // the pointer vanished between exists() and open() — the flip window
+      case _: java.io.FileNotFoundException => fromDirs
     }
   }
 
@@ -262,13 +282,15 @@ object IndexCatalog {
     f.delete(ptr, false)
     if (!f.rename(tmp, ptr))
       throw new java.io.IOException(s"catalog: pointer flip failed for v$v")
-    // GC superseded versions, RETAINING the last three: a reader that
-    // resolved the pointer just before this save (the Verify → DuckDB
-    // oracle window: the manifest path is baked into oracle_sql.json at
-    // dump time and read later) must still find its version on disk —
-    // the TxnLog lesson that a commit must never delete what a published
-    // manifest can still reference
-    (1 until v - 2).foreach { old =>
+    // GC superseded versions, RETAINING the last ten: a reader that
+    // resolved the pointer before this save (the Verify → DuckDB oracle
+    // window: the manifest path is baked into oracle_sql.json at dump
+    // time and read later, possibly after bench published several more
+    // versions) must still find its version on disk — the TxnLog lesson
+    // that a commit must never delete what a published reference can
+    // still name. Ten covers a full bench's saves (2 runs + noise
+    // reruns) with slack; each version is one KB-scale parquet file.
+    (1 until v - 9).foreach { old =>
       f.delete(new org.apache.hadoop.fs.Path(s"$root/v$old"), true)
     }
     dir
@@ -343,11 +365,19 @@ object IndexCatalog {
       .getConfString("spark.graft.catalog.root", "")
     if (root.nonEmpty &&
         autoLoaded.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
-      try load(spark, root)
+      // the putIfAbsent is the reentrancy guard; an UNPUBLISHED root
+      // un-memoizes so the session keeps retrying until the producer's
+      // first save lands (round-13 review finding: set-conf-before-first-
+      // save permanently disabled acceleration) — the retry cost is one
+      // pointer-exists probe per optimization. A hard load FAILURE stays
+      // memoized-off (retrying a broken root every pass would spam the
+      // failing FS) and logs once, loudly.
+      try { if (load(spark, root) == 0 && latestVersion(spark, root) == 0)
+        autoLoaded.remove(root) }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"graft: auto-load of index catalog at $root failed — serving " +
-            s"unaccelerated: $e")
+            s"unaccelerated until restart: $e")
       }
     }
   }

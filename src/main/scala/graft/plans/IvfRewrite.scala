@@ -289,8 +289,8 @@ object IvfIndexRegistry {
   def splitHottest(spark: SparkSession, path: String): Boolean = {
     Option(registry.get(canon(path))) match {
       case Some(e) if e.splitCap.isDefined && e.idCol.isDefined && e.embCol.isDefined =>
-        currentStats(spark, path, e)._2 match {
-          case Some((cell, n)) if n > e.splitCap.get && !e.splitBlocked(cell) =>
+        splitCandidate(spark, path, e) match {
+          case Some((cell, _)) =>
             // touches only the hot cell — the 100 TB shape: the split
             // returns the two sub-cells' representatives, merged into the
             // entry in place of the old cell's (other cells' metadata
@@ -337,7 +337,7 @@ object IvfIndexRegistry {
     * re-registered layout is always re-probed.
     */
   private val statsCache =
-    new ConcurrentHashMap[(String, Long), (String, Option[(Int, Long)])]()
+    new ConcurrentHashMap[(String, Long), (String, Option[Seq[(Int, Long)]])]()
 
   private def purgeStats(path: String): Unit = {
     val p = canon(path)
@@ -345,23 +345,41 @@ object IvfIndexRegistry {
     while (it.hasNext) if (it.next()._1 == p) it.remove()
   }
 
+  /** The per-cell counts are the FULL (cells-sized, tiny) list sorted
+    * (n desc, cell asc), not just the single hottest — a split-BLOCKED
+    * hottest cell must not shadow another over-cap cell from the split
+    * decision (round-13 review finding: cap-armed cell B sat over its cap
+    * forever behind an unsplittable A).
+    */
   private[plans] def currentStats(spark: SparkSession, path: String,
-                                  e: Entry): (String, Option[(Int, Long)]) = {
+                                  e: Entry): (String, Option[Seq[(Int, Long)]]) = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val key = (canon(path), generationOfPath(path))
     Option(statsCache.get(key)).getOrElse {
       val fp = tableFingerprint(spark, path, Seq(e.idCol.get, e.cellCol))
-      val hottest = e.splitCap.map { _ =>
-        val hot = spark.read.parquet(path)
+      val counts = e.splitCap.map { _ =>
+        spark.read.parquet(path)
           .groupBy(col(e.cellCol)).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col(e.cellCol).asc).head()
-        (hot.getInt(0), hot.getLong(1))
+          .orderBy(col("n").desc, col(e.cellCol).asc)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       }
-      val v = (fp, hottest)
+      val v = (fp, counts)
       RewriteSupport.boundedPut(statsCache, key, v)
       v
     }
   }
+
+  /** The hottest over-cap NON-BLOCKED cell of a capped registration, from
+    * the cached stats — the ONE pick the catalog decision and
+    * [[splitHottest]] must agree on.
+    */
+  private[plans] def splitCandidate(spark: SparkSession, path: String,
+                                    e: Entry): Option[(Int, Long)] =
+    e.splitCap.flatMap { cap =>
+      currentStats(spark, path, e)._2.flatMap(_.find {
+        case (c, n) => n > cap && !e.splitBlocked(c)
+      })
+    }
 
   /** VALUE-equality key of an entry's index metadata — the memo-key
     * discipline HnswGraphRegistry's memos already follow (dir +
@@ -794,6 +812,7 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // Spark job must not hold a ConcurrentHashMap bin lock against
     // concurrent planning threads); a racing duplicate is idempotent
     Option(IvfRangeBatchRewrite.probeMemo.get(key)).getOrElse {
+      var transient = false
       val computed = try {
         val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
         // cap BEFORE the collect: limit(cap+1) bounds what ever lands on
@@ -815,9 +834,13 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"IvfRangeBatchRewrite: panel probe failed — serving " +
             s"the exact scan", ex)
+          transient = true
           None
       }
-      RewriteSupport.boundedPut(IvfRangeBatchRewrite.probeMemo, key, computed)
+      // decline-by-shape memoizes; decline-by-exception does not (see
+      // HnswBatchTopKRewrite.probe)
+      if (!transient)
+        RewriteSupport.boundedPut(IvfRangeBatchRewrite.probeMemo, key, computed)
       computed
     }
   }
@@ -1064,6 +1087,7 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val key = (IvfIndexRegistry.entryKey(entry), proj.canonicalized,
       RewriteSupport.inputFilesDigest(querySide))
     Option(IvfBatchTopKRewrite.probeMemo.get(key)).getOrElse {
+      var transient = false
       val computed = try {
         val qdf = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, proj)
         val rows = qdf.limit(4097).collect()
@@ -1085,9 +1109,13 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"IvfBatchTopKRewrite: panel probe failed — serving " +
             s"the exact scan", ex)
+          transient = true
           None
       }
-      RewriteSupport.boundedPut(IvfBatchTopKRewrite.probeMemo, key, computed)
+      // decline-by-shape memoizes; decline-by-exception does not (see
+      // HnswBatchTopKRewrite.probe)
+      if (!transient)
+        RewriteSupport.boundedPut(IvfBatchTopKRewrite.probeMemo, key, computed)
       computed
     }
   }

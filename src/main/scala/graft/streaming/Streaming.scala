@@ -349,11 +349,23 @@ object Streaming {
                       // semantics, exact within the cell)
                       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = panel.sparkSession
+    // the filter contract is ROUTE-DEPENDENT by design (the two faces
+    // filter different frames); an unresolvable predicate must fail with
+    // the contract spelled out, not a bare unresolved-column error on
+    // whatever route the registry happened to pick (round-13 review)
+    def contractError(route: String, schema: String, ae: Throwable): Nothing =
+      sys.error(s"indexServeBatch filter did not resolve on the $route " +
+        s"route, which filters $schema — registry-resolved serving picks " +
+        s"the route, so the predicate must fit the index that covers the " +
+        s"table (cause: ${ae.getMessage})")
     graft.plans.HnswGraphRegistry.lookup(Seq(corpusPath)) match {
       case Some(e) =>
         (filter match {
-          case Some(pred) => graft.operators.Hnsw.searchFilteredIn(
-            spark, e.edgesDir, e.metaDir, panel, k, pred)
+          case Some(pred) =>
+            try graft.operators.Hnsw.searchFilteredIn(
+              spark, e.edgesDir, e.metaDir, panel, k, pred)
+            catch { case ae: org.apache.spark.sql.AnalysisException =>
+              contractError("GRAPH", "the visited pool (qid, vec_id, sim)", ae) }
           case None =>
             graft.operators.Hnsw.searchIn(spark, e.edgesDir, e.metaDir, panel, k)
         }).select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
@@ -361,8 +373,11 @@ object Streaming {
         case Some(e) if e.idCol.isDefined && e.embCol.isDefined =>
           val cents = graft.operators.Ann.centroidsDf(spark, e.medoids)
           val corpus = spark.read.parquet(corpusPath)
+          val filtered = try filter.map(corpus.filter).getOrElse(corpus)
+            catch { case ae: org.apache.spark.sql.AnalysisException =>
+              contractError("IVF", "the corpus row (its own columns)", ae) }
           graft.operators.Ann.ivfSearchBatchTopK(
-              filter.map(corpus.filter).getOrElse(corpus), panel, e.cellCol,
+              filtered, panel, e.cellCol,
               cents, e.idCol.get, e.embCol.get, k)
             .select(col("qid"), col(e.idCol.get).as("vec_id"),
               col("sim"), col("rnk"))

@@ -408,6 +408,59 @@ class IndexCatalogSpec extends AnyFunSuite {
     } finally { IvfIndexRegistry.clear() }
   }
 
+  test("a split-blocked hottest cell does not shadow another over-cap cell") {
+    // round-13 review finding: currentStats tracked only the single
+    // hottest cell, so once that cell was proved unsplittable the
+    // decision read `serve` while a perfectly splittable cell sat over
+    // the armed cap forever. Fixture: cell 0 = 40 identical vectors
+    // (unsplittable), cell 1 = 20 distinct vectors — cap 10 arms BOTH.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cat-shadow").toString + "/layout"
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      val one = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val dup = spark.range(0, 40)
+        .select(col("id").as("vec_id"),
+          typedLit(one).cast("array<float>").as("embedding"), lit(0).as("cell"))
+      val distinctB = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100L).as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"), lit(1).as("cell"))
+      dup.unionByName(distinctB)
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+      IvfIndexRegistry.register(spark, base, "cell", "vec_id", "embedding",
+        splitCap = Some(10L))
+      def row = IndexCatalog.indexes(spark).filter(col("kind") === "ivf").head()
+      assert(row.getAs[String]("decision") === "split")
+      // tick 1: the hottest (cell 0) is degenerate — blocked, noop
+      val t1 = IndexCatalog.maintainAll(spark).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(t1("ivf") === "noop")
+      // the decision must STILL read split — cell 1 is over cap and
+      // splittable; tick 2 splits IT
+      assert(row.getAs[String]("decision") === "split",
+        "blocked hottest cell shadowed the splittable over-cap cell")
+      val t2 = IndexCatalog.maintainAll(spark).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(t2("ivf") === "split", s"tick did not split the shadowed cell: $t2")
+      val after = spark.read.parquet(base)
+      assert(after.count() === 60L)
+      assert(after.filter(col("cell") =!= 0).select(col("cell"))
+        .distinct().count() >= 2L, "cell 1 was not split")
+      // CONVERGENCE is the invariant (a lopsided 2-means half can itself
+      // be over cap and split again): a BOUNDED number of further ticks
+      // reaches all-noop with the decision at serve, and the blocked cell
+      // 0 is never rewritten (still one cell of 40 rows)
+      var ticks = 0
+      while (ticks < 5 && IndexCatalog.maintainAll(spark).collect()
+          .map(_.getString(3)).toSet != Set("noop")) ticks += 1
+      assert(ticks < 5, "split ticks did not converge to all-noop")
+      assert(row.getAs[String]("decision") === "serve")
+      assert(spark.read.parquet(base).filter(col("cell") === 0).count() === 40L,
+        "the blocked cell was rewritten")
+    } finally { IvfIndexRegistry.clear() }
+  }
+
   test("catalog stats are generation-gated: an unmutated layout's catalog read is a cache hit; a layout verb re-arms it") {
     // round-12 advisor #3: the membership digest + hottest-cell count are
     // corpus-scale passes, and the catalog's doc promises metadata-only

@@ -110,7 +110,7 @@ class ScaleStressSpec extends AnyFunSuite {
           Ann.pathToken(sfDir)
         val centers = Ann.trainLayoutFor(spark,
           spark.read.parquet(s"$sfDir/embeddings.parquet"),
-          "vec_id", "embedding", layoutDir, "cell", 10, 42L)
+          "embedding", layoutDir, "cell", 10, 42L)
         graft.plans.IvfIndexRegistry.registerCentroids(spark, layoutDir,
           "cell", "vec_id", "embedding", centers)
         val qVec = spark.read.parquet(layoutDir).filter(col("vec_id") === 0)

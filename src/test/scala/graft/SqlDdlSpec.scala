@@ -60,6 +60,22 @@ class SqlDdlSpec extends AnyFunSuite {
       assert(servedBy(topk).isEmpty, "dropped index still served")
       // dropping an unknown name refuses loudly
       intercept[RuntimeException] { spark.sql("DROP INDEX sql_hnsw").collect() }
+      // re-binding a live name to a DIFFERENT target refuses (round-13
+      // review: a silent replace orphaned the old registration with no
+      // SQL verb able to drop it); same-target re-CREATE stays idempotent
+      spark.sql(s"CREATE INDEX sql_hnsw ON '$corpus' USING HNSW (embedding) " +
+        s"OPTIONS (id_col 'vec_id', edges_dir '${Hnsw.edgesPath(sf)}', " +
+        s"meta_dir '${Hnsw.metaPath(sf)}')").collect()
+      spark.sql(s"CREATE INDEX sql_hnsw ON '$corpus' USING HNSW (embedding) " +
+        s"OPTIONS (id_col 'vec_id', edges_dir '${Hnsw.edgesPath(sf)}', " +
+        s"meta_dir '${Hnsw.metaPath(sf)}')").collect() // idempotent re-put
+      val clash = intercept[RuntimeException] {
+        spark.sql("CREATE INDEX sql_hnsw ON '/elsewhere' USING IVF (embedding) " +
+          "OPTIONS (id_col 'vec_id')").collect()
+      }
+      assert(clash.getMessage.contains("already bound"))
+      // ...and the refused CREATE armed nothing
+      assert(IvfIndexRegistry.lookup(Seq("/elsewhere")).isEmpty)
     } finally {
       HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
       SqlIndexRegistry.clear()

@@ -8,6 +8,6 @@ import org.apache.spark.sql.SparkSession
   */
 object CatalogTestAccess {
   def currentStats(spark: SparkSession, path: String,
-                   e: IvfIndexRegistry.Entry): (String, Option[(Int, Long)]) =
+                   e: IvfIndexRegistry.Entry): (String, Option[Seq[(Int, Long)]]) =
     IvfIndexRegistry.currentStats(spark, path, e)
 }
