@@ -731,6 +731,37 @@ class HnswSpec extends AnyFunSuite {
       assert(wantIvf.nonEmpty)
       assert(rows(Streaming.indexServeBatch(panel, corpus, k = 3, Some(pred)))
         === wantIvf, "filtered IVF route diverged from the explicit whole-cell face")
+      // an unresolvable predicate fails WITH THE CONTRACT spelled out,
+      // not a bare unresolved-column error (round-13 review finding)
+      val err = intercept[RuntimeException] {
+        Streaming.indexServeBatch(panel, corpus, k = 3,
+          Some(col("no_such_column") === 1)).collect()
+      }
+      assert(err.getMessage.contains("IVF") && err.getMessage.contains("route"),
+        s"route-contract error missing its explanation: ${err.getMessage}")
+      // STREAMING twin of the filtered serve: queries across two triggers
+      // accumulate exactly the one-batch filtered serve's output
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val ms = MemoryStream[Long]
+        val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+        val q = Streaming.indexServe(
+            ms.toDF().select(col("value").as("qid")).join(panel, Seq("qid")),
+            corpus, k = 3, Some(pred)) { (df, _) =>
+          got ++= df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          ()
+        }
+        try {
+          ms.addData(0L); q.processAllAvailable()
+          ms.addData(1L, 2L); q.processAllAvailable()
+        } finally q.stop()
+        assert(got.toSet === wantIvf,
+          "streaming filtered serve diverged from the batch filtered serve")
+        assert(got.size === wantIvf.size, "streaming filtered serve duplicated output")
+      }
     } finally {
       graft.plans.HnswGraphRegistry.clear()
       graft.plans.IvfIndexRegistry.clear()
