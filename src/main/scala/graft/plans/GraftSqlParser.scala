@@ -111,12 +111,13 @@ object SqlIndexRegistry {
     * leaving it armed with no SQL verb able to drop it); re-binding the
     * SAME (kind, path) is the idempotent re-CREATE.
     */
-  def put(name: String, kind: String, path: String): Unit = {
+  def put(name: String, kind: String, path: String): Boolean = {
     val target = (kind, RewriteSupport.canon(path))
     val prev = names.putIfAbsent(name, target)
     if (prev != null && prev != target)
       sys.error(s"CREATE INDEX: name '$name' is already bound to a " +
         s"${prev._1} index on '${prev._2}' — DROP INDEX $name first")
+    prev == null // true iff THIS call created the binding
   }
   def get(name: String): Option[(String, String)] = Option(names.get(name))
   def remove(name: String): Unit = names.remove(name)
@@ -151,9 +152,14 @@ case class CreateIndexCommand(name: String, path: String, using: String,
       case "ivf" => opt("layout_dir").getOrElse(path)
       case _ => path
     }
-    SqlIndexRegistry.put(name, using, targetPath)
+    val created = SqlIndexRegistry.put(name, using, targetPath)
     val registeredPath = try buildAndRegister(spark, opt, req) catch {
-      case e: Throwable => SqlIndexRegistry.remove(name); throw e
+      // unbind ONLY a binding this call created — a failed idempotent
+      // re-CREATE must not orphan the original, still-armed registration
+      // (round-13 second-pass review finding)
+      case e: Throwable =>
+        if (created) SqlIndexRegistry.remove(name)
+        throw e
     }
     Seq(Row(name, RewriteSupport.canon(registeredPath)))
   }

@@ -627,7 +627,7 @@ case class HnswBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"HnswBatchTopKRewrite: batch probe failed for " +
             s"${entry.edgesDir} — serving the exact scan", ex)
-          transient = true
+          transient = !RewriteSupport.probeFailureExhausted(key)
           None
       }
       // decline-by-SHAPE memoizes; decline-by-EXCEPTION does not — a
@@ -1056,7 +1056,7 @@ case class HnswRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] 
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"HnswRangeBatchRewrite: batch range probe failed for " +
             s"${entry.edgesDir} — serving the exact scan", ex)
-          transient = true
+          transient = !RewriteSupport.probeFailureExhausted(key)
           None
       }
       // decline-by-shape memoizes; decline-by-exception does not (see

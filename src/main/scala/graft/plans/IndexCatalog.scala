@@ -195,8 +195,8 @@ object IndexCatalog {
           n.drop(1).toInt }
         .foldLeft(0)(math.max)
     }
-    try {
-      if (!f.exists(ptr)) fromDirs
+    val fromPtr = try {
+      if (!f.exists(ptr)) 0
       else {
         val in = f.open(ptr)
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
@@ -205,8 +205,15 @@ object IndexCatalog {
       }
     } catch {
       // the pointer vanished between exists() and open() — the flip window
-      case _: java.io.FileNotFoundException => fromDirs
+      case _: java.io.FileNotFoundException => 0
     }
+    // MAX of pointer and completed dirs, not pointer-first: a crash
+    // between the manifest write and the flip leaves a complete
+    // (immutable, _SUCCESS-marked) version NEWER than the pointer — it is
+    // the valid latest state, and seeding the next save from the pointer
+    // alone would collide with it at errorifexists forever (round-13
+    // second-pass review finding)
+    math.max(fromPtr, fromDirs)
   }
 
   /** Directory of the current manifest version (v0 when nothing is
@@ -308,7 +315,10 @@ object IndexCatalog {
     */
   def load(spark: SparkSession, root: String): Int = {
     val v = latestVersion(spark, root)
-    if (v == 0) return 0
+    if (v == 0) 0 else loadVersion(spark, root, v)
+  }
+
+  private def loadVersion(spark: SparkSession, root: String, v: Int): Int = {
     val rows = spark.read.parquet(s"$root/v$v").collect()
     rows.foreach { r =>
       def s(n: String) = r.getAs[String](n)
@@ -369,11 +379,17 @@ object IndexCatalog {
       // un-memoizes so the session keeps retrying until the producer's
       // first save lands (round-13 review finding: set-conf-before-first-
       // save permanently disabled acceleration) — the retry cost is one
-      // pointer-exists probe per optimization. A hard load FAILURE stays
-      // memoized-off (retrying a broken root every pass would spam the
-      // failing FS) and logs once, loudly.
-      try { if (load(spark, root) == 0 && latestVersion(spark, root) == 0)
-        autoLoaded.remove(root) }
+      // version probe per optimization. Decided from ONE latestVersion
+      // observation (a second read raced a save landing between the two
+      // and left the root memoized with nothing loaded — second-pass
+      // review finding). A hard load FAILURE stays memoized-off
+      // (retrying a broken root every pass would spam the failing FS)
+      // and logs once, loudly.
+      try {
+        val v = latestVersion(spark, root)
+        if (v == 0) autoLoaded.remove(root)
+        else loadVersion(spark, root, v)
+      }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"graft: auto-load of index catalog at $root failed — serving " +

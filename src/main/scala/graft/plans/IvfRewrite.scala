@@ -834,7 +834,7 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"IvfRangeBatchRewrite: panel probe failed — serving " +
             s"the exact scan", ex)
-          transient = true
+          transient = !RewriteSupport.probeFailureExhausted(key)
           None
       }
       // decline-by-shape memoizes; decline-by-exception does not (see
@@ -1109,7 +1109,7 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case scala.util.control.NonFatal(ex) =>
           logWarning(s"IvfBatchTopKRewrite: panel probe failed — serving " +
             s"the exact scan", ex)
-          transient = true
+          transient = !RewriteSupport.probeFailureExhausted(key)
           None
       }
       // decline-by-shape memoizes; decline-by-exception does not (see

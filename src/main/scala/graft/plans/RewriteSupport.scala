@@ -247,6 +247,26 @@ private[plans] object RewriteSupport {
     memo.putIfAbsent(k, v)
   }
 
+  /** Bounded negative-cache admission for probe EXCEPTION declines: the
+    * first [[ProbeFailRetries]]−1 failures of a key re-probe on later
+    * passes (a transient blip must not pin the exact scan for the
+    * generation), after which the decline memoizes like a shape-decline —
+    * a PERSISTENT fault (corrupt panel file, revoked credentials) must
+    * not re-run a failing driver collect on every optimization of every
+    * query (round-13 second-pass review finding). Returns true when the
+    * caller should memoize the decline now. Keys carry the generation, so
+    * a maintenance fix naturally resets the budget; the counter map is
+    * size-guarded like every probe memo.
+    */
+  val ProbeFailRetries = 3
+  private val failCounts =
+    new java.util.concurrent.ConcurrentHashMap[Any, Integer]()
+  def probeFailureExhausted(key: Any): Boolean = {
+    if (failCounts.size >= ProbeMemoCap) failCounts.clear()
+    val n = failCounts.merge(key, 1, (a, b) => a + b)
+    if (n >= ProbeFailRetries) { failCounts.remove(key); true } else false
+  }
+
   /** Tag stamped on the LocalRelation a batch rewrite injects as its
     * per-qid semi-join table — the idempotence/provenance marker the
     * house discipline prefers over name matching (round-11 verdict #7:

@@ -362,10 +362,18 @@ object Streaming {
       case Some(e) =>
         (filter match {
           case Some(pred) =>
-            try graft.operators.Hnsw.searchFilteredIn(
-              spark, e.edgesDir, e.metaDir, panel, k, pred)
+            // resolve the predicate against the pool SCHEMA first, on an
+            // empty local frame (driver-only): the walk's own failures
+            // (missing artifacts) must surface as themselves, and a
+            // typo'd predicate must fail BEFORE paying a graph walk
+            // (round-13 second-pass review finding)
+            import spark.implicits._
+            try Seq.empty[(Long, Long, Double)]
+              .toDF("qid", "vec_id", "sim").filter(pred)
             catch { case ae: org.apache.spark.sql.AnalysisException =>
               contractError("GRAPH", "the visited pool (qid, vec_id, sim)", ae) }
+            graft.operators.Hnsw.searchFilteredIn(
+              spark, e.edgesDir, e.metaDir, panel, k, pred)
           case None =>
             graft.operators.Hnsw.searchIn(spark, e.edgesDir, e.metaDir, panel, k)
         }).select(col("qid"), col("vec_id"), col("sim"), col("rnk"))
