@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *   CREATE INDEX <name> ON '<table path>' USING HNSW (<embCol>)
   *     OPTIONS (id_col 'vec_id', edges_dir '<dir>', meta_dir '<dir>')
   *   CREATE INDEX <name> ON '<table path>' USING IVF (<embCol>)
-  *     OPTIONS (id_col 'vec_id' [, cell_col 'cell'] [, split_cap 'N'])
+  *     OPTIONS (id_col 'vec_id' [, cell_col 'cell'] [, split_cap 'N']
+  *              [, nprobe 'N'])
   *   CREATE INDEX <name> ON '<table path>' USING IVF (<embCol>)
   *     OPTIONS (id_col 'vec_id', layout_dir '<dir>' [, k 'N'])
   *   CREATE INDEX <name> ON '<source path>' USING MV (<groupCol>)
@@ -183,14 +184,16 @@ case class CreateIndexCommand(name: String, path: String, using: String,
             layoutDir, cellCol, k, opt("seed").map(_.toLong).getOrElse(42L))
           IvfIndexRegistry.registerCentroids(spark, layoutDir, cellCol,
             req("id_col"), embCol, centers,
-            splitCap = opt("split_cap").map(_.toLong))
+            splitCap = opt("split_cap").map(_.toLong),
+            nprobe = opt("nprobe").map(_.toInt).getOrElse(1))
           layoutDir
         case None =>
           // the cell-partitioned table IS its own artifact — build the
           // index metadata (medoids + staleness fingerprint) over it
           IvfIndexRegistry.register(spark, path,
             opt("cell_col").getOrElse("cell"), req("id_col"), embCol,
-            splitCap = opt("split_cap").map(_.toLong))
+            splitCap = opt("split_cap").map(_.toLong),
+            nprobe = opt("nprobe").map(_.toInt).getOrElse(1))
           path
       }
       case "mv" =>

@@ -74,7 +74,9 @@ object IndexCatalog {
         else if (IvfIndexRegistry.splitCandidate(spark, path, e).isDefined)
           "split"
         else "serve"
-      ("ivf", path, path, s"cell=${e.cellCol}", e.medoids.size.toLong,
+      ("ivf", path, path,
+        s"cell=${e.cellCol}" + (if (e.nprobe > 1) s",nprobe=${e.nprobe}" else ""),
+        e.medoids.size.toLong,
         IvfIndexRegistry.generationOfPath(path), e.fingerprint, decision)
     }
     val mvRows = MvRegistry.entries.map { case (path, e) =>
@@ -105,7 +107,19 @@ object IndexCatalog {
     * than a registered snapshot query — the same posture as the
     * per-family verbs it composes.
     */
-  def maintainAll(spark: SparkSession): DataFrame = {
+  def maintainAll(spark: SparkSession): DataFrame =
+    maintainAll(spark, persistTo = None)
+
+  /** [[maintainAll]] with durable-catalog WRITE-BACK: a repair tick that
+    * rebuilt fingerprints or split cells leaves the persisted manifest
+    * STALE — after a restart + load the catalog would read `rebuild`
+    * again and wastefully re-heal — so an operator running ticks against
+    * a durable root passes it here and any non-noop tick publishes a
+    * fresh manifest version (pure noop ticks publish nothing: a healthy
+    * catalog must not mint a version per tick).
+    */
+  def maintainAll(spark: SparkSession,
+                  persistTo: Option[String]): DataFrame = {
     import spark.implicits._
     val rows = indexes(spark).collect().map { r =>
       val (kind, tablePath, decision) =
@@ -137,6 +151,7 @@ object IndexCatalog {
       }
       (kind, tablePath, decision, action)
     }
+    if (rows.exists(_._4 != "noop")) persistTo.foreach(save(spark, _))
     rows.toSeq.toDF("kind", "table_path", "decision", "action")
       .orderBy(col("kind"), col("table_path"))
   }
@@ -158,7 +173,7 @@ object IndexCatalog {
     sum_cols: Seq[String],
     fingerprint: String, mv_fingerprint: Long,
     split_cap: Option[Long], rebuildable: Boolean, split_blocked: Seq[Int],
-    generation: Long,
+    generation: Long, nprobe: Int,
     medoid_cells: Seq[Int], medoid_vecs: Seq[Seq[Double]],
     radii_cells: Seq[Int], radii_vals: Seq[Double])
 
@@ -247,7 +262,7 @@ object IndexCatalog {
       sum_cols = Nil,
       fingerprint = "", mv_fingerprint = 0L,
       split_cap = None, rebuildable = false, split_blocked = Nil,
-      generation = 0L,
+      generation = 0L, nprobe = 1,
       medoid_cells = Nil, medoid_vecs = Nil,
       radii_cells = Nil, radii_vals = Nil)
     val hnsw = HnswGraphRegistry.entries.map { case (p, e) =>
@@ -264,6 +279,7 @@ object IndexCatalog {
         split_cap = e.splitCap, rebuildable = e.rebuildable,
         split_blocked = e.splitBlocked.toSeq.sorted,
         generation = IvfIndexRegistry.generationOfPath(p),
+        nprobe = e.nprobe,
         medoid_cells = e.medoids.map(_._1),
         medoid_vecs = e.medoids.map(_._2.toSeq),
         radii_cells = e.radii.keys.toSeq.sorted,
@@ -345,7 +361,10 @@ object IndexCatalog {
               idCol = opt("id_col"), fingerprint = s("fingerprint"),
               splitCap = splitCap,
               rebuildable = r.getAs[Boolean]("rebuildable"),
-              splitBlocked = r.getAs[scala.collection.Seq[Int]]("split_blocked").toSet),
+              splitBlocked = r.getAs[scala.collection.Seq[Int]]("split_blocked").toSet,
+              // absent in pre-nprobe manifests — default the historical 1
+              nprobe = if (r.schema.fieldNames.contains("nprobe"))
+                r.getAs[Int]("nprobe") else 1),
             r.getAs[Long]("generation"))
         case "mv" =>
           MvRegistry.restore(spark, s("table_path"), s("mv_path"),
@@ -548,6 +567,22 @@ object IndexCatalog {
               e.cellCol == a.name && e.radii.nonEmpty) &&
               !rels.map(RewriteSupport.canon).exists(ivfBatchServed) =>
             tags += s"ivf-range:${RewriteSupport.canon(rels.head)}"
+          // the MULTI-PROBE top-k marker: a cell IN on a radii-LESS
+          // registration with nprobe > 1, under the top-k plan shape —
+          // a 1-probe registration injects EqualTo (handled above), so a
+          // user-written cell IN on it can never read as acceleration
+          case In(a: AttributeReference, _)
+            if IvfIndexRegistry.lookup(rels).exists(e =>
+              e.cellCol == a.name && e.radii.isEmpty && e.nprobe > 1) &&
+              !rels.map(RewriteSupport.canon).exists(ivfBatchServed) &&
+              topKShapeOver(plan, f) =>
+            tags += s"ivf:${RewriteSupport.canon(rels.head)}"
+          case InSet(a: AttributeReference, _)
+            if IvfIndexRegistry.lookup(rels).exists(e =>
+              e.cellCol == a.name && e.radii.isEmpty && e.nprobe > 1) &&
+              !rels.map(RewriteSupport.canon).exists(ivfBatchServed) &&
+              topKShapeOver(plan, f) =>
+            tags += s"ivf:${RewriteSupport.canon(rels.head)}"
           case _ => ()
         }
       case lr: LogicalRelation =>

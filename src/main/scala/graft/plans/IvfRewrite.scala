@@ -67,19 +67,34 @@ object IvfIndexRegistry {
                          // layout forever (round-12 advisor); cleared by
                          // re-registration/rebuild (fresh geometry, fresh
                          // verdict)
-                         splitBlocked: Set[Int] = Set.empty) {
+                         splitBlocked: Set[Int] = Set.empty,
+                         // probe width for the transparent TOP-K faces —
+                         // the recall↔I/O knob every vector database
+                         // exposes (scanned fraction ≈ nprobe/cells,
+                         // recall grows monotonically; at nprobe = cells
+                         // the rewrite IS the exact scan and declines on
+                         // the no-pruning guard). The PROVABLY-EXACT
+                         // range faces ignore it: their admission is the
+                         // angular bound, not a width.
+                         nprobe: Int = 1) {
 
     /** Nearest cell by cosine-to-medoid; sim rounded to 6dp and ties broken
       * by cell id, mirroring Ann.ivfSearch's probe so both paths (and the
       * DuckDB oracle) pick the identical cell.
       */
-    def bestCell(q: Array[Double]): Int =
+    def bestCell(q: Array[Double]): Int = bestCells(q, 1).head
+
+    /** The `n` nearest cells by (round-6 cosine desc, cell asc) — ONE
+      * ranking shared by bestCell, the multi-probe rewrites, and the
+      * DuckDB replay (Ann.ivfSearchCells' probe at nprobe = n).
+      */
+    def bestCells(q: Array[Double], n: Int): Seq[Int] =
       medoids.map { case (cell, m) =>
         // HALF_UP to match Spark's round(sim, 6) in Ann.ivfSearch and the
         // DuckDB oracle — math.rint is half-even and could probe a different
         // cell on an exact .5-ulp tie.
         (cell, BigDecimal(cosine(m, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.minBy { case (cell, s) => (-s, cell) }._1
+      }.sortBy { case (cell, s) => (-s, cell) }.take(n).map(_._1)
 
     private def cosine(a: Array[Double], b: Array[Double]): Double = {
       require(a.length == b.length, s"dim ${a.length} vs ${b.length}")
@@ -99,7 +114,8 @@ object IvfIndexRegistry {
     */
   def register(spark: SparkSession, path: String, cellCol: String,
                idCol: String, embCol: String,
-               splitCap: Option[Long] = None): Unit = {
+               splitCap: Option[Long] = None,
+               nprobe: Int = 1): Unit = {
     import org.apache.spark.sql.functions.col
     // re-registration = fresh snapshot: a cached stats slot at the same
     // generation could otherwise serve a pre-overwrite fingerprint
@@ -114,7 +130,7 @@ object IvfIndexRegistry {
     registry.put(canon(path), Entry(cellCol, medoids, Some(embCol),
       idCol = Some(idCol),
       fingerprint = tableFingerprint(spark, path, Seq(idCol, cellCol)),
-      splitCap = splitCap, rebuildable = true))
+      splitCap = splitCap, rebuildable = true, nprobe = nprobe))
   }
 
   /** The (id, cell) MEMBERSHIP fingerprint of a cell-partitioned layout —
@@ -153,13 +169,14 @@ object IvfIndexRegistry {
   def registerCentroids(spark: SparkSession, path: String, cellCol: String,
                         idCol: String, embCol: String,
                         centroids: Seq[(Int, Array[Double])],
-                        splitCap: Option[Long] = None): Unit = {
+                        splitCap: Option[Long] = None,
+                        nprobe: Int = 1): Unit = {
     purgeStats(path)
     registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1),
       embCol = Some(embCol),
       idCol = Some(idCol),
       fingerprint = tableFingerprint(spark, path, Seq(idCol, cellCol)),
-      splitCap = splitCap))
+      splitCap = splitCap, nprobe = nprobe))
   }
 
   /** Register trained centers PLUS the per-cell angular-radius sidecar —
@@ -391,8 +408,9 @@ object IvfIndexRegistry {
     * fresh slots by construction. Driver-side cost is |cells|·dim boxed
     * doubles per rewrite probe — index metadata, KBs.
     */
-  private[plans] def entryKey(e: Entry): (String, Seq[(Int, Seq[Double])], Map[Int, Double]) =
-    (e.cellCol, e.medoids.map { case (c, a) => (c, a.toSeq) }, e.radii)
+  private[plans] def entryKey(e: Entry): (String, Seq[(Int, Seq[Double])], Map[Int, Double], Int) =
+    (e.cellCol, e.medoids.map { case (c, a) => (c, a.toSeq) }, e.radii,
+      e.nprobe)
 }
 
 /** The rewrite rule (injected via GraftExtensions.injectOptimizerRule). */
@@ -514,12 +532,22 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         case _ => false
       }
+      // multi-probe must still PRUNE: nprobe ≥ cells is the exact scan —
+      // injecting an all-cells IN would be plan noise (and idempotence
+      // bait), so fall through
+      if entry.nprobe < entry.medoids.size
     } yield {
-      val best = entry.bestCell(qVec)
-      logInfo(s"IvfTopKRewrite: pruning ${rel.simpleString(50)} to ${entry.cellCol}=$best")
+      val cells = entry.bestCells(qVec, entry.nprobe)
+      logInfo(s"IvfTopKRewrite: pruning ${rel.simpleString(50)} to " +
+        s"${entry.cellCol} IN (${cells.mkString(",")})")
       child.transformUp {
         case r: LogicalRelation if r eq rel =>
-          Filter(EqualTo(cellAttr, Literal(best)), r)
+          // EqualTo for the 1-probe case (the historical shape every plan
+          // pin checks); IN for multi-probe — cellPrunePredicate matches
+          // both, so idempotence/precedence guards are unchanged
+          Filter(
+            if (cells.size == 1) EqualTo(cellAttr, Literal(cells.head))
+            else In(cellAttr, cells.map(Literal(_))), r)
       }
     }
   }
@@ -848,7 +876,7 @@ case class IvfRangeBatchRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IvfRangeBatchRewrite {
   private[plans] val probeMemo =
-    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan, Long, Double), Option[Seq[Int]]]()
+    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double], Int), LogicalPlan, Long, Double), Option[Seq[Int]]]()
 }
 
 /** BATCH face of the transparent IVF top-k rewrite — [[IvfTopKRewrite]]
@@ -1096,14 +1124,16 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         else {
           val qids = rows.map(_.getLong(0))
           if (qids.distinct.length != qids.length) None
-          else Some(rows.map { r =>
+          else Some(rows.flatMap { r =>
             val v = r.getSeq[Any](1).map {
               case f: Float => f.toDouble
               case d: Double => d
               case n: Number => n.doubleValue()
             }.toArray
-            (r.getLong(0), entry.bestCell(v))
-          }.sortBy(_._1).toSeq)
+            // each qid admits its nprobe probed cells (nprobe = 1 is the
+            // historical single-cell admission)
+            entry.bestCells(v, entry.nprobe).map((r.getLong(0), _))
+          }.sortBy(p => (p._1, p._2)).toSeq)
         }
       } catch {
         case scala.util.control.NonFatal(ex) =>
@@ -1123,5 +1153,5 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object IvfBatchTopKRewrite {
   private[plans] val probeMemo =
-    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double]), LogicalPlan, Long), Option[Seq[(Long, Int)]]]()
+    new ConcurrentHashMap[((String, Seq[(Int, Seq[Double])], Map[Int, Double], Int), LogicalPlan, Long), Option[Seq[(Long, Int)]]]()
 }

@@ -539,6 +539,30 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, excludeId = Some(0L))
     }),
 
+    // MULTI-PROBE transparent top-k (the recall↔I/O knob every vector
+    // database exposes): the registration carries nprobe=2, the user
+    // writes the same exact top-k, and IvfTopKRewrite injects a TWO-cell
+    // IN (partition pruning to 2/10 directories — scanned fraction ≈
+    // nprobe/cells, recall grows monotonically toward the exact scan).
+    // The oracle replays the identical 2-cell probe from the dumped
+    // centers — the same LIMIT-n probe CTE as ann_ivf_kmeans at n=2.
+    "ann_ivf_rewrite_nprobe" -> ((s, dir) => {
+      import graft.expressions.GraftFunctions
+      val (path, cents) = Ann.kmeansLayout(s, dir)
+      graft.plans.IvfIndexRegistry.registerCentroids(s, path, "cell",
+        "vec_id", "embedding", cents, nprobe = 2)
+      GraftFunctions.register(s)
+      val ivf = s.read.parquet(path)
+      val qVec = ivf.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      ivf.filter(col("vec_id") =!= 0)
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col("embedding"), lit(qVec)), 6))
+        .select(col("vec_id"), col("cell"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // Recall@5 audit of the TRAINED index against the exact scan — the
     // quality gate for ann_ivf_kmeans, mirroring ann_recall's shape
     // (rows-only: the kmeans centers aren't oracle-expressible).
@@ -2311,6 +2335,25 @@ object PipelineQueries {
          |  SELECT cell FROM cents CROSS JOIN q
          |  ORDER BY round(${VectorQueries.duckCosine("centroid", "qe")}, 6) DESC, cell ASC
          |  LIMIT 1)
+         |SELECT e.vec_id, e.cell,
+         |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
+         |FROM ivf e CROSS JOIN q JOIN probe p ON e.cell = p.cell
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    // multi-probe rewrite replay: the SAME dumped-center probe at
+    // LIMIT 2, exact top-5 within the two probed cells
+    "ann_ivf_rewrite_nprobe" ->
+      s"""WITH ivf AS (
+         |  SELECT vec_id, embedding, cell
+         |  FROM read_parquet('__IVFKM_LAYOUT__/*/*.parquet', hive_partitioning=true)),
+         |cents AS (SELECT cell, centroid FROM read_parquet('__IVFKM_CENTS__/*.parquet')),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM ivf WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT cell FROM cents CROSS JOIN q
+         |  ORDER BY round(${VectorQueries.duckCosine("centroid", "qe")}, 6) DESC, cell ASC
+         |  LIMIT 2)
          |SELECT e.vec_id, e.cell,
          |  round(${VectorQueries.duckCosine("e.embedding::DOUBLE[]", "q.qe")}, 6) AS sim
          |FROM ivf e CROSS JOIN q JOIN probe p ON e.cell = p.cell

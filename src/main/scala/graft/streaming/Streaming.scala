@@ -386,7 +386,7 @@ object Streaming {
               contractError("IVF", "the corpus row (its own columns)", ae) }
           graft.operators.Ann.ivfSearchBatchTopK(
               filtered, panel, e.cellCol,
-              cents, e.idCol.get, e.embCol.get, k)
+              cents, e.idCol.get, e.embCol.get, k, nprobe = e.nprobe)
             .select(col("qid"), col(e.idCol.get).as("vec_id"),
               col("sim"), col("rnk"))
         case Some(_) => sys.error(s"IVF registration for $corpusPath " +

@@ -249,6 +249,71 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe transparent top-k: nprobe=2 injects a 2-cell IN, prunes, equals the explicit face, recall monotone") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val dir = "/root/testdata/sf0.001"
+    val path = graft.operators.Ann.ivfLayout(spark, dir)
+    try {
+      graft.plans.IvfIndexRegistry.clear()
+      graft.plans.HnswGraphRegistry.clear()
+      def cellsInjected(df: org.apache.spark.sql.DataFrame): Option[Int] =
+        df.queryExecution.optimizedPlan.collect {
+          case f: LFilter => f.condition.collect {
+            case In(a: AttributeReference, vs) if a.name == "label" => vs.length
+            case InSet(a: AttributeReference, vs) if a.name == "label" => vs.size
+          }
+        }.flatten.headOption
+      // nprobe=1 (default) injects the historical EqualTo — no IN
+      graft.plans.IvfIndexRegistry.register(spark, path, "label",
+        "vec_id", "embedding")
+      val one = ivfQuery(path)
+      val rows1 = one.collect()
+      assert(cellsInjected(one).isEmpty, "1-probe registration injected an IN")
+      // nprobe=2 injects a TWO-cell IN and really prunes
+      graft.plans.IvfIndexRegistry.register(spark, path, "label",
+        "vec_id", "embedding", nprobe = 2)
+      val two = ivfQuery(path)
+      val rows2 = two.collect()
+      assert(cellsInjected(two) === Some(2),
+        s"expected a 2-cell IN, got ${cellsInjected(two)}")
+      val nf = PlanTestUtil.scannedFiles(two).get
+      val base = spark.read.parquet(path).filter(col("vec_id") >= 0)
+      base.collect()
+      assert(nf < PlanTestUtil.scannedFiles(base).get,
+        s"no pruning at nprobe=2: read $nf files")
+      // equals the explicit nprobe=2 probe-and-prune face bit for bit
+      val qVec = spark.read.parquet(path).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val explicit = graft.operators.Ann.ivfSearchCells(
+          spark.read.parquet(path),
+          spark.read.parquet(path).filter(col("vec_id") === 0)
+            .select(col("embedding").as("q_emb")),
+          "label", graft.operators.Ann.cellMedoids(
+            spark.read.parquet(path), "label", "vec_id", "embedding"),
+          "vec_id", "embedding", k = 5, excludeId = Some(0L), nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(r.fieldIndex("sim"))))
+      assert(rows2.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        === explicit.toSeq,
+        "2-probe rewrite diverged from the explicit nprobe=2 face")
+      // recall monotone: each ranked sim at nprobe=2 ≥ its nprobe=1 twin
+      rows1.map(_.getDouble(2)).zip(rows2.map(_.getDouble(2))).foreach {
+        case (s1, s2) => assert(s2 >= s1, s"recall regressed: $s2 < $s1")
+      }
+      // servedBy attributes the multi-probe IN as a served top-k
+      assert(graft.plans.IndexCatalog.servedBy(two)
+        .exists(_.startsWith("ivf:")), "multi-probe serve not attributed")
+      // nprobe ≥ cells is the exact scan — the rewrite must fall through
+      graft.plans.IvfIndexRegistry.register(spark, path, "label",
+        "vec_id", "embedding", nprobe = 10)
+      val all = ivfQuery(path)
+      all.collect()
+      assert(cellsInjected(all).isEmpty &&
+        graft.plans.IndexCatalog.servedBy(all).isEmpty,
+        "nprobe >= cells did not fall through to the exact scan")
+    } finally graft.plans.IvfIndexRegistry.clear()
+  }
+
   test("batch markers survive the full optimizer on every fired batch face — name-free idempotence/provenance is safe") {
     // Round-13 closure of the round-12 verdict's name-fallback note. The
     // node TAG alone is provably NOT enough: on this very fixture,

@@ -576,4 +576,50 @@ class IndexCatalogSpec extends AnyFunSuite {
       HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
     }
   }
+
+  test("maintainAll write-back: a repair tick publishes a fresh manifest; reload reads the HEALED state") {
+    // Without write-back the durable manifest goes stale the moment a
+    // tick heals an index: a restart + load would read `rebuild` again
+    // and wastefully re-heal. With persistTo, any non-noop tick publishes
+    // a fresh version — and a pure-noop tick publishes NOTHING (a healthy
+    // catalog must not mint a version per tick).
+    val base = java.nio.file.Files.createTempDirectory("graft-cat-wb").toString + "/layout"
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-wb-man").toString + "/manifest"
+    try {
+      HnswGraphRegistry.clear(); IvfIndexRegistry.clear(); MvRegistry.clear()
+      val emb = Tables.embeddings(spark, sf)
+      emb.withColumnRenamed("label", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+      IvfIndexRegistry.register(spark, base, "cell", "vec_id", "embedding")
+      IndexCatalog.save(spark, root)
+      val v0 = IndexCatalog.latestVersion(spark, root)
+      // pure-noop tick: no new version
+      IndexCatalog.maintainAll(spark, Some(root)).collect()
+      assert(IndexCatalog.latestVersion(spark, root) === v0,
+        "a noop tick minted a manifest version")
+      // drift, then a repairing tick WITH write-back
+      val cents = Ann.cellMedoids(emb.withColumnRenamed("label", "cell"),
+        "cell", "vec_id", "embedding").select(col("cell"), col("centroid"))
+      Ann.appendToLayout(
+        emb.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 300000L).as("vec_id"), col("embedding")),
+        cents, base, "vec_id", "embedding")
+      val t = IndexCatalog.maintainAll(spark, Some(root)).collect()
+        .map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(t("ivf") === "rebuilt")
+      assert(IndexCatalog.latestVersion(spark, root) === v0 + 1,
+        "the repair tick did not publish the healed manifest")
+      val healedFp = IvfIndexRegistry.entries
+        .collectFirst { case (p, e) if p == base => e.fingerprint }.get
+      // the restart: load reads the HEALED state — serve, no re-heal
+      IvfIndexRegistry.clear()
+      IndexCatalog.load(spark, root)
+      val e2 = IvfIndexRegistry.entries
+        .collectFirst { case (p, e) if p == base => e }.get
+      assert(e2.fingerprint === healedFp, "reload served the stale fingerprint")
+      assert(IndexCatalog.indexes(spark).filter(col("kind") === "ivf")
+        .head().getAs[String]("decision") === "serve",
+        "reloaded catalog wants to re-heal an already-healed index")
+    } finally { IvfIndexRegistry.clear() }
+  }
 }
