@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   *     OPTIONS (id_col 'vec_id' [, cell_col 'cell'] [, split_cap 'N']
   *              [, nprobe 'N'])
   *   CREATE INDEX <name> ON '<table path>' USING IVF (<embCol>)
-  *     OPTIONS (id_col 'vec_id', layout_dir '<dir>' [, k 'N'])
+  *     OPTIONS (id_col 'vec_id', layout_dir '<dir>' [, k 'N']
+  *              [, nprobe 'N'])
   *   CREATE INDEX <name> ON '<source path>' USING MV (<groupCol>)
   *     OPTIONS (mv_path '<dir>', sum_cols 'a+b')
   *   DROP INDEX <name>

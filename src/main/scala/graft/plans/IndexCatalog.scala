@@ -121,6 +121,9 @@ object IndexCatalog {
   def maintainAll(spark: SparkSession,
                   persistTo: Option[String]): DataFrame = {
     import spark.implicits._
+    def ivfMetaSnapshot = IvfIndexRegistry.entries.map { case (p, e) =>
+      (p, e.fingerprint, e.splitBlocked, e.medoids.map(_._1)) }
+    val ivfMetaBefore = ivfMetaSnapshot
     val rows = indexes(spark).collect().map { r =>
       val (kind, tablePath, decision) =
         (r.getString(0), r.getString(1), r.getString(7))
@@ -151,7 +154,15 @@ object IndexCatalog {
       }
       (kind, tablePath, decision, action)
     }
-    if (rows.exists(_._4 != "noop")) persistTo.foreach(save(spark, _))
+    // persist on any LAYOUT action — and on registry-METADATA mutations a
+    // noop action can hide: a degenerate split records splitBlocked while
+    // reporting noop (round-13 third review pass: without this, every
+    // restart re-ran the corpus-scale 2-means on the same unsplittable
+    // cell — the exact non-convergence splitBlocked exists to prevent)
+    persistTo.foreach { root =>
+      if (rows.exists(_._4 != "noop") || ivfMetaBefore != ivfMetaSnapshot)
+        save(spark, root)
+    }
     rows.toSeq.toDF("kind", "table_path", "decision", "action")
       .orderBy(col("kind"), col("table_path"))
   }
@@ -573,13 +584,15 @@ object IndexCatalog {
           // user-written cell IN on it can never read as acceleration
           case In(a: AttributeReference, _)
             if IvfIndexRegistry.lookup(rels).exists(e =>
-              e.cellCol == a.name && e.radii.isEmpty && e.nprobe > 1) &&
+              e.cellCol == a.name && e.radii.isEmpty && e.nprobe > 1 &&
+              e.nprobe < e.medoids.size) &&
               !rels.map(RewriteSupport.canon).exists(ivfBatchServed) &&
               topKShapeOver(plan, f) =>
             tags += s"ivf:${RewriteSupport.canon(rels.head)}"
           case InSet(a: AttributeReference, _)
             if IvfIndexRegistry.lookup(rels).exists(e =>
-              e.cellCol == a.name && e.radii.isEmpty && e.nprobe > 1) &&
+              e.cellCol == a.name && e.radii.isEmpty && e.nprobe > 1 &&
+              e.nprobe < e.medoids.size) &&
               !rels.map(RewriteSupport.canon).exists(ivfBatchServed) &&
               topKShapeOver(plan, f) =>
             tags += s"ivf:${RewriteSupport.canon(rels.head)}"

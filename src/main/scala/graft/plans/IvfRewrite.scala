@@ -116,6 +116,7 @@ object IvfIndexRegistry {
                idCol: String, embCol: String,
                splitCap: Option[Long] = None,
                nprobe: Int = 1): Unit = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     import org.apache.spark.sql.functions.col
     // re-registration = fresh snapshot: a cached stats slot at the same
     // generation could otherwise serve a pre-overwrite fingerprint
@@ -171,6 +172,7 @@ object IvfIndexRegistry {
                         centroids: Seq[(Int, Array[Double])],
                         splitCap: Option[Long] = None,
                         nprobe: Int = 1): Unit = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     purgeStats(path)
     registry.put(canon(path), Entry(cellCol, centroids.sortBy(_._1),
       embCol = Some(embCol),
@@ -522,14 +524,14 @@ case class IvfTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         rel.output.exists(o => o.exprId == simAttr.exprId && o.name == n))
       cellAttr <- rel.output.find(_.name == entry.cellCol)
       // idempotence under the fixed-point optimizer batch: fire once —
-      // exprId-matched against the registered relation's resolved cell
-      // column (a same-named column from elsewhere can never mask it)
+      // through the ONE shared matcher (In/InSet AND the EqualTo form;
+      // round-13 third review pass: the EqualTo-only guard was blind to
+      // this rule's OWN multi-probe In injection and re-fired every
+      // iteration, stacking duplicate prunes), exprId-matched against the
+      // registered relation's resolved cell column
+      cellPred = RewriteSupport.cellPrunePredicate(cellAttr)
       if !child.exists {
-        case f: Filter => f.condition.exists {
-          case EqualTo(a: AttributeReference, _: Literal) => a.exprId == cellAttr.exprId
-          case EqualTo(_: Literal, a: AttributeReference) => a.exprId == cellAttr.exprId
-          case _ => false
-        }
+        case f: Filter => cellPred(f.condition)
         case _ => false
       }
       // multi-probe must still PRUNE: nprobe ≥ cells is the exact scan —
@@ -1051,6 +1053,10 @@ case class IvfBatchTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if querySide.outputSet.contains(qidAttr)
       if child.outputSet.contains(qidAttr) && child.outputSet.contains(cellAttr)
       if qidAttr.dataType == LongType && cellAttr.dataType == IntegerType
+      // multi-probe must still PRUNE (the single face's guard): nprobe ≥
+      // cells would inject an all-cells IN + a |panel|·|cells| semi-join
+      // for zero I/O saved and false servedBy provenance
+      if entry.nprobe < entry.medoids.size
       // no cell prune already on the corpus spine (ours from a prior
       // iteration, the single face's, or a user's own — declining on the
       // latter is conservative-safe: the exact plan still runs)

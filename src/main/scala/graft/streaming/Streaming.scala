@@ -328,8 +328,8 @@ object Streaming {
     * #6): the graph registration wins when present (better recall at a
     * smaller scored budget — the same precedence the transparent
     * rewrites encode), else the IVF registration serves through the
-    * skew-hardened explicit batch face (Ann.ivfSearchBatchTopK at
-    * nprobe = 1, the probe the rewrites share), else the call refuses
+    * skew-hardened explicit batch face (Ann.ivfSearchBatchTopK at the
+    * REGISTRATION'S nprobe — the same probe width the rewrites honor), else the call refuses
     * loudly. Output normalized to (qid, vec_id, sim, rnk) across both
     * routes. The batch twin [[indexServe]] streams over — registered
     * queries oracle THIS face (index_serve_batch replays the graph walk

@@ -392,11 +392,25 @@ class IndexCatalogSpec extends AnyFunSuite {
         walk(d).sorted
       }
       val files0 = layoutFiles
+      // write-back root: the blocked verdict is registry METADATA a noop
+      // action hides — the tick must still persist it (third review pass:
+      // otherwise every restart re-ran the degenerate 2-means)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cat-degen-man").toString + "/manifest"
+      IndexCatalog.save(spark, root)
+      val v0 = IndexCatalog.latestVersion(spark, root)
       // the tick ATTEMPTS the split, detects the degenerate 2-means, and
       // reports noop without rewriting a single file
-      val t1 = IndexCatalog.maintainAll(spark).collect()
+      val t1 = IndexCatalog.maintainAll(spark, Some(root)).collect()
         .map(r => r.getString(0) -> r.getString(3)).toMap
       assert(t1("ivf") === "noop", s"degenerate split did not noop: $t1")
+      assert(IndexCatalog.latestVersion(spark, root) === v0 + 1,
+        "the blocked verdict did not reach the durable manifest")
+      // a restart loads the verdict: decision serve, NO re-attempt
+      IvfIndexRegistry.clear()
+      IndexCatalog.load(spark, root)
+      assert(row.getAs[String]("decision") === "serve",
+        "reloaded catalog forgot the unsplittable cell")
       assert(layoutFiles === files0, "degenerate split rewrote the layout")
       // ...and the decision CONVERGES: the blocked cell no longer reads
       // `split`, so the next tick is pure noop with no attempt at all
