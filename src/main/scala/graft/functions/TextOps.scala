@@ -150,6 +150,57 @@ object TextOps {
         size(t).cast("double"))
   }
 
+  // ---------------------------------------------------------------------
+  // Fused text-statistics kernel (round-14 optimization)
+  // ---------------------------------------------------------------------
+
+  /** One-scan struct of every count the quality/langid features derive
+    * from (graft.expressions.TextStats): n_chars, n_digit, n_alpha,
+    * n_tokens, sum_tok_len, n_stop, n_distinct, track[] — bit-identical
+    * to the HOF formulas above (TextStatsSpec). Hot scoring paths compute
+    * this ONCE per row and read fields; the HOF chains remain the oracle
+    * formulation.
+    */
+  def textStats(text: Column, track: Seq[String] = Nil): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TextStats(
+        org.apache.spark.sql.graft.Bridge.expression(text), Stopwords, track))
+
+  /** [[tokenCount]] off a [[textStats]] struct. */
+  def tokenCountS(st: Column): Column = st.getField("n_tokens")
+
+  /** [[meanTokenLen]] off a [[textStats]] struct — same 0-guard and the
+    * same exact-integer-in-double division as the HOF formula.
+    */
+  def meanTokenLenS(st: Column): Column =
+    when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("sum_tok_len").cast("double") /
+        st.getField("n_tokens").cast("double"))
+
+  /** [[digitRatio]] off a [[textStats]] struct. */
+  def digitRatioS(st: Column): Column =
+    when(st.getField("n_chars") === 0, lit(0.0))
+      .otherwise(st.getField("n_digit").cast("double") / st.getField("n_chars"))
+
+  /** [[alphaRatio]] off a [[textStats]] struct. */
+  def alphaRatioS(st: Column): Column =
+    when(st.getField("n_chars") === 0, lit(0.0))
+      .otherwise(st.getField("n_alpha").cast("double") / st.getField("n_chars"))
+
+  /** [[stopwordRatio]] off a [[textStats]] struct. */
+  def stopwordRatioS(st: Column): Column =
+    when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(st.getField("n_stop").cast("double") /
+        st.getField("n_tokens").cast("double"))
+
+  /** [[qualityScore]] off a [[textStats]] struct — same weights/rounding. */
+  def qualityScoreS(st: Column): Column = {
+    val lenScore = least(st.getField("n_chars").cast("double") / lit(500.0), lit(1.0))
+    val digitPenalty = lit(1.0) - least(digitRatioS(st) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatioS(st) * 4.0, lit(1.0))
+    round((lenScore + digitPenalty + stopScore) / 3.0, 6)
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs with low
     * digit ratio and a sane stopword presence. Deterministic and
     * oracle-expressible; the exact weights are this engine's contract.

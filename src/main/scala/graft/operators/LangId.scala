@@ -70,6 +70,16 @@ object LangId {
     }
   }
 
+  /** [[features]] off a fused stats struct (track = [[FeatTokens]]) —
+    * bit-identical field reads replacing ~10 text walks per row.
+    */
+  def featuresFromStats(st: Column): Seq[Column] =
+    LogReg.featuresFromStats(st) ++ FeatTokens.indices.map { i =>
+      when(st.getField("n_tokens") === 0, lit(0.0))
+        .otherwise(element_at(st.getField("track"), i + 1).cast("double") /
+          st.getField("n_tokens").cast("double"))
+    }
+
   /** Per-class linear score in FIXED left-to-right order (the
     * [[LogReg.linear]] contract — the oracle sums identically).
     */
@@ -98,9 +108,12 @@ object LangId {
   }
 
   private def featureFrame(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"), col("lang"),
-      array(features(col("text")): _*).as("x"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextOps.textStats(col("text"), FeatTokens).as("__st"))
+      .select(
+        col("doc_id"), col("lang"),
+        array(featuresFromStats(col("__st")): _*).as("x"))
 
   /** (doc_id, lang, pred) over the whole corpus — the serving path the
     * eval queries share. The feature array materializes ONCE

@@ -89,6 +89,30 @@ object LogReg {
     features(text).zip(w).map { case (x, wi) => x * lit(wi) }
       .reduceLeft(_ + _)
 
+  /** [[features]] off a fused [[TextOps.textStats]] struct — the same six
+    * expressions with every text walk replaced by a struct-field read
+    * (bit-identical; TextStatsSpec). Hot scoring paths compute the struct
+    * once per row and derive everything from it.
+    */
+  def featuresFromStats(st: Column): Seq[Column] = Seq(
+    lit(1.0),
+    TextOps.tokenCountS(st).cast("double") / 100.0,
+    TextOps.meanTokenLenS(st),
+    TextOps.digitRatioS(st),
+    TextOps.alphaRatioS(st),
+    TextOps.stopwordRatioS(st))
+
+  /** [[linear]] off a stats struct — same fixed-order sum. */
+  def linearFromStats(st: Column, w: Seq[Double]): Column =
+    featuresFromStats(st).zip(w).map { case (x, wi) => x * lit(wi) }
+      .reduceLeft(_ + _)
+
+  /** [[label]] off a stats struct — same 0-guard and TTR threshold. */
+  def labelFromStats(st: Column): Column =
+    when(st.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(when(st.getField("n_distinct").cast("double") /
+        st.getField("n_tokens").cast("double") >= 0.7, 1.0).otherwise(0.0))
+
   def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
   /** Quality label: type-token ratio ≥ 0.7 (non-repetitive doc). Exact
@@ -105,10 +129,12 @@ object LogReg {
     * this digest-sized frame.
     */
   private def featureFrame(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      label(col("text")).as("y"),
-      array(features(col("text")): _*).as("x"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.textStats(col("text")).as("__st"))
+      .select(
+        col("doc_id"),
+        labelFromStats(col("__st")).as("y"),
+        array(featuresFromStats(col("__st")): _*).as("x"))
 
   /** One Newton digest at weights `w`: (gradient, Hessian upper triangle,
     * deviance) — computed in ONE job: the three moment families ride a
@@ -118,43 +144,51 @@ object LogReg {
     * difference between T+1 and 3(T+1) corpus passes; the shuffle is
     * d(d+3)/2 + 2 doubles per partition either way.
     */
-  private def newtonDigest(feats: DataFrame, w: Array[Double])
-      : (Array[Double], Array[Array[Double]], Double) = {
+  private def newtonDigest(rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      w: Array[Double]): (Array[Double], Array[Array[Double]], Double) = {
     val d = w.length
-    val z = aggregate(
-      zip_with(col("x"), typedLit(w.toSeq), (x, wi) => x * wi),
-      lit(0.0), (acc, v) => acc + v)
-    // clamp keeps ln() finite when a step saturates the sigmoid
-    val p0 = lit(1.0) / (lit(1.0) + exp(-z))
-    val scored = feats.select(col("y"), col("x"),
-      least(lit(1.0 - 1e-12), greatest(lit(1e-12), p0)).as("p"))
-    val grad = scored
-      .select(posexplode(col("x")).as(Seq("i", "xi")),
-        (col("y") - col("p")).as("r"))
-      .select(col("i"), lit(-1).as("j"), (col("xi") * col("r")).as("v"))
-    val hess = scored
-      .select(posexplode(col("x")).as(Seq("i", "xi")), col("x"),
-        (col("p") * (lit(1.0) - col("p"))).as("s"))
-      .select(col("i"), col("xi"), col("s"),
-        posexplode(col("x")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"), (col("s") * col("xi") * col("xj")).as("v"))
-    val dev = scored.select(lit(-2).as("i"), lit(-2).as("j"),
-      (lit(-2.0) * (col("y") * log(col("p")) +
-        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("v"))
-    val rows = grad.unionByName(hess).unionByName(dev)
-      .groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
-      .collect() // d(d+3)/2 + 2 rows — model metadata
-    val g = new Array[Double](d)
-    val h = Array.ofDim[Double](d, d)
-    var devSum = 0.0
-    rows.foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      if (i == -2) devSum = v
-      else if (j == -1) g(i) = v
-      else { h(i)(j) = v; h(j)(i) = v }
+    // Round-14 optimization: ONE single-stage DigestPass.fold per Newton
+    // step (gradient d + Hessian upper triangle d(d+1)/2 + deviance, all
+    // driver-sized) replaces the posexplode→union→groupBy→collect chain,
+    // which paid an explode of d(d+3)/2 rows per input row plus an
+    // exchange + AQE re-plan per iteration. Per-row arithmetic is the
+    // identical formula sequence (z left-fold, clamped sigmoid, xi·r,
+    // (s·xi)·xj, −2·(y·ln p + (1−y)·ln(1−p))); partials merge in
+    // partition-index order.
+    val width = d + d * (d + 1) / 2 + 1
+    val digest = DigestPass.fold(rows, width) { (acc, row) =>
+      val y = row.getDouble(0)
+      val x = row.getSeq[Double](1)
+      var z = 0.0
+      var j = 0
+      while (j < d) { z += x(j) * w(j); j += 1 }
+      // clamp keeps ln() finite when a step saturates the sigmoid
+      val p0 = 1.0 / (1.0 + math.exp(-z))
+      val p = math.min(1.0 - 1e-12, math.max(1e-12, p0))
+      val r = y - p
+      val s = p * (1.0 - p)
+      var i = 0
+      var k = d
+      while (i < d) {
+        acc(i) += x(i) * r
+        val sxi = s * x(i)
+        j = i
+        while (j < d) { acc(k) += sxi * x(j); j += 1; k += 1 }
+        i += 1
+      }
+      acc(width - 1) +=
+        -2.0 * (y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
     }
-    (g, h, devSum)
+    val g = java.util.Arrays.copyOfRange(digest, 0, d)
+    val h = Array.ofDim[Double](d, d)
+    var k = d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { h(i)(j) = digest(k); h(j)(i) = digest(k); j += 1; k += 1 }
+      i += 1
+    }
+    (g, h, digest(width - 1))
   }
 
   /** Solve (a + ridge·I) x = b by Gaussian elimination with partial
@@ -212,17 +246,20 @@ object LogReg {
     */
   private[graft] def fitFrame(feats: DataFrame, dim: Int = Dim)
       : (Array[Double], Seq[(Int, Double)]) = {
+    // one Row RDD for the whole loop — each iteration is a single-stage
+    // digest job over it (see newtonDigest)
+    val rows = DigestPass.rowsOf(feats.select(col("y"), col("x")))
     var w = new Array[Double](dim)
     val trace = Seq.newBuilder[(Int, Double)]
     for (it <- 0 until Iters) {
       // one digest per iteration: dev is AT the incoming w, so trace(it)
       // covers w_it and the post-step deviance lands as trace(it+1)
-      val (g, h, dev) = newtonDigest(feats, w)
+      val (g, h, dev) = newtonDigest(rows, w)
       trace += ((it, dev))
       val step = solve(h, g, Ridge)
       w = w.zip(step).map { case (wi, s) => wi + s }
     }
-    trace += ((Iters, newtonDigest(feats, w)._3))
+    trace += ((Iters, newtonDigest(rows, w)._3))
     (w, trace.result())
   }
 
@@ -353,8 +390,9 @@ object LogReg {
     calMemo.computeIfAbsent(sfDir, { _ =>
       val w = model(spark, sfDir).toSeq
       val binned = Tables.documents(spark, sfDir)
-        .select(label(col("text")).as("y"),
-          sigmoid(linear(col("text"), w)).as("p"))
+        .select(TextOps.textStats(col("text")).as("__st"))
+        .select(labelFromStats(col("__st")).as("y"),
+          sigmoid(linearFromStats(col("__st"), w)).as("p"))
         .withColumn("bin", binOf(col("p")))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))

@@ -567,9 +567,23 @@ object TextQueries {
     }),
 
     // Language ID: marker-word scores, deterministic argmax chain.
+    // Round-14: ONE fused text-stats scan per row tracks every marker
+    // token; each language's score is the integer sum of its markers'
+    // counts — value-identical to the per-language filter+array_contains
+    // walks it replaces (markers within a language are distinct, so the
+    // "tokens matching any marker" count equals the per-marker-count sum;
+    // TextStatsSpec pins it).
     "lang_id" -> ((s, dir) => {
+      val track = Seq("en", "de", "fr", "es")
+        .flatMap(TextOps.LangMarkers(_)).distinct
+      val idx = track.zipWithIndex.toMap
       val d = documents(s, dir)
-      def score(l: String): Column = TextOps.langScore(col("text"), l)
+        .select(col("doc_id"), col("lang"),
+          TextOps.textStats(col("text"), track).as("__st"))
+      def score(l: String): Column =
+        TextOps.LangMarkers(l).map(m =>
+          element_at(col("__st").getField("track"), idx(m) + 1))
+          .reduceLeft(_ + _)
       val (en, de, fr, es) = (score("en"), score("de"), score("fr"), score("es"))
       d.select(
         col("doc_id"), col("lang"),
@@ -584,16 +598,21 @@ object TextQueries {
 
     // Per-document quality features + composite score.
     "quality_scores" -> ((s, dir) => {
-      documents(s, dir).select(
-        col("doc_id"),
-        col("n_chars"),
-        length(col("text")).as("c_len"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
-        round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"),
-        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        TextOps.qualityScore(col("text")).as("quality"))
+      // round-14: ONE fused text-stats scan per row feeds every feature
+      // column (bit-identical values — TextStatsSpec)
+      documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.textStats(col("text")).as("__st"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          col("__st").getField("n_chars").as("c_len"),
+          TextOps.tokenCountS(col("__st")).as("n_tokens"),
+          round(TextOps.meanTokenLenS(col("__st")), 6).as("mean_tok_len"),
+          round(TextOps.digitRatioS(col("__st")), 6).as("digit_ratio"),
+          round(TextOps.alphaRatioS(col("__st")), 6).as("alpha_ratio"),
+          round(TextOps.stopwordRatioS(col("__st")), 6).as("stopword_ratio"),
+          TextOps.qualityScoreS(col("__st")).as("quality"))
         .orderBy(col("doc_id"))
     }),
 

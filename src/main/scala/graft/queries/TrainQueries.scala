@@ -429,9 +429,12 @@ object TrainQueries {
     "logreg_quality" -> ((s, dir) => {
       val w = LogReg.model(s, dir).toSeq
       documents(s, dir)
-        .withColumn("p_raw", LogReg.sigmoid(LogReg.linear(col("text"), w)))
+        // round-14: ONE fused text-stats scan per row feeds label +
+        // features (bit-identical values — TextStatsSpec)
+        .select(col("doc_id"), TextOps.textStats(col("text")).as("__st"))
+        .withColumn("p_raw", LogReg.sigmoid(LogReg.linearFromStats(col("__st"), w)))
         .select(col("doc_id"),
-          LogReg.label(col("text")).cast("long").as("y"),
+          LogReg.labelFromStats(col("__st")).cast("long").as("y"),
           round(col("p_raw"), 6).as("p_quality"),
           when(col("p_raw") >= 0.5, 1L).otherwise(0L).as("pred"))
         .orderBy(col("doc_id"))
@@ -442,8 +445,9 @@ object TrainQueries {
     "logreg_eval" -> ((s, dir) => {
       val w = LogReg.model(s, dir).toSeq
       documents(s, dir)
-        .select(LogReg.label(col("text")).cast("long").as("y"),
-          when(LogReg.sigmoid(LogReg.linear(col("text"), w)) >= 0.5, 1L)
+        .select(TextOps.textStats(col("text")).as("__st"))
+        .select(LogReg.labelFromStats(col("__st")).cast("long").as("y"),
+          when(LogReg.sigmoid(LogReg.linearFromStats(col("__st"), w)) >= 0.5, 1L)
             .otherwise(0L).as("pred"))
         .agg(sum(col("y") * col("pred")).as("tp"),
           sum((lit(1L) - col("y")) * col("pred")).as("fp"),
@@ -467,9 +471,10 @@ object TrainQueries {
         .map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3).toSeq }
       byFold.map { case (k, wk) =>
         documents(s, dir).filter(col("doc_id") % LogReg.CvFolds === k)
-          .select(lit(k).as("fold"),
-            LogReg.label(col("text")).cast("long").as("y"),
-            when(LogReg.sigmoid(LogReg.linear(col("text"), wk)) >= 0.5, 1L)
+          .select(lit(k).as("fold"), TextOps.textStats(col("text")).as("__st"))
+          .select(col("fold"),
+            LogReg.labelFromStats(col("__st")).cast("long").as("y"),
+            when(LogReg.sigmoid(LogReg.linearFromStats(col("__st"), wk)) >= 0.5, 1L)
               .otherwise(0L).as("pred"))
       }.reduce(_ unionByName _)
         .groupBy(col("fold"))
@@ -501,8 +506,9 @@ object TrainQueries {
       val calMap = s.read.parquet(LogReg.calibPath(dir))
         .select(col("bin"), col("cal_rate"))
       documents(s, dir)
-        .select(LogReg.label(col("text")).as("y"),
-          LogReg.sigmoid(LogReg.linear(col("text"), w)).as("p"))
+        .select(TextOps.textStats(col("text")).as("__st"))
+        .select(LogReg.labelFromStats(col("__st")).as("y"),
+          LogReg.sigmoid(LogReg.linearFromStats(col("__st"), w)).as("p"))
         .withColumn("bin", LogReg.binOf(col("p")))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), round(avg(col("y")), 6).as("raw_rate"))
