@@ -33,10 +33,10 @@ private[graft] object DigestPass {
   /** Fold `rows` into a `width`-double digest: `seqOp(acc, row)` per row,
     * partials merged by element-wise sum in partition-index order.
     */
-  def fold(rows: RDD[Row], width: Int)(seqOp: (Array[Double], Row) => Unit)
+  def fold[T](rows: RDD[T], width: Int)(seqOp: (Array[Double], T) => Unit)
       : Array[Double] = {
     val sc = rows.sparkContext
-    val partials = sc.runJob(rows, (it: Iterator[Row]) => {
+    val partials = sc.runJob(rows, (it: Iterator[T]) => {
       val acc = new Array[Double](width)
       while (it.hasNext) seqOp(acc, it.next())
       acc
@@ -53,4 +53,36 @@ private[graft] object DigestPass {
     * the per-iteration jobs skip re-deriving the deserializer plan.
     */
   def rowsOf(df: DataFrame): RDD[Row] = df.rdd
+
+  /** The iteration-loop input as a PERSISTED primitive-array RDD: every
+    * numeric/array column of `df` flattened into one Array[Double] per
+    * row, materialized once. Each fold over `rowsOf` re-paid the
+    * InternalRow→Row deserialization of the whole frame per iteration
+    * (40+ conversions of the same rows in an IRLS fit); folding over
+    * cached primitives pays it once. Callers unpersist when the loop
+    * ends. Memory: 8·(total doubles) — the model-fit frames here are a
+    * few doubles per row, MBs total; a 100 TB fit uses
+    * MEMORY_AND_DISK_SER exactly like MLlib's GradientDescent input.
+    */
+  def cachedDoubles(df: DataFrame): RDD[Array[Double]] = {
+    val flat = df.rdd.map { row =>
+      val b = scala.collection.mutable.ArrayBuilder.make[Double]
+      var i = 0
+      while (i < row.length) {
+        row.get(i) match {
+          case d: Double => b += d
+          case l: Long => b += l.toDouble
+          case n: Int => b += n.toDouble
+          case s: scala.collection.Seq[_] =>
+            s.foreach(v => b += v.asInstanceOf[Double])
+          case other => throw new IllegalArgumentException(
+            s"cachedDoubles: non-numeric column value $other")
+        }
+        i += 1
+      }
+      b.result()
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flat.count()
+    flat
+  }
 }

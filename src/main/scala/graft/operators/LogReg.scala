@@ -144,24 +144,25 @@ object LogReg {
     * difference between T+1 and 3(T+1) corpus passes; the shuffle is
     * d(d+3)/2 + 2 doubles per partition either way.
     */
-  private def newtonDigest(rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+  private def newtonDigest(rows: org.apache.spark.rdd.RDD[Array[Double]],
       w: Array[Double]): (Array[Double], Array[Array[Double]], Double) = {
     val d = w.length
     // Round-14 optimization: ONE single-stage DigestPass.fold per Newton
     // step (gradient d + Hessian upper triangle d(d+1)/2 + deviance, all
     // driver-sized) replaces the posexplode→union→groupBy→collect chain,
     // which paid an explode of d(d+3)/2 rows per input row plus an
-    // exchange + AQE re-plan per iteration. Per-row arithmetic is the
-    // identical formula sequence (z left-fold, clamped sigmoid, xi·r,
-    // (s·xi)·xj, −2·(y·ln p + (1−y)·ln(1−p))); partials merge in
+    // exchange + AQE re-plan per iteration; rows fold as CACHED primitive
+    // arrays [y, x0..x_{d−1}] (DigestPass.cachedDoubles) so iterations
+    // skip the per-pass Row deserialization too. Per-row arithmetic is
+    // the identical formula sequence (z left-fold, clamped sigmoid,
+    // xi·r, (s·xi)·xj, −2·(y·ln p + (1−y)·ln(1−p))); partials merge in
     // partition-index order.
     val width = d + d * (d + 1) / 2 + 1
     val digest = DigestPass.fold(rows, width) { (acc, row) =>
-      val y = row.getDouble(0)
-      val x = row.getSeq[Double](1)
+      val y = row(0)
       var z = 0.0
       var j = 0
-      while (j < d) { z += x(j) * w(j); j += 1 }
+      while (j < d) { z += row(1 + j) * w(j); j += 1 }
       // clamp keeps ln() finite when a step saturates the sigmoid
       val p0 = 1.0 / (1.0 + math.exp(-z))
       val p = math.min(1.0 - 1e-12, math.max(1e-12, p0))
@@ -170,10 +171,10 @@ object LogReg {
       var i = 0
       var k = d
       while (i < d) {
-        acc(i) += x(i) * r
-        val sxi = s * x(i)
+        acc(i) += row(1 + i) * r
+        val sxi = s * row(1 + i)
         j = i
-        while (j < d) { acc(k) += sxi * x(j); j += 1; k += 1 }
+        while (j < d) { acc(k) += sxi * row(1 + j); j += 1; k += 1 }
         i += 1
       }
       acc(width - 1) +=
@@ -237,7 +238,7 @@ object LogReg {
     */
   def fit(spark: SparkSession, sfDir: String)
       : (Array[Double], Seq[(Int, Double)]) =
-    fitFrame(featureFrame(spark, sfDir).localCheckpoint())
+    fitFrame(featureFrame(spark, sfDir))
 
   /** The IRLS loop over an already-materialized feature frame — the
     * shared core of the full-corpus fit, the per-fold CV fits, and the
@@ -246,9 +247,10 @@ object LogReg {
     */
   private[graft] def fitFrame(feats: DataFrame, dim: Int = Dim)
       : (Array[Double], Seq[(Int, Double)]) = {
-    // one Row RDD for the whole loop — each iteration is a single-stage
-    // digest job over it (see newtonDigest)
-    val rows = DigestPass.rowsOf(feats.select(col("y"), col("x")))
+    // one cached primitive RDD for the whole loop — each iteration is a
+    // single-stage digest job over it (see newtonDigest); the feature
+    // computation runs exactly once
+    val rows = DigestPass.cachedDoubles(feats.select(col("y"), col("x")))
     var w = new Array[Double](dim)
     val trace = Seq.newBuilder[(Int, Double)]
     for (it <- 0 until Iters) {
@@ -260,6 +262,7 @@ object LogReg {
       w = w.zip(step).map { case (wi, s) => wi + s }
     }
     trace += ((Iters, newtonDigest(rows, w)._3))
+    rows.unpersist()
     (w, trace.result())
   }
 

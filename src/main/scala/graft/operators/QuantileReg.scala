@@ -75,24 +75,28 @@ object QuantileReg {
   /** Fit-and-dump once per JVM per sf dir; returns the fits in Taus order. */
   def model(spark: SparkSession, sfDir: String): Seq[Fit] =
     memo.computeIfAbsent(sfDir, { _ =>
-      // localCheckpoint: the IRLS loop below scans this 2-double frame
-      // Iters times — pin it in the block manager so every pass reads
-      // memory, not parquet (at 100 TB: a DISK_ONLY persist of 16 bytes
-      // per row, or the loop runs against the columnar cache). Kept at
-      // the source partitioning deliberately: each digest is a single
-      // no-exchange stage, and 40 of those beat 40 two-stage jobs — a
-      // repartition(32) first was MEASURED SLOWER (29 s vs 14 s cold)
-      // from per-iteration scheduling overhead at this row count.
+      // The IRLS loop below scans this 2-double frame Iters times: pin it
+      // ONCE as a primitive-array RDD (DigestPass.cachedDoubles — at
+      // 100 TB the same persist at MEMORY_AND_DISK, MLlib's
+      // GradientDescent posture). Kept at the source partitioning
+      // deliberately: each digest is a single no-exchange stage, and 40
+      // of those beat 40 two-stage jobs — a repartition(32) first was
+      // MEASURED SLOWER (29 s vs 14 s cold) from per-iteration
+      // scheduling overhead at this row count.
       val xy = Tables.lineitem(spark, sfDir)
         .select(col("l_quantity").cast("double").as("x"),
           col("l_extendedprice").as("y"))
-        .localCheckpoint()
-      // OLS warm start — one covariance digest (the Conformal fit shape)
-      val f0 = xy.agg(covar_samp(col("x"), col("y")).as("cxy"),
-          var_samp(col("x")).as("vx"),
-          avg(col("x")).as("mx"), avg(col("y")).as("my")).head()
-      val b0 = f0.getDouble(0) / f0.getDouble(1)
-      val a0 = f0.getDouble(3) - b0 * f0.getDouble(2)
+      val rows = DigestPass.cachedDoubles(xy)
+      // OLS warm start — one covariance digest (the Conformal fit shape):
+      // the same single-stage fold as the loop, off the cached primitives
+      // (n, Σx, Σy, Σxx, Σxy → covar_samp/var_samp/avg identities)
+      val m0 = DigestPass.fold(rows, 5) { (acc, a) =>
+        acc(0) += 1.0; acc(1) += a(0); acc(2) += a(1)
+        acc(3) += a(0) * a(0); acc(4) += a(0) * a(1)
+      }
+      val (n0, sx, sy, sxx, sxy) = (m0(0), m0(1), m0(2), m0(3), m0(4))
+      val b0 = (sxy - sx * sy / n0) / (sxx - sx * sx / n0)
+      val a0 = sy / n0 - b0 * (sx / n0)
       // both τ fits iterate in LOCKSTEP: one fused digest pass per round
       // carries every tau's 5 weighted moments (10 doubles per partition).
       // Round-14 optimization: the digest is a DigestPass.fold — ONE
@@ -105,13 +109,12 @@ object QuantileReg {
       // it replaces).
       val coef = Array.fill(Taus.length)((a0, b0))
       val taus = Taus.toArray
-      val rows = DigestPass.rowsOf(xy)
       var t = 0
       while (t < Iters) {
         val cs = coef.clone()
         val d = DigestPass.fold(rows, 5 * taus.length) { (acc, row) =>
-          val x = row.getDouble(0)
-          val y = row.getDouble(1)
+          val x = row(0)
+          val y = row(1)
           var i = 0
           while (i < taus.length) {
             val r = y - (cs(i)._1 + cs(i)._2 * x)
@@ -134,7 +137,7 @@ object QuantileReg {
       val fits = Taus.zipWithIndex.map { case (tau, i) =>
         Fit(tau, coef(i)._1, coef(i)._2)
       }
-      xy.unpersist()
+      rows.unpersist()
       import spark.implicits._
       fits.toDF("tau", "a", "b")
         .coalesce(1).write.mode("overwrite").parquet(modelPath(sfDir))

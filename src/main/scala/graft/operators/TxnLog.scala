@@ -138,19 +138,15 @@ object TxnLog {
     */
   private def writeDeltaManifest(spark: SparkSession, root: String, v: Int,
                                  adds: Seq[ManifestEntry],
-                                 removes: Seq[(String, String)]): Unit = {
-    import spark.implicits._
-    (adds.map(e => ("add", e.kind, e.file_name, e.min_id, e.max_id,
-        e.n_rows, e.data_change)) ++
-      removes.map { case (k, n) =>
-        ("remove", k, n, None: Option[Long], None: Option[Long],
-          None: Option[Long], false)
-      })
-      .toDF("action", "kind", "file_name", "min_id", "max_id", "n_rows",
-        "data_change")
-      .repartition(1)
-      .write.mode("errorifexists").parquet(s"$root/manifests/version=$v")
-  }
+                                 removes: Seq[(String, String)]): Unit =
+    ManifestIO.writeDir(spark.sessionState.newHadoopConf(),
+      s"$root/manifests/version=$v",
+      adds.map(e => ManifestIO.ActionRow("add", e.kind, e.file_name,
+        e.min_id, e.max_id, e.n_rows, e.data_change)) ++
+        removes.map { case (k, n) =>
+          ManifestIO.ActionRow("remove", k, n, None, None, None, false)
+        },
+      errorIfExists = true)
 
   /** Raw (action, entry) rows of one manifest/checkpoint directory.
     * Tolerant of rows without the newer columns (a checkpoint stores
@@ -158,23 +154,11 @@ object TxnLog {
     * `action`): absent action reads as "add", absent stats as None.
     */
   private def readActions(spark: SparkSession,
-                          path: String): Seq[(String, ManifestEntry)] = {
-    val df = spark.read.parquet(path)
-    val cols = df.columns.toSet
-    def optCol(n: String) =
-      if (cols(n)) col(n).cast("long") else lit(null).cast("long")
-    df.select(
-        (if (cols("action")) col("action") else lit("add")).as("action"),
-        col("kind"), col("file_name"),
-        optCol("min_id"), optCol("max_id"), optCol("n_rows"),
-        (if (cols("data_change")) col("data_change") else lit(true))
-          .as("data_change"))
-      .collect().map { r =>
-        def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
-        (r.getString(0), ManifestEntry(r.getString(1), r.getString(2),
-          opt(3), opt(4), opt(5), r.getBoolean(6)))
-      }.toSeq
-  }
+                          path: String): Seq[(String, ManifestEntry)] =
+    ManifestIO.readDir(spark.sessionState.newHadoopConf(), path).map { r =>
+      (r.action, ManifestEntry(r.kind, r.fileName,
+        r.minId, r.maxId, r.nRows, r.dataChange))
+    }
 
   /** Newest checkpoint version ≤ v, if any. */
   private def checkpointAtOrBefore(spark: SparkSession, root: String,
@@ -219,18 +203,15 @@ object TxnLog {
     * resolved content).
     */
   private def checkpointAt(spark: SparkSession, root: String, v: Int): Unit = {
-    import spark.implicits._
     val f = fs(spark, root)
     val dest = new Path(s"$root/checkpoints/version=$v")
     if (f.exists(dest)) return
     val tmp = s"$root/.cp-${java.util.UUID.randomUUID().toString.take(8)}"
-    resolvedEntries(spark, root, v)
-      .map(e => ("add", e.kind, e.file_name, e.min_id, e.max_id, e.n_rows,
-        e.data_change))
-      .toDF("action", "kind", "file_name", "min_id", "max_id", "n_rows",
-        "data_change")
-      .repartition(1)
-      .write.mode("overwrite").parquet(tmp)
+    ManifestIO.writeDir(spark.sessionState.newHadoopConf(), tmp,
+      resolvedEntries(spark, root, v).map(e =>
+        ManifestIO.ActionRow("add", e.kind, e.file_name, e.min_id, e.max_id,
+          e.n_rows, e.data_change)),
+      errorIfExists = false)
     f.mkdirs(dest.getParent)
     if (!f.rename(new Path(tmp), dest)) f.delete(new Path(tmp), true)
   }
@@ -274,15 +255,15 @@ object TxnLog {
     val f = fs(spark, root)
     val tmp = s"$root/.stage-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(tmp)
+    // per-file stats straight from the freshly written parquet footers —
+    // a driver metadata read per file, not a second pass over the data
+    val hconf = spark.sessionState.newHadoopConf()
     val stats: Map[String, (Long, Long, Long)] =
       if (!df.columns.contains(statsCol)) Map.empty
-      else spark.read.parquet(tmp)
-        .groupBy(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("fn"))
-        .agg(min(col(statsCol)).cast("long").as("mn"),
-          max(col(statsCol)).cast("long").as("mx"),
-          count(lit(1)).as("n"))
-        .collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      else f.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-"))
+        .flatMap(p => ManifestIO.footerStats(hconf, p, statsCol)
+          .map(p.getName -> _))
         .toMap
     val moved = f.listStatus(new Path(tmp)).map(_.getPath)
       .filter(p => p.getName.startsWith("part-"))

@@ -151,59 +151,76 @@ object WordVec {
     inv
   }
 
-  /** Multiply the distributed factor (id, j, y) by a broadcast k×k matrix:
-    * out(id, j') = Σ_j y(id, j)·m(j, j'). The k×k literal rides the closure.
+  /** Multiply the distributed VECTOR-FORM factor (id, vec[k]) by a
+    * broadcast k×k matrix: out(id)[j'] = Σ_j vec[j]·m(j, j') — a pure
+    * map-only projection, NO exchange (round-14: the (id, j, y) long form
+    * paid a groupBy+explode exchange per multiply; the factor is
+    * model-sized, its k entries belong on one row).
     */
   private def timesSmall(f: DataFrame, m: Array[Array[Double]]): DataFrame = {
     val k = m.length
-    val mLit = typedLit(m.map(_.toSeq).toSeq)
-    f.groupBy(col("id"))
-      .agg(collect_list(struct(col("j"), col("y"))).as("ys"))
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("j"),
-        col("ys"))
-      .select(col("id"), col("j"),
-        aggregate(col("ys"), lit(0.0),
-          (acc, s) => acc + s.getField("y") *
-            element_at(element_at(mLit, s.getField("j") + 1), col("j") + 1))
-          .as("y"))
+    f.select(col("id"), array((0 until k).map { jp =>
+      (0 until k).map(j => col("vec")(j) * lit(m(j)(jp)))
+        .reduceLeft(_ + _)
+    }: _*).as("vec"))
   }
 
-  /** Gram matrix YᵀY of a distributed (id, j, y) factor, collected k×k. */
+  /** Gram matrix YᵀY of a distributed (id, vec[k]) factor, collected k×k
+    * — ONE single-stage digest fold (round-14: was a self-join on id +
+    * groupBy(j1,j2) + collect, three exchanges for a k×k result).
+    */
   private def gram(f: DataFrame, k: Int): Array[Array[Double]] = {
-    val g = Array.ofDim[Double](k, k)
-    f.select(col("id"), col("j").as("j1"), col("y").as("y1"))
-      .join(f.select(col("id"), col("j").as("j2"), col("y").as("y2")), Seq("id"))
-      .filter(col("j2") >= col("j1"))
-      .groupBy(col("j1"), col("j2")).agg(sum(col("y1") * col("y2")).as("g"))
-      .collect().foreach { r =>
-        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-        g(i)(j) = v; g(j)(i) = v
+    val d = DigestPass.fold(f.select(col("vec")).rdd, k * k) { (acc, row) =>
+      val v = row.getSeq[Double](0)
+      var i = 0
+      while (i < k) {
+        var j = i
+        while (j < k) { acc(i * k + j) += v(i) * v(j); j += 1 }
+        i += 1
       }
-    g
+    }
+    Array.tabulate(k, k)((i, j) => if (j >= i) d(i * k + j) else d(j * k + i))
   }
 
-  /** M·F or MᵀF: join the sparse digest with a (id, j, y) factor keyed on
-    * `joinOn`, emit the other side's id — one digest join + partial agg.
+  /** M·F or MᵀF: join the sparse digest with a (id, vec[k]) factor keyed
+    * on `joinOn`, emit the other side's id — one digest join + ONE
+    * partial agg carrying k sums per group.
     */
   private def matvec(m: DataFrame, f: DataFrame, joinOn: String,
-      outId: String): DataFrame =
-    m.join(f.withColumnRenamed("id", joinOn), Seq(joinOn))
-      .groupBy(col(outId).as("id"), col("j"))
-      .agg(sum(col("ppmi") * col("y")).as("y"))
+      outId: String, k: Int): DataFrame =
+    // the factor is model-sized (vocab × k — the broadcast(un) class),
+    // so ship it to the persisted digest instead of exchanging BOTH
+    // sides: the join costs zero shuffles and the round's only exchange
+    // is the partial agg below. A vocabulary too large to broadcast
+    // (≫10⁷ words) would drop the hint and take the sort-merge join.
+    m.join(broadcast(f.withColumnRenamed("id", joinOn)), Seq(joinOn))
+      .groupBy(col(outId).as("id"))
+      .agg(array((0 until k).map(j =>
+        sum(col("ppmi") * col("vec")(j))): _*).as("vec"))
 
   /** Fit-and-dump, once per JVM per sf dir. Returns the vectors path. */
   def model(spark: SparkSession, sfDir: String,
       bigrams: SparkSession => DataFrame): String =
     models.computeIfAbsent(sfDir, { _ =>
       val bi = bigrams(spark)
-      // symmetrized window-1 co-occurrence: (prev→cur) ∪ (cur→prev)
+      // symmetrized window-1 co-occurrence: (prev→cur) ∪ (cur→prev) —
+      // persisted: three consumers (marginals, total, the ppmi rows)
+      // otherwise re-run the corpus-side union+aggregate each
       val cooc = bi.select(col("prev").as("w"), col("cur").as("c"))
         .union(bi.select(col("cur").as("w"), col("prev").as("c")))
         .groupBy(col("w"), col("c")).agg(count(lit(1)).as("n_wc"))
+        .persist()
       val wTot = cooc.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w"))
-      val cTot = cooc.groupBy(col("c")).agg(sum(col("n_wc")).as("n_c"))
+      // the symmetrization makes the matrix symmetric BY CONSTRUCTION
+      // (cooc(a,b) = #(a→b) + #(b→a) = cooc(b,a)), so the context
+      // marginal IS the word marginal: n_c(x) = Σ_w cooc(w,x) =
+      // Σ_c cooc(x,c) = n_w(x) — integer-exact, one aggregation instead
+      // of two. Both marginal joins ship the vocab-sized digest to the
+      // cooc rows (the broadcast(un)/factor class) — zero join exchanges.
+      val cTot = wTot.select(col("w").as("c"), col("n_w").as("n_c"))
       val nTot = cooc.agg(sum(col("n_wc")).as("n_all"))
-      val ppmi = cooc.join(wTot, Seq("w")).join(cTot, Seq("c"))
+      val ppmi = cooc.join(broadcast(wTot), Seq("w"))
+        .join(broadcast(cTot), Seq("c"))
         .crossJoin(broadcast(nTot))
         .select(col("w"), col("c"), col("n_w"),
           log(col("n_wc") * col("n_all") / (col("n_w") * col("n_c"))).as("ppmi"))
@@ -212,28 +229,32 @@ object WordVec {
         // DISK_ONLY checkpoint of a vocab²-bounded digest
         .persist()
       val k = K
-      // Y0 = M·Ω, Ω deterministic ±1 — one pass over the digest
+      // Y0 = M·Ω, Ω deterministic ±1 — one pass over the digest, k sums
+      // per word row (vector form: the factor's k entries live on one row)
       var y = ppmi
-        .select(col("w").as("id"), explode(sequence(lit(0), lit(k - 1))).as("j"),
-          col("ppmi"), col("c"))
-        .groupBy(col("id"), col("j"))
-        .agg(sum(col("ppmi") * rademacher(col("c"), col("j"))).as("y"))
+        .groupBy(col("w").as("id"))
+        .agg(array((0 until k).map(j =>
+          sum(col("ppmi") * rademacher(col("c"), lit(j)))): _*).as("vec"))
       def orthonormalize(f: DataFrame): DataFrame = {
-        val rInv = invUpper(cholesky(gram(f, k)))
-        // localCheckpoint: truncate the growing iteration lineage — each
-        // round's plan would otherwise re-derive every prior round
-        timesSmall(f, rInv).localCheckpoint()
+        // checkpoint the INPUT, not the product: gram and the R⁻¹
+        // projection then share one materialization of f (the old shape
+        // computed f's whole matvec lineage twice per round — once under
+        // gram's collect, once under the product's checkpoint), and the
+        // returned factor is a map-only projection over the pinned rows
+        val fc = f.localCheckpoint()
+        val rInv = invUpper(cholesky(gram(fc, k)))
+        timesSmall(fc, rInv)
       }
       var q = orthonormalize(y)
       // two power rounds sharpen the captured subspace (Halko §4.5)
       var round = 0
       while (round < 2) {
-        val z = matvec(ppmi, q, "w", "c")
-        q = orthonormalize(matvec(ppmi, z, "c", "w"))
+        val z = matvec(ppmi, q, "w", "c", k)
+        q = orthonormalize(matvec(ppmi, z, "c", "w", k))
         round += 1
       }
       // B = ZᵀZ with Z = MᵀQ: eigendecomposition gives U, Σ² (driver k×k)
-      val z = matvec(ppmi, q, "w", "c").localCheckpoint()
+      val z = matvec(ppmi, q, "w", "c", k).localCheckpoint()
       val (eigvals, eigvecs) = Pca.jacobiEig(gram(z, k))
       val order = eigvals.indices.sortBy(i => (-eigvals(i), i))
       // W = Q·U·Σ^½, columns ordered by singular value desc. ZᵀZ's
@@ -247,28 +268,25 @@ object WordVec {
         val src = order(cIdx)
         eigvecs(r)(src) * math.pow(math.max(eigvals(src), 0.0), 0.25)
       }
-      val wRaw = timesSmall(q, uSigma)
-      val signs = wRaw
-        .withColumn("s", rademacher(col("id"), col("j")))
-        .groupBy(col("j")).agg(sum(col("y") * col("s")).as("proj"))
-        .collect().map(r => r.getInt(0) -> (if (r.getDouble(1) < 0) -1.0 else 1.0))
-        .toMap
-      val signLit = typedLit((0 until k).map(signs))
+      val wRaw = timesSmall(q, uSigma).localCheckpoint()
+      val signRow = wRaw
+        .agg(array((0 until k).map(j =>
+          sum(col("vec")(j) * rademacher(col("id"), lit(j)))): _*).as("proj"))
+        .head().getSeq[Double](0)
+      val signs = (0 until k).map(j => if (signRow(j) < 0) -1.0 else 1.0)
       val path = vectorsPath(sfDir)
       wRaw
-        .select(col("id"), col("j"),
-          (col("y") * element_at(signLit, col("j") + 1)).as("y"))
-        .groupBy(col("id"))
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("y")))),
-          s => s.getField("y")).as("vec"))
-        // word totals come off the PERSISTED ppmi digest (it already
-        // carries n_w) — joining wTot here would re-run the co-occurrence
-        // aggregation outside the persist for values we already hold
-        .join(ppmi.groupBy(col("w")).agg(max(col("n_w")).as("n_w"))
-          .select(col("w").as("id"), col("n_w")), Seq("id"))
+        .select(col("id"), array((0 until k).map(j =>
+          col("vec")(j) * lit(signs(j))): _*).as("vec"))
+        // word totals come off the PERSISTED cooc marginal (wTot) — the
+        // same n_w the ppmi rows carry (wRaw's ids are a subset of
+        // ppmi's words, so the inner join keeps exactly wRaw's rows)
+        .join(broadcast(wTot.select(col("w").as("id"), col("n_w"))),
+          Seq("id"))
         .select(col("id").as("word"), col("n_w").as("n_word"), col("vec"))
         .write.mode("overwrite").parquet(path)
       ppmi.unpersist()
+      cooc.unpersist()
       path
     })
 }
