@@ -176,6 +176,14 @@ object Hnsw {
     */
   val ShardCap = 1024
 
+  /** Deterministic src-slice count of the build's pair scoring (see
+    * blockedPairs in [[layout]]): side A of each shard's pair block is
+    * split into this many pmod(src) slices so the CPU-dense cosine
+    * scoring parallelizes even when AQE coalesces the byte-small shuffle,
+    * and so one task never scores more than cap²/PairSlices pairs.
+    */
+  val PairSlices = 8
+
   /** Bounded split recursion: 2^6 × cap covers a 64× hot cell; a
     * pathological shard that stops shrinking (all-identical vectors —
     * both split seeds coincide and every member joins side A) gives up
@@ -259,6 +267,14 @@ object Hnsw {
     * graph). Memoized per sfDir; deterministic given the (seeded, dumped)
     * KMeans layout.
     */
+  /** Label the jobs of `body` in the UI/listeners (guide §1.5) — the
+    * build stages run dozens of jobs and are otherwise unattributable.
+    */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   def layout(spark: SparkSession, sfDir: String): String =
     memo.computeIfAbsent(sfDir, { _ =>
       GraftFunctions.register(spark)
@@ -272,17 +288,31 @@ object Hnsw {
       val sharded = Ann.nearestCells(corpus,
           Ann.centroidsDf(spark, cents), "vec_id", "embedding", n = 2)
         .select(col("vec_id"), col("embedding"), col("cell").as("shard"))
-      // the shard table feeds both sides of the pair join — stage it once
-      val staged = sharded.localCheckpoint()
-      val n = corpus.count()
+      // the shard table feeds both sides of the pair join — stage it once,
+      // HASH-PARTITIONED BY SHARD: the cell-partitioned corpus read packs
+      // into one ~MB input split, and without the explicit repartition the
+      // whole O(Σ|shard|²) pair scoring below ran as ONE task (measured:
+      // 1.2 s single-threaded at sf0.1 — guide §2.5 input skew). The
+      // explicit partition count pins scan parallelism (AQE would coalesce
+      // the ~MB shuffle right back to one partition — the bytes are small,
+      // the per-row cosine work is not); shard-hash partitioning also
+      // makes the self-join below exchange-free (localCheckpoint preserves
+      // outputPartitioning).
+      val staged = labeled(spark, "hnsw-build: shard assign") {
+        sharded.repartition(spark.sparkContext.defaultParallelism, col("shard"))
+          .localCheckpoint()
+      }
+      val n = labeled(spark, "hnsw-build: corpus count")(corpus.count())
       // per-level node counts in ONE aggregation (level = how high the
       // nested digest rule promotes a node); every sizing decision below
       // (top-layer clamp, dense-vs-blocked, entry pool) reads this map
       // instead of re-counting the staged table per question
-      val levelHist: Map[Int, Long] = staged
-        .select(col("vec_id")).distinct()
-        .groupBy(levelCol(MaxLayersStatic).as("lvl")).count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val levelHist: Map[Int, Long] = labeled(spark, "hnsw-build: level hist") {
+        staged
+          .select(col("vec_id")).distinct()
+          .groupBy(levelCol(MaxLayersStatic).as("lvl")).count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
       def promotedCount(l: Int): Long =
         levelHist.collect { case (lvl, c) if lvl >= l => c }.sum
       // engine layer count, clamped down while a top layer would be empty
@@ -291,16 +321,49 @@ object Hnsw {
       var nLayers = nLayersFor(n)
       while (nLayers > 2 && promotedCount(nLayers - 1) == 0) nLayers -= 1
       // layer 0/1 (and any over-cap express layer): shard-blocked pairs —
-      // O(Σ|shard|²), never N²
+      // O(Σ|shard|²), never N². Two structural fixes over the naive
+      // a-join-b-window chain (round-15, both measured):
+      //
+      //  1. SLICED scoring (guide §2.5): the pair stream is byte-small
+      //     (three narrow columns) but CPU-dense (a 64-dim cosine per
+      //     row), so AQE's byte-based coalescing collapsed the join to
+      //     ONE task — 2.2 s single-threaded at sf0.1. Side A splits into
+      //     [[PairSlices]] deterministic src-slices, side B replicates
+      //     per slice (B rows are node-sized, the replication is MBs),
+      //     and the explicit repartition count pins the parallelism AQE
+      //     would take away. Work per task is bounded by
+      //     cap²/PairSlices however hot a shard is.
+      //  2. Per-(shard, src) local top-M BEFORE any exchange (guide §2.3
+      //     "aggregate before you shuffle"): a src's global top-M over
+      //     its 2 shards' candidates is the top-M of its two shard-local
+      //     top-Ms (any dst outside a local top-M is beaten by ≥M dsts of
+      //     the same shard, all global candidates), so capEdges sees
+      //     ≤ 2M rows per node instead of the full Σ|shard|² stream
+      //     (1.6M pairs → ~60k rows at sf0.1). The slice key is a pure
+      //     function of src, so the (shard, slice, src) window ≡ the
+      //     (shard, src) window and runs in the join stage (partitioning
+      //     exprs ⊆ window keys — no exchange, WindowGroupLimit keeps
+      //     the heap M-sized).
       def blockedPairs(nodes: DataFrame): DataFrame = {
+        val p = spark.sparkContext.defaultParallelism
         val a = nodes.select(col("shard"), col("vec_id").as("src"),
-          col("embedding").as("ea"))
+            col("embedding").as("ea"))
+          .withColumn("__slice", pmod(col("src"), lit(PairSlices)))
+          .repartition(p, col("shard"), col("__slice"))
         val b = nodes.select(col("shard"), col("vec_id").as("dst"),
-          col("embedding").as("eb"))
-        a.join(b, Seq("shard"))
+            col("embedding").as("eb"))
+          .withColumn("__slice",
+            explode(typedLit((0L until PairSlices.toLong).toSeq)))
+          .repartition(p, col("shard"), col("__slice"))
+        val wLocal = Window.partitionBy(col("shard"), col("__slice"), col("src"))
+          .orderBy(col("sim").desc, col("dst").asc)
+        a.join(b, Seq("shard", "__slice"))
           .filter(col("src") =!= col("dst"))
           .withColumn("sim",
             round(GraftFunctions.cosineSim(col("ea"), col("eb")), 6))
+          .select(col("shard"), col("__slice"), col("src"), col("dst"), col("sim"))
+          .withColumn("__lrn", row_number().over(wLocal))
+          .filter(col("__lrn") <= M)
           .select(col("src"), col("dst"), col("sim"))
       }
       // express layers ≤ DenseLayerCap: all-pairs over the deduped
@@ -319,7 +382,7 @@ object Hnsw {
       // hot-shard guard: over-cap shards split for the PAIRING stage only
       // (fixture shards all sit under the cap, so this is the staged
       // frame itself there); the sidecar below keeps trained cell ids
-      val pairNodes = capShards(staged)
+      val pairNodes = labeled(spark, "hnsw-build: cap shards")(capShards(staged))
       val layerEdges = (0 until nLayers).map { l =>
         val nodes = if (l == 0) pairNodes else pairNodes.filter(promotedPred(l))
         val pairs =
@@ -335,17 +398,21 @@ object Hnsw {
       // the InvertedIndex postings discipline).
       val dstEmb = staged.select(col("vec_id").as("dst"),
         col("embedding").as("dst_emb")).dropDuplicates("dst")
-      layerEdges.reduce(_ union _).join(dstEmb, Seq("dst"))
-        .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
-        .withColumn("src_bucket", srcBucketCol(col("src")))
-        .repartition(col("layer"), col("src_bucket"))
-        .write.mode("overwrite").partitionBy("layer", "src_bucket")
-        .parquet(edgesPath(sfDir))
+      labeled(spark, "hnsw-build: edges write") {
+        layerEdges.reduce(_ union _).join(dstEmb, Seq("dst"))
+          .select(col("layer"), col("src"), col("dst"), col("dst_emb"))
+          .withColumn("src_bucket", srcBucketCol(col("src")))
+          .repartition(col("layer"), col("src_bucket"))
+          .write.mode("overwrite").partitionBy("layer", "src_bucket")
+          .parquet(edgesPath(sfDir))
+      }
       // shard-membership sidecar, partitioned by shard: appendToGraph
       // pairs new nodes against ONLY their touched shards (pruned read)
-      staged.select(col("vec_id"), col("embedding"), col("shard"))
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(shardsPath(edgesPath(sfDir)))
+      labeled(spark, "hnsw-build: shards write") {
+        staged.select(col("vec_id"), col("embedding"), col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(shardsPath(edgesPath(sfDir)))
+      }
       // meta carries the corpus MEMBERSHIP fingerprint beside the entry
       // point: the order-independent (n, digest-sum) of the indexed ids,
       // so a reader can detect "rows were appended/deleted since this
@@ -365,8 +432,10 @@ object Hnsw {
       val fp = graft.streaming.Streaming.fingerprintStream(
         corpus.select(col("vec_id")), col("vec_id").cast("string"))
         .select(col("n_rows").as("corpus_n"), col("fp").as("corpus_fp"))
-      entry.crossJoin(fp).withColumn("n_layers", lit(nLayers))
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(sfDir))
+      labeled(spark, "hnsw-build: meta write") {
+        entry.crossJoin(fp).withColumn("n_layers", lit(nLayers))
+          .coalesce(1).write.mode("overwrite").parquet(metaPath(sfDir))
+      }
       staged.unpersist()
       edgesPath(sfDir)
     })
@@ -1394,10 +1463,20 @@ object Hnsw {
       .unionByName(newShards)
       .localCheckpoint()
     val newIds = newShards.select(col("vec_id")).distinct().localCheckpoint()
-    val gen = (if (dirExists(spark, replacedPath(edgesDir)))
-      spark.read.parquet(replacedPath(edgesDir))
-        .agg(max(col("gen"))).head().getLong(0)
-    else 0L) + 1L
+    // sidecar/base handles opened ONCE for all layers: a fresh
+    // read.parquet per layerDelta re-listed the (layer, src_bucket)
+    // directory tree per layer (the openGraph lesson — ~0.2 s of pure
+    // FileIndex planning each); the per-layer filters below still
+    // partition-prune the shared frames
+    val replacedAll = if (dirExists(spark, replacedPath(edgesDir)))
+      Some(spark.read.parquet(replacedPath(edgesDir))) else None
+    val baseAll0 = spark.read.parquet(edgesDir).withColumn("gen", lit(0L))
+    val allRowsShared =
+      if (dirExists(spark, deltaPath(edgesDir)))
+        baseAll0.unionByName(spark.read.parquet(deltaPath(edgesDir)))
+      else baseAll0
+    val gen = replacedAll.map(_.agg(max(col("gen"))).head().getLong(0))
+      .getOrElse(0L) + 1L
     def layerDelta(layer: Int): DataFrame = {
       val news = if (layer >= 1) newShards.filter(promotedPred(layer)) else newShards
       val mems = if (layer >= 1) members.filter(promotedPred(layer)) else members
@@ -1431,23 +1510,19 @@ object Hnsw {
         .select(col("dst").as("src"), col("src").as("dst"),
           col("sim"), col("__ne").as("dst_emb"))
         .join(newIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
-      val baseRows = spark.read.parquet(edgesDir).withColumn("gen", lit(0L))
-      val allRows =
-        if (dirExists(spark, deltaPath(edgesDir)))
-          baseRows.unionByName(spark.read.parquet(deltaPath(edgesDir)))
-        else baseRows
-      val oldRows = allRows
+      val oldRows = allRowsShared
         .filter(col("layer") === layer)
         .join(broadcast(touchedDst), Seq("src"), "left_semi")
-      val oldLatest =
-        if (dirExists(spark, replacedPath(edgesDir))) {
-          val latest = spark.read.parquet(replacedPath(edgesDir))
+      val oldLatest = replacedAll match {
+        case Some(rep) =>
+          val latest = rep
             .filter(col("layer") === layer)
             .groupBy(col("src")).agg(max(col("gen")).as("__latest"))
           oldRows.join(broadcast(latest), Seq("src"), "left")
             .filter(col("gen") === coalesce(col("__latest"), lit(0L)))
             .drop("__latest")
-        } else oldRows.filter(col("gen") === 0L)
+        case None => oldRows.filter(col("gen") === 0L)
+      }
       val recapped = oldLatest
         .join(srcEmb, Seq("src"))
         .withColumn("sim",
@@ -1463,8 +1538,19 @@ object Hnsw {
         .select(lit(layer).as("layer"), col("src"), col("dst"),
           col("dst_emb"), lit(gen).as("gen"))
     }
-    val delta = (0 until nLayers).map(layerDelta)
-      .reduce(_ unionByName _).localCheckpoint()
+    // the per-layer delta builds are independent jobs over disjoint layer
+    // filters — overlap them on driver threads (guide §2.6) so one
+    // layer's straggler tail back-fills with the next layer's stages
+    // (each layerDelta materializes a localCheckpoint mid-build); the
+    // union keeps the deterministic 0..nLayers order either way
+    val delta = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.sequence((0 until nLayers).map(l => Future(layerDelta(l)))),
+        Duration.Inf)
+    }.reduce(_ unionByName _).localCheckpoint()
     delta
       .withColumn("src_bucket", srcBucketCol(col("src")))
       .write.mode("append").partitionBy("layer", "src_bucket")

@@ -26,8 +26,11 @@ object StageJobs {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = Option(j.properties)
-          .map(_.getProperty("callSite.short", "?")).getOrElse("?")
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val sites = j.stageInfos.map(s => s"${s.name.takeWhile(_ != '+').trim}[${s.numTasks}]")
+          .distinct.mkString(" | ")
+        val site = desc.map(d => s"$d :: $sites").getOrElse(sites)
         starts.put(j.jobId, (System.nanoTime(), site, j.stageInfos.map(_.numTasks).sum))
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
