@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration one join of edges⋈ranks on the src key and
   * one groupBy(dst) partial+final sum — only (node, rank) digests move.
   * The node count enters as a broadcast 1-row aggregate, not a driver
-  * collect. Lineage is truncated each iteration (localCheckpoint; a real
-  * cluster checkpoints to durable storage) exactly like [[Components]] —
-  * without it the plan doubles per iteration.
+  * collect. The REUSED inputs (edges, degrees, vertex set, the 1-row
+  * count) stage once; the iteration loop itself builds ONE lazy plan —
+  * at a fixed small iteration count the plan grows linearly (each level
+  * references the staged inputs, not the prior level's whole lineage),
+  * and the per-iteration localCheckpoint this replaces was the query's
+  * dominant cost (round-15 profile: 47 driver-blocking jobs, 2.5 s of
+  * the 2.6 s total, for digest-sized frames). An unbounded/convergence
+  * loop would bring the per-round checkpoint back — that is
+  * [[Components]]' regime, not this fixed-3-round one.
   */
 object PageRank {
 
@@ -28,15 +34,17 @@ object PageRank {
     * set (isolated vertices keep the (1-d)/N floor). Returns (id, pr)
     * with pr unrounded — callers round for presentation.
     */
-  def run(pairs: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+  def run(pairs: DataFrame, nodes0: DataFrame, iters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // reused every iteration: stage once
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // reused every iteration: stage once
+    val nodes = nodes0.localCheckpoint() // (id) digests, iters+1 consumers
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+      .localCheckpoint()
     var pr = nodes.crossJoin(broadcast(nDf))
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("pr"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       val inflow = edges.join(deg, Seq("src"))
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
@@ -47,7 +55,6 @@ object PageRank {
         .select(col("id"),
           (lit(0.15) / col("n_nodes") +
             lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .localCheckpoint()
     }
     pr
   }

@@ -2036,6 +2036,12 @@ object RelationalQueries {
         .filter(col("pk_a") < col("pk_b"))
         .select(col("pk_a"), col("pk_b"))
       pass("k2").union(pass("k3")).distinct()
+        // pin the verifier's parallelism: candidate id-pairs are 16
+        // bytes/row, so AQE's byte-based coalescing ran the whole
+        // Jaro-Winkler verification (the query's dominant CPU) on 1-2
+        // tasks (§2.5 — CPU-dense, byte-small)
+        .repartition(s.sparkContext.defaultParallelism,
+          col("pk_a"), col("pk_b"))
         .join(e.select(col("pk").as("pk_a"), col("descr").as("descr_a")),
           Seq("pk_a"))
         .join(e.select(col("pk").as("pk_b"), col("descr").as("descr_b")),
@@ -2152,6 +2158,10 @@ object RelationalQueries {
       val baskets = lineitem(s, dir)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
         .distinct()
+        // FOUR consumers (item marginals, basket total, both self-join
+        // sides) — staged once; unstaged, the corpus-wide distinct ran
+        // once per consumer (r15 profile). Digest-width rows only.
+        .localCheckpoint()
       val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
       val total = baskets.agg(countDistinct(col("okey")).as("n_baskets"))
       val pairs = baskets.as("a")

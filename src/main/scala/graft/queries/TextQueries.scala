@@ -230,7 +230,12 @@ object TextQueries {
   }
 
   private[graft] def spanDedup(docs: DataFrame, w: Int): DataFrame = {
-    val (base, wins) = spanParts(docs, w)
+    val (base, wins0) = spanParts(docs, w)
+    // the window digests feed TWO consumers (the frequency count and the
+    // dup join) — staged once; unstaged, the whole O(tokens·w) rolling-
+    // fingerprint HOF chain evaluated twice per run (round-15: this was
+    // the bench's 9th most expensive item). Digest-width rows only.
+    val wins = wins0.localCheckpoint()
     val freq = wins.groupBy(col("wfp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val dup = wins.join(freq, Seq("wfp")).filter(col("n_docs") >= 2)
@@ -1040,11 +1045,21 @@ object TextQueries {
       val e = base.select(col("doc_id"), col("n"),
         explode(col("shs")).as("sh"))
       val freq = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // the prefix table feeds BOTH sides of the candidate self-join;
+      // without the checkpoint the whole explode → df-join → window chain
+      // (including a second full df aggregation) planned and ran TWICE —
+      // the r15 plan dump shows the duplicated subtree (guide §2.4: two
+      // operations keyed the same way share one materialization)
       val pref = e.join(freq, Seq("sh"))
+        // explicit doc-keyed partition count: the exploded rows are
+        // digest-width, so AQE coalesces the window exchange to 1-2
+        // tasks and the per-doc rarest-first sort serializes (§2.5)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
         .filter(col("rk") <= col("n") - ceil(col("n") * lit(t)) + 1)
         .select(col("doc_id"), col("sh"), col("n"), col("rk"))
+        .localCheckpoint()
       val cands = pref
         .select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"),
           col("rk").as("rk_a"))
@@ -1057,7 +1072,15 @@ object TextQueries {
         // pair-level distinct BEFORE verification: a pair sharing several
         // prefix shingles would otherwise re-verify once per shared one
         .select(col("id_a"), col("id_b")).distinct()
-      cands
+        // pin the verification parallelism (guide §2.5): candidate pairs
+        // are 16 bytes/row, so AQE's byte-based coalescing collapsed the
+        // distinct output to one partition and the whole exact-intersect
+        // pass (the query's dominant CPU, ~0.5M pairs at sf0.1) ran
+        // single-task; the explicit pair-keyed count spreads it evenly at
+        // any scale
+        .repartition(s.sparkContext.defaultParallelism,
+          col("id_a"), col("id_b"))
+      val verified = cands
         .join(base.select(col("doc_id").as("id_a"), col("shs").as("sa"),
           col("n").as("na")), Seq("id_a"))
         .join(base.select(col("doc_id").as("id_b"), col("shs").as("sb"),
@@ -1067,7 +1090,12 @@ object TextQueries {
           round(col("ix") / (col("na") + col("nb") - col("ix")), 6))
         .filter(col("jac") >= t)
         .select(col("id_a"), col("id_b"), col("jac"))
-        .orderBy(col("id_a"), col("id_b"))
+        // pin the verified pairs BEFORE the oracle-parity total sort:
+        // rangepartitioning's key-sampling pass otherwise re-executes the
+        // whole exact-intersect child a second time (measured: the sort
+        // doubled the query's dominant CPU at sf0.1)
+        .localCheckpoint()
+      verified.orderBy(col("id_a"), col("id_b"))
     }),
 
     // Late-interaction reranking (ColBERT MaxSim — Khattab & Zaharia
@@ -1525,6 +1553,11 @@ object TextQueries {
         .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n_t"))
       val model = rawC.join(tgtC, Seq("prev", "cur"), "left")
         .na.fill(0L, Seq("n_t"))
+        // vocab-sized digest with TWO consumers (the totals head and the
+        // broadcast scored table) — staged once; unstaged, the whole
+        // two-groupBy bigram lineage derived twice per run (r15 profile:
+        // ~1.1 s of the query's 2.3 s was the duplicated first pass)
+        .localCheckpoint()
       // totals are a 3-long digest — driver-side like every model scalar
       // (a lit()-key join here constant-folds into a BNLJ cross)
       val t = model

@@ -752,6 +752,10 @@ object VectorQueries {
       val emb = embeddings(s, dir)
       val a = emb.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        // the corpus reads as ONE input split, so the |A|·|B| scoring ran
+        // single-task; explicit id-hash spread (AQE-proof — the pair
+        // stream is CPU-dense but byte-small, guide §2.5)
+        .repartition(s.sparkContext.defaultParallelism, col("id_a"))
       val b = emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       val scored = a.crossJoin(broadcast(b))
