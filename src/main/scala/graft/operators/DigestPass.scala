@@ -17,36 +17,77 @@ import org.apache.spark.sql.{DataFrame, Row}
   * documented acceptable-collect class), and merges partials ON THE
   * DRIVER IN PARTITION-INDEX ORDER, which is deterministic across runs
   * — strictly more deterministic than the shuffle-fetch-order merge of
-  * the SQL final aggregation it replaces. At 100 TB the shape is
-  * MLlib's own treeAggregate posture (one pass per iteration, digest
-  * bytes per partition), minus the tree level that only matters past
-  * ~10k partitions.
+  * the SQL final aggregation it replaces.
   *
-  * Scale note: partials are width-8·W bytes each; with P partitions the
-  * driver holds P·W doubles transiently. Every caller's W is O(d²) for
-  * d ≤ 16, so even a 100k-partition corpus stays a few hundred MB —
-  * and a corpus that large should raise the tree depth, not abandon
-  * the digest (see MLlib GradientDescent.treeAggregate).
+  * Scale posture (round-15, the MLlib treeAggregate shape made real
+  * code instead of a comment): above [[TreePartitionThreshold]]
+  * partitions the merge runs through ONE intermediate tree level —
+  * ~√P consecutive-index groups each merged where the partials live,
+  * only ~√P digests collected — so a 100k-partition corpus sends the
+  * driver hundreds of digests, not 100k. The tree path merges each
+  * group in ascending partition-index order and the groups in ascending
+  * order, so it is deterministic run-over-run; its float parenthesizing
+  * differs from the flat path's only at group boundaries (identical on
+  * integer-valued digests — DigestPassSpec pins flat ≡ tree there, and
+  * determinism on fractional ones).
   */
 private[graft] object DigestPass {
 
+  /** Partition count above which [[fold]] adds the tree merge level and
+    * [[cachedDoubles]] stores serialized (the MLlib GradientDescent
+    * posture — at that scale the deserialized cache's object overhead
+    * dominates). `var` so DigestPassSpec can force both paths on the
+    * fixture; production fixture fits run far below it.
+    */
+  @volatile var TreePartitionThreshold: Int = 1 << 10
+
   /** Fold `rows` into a `width`-double digest: `seqOp(acc, row)` per row,
-    * partials merged by element-wise sum in partition-index order.
+    * partials merged by element-wise sum in partition-index order
+    * (through one tree level above [[TreePartitionThreshold]]).
     */
   def fold[T](rows: RDD[T], width: Int)(seqOp: (Array[Double], T) => Unit)
       : Array[Double] = {
     val sc = rows.sparkContext
-    val partials = sc.runJob(rows, (it: Iterator[T]) => {
-      val acc = new Array[Double](width)
-      while (it.hasNext) seqOp(acc, it.next())
-      acc
-    })
-    val out = new Array[Double](width)
-    partials.foreach { a =>
+    val nParts = rows.getNumPartitions
+    def mergeInto(out: Array[Double], a: Array[Double]): Unit = {
       var i = 0
       while (i < width) { out(i) += a(i); i += 1 }
     }
-    out
+    if (nParts <= TreePartitionThreshold) {
+      val partials = sc.runJob(rows, (it: Iterator[T]) => {
+        val acc = new Array[Double](width)
+        while (it.hasNext) seqOp(acc, it.next())
+        acc
+      })
+      val out = new Array[Double](width)
+      partials.foreach(mergeInto(out, _))
+      out
+    } else {
+      // tree level: one digest per partition, shuffled into ~√P
+      // consecutive-index groups, merged in ascending index order within
+      // each group and across groups — deterministic, ~√P digests to the
+      // driver instead of P
+      val groupSize = math.max(1, math.ceil(math.sqrt(nParts.toDouble)).toInt)
+      val merged = rows
+        .mapPartitionsWithIndex { (i, it) =>
+          val acc = new Array[Double](width)
+          while (it.hasNext) seqOp(acc, it.next())
+          Iterator((i / groupSize, (i, acc)))
+        }
+        .groupByKey(math.max(1, nParts / groupSize))
+        .map { case (g, ias) =>
+          val out = new Array[Double](width)
+          ias.toSeq.sortBy(_._1).foreach { case (_, a) =>
+            var i = 0
+            while (i < width) { out(i) += a(i); i += 1 }
+          }
+          (g, out)
+        }
+        .collect()
+      val out = new Array[Double](width)
+      merged.sortBy(_._1).foreach { case (_, a) => mergeInto(out, a) }
+      out
+    }
   }
 
   /** A reusable Row RDD of a (localCheckpointed) frame — computed once so
@@ -61,8 +102,10 @@ private[graft] object DigestPass {
     * (40+ conversions of the same rows in an IRLS fit); folding over
     * cached primitives pays it once. Callers unpersist when the loop
     * ends. Memory: 8·(total doubles) — the model-fit frames here are a
-    * few doubles per row, MBs total; a 100 TB fit uses
-    * MEMORY_AND_DISK_SER exactly like MLlib's GradientDescent input.
+    * few doubles per row, MBs total, cached deserialized (primitive
+    * arrays re-read with zero per-iteration cost); a corpus wide enough
+    * to cross [[TreePartitionThreshold]] partitions stores SERIALIZED
+    * instead, exactly like MLlib's GradientDescent input.
     */
   def cachedDoubles(df: DataFrame): RDD[Array[Double]] = {
     val flat = df.rdd.map { row =>
@@ -81,7 +124,12 @@ private[graft] object DigestPass {
         i += 1
       }
       b.result()
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val level =
+      if (flat.getNumPartitions > TreePartitionThreshold)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    flat.persist(level)
     flat.count()
     flat
   }
