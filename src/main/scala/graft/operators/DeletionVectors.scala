@@ -101,12 +101,47 @@ object DeletionVectors {
     appendDelta(read(spark, root, keepMeta = true)
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"), root)
 
+  /** One computation, not two: the old shape ran the doomed frame's full
+    * MOR scan + anti-join TWICE (a `count()` to gate the append, then the
+    * write). Now the delta is staged to a hidden tmp dir in one pass, its
+    * row count read from the parquet FOOTER the writer already produced
+    * (the [[ManifestIO.footerStats]] posture — guide §1.2 "don't compute
+    * things you throw away"), and the part file renamed into the sidecar
+    * only when non-empty — same append atomicity (a crash before the
+    * rename loses the uncommitted delta exactly like a crash before the
+    * old write's commit; the dot-prefixed tmp is invisible to readers).
+    */
   private def appendDelta(doomed: DataFrame, root: String): Long = {
+    val spark = doomed.sparkSession
     val live = doomed
       .select(col("bucket"), col("__file").as("file_name"), col("__pos").as("pos"))
-    val n = live.count()
-    if (n > 0)
-      live.coalesce(1).write.mode("append").parquet(s"$root/deletes")
+    val tmp = s"$root/.delta-tmp-${java.util.UUID.randomUUID}"
+    live.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(root).getFileSystem(conf)
+    val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val n = parts.map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        var rows = 0L
+        val it = reader.getFooter.getBlocks.iterator()
+        while (it.hasNext) rows += it.next().getRowCount
+        rows
+      } finally reader.close()
+    }.sum
+    if (n > 0) {
+      val dels = new Path(s"$root/deletes")
+      fs.mkdirs(dels)
+      // Spark names each part `part-<task>-<jobUUID>`, unique per write
+      // job, so renaming into the shared sidecar dir cannot collide
+      parts.foreach { p =>
+        if (!fs.rename(p, new Path(dels, p.getName)))
+          throw new java.io.IOException(s"dv append: could not commit $p")
+      }
+    }
+    fs.delete(new Path(tmp), true)
     n
   }
 

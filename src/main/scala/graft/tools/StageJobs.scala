@@ -42,20 +42,26 @@ object StageJobs {
     })
     def drain(): Unit =
       org.apache.spark.GraftCoreBridge.drainListenerBus(spark.sparkContext)
+    val reps = sys.env.getOrElse("STAGEJOBS_REPS", "1").toInt
     val want = args.toSet
     val picked = graft.Stages.all.filter { case (n, _) => want.isEmpty || want(n) }
-    // warm pass (JIT + parquet footers), then the measured cold pass
+    // warm pass (JIT + parquet footers), then the measured cold passes
+    // (min-of-N against host noise — the bench's own methodology)
     picked.foreach { case (_, b) => b(spark, sfDir) }
-    graft.Stages.resetAll(spark)
-    picked.foreach { case (n, b) =>
-      drain(); lines.clear()
-      val t0 = System.nanoTime()
-      b(spark, sfDir)
-      val secs = (System.nanoTime() - t0) / 1e9
-      drain()
-      println(f"\n===== STAGE $n: $secs%7.3f s, ${lines.size} jobs =====")
-      import scala.jdk.CollectionConverters._
-      lines.asScala.toSeq.sortBy(_._1).foreach(l => println(l._2))
+    (1 to reps).foreach { rep =>
+      graft.Stages.resetAll(spark)
+      picked.foreach { case (n, b) =>
+        drain(); lines.clear()
+        val t0 = System.nanoTime()
+        b(spark, sfDir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        drain()
+        println(f"\n===== STAGE $n: $secs%7.3f s, ${lines.size} jobs (rep $rep) =====")
+        if (rep == 1) {
+          import scala.jdk.CollectionConverters._
+          lines.asScala.toSeq.sortBy(_._1).foreach(l => println(l._2))
+        }
+      }
     }
     spark.stop()
   }
