@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -242,10 +241,11 @@ object Ann {
     val prepared = df.withColumn("__v",
       array_to_vector(graft.functions.VectorOps.toDoubleArray(col(embCol))))
       .repartition(1).cache()
-    val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
-      .setFeaturesCol("__v").setPredictionCol(cellCol)
-      .fit(prepared)
+    // sample-scale fit → driver-local trainer (bit-identical to the
+    // distributed fit, LocalKMeansSpec): the ~30 one-task Lloyd/init jobs
+    // were pure scheduler overhead. Assignment below stays distributed.
+    val model = LocalKMeansFit.fit(prepared, "__v", cellCol,
+      k = k, seed = seed, maxIter = 20, distanceMeasure = "cosine")
     model.transform(prepared).drop("__v")
       .write.mode("overwrite").partitionBy(cellCol).parquet(layoutDir)
     prepared.unpersist()
@@ -548,10 +548,10 @@ object Ann {
       .withColumn("__v", array_to_vector(
         graft.functions.VectorOps.toDoubleArray(col(embCol))))
       .repartition(1).cache()
-    val km = new KMeans()
-      .setK(2).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
-      .setFeaturesCol("__v").setPredictionCol("__half")
-      .fit(prepared)
+    // driver-local 2-means on the sample-scale cell (bit-identical to the
+    // distributed fit — LocalKMeansSpec's cosine k=2 case)
+    val km = LocalKMeansFit.fit(prepared, "__v", "__half",
+      k = 2, seed = seed, maxIter = 20, distanceMeasure = "cosine")
     val reassigned = km.transform(prepared)
       .withColumn(cellCol,
         when(col("__half") === 0, lit(cell)).otherwise(lit(newId)))

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -531,10 +530,10 @@ object Ivfpq {
       s"splitCell: rescoreDir holds $nVecs of cell $cell's $nCodes coded " +
         s"vectors — codes and full-precision halves are out of sync; " +
         s"refusing to drop ${nCodes - nVecs} vectors")
-    val km = new KMeans()
-      .setK(2).setSeed(seed).setMaxIter(20).setDistanceMeasure("cosine")
-      .setFeaturesCol("__v").setPredictionCol("half")
-      .fit(prepared)
+    // driver-local 2-means on the sample-scale cell (bit-identical to the
+    // distributed fit — LocalKMeansSpec's cosine k=2 case)
+    val km = LocalKMeansFit.fit(prepared, "__v", "half",
+      k = 2, seed = seed, maxIter = 20, distanceMeasure = "cosine")
     val assigned = km.transform(prepared).drop("__v")
       .withColumn("cell",
         when(col("half") === 0, lit(cell)).otherwise(lit(newId)))

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,43 +62,41 @@ object Pq {
     })
 
   /** The one fit-and-dump block behind [[train]] (raw vectors) and
-    * [[trainResidual]] (residuals): the m per-subspace KMeans fits run
-    * CONCURRENTLY over a single cached partition, seeded per subspace
-    * (bit-identical to a sequential loop; the stage was 10–16% of the
-    * whole bench run sequentially — round-5 verdict), and the books dump
-    * as (s, code, cent) at `dumpPath` — the replayable half of the index.
-    * One implementation so the two trainers cannot silently diverge in
-    * fit, seed scheme, or dump format. `emb` must carry a DOUBLE[]
-    * `embedding` column of length m·subDim; it is collapsed to ONE cached
-    * partition here (sample-scale fit — Lloyd's many tiny jobs would pay
-    * 32-empty-task scheduler overhead per iteration otherwise).
+    * [[trainResidual]] (residuals): ONE collect of the (sample-scale,
+    * single-partition) fit input, then the m per-subspace fits run on
+    * the driver via [[LocalKMeansFit]]'s local trainer — bit-identical
+    * to the distributed `ml.KMeans.fit` (LocalKMeansSpec pins every
+    * subspace seed), but zero Spark jobs instead of m·(~25-45) one-task
+    * Lloyd/init jobs whose scheduler round-trips dominated this stage
+    * (round-15; the round-5 fix had already collapsed the input to one
+    * partition and overlapped the fits — the jobs themselves were the
+    * remaining cost). The books dump as (s, code, cent) at `dumpPath` —
+    * the replayable half of the index. One implementation so the two
+    * trainers cannot silently diverge in fit, seed scheme, or dump
+    * format. `emb` must carry a DOUBLE[] `embedding` column of length
+    * m·subDim; `repartition(1)` is kept so the collected row order is
+    * exactly the one the distributed fit folded.
     */
   private def fitBooks(spark: SparkSession, emb: DataFrame, m: Int,
                        subDim: Int, k: Int, seed: Long,
                        dumpPath: String): Codebooks = {
-    val cached = emb.repartition(1).cache()
-    try {
-      // materialize the cache before fanning out, so the m concurrent
-      // fits all read the block instead of racing to compute it
-      cached.count()
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val books = Await.result(
-        Future.sequence((0 until m).map { s => Future {
-          val sub = cached.select(array_to_vector(
-            expr(s"slice(embedding, ${s * subDim + 1}, $subDim)")).as("__v"))
-          new KMeans().setK(k).setSeed(seed + s).setMaxIter(20)
-            .setFeaturesCol("__v").setPredictionCol("__c")
-            .fit(sub).clusterCenters.map(_.toArray)
-        } }), Duration.Inf).toArray
-      import spark.implicits._
-      (for { s <- 0 until m; c <- books(s).indices }
-        yield (s, c, books(s)(c).toSeq))
-        .toDF("s", "code", "cent").coalesce(1)
-        .write.mode("overwrite").parquet(dumpPath)
-      Codebooks(m, subDim, books)
-    } finally cached.unpersist()
+    val rows = emb.repartition(1).select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val books = Array.tabulate(m) { s =>
+      val sub = rows.map(r =>
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim)))
+      org.apache.spark.mllib.clustering.GraftLocalKMeans
+        .fit(sub, k, maxIterations = 20, seed = seed + s,
+          distanceMeasure = "euclidean")
+        .map(_.toArray)
+    }
+    import spark.implicits._
+    (for { s <- 0 until m; c <- books(s).indices }
+      yield (s, c, books(s)(c).toSeq))
+      .toDF("s", "code", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(dumpPath)
+    Codebooks(m, subDim, books)
   }
 
   /** Bench-harness hook: forget the trained books so a second build can be

@@ -84,11 +84,10 @@ object WordVec {
       val prepared = vecs.withColumn("__v",
         org.apache.spark.ml.functions.array_to_vector(col("vec")))
         .repartition(1).cache()
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(AnnCells).setSeed(42L).setMaxIter(20)
-        .setDistanceMeasure("cosine")
-        .setFeaturesCol("__v").setPredictionCol("cell")
-        .fit(prepared)
+      // driver-local fit on the sample-scale vocab (bit-identical to the
+      // distributed fit — LocalKMeansSpec); assignment stays distributed
+      val km = LocalKMeansFit.fit(prepared, "__v", "cell",
+        k = AnnCells, seed = 42L, maxIter = 20, distanceMeasure = "cosine")
       km.transform(prepared).drop("__v")
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       prepared.unpersist()
