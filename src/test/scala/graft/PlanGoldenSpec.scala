@@ -132,7 +132,12 @@ class PlanGoldenSpec extends AnyFunSuite {
 
   test("dsir_select: model moves by broadcast; totals join is BHJ not BNLJ") {
     val p = planOf("dsir_select")
-    assert(count(p, "BroadcastHashJoin") >= 2,
+    // the model build (with its own broadcast(target) BHJ) runs in the
+    // staged (localCheckpoint) subtree since r15 — truncated from the
+    // serving plan by design (plans/r15/dsir_select_after.txt shows both
+    // halves); the serving plan must still broadcast the scored model
+    // into the corpus digest
+    assert(count(p, "BroadcastHashJoin") >= 1,
       "model/totals broadcast lost — scoring would shuffle the corpus digest")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "1-row totals joined as BNLJ — literal-key equi-join degraded")

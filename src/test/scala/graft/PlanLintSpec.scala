@@ -99,6 +99,7 @@ class PlanLintSpec extends AnyFunSuite {
       "hybrid_rrf_filtered", // same shapes, corpus pre-restricted by the metadata semi-join
       "hll_sketch_ops", // 1-row merged-sketch × 1-row exact-count probe
       "pagerank_pairs", // 1-row node-count aggregate broadcast per iteration
+      "textrank_keywords", // same PageRank 1-row count broadcast — visible in the final plan since the fixed-3-round loop went lazy (r15)
       "resample_fill",  // 1-row grid-bound aggregate broadcast into the grid generator
       "edit_distance_pairs", // 40-row blocked pair set, broadcast side
       "retrieval_mrr", // 5-row query panel broadcast against the corpus scan
